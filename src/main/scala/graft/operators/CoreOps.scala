@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{Det, OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core scan / projection / filter / dedup / basic-aggregation operators.
+  *
+  * Reference behaviors (see SURVEY.md §2.A/§2.B/§2.C/§2.G; cites into
+  * /root/reference):
+  *   - scan: the BigQuery warehouse tables exist to be scanned
+  *     (terraform/main.tf:76-96)
+  *   - projection of entity ids (app.py:164,188), null-skip filters
+  *     (app.py:188,206), search-with-limit (app.py:140-145),
+  *     type-routing case/when (app.py:207), REQUIRED-id validation
+  *     (terraform/schemas/artists_schema.json:2)
+  *   - dedup via set() before enrichment (app.py:164), run-summary counts
+  *     (app.py:216-220), per-type group counts (app.py:204-208)
+  *
+  * All re-expressed as declarative Spark plans so Catalyst pushes filters
+  * and projections into the parquet scan and plans partial hash aggregates
+  * (map-side combine) — the property that makes these hold at 100 TB.
+  */
+object CoreOps extends OpGroup {
+  import Det._
+
+  /** Flagship 3.1-analog: star traversal (artists→albums→tracks ≈
+    * customer→orders→lineitem), dedup-before-enrich ordering preserved by
+    * plan shape, per-group top-k (TakeOrderedAndProject-friendly).
+    * Mirrors app.py:133-220's resolve→scan→dedup→enrich→summarize pipeline.
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    val ord  = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val li   = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val revByCust = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_custkey").agg(decSum(col("rev")).as("rev_dec"))
+    val joined = revByCust
+      .join(broadcast(cust), revByCust("o_custkey") === cust("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+        round(col("rev_dec").cast("double"), 6).as("revenue"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  private val flagshipSql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey, ${decSumSql("l_extendedprice * (1 - l_discount)")} AS rev_dec
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_custkey
+       |), ranked AS (
+       |  SELECT c_mktsegment,
+       |         row_number() OVER (PARTITION BY c_mktsegment
+       |                            ORDER BY rev_dec DESC, c_custkey) AS rn,
+       |         c_custkey, rev_dec
+       |  FROM rev JOIN customer ON o_custkey = c_custkey
+       |)
+       |SELECT c_mktsegment, rn, c_custkey,
+       |       round(CAST(rev_dec AS DOUBLE), 6) AS revenue
+       |FROM ranked WHERE rn <= 10
+       |ORDER BY c_mktsegment, rn""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flagship_star_topk" -> flagship,
+
+    // S1 — full columnar scan; shipdate normalized to DATE for a
+    // timestamp-free oracle compare (SURVEY.md §7 trap list). NB
+    // (l_orderkey, l_linenumber) is NOT unique in the fixtures — the sort
+    // must extend to a full-row-unique key set for determinism.
+    "scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    // P1 — id projection (app.py:164,188): column pruning reaches the scan.
+    "project_ids" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")),
+
+    // P2 — null-skip + predicate (app.py:188,206).
+    "filter_not_null" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isNotNull && col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // P3 — search + limit 1 (app.py:140-145); ordered for determinism.
+    "search_limit1" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(lower(col("c_name")).contains("42"))
+        .orderBy("c_custkey").limit(1)
+        .select("c_custkey", "c_name")),
+
+    // P4 — type-routing case/when (app.py:207).
+    "case_when_route" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          when(col("event_type") === "click", "clicks")
+            .when(col("event_type") === "view", "views")
+            .otherwise("other").as("route"))
+        .orderBy("event_id")),
+
+    // P5 — REQUIRED-field validation (artists_schema.json:2).
+    "validate_required" -> ((s, d) =>
+      Tables.customer(s, d)
+        .agg(count(lit(1)).as("total_rows"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("null_ids"))),
+
+    // D1 — distinct ids before enrichment (app.py:164).
+    "distinct_ids" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_orderkey").distinct()
+        .orderBy("l_orderkey")),
+
+    // D2 — exact distinct count (app.py:165).
+    "count_distinct_exact" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // D3 — approximate distinct (HLL++) — the 100 TB path where exact
+    // countDistinct's shuffle is the bottleneck. No SQL oracle
+    // (approximate); rows-only check + ScalaTest tolerance bound.
+    "count_distinct_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))),
+
+    // D4 — deterministic keep-first dedup (pins app.py:164's arbitrary
+    // set() winner to a total order).
+    "dedup_keep_first" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+        .orderBy("l_orderkey")
+    }),
+
+    // G1 — run-summary counts (app.py:216-220).
+    "count_summary" -> ((s, d) =>
+      Tables.orders(s, d).agg(count(lit(1)).as("orders_stored"))
+        .crossJoin(
+          Tables.lineitem(s, d).agg(count(lit(1)).as("lineitems_stored")))),
+
+    // G2 — grouped hash aggregate w/ partial+final (app.py:204-208 analog;
+    // the TPC-H Q1 shape).
+    "group_hash_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_tax")).as("max_tax"))
+        .orderBy("l_returnflag", "l_linestatus")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "flagship_star_topk" -> flagshipSql,
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |       CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "project_ids" ->
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey",
+    "filter_not_null" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_returnflag IS NOT NULL AND l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    "search_limit1" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE contains(lower(c_name), '42')
+        |ORDER BY c_custkey LIMIT 1""".stripMargin,
+    "case_when_route" ->
+      """SELECT event_id,
+        |       CASE WHEN event_type = 'click' THEN 'clicks'
+        |            WHEN event_type = 'view' THEN 'views'
+        |            ELSE 'other' END AS route
+        |FROM events ORDER BY event_id""".stripMargin,
+    "validate_required" ->
+      """SELECT count(*) AS total_rows,
+        |       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ids
+        |FROM customer""".stripMargin,
+    "distinct_ids" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey",
+    "count_distinct_exact" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "dedup_keep_first" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "count_summary" ->
+      """SELECT (SELECT count(*) FROM orders) AS orders_stored,
+        |       (SELECT count(*) FROM lineitem) AS lineitems_stored""".stripMargin,
+    "group_hash_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |       ${Det.dsumSql("l_quantity")} AS sum_qty,
+         |       ${Det.dsumSql("l_extendedprice")} AS sum_price,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |       ${Det.davgSql("l_quantity")} AS avg_qty,
+         |       min(l_discount) AS min_disc,
+         |       max(l_tax) AS max_tax
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
+}
