@@ -12,6 +12,8 @@ object SparkEntry {
   /** All operator groups, in SURVEY.md §2 section order. */
   def groups: Seq[OpGroup] = Seq(
     operators.CoreOps,
+    operators.JoinOps,
+    operators.ExplodeOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

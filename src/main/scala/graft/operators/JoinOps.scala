@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{Det, OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.D).
+  *
+  * Reference behaviors re-expressed as relational joins:
+  *   - batched id→object enrichment, `/albums?ids=…` chunks of 20
+  *     (app.py:167-177) → broadcast semi join of a small id set against the
+  *     big fact table
+  *   - track-id batch enrichment, nulls dropped (app.py:192-199, 206) →
+  *     inner join; the pre-filter view is a left join with null probes and
+  *     the complement an anti join
+  *   - track-carries-album embedding (tracks_schema.json:107-170) →
+  *     parent-child equi-join
+  *   - artists→albums→tracks traversal (app.py:139-199) → multi-way star
+  *     join; Catalyst/AQE choose broadcast vs shuffle per side
+  *   - release_date string + precision (albums_schema.json:22-31) → range
+  *     join against a tiny broadcast calendar of precision intervals
+  *
+  * Scale notes: the only non-equi join (J7) keeps its build side O(years),
+  * so the BroadcastNestedLoopJoin it plans is a per-row probe of a handful
+  * of intervals — safe at 100 TB. Every other join is an equi-join Catalyst
+  * can shuffle-partition or broadcast; small-dim sides carry explicit
+  * `broadcast()` hints.
+  */
+object JoinOps extends OpGroup {
+  import Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1 — broadcast semi-join enrichment gate (app.py:167-177): rich
+    // suppliers' id set pruned into the lineitem scan.
+    "enrich_broadcast_semi" -> ((s, d) => {
+      val ids = Tables.supplier(s, d)
+        .filter(col("s_acctbal") > 5000).select("s_suppkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(ids), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_suppkey")
+    }),
+
+    // J2 — inner-join enrichment (app.py:192-199): urgent-order ids → rows.
+    "enrich_inner_join" -> ((s, d) => {
+      val ids = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      Tables.lineitem(s, d)
+        .join(ids, col("l_orderkey") === col("o_orderkey"), "inner")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // J3 — parent-child join, child rows carrying parent fields flattened
+    // (tracks embed their album; README.md:18).
+    "parent_child_join" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    // J4 — left join with null probes (batch endpoints return null per
+    // missing id, app.py:198).
+    "left_join_null_probe" -> ((s, d) => {
+      val heavy = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 49).select("l_orderkey").distinct()
+      Tables.orders(s, d)
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(col("o_orderkey"),
+          col("l_orderkey").isNotNull.as("has_heavy_item"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J5 — anti join: ids that enriched to nothing (app.py:206's drop).
+    "anti_join_missing" -> ((s, d) => {
+      val heavy = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 49).select("l_orderkey").distinct()
+      Tables.orders(s, d)
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // J6 — star join over all five relations (the pipeline's whole point,
+    // app.py:139-199): revenue by region/nation. region+nation broadcast;
+    // customer⋈orders⋈lineitem shuffle on their keys.
+    "star_join_3way" -> ((s, d) => {
+      val r = broadcast(Tables.region(s, d))
+      val n = broadcast(Tables.nation(s, d))
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("rev")).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J7 — range join (release_date precision semantics,
+    // albums_schema.json:22-31): orders matched into year intervals via a
+    // tiny broadcast calendar — O(years) build side stays broadcast-able
+    // at any fact-table scale.
+    "range_asof_join" -> ((s, d) => {
+      val years = s.range(1992, 2000).toDF("y")
+        .select(col("y"),
+          expr("make_timestamp(y, 1, 1, 0, 0, 0)").as("y_start"),
+          expr("make_timestamp(y + 1, 1, 1, 0, 0, 0)").as("y_end"))
+      Tables.orders(s, d)
+        .join(broadcast(years),
+          col("o_orderdate") >= col("y_start") && col("o_orderdate") < col("y_end"))
+        .groupBy("y")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("y")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "enrich_broadcast_semi" ->
+      s"""SELECT l_suppkey, count(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "enrich_inner_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "parent_child_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       o_custkey, o_orderstatus, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "left_join_null_probe" ->
+      """SELECT o_orderkey, (h.l_orderkey IS NOT NULL) AS has_heavy_item
+        |FROM orders LEFT JOIN
+        |  (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 49) h
+        |  ON o_orderkey = h.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "anti_join_missing" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey NOT IN
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "star_join_3way" ->
+      s"""SELECT r_name, n_name, count(*) AS n_items,
+         |       ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "range_asof_join" ->
+      s"""SELECT y, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders JOIN (SELECT range AS y FROM range(1992, 2000)) years
+         |  ON o_orderdate >= CAST(CAST(y AS VARCHAR) || '-01-01' AS TIMESTAMP)
+         | AND o_orderdate <  CAST(CAST(y + 1 AS VARCHAR) || '-01-01' AS TIMESTAMP)
+         |GROUP BY y ORDER BY y""".stripMargin,
+  )
+}
