@@ -14,6 +14,9 @@ object SparkEntry {
     operators.CoreOps,
     operators.JoinOps,
     operators.ExplodeOps,
+    operators.AggWindowOps,
+    operators.SetOps,
+    operators.ScalarFuncOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{Det, OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation beyond plain group-by (SURVEY.md §2.G3-G6) and the window
+  * surface the warehouse schema was built for (§2.H — every entity carries
+  * a `popularity` score, tracks carry ordinals; artists_schema.json:4,
+  * tracks_schema.json:12-26).
+  *
+  * Scale notes: cube/rollup multiply output rows, not input shuffles — one
+  * pass with grouping-id expansion. Window partitions key on high-card
+  * columns (suppkey/custkey) so state per partition stays bounded; the
+  * running-frame query uses a cumulative DECIMAL sum, which keeps partial
+  * ordering deterministic and spill-safe.
+  */
+object AggWindowOps extends OpGroup {
+  import Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G3 — cube subtotals (the BigQuery analytics surface the tables
+    // target, terraform/main.tf:66-96). Subtotal NULLs rendered as 'ALL'
+    // so the oracle compare is collation-free.
+    "grouping_sets_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")),
+
+    // G4 — distinct aggregation inside groups (app.py:164,185-188).
+    "agg_distinct_in_group" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // G5 — first-page total drives fan-out planning (app.py:157-158):
+    // total count → number of 50-item pages, computed in-plan (no
+    // driver-side collect).
+    "first_page_total" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("total"))
+        .select(col("total"),
+          ceil(col("total") / lit(50.0)).cast("long").as("n_pages"))),
+
+    // G6 — order-sensitive collect (albums carry their track list in
+    // declared order, albums_schema.json:123-209). Canonical string form
+    // because nested lists hash differently across engines (SURVEY §7).
+    "ordered_agg_collect" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(expr("concat_ws(',', transform(sort_array(collect_list(l_linenumber)), x -> cast(x AS string)))")
+          .as("linenumbers"),
+          count(lit(1)).as("n"))
+        .orderBy("l_orderkey")),
+
+    // W1 — top-k per group by score (top tracks per album by popularity).
+    // row_number with full tiebreak; plans as running rank, no global sort.
+    "rank_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_extendedprice")
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    // W2 — release-to-release gap per artist (lag over date order).
+    "lag_lead_release" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lag(col("o_orderdate"), 1).over(w).cast("date")).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // W3 — running cumulative aggregate (cumulative popularity). DECIMAL
+    // accumulator keeps every prefix sum exact, so each output row is
+    // reproducible under any physical partitioning.
+    "running_frame_agg" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 6))).over(w)
+            .cast("double"), 6).as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
+    // W4 — deciles / percentile ranks over a score (popularity analog).
+    "ntile_percentile" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          ntile(10).over(w).as("decile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("c_custkey")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "grouping_sets_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+         |       coalesce(l_linestatus, 'ALL') AS lstatus,
+         |       count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY rflag, lstatus""".stripMargin,
+    "agg_distinct_in_group" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "first_page_total" ->
+      """SELECT count(*) AS total,
+        |       CAST(ceil(count(*) / 50.0) AS BIGINT) AS n_pages
+        |FROM lineitem""".stripMargin,
+    "ordered_agg_collect" ->
+      """SELECT l_orderkey,
+        |       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "rank_topk_per_group" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "lag_lead_release" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        |       CAST(date_diff('day',
+        |         CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |         CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "running_frame_agg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |         PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        |         AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    "ntile_percentile" ->
+      """SELECT c_custkey,
+        |       ntile(10) OVER w AS decile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}
