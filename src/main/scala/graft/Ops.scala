@@ -45,4 +45,27 @@ object Det {
   def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 6)))
 
   def decSumSql(e: String): String = s"sum(CAST(($e) AS DECIMAL(18,6)))"
+
+  /** Spark SQL (higher-order functions) for an order-insensitive dot
+    * product of two float-array columns: per-element product in IEEE
+    * double (deterministic), then an exact DECIMAL fold — so Spark's
+    * sequential `aggregate` and DuckDB's group-sum agree bit-for-bit,
+    * and so would any partitioned combine at cluster scale.
+    */
+  def dotDecExpr(a: String, b: String): String =
+    s"""aggregate(
+       |  zip_with($a, $b,
+       |    (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,18))),
+       |  CAST(0 AS DECIMAL(38,18)),
+       |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18)))""".stripMargin
+
+  /** sqrt(self-dot) as DOUBLE — the L2 norm under the same exact fold. */
+  def normExpr(a: String): String =
+    s"sqrt(CAST(${dotDecExpr(a, a)} AS DOUBLE))"
+
+  /** DuckDB side of [[dotDecExpr]]: requires `FROM ... CROSS JOIN
+    * range(1, dim+1) t(i)` and a GROUP BY over the pair keys.
+    */
+  def dotDecDuck(a: String, b: String): String =
+    s"sum(CAST(CAST($a[t.i] AS DOUBLE) * CAST($b[t.i] AS DOUBLE) AS DECIMAL(20,18)))"
 }

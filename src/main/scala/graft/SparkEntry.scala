@@ -17,6 +17,11 @@ object SparkEntry {
     operators.AggWindowOps,
     operators.SetOps,
     operators.ScalarFuncOps,
+    operators.SourceOps,
+    operators.StreamBatchOps,
+    operators.LlmOps,
+    operators.TrainingDataOps,
+    operators.MultimodalOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.{Det, OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators over `documents` / `embeddings`
+  * (SURVEY.md §2.K — the BASELINE.json north-star extension beyond the
+  * reference's own surface).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - L2 exact dedup: hash-shuffle on sha256, one pass, no driver state.
+  *   - L3 MinHash: signatures are a per-row map-side computation (no
+  *     shuffle); candidate pairing is a band-bucket equi-join — the LSH
+  *     trick that turns O(n²) near-dup search into a same-key join.
+  *     Signatures here (oracle-less, hash values are engine-specific);
+  *     pair semantics proven in MinHashSpec against planted duplicates.
+  *   - jaccard core: n-gram set overlap via an inverted-index join,
+  *     blocked by `source` so no block outgrows one executor.
+  *   - L4 cosine top-k: brute-force baseline over a broadcast query set;
+  *     per-vector norms precomputed before the join (never per pair).
+  *     Dot products fold through DECIMAL so results are bit-stable under
+  *     any partitioning (Det.dotDecExpr).
+  *   - L5 tf-idf: two hash aggregates + a broadcast of the df side.
+  *   - L6 multimodal struct: nested field access, never explosion.
+  */
+object LlmOps extends OpGroup {
+  import Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1 — per-document text statistics.
+    "text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("n_chars_calc"),
+          col("n_chars").as("n_chars_stored"),
+          size(col("words")).as("n_tokens"),
+          size(array_distinct(col("words"))).as("n_unique_tokens"))
+        .orderBy("doc_id")),
+
+    // L2 — exact content dedup via sha256 + deterministic keep-first.
+    "exact_dedup_hash" -> ((s, d) => {
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("h", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("h"), (col("rn") === 1).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // L3 — MinHash signatures: 16 seeded xxhash64 minima over word
+    // 3-gram shingles, banded 4×4 for LSH bucketing. Hash values are
+    // Spark-specific ⇒ no SQL oracle (rows-only + MinHashSpec).
+    "minhash_near_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("shingles",
+          expr("""transform(sequence(0, greatest(size(words) - 3, 0)),
+                 |  i -> concat_ws(' ', slice(words, i + 1, 3)))""".stripMargin))
+        .withColumn("sig",
+          expr("""transform(sequence(0, 15),
+                 |  seed -> aggregate(shingles, 9223372036854775807L,
+                 |    (acc, sh) -> least(acc, xxhash64(sh, seed))))""".stripMargin))
+        .withColumn("bands",
+          expr("transform(sequence(0, 3), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("minhash_0"),
+          element_at(col("sig"), 2).as("minhash_1"),
+          element_at(col("bands"), 1).as("band_0"),
+          element_at(col("bands"), 2).as("band_1"))
+        .orderBy("doc_id")),
+
+    // jaccard core (SURVEY L3's oracle-able half): unigram-set Jaccard
+    // over source-blocked doc pairs via inverted-index join.
+    "ngram_jaccard_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("ws"))
+      val inv = docs.select(col("doc_id"), col("source"),
+        size(col("ws")).as("n"), explode(col("ws")).as("w"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.w") === col("b.w") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .withColumn("jaccard",
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // L4 — brute-force cosine top-k: 10 query vectors × all neighbors,
+    // top-5 each. The 100 TB path swaps the cross join for the
+    // label-blocked IVF variant (ann_ivf_topk) — same scoring core.
+    "cosine_similarity_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr(normExpr("embedding")).as("norm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dot",
+          expr(s"CAST(${dotDecExpr("q_emb", "embedding")} AS DOUBLE)"))
+        .withColumn("cos", col("dot") / (col("q_norm") * col("norm")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // L5 — tf-idf keywords: top-3 terms per doc; idf from exact integer
+    // counts so both engines evaluate ln() on identical doubles.
+    "tfidf_keywords" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = words.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), "w").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      val w8 = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("w"))
+      scored.withColumn("rank", row_number().over(w8))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // L6 — multimodal struct column: text metadata + embedding + kv map
+    // carried in one nested column, accessed without explosion (nested
+    // schema pruning keeps the scan narrow).
+    "multimodal_struct_col" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      docs.join(emb, col("doc_id") === col("vec_id"), "inner")
+        .withColumn("payload", struct(
+          struct(col("lang"), col("n_chars")).as("text_meta"),
+          col("embedding"),
+          map(lit("source"), col("source")).as("meta")))
+        .select(col("doc_id"),
+          col("payload.text_meta.lang").as("lang"),
+          col("payload.text_meta.n_chars").as("n_chars"),
+          size(col("payload.embedding")).as("emb_dim"),
+          element_at(col("payload.meta"), "source").as("source"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  private def cosinePairsDuck(pairCond: String): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |norms AS (
+       |  SELECT e.vec_id, sqrt(CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) *
+       |    CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(20,18))) AS DOUBLE)) AS norm
+       |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${dotDecDuck("a.embedding", "b.embedding")} AS dot
+       |  FROM e a JOIN e b ON $pairCond
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY id_a, id_b),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |         CAST(dot AS DOUBLE) / (na.norm * nb.norm) AS cos
+       |  FROM dots JOIN norms na ON id_a = na.vec_id
+       |            JOIN norms nb ON id_b = nb.vec_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id, lang,
+        |       CAST(length(text) AS INTEGER) AS n_chars_calc,
+        |       n_chars AS n_chars_stored,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "exact_dedup_hash" ->
+      """SELECT doc_id, sha256(text) AS h,
+        |       (row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1)
+        |         AS is_canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |inv AS (SELECT doc_id, source, len(ws) AS n, unnest(ws) AS w FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n AS na, b.n AS nb, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b, na, nb)
+        |SELECT doc_a, doc_b, inter,
+        |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "cosine_similarity_topk" ->
+      s"""${cosinePairsDuck("b.vec_id < 10 AND a.vec_id <> b.vec_id")},
+         |ranked AS (
+         |  SELECT id_b, id_a, cos,
+         |         row_number() OVER (PARTITION BY id_b
+         |           ORDER BY cos DESC, id_a) AS rank
+         |  FROM scored)
+         |SELECT id_b AS q_id, rank, id_a AS neighbor_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "tfidf_keywords" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM
+        |         (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w,
+        |         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN df USING (w) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, w, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, w) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, w AS term, tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "multimodal_struct_col" ->
+      """SELECT doc_id, lang, n_chars,
+        |       CAST(len(embedding) AS INTEGER) AS emb_dim, source
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{Det, OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source / sink operators (SURVEY.md §2.A).
+  *
+  * Reference behaviors:
+  *   - S2: `bq load --source_format=NEWLINE_DELIMITED_JSON` against a
+  *     declared schema (README.md:186-205, terraform/main.tf:79) — unknown
+  *     keys dropped, missing keys → NULL, never schema inference.
+  *   - S6: offset-ladder pagination — first page yields `total`, remaining
+  *     page offsets computed and fetched in parallel (app.py:154-163).
+  *   - S7: staging-bucket TTL — objects older than `staging_file_ttl_days`
+  *     deleted (terraform/main.tf:50-57, terraform.tfvars:7).
+  *
+  * S3 (per-entity JSON staging round trip), S4 (type-routed partitioned
+  * sink layout) and S5 (--replace overwrite) are side-effecting — covered
+  * by SourceSinkSpec, not oracle entries.
+  *
+  * Scale notes: the S2 stage-and-reload writes one JSON file per shuffle
+  * partition (the 100 TB shape: a partitioned staging prefix, not one
+  * object); S6's page map is a window over the sorted scan — at cluster
+  * scale the same ladder comes from `spark.range(0, total, pageSize)`
+  * against a DataSourceV2 that pushes offset+limit, which is why `total`
+  * is computed in-plan and never collected.
+  */
+object SourceOps extends OpGroup {
+  import Det._
+
+  /** Declared staging schema for events — the S2 `bq load` analog of
+    * terraform/schemas/&lt;entity&gt;.json: explicit StructType, never inference.
+    * `ts` travels as an ISO-µs string (JSON has no timestamp type).
+    */
+  private val eventsStageSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_str", StringType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S2 — stage events as newline-delimited JSON, re-read under the
+    * declared schema, surface typed values. Lossless round trip ⇒ output
+    * equals the parquet source, which is exactly what the oracle asserts.
+    */
+  def scanJsonSchema(s: SparkSession, d: String): DataFrame = {
+    val stage = s"/tmp/graft_stage/s2_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.events(s, d)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode(SaveMode.Overwrite).json(stage)
+    s.read.schema(eventsStageSchema).json(stage)
+      .select(col("event_id"),
+        unix_micros(to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_json_schema" -> scanJsonSchema,
+
+    // S6 — offset-ladder pagination over the sorted scan: page id, size,
+    // id bounds per 50-row page; union of all pages ≡ the full scan.
+    "paginated_source" -> ((s, d) => {
+      val w = Window.orderBy("p_partkey")
+      Tables.part(s, d)
+        .select("p_partkey")
+        .withColumn("page", ((row_number().over(w) - lit(1)) / lit(50)).cast("long"))
+        .groupBy("page")
+        .agg(count(lit(1)).as("page_size"),
+          min("p_partkey").as("first_key"),
+          max("p_partkey").as("last_key"))
+        .orderBy("page")
+    }),
+
+    // S7 — TTL retention: keep staged rows younger than 7 days relative
+    // to the newest event (fixed dataset ⇒ deterministic cutoff).
+    "ttl_retention_filter" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("cutoff"))
+      ev.crossJoin(broadcast(cutoff))
+        .filter(col("ts") >= col("cutoff"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_json_schema" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "paginated_source" ->
+      """WITH pages AS (
+        |  SELECT p_partkey,
+        |         CAST((row_number() OVER (ORDER BY p_partkey) - 1) // 50 AS BIGINT) AS page
+        |  FROM part)
+        |SELECT page, count(*) AS page_size,
+        |       min(p_partkey) AS first_key, max(p_partkey) AS last_key
+        |FROM pages GROUP BY page ORDER BY page""".stripMargin,
+    "ttl_retention_filter" ->
+      s"""SELECT event_type, count(*) AS n_kept, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,263 @@
+package graft.operators
+
+import graft.{Det, OpGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond SURVEY.md §2 — the large-scale
+  * curation toolkit the north star mandates (BASELINE.json): SimHash
+  * near-dup fingerprints, IVF-style ANN, language ID, quality scoring,
+  * token counting, document fingerprinting, and embedding-cosine near-dup
+  * pairing.
+  *
+  * Scale design:
+  *   - SimHash: one map-side pass per doc (explode → 64 conditional sums
+  *     → bit assembly); near-dup candidates come from equality on 16-bit
+  *     bands, an equi-join, never a cross join.
+  *   - ANN IVF: `label` plays the coarse-quantizer cell (at 100 TB the
+  *     cell id comes from a k-means pass). Queries probe only their own
+  *     cell — per-cell candidate lists stay bounded, and the cell id is
+  *     a shuffle key, so the search is one partitioned join.
+  *   - embedding near-dup: label-blocked pair join (n² within cell only),
+  *     norms precomputed per vector, DECIMAL-exact dot products.
+  *   - everything else is a single hash aggregate or projection.
+  */
+object TrainingDataOps extends OpGroup {
+  import Det._
+
+  /** 64 signed bit-count aggregates → SimHash long, assembled with
+    * bitwise OR (no arithmetic overflow at bit 63).
+    */
+  private def simhashCols: (Seq[Column], Column) = {
+    val sums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b")
+    }
+    val bits = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    (sums, bits.reduce(_ bitwiseOR _))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SimHash near-dup fingerprint; hash values are engine-specific ⇒
+    // rows-only check here, pairing semantics in SimHashSpec.
+    "simhash_dedup" -> ((s, d) => {
+      val (sums, assemble) = simhashCols
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+        .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .withColumn("simhash", assemble)
+        .select(col("doc_id"), col("simhash"),
+          // 16-bit LSH bands for candidate pairing at scale
+          col("simhash").bitwiseAND(lit(0xFFFFL)).as("band_0"),
+          shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("band_1"),
+          shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)).as("band_2"),
+          shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)).as("band_3"))
+        .orderBy("doc_id")
+    }),
+
+    // ANN, IVF-style: probe only the query's coarse cell (label).
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(normExpr("embedding")).as("norm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("norm").as("q_norm"))
+      val scored = e.join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("dot",
+          expr(s"CAST(${dotDecExpr("q_emb", "embedding")} AS DOUBLE)"))
+        .withColumn("cos", col("dot") / (col("q_norm") * col("norm")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup pairs, blocked by coarse cell.
+    "embedding_near_dup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(normExpr("embedding")).as("norm"))
+      val a = e.select(col("vec_id").as("id_a"), col("label").as("lab_a"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("lab_b"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b"))
+      a.join(b, col("lab_a") === col("lab_b") && col("id_a") < col("id_b"))
+        .withColumn("dot",
+          expr(s"CAST(${dotDecExpr("emb_a", "emb_b")} AS DOUBLE)"))
+        .withColumn("cos", col("dot") / (col("norm_a") * col("norm_b")))
+        .filter(col("cos") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("lab_a").as("label"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Language ID by stopword-list scoring with a fixed tie-break order.
+    "lang_id_ngram" -> ((s, d) => {
+      def score(langWords: Seq[String]): Column =
+        size(expr(s"filter(ws, w -> w IN (${langWords.map(w => s"'$w'").mkString(",")}))"))
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("s_en", score(Seq("the", "a", "of", "and", "in")))
+        .withColumn("s_de", score(Seq("der", "die", "das", "und", "ist")))
+        .withColumn("s_es", score(Seq("el", "los", "de", "y", "es")))
+        .withColumn("s_fr", score(Seq("le", "la", "et", "les", "est")))
+        .withColumn("best",
+          greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
+        .select(col("doc_id"), col("lang").as("lang_stored"),
+          when(col("best") === 0, "unknown")
+            .when(col("s_en") === col("best"), "en")
+            .when(col("s_de") === col("best"), "de")
+            .when(col("s_es") === col("best"), "es")
+            .otherwise("fr").as("lang_pred"),
+          col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: repetition + length heuristics, all exact-int
+    // derived arithmetic.
+    "quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("ws")))
+        .withColumn("n_unique", size(array_distinct(col("ws"))))
+        .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_tokens"), 6)
+            .as("unique_ratio"),
+          round(length(col("text")).cast("double") / col("n_tokens"), 6)
+            .as("avg_token_span"),
+          round(col("n_unique").cast("double") / col("n_tokens") * lit(0.5)
+            + least(lit(1.0), col("n_tokens").cast("double") / 100.0) * lit(0.5), 6)
+            .as("quality"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens + a regex subword proxy.
+    "token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[aeiou]+")).as("n_vowel_runs"),
+          regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_runs"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id")),
+
+    // Positional document fingerprint: exact-integer position-weighted
+    // sum — order-sensitive content signature, associative to compute.
+    "doc_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .groupBy("doc_id")
+        .agg((sum((col("pos") + 1) *
+          (ascii(col("w")) * lit(31L) + length(col("w")))) % 1000000007L)
+          .as("fingerprint"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_ivf_topk" -> (
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |norms AS (
+        |  SELECT e.vec_id, sqrt(CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) *
+        |    CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(20,18))) AS DOUBLE)) AS norm
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.vec_id),
+        |dots AS (
+        |  SELECT b.vec_id AS q_id, a.vec_id AS n_vec,
+        |""".stripMargin +
+      s"         ${dotDecDuck("a.embedding", "b.embedding")} AS dot\n" +
+      """  FROM e a JOIN e b
+        |    ON b.vec_id < 10 AND a.label = b.label AND a.vec_id <> b.vec_id
+        |  CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY q_id, n_vec),
+        |scored AS (
+        |  SELECT q_id, n_vec,
+        |         CAST(dot AS DOUBLE) / (nq.norm * nn.norm) AS cos
+        |  FROM dots JOIN norms nq ON q_id = nq.vec_id
+        |            JOIN norms nn ON n_vec = nn.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_vec, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos DESC, n_vec) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_vec AS neighbor_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+    "embedding_near_dup" -> (
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |norms AS (
+        |  SELECT e.vec_id, sqrt(CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) *
+        |    CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(20,18))) AS DOUBLE)) AS norm
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS pair_label,
+        |""".stripMargin +
+      s"         ${dotDecDuck("a.embedding", "b.embedding")} AS dot\n" +
+      """  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY id_a, id_b, pair_label),
+        |scored AS (
+        |  SELECT id_a, id_b, pair_label,
+        |         CAST(dot AS DOUBLE) / (na.norm * nb.norm) AS cos
+        |  FROM dots JOIN norms na ON id_a = na.vec_id
+        |            JOIN norms nb ON id_b = nb.vec_id)
+        |SELECT id_a, id_b, pair_label AS label, round(cos, 6) AS cosine
+        |FROM scored WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+    "lang_id_ngram" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS lang_stored,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','a','of','and','in'], w))) AS INTEGER) AS s_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['der','die','das','und','ist'], w))) AS INTEGER) AS s_de,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['el','los','de','y','es'], w))) AS INTEGER) AS s_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['le','la','et','les','est'], w))) AS INTEGER) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang_stored,
+        |       CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+        |            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |            ELSE 'fr' END AS lang_pred,
+        |       s_en, s_de, s_es, s_fr
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 6) AS unique_ratio,
+        |       round(CAST(length(text) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 6) AS avg_token_span,
+        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |             / len(string_split(text, ' ')) * 0.5
+        |             + least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5,
+        |             6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER) AS n_vowel_runs,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_runs,
+        |       CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, ws[CAST(t.i AS INTEGER)] AS w, CAST(t.i AS INTEGER) - 1 AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  CROSS JOIN range(1, 1001) t(i)
+        |  WHERE t.i <= len(ws))
+        |SELECT doc_id,
+        |       CAST(sum((pos + 1) * (ascii(w) * 31 + length(w))) % 1000000007 AS BIGINT)
+        |         AS fingerprint,
+        |       count(*) AS n_tokens
+        |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}
