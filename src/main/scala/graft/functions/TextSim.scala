@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate text detection primitives: MinHash+LSH and SimHash.
+  *
+  * Reference context: the ETL dedups ids with a driver-side set()
+  * (app.py:164); at training-data scale the analog is content-level
+  * near-dup detection. Both primitives here follow the same scale
+  * discipline: signatures are computed map-side per row (one pass, no
+  * shuffle), and candidate pairing is an equi-join on band keys — the
+  * LSH construction that replaces the O(n²) all-pairs comparison with a
+  * same-key join whose fan-out is bounded by collision rate.
+  */
+object TextSim {
+
+  /** MinHash signature: for each of `numHashes` seeds, the minimum
+    * xxhash64(shingle, seed) over the shingle set. Null/empty-safe:
+    * empty shingle arrays yield Long.MaxValue sentinels.
+    */
+  def minhashSignature(shinglesCol: String, numHashes: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${numHashes - 1}),
+         |  seed -> aggregate($shinglesCol, 9223372036854775807L,
+         |    (acc, sh) -> least(acc, xxhash64(sh, seed))))""".stripMargin)
+
+  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature. */
+  def bandKeys(sigCol: String, numBands: Int, rowsPerBand: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${numBands - 1}),
+         |  b -> xxhash64(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand)))""".stripMargin)
+
+  /** Candidate near-dup pairs via MinHash banding.
+    *
+    * Input: (idCol, textCol). Output: (id_a, id_b, est_jaccard) for pairs
+    * sharing ≥1 band, with est_jaccard = fraction of agreeing signature
+    * slots. The band explode + equi-join is the 100 TB path: shuffle keys
+    * are (band_idx, band_hash), so only colliding docs ever meet.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, numBands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sigs = df
+      .withColumn("__words", split(col(textCol), " "))
+      .withColumn("__sh", expr(
+        s"""transform(sequence(0, greatest(size(__words) - $shingleSize, 0)),
+           |  i -> concat_ws(' ', slice(__words, i + 1, $shingleSize)))""".stripMargin))
+      .withColumn("__sig", minhashSignature("__sh", numHashes))
+      .select(col(idCol).as("__id"), col("__sig"),
+        posexplode(bandKeys("__sig", numBands, rowsPerBand)).as(Seq("__band_idx", "__band_key")))
+    val a = sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
+      col("__band_idx"), col("__band_key"))
+    val b = sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b"),
+      col("__band_idx").as("__band_idx_b"), col("__band_key").as("__band_key_b"))
+    a.join(b, col("__band_idx") === col("__band_idx_b") &&
+        col("__band_key") === col("__band_key_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr(s"""CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))
+                 | AS DOUBLE) / $numHashes""".stripMargin).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Per-row 64-bit SimHash over whitespace tokens (weighted by term
+    * frequency): bit b is set iff the signed sum of token-hash bit b is
+    * positive.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sums = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__s$b")
+    }
+    val assemble = (0 until 64).map { b =>
+      when(col(s"__s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    df.select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+      .groupBy("__id").agg(sums.head, sums.tail: _*)
+      .select(col("__id").as(idCol), assemble.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: candidates from 16-bit band equality
+    * (an equi-join), confirmed by Hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(sims: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = sims.select(col(idCol).as("__id"), col("simhash"),
+      posexplode(array(
+        col("simhash").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("__band_idx", "__band_key")))
+    val a = banded.select(col("__id").as("id_a"), col("simhash").as("sim_a"),
+      col("__band_idx"), col("__band_key"))
+    val b = banded.select(col("__id").as("id_b"), col("simhash").as("sim_b"),
+      col("__band_idx").as("__bi"), col("__band_key").as("__bk"))
+    a.join(b, col("__band_idx") === col("__bi") &&
+        col("__band_key") === col("__bk") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

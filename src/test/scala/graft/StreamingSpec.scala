@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{TokenRequest, TokenState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** §2.J streaming rows without a SQL oracle: T1 (file source exactly-once),
+  * T5 (watermark late-drop, the GCS-TTL analog), T6 (within-watermark
+  * dedup), T7 (token-cache keyed state, app.py:61-78).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evSchema = StructType.fromDDL(
+    "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("T1: file JSON stream processes each staged file exactly once") {
+    val dir = tmpDir("graft_t1"); val ckpt = tmpDir("graft_t1_ckpt")
+    val sink = tmpDir("graft_t1_sink")
+    def writeFile(n: Int, rows: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(dir, s"part$n.json")
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes)
+    }
+    writeFile(1, Seq(
+      """{"event_id":1,"ts":"2024-01-01 10:00:00","event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01 10:01:00","event_type":"view","value":2.0}"""))
+    def runOnce(): Long = {
+      val q = StreamingOps.fileJsonStream(spark, evSchema, dir)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(sink).count()
+    }
+    assert(runOnce() === 2)
+    writeFile(2, Seq(
+      """{"event_id":3,"ts":"2024-01-01 10:02:00","event_type":"click","value":3.0}"""))
+    // second run with the same checkpoint: only the new file is read,
+    // file 1 is NOT reprocessed (exactly-once via the checkpointed index)
+    assert(runOnce() === 3)
+  }
+
+  test("T5: watermark drops events later than the TTL horizon") {
+    val in = MemoryStream[(Long, Timestamp, String, Double)](spark)
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingOps.tumblingCounts(events, "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("t5_out")
+      .outputMode("append").start()
+    // batch 1: events in [10:00,10:10) then one far ahead at 12:00 —
+    // advances the watermark to 11:30, closing (and emitting) the early window
+    in.addData((1L, ts(1), "click", 1.0), (2L, ts(5), "click", 1.0),
+      (3L, ts(120), "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: a late event at 10:06 — its window closed long ago ⇒ dropped
+    in.addData((4L, ts(6), "click", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT event_type, n FROM t5_out WHERE w_start = " +
+      Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000)
+      .as[(String, Long)].collect().toMap
+    assert(rows("click") === 2) // late event 4 did NOT land
+  }
+
+  test("T6: dropDuplicatesWithinWatermark is exactly-once per event_id") {
+    val in = MemoryStream[(Long, Timestamp, String, Double)](spark)
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingOps.dedupWithinWatermark(events, "1 hour")
+      .writeStream.format("memory").queryName("t6_out")
+      .outputMode("append").start()
+    in.addData((1L, ts(0), "click", 1.0), (2L, ts(1), "view", 1.0))
+    q.processAllAvailable()
+    in.addData((2L, ts(2), "view", 1.0), (3L, ts(3), "click", 1.0)) // 2 is a dup
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT event_id FROM t6_out").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("T7: token cache state — reuse until expiry-60s, then mint") {
+    // pure state-transition check (the app.py:63-78 rule)
+    val (grants, st) = StreamingOps.serveTokens(Iterator(
+      TokenRequest("c", 0, 3600),     // miss → mint seq 0, expires 3600
+      TokenRequest("c", 100, 3600),   // 100 < 3540 → cached seq 0
+      TokenRequest("c", 3539, 3600),  // boundary: still cached
+      TokenRequest("c", 3540, 3600)), // refresh window hit → mint seq 1
+      None)
+    assert(grants.map(g => (g.tokenSeq, g.minted)) ===
+      List((0L, true), (0L, false), (0L, false), (1L, true)))
+    assert(st.contains(TokenState(1, 3540 + 3600)))
+
+    // same rule through the streaming engine (flatMapGroupsWithState)
+    val in = MemoryStream[TokenRequest](spark)
+    val q = StreamingOps.tokenCacheStream(in.toDS())
+      .writeStream.format("memory").queryName("t7_out")
+      .outputMode("append").start()
+    in.addData(TokenRequest("a", 0, 3600), TokenRequest("b", 0, 60))
+    q.processAllAvailable()
+    in.addData(TokenRequest("a", 10, 3600), TokenRequest("b", 10, 60))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT client, ts, tokenSeq, minted FROM t7_out")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      ("a", 0L, 0L, true), ("b", 0L, 0L, true),
+      ("a", 10L, 0L, false), // within 3600-60
+      ("b", 10L, 1L, true))) // 10 >= 60-60 ⇒ refresh
+  }
+
+  test("T2 unified API: stream result equals the batch oracle expression") {
+    val batch = Tables.events(spark, sf())
+    val streamed = {
+      val in = MemoryStream[(Long, Timestamp, String, Double)](spark)
+      val q = StreamingOps.tumblingCounts(
+        in.toDF().toDF("event_id", "ts", "event_type", "value"), "10 minutes", "0 seconds")
+        .writeStream.format("memory").queryName("t2_out")
+        .outputMode("complete").start()
+      in.addData(batch.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[(Long, Timestamp, String, Double)].collect().toSeq)
+      q.processAllAvailable()
+      q.stop()
+      spark.sql("SELECT w_start, event_type, n FROM t2_out")
+    }
+    val expected = batch
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"))
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+}

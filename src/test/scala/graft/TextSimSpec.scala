@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.TextSim
+import org.apache.spark.sql.functions._
+
+/** Near-dup pair semantics for the hash-based operators (no SQL oracle —
+  * hash values are engine-specific): MinHash banding recall on planted
+  * duplicates, SimHash Hamming locality, and the D3 approximate-distinct
+  * error bound.
+  */
+class TextSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Seq("table", "scan", "join", "filter", "agg", "sort",
+    "spark", "query", "row", "column", "batch", "stream", "hash", "merge",
+    "key", "value", "fast", "slow", "big", "small")
+
+  /** Deterministic word-soup docs + planted near-duplicates. */
+  private def corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 30L).map { i =>
+      i -> Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val nearDups = (0L until 5L).map { i =>
+      val words = base(i.toInt)._2.split(" ")
+      words(7) = "mutated" // one token changed out of 40
+      (100L + i) -> words.mkString(" ")
+    }
+    base ++ nearDups
+  }
+
+  test("MinHash banding recovers all planted near-dup pairs") {
+    val df = corpus.toDF("doc_id", "text")
+    val cand = TextSim.minhashCandidates(df, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i =>
+      assert(cand.contains((i, 100L + i)),
+        s"planted pair ($i, ${100 + i}) missed by LSH banding")
+    }
+  }
+
+  test("identical text hashes to identical MinHash signature slots") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val cand = TextSim.minhashCandidates(df, "doc_id", "text", numHashes = 16)
+      .as[(Long, Long, Double)].collect()
+    assert(cand.length === 1 && cand.head._3 === 1.0)
+  }
+
+  test("SimHash: planted near-dups land within Hamming 16, self-distance 0") {
+    val df = corpus.toDF("doc_id", "text")
+    val sims = TextSim.simhash(df, "doc_id", "text").cache()
+    val pairs = TextSim.simhashPairs(sims, "doc_id", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, 100L + i)),
+        s"planted pair ($i, ${100 + i}) missed by SimHash bands")
+    }
+    // identical docs → identical simhash
+    val dup = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val two = TextSim.simhash(dup, "doc_id", "text")
+      .select("simhash").as[Long].collect()
+    assert(two(0) === two(1))
+  }
+
+  test("D3: approx_count_distinct within documented HLL++ error of exact") {
+    val li = Tables.lineitem(spark, sf())
+    val (approx, exact) = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("a"),
+      countDistinct(col("l_orderkey")).as("e"))
+      .as[(Long, Long)].head()
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr < 0.1, s"approx=$approx exact=$exact relErr=$relErr")
+  }
+}
