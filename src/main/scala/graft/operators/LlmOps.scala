@@ -99,17 +99,19 @@ object LlmOps extends OpGroup {
     // L4 — brute-force cosine top-k: 10 query vectors × all neighbors,
     // top-5 each. The 100 TB path swaps the cross join for the
     // label-blocked IVF variant (ann_ivf_topk) — same scoring core.
+    // Scoring runs on the codegen'd FixedPointDot expression (exact long
+    // arithmetic ⇒ still bit-identical to the DuckDB oracle).
     "cosine_similarity_topk" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          expr(normExpr("embedding")).as("norm"))
+          graft.functions.VectorFunctions.norm("embedding").as("norm"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("norm").as("q_norm"))
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("dot",
-          expr(s"CAST(${dotDecExpr("q_emb", "embedding")} AS DOUBLE)"))
+        .withColumn("dot", graft.functions.VectorFunctions.dot("q_emb", "embedding"))
         .withColumn("cos", col("dot") / (col("q_norm") * col("norm")))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -159,23 +161,29 @@ object LlmOps extends OpGroup {
     }),
   )
 
-  private def cosinePairsDuck(pairCond: String): String =
+  /** Shared DuckDB CTE: fixed-point cosine over embedding pairs — the
+    * oracle twin of graft.functions.FixedPointDot (see its scaladoc for
+    * the exactness argument).
+    */
+  private[operators] def cosinePairsDuck(pairCond: String): String = {
+    import graft.functions.VectorFunctions.dotFpDuck
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
        |norms AS (
-       |  SELECT e.vec_id, sqrt(CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) *
-       |    CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(20,18))) AS DOUBLE)) AS norm
+       |  SELECT e.vec_id,
+       |         sqrt(CAST(${dotFpDuck("embedding", "embedding")} AS DOUBLE) / 1e15) AS norm
        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.vec_id),
        |dots AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |         ${dotDecDuck("a.embedding", "b.embedding")} AS dot
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS pair_label,
+       |         ${dotFpDuck("a.embedding", "b.embedding")} AS dot
        |  FROM e a JOIN e b ON $pairCond
        |  CROSS JOIN range(1, 65) t(i)
-       |  GROUP BY id_a, id_b),
+       |  GROUP BY id_a, id_b, pair_label),
        |scored AS (
-       |  SELECT id_a, id_b,
-       |         CAST(dot AS DOUBLE) / (na.norm * nb.norm) AS cos
+       |  SELECT id_a, id_b, pair_label,
+       |         (CAST(dot AS DOUBLE) / 1e15) / (na.norm * nb.norm) AS cos
        |  FROM dots JOIN norms na ON id_a = na.vec_id
        |            JOIN norms nb ON id_b = nb.vec_id)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->

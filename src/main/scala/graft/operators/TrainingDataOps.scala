@@ -61,16 +61,16 @@ object TrainingDataOps extends OpGroup {
 
     // ANN, IVF-style: probe only the query's coarse cell (label).
     "ann_ivf_topk" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
-          expr(normExpr("embedding")).as("norm"))
+          graft.functions.VectorFunctions.norm("embedding").as("norm"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
           col("embedding").as("q_emb"), col("norm").as("q_norm"))
       val scored = e.join(broadcast(q),
           col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
-        .withColumn("dot",
-          expr(s"CAST(${dotDecExpr("q_emb", "embedding")} AS DOUBLE)"))
+        .withColumn("dot", graft.functions.VectorFunctions.dot("q_emb", "embedding"))
         .withColumn("cos", col("dot") / (col("q_norm") * col("norm")))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -82,16 +82,16 @@ object TrainingDataOps extends OpGroup {
 
     // Embedding-cosine near-dup pairs, blocked by coarse cell.
     "embedding_near_dup" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
-          expr(normExpr("embedding")).as("norm"))
+          graft.functions.VectorFunctions.norm("embedding").as("norm"))
       val a = e.select(col("vec_id").as("id_a"), col("label").as("lab_a"),
         col("embedding").as("emb_a"), col("norm").as("norm_a"))
       val b = e.select(col("vec_id").as("id_b"), col("label").as("lab_b"),
         col("embedding").as("emb_b"), col("norm").as("norm_b"))
       a.join(b, col("lab_a") === col("lab_b") && col("id_a") < col("id_b"))
-        .withColumn("dot",
-          expr(s"CAST(${dotDecExpr("emb_a", "emb_b")} AS DOUBLE)"))
+        .withColumn("dot", graft.functions.VectorFunctions.dot("emb_a", "emb_b"))
         .withColumn("cos", col("dot") / (col("norm_a") * col("norm_b")))
         .filter(col("cos") >= 0.35)
         .select(col("id_a"), col("id_b"), col("lab_a").as("label"),
@@ -163,49 +163,19 @@ object TrainingDataOps extends OpGroup {
 
   val oracleSql: Map[String, String] = Map(
     "ann_ivf_topk" -> (
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-        |norms AS (
-        |  SELECT e.vec_id, sqrt(CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) *
-        |    CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(20,18))) AS DOUBLE)) AS norm
-        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.vec_id),
-        |dots AS (
-        |  SELECT b.vec_id AS q_id, a.vec_id AS n_vec,
-        |""".stripMargin +
-      s"         ${dotDecDuck("a.embedding", "b.embedding")} AS dot\n" +
-      """  FROM e a JOIN e b
-        |    ON b.vec_id < 10 AND a.label = b.label AND a.vec_id <> b.vec_id
-        |  CROSS JOIN range(1, 65) t(i)
-        |  GROUP BY q_id, n_vec),
-        |scored AS (
-        |  SELECT q_id, n_vec,
-        |         CAST(dot AS DOUBLE) / (nq.norm * nn.norm) AS cos
-        |  FROM dots JOIN norms nq ON q_id = nq.vec_id
-        |            JOIN norms nn ON n_vec = nn.vec_id),
+      LlmOps.cosinePairsDuck(
+        "b.vec_id < 10 AND a.label = b.label AND a.vec_id <> b.vec_id") +
+      """,
         |ranked AS (
-        |  SELECT q_id, n_vec, cos,
-        |         row_number() OVER (PARTITION BY q_id
-        |           ORDER BY cos DESC, n_vec) AS rank
+        |  SELECT id_b, id_a, cos,
+        |         row_number() OVER (PARTITION BY id_b
+        |           ORDER BY cos DESC, id_a) AS rank
         |  FROM scored)
-        |SELECT q_id, rank, n_vec AS neighbor_id, round(cos, 6) AS cosine
+        |SELECT id_b AS q_id, rank, id_a AS neighbor_id, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
     "embedding_near_dup" -> (
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-        |norms AS (
-        |  SELECT e.vec_id, sqrt(CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) *
-        |    CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(20,18))) AS DOUBLE)) AS norm
-        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.vec_id),
-        |dots AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS pair_label,
-        |""".stripMargin +
-      s"         ${dotDecDuck("a.embedding", "b.embedding")} AS dot\n" +
-      """  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |  CROSS JOIN range(1, 65) t(i)
-        |  GROUP BY id_a, id_b, pair_label),
-        |scored AS (
-        |  SELECT id_a, id_b, pair_label,
-        |         CAST(dot AS DOUBLE) / (na.norm * nb.norm) AS cos
-        |  FROM dots JOIN norms na ON id_a = na.vec_id
-        |            JOIN norms nb ON id_b = nb.vec_id)
+      LlmOps.cosinePairsDuck("a.label = b.label AND a.vec_id < b.vec_id") +
+      """
         |SELECT id_a, id_b, pair_label AS label, round(cos, 6) AS cosine
         |FROM scored WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
     "lang_id_ngram" ->
