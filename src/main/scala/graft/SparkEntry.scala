@@ -22,6 +22,7 @@ object SparkEntry {
     operators.LlmOps,
     operators.TrainingDataOps,
     operators.MultimodalOps,
+    operators.PipelineOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

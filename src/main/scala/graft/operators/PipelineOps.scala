@@ -1,0 +1,190 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{Det, OpGroup, Tables}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** End-to-end pipeline + side-effecting sink/stream operators declared as
+  * runnable queries (SURVEY.md §2.A S3-S5, §2.J T1/T6/T7, §3.1).
+  *
+  * Each side-effecting query performs its write into a fresh temp
+  * directory and returns the *read-back* result, so the DuckDB oracle
+  * can assert the round trip (write → layout → re-read) was lossless —
+  * the property `bq load --replace` and the GCS staging layer promise.
+  */
+object PipelineOps extends OpGroup {
+  import Det._
+
+  /** §3.1 flagship: the full `GET /artist/<name>/store` trace re-expressed
+    * as one Spark plan — resolve (search+limit), album scan, dedup,
+    * enrichment joins, track explosion, type-routing, and the run summary
+    * (app.py:133-220). One selective pipeline, zero driver-side loops:
+    * the resolved artist id travels as a broadcast join, never a collect.
+    */
+  def artistPipeline(s: SparkSession, d: String): DataFrame = {
+    // step 1-2: resolve artist by name (P3: search, limit 1)
+    val artist = Tables.customer(s, d)
+      .filter(lower(col("c_name")).contains("42"))
+      .orderBy("c_custkey").limit(1)
+      .select(col("c_custkey"))
+    // step 3: album scan — this artist's orders (broadcast the single id)
+    val albums = Tables.orders(s, d)
+      .join(broadcast(artist), col("o_custkey") === col("c_custkey"))
+    // step 4: dedup album ids before enrichment (D1, app.py:164)
+    val albumIds = albums.select("o_orderkey").distinct()
+    // step 5-6: track gather + enrich (E1/J2)
+    val tracks = Tables.lineitem(s, d)
+      .join(broadcast(albumIds), col("l_orderkey") === col("o_orderkey"))
+    // step 7: type-routing (P4) + run summary (G1, app.py:213-220)
+    tracks
+      .withColumn("route",
+        when(col("l_returnflag") === "R", "returns").otherwise("keeps"))
+      .groupBy("route")
+      .agg(countDistinct(col("l_orderkey")).as("albums_stored"),
+        count(lit(1)).as("tracks_stored"),
+        dsum(col("l_quantity")).as("total_quantity"))
+      .orderBy("route")
+  }
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "artist_pipeline_e2e" -> artistPipeline,
+
+    // S3 — per-entity document staging (app.py:201-211: one object per
+    // entity id): Hive layout keyed by entity id, re-read losslessly.
+    "stage_json_roundtrip" -> ((s, d) => {
+      val out = freshDir("graft_s3_stage")
+      Tables.nation(s, d).write.mode(SaveMode.Overwrite)
+        .partitionBy("n_nationkey").json(out)
+      s.read.json(out)
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+        .orderBy("n_nationkey")
+    }),
+
+    // S4 — type-routed partitioned sink (app.py:207): route=... dirs,
+    // verified by reading the partitioned layout back.
+    "sink_partition_by_type" -> ((s, d) => {
+      val out = freshDir("graft_s4_sink")
+      Tables.events(s, d)
+        .withColumn("route",
+          when(col("event_type") === "click", "clicks").otherwise("other"))
+        .write.mode(SaveMode.Overwrite).partitionBy("route").parquet(out)
+      s.read.parquet(out)
+        .groupBy("route").agg(count(lit(1)).as("n"))
+        .orderBy("route")
+    }),
+
+    // S5 — full-refresh overwrite (bq load --replace, README.md:188):
+    // second write fully replaces the first; the read-back proves it.
+    "sink_overwrite_replace" -> ((s, d) => {
+      val out = freshDir("graft_s5_sink")
+      Tables.nation(s, d).write.mode(SaveMode.Overwrite).parquet(out)
+      Tables.region(s, d).write.mode(SaveMode.Overwrite).parquet(out)
+      s.read.parquet(out).orderBy("r_regionkey")
+    }),
+
+    // T1 — file-source stream: stage events as JSON, consume with a
+    // checkpointed AvailableNow stream into a parquet sink, return the
+    // sink. Exactly-once over the staged files ⇒ equals the batch scan.
+    "stream_file_source" -> ((s, d) => {
+      val stage = freshDir("graft_t1_stage")
+      val sink = freshDir("graft_t1_sink")
+      val ckpt = freshDir("graft_t1_ckpt")
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .write.mode(SaveMode.Overwrite).json(stage)
+      val q = StreamingOps.fileJsonStream(s,
+          StructType.fromDDL("event_id LONG, ts_us LONG, event_type STRING, value DOUBLE"),
+          stage)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .select("event_id", "ts_us", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // T6 — streaming dedup: feed each event TWICE through the stream;
+    // dropDuplicatesWithinWatermark emits each event_id exactly once.
+    "stream_dedup" -> ((s, d) => {
+      val stage = freshDir("graft_t6_stage")
+      val sink = freshDir("graft_t6_sink")
+      val ckpt = freshDir("graft_t6_ckpt")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+      ev.unionByName(ev) // planted duplicates
+        .write.mode(SaveMode.Overwrite).json(stage)
+      val stream = StreamingOps.fileJsonStream(s,
+          StructType.fromDDL("event_id LONG, ts_us LONG, event_type STRING"),
+          stage)
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      val q = StreamingOps.dedupWithinWatermark(stream, "7 days")
+        .select("event_id", "event_type")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink).orderBy("event_id")
+    }),
+
+    // T7 — token-cache keyed state in its batch form (same serveTokens
+    // state function the stream runs; StreamingSpec covers the streaming
+    // path). Not SQL-expressible (recursive state) ⇒ rows-only check.
+    "token_cache_grants" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select((col("user_id") % 5).cast("string").as("client"),
+          unix_timestamp(col("ts")).as("ts"), lit(600L).as("expiresIn"))
+        .as[StreamingOps.TokenRequest]
+        .groupByKey(_.client)
+        .flatMapGroups { (client: String, it: Iterator[StreamingOps.TokenRequest]) =>
+          StreamingOps.serveTokens(it, None)._1
+        }
+        .toDF()
+        .orderBy("client", "ts", "tokenSeq")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "artist_pipeline_e2e" ->
+      s"""WITH artist AS (
+         |  SELECT c_custkey FROM customer
+         |  WHERE contains(lower(c_name), '42')
+         |  ORDER BY c_custkey LIMIT 1),
+         |albums AS (
+         |  SELECT DISTINCT o_orderkey FROM orders
+         |  WHERE o_custkey = (SELECT c_custkey FROM artist)),
+         |tracks AS (
+         |  SELECT l.*, CASE WHEN l_returnflag = 'R' THEN 'returns'
+         |                   ELSE 'keeps' END AS route
+         |  FROM lineitem l JOIN albums ON l_orderkey = o_orderkey)
+         |SELECT route, count(DISTINCT l_orderkey) AS albums_stored,
+         |       count(*) AS tracks_stored,
+         |       ${dsumSql("l_quantity")} AS total_quantity
+         |FROM tracks GROUP BY route ORDER BY route""".stripMargin,
+    "stage_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "sink_partition_by_type" ->
+      """SELECT CASE WHEN event_type = 'click' THEN 'clicks' ELSE 'other' END AS route,
+        |       count(*) AS n
+        |FROM events GROUP BY route ORDER BY route""".stripMargin,
+    "sink_overwrite_replace" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "stream_file_source" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "stream_dedup" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id",
+  )
+}
