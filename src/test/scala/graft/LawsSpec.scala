@@ -1,0 +1,104 @@
+package graft
+
+import graft.schemas.Spotify
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based laws (SURVEY.md §5.3): structural invariants the
+  * operators must satisfy on arbitrary inputs, not just fixtures.
+  */
+object LawsSpec extends Properties("GraftLaws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val idsGen: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, 200L))
+
+  // D1: dedup is idempotent and matches set semantics
+  property("distinct is idempotent and equals set cardinality") =
+    forAll(idsGen) { ids =>
+      import spark.implicits._
+      val df = ids.toDF("id")
+      val once = df.distinct()
+      once.count() == ids.toSet.size && once.distinct().count() == once.count()
+    }
+
+  // E5: fixed-size chunking partitions the id set; every chunk ≤ k and
+  // exploding the chunks reconstitutes the distinct ids exactly
+  property("chunk then explode reconstitutes the id list") =
+    forAll(idsGen, Gen.chooseNum(1, 7)) { (ids, k) =>
+      import spark.implicits._
+      val w = Window.orderBy("id")
+      val chunked = ids.toDF("id").distinct()
+        .withColumn("batch", ((row_number().over(w) - 1) / k).cast("long"))
+        .groupBy("batch").agg(collect_list(col("id")).as("ids"))
+      val sizesOk = chunked.select(size(col("ids")).as("n"))
+        .as[Int].collect().forall(_ <= k)
+      val back = chunked.select(explode(col("ids")).as("id"))
+        .as[Long].collect().toSet
+      sizesOk && back == ids.toSet
+    }
+
+  // O3: union keeps bag semantics (extend(), no dedup)
+  property("unionByName adds multiplicities") =
+    forAll(idsGen, idsGen) { (a, b) =>
+      import spark.implicits._
+      a.toDF("id").unionByName(b.toDF("id")).count() == (a.size + b.size).toLong
+    }
+
+  // W1: windowed top-k per group equals per-group sort-take
+  property("rank-topk equals groupwise sort-take") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 100L))),
+      Gen.chooseNum(1, 4)) { (rows, k) =>
+      import spark.implicits._
+      val df = rows.toDF("g", "v")
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("g"))
+      val got = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy("g").agg(sort_array(collect_list(col("v")), asc = false).as("vs"))
+        .as[(Int, Seq[Long])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted(Ordering[Long].reverse).take(k)
+      }
+      got.keySet == want.keySet && want.forall { case (g, vs) => got(g) == vs }
+    }
+
+  // S2/S3/F4: from_json ∘ to_json is identity under the declared artist
+  // schema, for arbitrary field subsets (missing → NULL preserved)
+  private val artistJsonGen: Gen[String] = for {
+    id <- Gen.identifier.map(_.take(8))
+    name <- Gen.option(Gen.alphaNumStr.map(_.take(12)))
+    pop <- Gen.option(Gen.chooseNum(0L, 100L))
+    genres <- Gen.option(Gen.listOf(Gen.oneOf("rock", "jazz", "pop")))
+    followers <- Gen.option(Gen.chooseNum(0L, 1000000L))
+  } yield {
+    val fields = Seq(Some(s""""id":"$id""""),
+      name.map(n => s""""name":"$n""""),
+      pop.map(p => s""""popularity":$p"""),
+      genres.map(g => s""""genres":[${g.map(x => s""""$x"""").mkString(",")}]"""),
+      followers.map(f => s""""followers":{"total":$f}""")).flatten
+    fields.mkString("{", ",", "}")
+  }
+
+  property("from_json . to_json is identity on the artists schema") =
+    forAll(Gen.nonEmptyListOf(artistJsonGen)) { docs =>
+      import spark.implicits._
+      val parsed = spark.read.schema(Spotify.artists).json(docs.toDS())
+      val rt = parsed
+        .select(from_json(to_json(struct(parsed.columns.map(col): _*)),
+          Spotify.artists).as("s"))
+        .select("s.*")
+      rt.exceptAll(parsed).isEmpty && parsed.exceptAll(rt).isEmpty
+    }
+}
