@@ -23,6 +23,7 @@ object SparkEntry {
     operators.TrainingDataOps,
     operators.MultimodalOps,
     operators.PipelineOps,
+    operators.ScaleOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

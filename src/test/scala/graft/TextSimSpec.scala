@@ -63,6 +63,18 @@ class TextSimSpec extends SparkSpec {
     assert(two(0) === two(1))
   }
 
+  test("MinHashSignature Aggregator: signatures invariant under partitioning") {
+    val minhash = udaf(new graft.functions.MinHashSignature(8))
+    val shingles = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("sh"))
+    def sigs(parts: Int): Map[Long, Seq[Long]] = shingles.repartition(parts)
+      .groupBy("doc_id").agg(minhash(col("sh")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // merge() is a commutative monoid ⇒ any physical partitioning (and so
+    // any cluster layout) yields identical signatures
+    assert(sigs(1) === sigs(8))
+  }
+
   test("D3: approx_count_distinct within documented HLL++ error of exact") {
     val li = Tables.lineitem(spark, sf())
     val (approx, exact) = li.agg(
