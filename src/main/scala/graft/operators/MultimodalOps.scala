@@ -13,6 +13,12 @@ case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String, source: St
 case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
     first_byte: Int, head_sum: Long)
 
+/** One sampled "frame": a fixed-width byte window at a stride offset —
+  * the video/audio frame-sampling shape (1 payload → N frame rows).
+  */
+case class MediaFrame(doc_id: Long, frame_idx: Int, frame_off: Int,
+    frame_sum: Long)
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata, decoded/feature-extracted by a
   * partition-local stub (north-star mandate; no media codecs ship in this
@@ -39,7 +45,37 @@ object MultimodalOps extends OpGroup {
       r.payload.headOption.map(_ & 0xFF).getOrElse(0), headSum)
   }
 
+  /** STUB frame sampler: stands in for video frame extraction / audio
+    * windowing (1 payload → N evenly-strided frames). Deterministic
+    * byte-window checksums so the oracle replicates it arithmetically;
+    * the real shape — flatMap inside mapPartitions, bounded frames per
+    * row, codec init per partition — is exactly the production one.
+    */
+  private def sampleFrames(r: MediaRow, nFrames: Int = 4,
+      frameLen: Int = 8): Iterator[MediaFrame] = {
+    val stride = r.payload.length / nFrames
+    Iterator.tabulate(nFrames) { i =>
+      val off = i * stride
+      val sum = r.payload.slice(off, off + frameLen)
+        .foldLeft(0L)((a, b) => a + (b & 0xFF))
+      MediaFrame(r.doc_id, i, off, sum)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Frame sampling over binary payloads: 1 row → N frame rows.
+    "multimodal_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit("video/fake").as("mime"), col("source"))
+        .as[MediaRow]
+        .mapPartitions(_.flatMap(r => sampleFrames(r)))
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Binary payload + metadata → partition-local decode → typed features.
     "multimodal_binary_features" -> ((s, d) => {
       import s.implicits._
@@ -55,6 +91,20 @@ object MultimodalOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Frames: 4 windows of 8 bytes at stride len/4; ASCII text makes the
+    // byte checksum equal the char-code sum.
+    "multimodal_frame_sample" ->
+      """WITH frames AS (
+        |  SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+        |         CAST(f.i * (length(text) // 4) AS INTEGER) AS frame_off, text
+        |  FROM documents CROSS JOIN range(0, 4) f(i)),
+        |bytes AS (
+        |  SELECT doc_id, frame_idx, frame_off,
+        |         ascii(substr(text, frame_off + CAST(c.j AS INTEGER) + 1, 1)) AS b
+        |  FROM frames CROSS JOIN range(0, 8) c(j))
+        |SELECT doc_id, frame_idx, frame_off, CAST(sum(b) AS BIGINT) AS frame_sum
+        |FROM bytes GROUP BY doc_id, frame_idx, frame_off
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // Fixture text is ASCII, so byte-level features equal char-level ones.
     "multimodal_binary_features" ->
       """SELECT doc_id, 'text/plain' AS mime,
