@@ -13,7 +13,12 @@ object Bench {
     // Warm JVM/codegen/file-listing once so the first timed query doesn't
     // absorb several seconds of one-time session cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Steady-state timing: run each query once untimed (whole-stage
+    // codegen compiles the generated classes on first execution — ~1-2 s
+    // per query, independent of data size), then time the second run.
+    // At sf0.1 the compile cost would otherwise dominate every number.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
