@@ -138,10 +138,43 @@ object PipelineOps extends OpGroup {
       s.read.parquet(sink).orderBy("event_id")
     }),
 
+    // T5 — watermark late-drop (the GCS staging-TTL analog): pass 1
+    // streams all events through a watermarked tumbling aggregation;
+    // pass 2 re-delivers the OLDEST event — its window closed long ago
+    // (watermark from the checkpoint sits at max(ts) - 30 min), so the
+    // re-delivery is discarded and the final sink equals the clean batch
+    // aggregation over closed windows, which is what the oracle asserts.
+    "watermark_late_drop" -> ((s, d) => {
+      val stage = freshDir("graft_t5_stage")
+      val sink = freshDir("graft_t5_sink")
+      val ckpt = freshDir("graft_t5_ckpt")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+      ev.write.mode(SaveMode.Overwrite).json(stage)
+      def runPass(): Unit = {
+        val stream = StreamingOps.fileJsonStream(s,
+            StructType.fromDDL("event_id LONG, ts_us LONG, event_type STRING, value DOUBLE"),
+            stage)
+          .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        val q = StreamingOps.tumblingCounts(stream, "10 minutes", "30 minutes")
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runPass()
+      // late re-delivery of the earliest event, staged as a new file
+      ev.orderBy("ts_us").limit(1)
+        .write.mode(SaveMode.Append).json(stage)
+      runPass()
+      s.read.parquet(sink).orderBy("w_start", "event_type")
+    }),
+
     // T7 — token-cache keyed state in its batch form (same serveTokens
     // state function the stream runs; StreamingSpec covers the streaming
     // path). Not SQL-expressible (recursive state) ⇒ rows-only check.
-    "token_cache_grants" -> ((s, d) => {
+    "stateful_token_cache" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
         .select((col("user_id") % 5).cast("string").as("client"),
