@@ -1,0 +1,67 @@
+package graft
+
+import graft.schemas.Spotify
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the scale properties SURVEY.md §4
+  * promises must stay visible in `explain` output — losing one of these
+  * silently (a dropped broadcast hint, a new shuffle, a widened scan) is
+  * a 100 TB regression that sf0.01 wall-clock never shows.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("filters and projections push into the parquet scan") {
+    val p = plan(SparkEntry.queries("filter_not_null")(spark, sf()))
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]")
+      || p.contains("GreaterThan(l_quantity,30.0)"))
+    assert(!p.contains("l_extendedprice"), "column pruning lost: unused column read")
+  }
+
+  test("small dims broadcast; star join has no shuffle on region/nation") {
+    val p = plan(SparkEntry.queries("star_join_3way")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("order-by-limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("order_by_limit")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("pre-partitioned aggregation reuses the partitioning (no 2nd shuffle)") {
+    def shuffles(df: DataFrame): Int =
+      "\\bExchange\\b".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val li = Tables.lineitem(spark, sf())
+    val pre = li.repartition(4, col("l_orderkey"))
+      .groupBy("l_orderkey").agg(count(lit(1)))
+    val cold = li.groupBy("l_orderkey").agg(count(lit(1)))
+    assert(shuffles(pre) === 1, "groupBy after repartition(same key) must not re-shuffle")
+    assert(shuffles(cold) === 1, "baseline groupBy shuffles once")
+  }
+
+  test("nested schema pruning narrows the parquet scan of 4-level albums") {
+    // note: nested pruning is a columnar-source feature — the same select
+    // over the JSON staging file reads the whole tracks struct
+    val out = tmpDir("graft_plan_albums")
+    spark.read.schema(Spotify.albums).json(fixture("albums.ndjson"))
+      .write.mode("overwrite").parquet(out)
+    val narrow = spark.read.parquet(out)
+      .select(col("id"), col("tracks.total").as("n"))
+    val rs = plan(narrow).linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("tracks:struct<total:bigint>"),
+      s"nested pruning failed: $rs")
+  }
+
+  test("fixed_dot runs inside WholeStageCodegen (no fallback)") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf())
+      .select(expr("fixed_dot(embedding, embedding)").as("d"))
+    // executedPlan string marks codegen stages with '*'
+    assert(e.queryExecution.executedPlan.toString.contains("*(1) Project"))
+  }
+}
