@@ -24,6 +24,7 @@ object SparkEntry {
     operators.MultimodalOps,
     operators.PipelineOps,
     operators.ScaleOps,
+    operators.ExtendedOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,193 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{Det, OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Surface-widening operators beyond the SURVEY §2 inventory: extra
+  * staging formats (CSV/ORC — a reference user switching engines brings
+  * whatever their staging bucket holds), remaining window value
+  * functions, exact moment statistics, discrete quantiles, calendar
+  * decomposition, edit distance, and regex field extraction.
+  *
+  * Determinism notes follow the house rules: moments derive from exact
+  * DECIMAL sums then identical IEEE arithmetic on both engines; discrete
+  * quantiles are picked by row_number (never engine quantile functions,
+  * whose tie/interpolation conventions differ); calendar parts use
+  * explicit cross-engine mappings (DuckDB dayofweek is 0-based).
+  */
+object ExtendedOps extends OpGroup {
+  import Det._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV staging round trip under a declared schema (header on, typed
+    // re-read; doubles survive via shortest-repr text).
+    "scan_csv_schema" -> ((s, d) => {
+      val out = freshDir("graft_csv")
+      Tables.customer(s, d)
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+      s.read
+        .schema("c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+        .option("header", "true").csv(out)
+        .orderBy("c_custkey")
+    }),
+
+    // ORC staging round trip (columnar alternate to parquet).
+    "scan_orc_roundtrip" -> ((s, d) => {
+      val out = freshDir("graft_orc")
+      Tables.orders(s, d)
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .write.mode(SaveMode.Overwrite).orc(out)
+      s.read.orc(out).orderBy("o_orderkey")
+    }),
+
+    // W-extra: first/last/nth value frames per group.
+    "first_last_value" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Exact moment statistics: mean/stddev from DECIMAL-exact Σx and Σx²
+    // then the same IEEE formula on both engines (never stddev()).
+    "stats_moments" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 6))).as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(18, 6)))
+            .as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("sx").cast("double") / col("n"), 6).as("mean_qty"),
+          round(sqrt((col("n") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n") * (col("n") - 1))), 6).as("stddev_qty"))
+        .orderBy("l_returnflag")),
+
+    // Discrete quantiles by row_number (engine quantile functions have
+    // divergent tie/interpolation rules; rank-picking is exact).
+    "percentile_disc" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("rn") === ceil(col("cnt") * 0.25), col("l_extendedprice")))
+            .as("p25"),
+          min(when(col("rn") === ceil(col("cnt") * 0.5), col("l_extendedprice")))
+            .as("p50"),
+          min(when(col("rn") === ceil(col("cnt") * 0.75), col("l_extendedprice")))
+            .as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Calendar decomposition with explicit cross-engine mappings.
+    "date_parts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow_sun1"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          dayofyear(col("o_orderdate")).as("doy"))
+        .orderBy("o_orderkey")),
+
+    // Edit distance (fuzzy text matching for curation pipelines).
+    "edit_distance" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), lit("Customer#000000042")).as("dist"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"))
+        .orderBy("c_custkey")),
+
+    // Regex group extraction (id fields out of formatted strings).
+    "regexp_extract_fields" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("id_str"),
+          regexp_extract(col("c_name"), "Customer#0*(\\d+)", 1).cast("long")
+            .as("id_num"),
+          regexp_replace(col("c_name"), "0+", "0").as("squeezed"))
+        .orderBy("c_custkey")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_csv_schema" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "scan_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "first_last_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_order,
+        |       last_value(o_orderkey) OVER w AS last_order,
+        |       nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "stats_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+        |         sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+        |       round(sqrt((n * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         / (n * (n - 1))), 6) AS stddev_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "percentile_disc" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       min(CASE WHEN rn = ceil(cnt * 0.25) THEN l_extendedprice END) AS p25,
+        |       min(CASE WHEN rn = ceil(cnt * 0.5)  THEN l_extendedprice END) AS p50,
+        |       min(CASE WHEN rn = ceil(cnt * 0.75) THEN l_extendedprice END) AS p75
+        |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "date_parts" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INTEGER) AS y,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |       CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+        |       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "edit_distance" ->
+      """SELECT c_custkey,
+        |       CAST(levenshtein(c_name, 'Customer#000000042') AS INTEGER) AS dist,
+        |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "regexp_extract_fields" ->
+      """SELECT c_custkey,
+        |       regexp_extract(c_name, 'Customer#(\d+)', 1) AS id_str,
+        |       CAST(regexp_extract(c_name, 'Customer#0*(\d+)', 1) AS BIGINT) AS id_num,
+        |       regexp_replace(c_name, '0+', '0', 'g') AS squeezed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}
