@@ -116,6 +116,31 @@ object ExtendedOps extends OpGroup {
           levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"))
         .orderBy("c_custkey")),
 
+    // Pivot: long→wide reshape with a FIXED pivot-value list (never the
+    // data-driven two-pass form — at 100 TB the extra distinct scan and
+    // nondeterministic column order are both wrong).
+    "pivot_event_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_bucket")),
+
+    // Per-row array set algebra (available_markets ∩/∪/∖ analog,
+    // albums_schema.json:57-61 vs tracks_schema.json:62-66).
+    "array_set_ops" -> ((s, d) => {
+      val words = split(col("p_name"), " ")
+      val brandw = split(lower(col("p_brand")), "#")
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          concat_ws(",", array_sort(array_union(words, brandw))).as("union_w"),
+          concat_ws(",", array_sort(array_intersect(words, brandw))).as("inter_w"),
+          concat_ws(",", array_sort(array_except(words, brandw))).as("except_w"))
+        .orderBy("p_partkey")
+    }),
+
     // Regex group extraction (id fields out of formatted strings).
     "regexp_extract_fields" -> ((s, d) =>
       Tables.customer(s, d)
@@ -183,6 +208,26 @@ object ExtendedOps extends OpGroup {
         |       CAST(levenshtein(c_name, 'Customer#000000042') AS INTEGER) AS dist,
         |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "pivot_event_counts" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'view') AS view,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin,
+    "array_set_ops" ->
+      """WITH t AS (
+        |  SELECT p_partkey, string_split(p_name, ' ') AS ws,
+        |         string_split(lower(p_brand), '#') AS bw
+        |  FROM part)
+        |SELECT p_partkey,
+        |       coalesce(array_to_string(list_sort(list_distinct(ws || bw)), ','), '') AS union_w,
+        |       coalesce(array_to_string(list_sort(list_filter(list_distinct(ws),
+        |         w -> list_contains(bw, w))), ','), '') AS inter_w,
+        |       coalesce(array_to_string(list_sort(list_filter(list_distinct(ws),
+        |         w -> NOT list_contains(bw, w))), ','), '') AS except_w
+        |FROM t ORDER BY p_partkey""".stripMargin,
     "regexp_extract_fields" ->
       """SELECT c_custkey,
         |       regexp_extract(c_name, 'Customer#(\d+)', 1) AS id_str,
