@@ -148,7 +148,11 @@ object PipelineOps extends OpGroup {
       val stage = freshDir("graft_t5_stage")
       val sink = freshDir("graft_t5_sink")
       val ckpt = freshDir("graft_t5_ckpt")
+      // a deterministic 1/20 slice keeps the two streaming passes cheap at
+      // bench scale — late-drop semantics only need SOME events spanning
+      // the time range, not all of them
       val ev = Tables.events(s, d)
+        .filter(col("event_id") % 20 === 0)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_type"), col("value"))
       ev.write.mode(SaveMode.Overwrite).json(stage)
