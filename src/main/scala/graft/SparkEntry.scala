@@ -25,6 +25,7 @@ object SparkEntry {
     operators.PipelineOps,
     operators.ScaleOps,
     operators.ExtendedOps,
+    operators.SemiStructuredOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
