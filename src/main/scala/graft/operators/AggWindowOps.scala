@@ -101,13 +101,30 @@ object AggWindowOps extends OpGroup {
     }),
 
     // W4 — deciles / percentile ranks over a score (popularity analog).
+    // The semantic is a GLOBAL ranking, but the scale-safe plan is the
+    // two-pass CDF: a two-phase global rank (GlobalRank — never a
+    // partition-less window) + a broadcast total count, then
+    // ntile/percent_rank/cume_dist by their closed-form definitions.
+    // The ordering key (c_acctbal, c_custkey) is unique, so rank-based
+    // formulas match the tie-aware window functions exactly.
     "ntile_percentile" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
+      val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        c, "rn", Nil, Seq("c_acctbal", "c_custkey"))
+      val total = c.agg(count(lit(1)).as("n"))
+      // ntile(10): the first (n mod 10) buckets carry ceil(n/10) rows.
+      val q = floor(col("n") / 10)
+      val r = col("n") % 10
+      val cut = r * (q + 1)
+      ranked.crossJoin(broadcast(total))
         .select(col("c_custkey"),
-          ntile(10).over(w).as("decile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          when(col("rn") <= cut, floor((col("rn") - 1) / (q + 1)) + 1)
+            .otherwise(r + floor((col("rn") - cut - 1) / q) + 1)
+            .cast("int").as("decile"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise(round((col("rn") - 1).cast("double") / (col("n") - 1), 6))
+            .as("pct_rank"),
+          round(col("rn").cast("double") / col("n"), 6).as("cume"))
         .orderBy("c_custkey")
     }),
   )

@@ -71,12 +71,12 @@ object ExplodeOps extends OpGroup {
 
     // E5 — inverse of explode: fixed-size batch chunking of an id list
     // (app.py:170,193 — chunks of 20). floor((rn-1)/20) is the batch key;
-    // deterministic because the id ordering is total.
+    // deterministic because the id ordering is total. The rank comes from
+    // GlobalRank's two-phase scheme (range-partition → local row_number →
+    // broadcast offset ladder), not a partition-less window.
     "batch_chunks" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy("l_orderkey")
-      Tables.lineitem(s, d)
-        .select("l_orderkey").distinct()
-        .withColumn("rn", row_number().over(w))
+      val ids = Tables.lineitem(s, d).select("l_orderkey").distinct()
+      graft.functions.GlobalRank.rowNumber(ids, "rn", Nil, Seq("l_orderkey"))
         .withColumn("batch_id", ((col("rn") - 1) / 20).cast("long"))
         .groupBy("batch_id")
         .agg(count(lit(1)).as("n_ids"),

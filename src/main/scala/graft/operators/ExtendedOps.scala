@@ -78,12 +78,18 @@ object ExtendedOps extends OpGroup {
         .orderBy("l_returnflag")),
 
     // Discrete quantiles by row_number (engine quantile functions have
-    // divergent tie/interpolation rules; rank-picking is exact).
+    // divergent tie/interpolation rules; rank-picking is exact). A window
+    // partitioned by l_returnflag has only 3 distinct keys — ⅓ of
+    // lineitem per window task at ANY scale — so the ranks come from
+    // GlobalRank's two-phase scheme instead (range-partitioned slices,
+    // broadcast offset ladder) and the per-flag counts from a plain
+    // aggregate joined back broadcast.
     "percentile_disc" -> ((s, d) => {
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      Tables.lineitem(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        li, "rn", Seq("l_returnflag"), Seq("l_extendedprice"))
+      val cnts = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      ranked.join(broadcast(cnts), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
           min(when(col("rn") === ceil(col("cnt") * 0.25), col("l_extendedprice")))

@@ -67,11 +67,14 @@ object SourceOps extends OpGroup {
 
     // S6 — offset-ladder pagination over the sorted scan: page id, size,
     // id bounds per 50-row page; union of all pages ≡ the full scan.
+    // Page numbers come from GlobalRank's two-phase rank (range-partition
+    // → local row_number → broadcast offset ladder) — never a
+    // partition-less window, so the sort stays spread at any scale.
     "paginated_source" -> ((s, d) => {
-      val w = Window.orderBy("p_partkey")
-      Tables.part(s, d)
-        .select("p_partkey")
-        .withColumn("page", ((row_number().over(w) - lit(1)) / lit(50)).cast("long"))
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        Tables.part(s, d).select("p_partkey"), "rn", Nil, Seq("p_partkey"))
+      ranked
+        .withColumn("page", ((col("rn") - lit(1)) / lit(50)).cast("long"))
         .groupBy("page")
         .agg(count(lit(1)).as("page_size"),
           min("p_partkey").as("first_key"),

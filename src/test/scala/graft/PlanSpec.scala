@@ -57,6 +57,26 @@ class PlanSpec extends SparkSpec {
       s"nested pruning failed: $rs")
   }
 
+  test("no declared ranking query plans a partition-less (single-task) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    for (q <- Seq("paginated_source", "batch_chunks", "ntile_percentile",
+        "percentile_disc")) {
+      val df = SparkEntry.queries(q)(spark, sf())
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans a global window — every row through ONE task at scale")
+      // physical twin of the same property: every WindowExec keeps a
+      // non-empty partition spec (⇒ no Exchange SinglePartition feeds it)
+      val badPhys = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(badPhys.isEmpty, s"$q executes a single-partition WindowExec")
+    }
+  }
+
   test("fixed_dot runs inside WholeStageCodegen (no fallback)") {
     graft.functions.VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sf())
