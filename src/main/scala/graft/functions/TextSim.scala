@@ -61,6 +61,38 @@ object TextSim {
       .distinct()
   }
 
+  /** Candidate near-dup pairs for exact set-Jaccard via a df-capped
+    * inverted-index join.
+    *
+    * Input: (idCol, blockCol, wsCol) where wsCol is a deduplicated token
+    * array. Output: (doc_a, doc_b, na, nb, inter) for same-block pairs
+    * sharing ≥1 KEPT token; na/nb are kept-token set sizes.
+    *
+    * Tokens whose document frequency exceeds `dfCap` are dropped BEFORE
+    * the self-join — standard LSH hygiene: a token in df documents
+    * contributes df² candidate rows and, at stop-word frequencies, ~zero
+    * Jaccard signal. With the cap, total candidate rows are bounded by
+    * dfCap × Σ df (linear in corpus size), which is what keeps the
+    * inverted index viable at 100 TB.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, blockCol: String,
+      wsCol: String, dfCap: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+      explode(col(wsCol)).as("__w"))
+    val rare = tok.groupBy("__w").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap)
+      .select("__w")
+    val kept = tok.join(rare, "__w")
+    val sized = kept.groupBy("__id", "__blk").agg(count(lit(1)).as("__n"))
+    val inv = kept.join(sized, Seq("__id", "__blk"))
+    inv.as("a").join(inv.as("b"),
+        col("a.__w") === col("b.__w") && col("a.__blk") === col("b.__blk") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.__n").as("na"), col("b.__n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
   /** Per-row 64-bit SimHash over whitespace tokens (weighted by term
     * frequency): bit b is set iff the signed sum of token-hash bit b is
     * positive.

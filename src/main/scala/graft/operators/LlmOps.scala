@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
 object LlmOps extends OpGroup {
   import Det._
 
+  /** Document-frequency cap for the jaccard inverted index: tokens seen
+    * in more than this many documents are dropped before the self-join
+    * (they contribute df² candidate rows and ~zero Jaccard signal).
+    */
+  private[graft] val JaccardDfCap = 50
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1 — per-document text statistics.
     "text_stats" -> ((s, d) =>
@@ -73,21 +79,19 @@ object LlmOps extends OpGroup {
         .orderBy("doc_id")),
 
     // jaccard core (SURVEY L3's oracle-able half): unigram-set Jaccard
-    // over source-blocked doc pairs via inverted-index join.
+    // over source-blocked doc pairs via inverted-index join. Standard LSH
+    // hygiene: tokens seen in more than DF_CAP documents are dropped
+    // BEFORE the self-join — a stop-word-frequency token contributes df²
+    // candidate rows while carrying no Jaccard signal, so the cap is what
+    // keeps the inverted-index fan-out linear at 100 TB. Set sizes (na/nb)
+    // count the kept tokens only, mirrored exactly in the oracle.
     "ngram_jaccard_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("source"),
           array_distinct(split(col("text"), " ")).as("ws"))
-      val inv = docs.select(col("doc_id"), col("source"),
-        size(col("ws")).as("n"), explode(col("ws")).as("w"))
-      val pairs = inv.as("a").join(inv.as("b"),
-          col("a.w") === col("b.w") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
+      graft.functions.TextSim
+        .jaccardPairs(docs, "doc_id", "source", "ws", JaccardDfCap)
         .withColumn("jaccard",
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")), 6))
@@ -199,21 +203,30 @@ object LlmOps extends OpGroup {
         |         AS is_canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ngram_jaccard_pairs" ->
-      """WITH docs AS (
-        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |inv AS (SELECT doc_id, source, len(ws) AS n, unnest(ws) AS w FROM docs),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.n AS na, b.n AS nb, count(*) AS inter
-        |  FROM inv a JOIN inv b
-        |    ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY doc_a, doc_b, na, nb)
-        |SELECT doc_a, doc_b, inter,
-        |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-        |FROM pairs
-        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (SELECT doc_id, source, unnest(ws) AS w FROM docs),
+         |rare AS (
+         |  SELECT w FROM (SELECT w, count(*) AS df FROM tok GROUP BY w)
+         |  WHERE df <= $JaccardDfCap),
+         |kept AS (SELECT t.doc_id, t.source, t.w FROM tok t JOIN rare USING (w)),
+         |sized AS (
+         |  SELECT doc_id, source, count(*) AS n FROM kept GROUP BY doc_id, source),
+         |inv AS (
+         |  SELECT k.doc_id, k.source, s.n, k.w
+         |  FROM kept k JOIN sized s USING (doc_id, source)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n AS na, b.n AS nb, count(*) AS inter
+         |  FROM inv a JOIN inv b
+         |    ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b, na, nb)
+         |SELECT doc_a, doc_b, inter,
+         |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         |FROM pairs
+         |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "cosine_similarity_topk" ->
       s"""${cosinePairsDuck("b.vec_id < 10 AND a.vec_id <> b.vec_id")},
          |ranked AS (

@@ -14,12 +14,29 @@ import org.apache.spark.sql.functions._
   *     warehouse scale.
   *   - KMeans IVF: ann_ivf_topk uses the stored `label` as the coarse
   *     cell; here the quantizer is LEARNED (MLlib KMeans, fixed seed) —
-  *     the genuine 100 TB ANN path: train on a sample, assign cells at
-  *     write time, probe 1 cell per query. Cluster assignments are
-  *     model-dependent ⇒ rows-only check + structural assertions in
-  *     AnnSpec.
+  *     the genuine 100 TB ANN path: train ONCE on a bounded
+  *     deterministic sample (never inside the per-query plan), assign
+  *     cells at write time, probe the nprobe=2 nearest cells per query.
+  *     Cluster assignments are model-dependent ⇒ rows-only check +
+  *     structural and recall assertions in AnnSpec.
   */
 object SemiStructuredOps extends OpGroup {
+
+  /** One quantizer per dataset, fitted lazily on a deterministic
+    * hash-sampled subset and reused by every invocation — at 100 TB the
+    * model is fitted offline on a sample and persisted next to the
+    * table; re-training inside a query would be wrong by construction.
+    * k=4 cells: the fixture embeddings are directionally near-uniform
+    * (AnnSpec measures the recall ceilings), so fewer, larger cells is
+    * the honest recall/efficiency point for THIS corpus; clustered
+    * corpora take a larger k (AnnSpec's planted-cluster test runs k=8).
+    */
+  private val quantizers =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+
+  private def quantizer(s: SparkSession, d: String): org.apache.spark.ml.clustering.KMeansModel =
+    quantizers.computeIfAbsent(d, _ =>
+      graft.functions.AnnIvf.fitQuantizer(s, Tables.embeddings(s, d), k = 4))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // VARIANT parse + typed path extraction.
@@ -32,35 +49,14 @@ object SemiStructuredOps extends OpGroup {
           expr("variant_get(v, '$.missing', 'long')").as("absent"))
         .orderBy("event_id")),
 
-    // IVF with a learned coarse quantizer: KMeans(16) on the embeddings,
-    // probe only the query's cell, exact fixed-point cosine within it.
-    "ann_kmeans_ivf" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-        .withColumn("features",
-          org.apache.spark.ml.functions.array_to_vector(
-            col("embedding").cast("array<double>")))
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(16).setSeed(42L).setMaxIter(5).setFeaturesCol("features")
-        .setPredictionCol("cell")
-      val assigned = km.fit(e).transform(e)
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          graft.functions.VectorFunctions.norm("embedding").as("norm"))
-      val q = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
-          col("embedding").as("q_emb"), col("norm").as("q_norm"))
-      val scored = assigned.join(broadcast(q),
-          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-        .withColumn("cos",
-          graft.functions.VectorFunctions.dot("q_emb", "embedding")
-            / (col("q_norm") * col("norm")))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-          col("cell"), round(col("cos"), 6).as("cosine"))
-        .orderBy("q_id", "rank")
-    }),
+    // IVF with a learned coarse quantizer: the pre-fitted spherical
+    // KMeans model assigns cells at scan time; each query probes its
+    // nprobe=2 nearest centroids (recall floor asserted in AnnSpec
+    // against the exact brute-force top-k), exact fixed-point cosine
+    // within them. See graft.functions.AnnIvf for the plan shape.
+    "ann_kmeans_ivf" -> ((s, d) =>
+      graft.functions.AnnIvf.topk(s, Tables.embeddings(s, d),
+        quantizer(s, d), col("vec_id") < 10, topK = 3, nprobe = 2)),
   )
 
   val oracleSql: Map[String, String] = Map(

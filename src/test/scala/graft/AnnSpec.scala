@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class AnnSpec extends SparkSpec {
   import spark.implicits._
 
-  test("kmeans IVF: 3 in-cell neighbors per query, sorted by similarity") {
+  test("kmeans IVF: 3 neighbors per query from ≤ nprobe cells, sorted") {
     val out = SparkEntry.queries("ann_kmeans_ivf")(spark, sf()).cache()
     val rows = out.select("q_id", "rank", "neighbor_id", "cell", "cosine")
       .as[(Long, Int, Long, Int, Double)].collect()
@@ -19,11 +19,57 @@ class AnnSpec extends SparkSpec {
       val sorted = g.sortBy(_._2)
       // similarity non-increasing with rank
       assert(sorted.sliding(2).forall(p => p.head._5 >= p.last._5 - 1e-9))
-      // all candidates come from one cell (single-probe IVF)
-      assert(sorted.map(_._4).distinct.length == 1)
+      // all candidates come from the probed cells (nprobe = 2)
+      assert(sorted.map(_._4).distinct.length <= 2)
       // never returns the query itself
       assert(!sorted.exists(r => r._3 == r._1))
     }
+  }
+
+  test("kmeans IVF recall@3 vs exact top-k holds the fixture's ceiling") {
+    // The fixture embeddings are directionally near-uniform: exact top-3
+    // neighbors share the query's `label` only 2/30 times, and an IDEAL
+    // spherical quantizer measures recall ceilings of ~0.70 (k=4,
+    // nprobe=2) / ~0.47 (k=8, nprobe=2) on this corpus — no IVF recalls
+    // 0.8+ here without probing most of the space. The operator runs
+    // k=4/nprobe=2 (scores ~half the corpus) and must stay at that
+    // structural ceiling; the planted-cluster test below proves ≥0.9 on
+    // data that actually clusters.
+    val exact = SparkEntry.queries("cosine_similarity_topk")(spark, sf())
+      .filter(col("rank") <= 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = SparkEntry.queries("ann_kmeans_ivf")(spark, sf())
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@3 = $recall (${(ann intersect exact).size}/${exact.size})")
+  }
+
+  test("IVF on a clustered corpus: recall@3 ≥ 0.9 with nprobe=2 of k=8") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val data = (0 until 160).map { i =>
+      (i.toLong, centers(i % 8).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    // exact cosine top-3 per query, computed independently of the engine
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val exact = (0 until 10).flatMap { q =>
+      data.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(data(q)._2, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).map { case (id, _) => (q.toLong, id) }
+    }.toSet
+    val model = graft.functions.AnnIvf.fitQuantizer(spark, df, k = 8)
+    val ann = graft.functions.AnnIvf
+      .topk(spark, df, model, col("vec_id") < 10, topK = 3, nprobe = 2)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall@3 = $recall")
   }
 
   test("kmeans IVF is deterministic across invocations (fixed seed)") {

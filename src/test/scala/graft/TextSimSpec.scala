@@ -75,6 +75,34 @@ class TextSimSpec extends SparkSpec {
     assert(sigs(1) === sigs(8))
   }
 
+  test("jaccard df cap drops saturating tokens and bounds candidate fan-out") {
+    // 120 docs all sharing one stop-word; real overlap only via rare tokens
+    val docs = (0 until 120)
+      .map(i => (i.toLong, "src", Seq("stopword", s"tok$i", s"tok${i + 1}")))
+      .toDF("doc_id", "source", "ws")
+    val cap = 50 // = operators.LlmOps.JaccardDfCap
+    val capped = TextSim.jaccardPairs(docs, "doc_id", "source", "ws", cap)
+    val uncapped = TextSim.jaccardPairs(docs, "doc_id", "source", "ws", Int.MaxValue)
+    val nCapped = capped.count()
+    val nUncapped = uncapped.count()
+    // stopword (df=120 > cap) would pair every doc with every other
+    assert(nUncapped === 120L * 119 / 2,
+      s"uncapped should be all-pairs, got $nUncapped")
+    // with the cap only adjacent docs (sharing tok_{i+1}) remain
+    assert(nCapped === 119, s"capped should keep only true overlaps, got $nCapped")
+    // the structural bound the cap guarantees: Σ_w df(w)² ≤ cap × Σ_w df(w)
+    val keptTokens = docs
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .agg(sum("df")).as[Long].head()
+    assert(nCapped <= cap * keptTokens)
+    // and na/nb count kept tokens only (stopword excluded from set sizes)
+    val row = capped.orderBy("doc_a", "doc_b").limit(1)
+      .select("na", "nb", "inter").as[(Long, Long, Long)].head()
+    assert(row === ((2L, 2L, 1L)))
+  }
+
   test("D3: approx_count_distinct within documented HLL++ error of exact") {
     val li = Tables.lineitem(spark, sf())
     val (approx, exact) = li.agg(
