@@ -26,6 +26,7 @@ object SparkEntry {
     operators.ScaleOps,
     operators.ExtendedOps,
     operators.SemiStructuredOps,
+    operators.SpotifyOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,5 +1,7 @@
 package graft.schemas
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The reference warehouse's three table schemas as Spark StructTypes —
@@ -19,6 +21,23 @@ import org.apache.spark.sql.types._
   * dropped, missing keys → NULL).
   */
 object Spotify {
+
+  /** `bq load` REQUIRED-mode semantics: the load FAILS when a REQUIRED
+    * column is NULL (artists_schema.json:2 — BigQuery rejects such rows
+    * outright). Spark's declared-schema JSON read ignores nullability and
+    * silently yields a NULL instead, so strict ingestion guards each
+    * REQUIRED column with an inline raise_error — evaluated row-by-row
+    * inside the scan projection, no driver-side validation pass. Pair
+    * with the permissive `validate_required` count for audit-then-fail
+    * pipelines.
+    */
+  def failOnNullRequired(df: DataFrame, required: Seq[String]): DataFrame =
+    required.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull,
+          raise_error(lit(s"REQUIRED column '$c' is NULL (bq load would reject this row)")))
+          .otherwise(col(c)))
+    }
 
   private val extUrls = StructType(Seq(
     StructField("spotify", StringType)))

@@ -88,6 +88,27 @@ class SpotifySchemaSpec extends SparkSpec {
       roundTrip.exceptAll(originals).isEmpty)
   }
 
+  test("REQUIRED id: strict load throws on NULL id, permissive load counts it") {
+    val dir = tmpDir("graft_required")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.ndjson"),
+      """{"id":"ok1","name":"fine"}
+        |{"id":null,"name":"rejected by bq load"}
+        |""".stripMargin)
+    val df = spark.read.schema(Spotify.artists).json(s"$dir/bad.ndjson")
+    // Spark's permissive read yields the NULL the declared schema forbids
+    assert(df.filter(col("id").isNull).count() === 1)
+    // strict mode: the load fails, matching bq load's rejection
+    val ex = intercept[Exception] {
+      Spotify.failOnNullRequired(df, Seq("id")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("REQUIRED column 'id'")), msgs(ex).mkString("; "))
+    // a clean fixture passes strict mode untouched
+    assert(Spotify.failOnNullRequired(artists, Seq("id")).count() === artists.count())
+  }
+
   test("J3: child rows carry their embedded parent album (and D4 dedups ids)") {
     val t = tracks
     assert(t.count() === 4) // includes the duplicate t1
