@@ -42,6 +42,9 @@ case class FixedPointDot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "fixed_dot"
 
+  // Null ELEMENTS are skipped, matching the DuckDB oracle exactly: there
+  // each term is floor(a[i]*b[i]*1e15) which is NULL when a slot is NULL,
+  // and sum() ignores NULL terms.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -49,7 +52,9 @@ case class FixedPointDot(left: Expression, right: Expression)
     var s = 0L
     var i = 0
     while (i < n) {
-      s += math.floor(x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e15).toLong
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        s += math.floor(x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e15).toLong
+      }
       i += 1
     }
     s
@@ -64,8 +69,10 @@ case class FixedPointDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (long) java.lang.Math.floor(
-         |    ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1e15);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += (long) java.lang.Math.floor(
+         |      ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1e15);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

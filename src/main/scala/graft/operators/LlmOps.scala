@@ -171,16 +171,22 @@ object LlmOps extends OpGroup {
     */
   private[operators] def cosinePairsDuck(pairCond: String): String = {
     import graft.functions.VectorFunctions.dotFpDuck
+    // range(1, 2049) is only an envelope — the `t.i <= len(...)` filter
+    // derives the true bound per row, so a fixture regeneration with a
+    // different dimension (≤ 2048) cannot silently truncate the sum.
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
        |norms AS (
        |  SELECT e.vec_id,
        |         sqrt(CAST(${dotFpDuck("embedding", "embedding")} AS DOUBLE) / 1e15) AS norm
-       |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.vec_id),
+       |  FROM e CROSS JOIN range(1, 2049) t(i)
+       |  WHERE t.i <= len(e.embedding)
+       |  GROUP BY e.vec_id),
        |dots AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS pair_label,
        |         ${dotFpDuck("a.embedding", "b.embedding")} AS dot
        |  FROM e a JOIN e b ON $pairCond
-       |  CROSS JOIN range(1, 65) t(i)
+       |  CROSS JOIN range(1, 2049) t(i)
+       |  WHERE t.i <= least(len(a.embedding), len(b.embedding))
        |  GROUP BY id_a, id_b, pair_label),
        |scored AS (
        |  SELECT id_a, id_b, pair_label,

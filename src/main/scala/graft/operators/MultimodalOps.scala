@@ -106,14 +106,17 @@ object MultimodalOps extends OpGroup {
         |FROM bytes GROUP BY doc_id, frame_idx, frame_off
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // Fixture text is ASCII, so byte-level features equal char-level ones.
+    // Every ascii(substr(...)) term is coalesce-guarded: Spark's take(8)
+    // sums only the available bytes of a short payload, so a NULL from an
+    // out-of-range substr must count as 0, not null the whole sum.
     "multimodal_binary_features" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
-        |       CAST(ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1))
-        |          + ascii(substr(text, 3, 1)) + ascii(substr(text, 4, 1))
-        |          + ascii(substr(text, 5, 1)) + ascii(substr(text, 6, 1))
-        |          + ascii(substr(text, 7, 1)) + ascii(substr(text, 8, 1))
+        |       CAST(coalesce(ascii(substr(text, 1, 1)), 0) AS INTEGER) AS first_byte,
+        |       CAST(coalesce(ascii(substr(text, 1, 1)), 0) + coalesce(ascii(substr(text, 2, 1)), 0)
+        |          + coalesce(ascii(substr(text, 3, 1)), 0) + coalesce(ascii(substr(text, 4, 1)), 0)
+        |          + coalesce(ascii(substr(text, 5, 1)), 0) + coalesce(ascii(substr(text, 6, 1)), 0)
+        |          + coalesce(ascii(substr(text, 7, 1)), 0) + coalesce(ascii(substr(text, 8, 1)), 0)
         |         AS BIGINT) AS head_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
   )

@@ -143,7 +143,10 @@ object PipelineOps extends OpGroup {
     // pass 2 re-delivers the OLDEST event — its window closed long ago
     // (watermark from the checkpoint sits at max(ts) - 30 min), so the
     // re-delivery is discarded and the final sink equals the clean batch
-    // aggregation over closed windows, which is what the oracle asserts.
+    // aggregation over closed windows. No SQL oracle — append-mode
+    // emission timing is engine-specific (the driver does a rows-only
+    // check); the window CONTENTS under late data are asserted by
+    // StreamingSpec instead.
     "watermark_late_drop" -> ((s, d) => {
       val stage = freshDir("graft_t5_stage")
       val sink = freshDir("graft_t5_sink")

@@ -221,8 +221,10 @@ object TrainingDataOps extends OpGroup {
     "doc_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, ws[CAST(t.i AS INTEGER)] AS w, CAST(t.i AS INTEGER) - 1 AS pos
+        |  -- range(1, 8193) is an envelope; `t.i <= len(ws)` is the real
+        |  -- per-row bound, so longer regenerated docs can't silently truncate
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-        |  CROSS JOIN range(1, 1001) t(i)
+        |  CROSS JOIN range(1, 8193) t(i)
         |  WHERE t.i <= len(ws))
         |SELECT doc_id,
         |       CAST(sum((pos + 1) * (ascii(w) * 31 + length(w))) % 1000000007 AS BIGINT)
