@@ -151,30 +151,33 @@ object PipelineOps extends OpGroup {
       val stage = freshDir("graft_t5_stage")
       val sink = freshDir("graft_t5_sink")
       val ckpt = freshDir("graft_t5_ckpt")
-      // a deterministic 1/20 slice keeps the two streaming passes cheap at
+      // a deterministic 1/20 slice keeps the streaming pass cheap at
       // bench scale — late-drop semantics only need SOME events spanning
       // the time range, not all of them
       val ev = Tables.events(s, d)
         .filter(col("event_id") % 20 === 0)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_type"), col("value"))
-      ev.write.mode(SaveMode.Overwrite).json(stage)
-      def runPass(): Unit = {
-        val stream = StreamingOps.fileJsonStream(s,
-            StructType.fromDDL("event_id LONG, ts_us LONG, event_type STRING, value DOUBLE"),
-            stage)
-          .withColumn("ts", expr("timestamp_micros(ts_us)"))
-        val q = StreamingOps.tumblingCounts(stream, "10 minutes", "30 minutes")
-          .writeStream.format("parquet").option("path", sink)
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      runPass()
-      // late re-delivery of the earliest event, staged as a new file
+      // staged batch 1: the clean slice, as ONE file (this is the
+      // batch-boundary rig, not the scale path); staged batch 2: a late
+      // re-delivery of the earliest event, written after batch 1 so the
+      // oldest-first file queue orders it second
+      ev.coalesce(1).write.mode(SaveMode.Overwrite).json(stage)
       ev.orderBy("ts_us").limit(1)
         .write.mode(SaveMode.Append).json(stage)
-      runPass()
+      // ONE AvailableNow cycle, one file per micro-batch: the watermark
+      // advances to max(ts) - 30 min after batch 1, so batch 2's
+      // re-delivery lands behind it and is dropped — same semantics as a
+      // checkpoint-restart redelivery at half the streaming overhead
+      val stream = StreamingOps.fileJsonStream(s,
+          StructType.fromDDL("event_id LONG, ts_us LONG, event_type STRING, value DOUBLE"),
+          stage, maxFilesPerTrigger = Some(1))
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      val q = StreamingOps.tumblingCounts(stream, "10 minutes", "30 minutes")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
       s.read.parquet(sink).orderBy("w_start", "event_type")
     }),
 

@@ -25,9 +25,17 @@ object StreamingOps {
 
   /** T1 — watch a folder of staged JSON files under a declared schema;
     * each file processed exactly once (checkpointed file index).
+    * `maxFilesPerTrigger` bounds files per micro-batch — with the default
+    * oldest-first file ordering it turns a staged file sequence into an
+    * ordered batch sequence (watermarks advance BETWEEN batches, which is
+    * what late-drop semantics need).
     */
-  def fileJsonStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
-    spark.readStream.schema(schema).json(dir)
+  def fileJsonStream(spark: SparkSession, schema: StructType, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(dir)
+  }
 
   /** T2/T5 — tumbling-window counts with a watermark that drops late
     * rows past `ttl` (the staging-TTL analog). Works on any frame with
