@@ -27,6 +27,7 @@ object SparkEntry {
     operators.ExtendedOps,
     operators.SemiStructuredOps,
     operators.SpotifyOps,
+    operators.CurationOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

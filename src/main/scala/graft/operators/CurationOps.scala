@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Det, OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (round-2 surface widening): the
+  * select-what-to-train-on half of the 100 TB pipeline, alongside the
+  * dedup/similarity half in LlmOps/TrainingDataOps.
+  *
+  * Scale design:
+  *   - Sampling is CONTENT-DERIVED (md5 of the key), never rand(): the
+  *     same row set is kept on any cluster layout, any retry, any
+  *     engine — which is also what makes it DuckDB-oracle-able. A rate
+  *     is a hex-prefix threshold (first md5 nibble < '4' ⇒ 4/16 = 25%).
+  *   - Min-wise per-group sampling ranks by md5 inside each stratum via
+  *     GlobalRank's grouped two-phase rank — strata are often few and
+  *     huge (here: 20 sources), exactly the low-cardinality-partition
+  *     window trap the two-phase scheme exists for.
+  *   - Text cleaning/redaction is a pure projection (one codegen'd map
+  *     stage, no shuffle).
+  *   - The bucketed join writes both fact tables bucketed+sorted on the
+  *     join key, then joins them WITHOUT any exchange — the co-located
+  *     join that turns the biggest shuffle in a daily pipeline into a
+  *     local merge (PlanSpec asserts the exchange count).
+  */
+object CurationOps extends OpGroup {
+  import Det._
+
+  /** Portable content hash: md5 of the decimal string key — identical
+    * bytes on Spark and DuckDB, unlike xxhash64/hash().
+    */
+  private def h(c: String) = md5(col(c).cast("string"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic stratified sample: 50% of 'en' documents, 25% of the
+    // rest — the lang-rebalancing step of a corpus mix. Content-derived,
+    // so reproducible across engines/retries/layouts.
+    "hash_sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("nib", substring(h("doc_id"), 1, 1))
+        .filter(col("nib") < when(col("lang") === "en", "8").otherwise("4"))
+        .select("doc_id", "lang", "source", "nib")
+        .orderBy("doc_id")),
+
+    // Min-wise sampling: the k=3 docs with smallest md5 per source — a
+    // uniform-without-replacement sample per stratum, rank computed by
+    // the grouped two-phase rank (no low-cardinality window partitions).
+    "minwise_sample_per_group" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), h("doc_id").as("hkey"))
+      graft.functions.GlobalRank
+        .rowNumber(docs, "rn", Seq("source"), Seq("hkey", "doc_id"))
+        .filter(col("rn") <= 3)
+        .select("source", "rn", "doc_id", "hkey")
+        .orderBy("source", "rn")
+    }),
+
+    // Cleaning + redaction projection: lowercase, strip non-alnum,
+    // collapse whitespace; numbers masked in the raw text.
+    "text_clean_redact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), " +", " ")).as("clean_text"),
+          regexp_replace(col("text"), "[0-9]+", "<NUM>").as("redacted"),
+          length(col("text")).as("n_raw"))
+        .orderBy("doc_id")),
+
+    // Co-located join: orders ⋈ lineitem both bucketed+sorted on the
+    // join key into 8 buckets — the join itself plans ZERO exchanges
+    // (only the final small aggregate shuffles). At 100 TB this is the
+    // difference between re-shuffling two fact tables nightly and a
+    // local merge per bucket.
+    "bucketed_colocated_join" -> ((s, d) => {
+      val db = "graft_buckets"
+      // session-unique location: the in-memory catalog forgets managed
+      // tables across JVMs, but their files would survive and collide
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
+        s"'/tmp/graft_warehouse/${s.sparkContext.applicationId}/$db'")
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      s.table(s"$db.orders_b")
+        .join(s.table(s"$db.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "hash_sample_stratified" ->
+      """SELECT doc_id, lang, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |      < (CASE WHEN lang = 'en' THEN '8' ELSE '4' END)
+        |ORDER BY doc_id""".stripMargin,
+    "minwise_sample_per_group" ->
+      """SELECT source, rn, doc_id, hkey FROM (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+    "text_clean_redact" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean_text,
+        |       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |       CAST(length(text) AS INTEGER) AS n_raw
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "bucketed_colocated_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |       ${dsumSql("l_quantity")} AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}

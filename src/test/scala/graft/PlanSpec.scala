@@ -77,6 +77,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join with zero exchanges (co-located SMJ)") {
+    // materialize the bucketed tables via the declared query
+    SparkEntry.queries("bucketed_colocated_join")(spark, sf()).count()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the plan under test is the large-large path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_buckets.orders_b")
+        .join(spark.table("graft_buckets.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      val phys = j.queryExecution.executedPlan.toString
+      assert(phys.contains("SortMergeJoin"), phys.take(500))
+      assert(!"\\bExchange\\b".r.findFirstIn(phys).isDefined,
+        "bucketed join must not shuffle either side")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("fixed_dot runs inside WholeStageCodegen (no fallback)") {
     graft.functions.VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sf())
