@@ -11,50 +11,79 @@ import org.apache.spark.sql.functions._
   * killer. The same total numbering is computable in two distributed
   * passes:
   *
-  *   1. range-partition the rows on (group ++ order) keys — ascending
-  *      partition ids hold ascending, non-overlapping key ranges while
-  *      the data stays spread over the cluster;
-  *   2. `row_number` locally, partitioned by (physical slice, group) —
-  *      every window task sees ~1/numPartitions of the data;
+  *   1. assign each row a SLICE id — a pure, deterministic function of
+  *      its own key value (width bucketing between the per-group min and
+  *      max of a numeric slice key that is monotone in the ordering).
+  *      Slices are ordered, non-overlapping key ranges, so ranking is
+  *      slice-local + offset;
+  *   2. `row_number` locally, partitioned by (slice, group) — every
+  *      window task sees ~1/numSlices of its group;
   *   3. per-(slice, group) row counts — an aggregate of at most
-  *      numPartitions rows per group — become each slice's starting
-  *      offset via a broadcast triangular join (deliberately NOT a
-  *      single-partition window, so no stage anywhere funnels through
-  *      one task);
+  *      numSlices rows per group — become each slice's starting offset
+  *      via a broadcast triangular join (deliberately NOT a
+  *      single-partition window, so no stage anywhere funnels the data
+  *      through one task);
   *   4. global rank = slice offset + local rank.
   *
-  * The slice id (`spark_partition_id` after the range exchange) is
-  * consumed by two plan branches (the local rank and the count
-  * aggregate); both read the SAME shuffle output — Spark's
-  * ReuseExchange/AQE stage reuse guarantees one physical exchange, so
-  * the ids agree across branches.
+  * Why not `repartitionByRange` + `spark_partition_id`? Range exchanges
+  * pick their boundaries by SAMPLING, seeded per physical exchange — and
+  * the rank/count/join branches of this DAG each compile their own
+  * exchange, so their partition ids are only consistent if exchange
+  * reuse happens to fire. A value-derived slice is identical in every
+  * branch by construction, on any cluster, in any plan.
+  *
+  * Width bucketing assumes the slice key is roughly uniform between its
+  * group min/max (true for synthetic keys, ids, hashes). A skewed 100 TB
+  * deployment swaps `sliceOn` for precomputed sample-quantile boundaries
+  * — fitted offline and broadcast, exactly like the IVF coarse quantizer
+  * (AnnIvf) — without touching the rank/offset machinery.
   *
   * The numbering is deterministic whenever (group ++ order) totally
   * orders the rows; under ties the numbers within a tie group are
   * arbitrary (exactly as with a plain window) but the k-th smallest
-  * VALUE is stable, which is what rank-picking consumers rely on.
+  * VALUE is stable, which is what rank-picking consumers rely on. Ties
+  * never straddle slices: equal slice keys map to equal slices.
   */
 object GlobalRank {
 
   /** Appends a global (or per-`groupCols`) 1-based `row_number` column
     * named `rnCol` (LONG), ordered by `orderCols`, without ever planning
-    * a partition-less window. `numPartitions` bounds the range exchange;
-    * at cluster scale it should track the input size (AQE may coalesce).
+    * a partition-less window or a sampled range exchange.
+    *
+    * `sliceOn` must be numeric and monotone non-decreasing in the
+    * `orderCols` ordering; it defaults to the first order column.
     */
   def rowNumber(df: DataFrame, rnCol: String, groupCols: Seq[String],
-      orderCols: Seq[String], numPartitions: Int = 32): DataFrame = {
-    val keyCols: Seq[Column] = (groupCols ++ orderCols).map(col)
+      orderCols: Seq[String], numSlices: Int = 32,
+      sliceOn: Option[Column] = None): DataFrame = {
+    val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
     val slice = "__gr_pid" +: groupCols
-    val ranged = df.repartitionByRange(numPartitions, keyCols: _*)
-      .withColumn("__gr_pid", spark_partition_id())
-    val local = ranged.withColumn("__gr_lrn",
+
+    // per-group key span — a tiny aggregate, broadcast back
+    val span = Seq(min(base).as("__gr_lo"), max(base).as("__gr_hi"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(span.head, span.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(span.head, span.tail: _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), groupCols)
+    // width bucket: pure monotone arithmetic on the row's own key value
+    val width = col("__gr_hi") - col("__gr_lo")
+    val sliced = joined.withColumn("__gr_pid",
+      when(width === 0d, lit(0))
+        .otherwise(least(lit(numSlices - 1),
+          floor((base - col("__gr_lo")) / width * numSlices)))
+        .cast("int"))
+      .drop("__gr_lo", "__gr_hi")
+
+    val local = sliced.withColumn("__gr_lrn",
       row_number().over(
         Window.partitionBy(slice.map(col): _*)
           .orderBy(orderCols.map(col): _*)).cast("long"))
     val cnts = local.groupBy(slice.map(col): _*)
       .agg(count(lit(1)).as("__gr_cnt"))
     // offset(slice) = Σ counts of the same group in LOWER slices; the
-    // triangular join touches ≤ numPartitions² tiny rows per group.
+    // triangular join touches ≤ numSlices² tiny rows per group.
     val lower = cnts.select(
       (col("__gr_pid").as("__gr_pid2") +:
         groupCols.map(c => col(c).as(s"__gr_g_$c"))) :+

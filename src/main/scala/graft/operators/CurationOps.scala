@@ -50,7 +50,11 @@ object CurationOps extends OpGroup {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), h("doc_id").as("hkey"))
       graft.functions.GlobalRank
-        .rowNumber(docs, "rn", Seq("source"), Seq("hkey", "doc_id"))
+        .rowNumber(docs, "rn", Seq("source"), Seq("hkey", "doc_id"),
+          // hex strings don't cast to double — slice on the numeric value
+          // of the first 13 nibbles (52 bits: exact in double, monotone
+          // in the full-string order)
+          sliceOn = Some(conv(substring(col("hkey"), 1, 13), 16, 10).cast("long")))
         .filter(col("rn") <= 3)
         .select("source", "rn", "doc_id", "hkey")
         .orderBy("source", "rn")
