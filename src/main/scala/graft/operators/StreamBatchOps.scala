@@ -54,6 +54,33 @@ object StreamBatchOps extends OpGroup {
           unix_micros(col("session_window.end")).as("s_end_us"),
           col("n"), col("sum_value"))
         .orderBy("user_id", "s_start_us")),
+
+    // T8 — interval-join attribution, batch form: each click credited to
+    // every view by the same user in the preceding 5 minutes. The same
+    // join condition runs stream-stream with two watermarks
+    // (StreamingOps.intervalJoin, StreamingSpec T8); per-user time-bound
+    // fan-out keeps both states bounded at 100 TB. Comparison runs in
+    // epoch-µs on both engines so the ns→µs staging truncation can't
+    // flip a boundary.
+    "interval_join_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("v_us"),
+          col("event_id").as("view_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("c_us"),
+          col("event_id").as("click_id"))
+      v.join(c, col("user_id") === col("c_user") &&
+          col("c_us") >= col("v_us") &&
+          col("c_us") <= col("v_us") + lit(300000000L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_attributed"),
+          countDistinct(col("click_id")).as("n_clicks"),
+          countDistinct(col("view_id")).as("n_views"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -89,5 +116,18 @@ object StreamBatchOps extends OpGroup {
          |       count(*) AS n, ${dsumSql("value")} AS sum_value
          |FROM sessions GROUP BY user_id, sid
          |ORDER BY user_id, s_start_us""".stripMargin,
+    "interval_join_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS v_us, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id AS c_user, epoch_us(ts) AS c_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, count(*) AS n_attributed,
+        |       count(DISTINCT click_id) AS n_clicks,
+        |       count(DISTINCT view_id) AS n_views
+        |FROM v JOIN c ON user_id = c_user
+        |  AND c_us >= v_us AND c_us <= v_us + 300000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -50,6 +50,19 @@ object StreamingOps {
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** T8 — stream-stream interval join with a watermark on BOTH sides:
+    * each click joins every view by the same user in the preceding
+    * `horizon`. The event-time bound lets Spark evict both join states
+    * as the (global min) watermark advances — without it a stream-stream
+    * join buffers forever. Batch twin: `interval_join_attribution`.
+    */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+      horizon: String = "5 minutes", ttl: String = "30 minutes"): DataFrame =
+    views.withWatermark("v_ts", ttl)
+      .join(clicks.withWatermark("c_ts", ttl),
+        expr(s"""user_id = c_user AND
+                |c_ts >= v_ts AND c_ts <= v_ts + INTERVAL $horizon""".stripMargin))
+
   /** T6 — exactly-once per `event_id` within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, ttl: String = "7 days"): DataFrame =
     events.withWatermark("ts", ttl)

@@ -114,6 +114,33 @@ class StreamingSpec extends SparkSpec {
       ("b", 10L, 1L, true))) // 10 >= 60-60 ⇒ refresh
   }
 
+  test("T8: stream-stream interval join matches in-horizon clicks, drops late ones") {
+    val vIn = MemoryStream[(Long, Timestamp, Long)](spark)
+    val cIn = MemoryStream[(Long, Timestamp, Long)](spark)
+    val views = vIn.toDF().toDF("user_id", "v_ts", "view_id")
+    val clicks = cIn.toDF().toDF("c_user", "c_ts", "click_id")
+    val q = StreamingOps.intervalJoin(views, clicks)
+      .select("user_id", "view_id", "click_id")
+      .writeStream.format("memory").queryName("t8_out")
+      .outputMode("append").start()
+    // in-horizon click (10:03 for a 10:00 view) joins; the 10:30 click
+    // is outside the 5-minute horizon of view 20
+    vIn.addData((7L, ts(0), 10L), (7L, ts(5), 20L))
+    cIn.addData((7L, ts(3), 100L), (7L, ts(30), 200L))
+    q.processAllAvailable()
+    // advance BOTH watermarks far ahead, then deliver a click that was
+    // in-horizon by event time — the state for its view is gone ⇒ dropped
+    vIn.addData((98L, ts(600), 90L))
+    cIn.addData((99L, ts(600), 900L))
+    q.processAllAvailable()
+    cIn.addData((7L, ts(4), 300L)) // late: watermark sits at ts(570)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT user_id, view_id, click_id FROM t8_out")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((7L, 10L, 100L)))
+  }
+
   test("T2 unified API: stream result equals the batch oracle expression") {
     val batch = Tables.events(spark, sf())
     val streamed = {
