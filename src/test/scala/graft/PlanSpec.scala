@@ -84,8 +84,9 @@ class PlanSpec extends SparkSpec {
     try {
       // disable broadcast so the plan under test is the large-large path
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val j = spark.table("graft_buckets.orders_b")
-        .join(spark.table("graft_buckets.lineitem_b"),
+      val db = operators.CurationOps.bucketDb(sf())
+      val j = spark.table(s"$db.orders_b")
+        .join(spark.table(s"$db.lineitem_b"),
           col("o_orderkey") === col("l_orderkey"))
       val phys = j.queryExecution.executedPlan.toString
       assert(phys.contains("SortMergeJoin"), phys.take(500))
