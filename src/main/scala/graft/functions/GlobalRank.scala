@@ -98,4 +98,55 @@ object GlobalRank {
       .withColumn(rnCol, col("__gr_off") + col("__gr_lrn"))
       .drop("__gr_pid", "__gr_lrn", "__gr_off")
   }
+
+  /** Scale-safe running (prefix) SUM over the (group, order) ordering —
+    * same slice machinery as [[rowNumber]], but the offset ladder carries
+    * per-slice value totals instead of row counts. `sumCol` gets
+    * Σ valueCol over all rows ordered ≤ the current row (inclusive).
+    * Exact for integral values (long addition is associative); for
+    * doubles route the value through DECIMAL first (Det.decSum logic).
+    */
+  def prefixSum(df: DataFrame, sumCol: String, valueCol: Column,
+      groupCols: Seq[String], orderCols: Seq[String], numSlices: Int = 32,
+      sliceOn: Option[Column] = None): DataFrame = {
+    val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
+    val slice = "__gr_pid" +: groupCols
+
+    val span = Seq(min(base).as("__gr_lo"), max(base).as("__gr_hi"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(span.head, span.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(span.head, span.tail: _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), groupCols)
+    val width = col("__gr_hi") - col("__gr_lo")
+    val sliced = joined.withColumn("__gr_pid",
+      when(width === 0d, lit(0))
+        .otherwise(least(lit(numSlices - 1),
+          floor((base - col("__gr_lo")) / width * numSlices)))
+        .cast("int"))
+      .withColumn("__gr_v", valueCol)
+      .drop("__gr_lo", "__gr_hi")
+
+    val local = sliced.withColumn("__gr_run",
+      sum(col("__gr_v")).over(
+        Window.partitionBy(slice.map(col): _*)
+          .orderBy(orderCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = sliced.groupBy(slice.map(col): _*)
+      .agg(sum(col("__gr_v")).as("__gr_tot"))
+    val lower = totals.select(
+      (col("__gr_pid").as("__gr_pid2") +:
+        groupCols.map(c => col(c).as(s"__gr_g_$c"))) :+
+        col("__gr_tot").as("__gr_tot2"): _*)
+    val cond = groupCols
+      .map(c => col(c) === col(s"__gr_g_$c"))
+      .foldLeft(col("__gr_pid2") < col("__gr_pid"))(_ && _)
+    val offs = totals.join(broadcast(lower), cond, "left")
+      .groupBy(slice.map(col): _*)
+      .agg(coalesce(sum("__gr_tot2"), lit(0L)).as("__gr_off"))
+    local.join(broadcast(offs), slice, "inner")
+      .withColumn(sumCol, col("__gr_off") + col("__gr_run"))
+      .drop("__gr_pid", "__gr_run", "__gr_off", "__gr_v")
+  }
 }

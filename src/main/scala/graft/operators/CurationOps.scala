@@ -101,6 +101,27 @@ object CurationOps extends OpGroup {
           length(col("text")).as("n_raw"))
         .orderBy("doc_id")),
 
+    // Token-budget shard packing — THE pretraining shard-writer op: docs
+    // in a canonical order are cut into contiguous shards of ≤4096
+    // tokens by their exclusive running token count. The prefix sum is
+    // GlobalRank's two-phase scheme (slice-local running sums + a
+    // broadcast total-offset ladder) — the scale-safe form of the
+    // single-task `sum() OVER (ORDER BY ...)` window.
+    "token_budget_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.functions.GlobalRank
+        .prefixSum(docs, "cum", col("n_tokens"), Nil, Seq("doc_id"))
+        .withColumn("shard_id", expr("(cum - n_tokens) div 4096"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("shard_id")
+    }),
+
     // Co-located join: orders ⋈ lineitem both bucketed+sorted on the
     // join key into 8 buckets — the join itself plans ZERO exchanges
     // (only the final small aggregate shuffles). At 100 TB this is the
@@ -138,6 +159,19 @@ object CurationOps extends OpGroup {
         |       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
         |       CAST(length(text) AS INTEGER) AS n_raw
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_budget_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "bucketed_colocated_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
          |       ${dsumSql("l_quantity")} AS sum_qty

@@ -60,7 +60,7 @@ class PlanSpec extends SparkSpec {
   test("no declared ranking query plans a partition-less (single-task) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     for (q <- Seq("paginated_source", "batch_chunks", "ntile_percentile",
-        "percentile_disc")) {
+        "percentile_disc", "minwise_sample_per_group", "token_budget_packing")) {
       val df = SparkEntry.queries(q)(spark, sf())
       val bad = df.queryExecution.optimizedPlan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w
