@@ -74,6 +74,41 @@ object LawsSpec extends Properties("GraftLaws") {
       got.keySet == want.keySet && want.forall { case (g, vs) => got(g) == vs }
     }
 
+  // GlobalRank: the two-phase rank equals the single-task window on
+  // arbitrary inputs — duplicates included (value-at-rank is what must
+  // agree under ties), grouped and ungrouped, across slice counts.
+  property("two-phase rank equals window row_number (value at rank)") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(-50L, 50L))),
+      Gen.chooseNum(1, 5)) { (rows, slices) =>
+      import spark.implicits._
+      val df = rows.toDF("g", "v")
+      val got = graft.functions.GlobalRank
+        .rowNumber(df, "rn", Seq("g"), Seq("v"), numSlices = slices)
+        .select("g", "rn", "v").as[(Int, Long, Long)].collect()
+        .map { case (g, rn, v) => (g, rn) -> v }.toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, vs) =>
+        vs.map(_._2).sorted.zipWithIndex.map { case (v, i) => (g, i + 1L) -> v }
+      }
+      got == want
+    }
+
+  // GlobalRank: the two-phase prefix sum equals the single-task
+  // running-sum window on arbitrary unique-keyed inputs.
+  property("two-phase prefix sum equals window running sum") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L)), Gen.chooseNum(1, 5)) {
+      (vs, slices) =>
+      import spark.implicits._
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("k", "v")
+      val got = graft.functions.GlobalRank
+        .prefixSum(df, "cum", col("v"), Nil, Seq("k"), numSlices = slices)
+        .select("k", "cum").as[(Long, Long)].collect().toMap
+      val want = rows.sortBy(_._1).scanLeft((-1L, 0L)) {
+        case ((_, acc), (k, v)) => (k, acc + v)
+      }.drop(1).toMap
+      got == want
+    }
+
   // S2/S3/F4: from_json ∘ to_json is identity under the declared artist
   // schema, for arbitrary field subsets (missing → NULL preserved)
   private val artistJsonGen: Gen[String] = for {
