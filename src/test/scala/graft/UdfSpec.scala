@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions._
 
 /** Scalar UDF surface (SURVEY.md §2.L): demonstrates registration and
@@ -26,5 +28,30 @@ class UdfSpec extends SparkSpec {
         .linesIterator.filter(_.contains("PushedFilters")).mkString
     assert(pushed(viaBuiltin).contains("GreaterThan(l_quantity,30.0)"))
     assert(!pushed(viaUdf).contains("GreaterThan"))
+  }
+
+  test("GraftExtensions installs fixed_dot at session build (no register call)") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      // a fresh session on the same context, extensions applied at build
+      // time — the spark.sql.extensions=graft.GraftExtensions deployment
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = s2.sql(
+        "SELECT fixed_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+        .head().getLong(0)
+      assert(row === 4L * 1000000000000000L) // (1.5·2 + 2·0.5) · 1e15
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }
