@@ -147,6 +147,39 @@ object ExtendedOps extends OpGroup {
         .orderBy("p_partkey")
     }),
 
+    // Fixed-bin histogram: 10 equal-width bins between broadcast min/max
+    // — one aggregate for the span, one hash aggregate for the counts,
+    // no sort, no window. The same width-bucket arithmetic slices
+    // GlobalRank, so both engines floor identical IEEE doubles.
+    "histogram_fixed_bins" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+      val stats = li.agg(min("v").as("lo"), max("v").as("hi"))
+      li.crossJoin(broadcast(stats))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), 0)
+            .otherwise(least(lit(9),
+              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 10)))
+            .cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("sum_v"))
+        .orderBy("bin")
+    }),
+
+    // Error-safe arithmetic (the ANSI try_* family): malformed casts and
+    // zero divisors yield NULL instead of failing the job — the
+    // row-level counterpart of REQUIRED fail-fast.
+    "try_safe_arithmetic" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("user_id"),
+          when(col("event_id") % 3 === 0,
+            concat(col("event_id").cast("string"), lit("x")))
+            .otherwise(col("event_id").cast("string")).as("raw"))
+        .select(col("event_id"),
+          expr("try_cast(raw AS DOUBLE)").as("parsed"),
+          round(expr("try_divide(value, CAST(user_id % 3 AS DOUBLE))"), 6)
+            .as("per_unit"))
+        .orderBy("event_id")),
+
     // Regex group extraction (id fields out of formatted strings).
     "regexp_extract_fields" -> ((s, d) =>
       Tables.customer(s, d)
@@ -234,6 +267,27 @@ object ExtendedOps extends OpGroup {
         |       coalesce(array_to_string(list_sort(list_filter(list_distinct(ws),
         |         w -> NOT list_contains(bw, w))), ','), '') AS except_w
         |FROM t ORDER BY p_partkey""".stripMargin,
+    "histogram_fixed_bins" ->
+      s"""WITH s AS (
+         |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+         |  FROM lineitem)
+         |SELECT CAST(CASE WHEN hi = lo THEN 0
+         |            ELSE least(9, floor((l_extendedprice - lo) / (hi - lo) * 10))
+         |            END AS INTEGER) AS bin,
+         |       count(*) AS n, ${dsumSql("l_extendedprice")} AS sum_v
+         |FROM lineitem, s GROUP BY bin ORDER BY bin""".stripMargin,
+    "try_safe_arithmetic" ->
+      """WITH r AS (
+        |  SELECT event_id, value, user_id,
+        |         CASE WHEN event_id % 3 = 0
+        |              THEN CAST(event_id AS VARCHAR) || 'x'
+        |              ELSE CAST(event_id AS VARCHAR) END AS raw
+        |  FROM events)
+        |SELECT event_id,
+        |       TRY_CAST(raw AS DOUBLE) AS parsed,
+        |       round(CASE WHEN user_id % 3 = 0 THEN NULL
+        |                  ELSE value / CAST(user_id % 3 AS DOUBLE) END, 6) AS per_unit
+        |FROM r ORDER BY event_id""".stripMargin,
     "regexp_extract_fields" ->
       """SELECT c_custkey,
         |       regexp_extract(c_name, 'Customer#(\d+)', 1) AS id_str,
