@@ -147,6 +147,23 @@ object ExtendedOps extends OpGroup {
         .orderBy("p_partkey")
     }),
 
+    // The 100 TB percentile path: approx_percentile (KLL-style sketch,
+    // mergeable map-side, one pass, no rank shuffle) — the scale
+    // companion to the exact rank-picked percentile_disc. Approximate ⇒
+    // no SQL oracle (rows-only); ExtendedSpec-style tolerance vs the
+    // exact values is asserted in TextSimSpec alongside D3.
+    "percentile_approx_scale" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("pcts"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("pcts"), 1).as("p25"),
+          element_at(col("pcts"), 2).as("p50"),
+          element_at(col("pcts"), 3).as("p75"),
+          col("n"))
+        .orderBy("l_returnflag")),
+
     // Fixed-bin histogram: 10 equal-width bins between broadcast min/max
     // — one aggregate for the span, one hash aggregate for the counts,
     // no sort, no window. The same width-bucket arithmetic slices

@@ -27,6 +27,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("grouped aggregation plans map-side partial aggregation") {
+    val p = plan(SparkEntry.queries("group_hash_agg")(spark, sf()))
+    // partial (pre-shuffle) + final HashAggregate = map-side combine:
+    // the shuffle carries one row per (partition, group), not per input row
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(400))
+    assert(p.contains("partial_"), "no partial aggregate before the exchange")
+  }
+
   test("order-by-limit plans TakeOrderedAndProject, not a global sort") {
     val p = plan(SparkEntry.queries("order_by_limit")(spark, sf()))
     assert(p.contains("TakeOrderedAndProject"))

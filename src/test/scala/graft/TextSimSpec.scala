@@ -103,6 +103,25 @@ class TextSimSpec extends SparkSpec {
     assert(row === ((2L, 2L, 1L)))
   }
 
+  test("approx_percentile tracks the exact rank-picked percentiles") {
+    val approx = SparkEntry.queries("percentile_approx_scale")(spark, sf())
+      .select("l_returnflag", "p25", "p50", "p75")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val exact = SparkEntry.queries("percentile_disc")(spark, sf())
+      .select("l_returnflag", "p25", "p50", "p75")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(flag)
+      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.02,
+          s"$flag: approx $a vs exact $e drifts > 2%")
+      }
+    }
+  }
+
   test("D3: approx_count_distinct within documented HLL++ error of exact") {
     val li = Tables.lineitem(spark, sf())
     val (approx, exact) = li.agg(
