@@ -100,6 +100,24 @@ object AggWindowOps extends OpGroup {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
     }),
 
+    // W3b — time-based RANGE frame: trailing 30-minute event rate per
+    // user (frame bounds by VALUE distance on epoch-µs, not row count —
+    // the only correct frame when event spacing is irregular). DECIMAL
+    // accumulator keeps every trailing sum exact under any partitioning.
+    "range_frame_trailing" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-1800000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("n_30m", count(lit(1)).over(w))
+        .withColumn("sum_30m",
+          round(sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast("double"), 6))
+        .select("event_id", "user_id", "ts_us", "n_30m", "sum_30m")
+        .orderBy("event_id")
+    }),
+
     // W4 — deciles / percentile ranks over a score (popularity analog).
     // The semantic is a GLOBAL ranking, but the scale-safe plan is the
     // two-pass CDF: a two-phase global rank (GlobalRank — never a
@@ -174,6 +192,15 @@ object AggWindowOps extends OpGroup {
         |         AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    "range_frame_trailing" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       count(*) OVER w AS n_30m,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+        |         AS sum_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "ntile_percentile" ->
       """SELECT c_custkey,
         |       ntile(10) OVER w AS decile,

@@ -134,6 +134,21 @@ object ScalarFuncOps extends OpGroup {
           url_encode(col("c_name")).as("encoded"),
           url_decode(url_encode(col("c_name"))).as("decoded"))
         .orderBy("c_custkey")),
+
+    // F11 — NULL-algebra surface (the reference's defensive `.get(...)`
+    // chains, app.py:143,156-157, as declarative null handling):
+    // nullif/coalesce masking, null-aware routing, clamp floors.
+    "null_semantics_funcs" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg_or_null"),
+          coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("(masked)"))
+            .as("seg_masked"),
+          when(expr("nullif(c_mktsegment, 'BUILDING')").isNotNull, "other")
+            .otherwise("building").as("route"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("c_acctbal"), lit(0.0)).as("bal_neg"))
+        .orderBy("c_custkey")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -203,6 +218,15 @@ object ScalarFuncOps extends OpGroup {
       """SELECT c_custkey,
         |       replace(c_name, '#', '%23') AS encoded,
         |       c_name AS decoded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "null_semantics_funcs" ->
+      """SELECT c_custkey,
+        |       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |       coalesce(nullif(c_mktsegment, 'BUILDING'), '(masked)') AS seg_masked,
+        |       CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        |            THEN 'other' ELSE 'building' END AS route,
+        |       greatest(c_acctbal, CAST(0 AS DOUBLE)) AS bal_floor,
+        |       least(c_acctbal, CAST(0 AS DOUBLE)) AS bal_neg
         |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -103,6 +103,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed join partition at runtime (skewed shuffle read)") {
+    val keep = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // one hot key carrying ~90% of a wide left side
+      val left = spark.range(0, 40000)
+        .select(when(col("id") < 36000, 7L).otherwise(col("id")).as("k"),
+          lpad(col("id").cast("string"), 100, "x").as("payload"))
+      val right = spark.range(0, 200).select(col("id").as("k2"))
+      val j = left.join(right, col("k") === col("k2"))
+      // execute THIS plan (count() would build a different queryExecution)
+      // so AQE re-plans it with runtime shuffle sizes
+      assert(j.collect().length === 36000) // only the hot key matches
+      val phys = j.queryExecution.executedPlan.toString
+      assert(phys.contains("skew=true") && phys.contains("AQEShuffleRead skewed"),
+        s"no skewed shuffle read in:\n${phys.take(800)}")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("fixed_dot runs inside WholeStageCodegen (no fallback)") {
     graft.functions.VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sf())
