@@ -122,6 +122,41 @@ object CurationOps extends OpGroup {
         .orderBy("shard_id")
     }),
 
+    // Sliding-window document chunking — the RAG/pretraining chunker:
+    // 50-token windows at stride 40 (10-token overlap), built map-side
+    // per row with transform+slice (no shuffle, no state), exploded with
+    // ordinals. Chunk token counts come from arithmetic (least(50,
+    // n - idx·40)) so re-tokenization quirks can't drift the compare.
+    "doc_chunk_overlap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+        .withColumn("chunks", expr(
+          """transform(
+            |  sequence(0, greatest(CAST(ceil((n - 50) / 40.0) AS INT), 0)),
+            |  i -> concat_ws(' ', slice(ws, i * 40 + 1, 50)))""".stripMargin))
+        .select(col("doc_id"), col("n"),
+          posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+        .withColumn("chunk_tokens",
+          least(lit(50), col("n") - col("chunk_idx") * 40))
+        .select("doc_id", "chunk_idx", "chunk", "chunk_tokens")
+        .orderBy("doc_id", "chunk_idx")),
+
+    // int8 embedding quantization: unit-scale each vector by its
+    // fixed-point norm, floor to [-127, 127] ints — the storage-
+    // compression step before ANN serving. The norm is the same exact
+    // fixed-point value on both engines, so every floor agrees.
+    "embedding_quantize_int8" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.embeddings(s, d)
+        .withColumn("norm", graft.functions.VectorFunctions.norm("embedding"))
+        .select(col("vec_id"), size(col("embedding")).as("emb_dim"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / norm * 127) AS INT))")
+            .as("q8"),
+          round(col("norm"), 6).as("norm"))
+        .orderBy("vec_id")
+    }),
+
     // Co-located join: orders ⋈ lineitem both bucketed+sorted on the
     // join key into 8 buckets — the join itself plans ZERO exchanges
     // (only the final small aggregate shuffles). At 100 TB this is the
@@ -172,6 +207,34 @@ object CurationOps extends OpGroup {
         |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "doc_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ws, n, CAST(t.i AS INTEGER) AS chunk_idx
+        |  FROM d CROSS JOIN range(0, 512) t(i)
+        |  WHERE t.i <= greatest(CAST(ceil((n - 50) / 40.0) AS INTEGER), 0))
+        |SELECT doc_id, chunk_idx,
+        |       array_to_string(ws[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ') AS chunk,
+        |       CAST(least(50, n - chunk_idx * 40) AS INTEGER) AS chunk_tokens
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "embedding_quantize_int8" -> {
+      import graft.functions.VectorFunctions.dotFpDuck
+      s"""WITH norms AS (
+         |  SELECT e.vec_id,
+         |         sqrt(CAST(${dotFpDuck("embedding", "embedding")} AS DOUBLE) / 1e15) AS norm
+         |  FROM embeddings e CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= len(e.embedding)
+         |  GROUP BY e.vec_id)
+         |SELECT e.vec_id, CAST(len(e.embedding) AS INTEGER) AS emb_dim,
+         |       list_transform(e.embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) / n.norm * 127) AS INTEGER)) AS q8,
+         |       round(n.norm, 6) AS norm
+         |FROM embeddings e JOIN norms n USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
+    },
     "bucketed_colocated_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
          |       ${dsumSql("l_quantity")} AS sum_qty
