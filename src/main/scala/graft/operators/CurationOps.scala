@@ -122,6 +122,24 @@ object CurationOps extends OpGroup {
         .orderBy("shard_id")
     }),
 
+    // Deterministic train/val/test split (~80/10/10 by the first md5
+    // byte): fixed-length lowercase hex compares lexicographically AS
+    // its numeric value, so plain string thresholds give identical
+    // splits on both engines with no hex-to-int conversion. Split
+    // membership is content-derived — stable across runs, engines and
+    // repartitions, the property a dataset card has to promise.
+    "train_val_test_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("b2", substring(h("doc_id"), 1, 2))
+        .withColumn("split",
+          when(col("b2") < "cd", "train")      // 0x00-0xcc: 205/256
+            .when(col("b2") < "e6", "val")     // 0xcd-0xe5:  25/256
+            .otherwise("test"))                // 0xe6-0xff:  26/256
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "split")),
+
     // Sliding-window document chunking — the RAG/pretraining chunker:
     // 50-token windows at stride 40 (10-token overlap), built map-side
     // per row with transform+slice (no shuffle, no state), exploded with
@@ -207,6 +225,16 @@ object CurationOps extends OpGroup {
         |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "train_val_test_split" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "doc_chunk_overlap" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws,

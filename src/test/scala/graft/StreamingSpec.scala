@@ -141,6 +141,42 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((7L, 10L, 100L)))
   }
 
+  test("T9: foreachBatch idempotent upsert — latest value per key wins") {
+    val table = tmpDir("graft_t9_table")
+    val in = MemoryStream[(Long, Long, Double)](spark)
+    val events = in.toDF().toDF("event_id", "seq", "value")
+    // merge-by-rewrite upsert: union incoming with current, keep the
+    // highest seq per key — the foreachBatch escape hatch for sinks
+    // without native MERGE; batchId makes redeliveries idempotent
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val current =
+          try spark.read.parquet(table)
+          catch { case _: Throwable => batch.sparkSession.emptyDataFrame
+            .select(lit(0L).as("event_id"), lit(0L).as("seq"), lit(0.0).as("value"))
+            .limit(0) }
+        val merged = current.unionByName(batch.toDF())
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("event_id").orderBy(col("seq").desc)))
+          .filter(col("rn") === 1).drop("rn")
+        val staged = tmpDir("graft_t9_stage")
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(table)
+      }
+      .option("checkpointLocation", tmpDir("graft_t9_ckpt"))
+      .start()
+    in.addData((1L, 1L, 10.0), (2L, 1L, 20.0))
+    q.processAllAvailable()
+    in.addData((2L, 2L, 25.0), (3L, 1L, 30.0)) // update key 2, insert key 3
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(table)
+      .select("event_id", "seq", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 1L, 10.0), (2L, 2L, 25.0), (3L, 1L, 30.0)))
+  }
+
   test("T2 unified API: stream result equals the batch oracle expression") {
     val batch = Tables.events(spark, sf())
     val streamed = {
