@@ -49,10 +49,21 @@ object AnnIvf {
     * (q_id, rank, neighbor_id, cell, cosine), deterministically ordered.
     */
   def topk(s: SparkSession, emb: DataFrame, model: KMeansModel,
+      queryPred: Column, topK: Int, nprobe: Int): DataFrame =
+    topkAssigned(s, model.transform(features(s, emb)), model,
+      queryPred, topK, nprobe)
+
+  /** Same search over an ALREADY cell-assigned table — the serving path:
+    * cells were assigned at write time (e.g. a parquet layout
+    * partitioned by `cell`), so the probe join's cell filter can prune
+    * whole partitions via dynamic partition pruning instead of scanning
+    * the corpus. Input needs (vec_id, embedding, cell).
+    */
+  def topkAssigned(s: SparkSession, assigned0: DataFrame, model: KMeansModel,
       queryPred: Column, topK: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     VectorFunctions.register(s)
-    val assigned = model.transform(features(s, emb))
+    val assigned = assigned0
       .select(col("vec_id"), col("embedding"), col("cell"),
         VectorFunctions.norm("embedding").as("norm"))
     val centroids = model.clusterCenters.toSeq.zipWithIndex

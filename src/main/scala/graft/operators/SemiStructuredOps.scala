@@ -38,6 +38,26 @@ object SemiStructuredOps extends OpGroup {
     quantizers.computeIfAbsent(d, _ =>
       graft.functions.AnnIvf.fitQuantizer(s, Tables.embeddings(s, d), k = 4))
 
+  /** Write-time-indexed serving layout: the corpus persisted as parquet
+    * PARTITIONED BY its quantizer cell, once per (session, dataset) —
+    * "assign cells at write time" made literal. Probing this layout can
+    * skip whole cell directories (dynamic partition pruning; PlanSpec
+    * asserts it) instead of scanning the corpus.
+    */
+  private val ivfLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ivfLayout(s: SparkSession, d: String): String =
+    ivfLayouts.computeIfAbsent(d, _ => {
+      val path = s"/tmp/graft_ivf/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
+      quantizer(s, d)
+        .transform(graft.functions.AnnIvf.features(s, Tables.embeddings(s, d)))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(path)
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // VARIANT parse + typed path extraction.
     "variant_semistructured" -> ((s, d) =>
@@ -57,6 +77,16 @@ object SemiStructuredOps extends OpGroup {
     "ann_kmeans_ivf" -> ((s, d) =>
       graft.functions.AnnIvf.topk(s, Tables.embeddings(s, d),
         quantizer(s, d), col("vec_id") < 10, topK = 3, nprobe = 2)),
+
+    // The SERVING form of the same search: probe the cell-partitioned
+    // parquet layout — cells assigned at write time, probe filters prune
+    // whole cell directories (dynamic partition pruning). Must return
+    // exactly what the in-memory path returns (AnnSpec asserts identity).
+    "ann_ivf_partition_pruned" -> ((s, d) => {
+      val stored = s.read.parquet(ivfLayout(s, d))
+      graft.functions.AnnIvf.topkAssigned(s, stored, quantizer(s, d),
+        col("vec_id") < 10, topK = 3, nprobe = 2)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(

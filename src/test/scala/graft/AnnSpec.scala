@@ -72,6 +72,16 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered recall@3 = $recall")
   }
 
+  test("partition-pruned serving layout returns exactly the in-memory answer") {
+    val mem = SparkEntry.queries("ann_kmeans_ivf")(spark, sf())
+      .select("q_id", "rank", "neighbor_id", "cell")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    val served = SparkEntry.queries("ann_ivf_partition_pruned")(spark, sf())
+      .select("q_id", "rank", "neighbor_id", "cell")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(served === mem)
+  }
+
   test("kmeans IVF is deterministic across invocations (fixed seed)") {
     val a = SparkEntry.queries("ann_kmeans_ivf")(spark, sf())
       .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet

@@ -134,6 +134,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF serving layout probes with dynamic partition pruning") {
+    val df = SparkEntry.queries("ann_ivf_partition_pruned")(spark, sf())
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("dynamicpruningexpression"),
+      "probe join does not prune cell partitions — full corpus scan")
+  }
+
   test("fixed_dot runs inside WholeStageCodegen (no fallback)") {
     graft.functions.VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sf())
