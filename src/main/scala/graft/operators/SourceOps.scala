@@ -82,6 +82,37 @@ object SourceOps extends OpGroup {
         .orderBy("page")
     }),
 
+    // S2b — corrupt-record audit: stage JSON with planted malformed
+    // lines (every 100th truncated mid-object), re-read PERMISSIVE with
+    // a _corrupt_record column, and count good vs quarantined rows —
+    // the audit half of bq load's reject behavior (FAILFAST, the other
+    // half, throws: SourceSinkSpec). The planted-corruption rule is
+    // arithmetic, so the oracle needs no file I/O at all.
+    "corrupt_record_audit" -> ((s, d) => {
+      val stage = s"/tmp/graft_stage/s2b_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.events(s, d)
+        .select(when(col("event_id") % 100 === 0,
+            concat(lit("{\"event_id\":"), col("event_id"), lit(",\"value\":BROKEN")))
+          .otherwise(to_json(struct(col("event_id"), col("value")))).as("line"))
+        .write.mode(SaveMode.Overwrite).text(stage)
+      // persist the quarantine verdict first (Spark disallows queries
+      // whose only referenced column is the internal corrupt-record
+      // column; a persisted audit table is also the realistic shape)
+      val audit = s"${stage}_audit"
+      s.read
+        .schema("event_id LONG, value DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+        .withColumn("is_bad", col("_corrupt_record").isNotNull)
+        .drop("_corrupt_record")
+        .write.mode(SaveMode.Overwrite).parquet(audit)
+      s.read.parquet(audit)
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("is_bad"), 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("is_bad"), 0L).otherwise(1L)).as("n_loaded"))
+    }),
+
     // S7 — TTL retention: keep staged rows younger than 7 days relative
     // to the newest event (fixed dataset ⇒ deterministic cutoff).
     "ttl_retention_filter" -> ((s, d) => {
@@ -107,6 +138,13 @@ object SourceOps extends OpGroup {
         |SELECT page, count(*) AS page_size,
         |       min(p_partkey) AS first_key, max(p_partkey) AS last_key
         |FROM pages GROUP BY page ORDER BY page""".stripMargin,
+    "corrupt_record_audit" ->
+      """SELECT count(*) AS total,
+        |       CAST(sum(CASE WHEN event_id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_quarantined,
+        |       CAST(sum(CASE WHEN event_id % 100 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_loaded
+        |FROM events""".stripMargin,
     "ttl_retention_filter" ->
       s"""SELECT event_type, count(*) AS n_kept, ${dsumSql("value")} AS sum_value
          |FROM events

@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   */
 class SourceSinkSpec extends SparkSpec {
 
+  test("FAILFAST load throws on a malformed staged line (bq load rejection)") {
+    val dir = tmpDir("graft_failfast")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/stage.json"),
+      """{"event_id":1,"value":1.5}
+        |{"event_id":2,"value":BROKEN
+        |""".stripMargin)
+    // PERMISSIVE quarantines the bad line... (cached: Spark disallows
+    // raw-file queries referencing only the corrupt-record column)
+    val permissive = spark.read
+      .schema("event_id LONG, value DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    try assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 1)
+    finally permissive.unpersist()
+    // ...FAILFAST rejects the load outright
+    val ex = intercept[Exception] {
+      spark.read.schema("event_id LONG, value DOUBLE")
+        .option("mode", "FAILFAST").json(dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.toLowerCase.contains("malformed")
+        || m.contains("FAILFAST")), msgs(ex).mkString("; "))
+  }
+
   test("S3: JSON staging round trip is lossless under the declared schema") {
     val out = tmpDir("graft_s3")
     val src = Tables.orders(spark, sf())
