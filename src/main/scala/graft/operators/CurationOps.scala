@@ -122,6 +122,32 @@ object CurationOps extends OpGroup {
         .orderBy("shard_id")
     }),
 
+    // Benchmark decontamination: flag train documents sharing ≥2
+    // distinct 3-gram shingles with any eval-set document — the overlap
+    // check run before every serious pretraining job. Shingles are
+    // map-side; the cross-set comparison is an equi-join on the shingle
+    // (inverted index), never eval×train pairs; shingle sets are
+    // deduplicated per doc so a repeated phrase can't inflate the count.
+    "decontamination_ngram_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+      def shingles(df: DataFrame) = df
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, greatest(n - 3, 0)),
+            |  i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin)).as("sh"))
+        .distinct()
+      val evalSet = shingles(docs.filter(col("doc_id") % 97 === 0))
+        .select(col("doc_id").as("eval_doc"), col("sh"))
+      val train = shingles(docs.filter(col("doc_id") % 97 =!= 0))
+        .select(col("doc_id").as("train_doc"), col("sh"))
+      train.join(evalSet, "sh")
+        .groupBy("eval_doc", "train_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("eval_doc", "train_doc")
+    }),
+
     // Deterministic train/val/test split (~80/10/10 by the first md5
     // byte): fixed-length lowercase hex compares lexicographically AS
     // its numeric value, so plain string thresholds give identical
@@ -225,6 +251,23 @@ object CurationOps extends OpGroup {
         |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "decontamination_ngram_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(ws[CAST(t.i AS INTEGER) : CAST(t.i AS INTEGER) + 2], ' ') AS sh
+        |  FROM d CROSS JOIN range(1, 8193) t(i)
+        |  WHERE t.i <= greatest(n - 2, 1)),
+        |ev AS (SELECT doc_id AS eval_doc, sh FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_doc, sh FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT ev.eval_doc, tr.train_doc, count(*) AS n_shared
+        |FROM tr JOIN ev USING (sh)
+        |GROUP BY ev.eval_doc, tr.train_doc
+        |HAVING count(*) >= 2
+        |ORDER BY eval_doc, train_doc""".stripMargin,
     "train_val_test_split" ->
       """WITH s AS (
         |  SELECT lang, doc_id,
