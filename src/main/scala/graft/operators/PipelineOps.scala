@@ -116,11 +116,14 @@ object PipelineOps extends OpGroup {
 
     // T6 — streaming dedup: feed each event TWICE through the stream;
     // dropDuplicatesWithinWatermark emits each event_id exactly once.
+    // A deterministic 1/5 slice keeps the staging volume cheap at bench
+    // scale — dedup semantics need duplicates, not the whole table.
     "stream_dedup" -> ((s, d) => {
       val stage = freshDir("graft_t6_stage")
       val sink = freshDir("graft_t6_sink")
       val ckpt = freshDir("graft_t6_ckpt")
       val ev = Tables.events(s, d)
+        .filter(col("event_id") % 5 === 0)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_type"))
       ev.unionByName(ev) // planted duplicates
@@ -228,6 +231,7 @@ object PipelineOps extends OpGroup {
       """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "stream_dedup" ->
-      "SELECT event_id, event_type FROM events ORDER BY event_id",
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id % 5 = 0 ORDER BY event_id""".stripMargin,
   )
 }
