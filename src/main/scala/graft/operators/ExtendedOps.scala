@@ -197,6 +197,21 @@ object ExtendedOps extends OpGroup {
             .as("per_unit"))
         .orderBy("event_id")),
 
+    // Unpivot (melt): wide→long reshape, the inverse of
+    // pivot_event_counts — one generate pass, no shuffle; variable
+    // ordering is pinned by the explicit ids/values lists.
+    "unpivot_measures" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "measure", "val")),
+
     // Regex group extraction (id fields out of formatted strings).
     "regexp_extract_fields" -> ((s, d) =>
       Tables.customer(s, d)
@@ -305,6 +320,18 @@ object ExtendedOps extends OpGroup {
         |       round(CASE WHEN user_id % 3 = 0 THEN NULL
         |                  ELSE value / CAST(user_id % 3 AS DOUBLE) END, 6) AS per_unit
         |FROM r ORDER BY event_id""".stripMargin,
+    "unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, val
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, val""".stripMargin,
     "regexp_extract_fields" ->
       """SELECT c_custkey,
         |       regexp_extract(c_name, 'Customer#(\d+)', 1) AS id_str,
