@@ -63,6 +63,43 @@ object CurationOps extends OpGroup {
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-pass column profiler — the data-profiling stage of intake: one
+    // aggregate computes rows/nulls/distincts/min/max for every column,
+    // then a map-side explode stacks the per-column structs to long form.
+    // ONE scan regardless of column count (never a scan per column).
+    "profile_columns" -> ((s, d) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      }
+      val entries = cols.map { c =>
+        struct(lit(c).as("col_name"), col(s"${c}_nulls").as("n_nulls"),
+          col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"))
+      }
+      Tables.documents(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), explode(array(entries: _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("n_rows"),
+          col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"),
+          col("p.min_val").as("min_val"), col("p.max_val").as("max_val"))
+        .orderBy("col_name")
+    }),
+
+    // Content-derived surrogate keys: md5 over (source, natural id) —
+    // stable on any engine/layout/retry, collision-safe at corpus scale,
+    // with a hex prefix usable as a shard/bucket key.
+    "surrogate_key_mint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws("|", col("source"), col("doc_id").cast("string")))
+            .as("skey"))
+        .withColumn("skey_prefix", substring(col("skey"), 1, 4))
+        .orderBy("doc_id")),
+
     // Deterministic stratified sample: 50% of 'en' documents, 25% of the
     // rest — the lang-rebalancing step of a corpus mix. Content-derived,
     // so reproducible across engines/retries/layouts.
@@ -251,6 +288,23 @@ object CurationOps extends OpGroup {
         |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "profile_columns" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "surrogate_key_mint" ->
+      """SELECT doc_id,
+        |       md5(source || '|' || CAST(doc_id AS VARCHAR)) AS skey,
+        |       substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |         AS skey_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "decontamination_ngram_overlap" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws,

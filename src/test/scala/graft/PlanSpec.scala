@@ -134,6 +134,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join-strategy hints are honored (BROADCAST / MERGE / SHUFFLE_HASH)") {
+    val li = Tables.lineitem(spark, sf())
+    val o = Tables.orders(spark, sf())
+    def planWith(hint: String): String =
+      plan(li.join(o.hint(hint), col("l_orderkey") === col("o_orderkey")))
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+    assert(planWith("merge").contains("SortMergeJoin"))
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
   test("IVF serving layout probes with dynamic partition pruning") {
     val df = SparkEntry.queries("ann_ivf_partition_pruned")(spark, sf())
     val phys = df.queryExecution.executedPlan.toString
