@@ -197,6 +197,20 @@ object ExtendedOps extends OpGroup {
             .as("per_unit"))
         .orderBy("event_id")),
 
+    // Array higher-order functions: filter/exists/forall/aggregate over
+    // a word array — pure codegen-free projections, but their semantics
+    // (empty-array edge cases, predicate short-circuit) must agree with
+    // the oracle's list_* forms exactly.
+    "array_hof_ops" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("ws", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          expr("size(filter(ws, w -> length(w) > 5))").as("n_long_words"),
+          expr("exists(ws, w -> w = 'green')").as("has_green"),
+          expr("forall(ws, w -> w rlike '^[a-z]+$')").as("all_alpha"),
+          expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("total_chars"))
+        .orderBy("p_partkey")),
+
     // Unpivot (melt): wide→long reshape, the inverse of
     // pivot_event_counts — one generate pass, no shuffle; variable
     // ordering is pinned by the explicit ids/values lists.
@@ -320,6 +334,17 @@ object ExtendedOps extends OpGroup {
         |       round(CASE WHEN user_id % 3 = 0 THEN NULL
         |                  ELSE value / CAST(user_id % 3 AS DOUBLE) END, 6) AS per_unit
         |FROM r ORDER BY event_id""".stripMargin,
+    "array_hof_ops" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+        |SELECT p_partkey,
+        |       CAST(len(list_filter(ws, w -> length(w) > 5)) AS INTEGER)
+        |         AS n_long_words,
+        |       list_contains(ws, 'green') AS has_green,
+        |       (len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$'))) = len(ws))
+        |         AS all_alpha,
+        |       CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+        |         AS total_chars
+        |FROM t ORDER BY p_partkey""".stripMargin,
     "unpivot_measures" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, val
         |FROM (

@@ -134,6 +134,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rank<=k filter plans WindowGroupLimit (per-partition top-k pushdown)") {
+    // Spark rewrites row_number()<=k into WindowGroupLimitExec: each map
+    // task keeps only k rows per group BEFORE the window shuffle — the
+    // difference between shuffling k rows/group and the whole table
+    val p = plan(SparkEntry.queries("rank_topk_per_group")(spark, sf()))
+    assert(p.contains("WindowGroupLimit"), "top-k not pushed below the window")
+  }
+
   test("join-strategy hints are honored (BROADCAST / MERGE / SHUFFLE_HASH)") {
     val li = Tables.lineitem(spark, sf())
     val o = Tables.orders(spark, sf())
