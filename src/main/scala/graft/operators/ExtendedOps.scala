@@ -101,6 +101,48 @@ object ExtendedOps extends OpGroup {
         .orderBy("l_returnflag")
     }),
 
+    // Time bucketing: date_trunc to week (Monday-aligned on both
+    // engines) / month / quarter, plus calendar arithmetic (add_months
+    // clamps to month end identically, last_day).
+    "date_trunc_buckets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("od", col("o_orderdate").cast("date"))
+        .select(col("o_orderkey"),
+          date_trunc("week", col("od")).cast("date").as("wk"),
+          date_trunc("month", col("od")).cast("date").as("mo"),
+          date_trunc("quarter", col("od")).cast("date").as("qtr"),
+          add_months(col("od"), 2).as("plus2mo"),
+          last_day(col("od")).as("eom"))
+        .orderBy("o_orderkey")),
+
+    // Conditional aggregation surface: FILTER-style counting, boolean
+    // any/all aggregates, conditional sums — the audit-rollup shapes.
+    "conditional_agg_filters" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("count_if(o_totalprice > 100000)").as("n_big"),
+          expr("bool_or(o_orderstatus = 'F')").as("any_f"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(lit(0.0))).as("sum_f_price"))
+        .orderBy("o_orderpriority")),
+
+    // String shaping: pad/translate/repeat/reverse/left/right/part
+    // extraction — byte-for-byte parity with DuckDB's forms.
+    "string_shape_funcs" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          lpad(col("c_mktsegment"), 12, ".").as("seg_lpad"),
+          rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+          translate(col("c_name"), "0123456789", "##########").as("masked"),
+          reverse(col("c_mktsegment")).as("seg_rev"),
+          expr("left(c_name, 8)").as("name_l8"),
+          expr("right(c_name, 4)").as("name_r4"),
+          expr("element_at(split(c_name, '#'), 2)").as("id_part"),
+          expr("repeat('-', 3)").as("dashes"))
+        .orderBy("c_custkey")),
+
     // Calendar decomposition with explicit cross-engine mappings.
     "date_parts" -> ((s, d) =>
       Tables.orders(s, d)
@@ -278,6 +320,33 @@ object ExtendedOps extends OpGroup {
         |       min(CASE WHEN rn = ceil(cnt * 0.5)  THEN l_extendedprice END) AS p50,
         |       min(CASE WHEN rn = ceil(cnt * 0.75) THEN l_extendedprice END) AS p75
         |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "date_trunc_buckets" ->
+      """SELECT o_orderkey,
+        |       CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
+        |       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
+        |       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qtr,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "conditional_agg_filters" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |       count(*) FILTER (o_totalprice > 100000) AS n_big,
+         |       bool_or(o_orderstatus = 'F') AS any_f,
+         |       bool_and(o_totalprice > 0) AS all_positive,
+         |       ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")}
+         |         AS sum_f_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "string_shape_funcs" ->
+      """SELECT c_custkey,
+        |       lpad(c_mktsegment, 12, '.') AS seg_lpad,
+        |       rpad(c_mktsegment, 12, '.') AS seg_rpad,
+        |       translate(c_name, '0123456789', '##########') AS masked,
+        |       reverse(c_mktsegment) AS seg_rev,
+        |       left(c_name, 8) AS name_l8,
+        |       right(c_name, 4) AS name_r4,
+        |       split_part(c_name, '#', 2) AS id_part,
+        |       repeat('-', 3) AS dashes
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "date_parts" ->
       """SELECT o_orderkey,
         |       CAST(year(o_orderdate) AS INTEGER) AS y,
