@@ -268,6 +268,37 @@ object ExtendedOps extends OpGroup {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "measure", "val")),
 
+    // Calendar-spine gap filling: generate the full month series between
+    // min and max order date IN-PLAN (sequence over a 1-row broadcast
+    // aggregate — no driver-side date loop), left-join monthly counts,
+    // zero-fill the empty months. The reporting shape that makes gaps
+    // visible instead of silently absent.
+    "calendar_spine_zerofill" -> ((s, d) => {
+      val o = Tables.orders(s, d).withColumn("od", col("o_orderdate").cast("date"))
+      val span = o.agg(min(date_trunc("month", col("od")).cast("date")).as("lo"),
+        max(date_trunc("month", col("od")).cast("date")).as("hi"))
+      val spine = span.select(explode(
+        expr("sequence(lo, hi, INTERVAL 1 MONTH)")).as("month"))
+      val monthly = o.groupBy(date_trunc("month", col("od")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      spine.join(monthly, Seq("month"), "left")
+        .select(col("month"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+        .orderBy("month")
+    }),
+
+    // Bitwise aggregates + scalar bit ops (flag-mask rollups).
+    "bitwise_ops" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("flags", (col("event_id") % 16).cast("long"))
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(expr("bit_and(flags)").as("mask_and"),
+          expr("bit_or(flags)").as("mask_or"),
+          expr("bit_xor(flags)").as("mask_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // Regex group extraction (id fields out of formatted strings).
     "regexp_extract_fields" -> ((s, d) =>
       Tables.customer(s, d)
@@ -426,6 +457,32 @@ object ExtendedOps extends OpGroup {
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |         'l_tax', l_tax FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, val""".stripMargin,
+    "calendar_spine_zerofill" ->
+      s"""WITH span AS (
+         |  SELECT min(date_trunc('month', CAST(o_orderdate AS DATE))) AS lo,
+         |         max(date_trunc('month', CAST(o_orderdate AS DATE))) AS hi
+         |  FROM orders),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+         |           AS month
+         |  FROM span),
+         |monthly AS (
+         |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+         |           AS month,
+         |         count(*) AS n_orders,
+         |         ${dsumSql("o_totalprice")} AS sum_price
+         |  FROM orders GROUP BY 1)
+         |SELECT s.month, coalesce(m.n_orders, 0) AS n_orders,
+         |       coalesce(m.sum_price, 0.0) AS sum_price
+         |FROM spine s LEFT JOIN monthly m ON s.month = m.month
+         |ORDER BY s.month""".stripMargin,
+    "bitwise_ops" ->
+      """SELECT user_id % 10 AS bucket,
+        |       bit_and(event_id % 16) AS mask_and,
+        |       bit_or(event_id % 16) AS mask_or,
+        |       bit_xor(event_id % 16) AS mask_xor,
+        |       count(*) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
     "regexp_extract_fields" ->
       """SELECT c_custkey,
         |       regexp_extract(c_name, 'Customer#(\d+)', 1) AS id_str,
