@@ -268,6 +268,27 @@ object ExtendedOps extends OpGroup {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "measure", "val")),
 
+    // The spark.sql(...) entry surface: the same engine driven from pure
+    // SQL over registered views (a reference user's BigQuery-SQL habits
+    // port directly). TPC-H Q3 shape — selective dimension filter,
+    // two-fact join, decimal-routed revenue, top-10.
+    "sql_entry_topk" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_orderdate,
+          |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |         AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+          |FROM v_customer
+          |JOIN v_orders ON c_custkey = o_custkey
+          |JOIN v_lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey, o_orderdate
+          |ORDER BY revenue DESC, o_orderkey
+          |LIMIT 10""".stripMargin)
+    }),
+
     // Calendar-spine gap filling: generate the full month series between
     // min and max order date IN-PLAN (sequence over a 1-row broadcast
     // aggregate — no driver-side date loop), left-join monthly counts,
@@ -457,6 +478,17 @@ object ExtendedOps extends OpGroup {
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |         'l_tax', l_tax FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, val""".stripMargin,
+    "sql_entry_topk" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     "calendar_spine_zerofill" ->
       s"""WITH span AS (
          |  SELECT min(date_trunc('month', CAST(o_orderdate AS DATE))) AS lo,
