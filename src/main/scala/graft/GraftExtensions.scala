@@ -31,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "fixed_dot",
         "fixed_dot(a, b) - exact fixed-point dot product of two float arrays " +
           "(sum of floor(a[i]*b[i]*1e15) as BIGINT)",
-        ""),
+        "", "", "", "math_funcs", "", "", "built-in"),
       (exprs: Seq[Expression]) => FixedPointDot(exprs.head, exprs(1))))
   }
 }

@@ -16,7 +16,7 @@ object Salt {
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(n.toLong)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(n.toLong)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
