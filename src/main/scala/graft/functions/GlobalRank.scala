@@ -1,10 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** Scale-safe global / grouped row numbering — the two-phase rank.
+/** Scale-safe global / grouped row numbering and prefix sums — the
+  * measured two-phase rank.
   *
   * `Window.orderBy(k)` with no `partitionBy` moves EVERY row through one
   * task (Spark warns about exactly this); it is the canonical 100×-scale
@@ -16,18 +18,30 @@ import org.apache.spark.sql.functions._
   *      max of a numeric slice key that is monotone in the ordering).
   *      Slices are ordered, non-overlapping key ranges, so ranking is
   *      slice-local + offset;
-  *   2. `row_number` locally, partitioned by (slice, group) — every
-  *      window task sees ~1/numSlices of its group;
-  *   3. per-(slice, group) row counts — an aggregate of at most
-  *      numSlices rows per group — become each slice's starting offset
-  *      via a broadcast triangular join (deliberately NOT a
-  *      single-partition window, so no stage anywhere funnels the data
-  *      through one task);
+  *   2. `row_number` (or running sum) locally, partitioned by
+  *      (slice, group) — every window task sees ~1/numSlices of its group;
+  *   3. per-(slice, group) counts/totals — at most numSlices tiny rows
+  *      per group — are collected and prefix-summed on the DRIVER into
+  *      each slice's starting offset, then broadcast back as a local
+  *      relation. This is the same driver-side pass Spark's own
+  *      `RDD.zipWithIndex` and `RangePartitioner` run; the declarative
+  *      alternative (a broadcast triangular self-join of the counts)
+  *      is equivalent but compiles the input subtree into every DAG
+  *      branch — six scans of the source per rank in round 2's plans;
   *   4. global rank = slice offset + local rank.
+  *
+  * SIZE-AWARE ROUTING: the span pass also measures the row count. When
+  * the largest group fits comfortably in ONE task (measured count ≤
+  * `graft.globalrank.smallThreshold`, default 4M rows), the plain
+  * window IS the right plan — one job, two stages — and the slice
+  * machinery would be pure overhead. The threshold is a session conf so
+  * tests can pin either path; at cluster scale the measured count routes
+  * large inputs to the sliced plan automatically, like AQE re-planning
+  * on observed statistics.
   *
   * Why not `repartitionByRange` + `spark_partition_id`? Range exchanges
   * pick their boundaries by SAMPLING, seeded per physical exchange — and
-  * the rank/count/join branches of this DAG each compile their own
+  * the rank/count branches of a multi-branch DAG each compile their own
   * exchange, so their partition ids are only consistent if exchange
   * reuse happens to fire. A value-derived slice is identical in every
   * branch by construction, on any cluster, in any plan.
@@ -42,13 +56,68 @@ import org.apache.spark.sql.functions._
   * orders the rows; under ties the numbers within a tie group are
   * arbitrary (exactly as with a plain window) but the k-th smallest
   * VALUE is stable, which is what rank-picking consumers rely on. Ties
-  * never straddle slices: equal slice keys map to equal slices.
+  * never straddle slices: equal slice keys map to equal slices. The
+  * slice key must be non-null, and `df` must be deterministic (the
+  * measuring passes and the final plan must see the same rows).
   */
 object GlobalRank {
 
+  private val ThresholdKey = "graft.globalrank.smallThreshold"
+
+  /** (span local-relation, per-group max row count). One tiny row per
+    * group — GlobalRank exists for few-group rankings, where a plain
+    * window would funnel whole groups through single tasks, so the
+    * collect is bounded by design.
+    */
+  private def measureSpan(df: DataFrame, base: Column,
+      groupCols: Seq[String]): (DataFrame, Long) = {
+    val span = Seq(min(base).as("__gr_lo"), max(base).as("__gr_hi"),
+      count(lit(1)).as("__gr_n"))
+    val statsDf =
+      if (groupCols.isEmpty) df.agg(span.head, span.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(span.head, span.tail: _*)
+    val rows = statsDf.collect()
+    val maxCnt = if (rows.isEmpty) 0L else rows.map(_.getAs[Long]("__gr_n")).max
+    val local = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), statsDf.schema)
+    (local.drop("__gr_n"), maxCnt)
+  }
+
+  /** df + `__gr_pid` width-bucket slice column from the broadcast span. */
+  private def withSlice(df: DataFrame, base: Column, groupCols: Seq[String],
+      numSlices: Int, stats: DataFrame): DataFrame = {
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), groupCols)
+    val width = col("__gr_hi") - col("__gr_lo")
+    joined.withColumn("__gr_pid",
+      when(width === 0d, lit(0))
+        .otherwise(least(lit(numSlices - 1),
+          floor((base - col("__gr_lo")) / width * numSlices)))
+        .cast("int"))
+      .drop("__gr_lo", "__gr_hi")
+  }
+
+  /** Exclusive per-group prefix "sum" over ascending slices of the
+    * collected per-(slice, group) aggregate rows (last field = the
+    * value), computed on the driver. First slice per group gets `zero`.
+    */
+  private def sliceOffsets(cnts: Array[Row], groupCols: Seq[String],
+      zero: Any, plus: (Any, Any) => Any): Seq[Row] =
+    cnts.toSeq
+      .groupBy(r => groupCols.map(c => r.getAs[Any](c)))
+      .valuesIterator.flatMap { rows =>
+        var acc = zero
+        rows.sortBy(_.getAs[Int]("__gr_pid")).map { r =>
+          val off = acc
+          acc = plus(acc, r.get(r.length - 1))
+          Row.fromSeq(r.toSeq.init :+ off)
+        }
+      }.toSeq
+
   /** Appends a global (or per-`groupCols`) 1-based `row_number` column
-    * named `rnCol` (LONG), ordered by `orderCols`, without ever planning
-    * a partition-less window or a sampled range exchange.
+    * named `rnCol` (LONG), ordered by `orderCols`. Plans a partition-less
+    * window ONLY when the measured input is small (see object doc).
     *
     * `sliceOn` must be numeric and monotone non-decreasing in the
     * `orderCols` ordering; it defaults to the first order column.
@@ -56,47 +125,35 @@ object GlobalRank {
   def rowNumber(df: DataFrame, rnCol: String, groupCols: Seq[String],
       orderCols: Seq[String], numSlices: Int = 32,
       sliceOn: Option[Column] = None): DataFrame = {
+    val spark = df.sparkSession
+    val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
     val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
-    val slice = "__gr_pid" +: groupCols
+    val (stats, maxCnt) = measureSpan(df, base, groupCols)
 
-    // per-group key span — a tiny aggregate, broadcast back
-    val span = Seq(min(base).as("__gr_lo"), max(base).as("__gr_hi"))
-    val stats =
-      if (groupCols.isEmpty) df.agg(span.head, span.tail: _*)
-      else df.groupBy(groupCols.map(col): _*).agg(span.head, span.tail: _*)
-    val joined =
-      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
-      else df.join(broadcast(stats), groupCols)
-    // width bucket: pure monotone arithmetic on the row's own key value
-    val width = col("__gr_hi") - col("__gr_lo")
-    val sliced = joined.withColumn("__gr_pid",
-      when(width === 0d, lit(0))
-        .otherwise(least(lit(numSlices - 1),
-          floor((base - col("__gr_lo")) / width * numSlices)))
-        .cast("int"))
-      .drop("__gr_lo", "__gr_hi")
-
-    val local = sliced.withColumn("__gr_lrn",
-      row_number().over(
-        Window.partitionBy(slice.map(col): _*)
-          .orderBy(orderCols.map(col): _*)).cast("long"))
-    val cnts = local.groupBy(slice.map(col): _*)
-      .agg(count(lit(1)).as("__gr_cnt"))
-    // offset(slice) = Σ counts of the same group in LOWER slices; the
-    // triangular join touches ≤ numSlices² tiny rows per group.
-    val lower = cnts.select(
-      (col("__gr_pid").as("__gr_pid2") +:
-        groupCols.map(c => col(c).as(s"__gr_g_$c"))) :+
-        col("__gr_cnt").as("__gr_cnt2"): _*)
-    val cond = groupCols
-      .map(c => col(c) === col(s"__gr_g_$c"))
-      .foldLeft(col("__gr_pid2") < col("__gr_pid"))(_ && _)
-    val offs = cnts.join(broadcast(lower), cond, "left")
-      .groupBy(slice.map(col): _*)
-      .agg(coalesce(sum("__gr_cnt2"), lit(0L)).as("__gr_off"))
-    local.join(broadcast(offs), slice, "inner")
-      .withColumn(rnCol, col("__gr_off") + col("__gr_lrn"))
-      .drop("__gr_pid", "__gr_lrn", "__gr_off")
+    if (maxCnt <= threshold) {
+      // measured-small: every group fits one task — plain window
+      val w = (if (groupCols.isEmpty) Window.partitionBy()
+               else Window.partitionBy(groupCols.map(col): _*))
+        .orderBy(orderCols.map(col): _*)
+      df.withColumn(rnCol, row_number().over(w).cast("long"))
+    } else {
+      val slice = "__gr_pid" +: groupCols
+      val sliced = withSlice(df, base, groupCols, numSlices, stats)
+      val cnts = sliced.groupBy(slice.map(col): _*)
+        .agg(count(lit(1)).as("__gr_cnt")).collect()
+      val offs = spark.createDataFrame(
+        java.util.Arrays.asList(sliceOffsets(cnts, groupCols, 0L,
+          (a, b) => a.asInstanceOf[Long] + b.asInstanceOf[Long]): _*),
+        StructType(sliced.select(slice.map(col): _*).schema.fields :+
+          StructField("__gr_off", LongType, nullable = false)))
+      val local = sliced.withColumn("__gr_lrn",
+        row_number().over(
+          Window.partitionBy(slice.map(col): _*)
+            .orderBy(orderCols.map(col): _*)).cast("long"))
+      local.join(broadcast(offs), slice, "inner")
+        .withColumn(rnCol, col("__gr_off") + col("__gr_lrn"))
+        .drop("__gr_pid", "__gr_lrn", "__gr_off")
+    }
   }
 
   /** Scale-safe running (prefix) SUM over the (group, order) ordering —
@@ -109,44 +166,50 @@ object GlobalRank {
   def prefixSum(df: DataFrame, sumCol: String, valueCol: Column,
       groupCols: Seq[String], orderCols: Seq[String], numSlices: Int = 32,
       sliceOn: Option[Column] = None): DataFrame = {
+    val spark = df.sparkSession
+    val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
     val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
-    val slice = "__gr_pid" +: groupCols
+    val (stats, maxCnt) = measureSpan(df, base, groupCols)
 
-    val span = Seq(min(base).as("__gr_lo"), max(base).as("__gr_hi"))
-    val stats =
-      if (groupCols.isEmpty) df.agg(span.head, span.tail: _*)
-      else df.groupBy(groupCols.map(col): _*).agg(span.head, span.tail: _*)
-    val joined =
-      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
-      else df.join(broadcast(stats), groupCols)
-    val width = col("__gr_hi") - col("__gr_lo")
-    val sliced = joined.withColumn("__gr_pid",
-      when(width === 0d, lit(0))
-        .otherwise(least(lit(numSlices - 1),
-          floor((base - col("__gr_lo")) / width * numSlices)))
-        .cast("int"))
-      .withColumn("__gr_v", valueCol)
-      .drop("__gr_lo", "__gr_hi")
-
-    val local = sliced.withColumn("__gr_run",
-      sum(col("__gr_v")).over(
-        Window.partitionBy(slice.map(col): _*)
-          .orderBy(orderCols.map(col): _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = sliced.groupBy(slice.map(col): _*)
-      .agg(sum(col("__gr_v")).as("__gr_tot"))
-    val lower = totals.select(
-      (col("__gr_pid").as("__gr_pid2") +:
-        groupCols.map(c => col(c).as(s"__gr_g_$c"))) :+
-        col("__gr_tot").as("__gr_tot2"): _*)
-    val cond = groupCols
-      .map(c => col(c) === col(s"__gr_g_$c"))
-      .foldLeft(col("__gr_pid2") < col("__gr_pid"))(_ && _)
-    val offs = totals.join(broadcast(lower), cond, "left")
-      .groupBy(slice.map(col): _*)
-      .agg(coalesce(sum("__gr_tot2"), lit(0L)).as("__gr_off"))
-    local.join(broadcast(offs), slice, "inner")
-      .withColumn(sumCol, col("__gr_off") + col("__gr_run"))
-      .drop("__gr_pid", "__gr_run", "__gr_off", "__gr_v")
+    if (maxCnt <= threshold) {
+      val w = (if (groupCols.isEmpty) Window.partitionBy()
+               else Window.partitionBy(groupCols.map(col): _*))
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(sumCol, sum(valueCol).over(w))
+    } else {
+      val slice = "__gr_pid" +: groupCols
+      val sliced = withSlice(df, base, groupCols, numSlices, stats)
+        .withColumn("__gr_v", valueCol)
+      val totalsDf = sliced.groupBy(slice.map(col): _*)
+        .agg(sum(col("__gr_v")).as("__gr_tot"))
+      val totals = totalsDf.collect()
+      // generic numeric prefix over the sum()'s result type
+      val plus: (Any, Any) => Any = {
+        case (null, b) => b
+        case (a, null) => a
+        case (a: java.lang.Long, b: java.lang.Long) =>
+          java.lang.Long.valueOf(a + b)
+        case (a: java.lang.Double, b: java.lang.Double) =>
+          java.lang.Double.valueOf(a + b)
+        case (a: java.math.BigDecimal, b: java.math.BigDecimal) => a.add(b)
+        case (a, _) => throw new IllegalArgumentException(
+          s"unsupported prefix-sum type ${a.getClass}")
+      }
+      val offs = spark.createDataFrame(
+        java.util.Arrays.asList(
+          sliceOffsets(totals, groupCols, null, plus): _*),
+        StructType(sliced.select(slice.map(col): _*).schema.fields :+
+          StructField("__gr_off",
+            totalsDf.schema("__gr_tot").dataType, nullable = true)))
+      val local = sliced.withColumn("__gr_run",
+        sum(col("__gr_v")).over(
+          Window.partitionBy(slice.map(col): _*)
+            .orderBy(orderCols.map(col): _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      local.join(broadcast(offs), slice, "inner")
+        .withColumn(sumCol, coalesce(col("__gr_off"), lit(0)) + col("__gr_run"))
+        .drop("__gr_pid", "__gr_run", "__gr_off", "__gr_v")
+    }
   }
 }

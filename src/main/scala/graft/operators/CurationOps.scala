@@ -226,14 +226,19 @@ object CurationOps extends OpGroup {
     // int8 embedding quantization: unit-scale each vector by its
     // fixed-point norm, floor to [-127, 127] ints — the storage-
     // compression step before ANN serving. The norm is the same exact
-    // fixed-point value on both engines, so every floor agrees.
+    // fixed-point value on both engines, so every floor agrees. The q8
+    // vector is emitted as a canonical CSV string: the driver's comparator
+    // sorts column VALUES, and a raw array column is unsortable there
+    // (round-2 ERR). concat_ws gives '' on an empty array, matching the
+    // coalesce-guarded DuckDB side (array_to_string([]) is NULL there).
     "embedding_quantize_int8" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       Tables.embeddings(s, d)
         .withColumn("norm", graft.functions.VectorFunctions.norm("embedding"))
         .select(col("vec_id"), size(col("embedding")).as("emb_dim"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / norm * 127) AS INT))")
-            .as("q8"),
+          expr("""concat_ws(",", transform(embedding,
+                 |  x -> CAST(CAST(floor(CAST(x AS DOUBLE) / norm * 127) AS INT) AS STRING)))"""
+            .stripMargin).as("q8"),
           round(col("norm"), 6).as("norm"))
         .orderBy("vec_id")
     }),
@@ -354,8 +359,8 @@ object CurationOps extends OpGroup {
          |  WHERE t.i <= len(e.embedding)
          |  GROUP BY e.vec_id)
          |SELECT e.vec_id, CAST(len(e.embedding) AS INTEGER) AS emb_dim,
-         |       list_transform(e.embedding,
-         |         x -> CAST(floor(CAST(x AS DOUBLE) / n.norm * 127) AS INTEGER)) AS q8,
+         |       coalesce(array_to_string(list_transform(e.embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) / n.norm * 127) AS INTEGER)), ','), '') AS q8,
          |       round(n.norm, 6) AS norm
          |FROM embeddings e JOIN norms n USING (vec_id)
          |ORDER BY e.vec_id""".stripMargin

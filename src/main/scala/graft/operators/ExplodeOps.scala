@@ -58,8 +58,14 @@ object ExplodeOps extends OpGroup {
     // E4 — posexplode: position within parent vs stored ordinal
     // (track_number, albums_schema.json:140-141). sort_array pins struct
     // order (lexicographic on fields) before positions are assigned.
+    // ONE exchange total: the up-front range partitioning on l_orderkey
+    // satisfies both the groupBy's clustering (same-key rows co-located)
+    // and the output sort's ordered distribution (key ranges don't
+    // straddle partitions), so neither plans a second shuffle.
     "posexplode_tracknum" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .repartitionByRange(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(struct(col("l_linenumber"),
           col("l_partkey"), col("l_suppkey")))).as("items"))
@@ -75,7 +81,13 @@ object ExplodeOps extends OpGroup {
     // GlobalRank's two-phase scheme (range-partition → local row_number →
     // broadcast offset ladder), not a partition-less window.
     "batch_chunks" -> ((s, d) => {
+      // localCheckpoint: GlobalRank makes three passes over its input (span,
+      // slice counts, final rank) — materialize the distinct once so each
+      // pass reads the compact id list (longs only), not scan+distinct of
+      // the fact table. Executor-storage-backed, so it holds at cluster
+      // scale for a key column (≈8 B/row); a lost executor recomputes.
       val ids = Tables.lineitem(s, d).select("l_orderkey").distinct()
+        .localCheckpoint()
       graft.functions.GlobalRank.rowNumber(ids, "rn", Nil, Seq("l_orderkey"))
         .withColumn("batch_id", ((col("rn") - 1) / 20).cast("long"))
         .groupBy("batch_id")

@@ -81,6 +81,9 @@ object LawsSpec extends Properties("GraftLaws") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(-50L, 50L))),
       Gen.chooseNum(1, 5)) { (rows, slices) =>
       import spark.implicits._
+      // threshold 0 ⇒ always the sliced path: the slice machinery is the
+      // law under test (the fast path IS the reference single-task window)
+      spark.conf.set("graft.globalrank.smallThreshold", "0")
       val df = rows.toDF("g", "v")
       val got = graft.functions.GlobalRank
         .rowNumber(df, "rn", Seq("g"), Seq("v"), numSlices = slices)
@@ -98,6 +101,7 @@ object LawsSpec extends Properties("GraftLaws") {
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L)), Gen.chooseNum(1, 5)) {
       (vs, slices) =>
       import spark.implicits._
+      spark.conf.set("graft.globalrank.smallThreshold", "0")
       val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       val df = rows.toDF("k", "v")
       val got = graft.functions.GlobalRank

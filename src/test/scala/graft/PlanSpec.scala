@@ -65,24 +65,42 @@ class PlanSpec extends SparkSpec {
       s"nested pruning failed: $rs")
   }
 
-  test("no declared ranking query plans a partition-less (single-task) window") {
+  test("no declared ranking query plans a partition-less (single-task) window on the large-N path") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-    for (q <- Seq("paginated_source", "batch_chunks", "ntile_percentile",
-        "percentile_disc", "minwise_sample_per_group", "token_budget_packing")) {
-      val df = SparkEntry.queries(q)(spark, sf())
-      val bad = df.queryExecution.optimizedPlan.collect {
-        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    // GlobalRank routes measured-small inputs through a plain window (the
+    // right plan when the whole group fits one task); pin the threshold to
+    // 0 so the plan under test is the one a 100 TB input would get.
+    spark.conf.set("graft.globalrank.smallThreshold", "0")
+    try {
+      for (q <- Seq("paginated_source", "batch_chunks", "ntile_percentile",
+          "percentile_disc", "minwise_sample_per_group", "token_budget_packing")) {
+        val df = SparkEntry.queries(q)(spark, sf())
+        val bad = df.queryExecution.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty,
+          s"$q plans a global window — every row through ONE task at scale")
+        // physical twin of the same property: every WindowExec keeps a
+        // non-empty partition spec (⇒ no Exchange SinglePartition feeds it)
+        val badPhys = df.queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(badPhys.isEmpty, s"$q executes a single-partition WindowExec")
       }
-      assert(bad.isEmpty,
-        s"$q plans a global window — every row through ONE task at scale")
-      // physical twin of the same property: every WindowExec keeps a
-      // non-empty partition spec (⇒ no Exchange SinglePartition feeds it)
-      val badPhys = df.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-      }
-      assert(badPhys.isEmpty, s"$q executes a single-partition WindowExec")
-    }
+    } finally spark.conf.unset("graft.globalrank.smallThreshold")
+  }
+
+  test("GlobalRank size-aware routing: both paths produce identical ranks") {
+    val df = Tables.part(spark, sf()).select("p_partkey")
+    def ranks(): Array[(Long, Long)] = graft.functions.GlobalRank
+      .rowNumber(df, "rn", Nil, Seq("p_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    spark.conf.set("graft.globalrank.smallThreshold", "0")
+    val sliced = try ranks() finally
+      spark.conf.unset("graft.globalrank.smallThreshold")
+    assert(ranks() sameElements sliced,
+      "fast-path ranks diverge from the sliced two-phase ranks")
   }
 
   test("bucketed tables join with zero exchanges (co-located SMJ)") {
