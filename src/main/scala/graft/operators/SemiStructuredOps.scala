@@ -42,21 +42,40 @@ object SemiStructuredOps extends OpGroup {
     * PARTITIONED BY its quantizer cell, once per (session, dataset) —
     * "assign cells at write time" made literal. Probing this layout can
     * skip whole cell directories (dynamic partition pruning; PlanSpec
-    * asserts it) instead of scanning the corpus.
+    * asserts it) instead of scanning the corpus. The centroids (k rows of
+    * model metadata) are persisted as a sibling parquet: together the two
+    * files make the learned model's output plain INPUT DATA, so the
+    * DuckDB oracle can re-derive the whole probe + exact-cosine ranking
+    * independently (see [[oracleSql]]).
     */
   private val ivfLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def ivfLayout(s: SparkSession, d: String): String =
-    ivfLayouts.computeIfAbsent(d, _ => {
-      val path = s"/tmp/graft_ivf/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
+  /** Layout most recently touched by a declared query — the oracle (which
+    * has no dataset parameter) reads it; Verify runs every query before
+    * dumping oracle SQL, so it is always set by then.
+    */
+  @volatile private var lastLayout: String = "/tmp/graft_ivf/UNMATERIALIZED"
+
+  private[graft] def ivfLayout(s: SparkSession, d: String): String = {
+    val path = ivfLayouts.computeIfAbsent(d, _ => {
+      val p = s"/tmp/graft_ivf/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
       quantizer(s, d)
         .transform(graft.functions.AnnIvf.features(s, Tables.embeddings(s, d)))
         .select(col("vec_id"), col("embedding"), col("cell"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("cell").parquet(path)
-      path
+        .partitionBy("cell").parquet(p)
+      import s.implicits._
+      quantizer(s, d).clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+        .toDF("cand_cell", "centroid")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$p.centroids")
+      p
     })
+    lastLayout = path
+    path
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // VARIANT parse + typed path extraction.
@@ -89,12 +108,75 @@ object SemiStructuredOps extends OpGroup {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** `def`, not `val`: the ANN oracle references the session's serving
+    * layout, known only after the query has materialized it (Verify's
+    * run order guarantees that). The oracle is STRUCTURAL, not circular:
+    * the layout + centroid files carry only the learned model's output
+    * (cell assignments, k centroid vectors); the probe selection
+    * (nprobe=2 nearest centroids) and the exact fixed-point cosine top-k
+    * inside the probed cells are both re-derived in DuckDB from scratch.
+    * Cosine ranking is bit-exact (integer fixed-point dot, exact norms);
+    * the centroid-distance ranking sums IEEE doubles in engine order, so
+    * it agrees whenever no two centroid distances are within an ulp —
+    * guaranteed here by well-separated centroids (AnnSpec measures them).
+    */
+  def oracleSql: Map[String, String] = Map(
     "variant_semistructured" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
         |       json_extract_string(props, '$.k') AS k_str,
         |       CAST(NULL AS BIGINT) AS absent
         |FROM events ORDER BY event_id""".stripMargin,
+    "ann_ivf_partition_pruned" -> {
+      import graft.functions.VectorFunctions.dotFpDuck
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding, CAST(cell AS INTEGER) AS cell
+         |  FROM read_parquet('$lastLayout/cell=*/*.parquet', hive_partitioning=1)),
+         |cent AS (
+         |  SELECT CAST(cand_cell AS INTEGER) AS cand_cell, centroid
+         |  FROM read_parquet('$lastLayout.centroids/*.parquet')),
+         |norms AS (
+         |  SELECT c.vec_id,
+         |         sqrt(CAST(${dotFpDuck("embedding", "embedding")} AS DOUBLE) / 1e15) AS norm
+         |  FROM corpus c CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= len(c.embedding)
+         |  GROUP BY c.vec_id),
+         |q AS (
+         |  SELECT c.vec_id AS q_id, c.embedding AS q_emb, n.norm AS q_norm
+         |  FROM corpus c JOIN norms n ON c.vec_id = n.vec_id
+         |  WHERE c.vec_id < 10),
+         |dist AS (
+         |  SELECT q.q_id, ct.cand_cell,
+         |         sum((CAST(q.q_emb[t.i] AS DOUBLE) / q.q_norm - ct.centroid[t.i])
+         |           * (CAST(q.q_emb[t.i] AS DOUBLE) / q.q_norm - ct.centroid[t.i])) AS dist2
+         |  FROM q CROSS JOIN cent ct CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= least(len(q.q_emb), len(ct.centroid))
+         |  GROUP BY q.q_id, ct.cand_cell),
+         |probes AS (
+         |  SELECT q_id, cand_cell FROM (
+         |    SELECT q_id, cand_cell,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY dist2, cand_cell) AS cr
+         |    FROM dist)
+         |  WHERE cr <= 2),
+         |dots AS (
+         |  SELECT q.q_id, c.vec_id, c.cell,
+         |         ${dotFpDuck("q.q_emb", "c.embedding")} AS dot
+         |  FROM q JOIN probes p ON q.q_id = p.q_id
+         |         JOIN corpus c ON c.cell = p.cand_cell AND c.vec_id <> q.q_id
+         |  CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= least(len(q.q_emb), len(c.embedding))
+         |  GROUP BY q.q_id, c.vec_id, c.cell),
+         |scored AS (
+         |  SELECT d.q_id, d.vec_id, d.cell,
+         |         (CAST(d.dot AS DOUBLE) / 1e15) / (nq.norm * nc.norm) AS cos
+         |  FROM dots d JOIN norms nq ON d.q_id = nq.vec_id
+         |              JOIN norms nc ON d.vec_id = nc.vec_id)
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+         |       cell, round(cos, 6) AS cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, vec_id) AS rank FROM scored)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
   )
 }

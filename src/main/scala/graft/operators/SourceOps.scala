@@ -62,8 +62,50 @@ object SourceOps extends OpGroup {
       .orderBy("event_id")
   }
 
+  /** Fixture staging for the DSv2 paged source: the part keys, sorted,
+    * cut into 50-row ndjson page files — the on-disk twin of the
+    * reference API's page responses (app.py:154-163). Write-once per
+    * (session, dataset); driver-side because it GENERATES the fixture the
+    * source under test reads (the declared query itself stays fully
+    * distributed).
+    */
+  private val pagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def stagePages(s: SparkSession, d: String): String =
+    pagedDirs.computeIfAbsent(d, _ => {
+      val dir = s"/tmp/graft_paged/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val keys = Tables.part(s, d).select("p_partkey")
+        .orderBy("p_partkey").collect().map(_.getLong(0))
+      keys.grouped(graft.sources.PagedJsonSource.PageSize).zipWithIndex
+        .foreach { case (page, i) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$dir/page-$i%05d.ndjson"),
+            page.map(k => s"""{"p_partkey":$k}""").mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      dir
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_json_schema" -> scanJsonSchema,
+
+    // S6 structural — the SAME page summary as paginated_source, but the
+    // pages come through the DataSourceV2 connector (one InputPartition
+    // per page, pushed limit, pruned columns — see
+    // graft.sources.PagedJsonSource). Shares paginated_source's oracle
+    // shape: the union of all pages ≡ the sorted scan.
+    "paginated_source_dsv2" -> ((s, d) => {
+      val dir = stagePages(s, d)
+      s.read.format("graft.sources.PagedJsonSource")
+        .option("path", dir).load()
+        .groupBy(col("page").cast("long").as("page"))
+        .agg(count(lit(1)).as("page_size"),
+          min("p_partkey").as("first_key"),
+          max("p_partkey").as("last_key"))
+        .orderBy("page")
+    }),
 
     // S6 — offset-ladder pagination over the sorted scan: page id, size,
     // id bounds per 50-row page; union of all pages ≡ the full scan.
@@ -131,6 +173,15 @@ object SourceOps extends OpGroup {
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
     "paginated_source" ->
+      """WITH pages AS (
+        |  SELECT p_partkey,
+        |         CAST((row_number() OVER (ORDER BY p_partkey) - 1) // 50 AS BIGINT) AS page
+        |  FROM part)
+        |SELECT page, count(*) AS page_size,
+        |       min(p_partkey) AS first_key, max(p_partkey) AS last_key
+        |FROM pages GROUP BY page ORDER BY page""".stripMargin,
+    // the DSv2 path must reproduce the offset-union summary exactly
+    "paginated_source_dsv2" ->
       """WITH pages AS (
         |  SELECT p_partkey,
         |         CAST((row_number() OVER (ORDER BY p_partkey) - 1) // 50 AS BIGINT) AS page

@@ -91,6 +91,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.globalrank.smallThreshold")
   }
 
+  test("DSv2 paged source: LIMIT prunes page partitions, projection prunes columns") {
+    val dir = operators.SourceOps.stagePages(spark, sf())
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", dir).load()
+      .select("p_partkey").limit(7)
+    // push-down happens in V2ScanRelationPushDown — read the optimized scan
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.head.asInstanceOf[graft.sources.PagedScan]
+    assert(scan.pushedLimit === 7, "LIMIT did not reach the scan")
+    assert(scan.planInputPartitions().length === 1,
+      "7 rows fit one 50-row page — scan must plan exactly one partition")
+    assert(scan.readSchema().fieldNames.toSeq === Seq("p_partkey"),
+      "projection did not prune the page column")
+    assert(df.collect().length === 7)
+  }
+
   test("GlobalRank size-aware routing: both paths produce identical ranks") {
     val df = Tables.part(spark, sf()).select("p_partkey")
     def ranks(): Array[(Long, Long)] = graft.functions.GlobalRank
