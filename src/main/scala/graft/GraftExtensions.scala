@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(sum of floor(a[i]*b[i]*1e15) as BIGINT)",
         "", "", "", "math_funcs", "", "", "built-in"),
       (exprs: Seq[Expression]) => FixedPointDot(exprs.head, exprs(1))))
+
+    // the custom AS-OF JOIN operator's planner strategy (the per-session
+    // fallback is AsofJoinOps.asofJoin appending to extraStrategies)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

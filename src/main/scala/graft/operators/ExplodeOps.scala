@@ -25,8 +25,12 @@ object ExplodeOps extends OpGroup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1 — parent → N child rows (app.py:183-190): nest lineitems under
     // their order, explode back, count children per parent.
+    // single exchange: range partitioning on the key up front satisfies
+    // both groupBys' clustering AND the final sort's distribution
     "explode_child_rows" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .repartitionByRange(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(collect_list(struct(col("l_linenumber"), col("l_partkey"))).as("items"))
         .select(col("l_orderkey"), explode(col("items")).as("item"))
@@ -47,6 +51,8 @@ object ExplodeOps extends OpGroup {
     // fields projected back out — identity on the original rows.
     "explode_struct_array" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .repartitionByRange(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(collect_list(struct(col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"))).as("items"))

@@ -108,6 +108,27 @@ object JoinOps extends OpGroup {
     // albums_schema.json:22-31): orders matched into year intervals via a
     // tiny broadcast calendar — O(years) build side stays broadcast-able
     // at any fact-table scale.
+    // J7b — as-of join as a FIRST-CLASS operator (custom LogicalPlan +
+    // SparkStrategy + merge-join SparkPlan — graft.plans.AsofJoin): for
+    // every click, the user's latest purchase at-or-before it. The right
+    // side is pre-aggregated to one row per (user, ts) so the as-of pick
+    // is tie-free; the oracle is DuckDB's NATIVE `ASOF LEFT JOIN` —
+    // engine-vs-engine on the operator semantics itself.
+    "asof_join_custom" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+        .agg(max("event_id").as("purchase_id"))
+      graft.plans.AsofJoinOps.asofJoin(clicks, purchases,
+          Seq("user_id"), Seq("p_user"), "ts_us", "p_ts")
+        .select("event_id", "user_id", "ts_us", "purchase_id", "p_ts")
+        .orderBy("event_id")
+    }),
+
     "range_asof_join" -> ((s, d) => {
       val years = s.range(1992, 2000).toDF("y")
         .select(col("y"),
@@ -164,5 +185,18 @@ object JoinOps extends OpGroup {
          |  ON o_orderdate >= CAST(CAST(y AS VARCHAR) || '-01-01' AS TIMESTAMP)
          | AND o_orderdate <  CAST(CAST(y + 1 AS VARCHAR) || '-01-01' AS TIMESTAMP)
          |GROUP BY y ORDER BY y""".stripMargin,
+    "asof_join_custom" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |clicks AS (
+        |  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id AS p_user, ts_us AS p_ts, max(event_id) AS purchase_id
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY p_user, p_ts)
+        |SELECT c.event_id, c.user_id, c.ts_us, p.purchase_id, p.p_ts
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.p_user AND p.p_ts <= c.ts_us
+        |ORDER BY c.event_id""".stripMargin,
   )
 }
