@@ -12,8 +12,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache — the catalog-metadata cache every warehouse
+    * keeps: file listing + parquet footer schema are discovered ONCE per
+    * (session, dir, table) and the analyzed relation is reused by every
+    * later query (fixtures are immutable per round). Keyed by session
+    * identity because a DataFrame is bound to the session that analyzed
+    * it. The DATA path is unaffected — each query still plans its own
+    * pruned columnar scan.
+    */
+  private val relations =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relations.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
