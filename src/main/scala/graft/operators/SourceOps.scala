@@ -78,13 +78,21 @@ object SourceOps extends OpGroup {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       val keys = Tables.part(s, d).select("p_partkey")
         .orderBy("p_partkey").collect().map(_.getLong(0))
+      val manifest = new StringBuilder
       keys.grouped(graft.sources.PagedJsonSource.PageSize).zipWithIndex
         .foreach { case (page, i) =>
+          val name = f"page-$i%05d.ndjson"
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(f"$dir/page-$i%05d.ndjson"),
+            java.nio.file.Paths.get(s"$dir/$name"),
             page.map(k => s"""{"p_partkey":$k}""").mkString("\n")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          manifest.append(
+            s"""{"file":"$name","lo":${page.head},"hi":${page.last}}""" + "\n")
         }
+      // per-page key bounds — the row-group/manifest stats the scan prunes on
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_manifest.ndjson"),
+        manifest.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       dir
     })
 

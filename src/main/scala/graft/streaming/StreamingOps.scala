@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY.md §2.J): the reference's
@@ -118,5 +118,38 @@ object StreamingOps {
           newState.foreach(gs.update)
           grants.iterator
       }
+  }
+
+  /** The same token cache on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes flatMapGroupsWithState: typed
+    * state handles (value/list/map) in the RocksDB store, per-state TTL,
+    * timers, and state-schema evolution. One `ValueState[TokenState]`
+    * per client carries exactly the fields `serveTokens` needs, so both
+    * APIs must emit identical grants (StreamingSpec asserts it).
+    */
+  class TokenCacheProcessor
+      extends StatefulProcessor[String, TokenRequest, TokenGrant] {
+    @transient private var state: ValueState[TokenState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TokenState]("tokenState",
+        org.apache.spark.sql.Encoders.product[TokenState], TTLConfig.NONE)
+    override def handleInputRows(client: String, rows: Iterator[TokenRequest],
+        timers: TimerValues): Iterator[TokenGrant] = {
+      val (grants, newState) =
+        serveTokens(rows, if (state.exists()) Some(state.get()) else None)
+      newState.foreach(state.update)
+      grants.iterator
+    }
+  }
+
+  /** T7b — transformWithState needs the RocksDB state store provider;
+    * callers set `spark.sql.streaming.stateStore.providerClass` to
+    * `...RocksDBStateStoreProvider` on the session (StreamingSpec does).
+    */
+  def tokenCacheStreamTws(reqs: Dataset[TokenRequest]): Dataset[TokenGrant] = {
+    import reqs.sparkSession.implicits._
+    reqs.groupByKey(_.client)
+      .transformWithState(new TokenCacheProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -109,6 +109,32 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().length === 7)
   }
 
+  test("DSv2 paged source: key-range filter prunes pages via manifest stats") {
+    val dir = operators.SourceOps.stagePages(spark, sf())
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.head.asInstanceOf[graft.sources.PagedScan]
+    val all = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", dir).load()
+    val nPages = scanOf(all).planInputPartitions().length
+    assert(nPages > 1, "fixture must span multiple pages")
+    // cut at the first page's hi bound: only page 0 may survive
+    val cut = all.orderBy("p_partkey")
+      .limit(graft.sources.PagedJsonSource.PageSize)
+      .agg(org.apache.spark.sql.functions.max("p_partkey")).collect()(0).getLong(0)
+    val filtered = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", dir).load()
+      .filter(col("p_partkey") <= cut)
+    val scan = scanOf(filtered)
+    assert(scan.pushed.nonEmpty, "filter did not reach the scan")
+    assert(scan.planInputPartitions().length === 1,
+      s"expected 1 surviving page of $nPages")
+    // pruning must not change results: residual filters re-apply row-level
+    assert(filtered.count() === all.filter(col("p_partkey") <= cut).count())
+  }
+
   test("GlobalRank size-aware routing: both paths produce identical ranks") {
     val df = Tables.part(spark, sf()).select("p_partkey")
     def ranks(): Array[(Long, Long)] = graft.functions.GlobalRank

@@ -114,6 +114,32 @@ class StreamingSpec extends SparkSpec {
       ("b", 10L, 1L, true))) // 10 >= 60-60 ⇒ refresh
   }
 
+  test("T7b: transformWithState (RocksDB store) emits the same grants as fMGWS") {
+    // Spark 4's arbitrary-state API requires the RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TokenRequest](spark)
+      val q = StreamingOps.tokenCacheStreamTws(in.toDS())
+        .writeStream.format("memory").queryName("t7b_out")
+        .outputMode("append").start()
+      in.addData(TokenRequest("a", 0, 3600), TokenRequest("b", 0, 60))
+      q.processAllAvailable()
+      // state must SURVIVE the batch boundary: a@10 cached, b@10 refreshed
+      in.addData(TokenRequest("a", 10, 3600), TokenRequest("b", 10, 60))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.sql("SELECT client, ts, tokenSeq, minted FROM t7b_out")
+        .as[(String, Long, Long, Boolean)].collect().toSet
+      assert(out === Set( // identical to the flatMapGroupsWithState run (T7)
+        ("a", 0L, 0L, true), ("b", 0L, 0L, true),
+        ("a", 10L, 0L, false),
+        ("b", 10L, 1L, true)))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("T8: stream-stream interval join matches in-horizon clicks, drops late ones") {
     val vIn = MemoryStream[(Long, Timestamp, Long)](spark)
     val cIn = MemoryStream[(Long, Timestamp, Long)](spark)
