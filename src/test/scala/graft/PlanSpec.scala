@@ -91,6 +91,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.globalrank.smallThreshold")
   }
 
+  test("explode family plans exactly ONE exchange (range partitioning serves groupBy AND sort)") {
+    // posexplode_tracknum et al: the up-front repartitionByRange on the
+    // parent key satisfies the groupBy's ClusteredDistribution and the
+    // final sort's OrderedDistribution, so the whole nest→explode→sort
+    // pipeline shuffles ONCE. The residual bench cost (~1 s at sf0.1) is
+    // the collect_list materialization itself — the operator's semantic,
+    // not a plan defect: every row passes through exactly one exchange,
+    // one object-hash aggregate, and a partition-local sort.
+    for (q <- Seq("posexplode_tracknum", "explode_struct_array", "explode_child_rows")) {
+      val phys = SparkEntry.queries(q)(spark, sf())
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange (range|hash)partitioning".r.findAllIn(phys).size
+      assert(exchanges === 1,
+        s"$q plans $exchanges exchanges — expected exactly one:\n${phys.take(600)}")
+    }
+  }
+
   test("DSv2 paged source: LIMIT prunes page partitions, projection prunes columns") {
     val dir = operators.SourceOps.stagePages(spark, sf())
     val df = spark.read.format("graft.sources.PagedJsonSource")
