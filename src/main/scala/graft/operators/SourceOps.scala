@@ -72,6 +72,9 @@ object SourceOps extends OpGroup {
   private val pagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val sinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def stagePages(s: SparkSession, d: String): String =
     pagedDirs.computeIfAbsent(d, _ => {
       val dir = s"/tmp/graft_paged/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
@@ -98,6 +101,28 @@ object SourceOps extends OpGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_json_schema" -> scanJsonSchema,
+
+    // S6c — the V2 WRITE path closes the connector round trip: part keys
+    // go OUT through the paged sink (each task cuts 50-row pages and
+    // reports per-page key bounds in its commit message; the driver's
+    // commit() assembles the manifest — the Iceberg/Delta snapshot
+    // pattern) and come back IN through the V2 reader off that manifest.
+    // The oracle asserts the round trip is the identity on the key set.
+    "paged_sink_roundtrip" -> ((s, d) => {
+      val out = sinkDirs.computeIfAbsent(d, _ => {
+        val dir = s"/tmp/graft_pagedsink/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
+        Tables.part(s, d)
+          .select(col("p_partkey"), lit(0).as("page"))
+          .repartitionByRange(col("p_partkey"))
+          .sortWithinPartitions("p_partkey")
+          .write.format("graft.sources.PagedJsonSource")
+          .option("path", dir).mode(SaveMode.Overwrite).save()
+        dir
+      })
+      s.read.format("graft.sources.PagedJsonSource")
+        .option("path", out).load()
+        .select("p_partkey").orderBy("p_partkey")
+    }),
 
     // S6 structural — the SAME page summary as paginated_source, but the
     // pages come through the DataSourceV2 connector (one InputPartition
@@ -188,6 +213,9 @@ object SourceOps extends OpGroup {
         |SELECT page, count(*) AS page_size,
         |       min(p_partkey) AS first_key, max(p_partkey) AS last_key
         |FROM pages GROUP BY page ORDER BY page""".stripMargin,
+    // writer→manifest→reader must be the identity on the key set
+    "paged_sink_roundtrip" ->
+      "SELECT p_partkey FROM part ORDER BY p_partkey",
     // the DSv2 path must reproduce the offset-union summary exactly
     "paginated_source_dsv2" ->
       """WITH pages AS (

@@ -46,18 +46,51 @@ class PagedJsonSource extends TableProvider {
 
 object PagedJsonSource {
   val PageSize = 50
+  // nullable: the WRITE-side schema check rejects nullable inputs into
+  // non-null columns, and fixture scans are nullable by default
   val schema: StructType = StructType(Seq(
-    StructField("p_partkey", LongType, nullable = false),
-    StructField("page", IntegerType, nullable = false)))
+    StructField("p_partkey", LongType, nullable = true),
+    StructField("page", IntegerType, nullable = true)))
+
+  private val entryRe =
+    """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
+
+  /** Manifest entries (file, lo, hi) in commit order, if present. */
+  def readManifest(dir: java.io.File): Option[Seq[(String, Long, Long)]] = {
+    val m = new java.io.File(dir, "_manifest.ndjson")
+    if (!m.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(m)
+      try Some(src.getLines().collect {
+        case entryRe(f, lo, hi) => (f, lo.toLong, hi.toLong)
+      }.toSeq)
+      finally src.close()
+    }
+  }
+
+  def writeManifest(dir: java.io.File,
+      entries: Seq[(String, Long, Long)]): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_manifest.ndjson").toPath,
+      entries.map { case (f, lo, hi) =>
+        s"""{"file":"$f","lo":$lo,"hi":$hi}"""
+      }.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
 
-class PagedJsonTable(path: String) extends Table with SupportsRead {
+class PagedJsonTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"paged_json($path)"
   override def schema(): StructType = PagedJsonSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PagedWriteBuilder(path, info.schema())
 }
 
 class PagedScanBuilder(path: String) extends ScanBuilder
@@ -107,39 +140,137 @@ class PagedScan(path: String, required: StructType, val pushedLimit: Int,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
-    val manifest = new java.io.File(dir, "_manifest.ndjson")
-    val entryRe =
-      """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
-    val stats: Map[String, (Long, Long)] =
-      if (manifest.isFile)
-        scala.io.Source.fromFile(manifest).getLines().collect {
-          case entryRe(f, lo, hi) => f -> (lo.toLong, hi.toLong)
-        }.toMap
-      else Map.empty
+    // (file, pageId, Option[(lo, hi)]) — the manifest, when present, IS the
+    // table listing (commit-protocol output, key-ordered); the raw glob is
+    // only the manifest-less fallback. Page id is intrinsic (manifest
+    // position / file name), so pruning cannot renumber surviving pages.
+    val pages: Seq[(java.io.File, Int, Option[(Long, Long)])] =
+      PagedJsonSource.readManifest(dir) match {
+        case Some(entries) => entries.zipWithIndex.map { case ((f, lo, hi), i) =>
+          (new java.io.File(dir, f), i, Some((lo, hi)))
+        }
+        case None => dir.listFiles()
+          .filter(_.getName.matches("page-\\d+\\.ndjson"))
+          .sortBy(_.getName).toSeq
+          .map(f => (f,
+            f.getName.stripPrefix("page-").stripSuffix(".ndjson").toInt,
+            None))
+      }
     val (lo, hi) = keyRange
-    val files = dir.listFiles()
-      .filter(_.getName.matches("page-\\d+\\.ndjson"))
-      .sortBy(_.getName)
-      // stats pruning: drop pages whose [lo,hi] is disjoint with the
-      // pushed key range (pages without stats are always kept)
-      .filter(f => stats.get(f.getName)
-        .forall { case (plo, phi) => phi >= lo && plo <= hi })
+    // stats pruning: drop pages whose [lo,hi] is disjoint with the pushed
+    // key range (pages without stats are always kept)
+    val files = pages.filter(_._3.forall {
+      case (plo, phi) => phi >= lo && plo <= hi
+    })
     val keep =
       if (pushedLimit < 0) files
       else files.take(math.max(1,
         (pushedLimit + PagedJsonSource.PageSize - 1) / PagedJsonSource.PageSize))
-    // page id is intrinsic to the FILE (its name), so pruning a prefix
-    // of pages cannot renumber the survivors
-    keep.map { f =>
-      val idx = f.getName.stripPrefix("page-").stripSuffix(".ndjson").toInt
+    keep.map { case (f, idx, _) =>
       PagedPartition(f.getAbsolutePath, idx): InputPartition
-    }
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required)
 }
 
 case class PagedPartition(file: String, page: Int) extends InputPartition
+
+/** V2 WRITE path — the commit protocol builds the manifest: each task
+  * writes its own page files and reports (file, lo, hi) per page in its
+  * commit message; the driver's `commit()` assembles the key-ordered
+  * manifest in one atomic step (exactly how Iceberg/Delta turn task-side
+  * file stats into a table snapshot). `abort()` deletes the task's
+  * files, so a failed write leaves the previous manifest — and therefore
+  * the readable table — untouched. Input should be range-partitioned and
+  * sorted on the key for key-disjoint pages; the writer re-cuts pages at
+  * `PageSize` rows regardless of the incoming `page` column.
+  */
+class PagedWriteBuilder(path: String, inputSchema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new PagedWrite(path, inputSchema, doTruncate)
+}
+
+case class PageFileCommit(files: Seq[(String, Long, Long)])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class PagedWrite(path: String, inputSchema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    new PagedWriterFactory(path, inputSchema)
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val dir = new java.io.File(path)
+    val committed = messages.toSeq
+      .flatMap { case PageFileCommit(fs) => fs }
+      .sortBy(_._2) // key order: range-partitioned input ⇒ disjoint pages
+    if (truncate) {
+      val keep = committed.map(_._1).toSet
+      dir.listFiles().filter(f => f.getName.endsWith(".ndjson")
+        && !f.getName.startsWith("_") && !keep(f.getName)).foreach(_.delete())
+    }
+    PagedJsonSource.writeManifest(dir, committed)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit =
+    messages.foreach {
+      case PageFileCommit(fs) =>
+        fs.foreach(f => new java.io.File(path, f._1).delete())
+      case _ =>
+    }
+}
+
+class PagedWriterFactory(path: String, inputSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val keyIdx = inputSchema.fieldIndex("p_partkey")
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      private val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      private var seq = 0
+
+      private def flush(): Unit = if (buf.nonEmpty) {
+        val name = f"part-$partitionId%05d-$seq%05d.ndjson"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$path/$name"),
+          buf.map(k => s"""{"p_partkey":$k}""").mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        files += ((name, buf.head, buf.last))
+        buf.clear(); seq += 1
+      }
+
+      override def write(row: InternalRow): Unit = {
+        buf += row.getLong(keyIdx)
+        if (buf.length >= PagedJsonSource.PageSize) flush()
+      }
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        flush(); PageFileCommit(files.toSeq)
+      }
+      override def abort(): Unit =
+        files.foreach(f => new java.io.File(path, f._1).delete())
+      override def close(): Unit = ()
+    }
+  }
+}
 
 class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

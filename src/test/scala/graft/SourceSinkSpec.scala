@@ -73,4 +73,33 @@ class SourceSinkSpec extends SparkSpec {
     Tables.region(spark, sf()).write.mode(SaveMode.Overwrite).parquet(out)
     assert(spark.read.parquet(out).count() === 5) // fully replaced, not appended
   }
+
+  test("S6c: V2 paged sink — commit protocol builds a key-ordered exact manifest") {
+    val out = tmpDir("graft_s6c")
+    Tables.part(spark, sf())
+      .select(col("p_partkey"), lit(0).as("page"))
+      .repartitionByRange(4, col("p_partkey"))
+      .sortWithinPartitions("p_partkey")
+      .write.format("graft.sources.PagedJsonSource")
+      .option("path", out).mode(SaveMode.Overwrite).save()
+    val entries = graft.sources.PagedJsonSource
+      .readManifest(new java.io.File(out))
+      .getOrElse(fail("commit() did not write a manifest"))
+    // every listed file exists; bounds are key-ordered and non-overlapping
+    // (range-partitioned + sorted input ⇒ disjoint pages)
+    entries.foreach { case (f, lo, hi) =>
+      assert(new java.io.File(out, f).isFile, s"manifest lists missing $f")
+      assert(lo <= hi)
+    }
+    assert(entries.sliding(2).forall {
+      case Seq((_, _, h1), (_, l2, _)) => h1 < l2
+      case _ => true
+    }, "pages overlap — manifest not key-disjoint")
+    // read-back through the manifest is the identity on the key set
+    val back = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", out).load().select("p_partkey")
+    val want = Tables.part(spark, sf()).select("p_partkey")
+    assert(back.count() === want.count())
+    assert(back.except(want).count() === 0 && want.except(back).count() === 0)
+  }
 }
