@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * passes:
   *
   *   1. assign each row a SLICE id — a pure, deterministic function of
-  *      its own key value (width bucketing between the per-group min and
-  *      max of a numeric slice key that is monotone in the ordering).
-  *      Slices are ordered, non-overlapping key ranges, so ranking is
+  *      its own key value: the number of broadcast SAMPLE-QUANTILE
+  *      boundaries ≤ the key (boundaries measured once per group and
+  *      embedded as a local relation, so every pass slices identically).
+  *      Slices are ordered, non-overlapping, equal-POPULATION key
+  *      ranges — skew-proof by construction — so ranking is
   *      slice-local + offset;
   *   2. `row_number` (or running sum) locally, partitioned by
   *      (slice, group) — every window task sees ~1/numSlices of its group;
@@ -46,11 +48,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * reuse happens to fire. A value-derived slice is identical in every
   * branch by construction, on any cluster, in any plan.
   *
-  * Width bucketing assumes the slice key is roughly uniform between its
-  * group min/max (true for synthetic keys, ids, hashes). A skewed 100 TB
-  * deployment swaps `sliceOn` for precomputed sample-quantile boundaries
-  * — fitted offline and broadcast, exactly like the IVF coarse quantizer
-  * (AnnIvf) — without touching the rank/offset machinery.
+  * Quantile boundaries (vs width buckets between min/max) mean a skewed
+  * key DISTRIBUTION cannot starve 31 slices and straggle one — each
+  * slice carries ~1/numSlices of the rows wherever the mass sits. The
+  * only residual concentration is equal-VALUE ties, which MUST share a
+  * slice (ties never straddle slices); a single value holding most of a
+  * group is inherently unsliceable by any order-preserving scheme.
   *
   * The numbering is deterministic whenever (group ++ order) totally
   * orders the rows; under ties the numbers within a tie group are
@@ -64,38 +67,53 @@ object GlobalRank {
 
   private val ThresholdKey = "graft.globalrank.smallThreshold"
 
-  /** (span local-relation, per-group max row count). One tiny row per
-    * group — GlobalRank exists for few-group rankings, where a plain
-    * window would funnel whole groups through single tasks, so the
-    * collect is bounded by design.
+  /** Per-group max row count from the cheap routing pass (one tiny row
+    * per group — GlobalRank exists for few-group rankings, so the
+    * collect is bounded by design).
     */
-  private def measureSpan(df: DataFrame, base: Column,
-      groupCols: Seq[String]): (DataFrame, Long) = {
-    val span = Seq(min(base).as("__gr_lo"), max(base).as("__gr_hi"),
-      count(lit(1)).as("__gr_n"))
+  private def measureCounts(df: DataFrame, groupCols: Seq[String]): Long = {
     val statsDf =
-      if (groupCols.isEmpty) df.agg(span.head, span.tail: _*)
-      else df.groupBy(groupCols.map(col): _*).agg(span.head, span.tail: _*)
+      if (groupCols.isEmpty) df.agg(count(lit(1)).as("__gr_n"))
+      else df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__gr_n"))
     val rows = statsDf.collect()
-    val maxCnt = if (rows.isEmpty) 0L else rows.map(_.getAs[Long]("__gr_n")).max
-    val local = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), statsDf.schema)
-    (local.drop("__gr_n"), maxCnt)
+    if (rows.isEmpty) 0L else rows.map(_.getAs[Long]("__gr_n")).max
   }
 
-  /** df + `__gr_pid` width-bucket slice column from the broadcast span. */
+  /** Per-group SAMPLE-QUANTILE slice boundaries (numSlices-quantiles of
+    * the slice key), collected as a local relation — only the large-N
+    * path pays this extra pass. Quantile boundaries make slices
+    * equal-POPULATION by construction, so a skewed key distribution
+    * cannot starve 31 slices and straggle one; only equal-VALUE ties
+    * still share a slice (they must: ties never straddle slices).
+    */
+  private def measureBounds(df: DataFrame, base: Column,
+      groupCols: Seq[String], numSlices: Int): DataFrame = {
+    val withBase = df.withColumn("__gr_base", base)
+    val ps = (1 until numSlices).map(i => i.toDouble / numSlices)
+    val bnds = expr(
+      s"percentile_approx(__gr_base, array(${ps.mkString(", ")}), 1000)")
+      .as("__gr_bnds")
+    val statsDf =
+      if (groupCols.isEmpty) withBase.agg(bnds)
+      else withBase.groupBy(groupCols.map(col): _*).agg(bnds)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(statsDf.collect(): _*), statsDf.schema)
+  }
+
+  /** df + `__gr_pid`: the number of broadcast boundaries ≤ the row's own
+    * key — a codegen-friendly chain of element_at comparisons (no
+    * interpreted higher-order function in the hot path). Monotone in the
+    * key, so equal keys always share a slice.
+    */
   private def withSlice(df: DataFrame, base: Column, groupCols: Seq[String],
       numSlices: Int, stats: DataFrame): DataFrame = {
     val joined =
       if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
       else df.join(broadcast(stats), groupCols)
-    val width = col("__gr_hi") - col("__gr_lo")
-    joined.withColumn("__gr_pid",
-      when(width === 0d, lit(0))
-        .otherwise(least(lit(numSlices - 1),
-          floor((base - col("__gr_lo")) / width * numSlices)))
-        .cast("int"))
-      .drop("__gr_lo", "__gr_hi")
+    val pid = (1 until numSlices)
+      .map(i => when(base >= element_at(col("__gr_bnds"), i), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    joined.withColumn("__gr_pid", pid.cast("int")).drop("__gr_bnds")
   }
 
   /** Exclusive per-group prefix "sum" over ascending slices of the
@@ -128,7 +146,7 @@ object GlobalRank {
     val spark = df.sparkSession
     val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
     val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
-    val (stats, maxCnt) = measureSpan(df, base, groupCols)
+    val maxCnt = measureCounts(df, groupCols)
 
     if (maxCnt <= threshold) {
       // measured-small: every group fits one task — plain window
@@ -137,6 +155,7 @@ object GlobalRank {
         .orderBy(orderCols.map(col): _*)
       df.withColumn(rnCol, row_number().over(w).cast("long"))
     } else {
+      val stats = measureBounds(df, base, groupCols, numSlices)
       val slice = "__gr_pid" +: groupCols
       val sliced = withSlice(df, base, groupCols, numSlices, stats)
       val cnts = sliced.groupBy(slice.map(col): _*)
@@ -169,7 +188,7 @@ object GlobalRank {
     val spark = df.sparkSession
     val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
     val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
-    val (stats, maxCnt) = measureSpan(df, base, groupCols)
+    val maxCnt = measureCounts(df, groupCols)
 
     if (maxCnt <= threshold) {
       val w = (if (groupCols.isEmpty) Window.partitionBy()
@@ -178,6 +197,7 @@ object GlobalRank {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       df.withColumn(sumCol, sum(valueCol).over(w))
     } else {
+      val stats = measureBounds(df, base, groupCols, numSlices)
       val slice = "__gr_pid" +: groupCols
       val sliced = withSlice(df, base, groupCols, numSlices, stats)
         .withColumn("__gr_v", valueCol)

@@ -39,6 +39,32 @@ object ExtendedOps extends OpGroup {
         .orderBy("c_custkey")
     }),
 
+    // Observation API: data-quality counters that RIDE an existing job —
+    // accumulator-backed, zero extra passes over the data (the way a
+    // 100 TB load publishes its audit metrics without re-scanning). The
+    // staged write is the real job; the observed row is the audit the
+    // reference's load step logs, and the oracle recomputes the same
+    // aggregates from the source table.
+    "observe_load_audit" -> ((s, d) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val out = freshDir("graft_observe")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      val m = obs.get // blocks until the write job publishes its metrics
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("null_qty").asInstanceOf[Long],
+        m("max_qty").asInstanceOf[Double], m("min_key").asInstanceOf[Long],
+        m("max_key").asInstanceOf[Long]))
+        .toDF("n_rows", "null_qty", "max_qty", "min_key", "max_key")
+    }),
+
     // ORC staging round trip (columnar alternate to parquet).
     "scan_orc_roundtrip" -> ((s, d) => {
       val out = freshDir("graft_orc")
@@ -332,6 +358,13 @@ object ExtendedOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "observe_load_audit" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS null_qty,
+        |       max(l_quantity) AS max_qty,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin,
     "scan_csv_schema" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -95,6 +95,26 @@ object LawsSpec extends Properties("GraftLaws") {
       got == want
     }
 
+  // GlobalRank: quantile slicing is value-derived, so heavily SKEWED
+  // keys (lognormal-ish clumps + ties) must still rank identically to
+  // the reference window.
+  property("two-phase rank is exact under heavy key skew") =
+    forAll(Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.const(7L),             // one hot value (ties)
+      3 -> Gen.chooseNum(0L, 3L),     // dense clump
+      1 -> Gen.chooseNum(1000L, 1000000L))), // far outliers
+      Gen.chooseNum(2, 6)) { (vs, slices) =>
+      import spark.implicits._
+      spark.conf.set("graft.globalrank.smallThreshold", "0")
+      val df = vs.toDF("v")
+      val got = graft.functions.GlobalRank
+        .rowNumber(df, "rn", Nil, Seq("v"), numSlices = slices)
+        .select("rn", "v").as[(Long, Long)].collect().toMap
+      val want = vs.sorted.zipWithIndex
+        .map { case (v, i) => (i + 1L) -> v }.toMap
+      got == want
+    }
+
   // GlobalRank: the two-phase prefix sum equals the single-task
   // running-sum window on arbitrary unique-keyed inputs.
   property("two-phase prefix sum equals window running sum") =
