@@ -195,6 +195,32 @@ object LlmOps extends OpGroup {
        |            JOIN norms nb ON id_b = nb.vec_id)""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain ending in `pairs(doc_a, doc_b, na, nb,
+    * inter)` — the inverted-index Jaccard candidate join, mirrored from
+    * [[graft.functions.TextSim.jaccardPairs]]. Reused by the pair query
+    * and the connected-components clustering oracle.
+    */
+  private[operators] def jaccardCtesDuck: String =
+    s"""docs AS (
+       |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |tok AS (SELECT doc_id, source, unnest(ws) AS w FROM docs),
+       |rare AS (
+       |  SELECT w FROM (SELECT w, count(*) AS df FROM tok GROUP BY w)
+       |  WHERE df <= $JaccardDfCap),
+       |kept AS (SELECT t.doc_id, t.source, t.w FROM tok t JOIN rare USING (w)),
+       |sized AS (
+       |  SELECT doc_id, source, count(*) AS n FROM kept GROUP BY doc_id, source),
+       |inv AS (
+       |  SELECT k.doc_id, k.source, s.n, k.w
+       |  FROM kept k JOIN sized s USING (doc_id, source)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.n AS na, b.n AS nb, count(*) AS inter
+       |  FROM inv a JOIN inv b
+       |    ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b, na, nb)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
       """SELECT doc_id, lang,
@@ -209,25 +235,7 @@ object LlmOps extends OpGroup {
         |         AS is_canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ngram_jaccard_pairs" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws
-         |  FROM documents WHERE doc_id % 10 = 0),
-         |tok AS (SELECT doc_id, source, unnest(ws) AS w FROM docs),
-         |rare AS (
-         |  SELECT w FROM (SELECT w, count(*) AS df FROM tok GROUP BY w)
-         |  WHERE df <= $JaccardDfCap),
-         |kept AS (SELECT t.doc_id, t.source, t.w FROM tok t JOIN rare USING (w)),
-         |sized AS (
-         |  SELECT doc_id, source, count(*) AS n FROM kept GROUP BY doc_id, source),
-         |inv AS (
-         |  SELECT k.doc_id, k.source, s.n, k.w
-         |  FROM kept k JOIN sized s USING (doc_id, source)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.n AS na, b.n AS nb, count(*) AS inter
-         |  FROM inv a JOIN inv b
-         |    ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
-         |  GROUP BY doc_a, doc_b, na, nb)
+      s"""WITH $jaccardCtesDuck
          |SELECT doc_a, doc_b, inter,
          |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
          |FROM pairs

@@ -148,6 +148,104 @@ object TrainingDataOps extends OpGroup {
           length(col("text")).as("n_chars"))
         .orderBy("doc_id")),
 
+    // PII surface scan — the pre-redaction audit every corpus release
+    // runs: per-doc counts of email / phone-shaped / IPv4-shaped spans.
+    // Patterns stay in the RE2 ∩ Java-regex common subset (no
+    // lookaround, no backrefs) so both engines count identical spans.
+    "pii_scan" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"),
+            lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"))
+            .as("n_emails"),
+          regexp_count(col("text"),
+            lit("[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"))
+            .as("n_phones"),
+          regexp_count(col("text"),
+            lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")).as("n_ips"),
+          length(col("text")).as("n_chars"))
+        .withColumn("pii_free",
+          col("n_emails") + col("n_phones") + col("n_ips") === 0)
+        .orderBy("doc_id")),
+
+    // Gopher/C4-style repetition filter: duplicate-bigram fraction and
+    // most-frequent-bigram share per doc — the quality gates that drop
+    // boilerplate/spam before pretraining. Bigrams are map-side
+    // (explode + per-doc aggregate; no joins), so the filter is one
+    // shuffle at any corpus size.
+    "repetition_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("bgs",
+          expr("""transform(sequence(0, greatest(size(ws) - 2, 0)),
+                 |  i -> concat_ws(' ', slice(ws, i + 1, 2)))""".stripMargin))
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6)
+            .as("dup_frac"),
+          round(col("top_count").cast("double") / col("n_bigrams"), 6)
+            .as("top_frac"))
+        .withColumn("keep", col("dup_frac") < 0.2 && col("top_frac") < 0.2)
+        .orderBy("doc_id")),
+
+    // Near-dup CLUSTERING: connected components over the Jaccard pair
+    // graph (pairs alone can't drive dedup — a keep-one policy needs the
+    // transitive closure). Min-label propagation to fixpoint: each round
+    // every node takes the least component id among itself and its
+    // neighbors — the equi-join form of large-star/small-star, so the
+    // per-round cost is one edges⋈labels join however big the corpus.
+    // The fixpoint is the component MINIMUM — deterministic regardless
+    // of iteration count or partitioning; the oracle recomputes it as a
+    // DuckDB recursive reachability closure. localCheckpoint per round
+    // truncates the iterated lineage (same reasoning as batch_chunks).
+    "neardup_connected_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("ws"))
+      val pairs = graft.functions.TextSim
+        .jaccardPairs(docs, "doc_id", "source", "ws", LlmOps.JaccardDfCap)
+        .filter(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6) >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      var labels = docs.select(col("doc_id"),
+        col("doc_id").as("component")).localCheckpoint()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 20) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("doc_b"),
+            col("component").as("nc")), "doc_b")
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(min("nc").as("nbr_min"))
+        val next = labels.as("l")
+          .join(nbrMin.as("n"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("component"),
+              coalesce(col("nbr_min"), col("component"))).as("component"))
+          .localCheckpoint()
+        changed = next.select(col("doc_id"), col("component").as("c2"))
+          .join(labels, "doc_id")
+          .filter(col("c2") =!= col("component")).count()
+        labels = next
+        iters += 1
+      }
+      val sizes = labels.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "component")
+        .select(col("doc_id"), col("component"), col("cluster_size"),
+          (col("doc_id") === col("component")).as("is_rep"))
+        .orderBy("doc_id")
+    }),
+
     // Positional document fingerprint: exact-integer position-weighted
     // sum — order-sensitive content signature, associative to compute.
     "doc_fingerprint" -> ((s, d) =>
@@ -178,6 +276,65 @@ object TrainingDataOps extends OpGroup {
       """
         |SELECT id_a, id_b, pair_label AS label, round(cos, 6) AS cosine
         |FROM scored WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+    "pii_scan" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]')) AS INTEGER)
+        |    AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS INTEGER) AS n_ips,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  (len(regexp_extract_all(text,
+        |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+'))
+        |   + len(regexp_extract_all(text,
+        |     '[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]'))
+        |   + len(regexp_extract_all(text,
+        |     '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+'))) = 0 AS pii_free
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "repetition_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         array_to_string(ws[CAST(t.i AS INTEGER) : CAST(t.i AS INTEGER) + 1], ' ') AS bg
+        |  FROM d CROSS JOIN range(1, 8193) t(i)
+        |  WHERE t.i <= greatest(n - 1, 1)),
+        |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_distinct,
+        |       round(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6) AS dup_frac,
+        |       round(CAST(top_count AS DOUBLE) / n_bigrams, 6) AS top_frac,
+        |       (round(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6) < 0.2
+        |        AND round(CAST(top_count AS DOUBLE) / n_bigrams, 6) < 0.2) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "neardup_connected_components" -> (
+      s"""WITH RECURSIVE ${LlmOps.jaccardCtesDuck},
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component
+         |         FROM reach GROUP BY src),
+         |sizes AS (SELECT component, count(*) AS cluster_size
+         |          FROM comp GROUP BY component)
+         |SELECT c.doc_id, c.component, s.cluster_size,
+         |       (c.doc_id = c.component) AS is_rep
+         |FROM comp c JOIN sizes s USING (component)
+         |ORDER BY c.doc_id""".stripMargin),
     "lang_id_ngram" ->
       """WITH scored AS (
         |  SELECT doc_id, lang AS lang_stored,
