@@ -65,6 +65,55 @@ object ExtendedOps extends OpGroup {
         .toDF("n_rows", "null_qty", "max_qty", "min_key", "max_key")
     }),
 
+    // Spark 4 recursive CTE (UnionLoop): ancestor walk over the
+    // id-halving hierarchy — each sampled order climbs parent = k DIV 2
+    // until the root. The recursion is the ENGINE surface under test
+    // (iterative union fixpoint); DuckDB runs its own recursive CTE as
+    // the oracle. Linear chains ⇒ no dedup pressure; depth ≈ log2(key).
+    "recursive_cte_ancestors" -> ((s, d) =>
+      s.sql(
+        s"""WITH RECURSIVE up(start_key, k, depth) AS (
+           |  SELECT o_orderkey, o_orderkey, 0
+           |  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 97 = 0
+           |  UNION ALL
+           |  SELECT start_key, k DIV 2, depth + 1 FROM up WHERE k > 0)
+           |SELECT start_key, CAST(max(depth) AS INT) AS depth_to_root,
+           |       count(*) AS chain_len
+           |FROM up GROUP BY start_key ORDER BY start_key""".stripMargin)),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT — per-order
+    // top-2 items as the SQL-standard lateral form (the DataFrame twin
+    // is rank_topk_per_group's WindowGroupLimit plan). Total order
+    // inside the LIMIT makes the picked rows deterministic.
+    "lateral_topk_join" -> ((s, d) =>
+      s.sql(
+        s"""SELECT o.o_orderkey, t.l_partkey, t.l_suppkey, t.l_quantity
+           |FROM parquet.`$d/orders.parquet` o,
+           |LATERAL (
+           |  SELECT l_partkey, l_suppkey, l_quantity
+           |  FROM parquet.`$d/lineitem.parquet` l
+           |  WHERE l.l_orderkey = o.o_orderkey
+           |  ORDER BY l_quantity DESC, l_partkey, l_suppkey LIMIT 2) t
+           |WHERE o.o_orderkey % 50 = 0
+           |ORDER BY o.o_orderkey, t.l_quantity DESC, t.l_partkey, t.l_suppkey""".stripMargin)),
+
+    // XML staging round trip — Spark 4's NATIVE xml source (StAX-based,
+    // no external package): write rows as <row> elements, re-read under
+    // a declared schema. The oracle is the round-trip identity on the
+    // source table, as with the CSV/ORC staging rows.
+    "scan_xml_roundtrip" -> ((s, d) => {
+      val out = freshDir("graft_xml")
+      Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode(SaveMode.Overwrite)
+        .option("rootTag", "suppliers").option("rowTag", "supplier")
+        .format("xml").save(out)
+      s.read
+        .schema("s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .option("rowTag", "supplier").format("xml").load(out)
+        .orderBy("s_suppkey")
+    }),
+
     // ORC staging round trip (columnar alternate to parquet).
     "scan_orc_roundtrip" -> ((s, d) => {
       val out = freshDir("graft_orc")
@@ -372,6 +421,28 @@ object ExtendedOps extends OpGroup {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scan_xml_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "recursive_cte_ancestors" ->
+      """WITH RECURSIVE up(start_key, k, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT start_key, k // 2, depth + 1 FROM up WHERE k > 0)
+        |SELECT start_key, CAST(max(depth) AS INTEGER) AS depth_to_root,
+        |       count(*) AS chain_len
+        |FROM up GROUP BY start_key ORDER BY start_key""".stripMargin,
+    "lateral_topk_join" ->
+      """SELECT o.o_orderkey, t.l_partkey, t.l_suppkey, t.l_quantity
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |  ORDER BY l_quantity DESC, l_partkey, l_suppkey LIMIT 2) t
+        |WHERE o.o_orderkey % 50 = 0
+        |ORDER BY o.o_orderkey, t.l_quantity DESC, t.l_partkey, t.l_suppkey""".stripMargin,
     "first_last_value" ->
       """SELECT o_custkey, o_orderkey,
         |       first_value(o_orderkey) OVER w AS first_order,
