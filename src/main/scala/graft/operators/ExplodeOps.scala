@@ -30,7 +30,7 @@ object ExplodeOps extends OpGroup {
     "explode_child_rows" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_partkey")
-        .repartitionByRange(col("l_orderkey"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(collect_list(struct(col("l_linenumber"), col("l_partkey"))).as("items"))
         .select(col("l_orderkey"), explode(col("items")).as("item"))
@@ -52,7 +52,7 @@ object ExplodeOps extends OpGroup {
     "explode_struct_array" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        .repartitionByRange(col("l_orderkey"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(collect_list(struct(col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"))).as("items"))
@@ -71,7 +71,7 @@ object ExplodeOps extends OpGroup {
     "posexplode_tracknum" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        .repartitionByRange(col("l_orderkey"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(struct(col("l_linenumber"),
           col("l_partkey"), col("l_suppkey")))).as("items"))

@@ -170,11 +170,19 @@ object TrainingDataOps extends OpGroup {
 
     // Gopher/C4-style repetition filter: duplicate-bigram fraction and
     // most-frequent-bigram share per doc — the quality gates that drop
-    // boilerplate/spam before pretraining. Bigrams are map-side
-    // (explode + per-doc aggregate; no joins), so the filter is one
-    // shuffle at any corpus size.
+    // boilerplate/spam before pretraining. The ONE exchange moves raw
+    // documents (range partition by doc_id, pre-explode); the bigram
+    // blow-up, both aggregations, and the output sort all stay
+    // partition-local because doc_id clustering satisfies every
+    // downstream requirement — shuffling exploded bigrams would move
+    // ~n_tokens rows per doc instead of one. The partition count is
+    // EXPLICIT: AQE sizes the exchange on the pre-explode bytes (tiny)
+    // and would coalesce it to one partition, serializing the blow-up
+    // that happens after it.
     "repetition_filter" -> ((s, d) =>
       Tables.documents(s, d)
+        .select("doc_id", "text")
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("ws", split(col("text"), " "))
         .withColumn("bgs",
           expr("""transform(sequence(0, greatest(size(ws) - 2, 0)),
