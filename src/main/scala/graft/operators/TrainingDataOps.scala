@@ -222,30 +222,8 @@ object TrainingDataOps extends OpGroup {
           (col("na") + col("nb") - col("inter")), 6) >= 0.3)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
-      val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      var labels = docs.select(col("doc_id"),
-        col("doc_id").as("component")).localCheckpoint()
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 20) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("doc_b"),
-            col("component").as("nc")), "doc_b")
-          .groupBy(col("doc_a").as("doc_id"))
-          .agg(min("nc").as("nbr_min"))
-        val next = labels.as("l")
-          .join(nbrMin.as("n"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("component"),
-              coalesce(col("nbr_min"), col("component"))).as("component"))
-          .localCheckpoint()
-        changed = next.select(col("doc_id"), col("component").as("c2"))
-          .join(labels, "doc_id")
-          .filter(col("c2") =!= col("component")).count()
-        labels = next
-        iters += 1
-      }
+      val labels = graft.functions.GraphOps.connectedComponents(
+        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
       val sizes = labels.groupBy("component")
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "component")
