@@ -123,6 +123,29 @@ object ExtendedOps extends OpGroup {
       s.read.orc(out).orderBy("o_orderkey")
     }),
 
+    // SCD Type-2 history derivation — the warehouse pattern that turns a
+    // change stream into validity-ranged dimension rows: per user, each
+    // event_type change opens a version [valid_from, valid_to) with the
+    // current version open-ended. Change detection is one lag window per
+    // user (bounded partitions — users, not events), closing is one
+    // lead over the change rows; no self-joins, so the rebuild is two
+    // window passes at any history size.
+    "scd2_history" -> ((s, d) => {
+      val wAll = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val wChg = Window.partitionBy("user_id").orderBy(col("valid_from"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(wAll))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("value"),
+          col("ts_us").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wChg) - 1)
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "valid_from")
+    }),
+
     // W-extra: first/last/nth value frames per group.
     "first_last_value" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
@@ -424,6 +447,21 @@ object ExtendedOps extends OpGroup {
     "scan_xml_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "scd2_history" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type AS value, ts_us AS valid_from
+        |  FROM ev WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, value, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY user_id
+        |         ORDER BY valid_from) - 1 AS valid_to,
+        |       (lead(valid_from) OVER (PARTITION BY user_id
+        |         ORDER BY valid_from) IS NULL) AS is_current
+        |FROM chg ORDER BY user_id, valid_from""".stripMargin,
     "recursive_cte_ancestors" ->
       """WITH RECURSIVE up(start_key, k, depth) AS (
         |  SELECT o_orderkey, o_orderkey, 0

@@ -152,6 +152,30 @@ class PlanSpec extends SparkSpec {
     assert(filtered.count() === all.filter(col("p_partkey") <= cut).count())
   }
 
+  test("runtime Bloom-filter pruning fires on a selective shuffled join") {
+    // the creation side's selective filter should inject a bloom filter
+    // into the big side's scan — rows that can't join die before the
+    // shuffle (the runtime analog of DPP for non-partition columns)
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf())
+      val sup = Tables.supplier(spark, sf()).filter(col("s_acctbal") > 9000)
+      val j = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(800)}")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("GlobalRank size-aware routing: both paths produce identical ranks") {
     val df = Tables.part(spark, sf()).select("p_partkey")
     def ranks(): Array[(Long, Long)] = graft.functions.GlobalRank
