@@ -26,6 +26,37 @@ object ScaleOps extends OpGroup {
         .orderBy("s_nationkey")
     }),
 
+    // Z-order (Morton) layout stats — multi-dimensional clustering for
+    // data skipping: interleaving the low 16 bits of two join/filter
+    // keys gives a 1-D sort key under which file/row-group min-max
+    // stats stay TIGHT on BOTH dimensions (sorting on one key alone
+    // leaves the other's span at full width, so its filters prune
+    // nothing). The z-value is pure codegen bit arithmetic; the query
+    // reports per-z-bucket spans of both keys — the locality property a
+    // lakehouse OPTIMIZE ZORDER write relies on. At 100 TB: write the
+    // table repartitionByRange(zvalue)+sortWithinPartitions(zvalue) and
+    // both keys' predicates prune files via footer stats.
+    "zorder_layout_stats" -> ((s, d) => {
+      val z = (0 until 16).map { i =>
+        shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(
+            shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(lit(1L)),
+              2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      val zed = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .withColumn("z", z)
+      // 64 RELATIVE buckets (exact integer division against the
+      // broadcast max) so the bucket count is scale-invariant
+      zed.crossJoin(broadcast(zed.agg(max(col("z")).as("zmax"))))
+        .withColumn("z_bucket", expr("(z * 64) DIV (zmax + 1)"))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
+          min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi"))
+        .orderBy("z_bucket")
+    }),
+
     // Typed Aggregator (UDAF) surface: per-document MinHash signatures
     // through `udaf(Aggregator)` — partial buffers merge element-wise
     // (commutative monoid), so the shuffle carries 8 longs per doc.
@@ -48,6 +79,18 @@ object ScaleOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "zorder_layout_stats" -> {
+      val z = (0 until 16).map { i =>
+        s"((((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" | ")
+      s"""WITH zed AS (
+         |  SELECT l_partkey, l_suppkey, ($z) AS z FROM lineitem)
+         |SELECT (z * 64) // (SELECT max(z) + 1 FROM zed) AS z_bucket,
+         |       count(*) AS n_rows,
+         |       min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+         |       min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+         |FROM zed GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+    },
     "skew_salted_join" ->
       s"""SELECT s_nationkey, count(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
