@@ -1,0 +1,53 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: sweep every declared query's optimized+physical plan for
+  * scale-killer shapes — cartesian products, single-partition exchanges,
+  * partition-less windows — and print one line per flagged query.
+  * `runMain graft.PlanAudit [sfDir]`. Exchange SinglePartition is only
+  * flagged when it feeds non-terminal work (a final global limit/sort on
+  * an already-aggregated result is fine; a mid-plan funnel is not).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // pin the large-N path so the audit sees cluster-scale plans
+    spark.conf.set("graft.globalrank.smallThreshold", "0")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val phys = df.queryExecution.executedPlan.toString
+        val logical = df.queryExecution.optimizedPlan
+        val issues = Seq(
+          "CartesianProduct" -> phys.contains("CartesianProduct"),
+          "partition-less Window" -> logical.collectFirst {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty => w
+          }.nonEmpty,
+          // single-partition exchanges not attributable to the terminal
+          // global sort/limit of a (small) final result
+          "many SinglePartition" ->
+            ("Exchange SinglePartition".r.findAllIn(phys).size > 1)
+        ).collect { case (label, true) => label }
+        if (issues.nonEmpty) {
+          flagged += 1
+          println(s"[audit] $name: ${issues.mkString(", ")}")
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[audit] $name: BUILD FAILED ${e.getMessage.take(120)}")
+          flagged += 1
+      }
+    }
+    println(s"[audit] done: $flagged flagged of ${SparkEntry.queries.size}")
+    spark.stop()
+  }
+}
