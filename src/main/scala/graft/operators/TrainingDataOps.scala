@@ -170,36 +170,35 @@ object TrainingDataOps extends OpGroup {
 
     // Gopher/C4-style repetition filter: duplicate-bigram fraction and
     // most-frequent-bigram share per doc — the quality gates that drop
-    // boilerplate/spam before pretraining. The ONE exchange moves raw
-    // documents (range partition by doc_id, pre-explode); the bigram
-    // blow-up, both aggregations, and the output sort all stay
-    // partition-local because doc_id clustering satisfies every
-    // downstream requirement — shuffling exploded bigrams would move
-    // ~n_tokens rows per doc instead of one. The partition count is
-    // EXPLICIT: AQE sizes the exchange on the pre-explode bytes (tiny)
-    // and would coalesce it to one partition, serializing the blow-up
-    // that happens after it.
-    "repetition_filter" -> ((s, d) =>
+    // boilerplate/spam before pretraining. Per-document stats need no
+    // cross-row data, so the whole computation is ONE map-side
+    // projection: build bigrams, sort them in-row (codegen'd
+    // sort_array), and take (total, distinct, max_run) from the
+    // run_length_stats codegen Expression — no explode, no hash
+    // aggregate, no shuffle except the output sort. The classical
+    // explode+groupBy form moves ~n_tokens rows per doc through two
+    // aggregates; this moves one row per doc, exact either way.
+    "repetition_filter" -> ((s, d) => {
+      graft.functions.RunLengthStats.register(s)
       Tables.documents(s, d)
         .select("doc_id", "text")
-        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("ws", split(col("text"), " "))
         .withColumn("bgs",
           expr("""transform(sequence(0, greatest(size(ws) - 2, 0)),
                  |  i -> concat_ws(' ', slice(ws, i + 1, 2)))""".stripMargin))
-        .select(col("doc_id"), explode(col("bgs")).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_bigrams"),
-          count(lit(1)).as("n_distinct"),
-          max("c").as("top_count"))
+        .withColumn("st", expr("run_length_stats(sort_array(bgs))"))
+        .select(col("doc_id"),
+          expr("st[0]").as("n_bigrams"),
+          expr("st[1]").as("n_distinct"),
+          expr("st[2]").as("top_count"))
         .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6)
             .as("dup_frac"),
           round(col("top_count").cast("double") / col("n_bigrams"), 6)
             .as("top_frac"))
         .withColumn("keep", col("dup_frac") < 0.2 && col("top_frac") < 0.2)
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Near-dup CLUSTERING: connected components over the Jaccard pair
     // graph (pairs alone can't drive dedup — a keep-one policy needs the

@@ -30,6 +30,27 @@ class UdfSpec extends SparkSpec {
     assert(!pushed(viaUdf).contains("GreaterThan"))
   }
 
+  test("run_length_stats: exact (total, distinct, max_run) over sorted arrays") {
+    graft.functions.RunLengthStats.register(spark)
+    def stats(sql: String): Seq[Long] =
+      spark.sql(s"SELECT run_length_stats($sql) AS s")
+        .head().getSeq[Long](0)
+    assert(stats("sort_array(array('b','a','b','a','b'))") === Seq(5L, 2L, 3L))
+    assert(stats("array('x')") === Seq(1L, 1L, 1L))
+    assert(stats("CAST(array() AS ARRAY<STRING>)") === Seq(0L, 0L, 0L))
+    // null slots: counted in total, excluded from runs
+    assert(stats("array('a', CAST(NULL AS STRING), 'a')") === Seq(3L, 1L, 2L))
+    // interpreted path must agree with codegen (eval on a literal)
+    val e = graft.functions.RunLengthStats(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a", "a", "c"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    assert(e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq === Seq(3L, 2L, 2L))
+  }
+
   test("GraftExtensions installs fixed_dot at session build (no register call)") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
