@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver machine-reads the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON. Two sbt defaults break that:
+// (1) LoggedOutput prefixes every forked-process line with "[info] ",
+// (2) sbt appends "[success] Total time: ..." after the run.
+// StdoutOutput passes the child's stdout through verbatim; showSuccess
+// drops the trailer — so Bench's compact JSON line is truly last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,17 +15,28 @@ object Tables {
   /** Resolved-relation cache — the catalog-metadata cache every warehouse
     * keeps: file listing + parquet footer schema are discovered ONCE per
     * (session, dir, table) and the analyzed relation is reused by every
-    * later query (fixtures are immutable per round). Keyed by session
-    * identity because a DataFrame is bound to the session that analyzed
-    * it. The DATA path is unaffected — each query still plans its own
-    * pruned columnar scan.
+    * later query (fixtures are immutable per round). Keyed by the session
+    * REFERENCE (SparkSession uses identity equality) because a DataFrame
+    * is bound to the session that analyzed it — an identityHashCode key
+    * could collide across live sessions and hand one session a plan
+    * analyzed by another. Entries are evicted when the session's context
+    * ends, so stopped test sessions don't pin their DataFrames forever.
+    * The DATA path is unaffected — each query still plans its own pruned
+    * columnar scan.
     */
-  private val relations =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val relations = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    relations.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
+    relations.computeIfAbsent(spark, s => {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            relations.remove(s)
+        })
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    }).computeIfAbsent((dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

@@ -60,8 +60,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * arbitrary (exactly as with a plain window) but the k-th smallest
   * VALUE is stable, which is what rank-picking consumers rely on. Ties
   * never straddle slices: equal slice keys map to equal slices. The
-  * slice key must be non-null, and `df` must be deterministic (the
-  * measuring passes and the final plan must see the same rows).
+  * slice key must be non-null. On the sliced path the input is pinned
+  * with `localCheckpoint` before the measuring passes, so a
+  * non-deterministic input (sample/limit/mutable source) cannot make the
+  * collected offsets disagree with the final pass.
   */
 object GlobalRank {
 
@@ -100,6 +102,24 @@ object GlobalRank {
       java.util.Arrays.asList(statsDf.collect(): _*), statsDf.schema)
   }
 
+  /** Broadcast inner join on `keys` with NULL-SAFE equality: a plain
+    * USING-join drops rows whose group key is NULL, but the plain-window
+    * path (groupBy/Window.partitionBy) treats NULL as a regular group —
+    * the two routes must agree on the row set. The right side's key
+    * columns are renamed away so the output keeps the left's.
+    */
+  private def nullSafeBroadcastJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    if (keys.isEmpty) left.crossJoin(broadcast(right))
+    else {
+      val renamed = right.select(right.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c).as(s"__grk_$c") else col(c)): _*)
+      val cond = keys.map(c => left(c) <=> renamed(s"__grk_$c")).reduce(_ && _)
+      left.join(broadcast(renamed), cond, "inner")
+        .drop(keys.map(c => s"__grk_$c"): _*)
+    }
+  }
+
   /** df + `__gr_pid`: the number of broadcast boundaries ≤ the row's own
     * key — a codegen-friendly chain of element_at comparisons (no
     * interpreted higher-order function in the hot path). Monotone in the
@@ -107,9 +127,7 @@ object GlobalRank {
     */
   private def withSlice(df: DataFrame, base: Column, groupCols: Seq[String],
       numSlices: Int, stats: DataFrame): DataFrame = {
-    val joined =
-      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
-      else df.join(broadcast(stats), groupCols)
+    val joined = nullSafeBroadcastJoin(df, stats, groupCols)
     val pid = (1 until numSlices)
       .map(i => when(base >= element_at(col("__gr_bnds"), i), 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
@@ -155,9 +173,16 @@ object GlobalRank {
         .orderBy(orderCols.map(col): _*)
       df.withColumn(rnCol, row_number().over(w).cast("long"))
     } else {
-      val stats = measureBounds(df, base, groupCols, numSlices)
+      // Pin the rows FIRST: the boundary pass, the count pass, and the
+      // final plan must all observe the same data, or the collected
+      // offsets silently disagree with the final numbering (sample/
+      // limit/re-read sources are only per-execution deterministic).
+      // localCheckpoint materializes once and truncates lineage, so the
+      // three passes become cheap re-reads instead of recomputations.
+      val snap = df.localCheckpoint()
+      val stats = measureBounds(snap, base, groupCols, numSlices)
       val slice = "__gr_pid" +: groupCols
-      val sliced = withSlice(df, base, groupCols, numSlices, stats)
+      val sliced = withSlice(snap, base, groupCols, numSlices, stats)
       val cnts = sliced.groupBy(slice.map(col): _*)
         .agg(count(lit(1)).as("__gr_cnt")).collect()
       val offs = spark.createDataFrame(
@@ -169,7 +194,7 @@ object GlobalRank {
         row_number().over(
           Window.partitionBy(slice.map(col): _*)
             .orderBy(orderCols.map(col): _*)).cast("long"))
-      local.join(broadcast(offs), slice, "inner")
+      nullSafeBroadcastJoin(local, offs, slice)
         .withColumn(rnCol, col("__gr_off") + col("__gr_lrn"))
         .drop("__gr_pid", "__gr_lrn", "__gr_off")
     }
@@ -197,9 +222,12 @@ object GlobalRank {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       df.withColumn(sumCol, sum(valueCol).over(w))
     } else {
-      val stats = measureBounds(df, base, groupCols, numSlices)
+      // Same pinning as rowNumber: all measuring passes and the final
+      // plan must see identical rows (see comment there).
+      val snap = df.localCheckpoint()
+      val stats = measureBounds(snap, base, groupCols, numSlices)
       val slice = "__gr_pid" +: groupCols
-      val sliced = withSlice(df, base, groupCols, numSlices, stats)
+      val sliced = withSlice(snap, base, groupCols, numSlices, stats)
         .withColumn("__gr_v", valueCol)
       val totalsDf = sliced.groupBy(slice.map(col): _*)
         .agg(sum(col("__gr_v")).as("__gr_tot"))
@@ -227,8 +255,15 @@ object GlobalRank {
           Window.partitionBy(slice.map(col): _*)
             .orderBy(orderCols.map(col): _*)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      local.join(broadcast(offs), slice, "inner")
-        .withColumn(sumCol, coalesce(col("__gr_off"), lit(0)) + col("__gr_run"))
+      // Keep the OUTPUT TYPE identical to the small path's sum(): the
+      // zero literal is cast to the sum result type (a bare lit(0) is
+      // INT and coalesce would widen decimals), and the final addition
+      // is cast back (decimal + decimal widens precision by one).
+      val sumType = totalsDf.schema("__gr_tot").dataType
+      nullSafeBroadcastJoin(local, offs, slice)
+        .withColumn(sumCol,
+          (coalesce(col("__gr_off"), lit(0).cast(sumType)) + col("__gr_run"))
+            .cast(sumType))
         .drop("__gr_pid", "__gr_run", "__gr_off", "__gr_v")
     }
   }

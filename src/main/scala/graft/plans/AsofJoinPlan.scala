@@ -118,20 +118,33 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         private var candKey: InternalRow = _
         advanceRight()
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rHead = rIter.next().copy() // iterator rows are reused buffers
-            rHeadKey = rKeyProj(rHead).copy()
-            val t = rTimeRef.eval(rHead)
-            rHeadTimeNull = t == null
-            rHeadTime = if (rHeadTimeNull) 0L else timeToLong(t)
-          } else { rHead = null; rHeadKey = null }
+        private def advanceRight(): Unit = {
+          var done = false
+          while (!done) {
+            if (rIter.hasNext) {
+              rHead = rIter.next().copy() // iterator rows are reused buffers
+              rHeadKey = rKeyProj(rHead).copy()
+              // SQL join equality: NULL matches nothing — the natural
+              // ordering below compares NULLs as EQUAL, so a null-keyed
+              // right row must never become a candidate. Discard here.
+              if (!rHeadKey.anyNull) {
+                val t = rTimeRef.eval(rHead)
+                rHeadTimeNull = t == null
+                rHeadTime = if (rHeadTimeNull) 0L else timeToLong(t)
+                done = true
+              }
+            } else { rHead = null; rHeadKey = null; done = true }
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
+          // NULL join keys match nothing (SQL/DuckDB ASOF semantics):
+          // emit the null-right row without consuming any right rows.
+          if (lKey.anyNull) return toUnsafe(joiner(l, nullRight))
           val lt = lTimeRef.eval(l)
           if (lt == null) return toUnsafe(joiner(l, nullRight))
           val ltv = timeToLong(lt)

@@ -218,13 +218,19 @@ class PagedWrite(path: String, inputSchema: StructType, truncate: Boolean)
     val dir = new java.io.File(path)
     val committed = messages.toSeq
       .flatMap { case PageFileCommit(fs) => fs }
-      .sortBy(_._2) // key order: range-partitioned input ⇒ disjoint pages
+    // Append (BATCH_WRITE without truncate) must MERGE the prior
+    // manifest, not replace it — the manifest IS the table listing, so
+    // dropping prior entries would silently unlink committed data.
+    val prior =
+      if (truncate) Nil
+      else PagedJsonSource.readManifest(dir).getOrElse(Nil)
+    val merged = (prior ++ committed).sortBy(_._2)
     if (truncate) {
       val keep = committed.map(_._1).toSet
       dir.listFiles().filter(f => f.getName.endsWith(".ndjson")
         && !f.getName.startsWith("_") && !keep(f.getName)).foreach(_.delete())
     }
-    PagedJsonSource.writeManifest(dir, committed)
+    PagedJsonSource.writeManifest(dir, merged)
   }
 
   override def abort(
@@ -248,7 +254,12 @@ class PagedWriterFactory(path: String, inputSchema: StructType)
       private var seq = 0
 
       private def flush(): Unit = if (buf.nonEmpty) {
-        val name = f"part-$partitionId%05d-$seq%05d.ndjson"
+        // taskId makes the name ATTEMPT-unique: a retried or speculative
+        // attempt for the same partition must never collide with the
+        // attempt it races, or its abort() would delete files the winning
+        // attempt already reported in its commit message (the standard V2
+        // commit-protocol rule; see FileCommitProtocol's attempt paths).
+        val name = f"part-$partitionId%05d-$taskId-$seq%05d.ndjson"
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$path/$name"),
           buf.map(k => s"""{"p_partkey":$k}""").mkString("\n")

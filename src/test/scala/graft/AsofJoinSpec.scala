@@ -41,6 +41,29 @@ class AsofJoinSpec extends SparkSpec {
     ))
   }
 
+  test("NULL join keys match nothing (SQL/DuckDB ASOF equality)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(10L), 100L),
+      (2L, Option.empty[Long], 100L), // null left key → null right, always
+      (3L, Option(20L), 100L)
+    ).toDF("l_id", "l_user", "l_ts")
+    val right = Seq(
+      (11L, Option(10L), 90L),
+      (12L, Option.empty[Long], 50L), // null right key → never a candidate
+      (13L, Option(20L), 80L)
+    ).toDF("r_id", "r_user", "r_ts")
+    val got = graft.plans.AsofJoinOps
+      .asofJoin(left, right, Seq("l_user"), Seq("r_user"), "l_ts", "r_ts")
+      .orderBy("l_id").collect()
+      .map(row => (row.getLong(0), Option(row.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      1L -> Some(11L),
+      2L -> None,      // NOT matched to the null-keyed right row
+      3L -> Some(13L)
+    ))
+  }
+
   test("physical plan: AsofJoinExec with EnsureRequirements-planned exchange+sort per side") {
     val (l, r) = tiny
     val df = graft.plans.AsofJoinOps

@@ -102,4 +102,23 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.count() === want.count())
     assert(back.except(want).count() === 0 && want.except(back).count() === 0)
   }
+
+  test("S6d: V2 paged sink append MERGES the prior manifest (no data drop)") {
+    val out = tmpDir("graft_s6d")
+    val all = Tables.part(spark, sf()).select(col("p_partkey"), lit(0).as("page"))
+    val mid = all.agg(max("p_partkey")).head.getLong(0) / 2
+    def write(df: org.apache.spark.sql.DataFrame, mode: SaveMode): Unit =
+      df.repartitionByRange(2, col("p_partkey"))
+        .sortWithinPartitions("p_partkey")
+        .write.format("graft.sources.PagedJsonSource")
+        .option("path", out).mode(mode).save()
+    write(all.filter(col("p_partkey") <= mid), SaveMode.Overwrite)
+    write(all.filter(col("p_partkey") > mid), SaveMode.Append)
+    // the second commit must keep the first write's manifest entries
+    val back = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", out).load().select("p_partkey")
+    val want = all.select("p_partkey")
+    assert(back.count() === want.count(), "append dropped prior pages")
+    assert(back.except(want).count() === 0 && want.except(back).count() === 0)
+  }
 }
