@@ -19,6 +19,10 @@ run / fork := true
 // drops the trailer — so Bench's compact JSON line is truly last.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not the task graph —
+// exclude it from the unused-key lint so the warning can't precede the
+// machine-read output.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

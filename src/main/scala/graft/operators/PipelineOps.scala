@@ -54,6 +54,21 @@ object PipelineOps extends OpGroup {
   private def freshDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the caller's value after. A stateful stream materializes
+    * ONE state-store instance (directory, snapshot/maintenance files,
+    * provider) per shuffle partition at first start — for a bounded
+    * AvailableNow demo stream, 32 instances are pure fixed overhead.
+    * At cluster scale the same knob is sized to the stream's real key
+    * cardinality, not to the batch session default.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "artist_pipeline_e2e" -> artistPipeline,
 
@@ -132,12 +147,14 @@ object PipelineOps extends OpGroup {
           StructType.fromDDL("event_id LONG, ts_us LONG, event_type STRING"),
           stage)
         .withColumn("ts", expr("timestamp_micros(ts_us)"))
-      val q = StreamingOps.dedupWithinWatermark(stream, "7 days")
-        .select("event_id", "event_type")
-        .writeStream.format("parquet").option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 4) {
+        val q = StreamingOps.dedupWithinWatermark(stream, "7 days")
+          .select("event_id", "event_type")
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(sink).orderBy("event_id")
     }),
 
@@ -176,11 +193,13 @@ object PipelineOps extends OpGroup {
           StructType.fromDDL("event_id LONG, ts_us LONG, event_type STRING, value DOUBLE"),
           stage, maxFilesPerTrigger = Some(1))
         .withColumn("ts", expr("timestamp_micros(ts_us)"))
-      val q = StreamingOps.tumblingCounts(stream, "10 minutes", "30 minutes")
-        .writeStream.format("parquet").option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 4) {
+        val q = StreamingOps.tumblingCounts(stream, "10 minutes", "30 minutes")
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(sink).orderBy("w_start", "event_type")
     }),
 

@@ -63,12 +63,23 @@ object ScaleOps extends OpGroup {
     // FNV hashes are engine-specific ⇒ rows-only + MinHashAggSpec.
     "minhash_udaf_signature" -> ((s, d) => {
       val minhash8 = udaf(new MinHashSignature(8))
+      // Shingles come from explode(sequence) + try_element_at — fully
+      // codegen'd — instead of a transform() lambda: higher-order
+      // functions are CodegenFallback (interpreted per doc) and also
+      // materialize the whole shingle array per row before the explode.
+      // try_element_at (not element_at): ANSI mode throws on
+      // out-of-bounds, and docs under 3 words index past the end;
+      // concat_ws skips the resulting NULLs, so short docs still yield
+      // their all-words shingle exactly as slice() did.
       Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))
-        .withColumn("sh", expr(
-          """transform(sequence(0, greatest(size(words) - 3, 0)),
-            |  i -> concat_ws(' ', slice(words, i + 1, 3)))""".stripMargin))
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("words"),
+          explode(sequence(lit(0),
+            greatest(size(col("words")) - 3, lit(0)))).as("i"))
+        .select(col("doc_id"), concat_ws(" ",
+          try_element_at(col("words"), col("i") + 1),
+          try_element_at(col("words"), col("i") + 2),
+          try_element_at(col("words"), col("i") + 3)).as("shingle"))
         .groupBy("doc_id")
         .agg(minhash8(col("shingle")).as("sig"))
         .select(col("doc_id"),
