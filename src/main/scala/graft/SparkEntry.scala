@@ -28,6 +28,7 @@ object SparkEntry {
     operators.SemiStructuredOps,
     operators.SpotifyOps,
     operators.CurationOps,
+    operators.MergeOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -262,6 +262,24 @@ class PlanSpec extends SparkSpec {
       "probe join does not prune cell partitions — full corpus scan")
   }
 
+  test("CDC merge: both arms broadcast the batch — target never shuffles or sorts") {
+    val df = SparkEntry.queries("merge_upsert_cdc")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"merge arms must be broadcast joins:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"),
+      "target side must stream map-side, not shuffle+sort")
+    // MERGE row contract: kept (target - touched keys) + updates + inserts
+    val src = Tables.customer(spark, sf())
+      .filter((col("c_custkey") % 10).isin(1, 3, 7))
+    val nI = src.filter(col("c_custkey") % 10 === 1).count()
+    val nU = src.filter(col("c_custkey") % 10 === 3).count()
+    val nD = src.filter(col("c_custkey") % 10 === 7).count()
+    val nTgt = Tables.customer(spark, sf()).count()
+    assert(df.count() === nTgt - nD + nI)
+    assert(df.filter(col("c_mktsegment") === "UPDATED").count() === nU)
+  }
+
   test("fixed_dot runs inside WholeStageCodegen (no fallback)") {
     graft.functions.VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sf())
