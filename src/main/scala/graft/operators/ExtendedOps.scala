@@ -26,6 +26,17 @@ object ExtendedOps extends OpGroup {
   private def freshDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** SQL-text queries reference fixture tables through a temp view over
+    * the [[Tables]] relation cache — a raw `parquet.`path`` reference
+    * would re-run file listing + footer schema discovery on every
+    * analysis instead of reusing the cached resolved relation.
+    */
+  private def view(s: SparkSession, d: String, table: String): String = {
+    val name = s"graft_${table}_v"
+    Tables(s, d, table).createOrReplaceTempView(name)
+    name
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV staging round trip under a declared schema (header on, typed
     // re-read; doubles survive via shortest-repr text).
@@ -74,7 +85,7 @@ object ExtendedOps extends OpGroup {
       s.sql(
         s"""WITH RECURSIVE up(start_key, k, depth) AS (
            |  SELECT o_orderkey, o_orderkey, 0
-           |  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 97 = 0
+           |  FROM ${view(s, d, "orders")} WHERE o_orderkey % 97 = 0
            |  UNION ALL
            |  SELECT start_key, k DIV 2, depth + 1 FROM up WHERE k > 0)
            |SELECT start_key, CAST(max(depth) AS INT) AS depth_to_root,
@@ -88,10 +99,10 @@ object ExtendedOps extends OpGroup {
     "lateral_topk_join" -> ((s, d) =>
       s.sql(
         s"""SELECT o.o_orderkey, t.l_partkey, t.l_suppkey, t.l_quantity
-           |FROM parquet.`$d/orders.parquet` o,
+           |FROM ${view(s, d, "orders")} o,
            |LATERAL (
            |  SELECT l_partkey, l_suppkey, l_quantity
-           |  FROM parquet.`$d/lineitem.parquet` l
+           |  FROM ${view(s, d, "lineitem")} l
            |  WHERE l.l_orderkey = o.o_orderkey
            |  ORDER BY l_quantity DESC, l_partkey, l_suppkey LIMIT 2) t
            |WHERE o.o_orderkey % 50 = 0

@@ -99,6 +99,25 @@ object TrainingDataOps extends OpGroup {
         .orderBy("id_a", "id_b")
     }),
 
+    // Mean-pooling: element-wise mean of embeddings per label — the
+    // chunk→document pooling step of an embedding pipeline (pool N
+    // chunk vectors into one doc vector; label stands in for doc id on
+    // the fixture). Exactness: each float is fixed-pointed to a LONG
+    // (×1e6, trunc toward zero — matching DuckDB trunc()), the longs
+    // sum exactly under any partitioning/order (map-side combine on),
+    // and ONE final fp division per output cell is IEEE-identical on
+    // both engines. Shuffle carries (label, pos) partial sums — dim ×
+    // labels rows — regardless of corpus size: 100 TB-shaped.
+    "embedding_mean_pool" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("fx", (col("x").cast("double") * 1e6).cast("long"))
+        .groupBy("label", "pos")
+        .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          round(col("sfx").cast("double") / col("n") / 1e6, 6).as("mean_val"))
+        .orderBy("label", "pos")),
+
     // Language ID by stopword-list scoring with a fixed tie-break order.
     "lang_id_ngram" -> ((s, d) => {
       def score(langWords: Seq[String]): Column =
@@ -245,6 +264,17 @@ object TrainingDataOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // bounded index envelope (list index is 1-based in DuckDB; range()
+    // can't be lateral) + trunc() to mirror Spark's toward-zero cast
+    "embedding_mean_pool" ->
+      """WITH idx AS (SELECT unnest(range(1, 4097)) AS i),
+        |ex AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS pos,
+        |         CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS fx
+        |  FROM embeddings, idx WHERE i <= len(embedding))
+        |SELECT label, pos,
+        |       round(CAST(sum(fx) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_val
+        |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "ann_ivf_topk" -> (
       LlmOps.cosinePairsDuck(
         "b.vec_id < 10 AND a.label = b.label AND a.vec_id <> b.vec_id") +
