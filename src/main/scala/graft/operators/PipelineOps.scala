@@ -203,6 +203,48 @@ object PipelineOps extends OpGroup {
       s.read.parquet(sink).orderBy("w_start", "event_type")
     }),
 
+    // T8 — stream-stream inner join: clicks ⋈ purchases on user within a
+    // 1-hour event-time bound, both sides watermarked (state for a key
+    // is dropped once the watermark passes its join window — bounded
+    // state, the property that makes the join run forever at scale).
+    // Input is bounded and the watermark delay exceeds the staged
+    // disorder, so NOTHING is dropped and the append-mode result equals
+    // the batch join — which is exactly the DuckDB oracle.
+    "stream_stream_join" -> ((s, d) => {
+      val stageC = freshDir("graft_t8_clicks")
+      val stageP = freshDir("graft_t8_purch")
+      val sink = freshDir("graft_t8_sink")
+      val ckpt = freshDir("graft_t8_ckpt")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"))
+      ev.filter(col("event_id") % 10 === 0)
+        .write.mode(SaveMode.Overwrite).json(stageC)
+      ev.filter(col("event_id") % 10 === 1)
+        .write.mode(SaveMode.Overwrite).json(stageP)
+      val ddl = "event_id LONG, ts_us LONG, user_id LONG"
+      def side(dir: String, pre: String) =
+        StreamingOps.fileJsonStream(s, StructType.fromDDL(ddl), dir)
+          .select(col("event_id").as(s"${pre}_id"),
+            expr("timestamp_micros(ts_us)").as(s"${pre}_ts"),
+            col("user_id").as(s"${pre}_user"))
+          .withWatermark(s"${pre}_ts", "2 hours")
+      withShufflePartitions(s, 4) {
+        val q = side(stageC, "click").join(side(stageP, "purch"),
+            expr("""click_user = purch_user AND
+                   |click_ts BETWEEN purch_ts - INTERVAL 6 HOUR
+                   |AND purch_ts""".stripMargin))
+          .select(col("click_id"), col("purch_id"), col("click_user"),
+            unix_micros(col("click_ts")).as("click_us"),
+            unix_micros(col("purch_ts")).as("purch_us"))
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(sink).orderBy("click_id", "purch_id")
+    }),
+
     // T7 — token-cache keyed state in its batch form (same serveTokens
     // state function the stream runs; StreamingSpec covers the streaming
     // path). Not SQL-expressible (recursive state) ⇒ rows-only check.
@@ -252,5 +294,19 @@ object PipelineOps extends OpGroup {
     "stream_dedup" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_id % 5 = 0 ORDER BY event_id""".stripMargin,
+    // batch join = the stream-stream join's append-mode result on
+    // bounded input (watermark delay > staged disorder ⇒ zero drops)
+    "stream_stream_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
+        |c AS (SELECT event_id AS click_id, ts_us AS click_us, user_id
+        |      FROM ev WHERE event_id % 10 = 0),
+        |p AS (SELECT event_id AS purch_id, ts_us AS purch_us, user_id
+        |      FROM ev WHERE event_id % 10 = 1)
+        |SELECT click_id, purch_id, c.user_id AS click_user,
+        |       click_us, purch_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND click_us BETWEEN purch_us - 21600000000 AND purch_us
+        |ORDER BY click_id, purch_id""".stripMargin,
   )
 }
