@@ -90,7 +90,7 @@ object SourceOps extends OpGroup {
             page.map(k => s"""{"p_partkey":$k}""").mkString("\n")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           manifest.append(
-            s"""{"file":"$name","lo":${page.head},"hi":${page.last}}""" + "\n")
+            s"""{"file":"$name","lo":${page.head},"hi":${page.last},"n":${page.length}}""" + "\n")
         }
       // per-page key bounds — the row-group/manifest stats the scan prunes on
       java.nio.file.Files.write(
@@ -138,6 +138,20 @@ object SourceOps extends OpGroup {
           min("p_partkey").as("first_key"),
           max("p_partkey").as("last_key"))
         .orderBy("page")
+    }),
+
+    // S6d — aggregate pushdown: MIN/MAX/COUNT answered from the
+    // manifest's per-page stats (key bounds + row counts) without
+    // opening ONE page file — the parquet-footer/Iceberg-manifest stats
+    // trick, through DSv2 SupportsPushDownAggregates. PlanSpec asserts
+    // the plan scans PagedJsonAggScan (no page partitions); the oracle
+    // asserts the stats agree with the brute-force scan.
+    "paged_agg_pushdown" -> ((s, d) => {
+      val dir = stagePages(s, d)
+      s.read.format("graft.sources.PagedJsonSource")
+        .option("path", dir).load()
+        .agg(min("p_partkey").as("min_key"), max("p_partkey").as("max_key"),
+          count(lit(1)).as("n_rows"))
     }),
 
     // S6 — offset-ladder pagination over the sorted scan: page id, size,
@@ -216,6 +230,10 @@ object SourceOps extends OpGroup {
     // writer→manifest→reader must be the identity on the key set
     "paged_sink_roundtrip" ->
       "SELECT p_partkey FROM part ORDER BY p_partkey",
+    // manifest-answered stats must equal the brute-force scan
+    "paged_agg_pushdown" ->
+      """SELECT min(p_partkey) AS min_key, max(p_partkey) AS max_key,
+        |       count(*) AS n_rows FROM part""".stripMargin,
     // the DSv2 path must reproduce the offset-union summary exactly
     "paginated_source_dsv2" ->
       """WITH pages AS (

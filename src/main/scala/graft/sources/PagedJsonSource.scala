@@ -5,6 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -44,6 +45,14 @@ class PagedJsonSource extends TableProvider {
     new PagedJsonTable(properties.get("path"))
 }
 
+/** One manifest entry: page file name, inclusive key bounds, and (when
+  * the producer recorded it) the page's row count — the same per-file
+  * stats tuple an Iceberg manifest or a parquet footer carries. `n`
+  * is optional for manifest-format compatibility; aggregate pushdown
+  * of COUNT requires it.
+  */
+final case class PageMeta(file: String, lo: Long, hi: Long, n: Option[Long])
+
 object PagedJsonSource {
   val PageSize = 50
   // nullable: the WRITE-side schema check rejects nullable inputs into
@@ -53,27 +62,28 @@ object PagedJsonSource {
     StructField("page", IntegerType, nullable = true)))
 
   private val entryRe =
-    """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
+    """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)(?:,"n":(\d+))?\}""".r
 
-  /** Manifest entries (file, lo, hi) in commit order, if present. */
-  def readManifest(dir: java.io.File): Option[Seq[(String, Long, Long)]] = {
+  /** Manifest entries in commit order, if a manifest is present. */
+  def readManifest(dir: java.io.File): Option[Seq[PageMeta]] = {
     val m = new java.io.File(dir, "_manifest.ndjson")
     if (!m.isFile) None
     else {
       val src = scala.io.Source.fromFile(m)
       try Some(src.getLines().collect {
-        case entryRe(f, lo, hi) => (f, lo.toLong, hi.toLong)
+        case entryRe(f, lo, hi, n) =>
+          PageMeta(f, lo.toLong, hi.toLong, Option(n).map(_.toLong))
       }.toSeq)
       finally src.close()
     }
   }
 
-  def writeManifest(dir: java.io.File,
-      entries: Seq[(String, Long, Long)]): Unit =
+  def writeManifest(dir: java.io.File, entries: Seq[PageMeta]): Unit =
     java.nio.file.Files.write(
       new java.io.File(dir, "_manifest.ndjson").toPath,
-      entries.map { case (f, lo, hi) =>
-        s"""{"file":"$f","lo":$lo,"hi":$hi}"""
+      entries.map { m =>
+        s"""{"file":"${m.file}","lo":${m.lo},"hi":${m.hi}""" +
+          m.n.map(v => s""","n":$v""").getOrElse("") + "}"
       }.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
@@ -95,10 +105,12 @@ class PagedJsonTable(path: String) extends Table
 
 class PagedScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var limit: Int = -1
   private var required: StructType = PagedJsonSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggValues: Option[Seq[Any]] = None
+  private var aggDesc: Seq[String] = Nil
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   // whole-file pages: we prune page COUNT, not rows within a page
   override def isPartiallyPushed: Boolean = true
@@ -114,8 +126,81 @@ class PagedScanBuilder(path: String) extends ScanBuilder
     filters // ALL remain residual: pruning is page-granular, not row-exact
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new PagedScan(path, required, limit, pushed)
+
+  /** PARTIAL aggregate pushdown answered from the MANIFEST alone —
+    * MIN/MAX(p_partkey) from the per-page key bounds, COUNT(*) from the
+    * per-page row counts — the same trick parquet's DSv2 scan plays
+    * with footer stats: zero data files are opened. Partial (not
+    * complete) pushdown: the scan emits one stats row and Spark's final
+    * aggregate folds it, so types/names stay Spark's problem. Spark
+    * only attempts aggregate pushdown when NO post-scan filter remains;
+    * this source keeps every filter residual, so pushdown can only fire
+    * on unfiltered scans — bounds stay exact by construction.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def isKey(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: NamedReference =>
+          nr.fieldNames.length == 1 && nr.fieldNames.head == "p_partkey"
+        case _ => false
+      }
+    if (aggregation.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0)
+      return false
+    val metas = PagedJsonSource.readManifest(new java.io.File(path))
+      .getOrElse(return false)
+    val haveCounts = metas.forall(_.n.isDefined)
+    val values = aggregation.aggregateExpressions.toSeq.map {
+      case m: Min if isKey(m.column) =>
+        if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.lo).min)
+      case m: Max if isKey(m.column) =>
+        if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.hi).max)
+      case _: CountStar if haveCounts =>
+        java.lang.Long.valueOf(metas.flatMap(_.n).sum)
+      case _ => return false
+    }
+    aggValues = Some(values)
+    aggDesc = aggregation.aggregateExpressions.toSeq.map(_.describe)
+    true
+  }
+
+  override def build(): Scan = aggValues match {
+    case Some(vs) => new PagedAggScan(path, vs, aggDesc)
+    case None => new PagedScan(path, required, limit, pushed)
+  }
 }
+
+/** Scan for a pushed-down aggregation: one partition, one row, computed
+  * at plan time from `_manifest.ndjson`. No page file is ever opened.
+  */
+class PagedAggScan(path: String, values: Seq[Any], descs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(values.indices.map(i =>
+    StructField(s"pushed_agg_$i", LongType, nullable = true)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PagedJsonAggScan(path=$path, PushedAggregates=[${descs.mkString(", ")}])"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AggResultPartition(values.toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[AggResultPartition].values
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow = InternalRow.fromSeq(
+            vals.toSeq.map {
+              case null => null
+              case l: java.lang.Long => l.longValue()
+            })
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class AggResultPartition(values: Array[Any]) extends InputPartition
 
 class PagedScan(path: String, required: StructType, val pushedLimit: Int,
     val pushed: Array[Filter] = Array.empty) extends Scan with Batch {
@@ -146,8 +231,8 @@ class PagedScan(path: String, required: StructType, val pushedLimit: Int,
     // position / file name), so pruning cannot renumber surviving pages.
     val pages: Seq[(java.io.File, Int, Option[(Long, Long)])] =
       PagedJsonSource.readManifest(dir) match {
-        case Some(entries) => entries.zipWithIndex.map { case ((f, lo, hi), i) =>
-          (new java.io.File(dir, f), i, Some((lo, hi)))
+        case Some(entries) => entries.zipWithIndex.map { case (m, i) =>
+          (new java.io.File(dir, m.file), i, Some((m.lo, m.hi)))
         }
         case None => dir.listFiles()
           .filter(_.getName.matches("page-\\d+\\.ndjson"))
@@ -197,7 +282,7 @@ class PagedWriteBuilder(path: String, inputSchema: StructType)
     new PagedWrite(path, inputSchema, doTruncate)
 }
 
-case class PageFileCommit(files: Seq[(String, Long, Long)])
+case class PageFileCommit(files: Seq[PageMeta])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class PagedWrite(path: String, inputSchema: StructType, truncate: Boolean)
@@ -224,9 +309,9 @@ class PagedWrite(path: String, inputSchema: StructType, truncate: Boolean)
     val prior =
       if (truncate) Nil
       else PagedJsonSource.readManifest(dir).getOrElse(Nil)
-    val merged = (prior ++ committed).sortBy(_._2)
+    val merged = (prior ++ committed).sortBy(_.lo)
     if (truncate) {
-      val keep = committed.map(_._1).toSet
+      val keep = committed.map(_.file).toSet
       dir.listFiles().filter(f => f.getName.endsWith(".ndjson")
         && !f.getName.startsWith("_") && !keep(f.getName)).foreach(_.delete())
     }
@@ -238,7 +323,7 @@ class PagedWrite(path: String, inputSchema: StructType, truncate: Boolean)
       : Unit =
     messages.foreach {
       case PageFileCommit(fs) =>
-        fs.foreach(f => new java.io.File(path, f._1).delete())
+        fs.foreach(f => new java.io.File(path, f.file).delete())
       case _ =>
     }
 }
@@ -250,7 +335,7 @@ class PagedWriterFactory(path: String, inputSchema: StructType)
     val keyIdx = inputSchema.fieldIndex("p_partkey")
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-      private val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      private val files = scala.collection.mutable.ArrayBuffer.empty[PageMeta]
       private var seq = 0
 
       private def flush(): Unit = if (buf.nonEmpty) {
@@ -264,7 +349,7 @@ class PagedWriterFactory(path: String, inputSchema: StructType)
           java.nio.file.Paths.get(s"$path/$name"),
           buf.map(k => s"""{"p_partkey":$k}""").mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        files += ((name, buf.head, buf.last))
+        files += PageMeta(name, buf.head, buf.last, Some(buf.length.toLong))
         buf.clear(); seq += 1
       }
 
@@ -277,7 +362,7 @@ class PagedWriterFactory(path: String, inputSchema: StructType)
         flush(); PageFileCommit(files.toSeq)
       }
       override def abort(): Unit =
-        files.foreach(f => new java.io.File(path, f._1).delete())
+        files.foreach(f => new java.io.File(path, f.file).delete())
       override def close(): Unit = ()
     }
   }

@@ -262,6 +262,28 @@ class PlanSpec extends SparkSpec {
       "probe join does not prune cell partitions — full corpus scan")
   }
 
+  test("DSv2 paged source: MIN/MAX/COUNT answered from the manifest (agg pushdown)") {
+    val df = SparkEntry.queries("paged_agg_pushdown")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PagedJsonAggScan"),
+      s"aggregation not pushed to the manifest scan:\n${p.take(600)}")
+    assert(p.contains("PushedAggregates=[MIN(p_partkey), MAX(p_partkey), COUNT(*)]"), p)
+    // the manifest-answered stats equal the brute-force scan's
+    val row = df.collect().head
+    val want = Tables.part(spark, sf())
+      .agg(min("p_partkey"), max("p_partkey"), count(lit(1))).collect().head
+    assert(row === want)
+    // a FILTERED aggregate must NOT push (filters stay residual here,
+    // and residual filters make manifest stats unsafe for aggregation)
+    val filtered = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", /* same staged dir */ {
+        graft.operators.SourceOps.stagePages(spark, sf())
+      }).load()
+      .filter(col("p_partkey") > 100)
+      .agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PagedJsonAggScan"))
+  }
+
   test("CDC merge: both arms broadcast the batch — target never shuffles or sorts") {
     val df = SparkEntry.queries("merge_upsert_cdc")(spark, sf())
     val p = df.queryExecution.executedPlan.toString

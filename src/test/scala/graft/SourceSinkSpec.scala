@@ -87,12 +87,13 @@ class SourceSinkSpec extends SparkSpec {
       .getOrElse(fail("commit() did not write a manifest"))
     // every listed file exists; bounds are key-ordered and non-overlapping
     // (range-partitioned + sorted input ⇒ disjoint pages)
-    entries.foreach { case (f, lo, hi) =>
+    entries.foreach { case graft.sources.PageMeta(f, lo, hi, n) =>
       assert(new java.io.File(out, f).isFile, s"manifest lists missing $f")
+      assert(n.exists(_ > 0), s"page $f missing row count")
       assert(lo <= hi)
     }
     assert(entries.sliding(2).forall {
-      case Seq((_, _, h1), (_, l2, _)) => h1 < l2
+      case Seq(a, b) => a.hi < b.lo
       case _ => true
     }, "pages overlap — manifest not key-disjoint")
     // read-back through the manifest is the identity on the key set
