@@ -77,6 +77,65 @@ object SemiStructuredOps extends OpGroup {
     path
   }
 
+  /** PQ codebooks, fitted once per dataset driver-side on a
+    * deterministic md5-ordered hash sample of NORMALIZED vectors —
+    * offline model fitting, like [[quantizer]]. m=8 subspaces, k=16
+    * codes: 64-dim float32 → 8 small ints, ~32× scan compression.
+    */
+  private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  private def pqCodebook(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqCodebooks.computeIfAbsent(d, _ => {
+      graft.functions.VectorFunctions.register(s)
+      val sample = Tables.embeddings(s, d)
+        .withColumn("__n", graft.functions.VectorFunctions.norm("embedding"))
+        .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+        .select(md5(col("vec_id").cast("string")).as("h"),
+          expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))").as("ne"))
+        .orderBy("h").collect()
+        .map(_.getSeq[Float](1).toArray)
+      graft.functions.AnnPq.fitCodebooks(sample, m = 8, k = 16)
+    })
+
+  /** PQ serving layout, written once per (session, dataset): the
+    * normalized vectors + their codes as one parquet, the codebook
+    * flattened to (j, code, idx, val) rows as a sibling — the learned
+    * model's output as plain INPUT DATA, so the DuckDB oracle re-derives
+    * the full fixed-point ADC ranking from scratch (same pattern as the
+    * IVF layout oracle).
+    */
+  private val pqLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  @volatile private var lastPqLayout: String = "/tmp/graft_pq/UNMATERIALIZED"
+
+  private def pqLayout(s: SparkSession, d: String): String = {
+    val path = pqLayouts.computeIfAbsent(d, _ => {
+      val cb = pqCodebook(s, d)
+      graft.functions.AnnPq.register(s, cb)
+      graft.functions.VectorFunctions.register(s)
+      val p = s"/tmp/graft_pq/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
+      Tables.embeddings(s, d)
+        .withColumn("__n", graft.functions.VectorFunctions.norm("embedding"))
+        .withColumn("ne",
+          expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))"))
+        .withColumn("codes", expr("pq_encode(ne)"))
+        .select("vec_id", "ne", "codes")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      import s.implicits._
+      val sub = cb(0)(0).length
+      (for { j <- cb.indices; k <- cb(j).indices; dd <- 0 until sub }
+        yield (j, k, j * sub + dd + 1, cb(j)(k)(dd)))
+        .toDF("j", "code", "idx", "val")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$p.codebook")
+      p
+    })
+    lastPqLayout = path
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // VARIANT parse + typed path extraction.
     "variant_semistructured" -> ((s, d) =>
@@ -96,6 +155,29 @@ object SemiStructuredOps extends OpGroup {
     "ann_kmeans_ivf" -> ((s, d) =>
       graft.functions.AnnIvf.topk(s, Tables.embeddings(s, d),
         quantizer(s, d), col("vec_id") < 10, topK = 3, nprobe = 2)),
+
+    // PQ-ADC search over the persisted code layout: the corpus is
+    // scanned as 8 small ints per vector (~32× smaller than the float
+    // vectors), scored against EXACT queries by fixed-point ADC
+    // (asymmetric distance), top-3 per query. Codes + codebook are
+    // persisted data, so DuckDB re-derives the identical ranking —
+    // a GREEN-hash approximate-NN operator.
+    "ann_pq_adc" -> ((s, d) => {
+      val stored = s.read.parquet(pqLayout(s, d))
+      graft.functions.AnnPq.register(s, pqCodebook(s, d))
+      val q = stored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+      val scored = stored.select(col("vec_id"), col("codes"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("fx", expr("pq_adc(q_ne, codes)"))
+      val w = Window.partitionBy("q_id").orderBy(col("fx").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("fx").cast("double") / 1e15, 6).as("adc_cosine"))
+        .orderBy("q_id", "rank")
+    }),
 
     // The SERVING form of the same search: probe the cell-partitioned
     // parquet layout — cells assigned at write time, probe filters prune
@@ -121,6 +203,31 @@ object SemiStructuredOps extends OpGroup {
     * guaranteed here by well-separated centroids (AnnSpec measures them).
     */
   def oracleSql: Map[String, String] = Map(
+    // fixed-point ADC re-derived from the persisted codes + codebook:
+    // Σ floor(q[idx]·val·1e15) as BIGINT is order-independent, so the
+    // ranking is bit-identical to PqAdcScore's long sum
+    "ann_pq_adc" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, ne, codes FROM read_parquet('$lastPqLayout/*.parquet')),
+         |q AS (SELECT vec_id AS q_id, ne AS q_ne FROM corpus WHERE vec_id < 10),
+         |cb AS (SELECT j, code, idx, val
+         |       FROM read_parquet('$lastPqLayout.codebook/*.parquet')),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         sum(CAST(floor(CAST(q.q_ne[cb.idx] AS DOUBLE) * cb.val * 1e15)
+         |             AS BIGINT)) AS fx
+         |  FROM q CROSS JOIN corpus c
+         |  JOIN cb ON cb.code = c.codes[cb.j + 1]
+         |  WHERE c.vec_id <> q.q_id
+         |  GROUP BY q.q_id, c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, fx,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY fx DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+         |       round(CAST(fx AS DOUBLE) / 1e15, 6) AS adc_cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "variant_semistructured" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,

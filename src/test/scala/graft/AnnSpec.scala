@@ -82,6 +82,33 @@ class AnnSpec extends SparkSpec {
     assert(served === mem)
   }
 
+  test("PQ: 8 small-int codes per vector; ADC self-score preserves most of the unit norm") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    graft.functions.VectorFunctions.register(spark)
+    val ne = Tables.embeddings(spark, sf())
+      .withColumn("__n", graft.functions.VectorFunctions.norm("embedding"))
+      .select(expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))"))
+      .limit(100).collect().map(_.getSeq[Float](0).toArray)
+    val cb = graft.functions.AnnPq.fitCodebooks(ne, m = 8, k = 16)
+    assert(cb.length === 8 && cb.forall(_.length === 16))
+    val selfScores = ne.map { v =>
+      val arr = new GenericArrayData(v)
+      val codes = graft.functions.AnnPq.encodeVec(arr, cb)
+      assert(codes.numElements() === 8) // 64 floats (256 B) → 8 codes
+      (0 until 8).foreach(j =>
+        assert(codes.getInt(j) >= 0 && codes.getInt(j) < 16))
+      graft.functions.AnnPq.adcDot(arr, codes, cb) / 1e15
+    }
+    // exact self-dot is 1.0 (unit vectors); the quantized reconstruction
+    // must preserve well over half of it on average or the codebook
+    // carries no signal
+    val mean = selfScores.sum / selfScores.length
+    assert(mean > 0.5, s"mean ADC self-score $mean — codebook too lossy")
+    // determinism: refit from the same sample gives identical codebooks
+    val cb2 = graft.functions.AnnPq.fitCodebooks(ne, m = 8, k = 16)
+    assert(cb.flatten.flatten.toSeq === cb2.flatten.flatten.toSeq)
+  }
+
   test("kmeans IVF is deterministic across invocations (fixed seed)") {
     val a = SparkEntry.queries("ann_kmeans_ivf")(spark, sf())
       .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet

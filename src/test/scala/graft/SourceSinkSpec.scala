@@ -104,6 +104,33 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.except(want).count() === 0 && want.except(back).count() === 0)
   }
 
+  test("S6e: losing speculative attempt's abort cannot delete the winner's pages") {
+    // Drive the V2 writer protocol by hand: two attempts for the SAME
+    // partition (speculation/retry), winner commits, loser aborts. With
+    // attempt-unique file names the loser's abort must leave every file
+    // the winner reported in its commit message intact.
+    val out = tmpDir("graft_s6e")
+    val factory = new graft.sources.PagedWriterFactory(out,
+      graft.sources.PagedJsonSource.schema)
+    def runAttempt(taskId: Long) = {
+      val w = factory.createWriter(partitionId = 0, taskId = taskId)
+      (1L to 120L).foreach(k => w.write(
+        org.apache.spark.sql.catalyst.InternalRow(k, 0)))
+      w
+    }
+    val winner = runAttempt(taskId = 7L)
+    val loser = runAttempt(taskId = 8L)
+    val msg = winner.commit().asInstanceOf[graft.sources.PageFileCommit]
+    loser.abort() // the race: abort lands AFTER the winner committed
+    msg.files.foreach { m =>
+      assert(new java.io.File(out, m.file).isFile,
+        s"loser's abort deleted the winner's committed page ${m.file}")
+      assert(m.n.exists(_ > 0), s"page ${m.file} missing row count")
+    }
+    // and the winner's pages carry all 120 rows
+    assert(msg.files.flatMap(_.n).sum === 120L)
+  }
+
   test("S6d: V2 paged sink append MERGES the prior manifest (no data drop)") {
     val out = tmpDir("graft_s6d")
     val all = Tables.part(spark, sf()).select(col("p_partkey"), lit(0).as("page"))
