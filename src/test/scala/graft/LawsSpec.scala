@@ -50,6 +50,23 @@ object LawsSpec extends Properties("GraftLaws") {
       sizesOk && back == ids.toSet
     }
 
+  // S6: the page manifest is a lossless serialization — read(write(x)) = x
+  property("paged manifest write/read roundtrip is the identity") =
+    forAll(Gen.listOf(for {
+      f <- Gen.identifier.map(_.take(12) + ".ndjson")
+      lo <- Gen.chooseNum(-1000L, 1000L)
+      span <- Gen.chooseNum(0L, 1000L)
+      n <- Gen.option(Gen.chooseNum(1L, 50L))
+    } yield graft.sources.PageMeta(f, lo, lo + span, n))) { entries =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_law_mf").toFile
+      try {
+        graft.sources.PagedJsonSource.writeManifest(dir, entries)
+        graft.sources.PagedJsonSource.readManifest(dir).contains(entries)
+      } finally {
+        new java.io.File(dir, "_manifest.ndjson").delete(); dir.delete()
+      }
+    }
+
   // O3: union keeps bag semantics (extend(), no dedup)
   property("unionByName adds multiplicities") =
     forAll(idsGen, idsGen) { (a, b) =>

