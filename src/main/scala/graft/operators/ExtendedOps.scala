@@ -170,6 +170,32 @@ object ExtendedOps extends OpGroup {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // BigQuery HLL_COUNT.{INIT,MERGE,EXTRACT} analog (the warehouse
+    // surface a reference user actually calls for distinct counts):
+    // DataSketches HLL sketches built per group (INIT), unioned upward
+    // (MERGE — the sketches are a commutative monoid, so partial
+    // aggregation and incremental day→month rollups are free), estimate
+    // extracted at the end. The global row is derived by UNIONING the
+    // per-nation sketches, never re-scanning — the 100 TB rollup shape.
+    // Estimates are engine-specific ⇒ rows-only; HllSpec pins the
+    // ε-accuracy vs exact and the merge-equals-whole law.
+    "hll_count_rollup" -> ((s, d) => {
+      val perNation = Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"),
+          count(lit(1)).as("n_rows"))
+      val global = perNation
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit(-1).as("c_nationkey"),
+          hll_sketch_estimate(col("sk")).as("est_distinct"), col("n_rows"))
+      perNation
+        .select(col("c_nationkey"),
+          hll_sketch_estimate(col("sk")).as("est_distinct"), col("n_rows"))
+        .unionByName(global)
+        .orderBy("c_nationkey")
+    }),
+
     // Exact moment statistics: mean/stddev from DECIMAL-exact Σx and Σx²
     // then the same IEEE formula on both engines (never stddev()).
     "stats_moments" -> ((s, d) =>

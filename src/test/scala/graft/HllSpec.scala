@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The mergeable-sketch distinct-count surface (`hll_count_rollup` —
+  * BigQuery HLL_COUNT.{INIT,MERGE,EXTRACT} analog). Estimates are
+  * engine-specific, so the driver's check is rows-only; these laws pin
+  * what matters: ε-accuracy against the exact counts and the monoid
+  * property (union of partial sketches == sketch of the whole), which
+  * is what makes sketch rollups correct under ANY partitioning.
+  */
+class HllSpec extends SparkSpec {
+
+  test("HLL rollup: estimates within 5% of exact; merged == whole-table sketch") {
+    val rows = SparkEntry.queries("hll_count_rollup")(spark, sf()).collect()
+    val exact = Tables.customer(spark, sf())
+      .groupBy("c_nationkey").agg(countDistinct("c_custkey").as("d"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.filter(_.getInt(0) >= 0).foreach { r =>
+      val e = exact(r.getInt(0)).toDouble
+      assert(math.abs(r.getLong(1) - e) / e <= 0.05,
+        s"nation ${r.getInt(0)}: est ${r.getLong(1)} vs exact $e")
+    }
+    val g = rows.find(_.getInt(0) == -1)
+      .getOrElse(fail("missing global rollup row"))
+    val totalExact = Tables.customer(spark, sf())
+      .select("c_custkey").distinct().count().toDouble
+    assert(math.abs(g.getLong(1) - totalExact) / totalExact <= 0.05)
+    // merge law: union of the per-nation sketches estimates exactly what
+    // one sketch over the whole table estimates
+    val whole = Tables.customer(spark, sf())
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("c_custkey"), lit(12))).as("e"))
+      .head.getLong(0)
+    assert(g.getLong(1) === whole,
+      "unioned partial sketches disagree with the whole-table sketch")
+  }
+}

@@ -19,7 +19,10 @@ class RegistrySpec extends SparkSpec {
       "stateful_token_cache",      // recursive keyed state, not SQL-expressible
       "watermark_late_drop",       // append-mode emission timing
       "ann_kmeans_ivf",            // learned-model output
-      "percentile_approx_scale")   // sketch output
+      "percentile_approx_scale",   // sketch output
+      "hll_count_rollup")          // DataSketches estimates (BigQuery
+                                   // HLL_COUNT analog); ε + merge law
+                                   // pinned in HllSpec
     // ann_ivf_partition_pruned graduated to a structural oracle in round 3:
     // the serving layout + persisted centroids are inputs, DuckDB re-derives
     // the probe + exact cosine top-k (SemiStructuredOps.oracleSql).
