@@ -106,6 +106,42 @@ object StreamingOps {
     (out, st)
   }
 
+  case class KeyCount(n: Long, lastTs: Long)
+  case class ExpiryEvent(user_id: Long, kind: String, n: Long)
+
+  /** Keyed running count with EVENT-TIME state timeout — the staging
+    * TTL / token-expiry rule expressed as state-store EVICTION: a key
+    * idle past `gapMs` of event time is removed when the watermark
+    * passes its deadline, emitting a final ("expired", n) tombstone.
+    * This is what bounds state size on a forever-running keyed stream:
+    * without a timeout, every key ever seen stays in the store.
+    */
+  def expiringCounts(events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[ExpiryEvent] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KeyCount, ExpiryEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp)],
+         gs: GroupState[KeyCount]) =>
+          if (gs.hasTimedOut) {
+            val n = gs.get.n
+            gs.remove() // eviction: the key's state leaves the store
+            Iterator(ExpiryEvent(k, "expired", n))
+          } else {
+            val rows = it.toList
+            val maxTs = rows.map(_._2.getTime).max
+            val n = (if (gs.exists) gs.get.n else 0L) + rows.size
+            gs.update(KeyCount(n, maxTs))
+            gs.setTimeoutTimestamp(maxTs + gapMs) // deadline: last + gap
+            Iterator(ExpiryEvent(k, "active", n))
+          }
+      }
+  }
+
   /** T7 — keyed state with timeout over a request stream. */
   def tokenCacheStream(reqs: Dataset[TokenRequest]): Dataset[TokenGrant] = {
     import reqs.sparkSession.implicits._

@@ -69,6 +69,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows("click") === 2) // late event 4 did NOT land
   }
 
+  test("T10: event-time GroupStateTimeout evicts idle keys with a tombstone") {
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp)](spark)
+    val q = StreamingOps.expiringCounts(in.toDS())
+      .writeStream.format("memory").queryName("t10_out")
+      .outputMode("append").start()
+    // batch 1: keys 1 and 2 at 10:00
+    in.addData((1L, ts(0)), (2L, ts(0)))
+    q.processAllAvailable()
+    // batch 2: key 1 again at 12:00 — watermark jumps past key 2's
+    // 30-min deadline (10:30)...
+    in.addData((1L, ts(120)))
+    q.processAllAvailable()
+    // batch 3: ...and the NEXT micro-batch fires the timeout for key 2
+    in.addData((1L, ts(121)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT user_id, kind, n FROM t10_out")
+      .as[(Long, String, Long)].collect()
+    assert(rows.contains((2L, "expired", 1L)),
+      s"idle key 2 not evicted: ${rows.mkString(", ")}")
+    assert(!rows.exists(r => r._1 == 1L && r._2 == "expired"),
+      "active key 1 must not expire")
+    assert(rows.filter(r => r._1 == 1L && r._2 == "active").map(_._3).max === 3L)
+  }
+
   test("T6: dropDuplicatesWithinWatermark is exactly-once per event_id") {
     val in = MemoryStream[(Long, Timestamp, String, Double)](spark)
     val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
