@@ -40,7 +40,81 @@ object TrainingDataOps extends OpGroup {
     (sums, bits.reduce(_ bitwiseOR _))
   }
 
+  /** Random-hyperplane LSH layout, persisted once per (session, dataset):
+    * 16 fixed-seed Gaussian hyperplanes (the projection matrix is model
+    * metadata, persisted like the PQ codebook), each vector's 16-bit
+    * signature = sign bits of its fixed-point dots with the planes.
+    * sign(dot) is computed in exact long arithmetic (Σ floor(x·r·1e15)),
+    * so the signature — and therefore every bucket — is bit-identical
+    * in DuckDB, which re-derives the whole pipeline from the persisted
+    * (vectors, projections) as the oracle.
+    */
+  private val lshLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  @volatile private var lastLshLayout: String = "/tmp/graft_lsh/UNMATERIALIZED"
+
+  private def lshLayout(s: SparkSession, d: String): String = {
+    val path = lshLayouts.computeIfAbsent(d, _ => {
+      graft.functions.VectorFunctions.register(s)
+      val p = s"/tmp/graft_lsh/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
+      val dim = Tables.embeddings(s, d)
+        .select(size(col("embedding"))).head.getInt(0)
+      val rnd = new scala.util.Random(42L)
+      val planes: IndexedSeq[Array[Float]] =
+        (0 until 16).map(_ => Array.fill(dim)(rnd.nextGaussian().toFloat))
+      val sig = (0 until 16).map(i =>
+        when(call_function("fixed_dot", col("ne"), typedlit(planes(i))) >= 0,
+          shiftleft(lit(1L), i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+      Tables.embeddings(s, d)
+        .withColumn("__n", graft.functions.VectorFunctions.norm("embedding"))
+        .withColumn("ne",
+          expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))"))
+        .withColumn("sig", sig)
+        .select("vec_id", "ne", "sig")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      import s.implicits._
+      (for { i <- 0 until 16; dd <- 0 until dim }
+        yield (i, dd + 1, planes(i)(dd).toDouble))
+        .toDF("i", "idx", "val")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$p.proj")
+      p
+    })
+    lastLshLayout = path
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding near-dup via random-hyperplane LSH: candidates are
+    // pairs agreeing on ANY 4-bit signature band — ONE equi-join on
+    // (band index, band value) after a 4-way band explode, never a
+    // cross join — then exact fixed-point cosine over the candidates.
+    // Completes the ANN family: IVF (cells), PQ (compression), LSH
+    // (signature blocking).
+    "lsh_hyperplane_near_dup" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val stored = s.read.parquet(lshLayout(s, d))
+      val bands = stored.select(col("vec_id"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("sig"), 4 * k).bitwiseAND(lit(15L))): _*))
+          .as(Seq("bk", "bv")))
+      val cand = bands.select(col("vec_id").as("id_a"), col("bk"), col("bv"))
+        .join(bands.select(col("vec_id").as("id_b"), col("bk"), col("bv")),
+          Seq("bk", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val va = stored.select(col("vec_id").as("id_a"), col("ne").as("ne_a"))
+      val vb = stored.select(col("vec_id").as("id_b"), col("ne").as("ne_b"))
+      cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos",
+          call_function("fixed_dot", col("ne_a"), col("ne_b"))
+            .cast("double") / 1e15) // unit vectors ⇒ dot IS cosine
+        .filter(col("cos") >= 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash near-dup fingerprint; hash values are engine-specific ⇒
     // rows-only check here, pairing semantics in SimHashSpec.
     "simhash_dedup" -> ((s, d) => {
@@ -263,7 +337,47 @@ object TrainingDataOps extends OpGroup {
         .orderBy("doc_id")),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  // `def`: the LSH oracle embeds the session's persisted layout path
+  // (see SemiStructuredOps for the pattern — Verify runs queries first)
+  def oracleSql: Map[String, String] = Map(
+    // signatures re-derived from the persisted (vectors, projections):
+    // sign bits of exact fixed-point dots ⇒ identical buckets, then the
+    // same band-blocked candidate set and fixed-point cosine
+    "lsh_hyperplane_near_dup" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, ne FROM read_parquet('$lastLshLayout/*.parquet')),
+         |proj AS (
+         |  SELECT i, idx, val FROM read_parquet('$lastLshLayout.proj/*.parquet')),
+         |dots AS (
+         |  SELECT v.vec_id, p.i,
+         |         sum(CAST(floor(CAST(v.ne[p.idx] AS DOUBLE) * p.val * 1e15)
+         |             AS BIGINT)) AS fx
+         |  FROM vecs v CROSS JOIN proj p
+         |  GROUP BY v.vec_id, p.i),
+         |sigs AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN fx >= 0 THEN (CAST(1 AS BIGINT) << i)
+         |             ELSE 0 END) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, t.k AS bk, (sig >> (4 * t.k)) & 15 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bk = b.bk AND a.bv = b.bv AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(sum(CAST(floor(CAST(va.ne[t.i] AS DOUBLE)
+         |               * CAST(vb.ne[t.i] AS DOUBLE) * 1e15) AS BIGINT))
+         |           AS DOUBLE) / 1e15 AS cos
+         |  FROM cand c JOIN vecs va ON va.vec_id = c.id_a
+         |              JOIN vecs vb ON vb.vec_id = c.id_b
+         |  CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= len(va.ne)
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
+         |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
     // bounded index envelope (list index is 1-based in DuckDB; range()
     // can't be lateral) + trunc() to mirror Spark's toward-zero cast
     "embedding_mean_pool" ->
