@@ -203,12 +203,33 @@ class PagedAggScan(path: String, values: Seq[Any], descs: Seq[String])
 case class AggResultPartition(values: Array[Any]) extends InputPartition
 
 class PagedScan(path: String, required: StructType, val pushedLimit: Int,
-    val pushed: Array[Filter] = Array.empty) extends Scan with Batch {
+    val pushed: Array[Filter] = Array.empty) extends Scan with Batch
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"PagedJsonScan(path=$path, pushedLimit=$pushedLimit, " +
       s"pushedFilters=[${pushed.mkString(", ")}])"
+
+  /** Runtime (DPP-style) filtering: when this table is joined on
+    * `p_partkey` against a filtered dimension, Spark executes the dim
+    * side first and hands the surviving keys back as an IN filter —
+    * `planInputPartitions` then drops every page whose [lo, hi] bounds
+    * contain none of them. Same mechanism as dynamic partition pruning
+    * on a Hive layout, but at page granularity off the manifest stats;
+    * filters stay residual row-level, so pruning can't change results.
+    */
+  private var runtimeKeys: Option[Set[Long]] = None
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("p_partkey"))
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case org.apache.spark.sql.sources.In("p_partkey", vs) =>
+        runtimeKeys = Some(vs.collect { case l: java.lang.Long => l.longValue() }.toSet)
+      case EqualTo("p_partkey", v: Long) => runtimeKeys = Some(Set(v))
+      case _ => ()
+    }
 
   /** Key range implied by the pushed filters, as [lo, hi] inclusive. */
   private def keyRange: (Long, Long) =
@@ -243,9 +264,11 @@ class PagedScan(path: String, required: StructType, val pushedLimit: Int,
       }
     val (lo, hi) = keyRange
     // stats pruning: drop pages whose [lo,hi] is disjoint with the pushed
-    // key range (pages without stats are always kept)
+    // key range (pages without stats are always kept), then with the
+    // runtime keys when a DPP-style filter arrived
     val files = pages.filter(_._3.forall {
-      case (plo, phi) => phi >= lo && plo <= hi
+      case (plo, phi) => phi >= lo && plo <= hi &&
+        runtimeKeys.forall(_.exists(k => k >= plo && k <= phi))
     })
     val keep =
       if (pushedLimit < 0) files

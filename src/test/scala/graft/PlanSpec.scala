@@ -284,6 +284,29 @@ class PlanSpec extends SparkSpec {
     assert(!filtered.queryExecution.executedPlan.toString.contains("PagedJsonAggScan"))
   }
 
+  test("DSv2 paged source: runtime filter from a joined dim prunes pages") {
+    import spark.implicits._
+    val dir = graft.operators.SourceOps.stagePages(spark, sf())
+    def paged = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", dir).load()
+    val nPagesAll = paged.select(col("page")).distinct().count()
+    // tiny filtered dim: its surviving keys reach the scan as a runtime
+    // IN filter; the manifest bounds then drop every non-matching page
+    val dim = Tables.part(spark, sf())
+      .select(col("p_partkey").as("k")).filter(col("k") <= 3)
+    val joined = paged.join(dim, col("p_partkey") === col("k"))
+    val rows = joined.collect()
+    assert(rows.nonEmpty)
+    val s = joined.queryExecution.executedPlan.toString
+    assert(s.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter planned on the V2 scan:\n${s.take(800)}")
+    // pages actually read after pruning << all pages: the low keys live
+    // in the first page only
+    val pagesRead = rows.map(_.getAs[Int]("page")).distinct.length
+    assert(pagesRead < nPagesAll && pagesRead <= 2,
+      s"runtime pruning ineffective: read $pagesRead of $nPagesAll pages")
+  }
+
   test("CDC merge: both arms broadcast the batch — target never shuffles or sorts") {
     val df = SparkEntry.queries("merge_upsert_cdc")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
