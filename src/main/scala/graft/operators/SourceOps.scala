@@ -154,6 +154,19 @@ object SourceOps extends OpGroup {
           count(lit(1)).as("n_rows"))
     }),
 
+    // S6e — the fan-out PLANNER itself as a custom Generator (UDTF,
+    // §2.L row 4): app.py:158's `range(50, total, 50)` — after page 0
+    // reveals `total`, emit one (page_offset, page_limit) row per
+    // remaining fetch, tail page truncated. Per-group totals come from
+    // a hash aggregate; the expansion is a native Generate.
+    "page_plan_generator" -> ((s, d) => {
+      graft.functions.PageRanges.register(s)
+      Tables.part(s, d)
+        .groupBy("p_brand").agg(count(lit(1)).as("total"))
+        .selectExpr("p_brand", "total", "page_ranges(total, 50)")
+        .orderBy("p_brand", "page_offset")
+    }),
+
     // S6 — offset-ladder pagination over the sorted scan: page id, size,
     // id bounds per 50-row page; union of all pages ≡ the full scan.
     // Page numbers come from GlobalRank's two-phase rank (range-partition
@@ -230,6 +243,17 @@ object SourceOps extends OpGroup {
     // writer→manifest→reader must be the identity on the key set
     "paged_sink_roundtrip" ->
       "SELECT p_partkey FROM part ORDER BY p_partkey",
+    // page plan: offsets step,2·step,… < total; tail page truncated.
+    // range() can't be lateral in DuckDB → bounded envelope + filter
+    "page_plan_generator" ->
+      """WITH g AS (SELECT p_brand, count(*) AS total FROM part GROUP BY p_brand),
+        |idx AS (SELECT unnest(range(1, 100000)) AS i),
+        |pages AS (
+        |  SELECT p_brand, total, CAST(i * 50 AS BIGINT) AS page_offset,
+        |         CAST(least(50, total - i * 50) AS BIGINT) AS page_limit
+        |  FROM g, idx WHERE i * 50 < total)
+        |SELECT p_brand, total, page_offset, page_limit FROM pages
+        |ORDER BY p_brand, page_offset""".stripMargin,
     // manifest-answered stats must equal the brute-force scan
     "paged_agg_pushdown" ->
       """SELECT min(p_partkey) AS min_key, max(p_partkey) AS max_key,
