@@ -284,6 +284,22 @@ class PlanSpec extends SparkSpec {
     assert(!filtered.queryExecution.executedPlan.toString.contains("PagedJsonAggScan"))
   }
 
+  test("scalar UDF is Catalyst-opaque: the built-in form pushes scan filters, the UDF form cannot") {
+    // §2.L row 1: why every declared query uses built-ins — a Scala UDF
+    // hides its null-intolerance and semantics from the optimizer, so
+    // nothing derived from it reaches the parquet scan.
+    val viaBuiltin = Tables.nation(spark, sf())
+      .filter(upper(col("n_name")) === "FRANCE")
+    val viaUdf = Tables.nation(spark, sf())
+      .filter(udf((s: String) => s.toUpperCase).apply(col("n_name")) === "FRANCE")
+    def pushed(df: DataFrame): Boolean =
+      plan(df).contains("PushedFilters: [IsNotNull(n_name)]")
+    assert(pushed(viaBuiltin), "built-in filter lost its pushed IsNotNull")
+    assert(!pushed(viaUdf), "UDF unexpectedly produced a pushed filter")
+    // same answer either way — the cost is purely plan quality
+    assert(viaBuiltin.count() === viaUdf.count())
+  }
+
   test("DSv2 paged source: runtime filter from a joined dim prunes pages") {
     import spark.implicits._
     val dir = graft.operators.SourceOps.stagePages(spark, sf())
