@@ -32,7 +32,10 @@ object ExtendedOps extends OpGroup {
     * analysis instead of reusing the cached resolved relation.
     */
   private def view(s: SparkSession, d: String, table: String): String = {
-    val name = s"graft_${table}_v"
+    // dataset-qualified name: a table-only name would be shared mutable
+    // state across datasets on one session (concurrent callers for d1/d2
+    // could re-point the view between registration and analysis)
+    val name = s"graft_${table}_${math.abs(d.hashCode)}_v"
     Tables(s, d, table).createOrReplaceTempView(name)
     name
   }
@@ -408,16 +411,13 @@ object ExtendedOps extends OpGroup {
     // port directly). TPC-H Q3 shape — selective dimension filter,
     // two-fact join, decimal-routed revenue, top-10.
     "sql_entry_topk" -> ((s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("v_customer")
-      Tables.orders(s, d).createOrReplaceTempView("v_orders")
-      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
       s.sql(
-        """SELECT o_orderkey, o_orderdate,
+        s"""SELECT o_orderkey, o_orderdate,
           |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
           |         AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
-          |FROM v_customer
-          |JOIN v_orders ON c_custkey = o_custkey
-          |JOIN v_lineitem ON l_orderkey = o_orderkey
+          |FROM ${view(s, d, "customer")}
+          |JOIN ${view(s, d, "orders")} ON c_custkey = o_custkey
+          |JOIN ${view(s, d, "lineitem")} ON l_orderkey = o_orderkey
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY o_orderkey, o_orderdate
           |ORDER BY revenue DESC, o_orderkey

@@ -204,7 +204,7 @@ object PipelineOps extends OpGroup {
     }),
 
     // T8 — stream-stream inner join: clicks ⋈ purchases on user within a
-    // 1-hour event-time bound, both sides watermarked (state for a key
+    // 6-hour event-time bound, both sides watermarked (state for a key
     // is dropped once the watermark passes its join window — bounded
     // state, the property that makes the join run forever at scale).
     // Input is bounded and the watermark delay exceeds the staged

@@ -109,7 +109,7 @@ class PagedScanBuilder(path: String) extends ScanBuilder
   private var limit: Int = -1
   private var required: StructType = PagedJsonSource.schema
   private var pushed: Array[Filter] = Array.empty
-  private var aggValues: Option[Seq[Any]] = None
+  private var aggKinds: Option[Seq[String]] = None
   private var aggDesc: Seq[String] = Nil
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   // whole-file pages: we prune page COUNT, not rows within a page
@@ -148,41 +148,53 @@ class PagedScanBuilder(path: String) extends ScanBuilder
       }
     if (aggregation.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0)
       return false
+    // validate against the CURRENT manifest; values are re-derived at
+    // planInputPartitions so a held DataFrame sees the same table state
+    // the row-scan path would (both read the manifest per execution)
     val metas = PagedJsonSource.readManifest(new java.io.File(path))
       .getOrElse(return false)
     val haveCounts = metas.forall(_.n.isDefined)
-    val values = aggregation.aggregateExpressions.toSeq.map {
-      case m: Min if isKey(m.column) =>
-        if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.lo).min)
-      case m: Max if isKey(m.column) =>
-        if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.hi).max)
-      case _: CountStar if haveCounts =>
-        java.lang.Long.valueOf(metas.flatMap(_.n).sum)
+    val kinds = aggregation.aggregateExpressions.toSeq.map {
+      case m: Min if isKey(m.column) => "min"
+      case m: Max if isKey(m.column) => "max"
+      case _: CountStar if haveCounts => "count"
       case _ => return false
     }
-    aggValues = Some(values)
+    aggKinds = Some(kinds)
     aggDesc = aggregation.aggregateExpressions.toSeq.map(_.describe)
     true
   }
 
-  override def build(): Scan = aggValues match {
-    case Some(vs) => new PagedAggScan(path, vs, aggDesc)
+  override def build(): Scan = aggKinds match {
+    case Some(ks) => new PagedAggScan(path, ks, aggDesc)
     case None => new PagedScan(path, required, limit, pushed)
   }
 }
 
 /** Scan for a pushed-down aggregation: one partition, one row, computed
-  * at plan time from `_manifest.ndjson`. No page file is ever opened.
+  * from `_manifest.ndjson` when the scan EXECUTES (planInputPartitions),
+  * not when the aggregation was pushed — matching the row-scan path's
+  * per-execution manifest read. No page file is ever opened.
   */
-class PagedAggScan(path: String, values: Seq[Any], descs: Seq[String])
+class PagedAggScan(path: String, kinds: Seq[String], descs: Seq[String])
     extends Scan with Batch {
-  override def readSchema(): StructType = StructType(values.indices.map(i =>
+  override def readSchema(): StructType = StructType(kinds.indices.map(i =>
     StructField(s"pushed_agg_$i", LongType, nullable = true)))
   override def toBatch: Batch = this
   override def description(): String =
     s"PagedJsonAggScan(path=$path, PushedAggregates=[${descs.mkString(", ")}])"
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val metas = PagedJsonSource.readManifest(new java.io.File(path))
+      .getOrElse(Nil)
+    val values: Seq[Any] = kinds.map {
+      case "min" =>
+        if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.lo).min)
+      case "max" =>
+        if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.hi).max)
+      case "count" => java.lang.Long.valueOf(metas.flatMap(_.n).sum)
+    }
     Array(AggResultPartition(values.toArray))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -250,17 +262,17 @@ class PagedScan(path: String, required: StructType, val pushedLimit: Int,
     // table listing (commit-protocol output, key-ordered); the raw glob is
     // only the manifest-less fallback. Page id is intrinsic (manifest
     // position / file name), so pruning cannot renumber surviving pages.
-    val pages: Seq[(java.io.File, Int, Option[(Long, Long)])] =
+    val pages: Seq[(java.io.File, Int, Option[(Long, Long)], Option[Long])] =
       PagedJsonSource.readManifest(dir) match {
         case Some(entries) => entries.zipWithIndex.map { case (m, i) =>
-          (new java.io.File(dir, m.file), i, Some((m.lo, m.hi)))
+          (new java.io.File(dir, m.file), i, Some((m.lo, m.hi)), m.n)
         }
         case None => dir.listFiles()
           .filter(_.getName.matches("page-\\d+\\.ndjson"))
           .sortBy(_.getName).toSeq
           .map(f => (f,
             f.getName.stripPrefix("page-").stripSuffix(".ndjson").toInt,
-            None))
+            None, None))
       }
     val (lo, hi) = keyRange
     // stats pruning: drop pages whose [lo,hi] is disjoint with the pushed
@@ -272,9 +284,21 @@ class PagedScan(path: String, required: StructType, val pushedLimit: Int,
     })
     val keep =
       if (pushedLimit < 0) files
-      else files.take(math.max(1,
-        (pushedLimit + PagedJsonSource.PageSize - 1) / PagedJsonSource.PageSize))
-    keep.map { case (f, idx, _) =>
+      else {
+        // take pages until the CUMULATIVE row count covers the limit —
+        // pages can be short (a writer partition's tail flush), so a
+        // ceil(limit/PageSize) page count could return fewer rows than
+        // the limit and the residual post-scan LIMIT cannot recover
+        // them. Unknown counts contribute their minimum (1 row):
+        // over-taking is always safe under partial pushdown.
+        var cum = 0L
+        files.takeWhile { f =>
+          val take = cum < pushedLimit
+          cum += f._4.getOrElse(1L)
+          take
+        }
+      }
+    keep.map { case (f, idx, _, _) =>
       PagedPartition(f.getAbsolutePath, idx): InputPartition
     }.toArray
   }

@@ -131,6 +131,24 @@ class SourceSinkSpec extends SparkSpec {
     assert(msg.files.flatMap(_.n).sum === 120L)
   }
 
+  test("S6f: pushed LIMIT returns the full row count across SHORT pages") {
+    val out = tmpDir("graft_s6f")
+    // 3 uneven writer partitions ⇒ each partition's tail flush is a
+    // short page (e.g. 50+16 / 50+17 / 50+17 for 200 keys), so a
+    // ceil(limit/PageSize) page take would come up short
+    Tables.part(spark, sf())
+      .select(col("p_partkey"), lit(0).as("page"))
+      .repartitionByRange(3, col("p_partkey"))
+      .sortWithinPartitions("p_partkey")
+      .write.format("graft.sources.PagedJsonSource")
+      .option("path", out).mode(SaveMode.Overwrite).save()
+    val total = Tables.part(spark, sf()).count()
+    val lim = math.min(100L, total).toInt
+    val got = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", out).load().limit(lim).collect().length
+    assert(got === lim, s"pushed limit returned $got of $lim rows")
+  }
+
   test("S6d: V2 paged sink append MERGES the prior manifest (no data drop)") {
     val out = tmpDir("graft_s6d")
     val all = Tables.part(spark, sf()).select(col("p_partkey"), lit(0).as("page"))
