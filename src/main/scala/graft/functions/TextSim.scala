@@ -61,6 +61,61 @@ object TextSim {
       .distinct()
   }
 
+  /** Band-blocked candidate pairs over a PERSISTED signature table
+    * (doc_id, sig: array<long>) — the downstream half of MinHash LSH,
+    * shared by the expression-signature and typed-Aggregator pipelines.
+    * Because the signatures are plain parquet INPUT, the whole pipeline
+    * from here on is engine-independent: the DuckDB oracle re-derives
+    * banding → candidates → slot agreement from the same files
+    * ([[signatureBandPairsDuck]]). Output: (doc_a, doc_b, n_match) for
+    * pairs agreeing on ≥1 of `numBands` bands of `rowsPerBand` slots;
+    * n_match = number of agreeing signature slots. Band values are the
+    * raw signature slices (no re-hash), so the equi-join keys carry
+    * ~rowsPerBand longs — still a same-key join, never a cross join.
+    */
+  def signatureBandPairs(stored: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bands = stored.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until numBands).map(k =>
+        slice(col("sig"), k * rowsPerBand + 1, rowsPerBand)): _*))
+        .as(Seq("__band_idx", "__band_val")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("__band_idx"), col("__band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("__band_idx").as("__bi"), col("__band_val").as("__bv"))
+    a.join(b, col("__band_idx") === col("__bi") &&
+        col("__band_val") === col("__bv") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .as("n_match"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[signatureBandPairs]]: CTE chain over the persisted
+    * signature parquet at `path`, ending in `m(doc_a, doc_b, n_match)`.
+    */
+  def signatureBandPairsDuck(path: String, numHashes: Int, numBands: Int,
+      rowsPerBand: Int): String =
+    s"""sigs AS (SELECT doc_id, sig FROM read_parquet('$path/*.parquet')),
+       |bands AS (
+       |  SELECT doc_id, t.k AS bk,
+       |         sig[CAST($rowsPerBand * t.k + 1 AS INTEGER)
+       |             : CAST($rowsPerBand * t.k + $rowsPerBand AS INTEGER)] AS bv
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $numBands)) AS k) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |m AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(sum(CASE WHEN sa.sig[CAST(t.i AS INTEGER)]
+       |                            = sb.sig[CAST(t.i AS INTEGER)]
+       |                  THEN 1 ELSE 0 END) AS INTEGER) AS n_match
+       |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+       |              JOIN sigs sb ON sb.doc_id = c.doc_b
+       |  CROSS JOIN range(1, ${numHashes + 1}) t(i)
+       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+
   /** Candidate near-dup pairs for exact set-Jaccard via a df-capped
     * inverted-index join.
     *

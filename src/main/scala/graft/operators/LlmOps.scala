@@ -34,6 +34,28 @@ object LlmOps extends OpGroup {
     */
   private[graft] val JaccardDfCap = 50
 
+  /** MinHash signature layout, persisted once per (session, dataset):
+    * 16 seeded xxhash64 minima over word 3-gram shingles per document.
+    * The hash VALUES are Spark-specific, but persisting them as parquet
+    * makes them plain input data — the banding, candidate pairing, and
+    * slot-agreement estimate downstream are engine-independent, so the
+    * DuckDB oracle re-derives them from the same files (the
+    * lsh_hyperplane / ann_pq_adc recipe).
+    */
+  private val minhashLayoutCache = new graft.Layout("graft_minhash")
+
+  private def minhashLayout(s: SparkSession, d: String): String =
+    minhashLayoutCache(s, d) { p =>
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("shingles",
+          expr("""transform(sequence(0, greatest(size(words) - 3, 0)),
+                 |  i -> concat_ws(' ', slice(words, i + 1, 3)))""".stripMargin))
+        .withColumn("sig", graft.functions.TextSim.minhashSignature("shingles", 16))
+        .select("doc_id", "sig")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1 — per-document text statistics.
     "text_stats" -> ((s, d) =>
@@ -56,27 +78,18 @@ object LlmOps extends OpGroup {
         .orderBy("doc_id")
     }),
 
-    // L3 — MinHash signatures: 16 seeded xxhash64 minima over word
-    // 3-gram shingles, banded 4×4 for LSH bucketing. Hash values are
-    // Spark-specific ⇒ no SQL oracle (rows-only + MinHashSpec).
-    "minhash_near_dedup" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("shingles",
-          expr("""transform(sequence(0, greatest(size(words) - 3, 0)),
-                 |  i -> concat_ws(' ', slice(words, i + 1, 3)))""".stripMargin))
-        .withColumn("sig",
-          expr("""transform(sequence(0, 15),
-                 |  seed -> aggregate(shingles, 9223372036854775807L,
-                 |    (acc, sh) -> least(acc, xxhash64(sh, seed))))""".stripMargin))
-        .withColumn("bands",
-          expr("transform(sequence(0, 3), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
-        .select(col("doc_id"),
-          element_at(col("sig"), 1).as("minhash_0"),
-          element_at(col("sig"), 2).as("minhash_1"),
-          element_at(col("bands"), 1).as("band_0"),
-          element_at(col("bands"), 2).as("band_1"))
-        .orderBy("doc_id")),
+    // L3 — MinHash near-dedup over the persisted signature layout:
+    // banding (4 bands × 4 slots) → candidate pairs agreeing on ≥1 band
+    // (an equi-join, never a cross join) → est_jaccard = agreeing-slot
+    // fraction. Signatures are persisted parquet, so the whole pipeline
+    // downstream of the hash is hash-verified against DuckDB.
+    "minhash_near_dedup" -> ((s, d) => {
+      val stored = s.read.parquet(minhashLayout(s, d))
+      graft.functions.TextSim.signatureBandPairs(stored, numBands = 4, rowsPerBand = 4)
+        .withColumn("est_jaccard", round(col("n_match").cast("double") / 16.0, 6))
+        .withColumn("is_dup", col("n_match") >= 8)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // jaccard core (SURVEY L3's oracle-able half): unigram-set Jaccard
     // over source-blocked doc pairs via inverted-index join. Standard LSH
@@ -221,7 +234,17 @@ object LlmOps extends OpGroup {
        |    ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
        |  GROUP BY doc_a, doc_b, na, nb)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  // `def`: the minhash oracle embeds the session's persisted layout path
+  // (Verify runs every query before dumping oracle SQL)
+  def oracleSql: Map[String, String] = Map(
+    "minhash_near_dedup" ->
+      s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
+              minhashLayoutCache.lastPath, numHashes = 16, numBands = 4,
+              rowsPerBand = 4)}
+         |SELECT doc_a, doc_b, n_match,
+         |       round(CAST(n_match AS DOUBLE) / 16.0, 6) AS est_jaccard,
+         |       n_match >= 8 AS is_dup
+         |FROM m ORDER BY doc_a, doc_b""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, lang,
         |       CAST(length(text) AS INTEGER) AS n_chars_calc,

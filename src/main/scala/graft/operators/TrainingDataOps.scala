@@ -26,19 +26,21 @@ import org.apache.spark.sql.functions._
 object TrainingDataOps extends OpGroup {
   import Det._
 
-  /** 64 signed bit-count aggregates → SimHash long, assembled with
-    * bitwise OR (no arithmetic overflow at bit 63).
+  /** SimHash fingerprint layout, persisted once per (session, dataset):
+    * one 64-bit simhash per document (graft.functions.TextSim.simhash —
+    * 64 signed bit-count aggregates over xxhash64'd tokens). The hash
+    * values are Spark-specific, but as persisted parquet they are plain
+    * input data: banding, candidate pairing, and Hamming verification
+    * downstream are re-derived by the DuckDB oracle from the same files.
     */
-  private def simhashCols: (Seq[Column], Column) = {
-    val sums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$b")
+  private val simhashLayoutCache = new graft.Layout("graft_simhash")
+
+  private def simhashLayout(s: SparkSession, d: String): String =
+    simhashLayoutCache(s, d) { p =>
+      graft.functions.TextSim
+        .simhash(Tables.documents(s, d), "doc_id", "text")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
     }
-    val bits = (0 until 64).map { b =>
-      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    (sums, bits.reduce(_ bitwiseOR _))
-  }
 
   /** Random-hyperplane LSH layout, persisted once per (session, dataset):
     * 16 fixed-seed Gaussian hyperplanes (the projection matrix is model
@@ -49,15 +51,11 @@ object TrainingDataOps extends OpGroup {
     * in DuckDB, which re-derives the whole pipeline from the persisted
     * (vectors, projections) as the oracle.
     */
-  private val lshLayouts =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lshLayoutCache = new graft.Layout("graft_lsh")
 
-  @volatile private var lastLshLayout: String = "/tmp/graft_lsh/UNMATERIALIZED"
-
-  private def lshLayout(s: SparkSession, d: String): String = {
-    val path = lshLayouts.computeIfAbsent(d, _ => {
+  private def lshLayout(s: SparkSession, d: String): String =
+    lshLayoutCache(s, d) { p =>
       graft.functions.VectorFunctions.register(s)
-      val p = s"/tmp/graft_lsh/${s.sparkContext.applicationId}/${math.abs(d.hashCode)}"
       val dim = Tables.embeddings(s, d)
         .select(size(col("embedding"))).head.getInt(0)
       val rnd = new scala.util.Random(42L)
@@ -79,11 +77,7 @@ object TrainingDataOps extends OpGroup {
         .toDF("i", "idx", "val")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$p.proj")
-      p
-    })
-    lastLshLayout = path
-    path
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding near-dup via random-hyperplane LSH: candidates are
@@ -115,22 +109,17 @@ object TrainingDataOps extends OpGroup {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup fingerprint; hash values are engine-specific ⇒
-    // rows-only check here, pairing semantics in SimHashSpec.
+    // SimHash near-dedup over the persisted fingerprint layout: 16-bit
+    // band equality (an equi-join) nominates candidates; Hamming distance
+    // over the full 64 bits verifies them. Fingerprints are persisted
+    // parquet, so everything downstream of the hash is hash-verified
+    // against DuckDB (which recounts the Hamming bits itself).
     "simhash_dedup" -> ((s, d) => {
-      val (sums, assemble) = simhashCols
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("h", xxhash64(col("w")))
-        .groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .withColumn("simhash", assemble)
-        .select(col("doc_id"), col("simhash"),
-          // 16-bit LSH bands for candidate pairing at scale
-          col("simhash").bitwiseAND(lit(0xFFFFL)).as("band_0"),
-          shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("band_1"),
-          shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)).as("band_2"),
-          shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)).as("band_3"))
-        .orderBy("doc_id")
+      val stored = s.read.parquet(simhashLayout(s, d))
+      graft.functions.TextSim.simhashPairs(stored, "doc_id", maxHamming = 64)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("hamming"), (col("hamming") <= 8).as("near_dup"))
+        .orderBy("doc_a", "doc_b")
     }),
 
     // ANN, IVF-style: probe only the query's coarse cell (label).
@@ -340,14 +329,38 @@ object TrainingDataOps extends OpGroup {
   // `def`: the LSH oracle embeds the session's persisted layout path
   // (see SemiStructuredOps for the pattern — Verify runs queries first)
   def oracleSql: Map[String, String] = Map(
+    // banding + Hamming re-derived from the persisted fingerprints:
+    // both engines arithmetic-shift signed 64-bit ints, so the 16-bit
+    // band extraction and the per-bit recount agree exactly
+    "simhash_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, simhash
+         |  FROM read_parquet('${simhashLayoutCache.lastPath}/*.parquet')),
+         |bands AS (
+         |  SELECT doc_id, simhash, t.k AS bk,
+         |         (simhash >> CAST(16 * t.k AS INTEGER)) & 65535 AS bv
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |h AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(sum((xor(sh_a, sh_b) >> CAST(t.i AS INTEGER)) & 1)
+         |           AS INTEGER) AS hamming
+         |  FROM cand CROSS JOIN range(0, 64) t(i)
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, hamming, hamming <= 8 AS near_dup
+         |FROM h ORDER BY doc_a, doc_b""".stripMargin,
     // signatures re-derived from the persisted (vectors, projections):
     // sign bits of exact fixed-point dots ⇒ identical buckets, then the
     // same band-blocked candidate set and fixed-point cosine
     "lsh_hyperplane_near_dup" ->
       s"""WITH vecs AS (
-         |  SELECT vec_id, ne FROM read_parquet('$lastLshLayout/*.parquet')),
+         |  SELECT vec_id, ne FROM read_parquet('${lshLayoutCache.lastPath}/*.parquet')),
          |proj AS (
-         |  SELECT i, idx, val FROM read_parquet('$lastLshLayout.proj/*.parquet')),
+         |  SELECT i, idx, val FROM read_parquet('${lshLayoutCache.lastPath}.proj/*.parquet')),
          |dots AS (
          |  SELECT v.vec_id, p.i,
          |         sum(CAST(floor(CAST(v.ne[p.idx] AS DOUBLE) * p.val * 1e15)

@@ -13,19 +13,17 @@ class RegistrySpec extends SparkSpec {
     val rowsOnly = q -- o
     val expected = Set(
       "count_distinct_approx",     // HLL++ output is approximate
-      "minhash_near_dedup",        // xxhash64 values are engine-specific
-      "minhash_udaf_signature",    // ditto (Aggregator surface exhibit)
-      "simhash_dedup",             // ditto
       "stateful_token_cache",      // recursive keyed state, not SQL-expressible
       "watermark_late_drop",       // append-mode emission timing
-      "ann_kmeans_ivf",            // learned-model output
       "percentile_approx_scale",   // sketch output
       "hll_count_rollup")          // DataSketches estimates (BigQuery
                                    // HLL_COUNT analog); ε + merge law
                                    // pinned in HllSpec
-    // ann_ivf_partition_pruned graduated to a structural oracle in round 3:
-    // the serving layout + persisted centroids are inputs, DuckDB re-derives
-    // the probe + exact cosine top-k (SemiStructuredOps.oracleSql).
+    // Graduated to structural (persisted-layout) oracles — the engine-
+    // specific hash/model outputs become parquet INPUT data DuckDB
+    // re-derives the pipeline from: ann_ivf_partition_pruned (r3),
+    // lsh_hyperplane_near_dup + ann_pq_adc (r4), minhash_near_dedup +
+    // simhash_dedup + minhash_udaf_signature + ann_kmeans_ivf (r5).
     assert(rowsOnly === expected,
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }
