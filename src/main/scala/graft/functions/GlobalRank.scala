@@ -179,6 +179,13 @@ object GlobalRank {
       // limit/re-read sources are only per-execution deterministic).
       // localCheckpoint materializes once and truncates lineage, so the
       // three passes become cheap re-reads instead of recomputations.
+      // Retention trade-off (deliberate): the checkpoint blocks live
+      // until the snapshot RDD is GC'd and the ContextCleaner reaps
+      // them — they cannot be unpersisted here because the RETURNED
+      // plan still reads them, and this method cannot know when the
+      // caller is done executing it. A session issuing many large
+      // sliced rankings carries that storage between GCs; that is the
+      // price of offset/plan consistency.
       val snap = df.localCheckpoint()
       val stats = measureBounds(snap, base, groupCols, numSlices)
       val slice = "__gr_pid" +: groupCols

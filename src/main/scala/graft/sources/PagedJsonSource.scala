@@ -127,17 +127,21 @@ class PagedScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** PARTIAL aggregate pushdown answered from the MANIFEST alone —
+  /** Aggregate pushdown answered from the MANIFEST alone —
     * MIN/MAX(p_partkey) from the per-page key bounds, COUNT(*) from the
     * per-page row counts — the same trick parquet's DSv2 scan plays
-    * with footer stats: zero data files are opened. Partial (not
-    * complete) pushdown: the scan emits one stats row and Spark's final
-    * aggregate folds it, so types/names stay Spark's problem. Spark
-    * only attempts aggregate pushdown when NO post-scan filter remains;
-    * this source keeps every filter residual, so pushdown can only fire
-    * on unfiltered scans — bounds stay exact by construction.
+    * with footer stats: zero data files are opened. Pushdown is
+    * COMPLETE ([[supportCompletePushDown]]): Spark only attempts
+    * aggregate pushdown when NO post-scan filter remains, this source
+    * keeps every filter residual, and group-by/limit cases are
+    * rejected — so whenever pushdown fires, the manifest stats are the
+    * exact final answer and no aggregate node is planned at all.
     */
-  override def pushAggregation(aggregation: Aggregation): Boolean = {
+  /** MIN/MAX(p_partkey) / COUNT(*) kinds answerable from the manifest,
+    * or None if anything in the aggregation (or the scan state: residual
+    * filters, limit, group-by) puts it outside the manifest's reach.
+    */
+  private def manifestAggKinds(aggregation: Aggregation): Option[Seq[String]] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     def isKey(e: org.apache.spark.sql.connector.expressions.Expression) =
@@ -147,23 +151,39 @@ class PagedScanBuilder(path: String) extends ScanBuilder
         case _ => false
       }
     if (aggregation.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0)
-      return false
+      return None
     // validate against the CURRENT manifest; values are re-derived at
     // planInputPartitions so a held DataFrame sees the same table state
     // the row-scan path would (both read the manifest per execution)
     val metas = PagedJsonSource.readManifest(new java.io.File(path))
-      .getOrElse(return false)
+      .getOrElse(return None)
     val haveCounts = metas.forall(_.n.isDefined)
-    val kinds = aggregation.aggregateExpressions.toSeq.map {
+    Some(aggregation.aggregateExpressions.toSeq.map {
       case m: Min if isKey(m.column) => "min"
       case m: Max if isKey(m.column) => "max"
       case _: CountStar if haveCounts => "count"
-      case _ => return false
-    }
-    aggKinds = Some(kinds)
-    aggDesc = aggregation.aggregateExpressions.toSeq.map(_.describe)
-    true
+      case _ => return None
+    })
   }
+
+  /** COMPLETE pushdown — "BigQuery answers COUNT(*) from table
+    * metadata" made literal: with no residual filter, no limit and no
+    * grouping, the manifest stats ARE the final answer, so Spark plans
+    * NO aggregate at all above the scan (PlanSpec asserts it). Page
+    * bounds are exact min/max per page (writer computes them from the
+    * buffer, sorted or not), so min/lo and max/hi compose exactly.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    manifestAggKinds(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    manifestAggKinds(aggregation) match {
+      case Some(kinds) =>
+        aggKinds = Some(kinds)
+        aggDesc = aggregation.aggregateExpressions.toSeq.map(_.describe)
+        true
+      case None => false
+    }
 
   override def build(): Scan = aggKinds match {
     case Some(ks) => new PagedAggScan(path, ks, aggDesc)
@@ -191,7 +211,15 @@ class PagedAggScan(path: String, kinds: Seq[String], descs: Seq[String])
         if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.lo).min)
       case "max" =>
         if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.hi).max)
-      case "count" => java.lang.Long.valueOf(metas.flatMap(_.n).sum)
+      case "count" =>
+        // pushAggregation validated counts against the manifest IT read;
+        // this is a different read — if entries without `n` appeared in
+        // between (legacy manifest, concurrent append), summing the rest
+        // would silently undercount. Fail loudly instead.
+        if (metas.exists(_.n.isEmpty))
+          throw new IllegalStateException(
+            s"$path: manifest entries lack row counts; cannot answer pushed COUNT")
+        java.lang.Long.valueOf(metas.flatMap(_.n).sum)
     }
     Array(AggResultPartition(values.toArray))
   }
@@ -238,7 +266,16 @@ class PagedScan(path: String, required: StructType, val pushedLimit: Int,
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach {
       case org.apache.spark.sql.sources.In("p_partkey", vs) =>
-        runtimeKeys = Some(vs.collect { case l: java.lang.Long => l.longValue() }.toSet)
+        // accept ANY numeric boxing (a key cast can deliver Integer);
+        // if any value is null or non-numeric the key set would be
+        // incomplete, so disable pruning entirely — a no-op is safe,
+        // a shrunken key set silently loses rows
+        val keys = vs.map {
+          case n: java.lang.Number => Some(n.longValue())
+          case _ => None
+        }
+        runtimeKeys =
+          if (keys.exists(_.isEmpty)) None else Some(keys.flatten.toSet)
       case EqualTo("p_partkey", v: Long) => runtimeKeys = Some(Set(v))
       case _ => ()
     }
@@ -396,7 +433,11 @@ class PagedWriterFactory(path: String, inputSchema: StructType)
           java.nio.file.Paths.get(s"$path/$name"),
           buf.map(k => s"""{"p_partkey":$k}""").mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        files += PageMeta(name, buf.head, buf.last, Some(buf.length.toLong))
+        // bounds from min/max, NOT head/last: nothing at this boundary
+        // enforces key-sorted input, and these stats feed page pruning
+        // AND pushed MIN/MAX aggregates — an unsorted write must degrade
+        // to wide-but-correct bounds, never to wrong ones
+        files += PageMeta(name, buf.min, buf.max, Some(buf.length.toLong))
         buf.clear(); seq += 1
       }
 

@@ -136,7 +136,14 @@ object StreamingOps {
             val maxTs = rows.map(_._2.getTime).max
             val n = (if (gs.exists) gs.get.n else 0L) + rows.size
             gs.update(KeyCount(n, maxTs))
-            gs.setTimeoutTimestamp(maxTs + gapMs) // deadline: last + gap
+            // deadline: last + gap, clamped STRICTLY past the current
+            // watermark — a straggler more than gapMs late would
+            // otherwise compute a deadline <= watermark, which Spark
+            // rejects with IllegalArgumentException and fails the whole
+            // query; clamping expires such a key at the next microbatch
+            // instead (the semantics the timeout is for)
+            gs.setTimeoutTimestamp(
+              math.max(gs.getCurrentWatermarkMs() + 1, maxTs + gapMs))
             Iterator(ExpiryEvent(k, "active", n))
           }
       }

@@ -273,6 +273,14 @@ class PlanSpec extends SparkSpec {
     val want = Tables.part(spark, sf())
       .agg(min("p_partkey"), max("p_partkey"), count(lit(1))).collect().head
     assert(row === want)
+    // COMPLETE pushdown: the manifest stats are the final answer, so no
+    // aggregate node of any kind may remain above the scan (the
+    // "BigQuery answers COUNT(*) from metadata" fidelity point)
+    val aggNodes = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggNodes.isEmpty,
+      s"pushed aggregation still re-aggregated above the scan: $aggNodes")
     // a FILTERED aggregate must NOT push (filters stay residual here,
     // and residual filters make manifest stats unsafe for aggregation)
     val filtered = spark.read.format("graft.sources.PagedJsonSource")
