@@ -424,6 +424,62 @@ object ExtendedOps extends OpGroup {
           |LIMIT 10""".stripMargin)
     }),
 
+    // SQL-text twins across operator families — proving spark.sql is a
+    // GENERAL entry surface, not one query: each is the pure-SQL form of
+    // a §2 DataFrame key and shares that key's oracle verbatim.
+    // Twin of rank_topk_per_group (W1): window ranking.
+    "sql_window_topk" -> ((s, d) =>
+      s.sql(
+        s"""SELECT l_suppkey, rn, l_orderkey, l_extendedprice FROM (
+           |  SELECT l_suppkey, l_orderkey, l_extendedprice,
+           |         row_number() OVER (PARTITION BY l_suppkey
+           |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           |  FROM ${view(s, d, "lineitem")})
+           |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // Twin of explode_struct_array (E3): nest + LATERAL VIEW explode.
+    "sql_explode_struct" -> ((s, d) =>
+      s.sql(
+        s"""SELECT g.l_orderkey, it.l_linenumber AS l_linenumber,
+           |       it.l_partkey AS l_partkey, it.l_suppkey AS l_suppkey
+           |FROM (SELECT l_orderkey,
+           |             collect_list(struct(l_linenumber, l_partkey, l_suppkey)) AS items
+           |      FROM ${view(s, d, "lineitem")} GROUP BY l_orderkey) g
+           |LATERAL VIEW explode(g.items) t AS it
+           |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // Twin of merge_upsert_cdc (J8): the MERGE row-level contract as
+    // pure SQL (kept/updated/inserted arms over a CDC CTE).
+    "sql_merge_upsert" -> ((s, d) =>
+      s.sql(
+        s"""WITH src AS (
+           |  SELECT CASE WHEN c_custkey % 10 = 1 THEN c_custkey + 100000000
+           |              ELSE c_custkey END AS k,
+           |         CASE c_custkey % 10 WHEN 7 THEN 'D' WHEN 3 THEN 'U'
+           |              ELSE 'I' END AS op,
+           |         'cdc_' || c_name AS new_name,
+           |         CASE WHEN c_custkey % 10 = 3 THEN 'UPDATED'
+           |              ELSE c_mktsegment END AS new_seg,
+           |         c_acctbal + 100 AS new_bal
+           |  FROM ${view(s, d, "customer")} WHERE c_custkey % 10 IN (1, 3, 7)),
+           |kept AS (
+           |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+           |  FROM ${view(s, d, "customer")}
+           |  WHERE c_custkey NOT IN (SELECT k FROM src)),
+           |updated AS (
+           |  SELECT c.c_custkey, c.c_name, s.new_seg AS c_mktsegment,
+           |         s.new_bal AS c_acctbal
+           |  FROM ${view(s, d, "customer")} c JOIN src s ON c.c_custkey = s.k
+           |  WHERE s.op = 'U'),
+           |inserted AS (
+           |  SELECT k AS c_custkey, new_name AS c_name, new_seg AS c_mktsegment,
+           |         new_bal AS c_acctbal
+           |  FROM src WHERE op = 'I')
+           |SELECT * FROM kept
+           |UNION ALL SELECT * FROM updated
+           |UNION ALL SELECT * FROM inserted
+           |ORDER BY c_custkey""".stripMargin)),
+
     // Calendar-spine gap filling: generate the full month series between
     // min and max order date IN-PLAN (sequence over a 1-row broadcast
     // aggregate — no driver-side date loop), left-join monthly counts,
@@ -668,6 +724,11 @@ object ExtendedOps extends OpGroup {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    // the SQL-text twins share their DataFrame twin's oracle VERBATIM —
+    // same semantics, same verification
+    "sql_window_topk" -> AggWindowOps.oracleSql("rank_topk_per_group"),
+    "sql_explode_struct" -> ExplodeOps.oracleSql("explode_struct_array"),
+    "sql_merge_upsert" -> MergeOps.oracleSql("merge_upsert_cdc"),
     "calendar_spine_zerofill" ->
       s"""WITH span AS (
          |  SELECT min(date_trunc('month', CAST(o_orderdate AS DATE))) AS lo,

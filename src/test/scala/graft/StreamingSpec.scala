@@ -95,6 +95,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(r => r._1 == 1L && r._2 == "active").map(_._3).max === 3L)
   }
 
+  test("T10b: a straggler at the watermark boundary is counted and evicted, never crashes the query") {
+    import spark.implicits._
+    // gap (2 s) smaller than the 10 s watermark delay — the config
+    // where setTimeoutTimestamp deadlines sit closest to the watermark.
+    // The operator's late filter admits only rows with ts > watermark
+    // (the SAME watermark the timeout validity check uses), so an
+    // admitted row always yields maxTs + gap > watermark; the clamp in
+    // expiringCounts is defense for that invariant ever shifting. This
+    // pins the boundary: a straggler at the earliest admissible
+    // timestamp is COUNTED, then EVICTED when the watermark passes its
+    // deadline — the query never throws.
+    val in = MemoryStream[(Long, Timestamp)](spark)
+    val q = StreamingOps.expiringCounts(in.toDS(), gapMs = 2000L)
+      .writeStream.format("memory").queryName("t10b_out")
+      .outputMode("append").start()
+    val t0 = ts(0).getTime
+    in.addData((1L, new Timestamp(t0)))
+    q.processAllAvailable()
+    in.addData((1L, new Timestamp(t0 + 60000))) // watermark → t0+50 s
+    q.processAllAvailable()
+    // straggler just past the watermark (the late filter is
+    // exclusive: ts <= watermark is dropped); deadline = t0+53 s
+    in.addData((7L, new Timestamp(t0 + 51000)))
+    q.processAllAvailable()
+    // advance the watermark past the deadline, then one more batch to
+    // fire the timeout
+    in.addData((1L, new Timestamp(t0 + 70000))) // watermark → t0+60 s
+    q.processAllAvailable()
+    in.addData((1L, new Timestamp(t0 + 71000)))
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty, s"straggler killed the query: ${q.exception}")
+    val rows = spark.sql("SELECT user_id, kind, n FROM t10b_out")
+      .as[(Long, String, Long)].collect()
+    assert(rows.contains((7L, "active", 1L)), s"straggler not counted: ${rows.mkString(", ")}")
+    assert(rows.contains((7L, "expired", 1L)),
+      s"straggler key not evicted after its deadline: ${rows.mkString(", ")}")
+  }
+
   test("T6: dropDuplicatesWithinWatermark is exactly-once per event_id") {
     val in = MemoryStream[(Long, Timestamp, String, Double)](spark)
     val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
