@@ -72,16 +72,31 @@ object TextSim {
     * n_match = number of agreeing signature slots. Band values are the
     * raw signature slices (no re-hash), so the equi-join keys carry
     * ~rowsPerBand longs — still a same-key join, never a cross join.
+    *
+    * `bucketCap` is the fan-out guard (the JaccardDfCap of the band
+    * world): a band bucket holding b docs contributes b² candidate
+    * rows, so one degenerate bucket (boilerplate text hashing alike)
+    * turns the equi-join all-pairs at corpus scale. Buckets larger
+    * than the cap are skipped BEFORE the self-join — they carry ~zero
+    * discrimination anyway. The cap is the knob a 100 TB run sizes to
+    * its executor memory; fixture buckets top out at 179 (sf0.1
+    * simhash), far under the default, so verify/bench results are
+    * cap-invariant.
     */
   def signatureBandPairs(stored: DataFrame, numBands: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, bucketCap: Int = 1000): DataFrame = {
     val bands = stored.select(col("doc_id"), col("sig"),
       posexplode(array((0 until numBands).map(k =>
         slice(col("sig"), k * rowsPerBand + 1, rowsPerBand)): _*))
         .as(Seq("__band_idx", "__band_val")))
-    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+    val small = bands.groupBy("__band_idx", "__band_val")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= bucketCap)
+      .select("__band_idx", "__band_val")
+    val kept = bands.join(small, Seq("__band_idx", "__band_val"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("__band_idx"), col("__band_val"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+    val b = kept.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
       col("__band_idx").as("__bi"), col("__band_val").as("__bv"))
     a.join(b, col("__band_idx") === col("__bi") &&
         col("__band_val") === col("__bv") && col("doc_a") < col("doc_b"))
@@ -95,16 +110,21 @@ object TextSim {
     * signature parquet at `path`, ending in `m(doc_a, doc_b, n_match)`.
     */
   def signatureBandPairsDuck(path: String, numHashes: Int, numBands: Int,
-      rowsPerBand: Int): String =
+      rowsPerBand: Int, bucketCap: Int = 1000): String =
     s"""sigs AS (SELECT doc_id, sig FROM read_parquet('$path/*.parquet')),
        |bands AS (
        |  SELECT doc_id, t.k AS bk,
        |         sig[CAST($rowsPerBand * t.k + 1 AS INTEGER)
        |             : CAST($rowsPerBand * t.k + $rowsPerBand AS INTEGER)] AS bv
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $numBands)) AS k) t),
+       |small AS (
+       |  SELECT bk, bv FROM (SELECT bk, bv, count(*) AS bn
+       |                      FROM bands GROUP BY bk, bv)
+       |  WHERE bn <= $bucketCap),
+       |kept AS (SELECT b.* FROM bands b JOIN small USING (bk, bv)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM kept a JOIN kept b
        |    ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id),
        |m AS (
        |  SELECT c.doc_a, c.doc_b,
@@ -168,8 +188,11 @@ object TextSim {
 
   /** Near-dup pairs by SimHash: candidates from 16-bit band equality
     * (an equi-join), confirmed by Hamming distance ≤ maxHamming.
+    * `bucketCap` skips degenerate band buckets before the self-join —
+    * see [[signatureBandPairs]] for the fan-out argument.
     */
-  def simhashPairs(sims: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def simhashPairs(sims: DataFrame, idCol: String, maxHamming: Int,
+      bucketCap: Int = 1000): DataFrame = {
     val banded = sims.select(col(idCol).as("__id"), col("simhash"),
       posexplode(array(
         col("simhash").bitwiseAND(lit(0xFFFFL)),
@@ -177,9 +200,14 @@ object TextSim {
         shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)),
         shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL))))
         .as(Seq("__band_idx", "__band_key")))
-    val a = banded.select(col("__id").as("id_a"), col("simhash").as("sim_a"),
+    val small = banded.groupBy("__band_idx", "__band_key")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= bucketCap)
+      .select("__band_idx", "__band_key")
+    val kept = banded.join(small, Seq("__band_idx", "__band_key"))
+    val a = kept.select(col("__id").as("id_a"), col("simhash").as("sim_a"),
       col("__band_idx"), col("__band_key"))
-    val b = banded.select(col("__id").as("id_b"), col("simhash").as("sim_b"),
+    val b = kept.select(col("__id").as("id_b"), col("simhash").as("sim_b"),
       col("__band_idx").as("__bi"), col("__band_key").as("__bk"))
     a.join(b, col("__band_idx") === col("__bi") &&
         col("__band_key") === col("__bk") && col("id_a") < col("id_b"))

@@ -340,10 +340,15 @@ object TrainingDataOps extends OpGroup {
          |  SELECT doc_id, simhash, t.k AS bk,
          |         (simhash >> CAST(16 * t.k AS INTEGER)) & 65535 AS bv
          |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t),
+         |small AS (
+         |  SELECT bk, bv FROM (SELECT bk, bv, count(*) AS bn
+         |                      FROM bands GROUP BY bk, bv)
+         |  WHERE bn <= 1000),
+         |kept AS (SELECT b.* FROM bands b JOIN small USING (bk, bv)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |                  a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM bands a JOIN bands b
+         |  FROM kept a JOIN kept b
          |    ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id),
          |h AS (
          |  SELECT doc_a, doc_b,
