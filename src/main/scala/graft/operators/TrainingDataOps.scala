@@ -85,7 +85,11 @@ object TrainingDataOps extends OpGroup {
     // (band index, band value) after a 4-way band explode, never a
     // cross join — then exact fixed-point cosine over the candidates.
     // Completes the ANN family: IVF (cells), PQ (compression), LSH
-    // (signature blocking).
+    // (signature blocking). Scale knob: 4-bit bands (16 buckets) fit
+    // the 2k-vector fixture; a 100 TB corpus raises the plane count and
+    // band width together (e.g. 64 planes → 4×16-bit bands = 65k
+    // buckets) so per-bucket candidate lists stay bounded — same
+    // precision/recall trade the MinHash/SimHash band caps encode.
     "lsh_hyperplane_near_dup" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       val stored = s.read.parquet(lshLayout(s, d))

@@ -255,6 +255,41 @@ class PlanSpec extends SparkSpec {
     assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
   }
 
+  test("runtime Bloom-filter pruning: selective dim filter injects might_contain on the fact side") {
+    // The shuffle-join sibling of DPP (SURVEY §4): a selective filter on
+    // the small (creation) side builds a bloom_filter_agg whose
+    // might_contain is pushed onto the fact (application) side's scan,
+    // skipping fact rows BEFORE the join shuffle. At 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // the ~matching sliver. Thresholds are lowered because the fixture
+    // fact side is far below the 10 GB default — the PLAN SHAPE is what
+    // must hold.
+    // Injection preconditions worth documenting: (a) the dim filter must
+    // be on a NON-join column — a filter on the join key itself is
+    // simply INFERRED onto the fact side by constraint propagation
+    // (exact, better than a bloom); (b) the join must be a probable
+    // shuffle join — a broadcastable-by-size dim suppresses the filter,
+    // so auto-broadcast is disabled to model the at-scale dim.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "0")
+      spark.conf.set(keys(1), "-1")
+      val li = Tables.lineitem(spark, sf())
+      val p = Tables.part(spark, sf()).filter(col("p_size") === 1)
+      val joined = li.join(p.hint("merge"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey").agg(count(lit(1)).as("n"))
+      val phys = joined.queryExecution.executedPlan.toString
+      assert(phys.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n${phys.take(800)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("IVF serving layout probes with dynamic partition pruning") {
     val df = SparkEntry.queries("ann_ivf_partition_pruned")(spark, sf())
     val phys = df.queryExecution.executedPlan.toString
