@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, OpGroup, Tables}
+import graft.{OpGroup, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * Scale design (the part that matters at 100 TB):
   *   - L2 exact dedup: hash-shuffle on sha256, one pass, no driver state.
   *   - L3 MinHash: signatures are a per-row map-side computation (no
-  *     shuffle); candidate pairing is a band-bucket equi-join — the LSH
-  *     trick that turns O(n²) near-dup search into a same-key join.
-  *     Signatures here (oracle-less, hash values are engine-specific);
-  *     pair semantics proven in MinHashSpec against planted duplicates.
+  *     shuffle), persisted once as the signature layout; candidate
+  *     pairing is a band-bucket equi-join — the LSH trick that turns
+  *     O(n²) near-dup search into a same-key join — re-derived and
+  *     hash-verified by the DuckDB oracle from the persisted layout.
   *   - jaccard core: n-gram set overlap via an inverted-index join,
   *     blocked by `source` so no block outgrows one executor.
   *   - L4 cosine top-k: brute-force baseline over a broadcast query set;
@@ -26,7 +26,6 @@ import org.apache.spark.sql.functions._
   *   - L6 multimodal struct: nested field access, never explosion.
   */
 object LlmOps extends OpGroup {
-  import Det._
 
   /** Document-frequency cap for the jaccard inverted index: tokens seen
     * in more than this many documents are dropped before the self-join

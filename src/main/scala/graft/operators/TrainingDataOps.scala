@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, OpGroup, Tables}
+import graft.{OpGroup, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,7 +24,6 @@ import org.apache.spark.sql.functions._
   *   - everything else is a single hash aggregate or projection.
   */
 object TrainingDataOps extends OpGroup {
-  import Det._
 
   /** SimHash fingerprint layout, persisted once per (session, dataset):
     * one 64-bit simhash per document (graft.functions.TextSim.simhash —
