@@ -85,7 +85,12 @@ object TextSim {
     */
   def signatureBandPairs(stored: DataFrame, numBands: Int,
       rowsPerBand: Int, bucketCap: Int = 1000): DataFrame = {
-    val bands = stored.select(col("doc_id"), col("sig"),
+    // candidate derivation is ID-ONLY: the band rows shuffled through
+    // the bucket count, the cap join, and the self-join carry
+    // (doc_id, band) — not the full signature, which would multiply
+    // every exchange's payload by the signature width. Signatures are
+    // joined back ONLY for the (far smaller) candidate set's scoring.
+    val bands = stored.select(col("doc_id"),
       posexplode(array((0 until numBands).map(k =>
         slice(col("sig"), k * rowsPerBand + 1, rowsPerBand)): _*))
         .as(Seq("__band_idx", "__band_val")))
@@ -94,16 +99,19 @@ object TextSim {
       .filter(col("__bn") <= bucketCap)
       .select("__band_idx", "__band_val")
     val kept = bands.join(small, Seq("__band_idx", "__band_val"))
-    val a = kept.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("__band_idx"), col("__band_val"))
-    val b = kept.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("__band_idx").as("__bi"), col("__band_val").as("__bv"))
-    a.join(b, col("__band_idx") === col("__bi") &&
-        col("__band_val") === col("__bv") && col("doc_a") < col("doc_b"))
+    val cand = kept.select(col("doc_id").as("doc_a"),
+        col("__band_idx"), col("__band_val"))
+      .join(kept.select(col("doc_id").as("doc_b"),
+        col("__band_idx"), col("__band_val")),
+        Seq("__band_idx", "__band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = stored.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = stored.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
           .as("n_match"))
-      .distinct()
   }
 
   /** DuckDB twin of [[signatureBandPairs]]: CTE chain over the persisted
