@@ -247,7 +247,12 @@ object PipelineOps extends OpGroup {
 
     // T7 — token-cache keyed state in its batch form (same serveTokens
     // state function the stream runs; StreamingSpec covers the streaming
-    // path). Not SQL-expressible (recursive state) ⇒ rows-only check.
+    // path). The recursive per-client state IS SQL-expressible: a
+    // linear recursive CTE walks the ts-ordered requests carrying
+    // (seq, expiresAt) — see the oracle. Ties at equal ts yield the
+    // same GRANT multiset whichever request mints (all carry the same
+    // expiresIn), so the result is total-order comparable; `minted`
+    // joins the sort keys to pin the within-tie row order.
     "stateful_token_cache" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
@@ -259,11 +264,34 @@ object PipelineOps extends OpGroup {
           StreamingOps.serveTokens(it, None)._1
         }
         .toDF()
-        .orderBy("client", "ts", "tokenSeq")
+        .orderBy("client", "ts", "tokenSeq", "minted")
     }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the serveTokens recurrence as a LINEAR RECURSIVE CTE: walk each
+    // client's ts-ordered requests carrying (seq, expiresAt); mint when
+    // ts >= expiresAt - 60, else serve cached. epoch_us // 1e6 floors
+    // to seconds exactly like Spark's unix_timestamp (DuckDB's epoch()
+    // ROUNDS — off by one second on .5+ fractions).
+    "stateful_token_cache" ->
+      """WITH RECURSIVE reqs AS (
+        |  SELECT client, ts,
+        |         row_number() OVER (PARTITION BY client ORDER BY ts) AS rn
+        |  FROM (SELECT CAST(user_id % 5 AS VARCHAR) AS client,
+        |               epoch_us(ts) // 1000000 AS ts FROM events)),
+        |walk AS (
+        |  SELECT client, rn, ts, CAST(0 AS BIGINT) AS seq,
+        |         ts + 600 AS exp, true AS minted
+        |  FROM reqs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.client, r.rn, r.ts,
+        |         CASE WHEN r.ts < w.exp - 60 THEN w.seq ELSE w.seq + 1 END,
+        |         CASE WHEN r.ts < w.exp - 60 THEN w.exp ELSE r.ts + 600 END,
+        |         r.ts >= w.exp - 60
+        |  FROM walk w JOIN reqs r ON r.client = w.client AND r.rn = w.rn + 1)
+        |SELECT client, ts, seq AS tokenSeq, minted FROM walk
+        |ORDER BY client, ts, tokenSeq, minted""".stripMargin,
     "artist_pipeline_e2e" ->
       s"""WITH artist AS (
          |  SELECT c_custkey FROM customer

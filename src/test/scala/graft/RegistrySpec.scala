@@ -13,7 +13,6 @@ class RegistrySpec extends SparkSpec {
     val rowsOnly = q -- o
     val expected = Set(
       "count_distinct_approx",     // HLL++ output is approximate
-      "stateful_token_cache",      // recursive keyed state, not SQL-expressible
       "watermark_late_drop",       // append-mode emission timing
       "percentile_approx_scale",   // sketch output
       "hll_count_rollup")          // DataSketches estimates (BigQuery
@@ -24,6 +23,8 @@ class RegistrySpec extends SparkSpec {
     // re-derives the pipeline from: ann_ivf_partition_pruned (r3),
     // lsh_hyperplane_near_dup + ann_pq_adc (r4), minhash_near_dedup +
     // simhash_dedup + minhash_udaf_signature + ann_kmeans_ivf (r5).
+    // stateful_token_cache graduated in r5 via a linear RECURSIVE CTE
+    // replaying the serveTokens state walk per client.
     assert(rowsOnly === expected,
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }
