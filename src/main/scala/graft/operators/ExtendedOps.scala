@@ -137,6 +137,21 @@ object ExtendedOps extends OpGroup {
       s.read.orc(out).orderBy("o_orderkey")
     }),
 
+    // Raw-text staging round trip: one doc per line out, line-per-row
+    // back (spark.read.text — the line-oriented source raw corpora
+    // arrive as). Line order is partition-dependent, so the declared
+    // result is the content MULTISET (text → line count), which also
+    // catches dropped/duplicated lines exactly.
+    "scan_text_roundtrip" -> ((s, d) => {
+      val out = freshDir("graft_text")
+      Tables.documents(s, d).select("text")
+        .write.mode(SaveMode.Overwrite).text(out)
+      s.read.text(out)
+        .groupBy("value").agg(count(lit(1)).as("n"))
+        .select(col("value").as("text"), col("n"))
+        .orderBy("text")
+    }),
+
     // SCD Type-2 history derivation — the warehouse pattern that turns a
     // change stream into validity-ranged dimension rows: per user, each
     // event_type change opens a version [valid_from, valid_to) with the
@@ -726,6 +741,9 @@ object ExtendedOps extends OpGroup {
         |LIMIT 10""".stripMargin,
     // the SQL-text twins share their DataFrame twin's oracle VERBATIM —
     // same semantics, same verification
+    "scan_text_roundtrip" ->
+      """SELECT text, count(*) AS n FROM documents
+        |GROUP BY text ORDER BY text""".stripMargin,
     "sql_window_topk" -> AggWindowOps.oracleSql("rank_topk_per_group"),
     "sql_explode_struct" -> ExplodeOps.oracleSql("explode_struct_array"),
     "sql_merge_upsert" -> MergeOps.oracleSql("merge_upsert_cdc"),

@@ -62,7 +62,46 @@ object MultimodalOps extends OpGroup {
     }
   }
 
+  /** One media file per sampled document, staged once per (session,
+    * dataset) — the on-disk form a media corpus actually arrives in
+    * (one object per image/clip). Driver-side staging is write-once
+    * fixture generation (the SourceOps.stagePages pattern), not query
+    * hot path.
+    */
+  private val mediaDirCache = new graft.Layout("graft_media")
+
+  private def mediaDir(s: SparkSession, d: String): String =
+    mediaDirCache(s, d) { p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 25 === 0)
+        .select("doc_id", "text").collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p, f"doc-${r.getLong(0)}%06d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The media INGEST path: Spark's binaryFile source reads one file
+    // per object — (path, modificationTime, length, content) — with one
+    // input partition per file, so codec work downstream parallelizes
+    // per object and metadata-only queries (length, path) never load
+    // `content` (the source prunes the column). pathGlobFilter /
+    // recursiveFileLookup are the production knobs for media lakes.
+    // modificationTime is excluded from the output (wall-clock).
+    "binaryfile_ingest" -> ((s, d) =>
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(mediaDir(s, d))
+        .select(
+          regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("sha"))
+        .orderBy("doc_id")),
+
     // Frame sampling over binary payloads: 1 row → N frame rows.
     "multimodal_frame_sample" -> ((s, d) => {
       import s.implicits._
@@ -91,6 +130,13 @@ object MultimodalOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // file bytes are exactly the doc's UTF-8 text (ASCII fixture), so
+    // size + sha re-derive from the table without touching the files
+    "binaryfile_ingest" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS sha
+        |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
     // Frames: 4 windows of 8 bytes at stride len/4; ASCII text makes the
     // byte checksum equal the char-code sum.
     "multimodal_frame_sample" ->
