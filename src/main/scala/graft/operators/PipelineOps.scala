@@ -78,7 +78,11 @@ object PipelineOps extends OpGroup {
       val out = freshDir("graft_s3_stage")
       Tables.nation(s, d).write.mode(SaveMode.Overwrite)
         .partitionBy("n_nationkey").json(out)
-      s.read.json(out)
+      // explicit read schema: the schema is KNOWN at staging time, and
+      // inference would re-read every staged file once just to derive
+      // it (the partition column n_nationkey types from the dir names)
+      s.read.schema("n_name STRING, n_regionkey BIGINT, n_nationkey INT")
+        .json(out)
         .select(col("n_nationkey").cast("int"), col("n_name"),
           col("n_regionkey").cast("int"))
         .orderBy("n_nationkey")
