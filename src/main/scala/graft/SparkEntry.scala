@@ -29,6 +29,7 @@ object SparkEntry {
     operators.SpotifyOps,
     operators.CurationOps,
     operators.MergeOps,
+    operators.RankingOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval and dataset-mixture operators (round-5 surface
+  * widening): the ordering half of a training-data pipeline — which
+  * documents answer a query (BM25), which rows make the training mix
+  * (weighted resampling), which nodes matter in a behavior graph
+  * (PageRank over event transitions).
+  *
+  * Scale design:
+  *   - BM25 never builds a global inverted index: the term filter runs
+  *     BEFORE the tf aggregation, so the shuffle carries only
+  *     (doc, query-term) pairs — |terms| × matching docs, not the corpus
+  *     vocabulary. df/N/avgdl are tiny aggregates broadcast to the
+  *     probe side; top-k is TakeOrdered (no global window).
+  *   - Per-term score contributions are rounded to fixed-point BIGINT
+  *     micro-units and summed as integers — integer addition is
+  *     associative, so any partial-aggregation layout at 100 TB (and
+  *     DuckDB's single-node sum) produces the identical score.
+  *   - Mixture resampling is CONTENT-DERIVED (md5 of the key vs an
+  *     exact integer threshold): the same rows are kept on any cluster,
+  *     any retry, any engine. The keep predicate is pure int64
+  *     arithmetic at fixture scale (documented headroom); per-source
+  *     rates come from one tiny aggregate broadcast against the corpus.
+  *   - PageRank mass is int64 fixed-point (1e12 units): every division
+  *     floors identically in both engines, so an 8-round iterative
+  *     computation stays bit-identical cross-engine — no fp drift to
+  *     tolerate. One equi-join + per-node sum per round (the
+  *     [[graft.functions.GraphOps]] loop shape), lineage truncated per
+  *     round; the transition-graph build (the part proportional to the
+  *     100 TB event log) is one window + one count aggregation.
+  */
+object RankingOps extends OpGroup {
+
+  /** Fixed query-term set for the BM25 exhibit (present in the synthetic
+    * corpus vocabulary; a real caller passes their own).
+    */
+  private val Bm25Terms = Seq("spark", "join", "window", "vector")
+  private val Bm25InList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** Okapi BM25 (k1=1.2, b=0.75) with the Lucene non-negative idf
+    * `ln(1 + (N-df+0.5)/(df+0.5))`, scaled to 1e-6 fixed-point. The SAME
+    * expression text runs in Spark and DuckDB — identical parse tree →
+    * identical IEEE evaluation order; all inputs are exact integers so
+    * both engines see bit-identical doubles (the tfidf_keywords
+    * precedent, SURVEY §5).
+    */
+  private val bm25ContribSql =
+    """CAST(round(
+      |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |  ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+      |    (CAST(dl * n_docs AS DOUBLE) / total_dl))))
+      |  * 1000000.0) AS BIGINT)""".stripMargin
+
+  /** SCALE for fixed-point PageRank mass (1.0 == 1e12 units). */
+  private val PrScale = 1000000000000L
+  private val PrIters = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1 — BM25 top-k retrieval over the documents corpus for a fixed
+    // query-term set. Filter-before-aggregate keeps the shuffle at
+    // |terms|×docs; df and corpus stats broadcast; TakeOrdered top-10.
+    "bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val qw = words.filter(col("w").isin(Bm25Terms: _*))
+      val tf = qw.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfT = qw.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val stats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl0"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl0").as("total_dl"))
+      val scored = tf.join(dl, "doc_id")
+        .join(broadcast(dfT), "w").crossJoin(broadcast(stats))
+        .withColumn("contrib_fp", expr(bm25ContribSql))
+      val top = scored.groupBy("doc_id")
+        .agg(sum("contrib_fp").as("score_fp"))
+        .orderBy(col("score_fp").desc, col("doc_id")).limit(10)
+      // rank the ≤10 surviving rows (window over the limited set only)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score_fp").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"), col("score_fp"))
+        .orderBy("rank")
+    }),
+
+    // R2 — weighted mixture resampling: target share ∝ per-source weight,
+    // overall budget 40% of the corpus. keep ⇔ h32·W·c_s < B·w_s·2^32 —
+    // exact integer arithmetic (int64 headroom to ~1e9 rows/source; the
+    // 100 TB variant lifts the threshold side to DECIMAL(38,0), same
+    // predicate). Output is the per-source audit a mixture job reports.
+    "mixture_weighted_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .withColumn("weight",
+          expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
+      val tot = counts.agg(sum("n_total").as("t_rows"), sum("weight").as("w_sum"))
+      val dims = broadcast(counts.crossJoin(broadcast(tot)))
+      val kept = docs.join(dims, "source")
+        .withColumn("h32", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        .filter(expr(
+          "h32 * w_sum * n_total < ((t_rows * 2) DIV 5) * weight * 4294967296"))
+      kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .join(counts, "source")
+        .select(col("source"), col("weight"), col("n_total"), col("n_kept"))
+        .orderBy("source")
+    }),
+
+    // R3 — PageRank over the event-type transition graph. The O(100 TB)
+    // part — lag-window sequencing + (prev,next) counting — is one
+    // shuffle each; the iterate runs on the aggregated graph (nodes =
+    // event vocabulary), one equi-join + sum per round, all int64
+    // fixed-point so the result is bit-identical to the DuckDB unrolled
+    // replay. Node count is a driver scalar (tiny aggregate) used to
+    // seed the uniform prior — the GlobalRank measured-pass pattern.
+    "pagerank_event_transitions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w8 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = ev.withColumn("prev", lag(col("event_type"), 1).over(w8))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outw = trans.groupBy("src").agg(sum("w").as("ow"))
+      val edges = trans.join(outw, "src")
+        .select("src", "dst", "w", "ow").localCheckpoint()
+      val nodes = ev.select(col("event_type").as("node")).distinct()
+        .localCheckpoint()
+      val n = nodes.count()
+      val base = PrScale / n
+      var ranks = nodes.withColumn("r", lit(base))
+      for (_ <- 1 to PrIters) {
+        val inflow = edges
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("(r * w) DIV ow").as("c"))
+          .groupBy("node").agg(sum("c").as("inflow"))
+        ranks = nodes.join(inflow, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"(15 * ${base}L + 85 * coalesce(inflow, 0L)) DIV 100").as("r"))
+          .localCheckpoint()
+      }
+      ranks.select(col("node").as("event_type"), col("r").as("pr_fp"))
+        .orderBy(col("pr_fp").desc, col("event_type"))
+    }),
+  )
+
+  /** DuckDB PageRank replay: the same int64 fixed-point recurrence,
+    * unrolled to [[PrIters]] chained CTE stages (aggregation per round
+    * rules out a recursive CTE — Postgres-family engines forbid
+    * aggregates in the recursive term). Every stage casts back to
+    * BIGINT so DuckDB's HUGEINT sum cannot change the arithmetic.
+    */
+  private def pagerankDuck: String = {
+    val baseExpr = s"($PrScale // (SELECT n FROM nn))"
+    val stages = (1 to PrIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |    CAST((15 * $baseExpr + 85 * COALESCE(i$i.inflow, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT dst AS node, CAST(sum((r * w) // ow) AS BIGINT) AS inflow
+         |    FROM e JOIN pr${i - 1} p ON p.node = e.src GROUP BY dst) i$i
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (
+       |  SELECT prev AS src, event_type AS dst, count(*) AS w
+       |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+       |e AS (SELECT src, dst, w, ow FROM edges JOIN outw USING (src)),
+       |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, $baseExpr AS r FROM nodes),
+       |$stages
+       |SELECT node AS event_type, r AS pr_fp FROM pr$PrIters
+       |ORDER BY pr_fp DESC, event_type""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |qw AS (SELECT doc_id, w FROM words WHERE w IN $Bm25InList),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM qw GROUP BY 1, 2),
+         |df AS (SELECT w, count(*) AS df FROM
+         |         (SELECT DISTINCT doc_id, w FROM qw) GROUP BY w),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_dl
+         |          FROM documents),
+         |scored AS (
+         |  SELECT doc_id, $bm25ContribSql AS contrib_fp
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN stats),
+         |agg AS (SELECT doc_id, CAST(sum(contrib_fp) AS BIGINT) AS score_fp
+         |        FROM scored GROUP BY doc_id),
+         |top AS (SELECT doc_id, score_fp FROM agg
+         |        ORDER BY score_fp DESC, doc_id LIMIT 10)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS rank,
+         |  score_fp
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "mixture_weighted_resample" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |counts AS (
+        |  SELECT source, count(*) AS n_total,
+        |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS weight
+        |  FROM docs GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS t_rows,
+        |               CAST(sum(weight) AS BIGINT) AS w_sum FROM counts),
+        |kept AS (
+        |  SELECT d.doc_id, d.source
+        |  FROM docs d JOIN counts c USING (source) CROSS JOIN tot
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        * w_sum * n_total < ((t_rows * 2) // 5) * weight * 4294967296)
+        |SELECT c.source, c.weight, c.n_total, count(*) AS n_kept
+        |FROM kept k JOIN counts c USING (source)
+        |GROUP BY c.source, c.weight, c.n_total
+        |ORDER BY c.source""".stripMargin,
+
+    "pagerank_event_transitions" -> pagerankDuck,
+  )
+}
