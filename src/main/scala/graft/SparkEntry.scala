@@ -30,6 +30,7 @@ object SparkEntry {
     operators.CurationOps,
     operators.MergeOps,
     operators.RankingOps,
+    operators.EventAnalyticsOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

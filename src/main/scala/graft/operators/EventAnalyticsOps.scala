@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics operators: sessionization, funnel conversion,
+  * cohort retention — the product-analytics surface a warehouse serves
+  * over an append-only event stream.
+  *
+  * Scale design:
+  *   - Everything partitions by `user_id`: sessionize and funnel are
+  *     ONE shuffle each (Spark reuses the (user_id, ts) sort across
+  *     consecutive window specs over the same partitioning), cohort is
+  *     a per-user min + a distinct — all partial-aggregatable.
+  *   - Time math is exact integer MICROSECONDS (`unix_micros` /
+  *     `epoch_us`): both engines floor identically, where second-level
+  *     `unix_timestamp`/`epoch()` would round differently (SURVEY §12).
+  *   - No per-user collect, no driver loop: session numbering is a
+  *     running sum over a boundary flag, the textbook gap-sessionize
+  *     that holds at any user count.
+  */
+object EventAnalyticsOps extends OpGroup {
+
+  /** Session gap: 30 min, in µs. */
+  private val GapUs = 1800000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // V1 — gap sessionization (batch twin of T4's streaming session
+    // window): boundary flag via lag, session index via running sum,
+    // then one aggregate per (user, session).
+    "sessionize_gap_batch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("us", expr("unix_micros(ts)"))
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = ev
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull.or(col("us") - col("prev_us") > GapUs), 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("t_start"), max("ts").as("t_end"),
+          (max("us") - min("us")).as("duration_us"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // V2 — ordered funnel (view → click → purchase): stage timestamps
+    // chain through per-user conditional-min windows over ONE
+    // partitioning; the summary row counts users surviving each stage.
+    "funnel_conversion" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val u = Window.partitionBy("user_id")
+      val staged = ev
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(u))
+        .withColumn("t2", min(when(col("event_type") === "click"
+          && col("ts") > col("t1"), col("ts"))).over(u))
+        .withColumn("t3", min(when(col("event_type") === "purchase"
+          && col("ts") > col("t2"), col("ts"))).over(u))
+      staged.groupBy("user_id")
+        .agg(max(col("t1").isNotNull.cast("long")).as("s1"),
+          max(col("t2").isNotNull.cast("long")).as("s2"),
+          max(col("t3").isNotNull.cast("long")).as("s3"))
+        .agg(sum("s1").as("n_view"),
+          sum("s2").as("n_click_after_view"),
+          sum("s3").as("n_purchase_after_click"))
+    }),
+
+    // V3 — weekly cohort retention: cohort = ISO week of first event,
+    // cell = users from that cohort active `week_offset` weeks later.
+    // (user, week) is de-duplicated BEFORE the cohort join, so the
+    // final count(*) is already distinct-users.
+    "cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+        .withColumn("cohort_week", date_trunc("week", col("first_ts")))
+        .select("user_id", "cohort_week")
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      active.join(first, "user_id")
+        .withColumn("week_offset",
+          expr(s"(unix_micros(week) - unix_micros(cohort_week)) DIV ${7L * 86400000000L}"))
+        .groupBy(col("cohort_week").cast("date").as("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sessionize_gap_batch" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us FROM events),
+         |flagged AS (
+         |  SELECT user_id, ts, event_id, us,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |              OR us - lag(us) OVER w > $GapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, us,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |  min(ts) AS t_start, max(ts) AS t_end,
+         |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+         |FROM sess GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH staged AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER u AS t1,
+        |    ts, event_type
+        |  FROM events WINDOW u AS (PARTITION BY user_id)),
+        |s2 AS (
+        |  SELECT user_id, t1,
+        |    min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2,
+        |    ts, event_type
+        |  FROM staged),
+        |s3 AS (
+        |  SELECT user_id, t1, t2,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM s2),
+        |per_user AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+        |    max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+        |    max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS s3
+        |  FROM s3 GROUP BY user_id)
+        |SELECT CAST(sum(s1) AS BIGINT) AS n_view,
+        |  CAST(sum(s2) AS BIGINT) AS n_click_after_view,
+        |  CAST(sum(s3) AS BIGINT) AS n_purchase_after_click
+        |FROM per_user""".stripMargin,
+
+    "cohort_retention" ->
+      s"""WITH first_seen AS (
+         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+         |  FROM events GROUP BY user_id),
+         |active AS (
+         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+         |SELECT cohort_week,
+         |  (epoch_us(week) - epoch_us(cohort_week)) // ${7L * 86400000000L} AS week_offset,
+         |  count(*) AS n_users
+         |FROM active JOIN first_seen USING (user_id)
+         |GROUP BY cohort_week, week_offset
+         |ORDER BY cohort_week, week_offset""".stripMargin,
+  )
+}
