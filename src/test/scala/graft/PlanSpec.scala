@@ -405,4 +405,28 @@ class PlanSpec extends SparkSpec {
     val got = e.collect().map(_.getLong(0))
     assert(got.length === 50 && got.forall(_ != 0L))
   }
+
+  test("bm25 top-k plans TakeOrdered with broadcast df/stats — never a global sort") {
+    val p = SparkEntry.queries("bm25_topk")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not Sort+Limit over all docs")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "df and corpus stats must broadcast to the probe side")
+  }
+
+  test("event analytics share ONE user_id shuffle across windows and aggregate") {
+    // funnel: three chained conditional-min windows + the per-user
+    // aggregate all consume the same hashpartitioning(user_id) exchange;
+    // sessionize: lag + running-sum windows + session aggregate likewise.
+    // A second hash exchange here means the 100 TB event shuffle runs
+    // twice.
+    for (q <- Seq("funnel_conversion", "sessionize_gap_batch")) {
+      val p = SparkEntry.queries(q)(spark, sf())
+        .queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx === 1,
+        s"$q plans $hashEx hash exchanges — expected exactly one:\n${p.take(500)}")
+    }
+  }
 }
