@@ -31,6 +31,8 @@ object SparkEntry {
     operators.MergeOps,
     operators.RankingOps,
     operators.EventAnalyticsOps,
+    operators.LangModelOps,
+    operators.StatOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust-statistics and typed-API operators (round-5 widening, SURVEY §2
+  * rows X1-X3): windowed anomaly detection, per-group trend fitting, and a
+  * `KeyValueGroupedDataset.cogroup` reconciliation — the monitoring /
+  * drift-detection layer a production data pipeline runs beside ingestion
+  * (the reference's BigQuery tables are exactly the substrate for such
+  * checks, `/root/reference/terraform/main.tf:76-96`).
+  *
+  * Determinism & scale design:
+  *   - Every statistic is computed from EXACT integer moments: measures
+  *     are fixed-pointed at the leaf (`round(x·10³)`/`round(x·10²)` →
+  *     BIGINT), and the window/group sums Σx, Σx² are integer sums —
+  *     associative, so any partition layout matches DuckDB bit-for-bit.
+  *     Doubles only appear in the FINAL scalar expression (mean/variance/
+  *     slope), whose inputs are exact int64 (< 2^53, documented bounds)
+  *     and whose operations (+,·,/,sqrt) are correctly-rounded IEEE —
+  *     identical in both engines, no summation-order exposure.
+  *   - The rolling window is rows-framed over a TOTAL order (ts,
+  *     event_id), so the frame contents are engine-independent.
+  *   - Trend fitting is one groupBy shuffle carrying five int64 moments
+  *     per customer — the classic distributed-OLS shape (no per-point
+  *     state leaves the map side after partial aggregation).
+  *   - The typed cogroup is the Dataset-API face of a co-partitioned
+  *     full-outer reconcile: both sides shuffle once on the key, each
+  *     group folds with exact integer/decimal arithmetic in JVM code —
+  *     demonstrating that typed per-group logic can still be
+  *     oracle-verified when its arithmetic is exact.
+  */
+object StatOps extends OpGroup {
+
+  /** Trailing-window population z-score, shared Spark/DuckDB expression:
+    * all inputs (v_fp milli-units, sx, sxx, n) are exact integers, so the
+    * identical parse tree evaluates identically in both engines.
+    */
+  private val zSql =
+    """((CAST(v_fp AS DOUBLE) / 1000.0) - (CAST(sx AS DOUBLE) / (1000.0 * n)))
+      | / sqrt(CAST(sxx AS DOUBLE) / (1000000.0 * n)
+      |         - (CAST(sx AS DOUBLE) / (1000.0 * n)) * (CAST(sx AS DOUBLE) / (1000.0 * n)))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Positive-variance guard (same subexpression as [[zSql]]'s radicand):
+    * keeps sqrt real and excludes constant windows in both engines.
+    */
+  private val varPosSql =
+    """(CAST(sxx AS DOUBLE) / (1000000.0 * n)
+      | - (CAST(sx AS DOUBLE) / (1000.0 * n)) * (CAST(sx AS DOUBLE) / (1000.0 * n))) > 0.0"""
+      .stripMargin.replace("\n", " ")
+
+  /** OLS slope in 1e-6 fixed point from exact int64 moments (micro-cents
+    * per day: y is cents, x is days since 1992-01-01).
+    */
+  private val slopeSql =
+    """CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      | / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1 — rolling z-score outlier detection: trailing 10-event window per
+    // user, flag |z| >= 2. Moments are integer window sums over a total
+    // (ts, event_id) order; one window shuffle, no driver state.
+    "rolling_zscore_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("v_fp", expr("CAST(round(value * 1000) AS BIGINT)"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      ev.withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("v_fp")).over(w))
+        .withColumn("sxx", sum(col("v_fp") * col("v_fp")).over(w))
+        .filter(col("n") === 10)
+        .filter(expr(varPosSql))
+        .withColumn("z_fp", expr(s"CAST(round(($zSql) * 10000.0) AS BIGINT)"))
+        .filter(abs(col("z_fp")) >= 20000)
+        .select("user_id", "event_id", "v_fp", "z_fp")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // X2 — per-customer OLS spend trend: five exact moments per group, one
+    // shuffle; slope resolved in one shared double expression. Top 25
+    // steepest risers.
+    "ols_trend_fixed" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        expr("CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT)").as("x"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+      o.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .filter(col("n") >= 8 && expr("n * sxx - sx * sx > 0"))
+        .withColumn("slope_fp", expr(slopeSql))
+        .select("o_custkey", "n", "slope_fp")
+        .orderBy(col("slope_fp").desc, col("o_custkey")).limit(25)
+    }),
+
+    // X3 — typed cogroup reconciliation: orders vs their lineitem roll-up
+    // via KeyValueGroupedDataset.cogroup (full-outer semantics: childless
+    // orders keep n_lines=0, orphan lines surface with total_fp NULL).
+    // Per-line gross is fixed-pointed with the same IEEE product order as
+    // the oracle; group folds are exact integer sums.
+    "typed_cogroup_reconcile" -> ((s, d) => {
+      import s.implicits._
+      val os = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("total"))
+        .as[OrderK]
+      val ls = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_extendedprice").as("ep"),
+          col("l_discount").as("disc"), col("l_tax").as("tax"))
+        .as[LineK]
+      os.groupByKey(_.k).cogroup(ls.groupByKey(_.k)) { (k, oit, lrows) =>
+        var n = 0L
+        var gross = 0L
+        lrows.foreach { l =>
+          n += 1
+          gross += fp6(l.ep * (1.0 - l.disc) * (1.0 + l.tax) * 1000000.0)
+        }
+        val total = oit.toSeq.headOption.map(o => fp6(o.total * 1000000.0))
+        Iterator(Recon(k, n, gross, total))
+      }.toDF().orderBy("o_orderkey")
+    }),
+  )
+
+  // Not `private`: Catalyst's generated (de)serializer projections live
+  // outside this object and need constructor/field access.
+  case class OrderK(k: Long, total: Double)
+  case class LineK(k: Long, ep: Double, disc: Double, tax: Double)
+  case class Recon(o_orderkey: Long, n_lines: Long,
+      gross_fp: Long, total_fp: Option[Long])
+
+  /** JVM twin of DuckDB's `CAST(round(x) AS BIGINT)`: round-half-away on
+    * the shortest decimal representation of the double. (`Math.round` is
+    * floor(x+0.5), which disagrees on values like 0.49999999999999994.)
+    */
+  private def fp6(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  val oracleSql: Map[String, String] = Map(
+    "rolling_zscore_outliers" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ts,
+         |         CAST(round(value * 1000) AS BIGINT) AS v_fp
+         |  FROM events),
+         |st AS (
+         |  SELECT user_id, event_id, v_fp,
+         |    count(*) OVER w AS n,
+         |    CAST(sum(v_fp) OVER w AS BIGINT) AS sx,
+         |    CAST(sum(v_fp * v_fp) OVER w AS BIGINT) AS sxx
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id, v_fp,
+         |       CAST(round(($zSql) * 10000.0) AS BIGINT) AS z_fp
+         |FROM st
+         |WHERE n = 10 AND $varPosSql
+         |  AND abs(CAST(round(($zSql) * 10000.0) AS BIGINT)) >= 20000
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "ols_trend_fixed" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+         |  FROM orders),
+         |m AS (
+         |  SELECT o_custkey, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM o GROUP BY o_custkey)
+         |SELECT o_custkey, n, $slopeSql AS slope_fp
+         |FROM m WHERE n >= 8 AND n * sxx - sx * sx > 0
+         |ORDER BY slope_fp DESC, o_custkey LIMIT 25""".stripMargin,
+
+    "typed_cogroup_reconcile" ->
+      """WITH la AS (
+        |  SELECT l_orderkey AS k, count(*) AS n_lines,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |                        * (1.0 + l_tax) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS gross_fp
+        |  FROM lineitem GROUP BY l_orderkey),
+        |ok AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS total_fp
+        |  FROM orders)
+        |SELECT k AS o_orderkey, COALESCE(n_lines, 0) AS n_lines,
+        |       COALESCE(gross_fp, 0) AS gross_fp, total_fp
+        |FROM ok FULL JOIN la USING (k)
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

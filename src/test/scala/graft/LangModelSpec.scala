@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantic pins for LangModelOps and StatOps (round-5 widening). The
+  * DuckDB oracle hash-checks these queries; the tests here pin the
+  * properties a hash match can't name — score monotonicity, blocking
+  * soundness, full-outer completeness, statistical invariants.
+  */
+class LangModelSpec extends SparkSpec {
+  private def runL(key: String) =
+    operators.LangModelOps.queries(key)(spark, sf()).collect()
+  private def runS(key: String) =
+    operators.StatOps.queries(key)(spark, sf()).collect()
+
+  test("bigram_lm_perplexity ranks 20 docs by non-increasing positive NLL") {
+    val rows = runL("bigram_lm_perplexity")
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(0)).distinct.length === 20)
+    val scores = rows.map(_.getLong(2)).toSeq
+    assert(scores === scores.sorted.reverse, "avg NLL must be non-increasing")
+    // add-one smoothing keeps every P(w2|w1) < 1 => NLL strictly positive
+    assert(scores.forall(_ > 0))
+    assert(rows.forall(_.getLong(1) >= 1), "every ranked doc has bigrams")
+  }
+
+  test("bpe_top_pairs yields 2-char pairs with non-increasing weighted counts") {
+    val rows = runL("bpe_top_pairs")
+    assert(rows.length === 20)
+    assert(rows.forall(_.getString(0).length === 2))
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts === counts.sorted.reverse)
+    assert(counts.forall(_ > 0))
+  }
+
+  test("fuzzy_pairs_blocked: pairs share a block, lev <= 3, multiplicity > 0") {
+    val rows = runL("fuzzy_pairs_blocked")
+    assert(rows.nonEmpty)
+    rows.foreach { case Row(blk: String, n1: String, n2: String, lev: Int, np: Long) =>
+      assert(n1 <= n2)
+      assert(n1.endsWith(blk) && n2.endsWith(blk), "blocking key is the head noun")
+      assert(lev >= 0 && lev <= 3)
+      assert(lev == 0 == (n1 == n2), "lev 0 iff identical (diagonal) name")
+      assert(np > 0, "diagonal pairs require a repeated name")
+    }
+  }
+
+  test("cooc_triangle_count: triangles bounded by oriented-edge composition") {
+    val Array(Row(edges: Long, tris: Long)) = runL("cooc_triangle_count")
+    assert(edges > 0, "fixture vocabulary co-occurs above threshold")
+    assert(tris >= 0 && tris <= edges.toLong * edges, "loose wedge bound")
+    // every triangle consumes 3 oriented edges; a graph with e edges has
+    // at most C(e over ...) — cheap necessary condition: tris <= e^1.5+1
+    assert(tris <= math.pow(edges.toDouble, 1.5).toLong + 1,
+      "triangle count exceeds the e^{3/2} extremal bound")
+  }
+
+  test("rolling_zscore_outliers only flags |z| >= 2 on full windows") {
+    val rows = runS("rolling_zscore_outliers")
+    assert(rows.nonEmpty, "planted variance yields at least one outlier")
+    rows.foreach { r => assert(math.abs(r.getLong(3)) >= 20000) }
+  }
+
+  test("ols_trend_fixed returns 25 customers with non-increasing slopes") {
+    val rows = runS("ols_trend_fixed")
+    assert(rows.length === 25)
+    assert(rows.map(_.getLong(1)).forall(_ >= 8), "min-support filter")
+    val slopes = rows.map(_.getLong(2)).toSeq
+    assert(slopes === slopes.sorted.reverse)
+  }
+
+  test("typed_cogroup_reconcile is full-outer complete and exact") {
+    val rows = runS("typed_cogroup_reconcile")
+    val orders = Tables.orders(spark, sf()).select("o_orderkey")
+      .distinct().count()
+    val lineKeys = Tables.lineitem(spark, sf()).select("l_orderkey")
+      .distinct().count()
+    assert(rows.length >= orders && rows.length >= lineKeys,
+      "cogroup must cover every key from both sides")
+    val withOrder = rows.count(!_.isNullAt(3))
+    assert(withOrder === orders, "exactly the order rows carry total_fp")
+    rows.filter(_.getLong(1) == 0).foreach(r =>
+      assert(r.getLong(2) === 0L, "childless orders have zero gross"))
+  }
+}
