@@ -415,6 +415,49 @@ class PlanSpec extends SparkSpec {
       "df and corpus stats must broadcast to the probe side")
   }
 
+  test("corpus-LM and stat operators keep their scale shapes") {
+    def shape(k: String): String = SparkEntry.queries(k)(spark, sf())
+      .queryExecution.executedPlan.toString
+    // bigram LM: vocab-sized c1 and the (V,N) scalar broadcast; top-k is
+    // TakeOrdered — the corpus-sized bigram stream only ever hash-joins c2.
+    val bigram = shape("bigram_lm_perplexity")
+    assert(bigram.contains("TakeOrderedAndProject"))
+    assert("BroadcastHashJoin".r.findAllIn(bigram).size >= 2,
+      "c1 and the (V,N) stats must broadcast")
+    // BPE mining is pure aggregation — a join appearing here means the
+    // dictionary explode got rewritten into something corpus-sized.
+    val bpe = shape("bpe_top_pairs")
+    assert(bpe.contains("TakeOrderedAndProject"))
+    assert(!bpe.contains("Join"), "bpe_top_pairs must not join")
+    // fuzzy linkage self-joins the DISTINCT-name dictionary — small enough
+    // to broadcast; an SMJ here means the row stream joined itself.
+    val fuzzy = shape("fuzzy_pairs_blocked")
+    assert(fuzzy.contains("BroadcastHashJoin") && !fuzzy.contains("SortMergeJoin"),
+      "dictionary self-join must broadcast")
+    // windowed moments and five-moment OLS each need exactly ONE hash
+    // shuffle — a second one doubles the 100 TB event/order shuffle.
+    for (q <- Seq("rolling_zscore_outliers", "ols_trend_fixed")) {
+      val n = "Exchange hashpartitioning".r.findAllIn(shape(q)).size
+      assert(n === 1, s"$q plans $n hash exchanges — expected exactly one")
+    }
+    // typed cogroup: one exchange per input side, nothing else.
+    val cg = "Exchange hashpartitioning".r
+      .findAllIn(shape("typed_cogroup_reconcile")).size
+    assert(cg === 2, s"cogroup plans $cg hash exchanges — expected two")
+    // triangle counting stays an equi-join composition: the edge/wedge
+    // joins must be hash or merge joins — nested-loop is reserved for the
+    // single-row scalar cross-joins (the doc-count threshold and the final
+    // n_edges × n_triangles stitch), which broadcast one row by design.
+    val tri = shape("cooc_triangle_count")
+    assert(!tri.contains("CartesianProduct"))
+    assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(tri).size >= 3,
+      "edge and wedge joins must stay equi-joins")
+    // e is referenced 4× (e1/e2/e3 + the edge count), each re-planning its
+    // single-row doc-count broadcast, plus the final two-scalar stitch.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(tri).size <= 5,
+      "nested-loop beyond the single-row scalar stitches")
+  }
+
   test("event analytics share ONE user_id shuffle across windows and aggregate") {
     // funnel: three chained conditional-min windows + the per-user
     // aggregate all consume the same hashpartitioning(user_id) exchange;
