@@ -33,6 +33,7 @@ object SparkEntry {
     operators.EventAnalyticsOps,
     operators.LangModelOps,
     operators.StatOps,
+    operators.CorpusDedupOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

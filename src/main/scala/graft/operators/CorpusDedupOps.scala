@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level span/chunk deduplication (round-5 widening, SURVEY §2
+  * rows C1-C2): the two canonical TEXT-LEVEL dedup shapes of a
+  * pretraining pipeline that the doc-level family (exact sha, MinHash,
+  * SimHash, embedding/LSH) does not cover — removing duplicated REGIONS
+  * of otherwise-distinct documents:
+  *
+  *   - C4-style chunk dedup: split every document into fixed token
+  *     windows, keep each distinct window's globally-first occurrence,
+  *     and reassemble the surviving windows per document (the "discard
+  *     repeated spans, keep the rest of the page" filter).
+  *   - Duplicated-substring span detection: find every k-token gram that
+  *     occurs ≥2 times corpus-wide and merge overlapping hits into
+  *     maximal per-document spans — the suffix-array dedup shape of
+  *     Lee et al., "Deduplicating Training Data Makes Language Models
+  *     Better" (PAPERS.md), re-expressed as positional n-gram joins.
+  *
+  * Reference basis: the reference stages documents precisely so the
+  * warehouse can run corpus-wide SQL over them
+  * (`/root/reference/app.py:201-211`); these rows are the dedup passes a
+  * curator runs on that staged corpus before training.
+  *
+  * Determinism & scale design:
+  *   - Chunks/grams are keyed by sha256 of the window text (portable
+  *     bytes on both engines, the exact_dedup_hash precedent) — the
+  *     window bodies never shuffle for the duplicate test, only their
+  *     hashes + positions.
+  *   - Keep-first is a row_number over (hash) ordered by (doc_id,
+  *     chunk_idx) — a total order, so the survivor set is identical on
+  *     any partitioning/retry (same rule as dedup_keep_first).
+  *   - Shuffle inventory (both rows): one hash-keyed aggregate/window
+  *     over the positional stream + one doc_id-keyed reassembly — each
+  *     key-parallel with map-side combine where applicable; nothing is
+  *     ever joined all-pairs and nothing collects to the driver. At
+  *     100 TB the hash shuffle carries (hash, doc, pos) triples, not
+  *     document text.
+  *   - Span merge is the classic interval-union window: a gram opens a
+  *     new span iff its start lies beyond the running max end of every
+  *     earlier hit in the document; islands then aggregate to
+  *     [min(pos), max(pos)+k) — two window passes over ONE (doc_id,
+  *     pos) sort, no self-join.
+  */
+object CorpusDedupOps extends OpGroup {
+
+  /** Chunk width (tokens) for C4-style dedup; 10 ⇒ fixture docs carry
+    * 1-10 chunks each.
+    */
+  private val ChunkW = 10
+
+  /** Gram width (tokens) for span detection — Lee et al. use 50-token
+    * windows at web scale; 8 matches the fixture's planted near-dup
+    * doc pairs.
+    */
+  private val GramK = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C4-style duplicated-window removal with document reassembly.
+    // Output: per doc, how many windows it had, how many survived, and
+    // the text rebuilt from the survivors in original order ('' when
+    // every window was a repeat).
+    "chunk_dedup_reassemble" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, CAST(ceil(size(t) / $ChunkW.0) AS INT) - 1), " +
+            s"i -> array_join(slice(t, i * $ChunkW + 1, $ChunkW), ' '))")))
+        .toDF("doc_id", "chunk_idx", "chunk")
+      // keep-first: the globally-earliest (doc_id, chunk_idx) occurrence
+      // of each distinct window survives; later repeats are dropped
+      val keepFirst = Window.partitionBy(sha2(col("chunk"), 256))
+        .orderBy("doc_id", "chunk_idx")
+      chunks
+        .withColumn("kept", row_number().over(keepFirst) === 1)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          // collect_list skips the NULLs the `when` leaves for dropped
+          // chunks; array_sort on (chunk_idx, chunk) structs restores
+          // document order deterministically
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(CASE WHEN kept THEN " +
+              "struct(chunk_idx, chunk) END)), x -> x.chunk)")).as("text_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicated-substring spans: maximal per-document regions covered
+    // by k-grams that occur ≥2 times anywhere in the corpus (including
+    // within the same document).
+    "dup_span_detect" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= GramK)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $GramK), " +
+            s"i -> sha2(array_join(slice(t, i + 1, $GramK), ' '), 256))")))
+        .toDF("doc_id", "pos", "h")
+      val dup = grams.groupBy("h").count()
+        .filter(col("count") >= 2).select("h")
+      // equi-join back on the gram hash: the duplicate set is
+      // corpus-derived, so it stays distributed (no broadcast of an
+      // unbounded vocabulary)
+      val hits = grams.join(dup, "h").select("doc_id", "pos")
+      val prevEnd = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val run = Window.partitionBy("doc_id").orderBy("pos")
+      hits
+        .withColumn("newspan",
+          when(col("pos") > coalesce(max(col("pos") + GramK).over(prevEnd),
+            lit(-1)), 1).otherwise(0))
+        .withColumn("span_id", sum(col("newspan")).over(run))
+        .groupBy("doc_id", "span_id")
+        .agg(
+          min("pos").as("span_start"),
+          (max(col("pos")) + GramK).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_grams"))
+        .orderBy("doc_id", "span_start")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "chunk_dedup_reassemble" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |         array_to_string(t[(i*$ChunkW+1):(i*$ChunkW+$ChunkW)], ' ') AS chunk
+         |  FROM toks CROSS JOIN range(0, 256) r(i) WHERE i < ceil(len(t) / $ChunkW.0)),
+         |flagged AS (
+         |  SELECT doc_id, chunk_idx, chunk,
+         |         (row_number() OVER (PARTITION BY sha256(chunk)
+         |            ORDER BY doc_id, chunk_idx)) = 1 AS kept
+         |  FROM chunks)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+         |                  FILTER (WHERE kept), '') AS text_clean
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dup_span_detect" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |         sha256(array_to_string(t[(i+1):(i+$GramK)], ' ')) AS h
+         |  FROM toks CROSS JOIN range(0, 256) r(i) WHERE i <= len(t) - $GramK),
+         |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+         |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+         |flagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos > coalesce(max(pos + $GramK) OVER (
+         |             PARTITION BY doc_id ORDER BY pos
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |           THEN 1 ELSE 0 END AS newspan
+         |  FROM hits),
+         |islands AS (
+         |  SELECT doc_id, pos,
+         |         sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM flagged)
+         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         |       CAST(max(pos) + $GramK AS INTEGER) AS span_end,
+         |       CAST(count(*) AS BIGINT) AS n_grams
+         |FROM islands GROUP BY doc_id, span_id
+         |ORDER BY doc_id, span_start""".stripMargin,
+  )
+}

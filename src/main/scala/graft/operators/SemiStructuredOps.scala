@@ -174,7 +174,50 @@ object SemiStructuredOps extends OpGroup {
       graft.functions.AnnIvf.topkAssigned(s, stored, quantizer(s, d),
         col("vec_id") < 10, topK = 3, nprobe = 2)
     }),
+
+    // SemDeDup (Abbas et al., PAPERS.md): semantic dedup via the LEARNED
+    // clustering — pairwise cosine only WITHIN each quantizer cell of
+    // the serving layout, never across the corpus. A vector is dropped
+    // iff a SMALLER-id cell-mate sits within cosine ≥ τ (the
+    // deterministic keep-one-representative rule; transitive closure
+    // deliberately not taken, matching the paper's per-cluster filter).
+    // Scale: cost is Σ|cell|², the quantity SemDeDup's k controls — k
+    // grows with the corpus so cells stay bounded; the join is an
+    // equi-join on cell (never all-pairs), and only (id, cos) pairs
+    // shuffle out of it.
+    "semantic_dedup_cluster" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val stored = s.read.parquet(ivfLayout(s, d))
+        .select(col("vec_id"), col("embedding"),
+          col("cell").cast("int").as("cell"))
+      val withNorm = stored.withColumn("norm",
+        graft.functions.VectorFunctions.norm("embedding"))
+      val a = withNorm.select(col("vec_id").as("id_a"),
+        col("cell").as("cell_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a"))
+      val b = withNorm.select(col("vec_id").as("id_b"),
+        col("cell").as("cell_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b"))
+      val dominated = a
+        .join(b, col("cell_a") === col("cell_b") && col("id_b") < col("id_a"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot("emb_a", "emb_b") /
+            (col("norm_a") * col("norm_b")))
+        .filter(col("cos") >= SemDedupTau)
+        .select(col("id_a").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      stored.join(dominated, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cell"), col("dup").isNull.as("is_kept"))
+        .orderBy("vec_id")
+    }),
   )
+
+  /** SemDeDup cosine threshold: fixture cells are directionally
+    * near-uniform (AnnSpec), so τ sits just above the within-cell
+    * cosine bulk — low enough to drop a meaningful tail, high enough to
+    * keep most of each cell (the paper's ~epsilon ball).
+    */
+  private val SemDedupTau = 0.4
 
   /** `def`, not `val`: the ANN oracle references the session's serving
     * layout, known only after the query has materialized it (Verify's
@@ -226,6 +269,37 @@ object SemiStructuredOps extends OpGroup {
     // fitted model's transform output (AnnSpec asserts the identity) —
     // so it shares the structural re-derivation verbatim.
     "ann_kmeans_ivf" -> ivfProbeSql,
+    // SemDeDup re-derived from the same persisted cells: within-cell
+    // pairs, fixed-point cosine (bit-exact), dominated-by-smaller-id
+    // rule — only the cell assignments are taken from the layout.
+    "semantic_dedup_cluster" -> {
+      import graft.functions.VectorFunctions.dotFpDuck
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding, CAST(cell AS INTEGER) AS cell
+         |  FROM read_parquet('${ivfLayoutCache.lastPath}/cell=*/*.parquet', hive_partitioning=1)),
+         |norms AS (
+         |  SELECT c.vec_id,
+         |         sqrt(CAST(${dotFpDuck("embedding", "embedding")} AS DOUBLE) / 1e15) AS norm
+         |  FROM corpus c CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= len(c.embedding)
+         |  GROUP BY c.vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${dotFpDuck("a.embedding", "b.embedding")} AS fx
+         |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= len(a.embedding)
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT d.id_a AS vec_id
+         |  FROM dots d
+         |  JOIN norms na ON na.vec_id = d.id_a
+         |  JOIN norms nb ON nb.vec_id = d.id_b
+         |  WHERE (CAST(d.fx AS DOUBLE) / 1e15) / (na.norm * nb.norm) >= $SemDedupTau)
+         |SELECT c.vec_id, c.cell, (p.vec_id IS NULL) AS is_kept
+         |FROM corpus c LEFT JOIN dup p ON c.vec_id = p.vec_id
+         |ORDER BY c.vec_id""".stripMargin
+    },
   )
 
   /** DuckDB re-derivation of the full IVF probe from the persisted

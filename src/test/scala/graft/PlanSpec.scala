@@ -458,6 +458,34 @@ class PlanSpec extends SparkSpec {
       "nested-loop beyond the single-row scalar stitches")
   }
 
+  test("corpus dedup operators keep their scale shapes") {
+    def shape(k: String): String = SparkEntry.queries(k)(spark, sf())
+      .queryExecution.executedPlan.toString
+    // chunk dedup: hash-keyed keep-first window + doc-keyed reassembly,
+    // no join anywhere — a join means the chunk stream was matched
+    // against itself instead of windowed.
+    val chunk = shape("chunk_dedup_reassemble")
+    assert(!chunk.contains("Join"), "chunk dedup must not join")
+    assert("Exchange hashpartitioning".r.findAllIn(chunk).size === 2,
+      "exactly the sha-window shuffle and the doc_id reassembly shuffle")
+    // span detect: the duplicate-gram set comes back via an EQUI-join on
+    // the gram sha — nested-loop would be all-pairs over the corpus. The
+    // strategy is size-driven (broadcast at fixture scale, SMJ once the
+    // dup set outgrows the threshold under AQE); the pin is the join KEY,
+    // not the strategy.
+    val span = shape("dup_span_detect")
+    assert(!span.contains("CartesianProduct") &&
+      !span.contains("BroadcastNestedLoopJoin"))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(span).nonEmpty, "gram-hash join must stay an equi-join")
+    // SemDeDup: the within-cell pair generation must be the cell
+    // equi-join (cost Σ|cell|², bounded by the quantizer), never a
+    // corpus-level cartesian.
+    val sem = shape("semantic_dedup_cluster")
+    assert(!sem.contains("CartesianProduct"),
+      "within-cell pairs must come from the cell equi-join")
+  }
+
   test("event analytics share ONE user_id shuffle across windows and aggregate") {
     // funnel: three chained conditional-min windows + the per-user
     // aggregate all consume the same hashpartitioning(user_id) exchange;
