@@ -249,6 +249,37 @@ object PipelineOps extends OpGroup {
       s.read.parquet(sink).orderBy("click_id", "purch_id")
     }),
 
+    // T9 — stream-static enrichment: the reference's per-entity
+    // enrichment join (app.py:169 merges fetched detail onto each
+    // staged album) in its streaming form — a live event feed joined to
+    // a STATIC dimension. Stateless: the static side is planned as a
+    // broadcast against every micro-batch, no state store, no
+    // watermark needed for correctness — THE cheapest streaming join,
+    // and the right plan at 100 TB (dim broadcast once per executor,
+    // stream never shuffles).
+    "stream_static_enrich" -> ((s, d) => {
+      val stage = freshDir("graft_t9_stage")
+      val sink = freshDir("graft_t9_sink")
+      val ckpt = freshDir("graft_t9_ckpt")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode(SaveMode.Overwrite).json(stage)
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val q = StreamingOps.fileJsonStream(s,
+          StructType.fromDDL("event_id LONG, user_id LONG, event_type STRING"),
+          stage)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select("event_id", "user_id", "event_type", "c_mktsegment")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .select("event_id", "user_id", "event_type", "c_mktsegment")
+        .orderBy("event_id")
+    }),
+
     // T7 — token-cache keyed state in its batch form (same serveTokens
     // state function the stream runs; StreamingSpec covers the streaming
     // path). The recursive per-client state IS SQL-expressible: a
@@ -340,5 +371,11 @@ object PipelineOps extends OpGroup {
         |FROM c JOIN p ON c.user_id = p.user_id
         | AND click_us BETWEEN purch_us - 21600000000 AND purch_us
         |ORDER BY click_id, purch_id""".stripMargin,
+    // the stream-static join is stateless, so on bounded input its
+    // append-mode result IS the batch equi-join
+    "stream_static_enrich" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -232,6 +232,36 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((7L, 10L, 100L)))
   }
 
+  test("T9s: stream-static enrich joins statelessly (zero state stores)") {
+    val dir = tmpDir("graft_t9s"); val ckpt = tmpDir("graft_t9s_ckpt")
+    val sink = tmpDir("graft_t9s_sink")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part1.json"),
+      Seq(
+        """{"event_id":1,"user_id":10,"event_type":"click"}""",
+        """{"event_id":2,"user_id":99999,"event_type":"view"}""").mkString("\n").getBytes)
+    import spark.implicits._
+    val dim = Seq((10L, "SEG_A")).toDF("c_custkey", "c_mktsegment")
+    val q = StreamingOps.fileJsonStream(spark,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, user_id LONG, event_type STRING"), dir)
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        org.apache.spark.sql.functions.col("user_id") === col("c_custkey"))
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // stateless: no state store operators ever ran (the property that
+    // makes this join free at scale — vs the stream-stream join's two
+    // RocksDB stores)
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      "stream-static join must not plan a stateful operator")
+    val rows = spark.read.parquet(sink).collect()
+    assert(rows.length === 1, "inner join keeps only dim-matched events")
+    assert(rows(0).getAs[String]("c_mktsegment") === "SEG_A")
+  }
+
   test("T9: foreachBatch idempotent upsert — latest value per key wins") {
     val table = tmpDir("graft_t9_table")
     val in = MemoryStream[(Long, Long, Double)](spark)
