@@ -94,19 +94,23 @@ object CorpusDedupOps extends OpGroup {
     // by k-grams that occur ≥2 times anywhere in the corpus (including
     // within the same document).
     "dup_span_detect" -> ((s, d) => {
+      // 64-bit hash prefix: collision-safe at corpus scale and 4×
+      // narrower on the wire than the full sha hex (the gram hash is
+      // the dominant shuffle of this operator)
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= GramK)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(t) - $GramK), " +
-            s"i -> sha2(array_join(slice(t, i + 1, $GramK), ' '), 256))")))
+            s"i -> substring(sha2(array_join(slice(t, i + 1, $GramK), ' '), 256), 1, 16))")))
         .toDF("doc_id", "pos", "h")
-      val dup = grams.groupBy("h").count()
-        .filter(col("count") >= 2).select("h")
-      // equi-join back on the gram hash: the duplicate set is
-      // corpus-derived, so it stays distributed (no broadcast of an
-      // unbounded vocabulary)
-      val hits = grams.join(dup, "h").select("doc_id", "pos")
+      // occurrence count as a whole-partition window: the gram stream
+      // shuffles ONCE on the hash (groupBy + join-back would shuffle
+      // the same stream twice and recompute the explode)
+      val hits = grams
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("n") >= 2)
+        .select("doc_id", "pos")
       val prevEnd = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
       val run = Window.partitionBy("doc_id").orderBy("pos")
@@ -148,10 +152,12 @@ object CorpusDedupOps extends OpGroup {
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |grams AS (
          |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
-         |         sha256(array_to_string(t[(i+1):(i+$GramK)], ' ')) AS h
+         |         substring(sha256(array_to_string(t[(i+1):(i+$GramK)], ' ')), 1, 16) AS h
          |  FROM toks CROSS JOIN range(0, 256) r(i) WHERE i <= len(t) - $GramK),
-         |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
-         |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+         |hits AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n
+         |    FROM grams) WHERE n >= 2),
          |flagged AS (
          |  SELECT doc_id, pos,
          |         CASE WHEN pos > coalesce(max(pos + $GramK) OVER (

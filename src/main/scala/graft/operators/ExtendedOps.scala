@@ -53,6 +53,46 @@ object ExtendedOps extends OpGroup {
         .orderBy("c_custkey")
     }),
 
+    // Schema evolution across staged batches: a later batch adds a
+    // column (the BigQuery schema-update-on-load analog; the reference's
+    // nested schemas grew exactly this way). mergeSchema unions the
+    // per-file footers at read time — old files surface the new column
+    // as NULL, no rewrite of historical data. At 100 TB the alternative
+    // (backfill-rewrite every old file) is the thing this exists to
+    // avoid.
+    "schema_evolution_merge" -> ((s, d) => {
+      val out = freshDir("graft_schevo")
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/b1")
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Frequent-items sketch (BigQuery APPROX_TOP_COUNT analog):
+    // approx_top_k's ItemsSketch is MERGEABLE (partial agg + rollup
+    // free, like the HLL row) and provably EXACT while the tracked-item
+    // budget exceeds the distinct count — the fixture's 5 event types
+    // never overflow a 100-slot sketch, so unlike the HLL estimates
+    // this approximate-family operator carries a full hash oracle.
+    // Deterministic order is imposed AFTER extraction (count desc,
+    // item) — the sketch's own output order is engine-internal.
+    "approx_top_count" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(expr("approx_top_k(event_type, 10, 100)").as("tk"))
+        .select(posexplode(expr(
+          """array_sort(tk, (l, r) -> CASE
+            |  WHEN l.count > r.count THEN -1 WHEN l.count < r.count THEN 1
+            |  WHEN l.item < r.item THEN -1 WHEN l.item > r.item THEN 1
+            |  ELSE 0 END)""".stripMargin)))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("col.item").as("event_type"), col("col.count").as("cnt"))
+        .orderBy("rank")),
+
     // Observation API: data-quality counters that RIDE an existing job —
     // accumulator-backed, zero extra passes over the data (the way a
     // 100 TB load publishes its audit metrics without re-scanning). The
@@ -552,6 +592,17 @@ object ExtendedOps extends OpGroup {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // old-batch rows surface the evolved column as NULL
+    "schema_evolution_merge" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // exact top-k: the sketch never overflows at 5 distinct items
+    "approx_top_count" ->
+      """SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |            AS INTEGER) AS rank,
+        |       event_type, count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY rank""".stripMargin,
     "scan_xml_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,

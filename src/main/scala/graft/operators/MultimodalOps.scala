@@ -102,6 +102,28 @@ object MultimodalOps extends OpGroup {
           sha2(col("content"), 256).as("sha"))
         .orderBy("doc_id")),
 
+    // Nested-struct surgery WITHOUT explode/rebuild: update one field
+    // inside a payload struct and drop another, via Column.withField /
+    // dropFields — the BigQuery nested-RECORD UPDATE shape the 4-level
+    // Spotify schemas need (patch albums.images[0].url without
+    // unnesting 4 levels). Catalyst folds the chain into a single
+    // struct projection (one codegen'd map stage, no shuffle, untouched
+    // sibling fields pruned/copied by reference).
+    "nested_field_update" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), struct(
+          col("lang"), col("source"), col("n_chars"),
+          lit("pending").as("review")).as("meta"))
+        .withColumn("meta", col("meta")
+          .withField("review",
+            when(col("meta.n_chars") >= 100, "long_form").otherwise("short"))
+          .withField("lang_up", upper(col("meta.lang")))
+          .dropFields("lang"))
+        .select(col("doc_id"), col("meta.source").as("source"),
+          col("meta.lang_up").as("lang_up"), col("meta.n_chars").as("n_chars"),
+          col("meta.review").as("review"))
+        .orderBy("doc_id")),
+
     // Frame sampling over binary payloads: 1 row → N frame rows.
     "multimodal_frame_sample" -> ((s, d) => {
       import s.implicits._
@@ -130,6 +152,12 @@ object MultimodalOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the struct surgery is a pure projection, so the oracle states the
+    // field-level result directly
+    "nested_field_update" ->
+      """SELECT doc_id, source, upper(lang) AS lang_up, n_chars,
+        |       CASE WHEN n_chars >= 100 THEN 'long_form' ELSE 'short' END AS review
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // file bytes are exactly the doc's UTF-8 text (ASCII fixture), so
     // size + sha re-derive from the table without touching the files
     "binaryfile_ingest" ->

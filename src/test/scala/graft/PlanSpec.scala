@@ -468,16 +468,14 @@ class PlanSpec extends SparkSpec {
     assert(!chunk.contains("Join"), "chunk dedup must not join")
     assert("Exchange hashpartitioning".r.findAllIn(chunk).size === 2,
       "exactly the sha-window shuffle and the doc_id reassembly shuffle")
-    // span detect: the duplicate-gram set comes back via an EQUI-join on
-    // the gram sha — nested-loop would be all-pairs over the corpus. The
-    // strategy is size-driven (broadcast at fixture scale, SMJ once the
-    // dup set outgrows the threshold under AQE); the pin is the join KEY,
-    // not the strategy.
+    // span detect: duplicate detection is a whole-partition window over
+    // the gram hash — the positional stream shuffles ONCE on the hash
+    // and once on doc_id (whose partitioning the span aggregate then
+    // reuses); a join here means the stream got matched against itself.
     val span = shape("dup_span_detect")
-    assert(!span.contains("CartesianProduct") &&
-      !span.contains("BroadcastNestedLoopJoin"))
-    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
-      .findAllIn(span).nonEmpty, "gram-hash join must stay an equi-join")
+    assert(!span.contains("Join"), "dup detection is windowed — no join")
+    assert("Exchange hashpartitioning".r.findAllIn(span).size === 2,
+      "exactly the gram-hash shuffle and the per-doc span shuffle")
     // SemDeDup: the within-cell pair generation must be the cell
     // equi-join (cost Σ|cell|², bounded by the quantizer), never a
     // corpus-level cartesian.
