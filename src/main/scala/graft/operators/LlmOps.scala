@@ -55,7 +55,58 @@ object LlmOps extends OpGroup {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
     }
 
+  /** Canonicalized content key for incremental dedup: sha256 of the
+    * first 30 tokens — the truncated-fingerprint normalization real
+    * dedup indexes use (title/lead dedup; full-text sha misses
+    * near-identical re-crawls that share their head). On the fixture
+    * this is what makes historical collisions exist at all: documents
+    * share 30-token prefixes across the batch boundary but never the
+    * full text.
+    */
+  private def prefixKey =
+    sha2(concat_ws(" ", slice(split(col("text"), " "), 1, 30)), 256)
+
+  /** Historical content-hash index for incremental dedup: the key
+    * set of the "already ingested" corpus slice (doc_id % 5 < 4),
+    * persisted once as plain parquet — at 100 TB this index is
+    * maintained by the ingest job (append-only, hash + canonical id,
+    * ~1% the corpus bytes), and each day's batch anti-joins it instead
+    * of re-deduping the whole corpus.
+    */
+  private val dedupIndexCache = new graft.Layout("graft_dedup_idx")
+
+  private def dedupIndex(s: SparkSession, d: String): String =
+    dedupIndexCache(s, d) { p =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 5 < 4)
+        .groupBy(prefixKey.as("h"))
+        .agg(min("doc_id").as("canonical_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental dedup: today's batch (doc_id % 5 = 4) against the
+    // persisted historical index — accepted ⇔ content hash unseen; a
+    // seen hash reports the historical canonical id it collides with.
+    // ONE hash-keyed join of batch-sized vs index-sized relations;
+    // nothing rescans the historical corpus. Within-batch repeats
+    // resolve by the same keep-first rule as exact_dedup_hash.
+    "incremental_dedup_index" -> ((s, d) => {
+      val idx = s.read.parquet(dedupIndex(s, d))
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id"), prefixKey.as("h"))
+      val firstInBatch = Window.partitionBy("h").orderBy("doc_id")
+      batch
+        .withColumn("first_of_hash", row_number().over(firstInBatch) === 1)
+        .join(idx, Seq("h"), "left_outer")
+        .select(col("doc_id"), col("h"),
+          (col("canonical_id").isNull && col("first_of_hash"))
+            .as("accepted"),
+          col("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
     // L1 — per-document text statistics.
     "text_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -236,6 +287,27 @@ object LlmOps extends OpGroup {
   // `def`: the minhash oracle embeds the session's persisted layout path
   // (Verify runs every query before dumping oracle SQL)
   def oracleSql: Map[String, String] = Map(
+    // the index is itself deterministic (sha + min id over the
+    // historical slice), so the oracle recomputes index AND batch join
+    // from the base table — nothing structural to trust
+    "incremental_dedup_index" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         sha256(array_to_string((string_split(text, ' '))[1:30], ' ')) AS h
+        |  FROM documents),
+        |idx AS (
+        |  SELECT h, min(doc_id) AS canonical_id
+        |  FROM keyed WHERE doc_id % 5 < 4 GROUP BY 1),
+        |batch AS (
+        |  SELECT doc_id, h,
+        |         (row_number() OVER (PARTITION BY h
+        |            ORDER BY doc_id)) = 1 AS first_of_hash
+        |  FROM keyed WHERE doc_id % 5 = 4)
+        |SELECT b.doc_id, b.h,
+        |       (i.canonical_id IS NULL AND b.first_of_hash) AS accepted,
+        |       i.canonical_id
+        |FROM batch b LEFT JOIN idx i ON b.h = i.h
+        |ORDER BY b.doc_id""".stripMargin,
     "minhash_near_dedup" ->
       s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
               minhashLayoutCache.lastPath, numHashes = 16, numBands = 4,

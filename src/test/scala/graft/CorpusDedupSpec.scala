@@ -78,6 +78,27 @@ class CorpusDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental_dedup_index: accepted iff key unseen historically AND first in batch") {
+    val rows = operators.LlmOps.queries("incremental_dedup_index")(spark, sf())
+      .collect()
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").take(30).mkString(" "))
+    val histKeys = docs.filter(_._1 % 5 < 4).map(_._2).toSet
+    val batch = docs.filter(_._1 % 5 == 4).toMap
+    assert(rows.length === batch.size, "one verdict per batch document")
+    val seenInBatch = scala.collection.mutable.Set[String]()
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val (id, accepted) = (r.getLong(0), r.getBoolean(2))
+      val key = batch(id)
+      val expected = !histKeys.contains(key) && !seenInBatch.contains(key)
+      assert(accepted === expected, s"doc $id acceptance")
+      if (!r.isNullAt(3))
+        assert(r.getLong(3) % 5 < 4 && histKeys.contains(key),
+          "a reported canonical id is a real historical collision")
+      seenInBatch += key
+    }
+  }
+
   test("semantic_dedup_cluster: smallest id per cell kept; dropped ids have a dominator") {
     val rows = operators.SemiStructuredOps.queries("semantic_dedup_cluster")(
       spark, sf()).collect()
