@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *     occurs ≥2 times corpus-wide and merge overlapping hits into
   *     maximal per-document spans — the suffix-array dedup shape of
   *     Lee et al., "Deduplicating Training Data Makes Language Models
-  *     Better" (PAPERS.md), re-expressed as positional n-gram joins.
+  *     Better" (ACL 2022), re-expressed as positional n-gram joins.
   *
   * Reference basis: the reference stages documents precisely so the
   * warehouse can run corpus-wide SQL over them

@@ -175,7 +175,7 @@ object SemiStructuredOps extends OpGroup {
         col("vec_id") < 10, topK = 3, nprobe = 2)
     }),
 
-    // SemDeDup (Abbas et al., PAPERS.md): semantic dedup via the LEARNED
+    // SemDeDup (Abbas et al., 2023): semantic dedup via the LEARNED
     // clustering — pairwise cosine only WITHIN each quantizer cell of
     // the serving layout, never across the corpus. A vector is dropped
     // iff a SMALLER-id cell-mate sits within cosine ≥ τ (the
