@@ -65,9 +65,53 @@ object SpotifyOps extends OpGroup {
           when(col("available_markets").isNull, 0)
             .otherwise(size(col("available_markets"))).as("n_markets"))
         .orderBy(col("album_id"), col("market").asc_nulls_first)),
+
+    // Nested-ARRAY patch: rewrite every element of a REPEATED record
+    // in place — `transform` re-emits the struct with a rewritten url
+    // and a derived n_px field, no explode in the patch itself (the
+    // posexplode_outer below only flattens the RESULT for row
+    // comparison; keep-parent so image-less albums survive). This is
+    // the repeated-field sibling of nested_field_update: together they
+    // cover BigQuery-style UPDATE over RECORD and REPEATED RECORD.
+    "spotify_image_array_patch" -> ((s, _) =>
+      albums(s)
+        .withColumn("images", expr(
+          """transform(images, im -> struct(
+            |  replace(im.url, 'https://img.example.com/',
+            |          'https://cdn.example.net/') AS url,
+            |  im.height * im.width AS n_px))""".stripMargin))
+        .select(col("id").as("album_id"),
+          posexplode_outer(col("images")).as(Seq("p", "im")))
+        .select(col("album_id"), (col("p") + 1).cast("int").as("image_pos"),
+          col("im.url").as("url"), col("im.n_px").as("n_px"))
+        .orderBy(col("album_id"), col("image_pos").asc_nulls_first)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // patched array re-derived element-wise; the outer branch re-adds
+    // image-less albums as one NULL row (posexplode_outer semantics)
+    "spotify_image_array_patch" ->
+      s"""WITH albums AS (
+         |  SELECT * FROM read_json('$dir/albums.ndjson',
+         |    format='newline_delimited',
+         |    columns={id:'VARCHAR',
+         |             images:'STRUCT(url VARCHAR, height BIGINT, width BIGINT)[]'})),
+         |ex AS (
+         |  SELECT a.id AS album_id, CAST(r.i AS INTEGER) AS image_pos,
+         |         a.images[CAST(r.i AS INTEGER)] AS im
+         |  FROM albums a CROSS JOIN range(1, 17) r(i)
+         |  WHERE r.i <= len(a.images)),
+         |patched AS (
+         |  SELECT album_id, image_pos,
+         |         replace(im.url, 'https://img.example.com/',
+         |                 'https://cdn.example.net/') AS url,
+         |         im.height * im.width AS n_px
+         |  FROM ex
+         |  UNION ALL
+         |  SELECT id, NULL, NULL, NULL FROM albums
+         |  WHERE images IS NULL OR len(images) = 0)
+         |SELECT album_id, image_pos, url, n_px
+         |FROM patched ORDER BY album_id, image_pos NULLS FIRST""".stripMargin,
     "spotify_album_track_star" ->
       s"""WITH albums AS (
          |  SELECT * FROM read_json('$dir/albums.ndjson',
