@@ -167,6 +167,37 @@ object LawsSpec extends Properties("GraftLaws") {
     fields.mkString("{", ",", "}")
   }
 
+  // C2: the windowed interval-union (running-max-end island merge) used
+  // by dup_span_detect equals the textbook sequential interval merge on
+  // arbitrary position sets — spans cover every input interval, stay
+  // strictly disjoint, and are maximal.
+  property("windowed island merge equals sequential interval union") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 60)), Gen.chooseNum(2, 9)) {
+      (posList, k) =>
+        import spark.implicits._
+        val pos = posList.distinct.sorted
+        // reference: sequential merge of [p, p+k) intervals
+        val expected = pos.tail.foldLeft(
+          List((pos.head, pos.head + k))) { case (acc, p) =>
+          val (s0, e0) = acc.head
+          if (p <= e0) (s0, math.max(e0, p + k)) :: acc.tail
+          else (p, p + k) :: acc
+        }.reverse
+        // the operator's two-window formulation
+        val prevEnd = Window.orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val run = Window.orderBy("pos")
+        val got = pos.toDF("pos")
+          .withColumn("newspan",
+            when(col("pos") > coalesce(max(col("pos") + k).over(prevEnd),
+              lit(-1)), 1).otherwise(0))
+          .withColumn("span_id", sum(col("newspan")).over(run))
+          .groupBy("span_id")
+          .agg(min("pos").as("s"), (max(col("pos")) + k).as("e"))
+          .select("s", "e").as[(Int, Int)].collect().toList.sorted
+        got == expected
+    }
+
   property("from_json . to_json is identity on the artists schema") =
     forAll(Gen.nonEmptyListOf(artistJsonGen)) { docs =>
       import spark.implicits._
