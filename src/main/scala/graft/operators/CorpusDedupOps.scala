@@ -136,7 +136,7 @@ object CorpusDedupOps extends OpGroup {
          |chunks AS (
          |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          |         array_to_string(t[(i*$ChunkW+1):(i*$ChunkW+$ChunkW)], ' ') AS chunk
-         |  FROM toks CROSS JOIN range(0, 256) r(i) WHERE i < ceil(len(t) / $ChunkW.0)),
+         |  FROM toks CROSS JOIN range(0, 4096) r(i) WHERE i < ceil(len(t) / $ChunkW.0)),
          |flagged AS (
          |  SELECT doc_id, chunk_idx, chunk,
          |         (row_number() OVER (PARTITION BY sha256(chunk)
@@ -153,7 +153,7 @@ object CorpusDedupOps extends OpGroup {
          |grams AS (
          |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
          |         substring(sha256(array_to_string(t[(i+1):(i+$GramK)], ' ')), 1, 16) AS h
-         |  FROM toks CROSS JOIN range(0, 256) r(i) WHERE i <= len(t) - $GramK),
+         |  FROM toks CROSS JOIN range(0, 4096) r(i) WHERE i <= len(t) - $GramK),
          |hits AS (
          |  SELECT doc_id, pos FROM (
          |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n
