@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object TextSim {
 
+  /** Word shingles: overlapping `shingleSize`-token windows of a
+    * token-array column. THE canonical shingling for every MinHash
+    * surface (layout writer, candidate pipeline, UDAF fixture) — the
+    * persisted signatures and any on-the-fly path must shingle
+    * identically or their Jaccard estimates silently diverge.
+    */
+  def shingles(wordsCol: String, shingleSize: Int): Column =
+    expr(
+      s"""transform(sequence(0, greatest(size($wordsCol) - $shingleSize, 0)),
+         |  i -> concat_ws(' ', slice($wordsCol, i + 1, $shingleSize)))""".stripMargin)
+
   /** MinHash signature: for each of `numHashes` seeds, the minimum
     * xxhash64(shingle, seed) over the shingle set. Null/empty-safe:
     * empty shingle arrays yield Long.MaxValue sentinels.
@@ -43,9 +54,7 @@ object TextSim {
     val rowsPerBand = numHashes / numBands
     val sigs = df
       .withColumn("__words", split(col(textCol), " "))
-      .withColumn("__sh", expr(
-        s"""transform(sequence(0, greatest(size(__words) - $shingleSize, 0)),
-           |  i -> concat_ws(' ', slice(__words, i + 1, $shingleSize)))""".stripMargin))
+      .withColumn("__sh", shingles("__words", shingleSize))
       .withColumn("__sig", minhashSignature("__sh", numHashes))
       .select(col(idCol).as("__id"), col("__sig"),
         posexplode(bandKeys("__sig", numBands, rowsPerBand)).as(Seq("__band_idx", "__band_key")))

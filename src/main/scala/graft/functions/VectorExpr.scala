@@ -101,6 +101,14 @@ object VectorFunctions {
   def norm(a: String): Column =
     sqrt(expr(s"fixed_dot($a, $a)").cast("double") / 1e15)
 
+  /** Unit normalization back to FLOAT, given a precomputed norm column —
+    * THE canonical normalization for every PQ/IVF surface: codebook
+    * fitting, code assignment, and serving layouts must normalize
+    * identically or code assignments silently degrade.
+    */
+  def unitNormalized(vecCol: String, normCol: String): Column =
+    expr(s"transform($vecCol, x -> CAST(CAST(x AS DOUBLE) / $normCol AS FLOAT))")
+
   /** Matching DuckDB SQL fragments (require `CROSS JOIN range(1, dim+1)
     * t(i)` + GROUP BY, as with Det.dotDecDuck).
     */

@@ -34,12 +34,13 @@ import org.apache.spark.sql.functions._
   *   - Keep-first is a row_number over (hash) ordered by (doc_id,
   *     chunk_idx) — a total order, so the survivor set is identical on
   *     any partitioning/retry (same rule as dedup_keep_first).
-  *   - Shuffle inventory (both rows): one hash-keyed aggregate/window
-  *     over the positional stream + one doc_id-keyed reassembly — each
-  *     key-parallel with map-side combine where applicable; nothing is
-  *     ever joined all-pairs and nothing collects to the driver. At
-  *     100 TB the hash shuffle carries (hash, doc, pos) triples, not
-  *     document text.
+  *   - Shuffle inventory (both rows): the hash-keyed exchange carries
+  *     ONLY (hash, doc, pos) triples — never window text. Chunk dedup
+  *     moves the corpus bytes exactly once (an explicit doc_id
+  *     repartition that the flag join AND the reassembly aggregate both
+  *     reuse); span detection never shuffles text at all (positions
+  *     ride forward, the text stays at the scan). Nothing is joined
+  *     all-pairs and nothing collects to the driver.
   *   - Span merge is the classic interval-union window: a gram opens a
   *     new span iff its start lies beyond the running max end of every
   *     earlier hit in the document; islands then aggregate to
@@ -65,18 +66,30 @@ object CorpusDedupOps extends OpGroup {
     // the text rebuilt from the survivors in original order ('' when
     // every window was a repeat).
     "chunk_dedup_reassemble" -> ((s, d) => {
-      val chunks = Tables.documents(s, d)
+      def chunks = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, CAST(ceil(size(t) / $ChunkW.0) AS INT) - 1), " +
             s"i -> array_join(slice(t, i * $ChunkW + 1, $ChunkW), ' '))")))
         .toDF("doc_id", "chunk_idx", "chunk")
       // keep-first: the globally-earliest (doc_id, chunk_idx) occurrence
-      // of each distinct window survives; later repeats are dropped
-      val keepFirst = Window.partitionBy(sha2(col("chunk"), 256))
-        .orderBy("doc_id", "chunk_idx")
-      chunks
+      // of each distinct window survives; later repeats are dropped.
+      // The flag stream windows over (doc_id, chunk_idx, hash) ONLY —
+      // the chunk text never rides the hash exchange; it reaches the
+      // reassembly through one explicit doc_id repartition, whose
+      // partitioning both the (doc_id, chunk_idx) flag join and the
+      // final doc_id aggregate then reuse (doc_id is a subset of the
+      // join key, so EnsureRequirements adds no further exchange).
+      // Net 100 TB shuffle inventory: corpus text bytes move ONCE.
+      val keepFirst = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+      val flags = chunks
+        .select(col("doc_id"), col("chunk_idx"),
+          sha2(col("chunk"), 256).as("h"))
         .withColumn("kept", row_number().over(keepFirst) === 1)
+        .select("doc_id", "chunk_idx", "kept")
+        .repartition(col("doc_id"))
+      chunks.repartition(col("doc_id"))
+        .join(flags, Seq("doc_id", "chunk_idx"))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_chunks"),
@@ -94,15 +107,17 @@ object CorpusDedupOps extends OpGroup {
     // by k-grams that occur ≥2 times anywhere in the corpus (including
     // within the same document).
     "dup_span_detect" -> ((s, d) => {
-      // 64-bit hash prefix: collision-safe at corpus scale and 4×
-      // narrower on the wire than the full sha hex (the gram hash is
-      // the dominant shuffle of this operator)
+      // full 256-bit gram hash: a false hash collision here would flag
+      // UNIQUE text as duplicated (silent training-data loss), and at
+      // the web scale this operator targets (~1e12 distinct grams) a
+      // 64-bit key already expects thousands of birthday collisions —
+      // so exactness wins over the narrower shuffle key
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= GramK)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(t) - $GramK), " +
-            s"i -> substring(sha2(array_join(slice(t, i + 1, $GramK), ' '), 256), 1, 16))")))
+            s"i -> sha2(array_join(slice(t, i + 1, $GramK), ' '), 256))")))
         .toDF("doc_id", "pos", "h")
       // occurrence count as a whole-partition window: the gram stream
       // shuffles ONCE on the hash (groupBy + join-back would shuffle
@@ -130,6 +145,11 @@ object CorpusDedupOps extends OpGroup {
     }),
   )
 
+  // Both oracles unnest positions through a range(0, 4096) envelope:
+  // valid for documents up to 4096 chunks / 4103 gram positions (the
+  // fixtures top out at 100 tokens). A longer regenerated fixture would
+  // fail verification loudly (oracle emits fewer positions than Spark),
+  // not silently — widen the envelope if that ever trips.
   val oracleSql: Map[String, String] = Map(
     "chunk_dedup_reassemble" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -152,7 +172,7 @@ object CorpusDedupOps extends OpGroup {
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |grams AS (
          |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
-         |         substring(sha256(array_to_string(t[(i+1):(i+$GramK)], ' ')), 1, 16) AS h
+         |         sha256(array_to_string(t[(i+1):(i+$GramK)], ' ')) AS h
          |  FROM toks CROSS JOIN range(0, 4096) r(i) WHERE i <= len(t) - $GramK),
          |hits AS (
          |  SELECT doc_id, pos FROM (

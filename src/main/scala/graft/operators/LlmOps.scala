@@ -43,14 +43,22 @@ object LlmOps extends OpGroup {
     */
   private val minhashLayoutCache = new graft.Layout("graft_minhash")
 
+  /** One MinHash band layout, named once: every divisor/threshold/SQL
+    * parameter below derives from these (a band-layout change is a
+    * one-line edit, not four coordinated literals).
+    */
+  private val MinHashes = 16
+  private val MinHashBands = 4
+  private val MinHashRowsPerBand = MinHashes / MinHashBands
+  private val MinHashDupSlots = MinHashes / 2 // est_jaccard ≥ 0.5
+
   private def minhashLayout(s: SparkSession, d: String): String =
     minhashLayoutCache(s, d) { p =>
       Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))
-        .withColumn("shingles",
-          expr("""transform(sequence(0, greatest(size(words) - 3, 0)),
-                 |  i -> concat_ws(' ', slice(words, i + 1, 3)))""".stripMargin))
-        .withColumn("sig", graft.functions.TextSim.minhashSignature("shingles", 16))
+        .withColumn("shingles", graft.functions.TextSim.shingles("words", 3))
+        .withColumn("sig",
+          graft.functions.TextSim.minhashSignature("shingles", MinHashes))
         .select("doc_id", "sig")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
     }
@@ -135,9 +143,11 @@ object LlmOps extends OpGroup {
     // downstream of the hash is hash-verified against DuckDB.
     "minhash_near_dedup" -> ((s, d) => {
       val stored = s.read.parquet(minhashLayout(s, d))
-      graft.functions.TextSim.signatureBandPairs(stored, numBands = 4, rowsPerBand = 4)
-        .withColumn("est_jaccard", round(col("n_match").cast("double") / 16.0, 6))
-        .withColumn("is_dup", col("n_match") >= 8)
+      graft.functions.TextSim.signatureBandPairs(stored,
+          numBands = MinHashBands, rowsPerBand = MinHashRowsPerBand)
+        .withColumn("est_jaccard",
+          round(col("n_match").cast("double") / MinHashes, 6))
+        .withColumn("is_dup", col("n_match") >= MinHashDupSlots)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -310,11 +320,11 @@ object LlmOps extends OpGroup {
         |ORDER BY b.doc_id""".stripMargin,
     "minhash_near_dedup" ->
       s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
-              minhashLayoutCache.lastPath, numHashes = 16, numBands = 4,
-              rowsPerBand = 4)}
+              minhashLayoutCache.lastPath, numHashes = MinHashes,
+              numBands = MinHashBands, rowsPerBand = MinHashRowsPerBand)}
          |SELECT doc_a, doc_b, n_match,
-         |       round(CAST(n_match AS DOUBLE) / 16.0, 6) AS est_jaccard,
-         |       n_match >= 8 AS is_dup
+         |       round(CAST(n_match AS DOUBLE) / $MinHashes.0, 6) AS est_jaccard,
+         |       n_match >= $MinHashDupSlots AS is_dup
          |FROM m ORDER BY doc_a, doc_b""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, lang,

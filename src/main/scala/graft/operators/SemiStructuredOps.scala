@@ -80,7 +80,8 @@ object SemiStructuredOps extends OpGroup {
         .withColumn("__n", graft.functions.VectorFunctions.norm("embedding"))
         .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
         .select(md5(col("vec_id").cast("string")).as("h"),
-          expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))").as("ne"))
+          graft.functions.VectorFunctions
+            .unitNormalized("embedding", "__n").as("ne"))
         .orderBy("h").collect()
         .map(_.getSeq[Float](1).toArray)
       graft.functions.AnnPq.fitCodebooks(sample, m = 8, k = 16)
@@ -103,7 +104,7 @@ object SemiStructuredOps extends OpGroup {
       Tables.embeddings(s, d)
         .withColumn("__n", graft.functions.VectorFunctions.norm("embedding"))
         .withColumn("ne",
-          expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))"))
+          graft.functions.VectorFunctions.unitNormalized("embedding", "__n"))
         .withColumn("codes", expr("pq_encode(ne)"))
         .select("vec_id", "ne", "codes")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
@@ -274,15 +275,7 @@ object SemiStructuredOps extends OpGroup {
     // rule — only the cell assignments are taken from the layout.
     "semantic_dedup_cluster" -> {
       import graft.functions.VectorFunctions.dotFpDuck
-      s"""WITH corpus AS (
-         |  SELECT vec_id, embedding, CAST(cell AS INTEGER) AS cell
-         |  FROM read_parquet('${ivfLayoutCache.lastPath}/cell=*/*.parquet', hive_partitioning=1)),
-         |norms AS (
-         |  SELECT c.vec_id,
-         |         sqrt(CAST(${dotFpDuck("embedding", "embedding")} AS DOUBLE) / 1e15) AS norm
-         |  FROM corpus c CROSS JOIN range(1, 2049) t(i)
-         |  WHERE t.i <= len(c.embedding)
-         |  GROUP BY c.vec_id),
+      s"""WITH $ivfCorpusCtes,
          |dots AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         ${dotFpDuck("a.embedding", "b.embedding")} AS fx
@@ -302,24 +295,34 @@ object SemiStructuredOps extends OpGroup {
     },
   )
 
+  /** Shared DuckDB CTE prefix over the persisted IVF layout: the
+    * cell-partitioned corpus + exact fixed-point norms. Every oracle
+    * reading the layout starts from this block, so the path convention,
+    * dim envelope (2049) and 1e15 scaling live in exactly one string.
+    */
+  private def ivfCorpusCtes: String = {
+    import graft.functions.VectorFunctions.dotFpDuck
+    s"""corpus AS (
+       |  SELECT vec_id, embedding, CAST(cell AS INTEGER) AS cell
+       |  FROM read_parquet('${ivfLayoutCache.lastPath}/cell=*/*.parquet', hive_partitioning=1)),
+       |norms AS (
+       |  SELECT c.vec_id,
+       |         sqrt(CAST(${dotFpDuck("embedding", "embedding")} AS DOUBLE) / 1e15) AS norm
+       |  FROM corpus c CROSS JOIN range(1, 2049) t(i)
+       |  WHERE t.i <= len(c.embedding)
+       |  GROUP BY c.vec_id)""".stripMargin
+  }
+
   /** DuckDB re-derivation of the full IVF probe from the persisted
     * serving layout: nprobe=2 centroid selection + exact fixed-point
     * cosine top-3 inside the probed cells. Shared by both IVF keys.
     */
   private def ivfProbeSql: String = {
       import graft.functions.VectorFunctions.dotFpDuck
-      s"""WITH corpus AS (
-         |  SELECT vec_id, embedding, CAST(cell AS INTEGER) AS cell
-         |  FROM read_parquet('${ivfLayoutCache.lastPath}/cell=*/*.parquet', hive_partitioning=1)),
+      s"""WITH $ivfCorpusCtes,
          |cent AS (
          |  SELECT CAST(cand_cell AS INTEGER) AS cand_cell, centroid
          |  FROM read_parquet('${ivfLayoutCache.lastPath}.centroids/*.parquet')),
-         |norms AS (
-         |  SELECT c.vec_id,
-         |         sqrt(CAST(${dotFpDuck("embedding", "embedding")} AS DOUBLE) / 1e15) AS norm
-         |  FROM corpus c CROSS JOIN range(1, 2049) t(i)
-         |  WHERE t.i <= len(c.embedding)
-         |  GROUP BY c.vec_id),
          |q AS (
          |  SELECT c.vec_id AS q_id, c.embedding AS q_emb, n.norm AS q_norm
          |  FROM corpus c JOIN norms n ON c.vec_id = n.vec_id

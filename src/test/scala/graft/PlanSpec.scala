@@ -461,13 +461,21 @@ class PlanSpec extends SparkSpec {
   test("corpus dedup operators keep their scale shapes") {
     def shape(k: String): String = SparkEntry.queries(k)(spark, sf())
       .queryExecution.executedPlan.toString
-    // chunk dedup: hash-keyed keep-first window + doc-keyed reassembly,
-    // no join anywhere — a join means the chunk stream was matched
-    // against itself instead of windowed.
+    // chunk dedup: corpus text moves ONCE (the doc_id repartition); the
+    // keep-first window shuffles only (doc_id, chunk_idx, hash); the
+    // flag join and the reassembly aggregate REUSE the doc_id
+    // partitioning (doc_id ⊆ join key, so EnsureRequirements adds
+    // nothing). 3 hash exchanges total: text-on-doc_id,
+    // flags-on-hash, flags-on-doc_id.
     val chunk = shape("chunk_dedup_reassemble")
-    assert(!chunk.contains("Join"), "chunk dedup must not join")
-    assert("Exchange hashpartitioning".r.findAllIn(chunk).size === 2,
-      "exactly the sha-window shuffle and the doc_id reassembly shuffle")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(chunk).nonEmpty,
+      "flags rejoin the text stream on (doc_id, chunk_idx) — equi only " +
+        "(broadcast at fixture scale; the co-partitioned SMJ beyond)")
+    assert(!chunk.contains("CartesianProduct") &&
+      !chunk.contains("BroadcastNestedLoopJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(chunk).size === 3,
+      "text shuffles once; only ids+hashes ride the other two exchanges")
     // span detect: duplicate detection is a whole-partition window over
     // the gram hash — the positional stream shuffles ONCE on the hash
     // and once on doc_id (whose partitioning the span aggregate then
