@@ -78,7 +78,55 @@ object TrainingDataOps extends OpGroup {
         .parquet(s"$p.proj")
     }
 
+  /** Contrastive sampling knobs: global negative-pool size (broadcast)
+    * and negatives per anchor.
+    */
+  private val NegPoolSize = 100
+  private val NegPerAnchor = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Contrastive-pair dataset construction (embedding-model training):
+    // per anchor, ONE hardest positive (same-label argmax cosine — the
+    // hard-positive mining step) and K pseudo-random negatives drawn
+    // from a GLOBAL md5-ranked pool. Scale: positives are label-blocked
+    // pairs (the embedding_near_dup shuffle, never corpus²); negatives
+    // never enumerate the corpus per anchor — the pool is a broadcast
+    // ≤100-row table, so the nested-loop is anchors × pool, and the
+    // per-anchor pick is a content-derived md5 rank (layout/retry/
+    // engine-invariant, the mixture_weighted_resample precedent).
+    "contrastive_pair_mining" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          graft.functions.VectorFunctions.norm("embedding").as("norm"))
+      val a = e.select(col("vec_id").as("anchor_id"), col("label").as("lab_a"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("cand_id"), col("label").as("lab_b"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b"))
+      val posW = Window.partitionBy("anchor_id")
+        .orderBy(col("cos").desc, col("cand_id"))
+      val pos = a
+        .join(b, col("lab_a") === col("lab_b") &&
+          col("anchor_id") =!= col("cand_id"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot("emb_a", "emb_b") /
+            (col("norm_a") * col("norm_b")))
+        .withColumn("rnk", row_number().over(posW)).filter(col("rnk") === 1)
+        .select(col("anchor_id"), lit("pos").as("role"), col("cand_id"),
+          lit(1).as("rank"), round(col("cos"), 6).as("cosine"))
+      val pool = e.select(col("vec_id").as("cand_id"), col("label").as("lab_b"))
+        .orderBy(md5(col("cand_id").cast("string"))).limit(NegPoolSize)
+      val negW = Window.partitionBy("anchor_id").orderBy(
+        md5(concat_ws("_", col("anchor_id"), col("cand_id"))), col("cand_id"))
+      val neg = e.select(col("vec_id").as("anchor_id"), col("label").as("lab_a"))
+        .crossJoin(broadcast(pool))
+        .filter(col("lab_a") =!= col("lab_b"))
+        .withColumn("rank", row_number().over(negW))
+        .filter(col("rank") <= NegPerAnchor)
+        .select(col("anchor_id"), lit("neg").as("role"), col("cand_id"),
+          col("rank"), lit(null).cast("double").as("cosine"))
+      pos.unionByName(neg).orderBy("anchor_id", "role", "rank")
+    }),
     // Embedding near-dup via random-hyperplane LSH: candidates are
     // pairs agreeing on ANY 4-bit signature band — ONE equi-join on
     // (band index, band value) after a 4-way band explode, never a
@@ -332,6 +380,34 @@ object TrainingDataOps extends OpGroup {
   // `def`: the LSH oracle embeds the session's persisted layout path
   // (see SemiStructuredOps for the pattern — Verify runs queries first)
   def oracleSql: Map[String, String] = Map(
+    // positives re-derived from the fixed-point cosine CTEs; negatives
+    // from the identical md5 pool + pair rank (pure expressions)
+    "contrastive_pair_mining" -> (
+      LlmOps.cosinePairsDuck("a.label = b.label AND a.vec_id <> b.vec_id") +
+      s""",
+         |pos AS (
+         |  SELECT anchor_id, 'pos' AS role, cand_id, 1 AS rank, cosine
+         |  FROM (
+         |    SELECT id_a AS anchor_id, id_b AS cand_id, round(cos, 6) AS cosine,
+         |           row_number() OVER (PARTITION BY id_a
+         |             ORDER BY cos DESC, id_b) AS rnk
+         |    FROM scored) WHERE rnk = 1),
+         |pool AS (
+         |  SELECT vec_id AS cand_id, label AS lab_b FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $NegPoolSize),
+         |neg AS (
+         |  SELECT anchor_id, 'neg' AS role, cand_id, rank,
+         |         CAST(NULL AS DOUBLE) AS cosine
+         |  FROM (
+         |    SELECT e.vec_id AS anchor_id, p.cand_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY md5(CAST(e.vec_id AS VARCHAR) || '_' ||
+         |                          CAST(p.cand_id AS VARCHAR)), p.cand_id) AS rank
+         |    FROM embeddings e JOIN pool p ON e.label <> p.lab_b)
+         |  WHERE rank <= $NegPerAnchor)
+         |SELECT anchor_id, role, cand_id, CAST(rank AS INTEGER) AS rank, cosine
+         |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+         |ORDER BY anchor_id, role, rank""".stripMargin),
     // banding + Hamming re-derived from the persisted fingerprints:
     // both engines arithmetic-shift signed 64-bit ints, so the 16-bit
     // band extraction and the per-bit recount agree exactly

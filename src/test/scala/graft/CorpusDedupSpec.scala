@@ -99,6 +99,26 @@ class CorpusDedupSpec extends SparkSpec {
     }
   }
 
+  test("contrastive_pair_mining: one pos + K negs per anchor, labels sound") {
+    val rows = operators.TrainingDataOps.queries("contrastive_pair_mining")(
+      spark, sf()).collect()
+    val labels = Tables.embeddings(spark, sf()).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byAnchor = rows.groupBy(_.getLong(0))
+    assert(byAnchor.size === labels.size, "every anchor appears")
+    byAnchor.foreach { case (anchor, rs) =>
+      val pos = rs.filter(_.getString(1) == "pos")
+      val neg = rs.filter(_.getString(1) == "neg")
+      assert(pos.length === 1 && neg.length === 3)
+      assert(labels(pos.head.getLong(2)) === labels(anchor),
+        "positive shares the anchor's label")
+      assert(pos.head.getLong(2) !== anchor, "positive is never the anchor")
+      neg.foreach(n => assert(labels(n.getLong(2)) !== labels(anchor),
+        "negatives come from other labels"))
+      assert(neg.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
+    }
+  }
+
   test("semantic_dedup_cluster: smallest id per cell kept; dropped ids have a dominator") {
     val rows = operators.SemiStructuredOps.queries("semantic_dedup_cluster")(
       spark, sf()).collect()
