@@ -52,6 +52,49 @@ object LangModelOps extends OpGroup {
     "CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)) * 1000000.0) AS BIGINT)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T5-style span corruption (fixed-window variant): deterministic
+    // ~15% of 3-token windows are replaced by numbered sentinels; the
+    // masked windows, with their sentinels, become the target sequence.
+    // The mask decision is a CONTENT-DERIVED md5 predicate on
+    // (doc_id, window) — the mixture_weighted_resample idiom — so the
+    // same spans mask on any layout, retry, or engine (rand() would be
+    // unverifiable AND non-reproducible across runs). Map-side explode
+    // + one doc_id window/aggregate pair: one shuffle of (doc, window)
+    // pieces, no joins.
+    "span_corruption_mask" -> ((s, d) => {
+      val W = 3
+      val sentW = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("win_idx")
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, CAST(ceil(size(t) / $W.0) AS INT) - 1), " +
+            s"i -> array_join(slice(t, i * $W + 1, $W), ' '))")))
+        .toDF("doc_id", "win_idx", "win")
+        .withColumn("masked", expr(
+          "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '_', " +
+            "CAST(win_idx AS STRING))), 1, 8), 16, 10) AS BIGINT) % 20 < 3"))
+        .withColumn("sent_id",
+          sum(when(col("masked"), 1).otherwise(0)).over(sentW))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_windows"),
+          count(when(col("masked"), 1)).as("n_masked"),
+          concat_ws(" ", expr(
+            """transform(array_sort(collect_list(named_struct(
+              |  'win_idx', win_idx,
+              |  'piece', CASE WHEN masked
+              |    THEN concat('<extra_id_', CAST(sent_id AS STRING), '>')
+              |    ELSE win END))), x -> x.piece)""".stripMargin))
+            .as("corrupted"),
+          concat_ws(" ", expr(
+            """transform(array_sort(collect_list(CASE WHEN masked
+              |  THEN named_struct('win_idx', win_idx,
+              |    'piece', concat('<extra_id_', CAST(sent_id AS STRING), '> ', win))
+              |  END)), x -> x.piece)""".stripMargin))
+            .as("targets"))
+        .orderBy("doc_id")
+    }),
     // M1 — bigram-LM perplexity scoring: train add-one-smoothed bigram
     // counts on the corpus, score each document by mean per-bigram NLL,
     // surface the 20 highest-perplexity (lowest-fluency) docs — the CCNet
@@ -143,6 +186,32 @@ object LangModelOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "span_corruption_mask" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS win_idx,
+        |         array_to_string(t[(i*3+1):(i*3+3)], ' ') AS win
+        |  FROM toks CROSS JOIN range(0, 4096) r(i) WHERE i < ceil(len(t) / 3.0)),
+        |flagged AS (
+        |  SELECT doc_id, win_idx, win,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+        |           CAST(win_idx AS VARCHAR)), 1, 8)) AS BIGINT) % 20 < 3 AS masked
+        |  FROM wins),
+        |sent AS (
+        |  SELECT doc_id, win_idx, win, masked,
+        |         sum(CASE WHEN masked THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY doc_id ORDER BY win_idx) AS sent_id
+        |  FROM flagged)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(count(*) FILTER (WHERE masked) AS BIGINT) AS n_masked,
+        |       string_agg(CASE WHEN masked
+        |           THEN '<extra_id_' || CAST(sent_id AS VARCHAR) || '>'
+        |           ELSE win END, ' ' ORDER BY win_idx) AS corrupted,
+        |       coalesce(string_agg(CASE WHEN masked
+        |           THEN '<extra_id_' || CAST(sent_id AS VARCHAR) || '> ' || win END,
+        |           ' ' ORDER BY win_idx) FILTER (WHERE masked), '') AS targets
+        |FROM sent GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bigram_lm_perplexity" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
          |words AS (SELECT doc_id, unnest(a) AS w FROM toks),
