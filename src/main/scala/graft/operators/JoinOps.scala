@@ -85,6 +85,28 @@ object JoinOps extends OpGroup {
         .orderBy("o_orderkey")
     }),
 
+    // J9 — FULL OUTER join (the remaining cell of the join matrix;
+    // right-outer is its mirror): two deliberately part-overlapping
+    // slices so BOTH unmatched sides surface with NULLs. One shuffle
+    // per side on the key; coalesce resolves the surviving key.
+    "full_outer_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 3 === 0)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("l_orderkey")).as("order_key"),
+          col("o_orderstatus"),
+          col("sum_qty"),
+          col("o_orderkey").isNotNull.as("in_orders"),
+          col("l_orderkey").isNotNull.as("in_lineitem"))
+        .orderBy("order_key")
+    }),
+
     // J6 — star join over all five relations (the pipeline's whole point,
     // app.py:139-199): revenue by region/nation. region+nation broadcast;
     // customer⋈orders⋈lineitem shuffle on their keys.
@@ -144,6 +166,19 @@ object JoinOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // quantities are integral in the fixture, so the BIGINT cast-sum is
+    // exact and rounding-direction differences cannot arise
+    "full_outer_join" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |           WHERE o_orderkey % 2 = 0),
+        |l AS (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |      FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY l_orderkey)
+        |SELECT coalesce(o_orderkey, l_orderkey) AS order_key,
+        |       o_orderstatus, sum_qty,
+        |       (o_orderkey IS NOT NULL) AS in_orders,
+        |       (l_orderkey IS NOT NULL) AS in_lineitem
+        |FROM o FULL OUTER JOIN l ON o_orderkey = l_orderkey
+        |ORDER BY order_key""".stripMargin,
     "enrich_broadcast_semi" ->
       s"""SELECT l_suppkey, count(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem
