@@ -50,6 +50,12 @@ object SemiStructuredOps extends OpGroup {
     */
   private val ivfLayoutCache = new graft.Layout("graft_ivf")
 
+  /** Path of the session's materialized IVF serving layout — for
+    * sibling oracles that re-derive cell-blocked candidate sets from
+    * the same persisted files (contrastive_pair_mining).
+    */
+  private[operators] def ivfLayoutPath: String = ivfLayoutCache.lastPath
+
   private[graft] def ivfLayout(s: SparkSession, d: String): String =
     ivfLayoutCache(s, d) { p =>
       quantizer(s, d)
