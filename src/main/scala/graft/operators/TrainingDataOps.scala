@@ -179,15 +179,18 @@ object TrainingDataOps extends OpGroup {
     "lsh_hyperplane_near_dup" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       val stored = s.read.parquet(lshLayout(s, d))
-      val bands = stored.select(col("vec_id"),
-        posexplode(array((0 until 4).map(k =>
-          shiftright(col("sig"), 4 * k).bitwiseAND(lit(15L))): _*))
-          .as(Seq("bk", "bv")))
-      val cand = bands.select(col("vec_id").as("id_a"), col("bk"), col("bv"))
-        .join(bands.select(col("vec_id").as("id_b"), col("bk"), col("bv")),
-          Seq("bk", "bv"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      // band values as a 4-slot array so the SHARED capped band join
+      // (TextSim.signatureBandPairs, bucketCap 1000) derives the
+      // candidates — a degenerate bucket (near-duplicate-heavy corpus
+      // region hashing alike) is skipped before the self-join instead
+      // of going quadratic, the same guard the MinHash and SimHash
+      // paths already carry, mirrored in the oracle.
+      val sigArr = stored.select(col("vec_id").as("doc_id"),
+        array((0 until 4).map(k =>
+          shiftright(col("sig"), 4 * k).bitwiseAND(lit(15L))): _*).as("sig"))
+      val cand = graft.functions.TextSim
+        .signatureBandPairs(sigArr, numBands = 4, rowsPerBand = 1)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       val va = stored.select(col("vec_id").as("id_a"), col("ne").as("ne_a"))
       val vb = stored.select(col("vec_id").as("id_b"), col("ne").as("ne_b"))
       cand.join(va, "id_a").join(vb, "id_b")
@@ -541,9 +544,14 @@ object TrainingDataOps extends OpGroup {
          |bands AS (
          |  SELECT vec_id, t.k AS bk, (sig >> (4 * t.k)) & 15 AS bv
          |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t),
+         |small AS (
+         |  SELECT bk, bv FROM (SELECT bk, bv, count(*) AS bn
+         |                      FROM bands GROUP BY bk, bv)
+         |  WHERE bn <= 1000),
+         |kept AS (SELECT b.* FROM bands b JOIN small USING (bk, bv)),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bands a JOIN bands b
+         |  FROM kept a JOIN kept b
          |    ON a.bk = b.bk AND a.bv = b.bv AND a.vec_id < b.vec_id),
          |scored AS (
          |  SELECT c.id_a, c.id_b,

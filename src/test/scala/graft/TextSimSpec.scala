@@ -103,6 +103,30 @@ class TextSimSpec extends SparkSpec {
     assert(row === ((2L, 2L, 1L)))
   }
 
+  test("band bucket cap bounds hyperplane-LSH candidate fan-out") {
+    // the lsh_hyperplane_near_dup shape: one band value per slot
+    // (rowsPerBand=1). A degenerate bucket — every vector agreeing on
+    // band 0 — must be skipped before the self-join; discrimination
+    // survives via the other bands.
+    val n = 40
+    val stored = (0L until n).map(i =>
+      // band 0 constant (degenerate); band 1 pairs ids (i, i+1 with i
+      // even) into 2-element buckets; bands 2-3 unique per id
+      (i, Seq(7L, i / 2, 100L + i, 200L + i)))
+      .toDF("doc_id", "sig")
+    val capped = TextSim.signatureBandPairs(stored,
+      numBands = 4, rowsPerBand = 1, bucketCap = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // only the band-1 pair buckets survive: (0,1), (2,3), ...
+    val expected = (0L until n by 2).map(i => (i, i + 1)).toSet
+    assert(capped === expected,
+      s"cap must drop the degenerate band-0 bucket: got ${capped.size} pairs")
+    // without the cap the degenerate bucket goes quadratic (all pairs)
+    val uncapped = TextSim.signatureBandPairs(stored,
+      numBands = 4, rowsPerBand = 1, bucketCap = Int.MaxValue).count()
+    assert(uncapped === n * (n - 1) / 2)
+  }
+
   test("approx_percentile tracks the exact rank-picked percentiles") {
     val approx = SparkEntry.queries("percentile_approx_scale")(spark, sf())
       .select("l_returnflag", "p25", "p50", "p75")
