@@ -60,6 +60,16 @@ object RankingOps extends OpGroup {
   private val PrScale = 1000000000000L
   private val PrIters = 8
 
+  /** Vocabulary-size routing threshold (session conf, the GlobalRank
+    * smallThreshold pattern): at or below it the aggregated graph is
+    * collected and iterated driver-side (measured ~20 tiny jobs of pure
+    * scheduler latency saved); above it the SAME int64 recurrence runs
+    * as a distributed equi-join loop — addition is commutative and
+    * every division floors, so the two paths are bit-identical
+    * (RankingSpec pins it at threshold 0).
+    */
+  private val PrThresholdKey = "graft.pagerank.smallThreshold"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1 — BM25 top-k retrieval over the documents corpus for a fixed
     // query-term set. Filter-before-aggregate keeps the shuffle at
@@ -129,36 +139,66 @@ object RankingOps extends OpGroup {
         .groupBy(col("prev").as("src"), col("event_type").as("dst"))
         .agg(count(lit(1)).as("w"))
       // The aggregated graph is VOCABULARY-sized model state (|V| event
-      // types, |E| ≤ |V|² observed transitions) — collected and iterated
-      // driver-side, the documented offline-model pattern (PQ codebooks,
-      // IVF centroids). A DataFrame join-loop here costs ~20 tiny jobs
-      // (measured 1.4-2.2 s of pure scheduler latency for 5 nodes); the
-      // driver recurrence is exact int64, addition-commutative, so it
-      // equals the distributed iterate bit-for-bit — for a vocabulary
-      // beyond driver memory, swap in the GraphOps-style equi-join loop
-      // (same recurrence, same oracle). ONE collect of the counted
-      // edges; out-weights fold from it (a second lazy reference would
-      // re-run the window pipeline for the self-join's build side).
-      val edges = trans.collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val ow = edges.groupBy(_._1).map { case (src, es) => src -> es.map(_._3).sum }
-      val eRows = edges.map { case (src, dst, w) => (src, dst, w, ow(src)) }
-      val nodeList = ev.select(col("event_type")).distinct()
-        .collect().map(_.getString(0)).sorted
-      val base = PrScale / nodeList.length
-      var ranks = nodeList.map(_ -> base).toMap
-      for (_ <- 1 to PrIters) {
-        val inflow = new scala.collection.mutable.HashMap[String, Long]()
-        eRows.foreach { case (src, dst, w, ow) =>
-          inflow.update(dst, inflow.getOrElse(dst, 0L) + (ranks(src) * w) / ow)
+      // types, |E| ≤ |V|² observed transitions). SIZE-AWARE ROUTING
+      // (the GlobalRank pattern): a vocabulary within the threshold is
+      // collected and iterated driver-side, the documented
+      // offline-model pattern (PQ codebooks, IVF centroids) — a
+      // DataFrame join-loop costs ~20 tiny jobs (measured 1.4-2.2 s of
+      // pure scheduler latency for 5 nodes). Beyond the threshold the
+      // SAME recurrence iterates as a distributed equi-join loop (one
+      // edges⋈ranks join + per-node sum per round, lineage truncated
+      // per round). Both recurrences are exact int64 with floored
+      // divisions and commutative addition, so they are bit-identical
+      // on any partitioning — RankingSpec asserts it at threshold 0.
+      val nodes = ev.select(col("event_type")).distinct()
+      val threshold = s.conf.get(PrThresholdKey, "10000").toLong
+      val nNodes = nodes.count()
+      val base = PrScale / nNodes
+
+      if (nNodes <= threshold) {
+        // ONE collect of the counted edges; out-weights fold from it (a
+        // second lazy reference would re-run the window pipeline for
+        // the self-join's build side).
+        val edges = trans.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val ow = edges.groupBy(_._1).map { case (src, es) => src -> es.map(_._3).sum }
+        val eRows = edges.map { case (src, dst, w) => (src, dst, w, ow(src)) }
+        val nodeList = nodes.collect().map(_.getString(0)).sorted
+        var ranks = nodeList.map(_ -> base).toMap
+        for (_ <- 1 to PrIters) {
+          val inflow = new scala.collection.mutable.HashMap[String, Long]()
+          eRows.foreach { case (src, dst, w, ow) =>
+            inflow.update(dst, inflow.getOrElse(dst, 0L) + (ranks(src) * w) / ow)
+          }
+          ranks = nodeList.map(nd =>
+            nd -> (15L * base + 85L * inflow.getOrElse(nd, 0L)) / 100L).toMap
         }
-        ranks = nodeList.map(nd =>
-          nd -> (15L * base + 85L * inflow.getOrElse(nd, 0L)) / 100L).toMap
+        import s.implicits._
+        ranks.toSeq.sortBy { case (nd, r) => (-r, nd) }
+          .toDF("event_type", "pr_fp")
+          .orderBy(col("pr_fp").desc, col("event_type"))
+      } else {
+        // distributed iterate: all operands non-negative, so DIV (floor)
+        // equals the driver path's truncating long division
+        val e = trans
+          .join(trans.groupBy("src").agg(sum("w").as("ow")), "src")
+          .select("src", "dst", "w", "ow").localCheckpoint()
+        var ranks = nodes.select(col("event_type").as("node"))
+          .withColumn("r", lit(base)).localCheckpoint()
+        for (_ <- 1 to PrIters) {
+          val inflow = e.join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("CAST((r * w) DIV ow AS BIGINT)").as("c"))
+            .groupBy("dst").agg(sum("c").as("inflow"))
+          ranks = nodes.select(col("event_type").as("node"))
+            .join(inflow, col("node") === col("dst"), "left")
+            .select(col("node"),
+              expr(s"CAST((15 * $base + 85 * coalesce(inflow, 0L)) DIV 100 AS BIGINT)")
+                .as("r"))
+            .localCheckpoint()
+        }
+        ranks.select(col("node").as("event_type"), col("r").as("pr_fp"))
+          .orderBy(col("pr_fp").desc, col("event_type"))
       }
-      import s.implicits._
-      ranks.toSeq.sortBy { case (nd, r) => (-r, nd) }
-        .toDF("event_type", "pr_fp")
-        .orderBy(col("pr_fp").desc, col("event_type"))
     }),
   )
 

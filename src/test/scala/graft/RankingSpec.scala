@@ -50,6 +50,19 @@ class RankingSpec extends SparkSpec {
     assert(prs.forall(_ > 0))
   }
 
+  test("pagerank distributed join-loop is bit-identical to the driver iterate") {
+    // threshold 0 forces the GraphOps-style equi-join loop (the
+    // beyond-driver-memory vocabulary path); default routes the 5-type
+    // fixture driver-side. Same int64 recurrence ⇒ same bits.
+    val driver = run("pagerank_event_transitions")
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    spark.conf.set("graft.pagerank.smallThreshold", "0")
+    val dist = try run("pagerank_event_transitions")
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    finally spark.conf.unset("graft.pagerank.smallThreshold")
+    assert(dist === driver, "distributed iterate diverged from driver iterate")
+  }
+
   test("pagerank is invariant to input partitioning") {
     val a = run("pagerank_event_transitions").map(r => (r.getString(0), r.getLong(1))).toSeq
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
