@@ -69,6 +69,47 @@ object GlobalRank {
 
   private val ThresholdKey = "graft.globalrank.smallThreshold"
 
+  /** Snapshots created by the sliced paths, per session. The returned
+    * plan still reads the checkpointed RDD, so it cannot be unpersisted
+    * inside rowNumber/prefixSum — but a long-lived session running many
+    * sliced rankings accumulates executor storage between GCs. Callers
+    * that have fully consumed the returned plans reclaim it with
+    * [[releaseCheckpoints]].
+    */
+  private val snapshots = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def snapshot(df: DataFrame): DataFrame = {
+    val snap = df.localCheckpoint()
+    snapshots.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+      .add(snap)
+    snap
+  }
+
+  /** Unpersist every checkpoint snapshot this session's sliced
+    * rank/prefix-sum calls created. Safe only once the plans returned by
+    * those calls have been fully consumed (a later re-execution of such
+    * a plan would recompute from a missing block and fail). Returns the
+    * number of snapshots released.
+    */
+  def releaseCheckpoints(spark: org.apache.spark.sql.SparkSession): Int = {
+    val q = snapshots.remove(spark)
+    if (q == null) 0
+    else {
+      var n = 0
+      q.forEach { snap =>
+        snap.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false); n += 1
+          case _ => // not an RDD-backed snapshot — nothing persisted
+        }
+      }
+      n
+    }
+  }
+
   /** Per-group max row count from the cheap routing pass (one tiny row
     * per group — GlobalRank exists for few-group rankings, so the
     * collect is bounded by design).
@@ -179,14 +220,12 @@ object GlobalRank {
       // limit/re-read sources are only per-execution deterministic).
       // localCheckpoint materializes once and truncates lineage, so the
       // three passes become cheap re-reads instead of recomputations.
-      // Retention trade-off (deliberate): the checkpoint blocks live
-      // until the snapshot RDD is GC'd and the ContextCleaner reaps
-      // them — they cannot be unpersisted here because the RETURNED
-      // plan still reads them, and this method cannot know when the
-      // caller is done executing it. A session issuing many large
-      // sliced rankings carries that storage between GCs; that is the
-      // price of offset/plan consistency.
-      val snap = df.localCheckpoint()
+      // Retention: the blocks cannot be unpersisted here because the
+      // RETURNED plan still reads them, and this method cannot know
+      // when the caller is done executing it — the snapshot is tracked
+      // instead, and callers reclaim the storage with
+      // releaseCheckpoints(spark) once their plans are consumed.
+      val snap = snapshot(df)
       val stats = measureBounds(snap, base, groupCols, numSlices)
       val slice = "__gr_pid" +: groupCols
       val sliced = withSlice(snap, base, groupCols, numSlices, stats)
@@ -231,7 +270,7 @@ object GlobalRank {
     } else {
       // Same pinning as rowNumber: all measuring passes and the final
       // plan must see identical rows (see comment there).
-      val snap = df.localCheckpoint()
+      val snap = snapshot(df)
       val stats = measureBounds(snap, base, groupCols, numSlices)
       val slice = "__gr_pid" +: groupCols
       val sliced = withSlice(snap, base, groupCols, numSlices, stats)

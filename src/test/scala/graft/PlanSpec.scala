@@ -188,6 +188,28 @@ class PlanSpec extends SparkSpec {
       "fast-path ranks diverge from the sliced two-phase ranks")
   }
 
+  test("GlobalRank checkpoint storage is reclaimable (no growth across invocations)") {
+    val df = Tables.part(spark, sf()).select("p_partkey")
+    // drain snapshots from any earlier sliced call in this suite
+    graft.functions.GlobalRank.releaseCheckpoints(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    spark.conf.set("graft.globalrank.smallThreshold", "0")
+    try {
+      for (_ <- 1 to 3)
+        graft.functions.GlobalRank
+          .rowNumber(df, "rn", Nil, Seq("p_partkey")).count()
+    } finally spark.conf.unset("graft.globalrank.smallThreshold")
+    val during = spark.sparkContext.getPersistentRDDs.size
+    assert(during >= before + 3,
+      "each sliced ranking pins one checkpoint snapshot")
+    val released = graft.functions.GlobalRank.releaseCheckpoints(spark)
+    assert(released >= 3, s"release reported only $released snapshots")
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "checkpoint storage must return to the pre-invocation level")
+    // idempotent: a second release finds nothing
+    assert(graft.functions.GlobalRank.releaseCheckpoints(spark) === 0)
+  }
+
   test("bucketed tables join with zero exchanges (co-located SMJ)") {
     // materialize the bucketed tables via the declared query
     SparkEntry.queries("bucketed_colocated_join")(spark, sf()).count()
