@@ -98,7 +98,11 @@ object LlmOps extends OpGroup {
     // seen hash reports the historical canonical id it collides with.
     // ONE hash-keyed join of batch-sized vs index-sized relations;
     // nothing rescans the historical corpus. Within-batch repeats
-    // resolve by the same keep-first rule as exact_dedup_hash.
+    // resolve by the same keep-first rule as exact_dedup_hash, and
+    // EVERY rejected row names its survivor: the historical canonical
+    // when the hash is indexed, else the batch's first occurrence
+    // (min doc_id over the same hash window — no extra shuffle).
+    // Accepted rows are their own canonical ⇒ NULL.
     "incremental_dedup_index" -> ((s, d) => {
       val idx = s.read.parquet(dedupIndex(s, d))
       val batch = Tables.documents(s, d)
@@ -107,11 +111,14 @@ object LlmOps extends OpGroup {
       val firstInBatch = Window.partitionBy("h").orderBy("doc_id")
       batch
         .withColumn("first_of_hash", row_number().over(firstInBatch) === 1)
+        .withColumn("batch_min", min("doc_id").over(Window.partitionBy("h")))
         .join(idx, Seq("h"), "left_outer")
-        .select(col("doc_id"), col("h"),
-          (col("canonical_id").isNull && col("first_of_hash"))
-            .as("accepted"),
-          col("canonical_id"))
+        .withColumn("accepted",
+          col("canonical_id").isNull && col("first_of_hash"))
+        .select(col("doc_id"), col("h"), col("accepted"),
+          when(col("accepted"), lit(null).cast("long"))
+            .otherwise(coalesce(col("canonical_id"), col("batch_min")))
+            .as("canonical_id"))
         .orderBy("doc_id")
     }),
 
@@ -311,11 +318,13 @@ object LlmOps extends OpGroup {
         |batch AS (
         |  SELECT doc_id, h,
         |         (row_number() OVER (PARTITION BY h
-        |            ORDER BY doc_id)) = 1 AS first_of_hash
+        |            ORDER BY doc_id)) = 1 AS first_of_hash,
+        |         min(doc_id) OVER (PARTITION BY h) AS batch_min
         |  FROM keyed WHERE doc_id % 5 = 4)
         |SELECT b.doc_id, b.h,
         |       (i.canonical_id IS NULL AND b.first_of_hash) AS accepted,
-        |       i.canonical_id
+        |       CASE WHEN i.canonical_id IS NULL AND b.first_of_hash THEN NULL
+        |            ELSE coalesce(i.canonical_id, b.batch_min) END AS canonical_id
         |FROM batch b LEFT JOIN idx i ON b.h = i.h
         |ORDER BY b.doc_id""".stripMargin,
     "minhash_near_dedup" ->

@@ -83,18 +83,26 @@ class CorpusDedupSpec extends SparkSpec {
       .collect()
     val docs = Tables.documents(spark, sf()).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").take(30).mkString(" "))
-    val histKeys = docs.filter(_._1 % 5 < 4).map(_._2).toSet
+    val histMin = docs.filter(_._1 % 5 < 4).groupBy(_._2)
+      .map { case (k, xs) => k -> xs.map(_._1).min }
     val batch = docs.filter(_._1 % 5 == 4).toMap
+    val batchMin = batch.toSeq.groupBy(_._2)
+      .map { case (k, xs) => k -> xs.map(_._1).min }
     assert(rows.length === batch.size, "one verdict per batch document")
     val seenInBatch = scala.collection.mutable.Set[String]()
     rows.sortBy(_.getLong(0)).foreach { r =>
       val (id, accepted) = (r.getLong(0), r.getBoolean(2))
       val key = batch(id)
-      val expected = !histKeys.contains(key) && !seenInBatch.contains(key)
+      val expected = !histMin.contains(key) && !seenInBatch.contains(key)
       assert(accepted === expected, s"doc $id acceptance")
-      if (!r.isNullAt(3))
-        assert(r.getLong(3) % 5 < 4 && histKeys.contains(key),
-          "a reported canonical id is a real historical collision")
+      if (accepted) assert(r.isNullAt(3), "accepted rows are their own canonical")
+      else {
+        // every rejected row names its survivor: the historical
+        // canonical when indexed, else the batch's first occurrence
+        val survivor = histMin.getOrElse(key, batchMin(key))
+        assert(!r.isNullAt(3) && r.getLong(3) === survivor,
+          s"doc $id must name survivor $survivor")
+      }
       seenInBatch += key
     }
   }
