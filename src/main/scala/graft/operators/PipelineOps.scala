@@ -62,6 +62,14 @@ object PipelineOps extends OpGroup {
     * At cluster scale the same knob is sized to the stream's real key
     * cardinality, not to the batch session default.
     */
+  /** Stateful-stream sizing rule: shuffle.partitions at the FIRST run
+    * of a stateful query fixes its state-store-instance count (it is
+    * baked into the checkpoint), and every micro-batch pays store
+    * open/commit once per instance — so the demos pin a small count to
+    * keep the fixture floor honest, and a 100× deployment raises the
+    * SAME knob (stores scale with partitions; the plan is unchanged).
+    * StreamingSpec pins numShufflePartitions == the session conf.
+    */
   private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)

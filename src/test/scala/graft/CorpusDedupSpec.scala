@@ -33,14 +33,36 @@ class CorpusDedupSpec extends SparkSpec {
   }
 
   test("chunk_dedup_reassemble keeps exactly one copy of each distinct chunk") {
-    val df = operators.CorpusDedupOps.queries("chunk_dedup_reassemble")(spark, sf())
-    val keptChunks = df
-      .select(explode(split(col("text_clean"), " ")).as("tok"))
-      .count() // proxy: token mass of survivors
-    val total = df.agg(sum("n_kept")).collect()(0).getLong(0)
-    val distinctTotal = df.agg(sum("n_chunks")).collect()(0).getLong(0)
-    assert(total < distinctTotal, "some chunk was dropped as a repeat")
-    assert(keptChunks > 0)
+    // exact survivor set, re-derived on the driver: the globally-first
+    // (doc_id, chunk_idx) occurrence of each distinct 10-token window
+    // survives; every doc's n_kept and reassembled text must match it
+    // precisely (a keep-none or keep-many window regression fails here,
+    // not just in the hash oracle)
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val chunks = docs.sortBy(_._1).flatMap { case (id, text) =>
+      text.split(" ").grouped(10).zipWithIndex
+        .map { case (w, i) => (id, i, w.mkString(" ")) }
+    }
+    val firstOf = scala.collection.mutable.Map[String, (Long, Int)]()
+    chunks.foreach { case (id, i, c) =>
+      if (!firstOf.contains(c)) firstOf(c) = (id, i)
+    }
+    val byDoc = chunks.groupBy(_._1)
+    var dropped = 0L
+    operators.CorpusDedupOps.queries("chunk_dedup_reassemble")(spark, sf())
+      .collect()
+      .foreach { case Row(id: Long, nChunks: Long, nKept: Long, clean: String) =>
+        val mine = byDoc(id)
+        val kept = mine.filter { case (_, i, c) => firstOf(c) == ((id, i)) }
+        assert(nChunks === mine.length.toLong, s"doc $id chunk count")
+        assert(nKept === kept.length.toLong, s"doc $id survivor count")
+        assert(clean === kept.sortBy(_._2).map(_._3).mkString(" "),
+          s"doc $id reassembled text")
+        dropped += nChunks - nKept
+      }
+    assert(dropped > 0, "fixture contains duplicated chunks")
   }
 
   test("dup_span_detect: spans are disjoint, ordered, and at least one gram wide") {

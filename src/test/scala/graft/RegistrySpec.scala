@@ -29,6 +29,21 @@ class RegistrySpec extends SparkSpec {
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }
 
+  test("approx_top_count exactness precondition: distinct items fit the sketch budget") {
+    // the operator's full hash oracle is only sound because an
+    // ItemsSketch is provably exact while tracked items exceed the
+    // distinct count — a regenerated fixture with a high-cardinality
+    // event_type must fail HERE (loudly), not as a wrong-but-plausible
+    // oracle mismatch. Budget literals mirror ExtendedOps
+    // approx_top_k(event_type, 10, 100).
+    val distinct = Tables.events(spark, sf())
+      .select("event_type").distinct().count()
+    assert(distinct <= 10,
+      s"$distinct distinct event types exceed the sketch's k=10 — " +
+        "approx_top_count's exactness argument no longer holds")
+    assert(distinct <= 100, "tracked-item budget (100) overflowed")
+  }
+
   test("no query key collides across operator groups") {
     val all = SparkEntry.groups.flatMap(_.queries.keys)
     val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }

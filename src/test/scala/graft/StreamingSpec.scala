@@ -149,6 +149,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("T6/T8 bench floor is config, not plan: one state store per shuffle partition") {
+    // The stream demos pin shuffle.partitions=4 — that number IS the
+    // state-store-instance count of every stateful operator, so the
+    // per-query streaming floor (store open/commit cost × partitions)
+    // is a session knob. At 100× scale the SAME plan sizes its state
+    // machinery by raising the conf; pin that the reported
+    // numShufflePartitions tracks it exactly.
+    def statePartitions(n: Int): Long = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try {
+        val in = MemoryStream[(Long, Timestamp, String, Double)](spark)
+        val q = StreamingOps.dedupWithinWatermark(
+            in.toDF().toDF("event_id", "ts", "event_type", "value"), "1 hour")
+          .writeStream.format("memory").queryName(s"t6_conf_$n")
+          .outputMode("append").start()
+        in.addData((1L, ts(0), "click", 1.0), (2L, ts(1), "view", 1.0))
+        q.processAllAvailable()
+        val parts = q.lastProgress.stateOperators.head.numShufflePartitions
+        q.stop()
+        parts
+      } finally spark.conf.set(key, prev)
+    }
+    assert(statePartitions(2) === 2L)
+    assert(statePartitions(5) === 5L)
+  }
+
   test("T7: token cache state — reuse until expiry-60s, then mint") {
     // pure state-transition check (the app.py:63-78 rule)
     val (grants, st) = StreamingOps.serveTokens(Iterator(
