@@ -538,6 +538,13 @@ class PlanSpec extends SparkSpec {
       }
       assert(labelOnly.isEmpty,
         s"label-only-blocked shuffle join planned — quadratic in label block size")
+      // the per-label md5 pool derivation must pre-prune map-side
+      // (rn <= k rewrites to WindowGroupLimit): each task forwards at
+      // most k rows per label into the label shuffle, so the pool pass
+      // never moves the corpus through few-label window partitions
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("WindowGroupLimit"),
+        "pool top-B not pushed below the label window — corpus-sized shuffle")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
