@@ -70,34 +70,72 @@ object RankingOps extends OpGroup {
     */
   private val PrThresholdKey = "graft.pagerank.smallThreshold"
 
+  /** BM25 lexical top-10 candidates (doc_id, score_fp) — the shared
+    * first stage of the pure-lexical exhibit and the hybrid rerank.
+    * Filter-before-aggregate keeps the shuffle at |terms|×docs; df and
+    * corpus stats broadcast; top-k is TakeOrdered.
+    */
+  private def bm25Top(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val qw = words.filter(col("w").isin(Bm25Terms: _*))
+    val tf = qw.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfT = qw.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl0").as("total_dl"))
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(dfT), "w").crossJoin(broadcast(stats))
+      .withColumn("contrib_fp", expr(bm25ContribSql))
+    scored.groupBy("doc_id")
+      .agg(sum("contrib_fp").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id")).limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1 — BM25 top-k retrieval over the documents corpus for a fixed
-    // query-term set. Filter-before-aggregate keeps the shuffle at
-    // |terms|×docs; df and corpus stats broadcast; TakeOrdered top-10.
-    "bm25_topk" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val words = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("w"))
-      val qw = words.filter(col("w").isin(Bm25Terms: _*))
-      val tf = qw.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dfT = qw.select("doc_id", "w").distinct()
-        .groupBy("w").agg(count(lit(1)).as("df"))
-      val dl = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("dl"))
-      val stats = docs
-        .select(size(split(col("text"), " ")).cast("long").as("dl0"))
-        .agg(count(lit(1)).as("n_docs"), sum("dl0").as("total_dl"))
-      val scored = tf.join(dl, "doc_id")
-        .join(broadcast(dfT), "w").crossJoin(broadcast(stats))
-        .withColumn("contrib_fp", expr(bm25ContribSql))
-      val top = scored.groupBy("doc_id")
-        .agg(sum("contrib_fp").as("score_fp"))
-        .orderBy(col("score_fp").desc, col("doc_id")).limit(10)
+    // query-term set.
+    "bm25_topk" -> ((s, d) =>
       // rank the ≤10 surviving rows (window over the limited set only)
-      top.withColumn("rank",
+      bm25Top(s, d).withColumn("rank",
           row_number().over(Window.orderBy(col("score_fp").desc, col("doc_id"))))
         .select(col("doc_id"), col("rank"), col("score_fp"))
-        .orderBy("rank")
+        .orderBy("rank")),
+
+    // R4 — two-stage hybrid retrieval: BM25 lexical recall bounds the
+    // candidate set (≤10 docs), then dense embedding cosine reranks the
+    // survivors against the query vector (vec 0 stands in for the
+    // encoded query). THE standard retrieval architecture at corpus
+    // scale — the expensive dense scoring touches only the lexical
+    // survivors, never the corpus; both windows run over the ≤10-row
+    // post-TakeOrdered set (the documented benign bm25 pattern).
+    // Candidates without an embedding drop (inner join) — at sf0.1 the
+    // embedding table covers a 2k-doc subset, mirrored in the oracle.
+    "hybrid_retrieval_rerank" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFunctions.norm("embedding").as("norm"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+      val reranked = bm25Top(s, d)
+        .join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot("embedding", "q_emb") /
+            (col("norm") * col("q_norm")))
+      reranked
+        .withColumn("bm25_rank", row_number().over(
+          Window.orderBy(col("score_fp").desc, col("doc_id"))))
+        .withColumn("hybrid_rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select(col("doc_id"), col("bm25_rank"), col("hybrid_rank"),
+          col("score_fp"), round(col("cos"), 6).as("cosine"))
+        .orderBy("hybrid_rank")
     }),
 
     // R2 — weighted mixture resampling: target share ∝ per-source weight,
@@ -236,30 +274,69 @@ object RankingOps extends OpGroup {
        |ORDER BY pr_fp DESC, event_type""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain ending in `top(doc_id, score_fp)` — the
+    * BM25 candidate stage, mirrored from [[bm25Top]]. Reused by the
+    * lexical exhibit and the hybrid-rerank oracle.
+    */
+  private def bm25CtesDuck: String =
+    s"""words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |qw AS (SELECT doc_id, w FROM words WHERE w IN $Bm25InList),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM qw GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM
+       |         (SELECT DISTINCT doc_id, w FROM qw) GROUP BY w),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |       FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_dl
+       |          FROM documents),
+       |scored AS (
+       |  SELECT doc_id, $bm25ContribSql AS contrib_fp
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN stats),
+       |agg AS (SELECT doc_id, CAST(sum(contrib_fp) AS BIGINT) AS score_fp
+       |        FROM scored GROUP BY doc_id),
+       |top AS (SELECT doc_id, score_fp FROM agg
+       |        ORDER BY score_fp DESC, doc_id LIMIT 10)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" ->
-      s"""WITH words AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |qw AS (SELECT doc_id, w FROM words WHERE w IN $Bm25InList),
-         |tf AS (SELECT doc_id, w, count(*) AS tf FROM qw GROUP BY 1, 2),
-         |df AS (SELECT w, count(*) AS df FROM
-         |         (SELECT DISTINCT doc_id, w FROM qw) GROUP BY w),
-         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |       FROM documents),
-         |stats AS (SELECT count(*) AS n_docs,
-         |                 sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_dl
-         |          FROM documents),
-         |scored AS (
-         |  SELECT doc_id, $bm25ContribSql AS contrib_fp
-         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN stats),
-         |agg AS (SELECT doc_id, CAST(sum(contrib_fp) AS BIGINT) AS score_fp
-         |        FROM scored GROUP BY doc_id),
-         |top AS (SELECT doc_id, score_fp FROM agg
-         |        ORDER BY score_fp DESC, doc_id LIMIT 10)
+      s"""WITH $bm25CtesDuck
          |SELECT doc_id,
          |  CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS rank,
          |  score_fp
          |FROM top ORDER BY rank""".stripMargin,
+
+    "hybrid_retrieval_rerank" -> {
+      import graft.functions.VectorFunctions.dotFpDuck
+      s"""WITH $bm25CtesDuck,
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |norms AS (
+         |  SELECT e.vec_id,
+         |         sqrt(CAST(${dotFpDuck("e.embedding", "e.embedding")} AS DOUBLE) / 1e15) AS norm
+         |  FROM e CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= len(e.embedding)
+         |  GROUP BY e.vec_id),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |qn AS (SELECT norm AS q_norm FROM norms WHERE vec_id = 0),
+         |dots AS (
+         |  SELECT c.doc_id,
+         |         ${dotFpDuck("e.embedding", "q.q_emb")} AS dot
+         |  FROM top c JOIN e ON e.vec_id = c.doc_id CROSS JOIN qv q
+         |  CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= least(len(e.embedding), len(q.q_emb))
+         |  GROUP BY c.doc_id),
+         |reranked AS (
+         |  SELECT c.doc_id, c.score_fp,
+         |         (CAST(d.dot AS DOUBLE) / 1e15) / (n.norm * qn.q_norm) AS cos
+         |  FROM top c JOIN dots d USING (doc_id)
+         |       JOIN norms n ON n.vec_id = c.doc_id
+         |       CROSS JOIN qn)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS bm25_rank,
+         |  CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS hybrid_rank,
+         |  score_fp, round(cos, 6) AS cosine
+         |FROM reranked ORDER BY hybrid_rank""".stripMargin
+    },
 
     "mixture_weighted_resample" ->
       """WITH docs AS (SELECT doc_id, source FROM documents),

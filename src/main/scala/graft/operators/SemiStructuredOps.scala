@@ -182,6 +182,40 @@ object SemiStructuredOps extends OpGroup {
         col("vec_id") < 10, topK = 3, nprobe = 2)
     }),
 
+    // Corpus-wide kNN GRAPH over the IVF serving layout: every vector's
+    // top-3 same-cell neighbors by exact fixed-point cosine — the
+    // embedding-graph build that feeds graph-based dedup, clustering,
+    // and label propagation (the all-nodes sibling of ann_ivf_topk's
+    // 10-query probe). Scale: candidate pairs are the cell equi-join
+    // (Σ|cell|², the quantity the quantizer's k controls — the SemDeDup
+    // argument); rank<=3 rewrites to WindowGroupLimit, so each task
+    // forwards at most 3 edges per node into the per-node rank shuffle.
+    // Isolated cell-singletons contribute no edges (graph semantics).
+    "knn_graph_topk" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val stored = s.read.parquet(ivfLayout(s, d))
+        .select(col("vec_id"), col("embedding"),
+          col("cell").cast("int").as("cell"))
+      val withNorm = stored.withColumn("norm",
+        graft.functions.VectorFunctions.norm("embedding"))
+      val a = withNorm.select(col("vec_id").as("src"),
+        col("cell").as("cell_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a"))
+      val b = withNorm.select(col("vec_id").as("dst"),
+        col("cell").as("cell_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b"))
+      val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      a.join(b, col("cell_a") === col("cell_b") && col("src") =!= col("dst"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot("emb_a", "emb_b") /
+            (col("norm_a") * col("norm_b")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("rank"), col("dst"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("src", "rank")
+    }),
+
     // SemDeDup (Abbas et al., 2023): semantic dedup via the LEARNED
     // clustering — pairwise cosine only WITHIN each quantizer cell of
     // the serving layout, never across the corpus. A vector is dropped
@@ -271,6 +305,30 @@ object SemiStructuredOps extends OpGroup {
         |       CAST(NULL AS BIGINT) AS absent
         |FROM events ORDER BY event_id""".stripMargin,
     "ann_ivf_partition_pruned" -> ivfProbeSql,
+    // the kNN graph re-derived from the same persisted cells: within-
+    // cell pairs, fixed-point cosine (bit-exact), per-node top-3
+    "knn_graph_topk" -> {
+      import graft.functions.VectorFunctions.dotFpDuck
+      s"""WITH $ivfCorpusCtes,
+         |dots AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |         ${dotFpDuck("a.embedding", "b.embedding")} AS dot
+         |  FROM corpus a JOIN corpus b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= len(a.embedding)
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.src, d.dst,
+         |         (CAST(d.dot AS DOUBLE) / 1e15) / (na.norm * nb.norm) AS cos
+         |  FROM dots d JOIN norms na ON d.src = na.vec_id
+         |              JOIN norms nb ON d.dst = nb.vec_id)
+         |SELECT src, CAST(rank AS INTEGER) AS rank, dst,
+         |       round(cos, 6) AS cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY src
+         |        ORDER BY cos DESC, dst) AS rank FROM scored)
+         |WHERE rank <= 3 ORDER BY src, rank""".stripMargin
+    },
     // ann_kmeans_ivf (the in-memory-assign path) provably returns the
     // SAME rows as the serving layout probe — the layout's cells ARE the
     // fitted model's transform output (AnnSpec asserts the identity) —

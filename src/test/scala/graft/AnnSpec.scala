@@ -109,6 +109,45 @@ class AnnSpec extends SparkSpec {
     assert(cb.flatten.flatten.toSeq === cb2.flatten.flatten.toSeq)
   }
 
+  test("knn graph: per-node top-3 within the node's own cell, exact on cell-mates") {
+    val edges = SparkEntry.queries("knn_graph_topk")(spark, sf())
+      .as[(Long, Int, Long, Double)].collect()
+    val layout = spark.read.parquet(
+        operators.SemiStructuredOps.ivfLayout(spark, sf()))
+      .select(col("vec_id"), col("cell").cast("int"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val cellOf = layout.map(v => v._1 -> v._2).toMap
+    val vec = layout.map(v => v._1 -> v._3.toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (s, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      s / math.sqrt(na * nb)
+    }
+    val byNode = edges.groupBy(_._1)
+    // every non-singleton cell member has edges; ranks contiguous
+    val cellSizes = layout.groupBy(_._2).map { case (c, m) => c -> m.length }
+    layout.foreach { case (id, cell, _) =>
+      val deg = byNode.get(id).map(_.length).getOrElse(0)
+      assert(deg === math.min(3, cellSizes(cell) - 1), s"node $id degree")
+    }
+    byNode.foreach { case (srcId, es) =>
+      assert(es.map(_._2).sorted.toSeq === (1 to es.length))
+      es.foreach { case (src, _, dst, _) =>
+        assert(cellOf(dst) === cellOf(src), "edges never cross cells")
+        assert(dst !== src)
+      }
+      // the ranked list IS the exact within-cell top-k (driver brute force;
+      // double-arithmetic cosine agrees with the fixed-point ranking far
+      // beyond the fixture's similarity gaps)
+      val mates = layout.filter(v => v._2 == cellOf(srcId) && v._1 != srcId)
+      val exact = mates.map(m => (m._1, cos(vec(srcId), vec(m._1))))
+        .sortBy { case (id2, c) => (-c, id2) }.take(es.length).map(_._1)
+      assert(es.sortBy(_._2).map(_._3).toSeq === exact.toSeq,
+        s"node $srcId top-${es.length} mismatch vs brute force")
+    }
+  }
+
   test("kmeans IVF is deterministic across invocations (fixed seed)") {
     val a = SparkEntry.queries("ann_kmeans_ivf")(spark, sf())
       .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet

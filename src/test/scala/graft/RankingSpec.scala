@@ -37,6 +37,27 @@ class RankingSpec extends SparkSpec {
     assert(math.abs(total - budget) <= budget / 5, s"overall kept $total vs budget $budget")
   }
 
+  test("hybrid rerank: candidates come from bm25 top-10; both rankings are sound") {
+    val lexical = run("bm25_topk").map(_.getLong(0)).toSet
+    val rows = run("hybrid_retrieval_rerank")
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(lexical),
+      "dense stage may only rerank lexical survivors")
+    val n = rows.length
+    assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to n),
+      "bm25_rank is a permutation over the candidates")
+    assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to n),
+      "hybrid_rank is a permutation over the candidates")
+    val byHybrid = rows.sortBy(_.getInt(2))
+    assert(byHybrid.sliding(2).filter(_.length == 2).forall(p =>
+      p(0).getDouble(4) >= p(1).getDouble(4) - 1e-9),
+      "cosine non-increasing in hybrid rank")
+    val byLex = rows.sortBy(_.getInt(1))
+    assert(byLex.sliding(2).filter(_.length == 2).forall(p =>
+      p(0).getLong(3) >= p(1).getLong(3)),
+      "bm25 score non-increasing in bm25 rank")
+  }
+
   test("pagerank_event_transitions conserves fixed-point mass and ranks all types") {
     val rows = run("pagerank_event_transitions")
     assert(rows.length === 5, "one row per event type")
