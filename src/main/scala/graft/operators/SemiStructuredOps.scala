@@ -216,6 +216,43 @@ object SemiStructuredOps extends OpGroup {
         .orderBy("src", "rank")
     }),
 
+    // Embedding OUTLIER filter over the IVF layout: each vector's
+    // squared distance to its OWN cell centroid, flagged against a
+    // relative margin over the cell mean — the curation step that drops
+    // garbage embeddings (truncated docs, encoder failures) before
+    // dedup/training mines them as "hard" examples. Exactness: the
+    // distance is fixed-pointed PER ELEMENT (floor((x/norm − c)²·1e12)
+    // — elementwise IEEE ops are bit-deterministic, the BIGINT sum is
+    // associative) and the threshold test cross-multiplies exact int64
+    // (d²·n·100 > Σd²·105, i.e. 1.05× the cell mean) so no fp compare
+    // can disagree across engines/partitionings. The 5% margin fits the
+    // fixture's near-uniform directional spread (max/mean ≈ 1.08 — the
+    // AnnSpec recall-ceiling regime); a clustered real corpus takes a
+    // larger margin. Cost: k broadcast centroid rows + one cell
+    // aggregate — two scans of the layout, nothing corpus².
+    "embedding_outlier_filter" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val stored = s.read.parquet(ivfLayout(s, d))
+        .select(col("vec_id"), col("embedding"),
+          col("cell").cast("int").as("cell"))
+        .withColumn("norm", graft.functions.VectorFunctions.norm("embedding"))
+      val cents = s.read.parquet(s"${ivfLayout(s, d)}.centroids")
+        .select(col("cand_cell").cast("int").as("cell"), col("centroid"))
+      val dist = stored.join(broadcast(cents), "cell")
+        .withColumn("dist2_fp", expr(
+          """aggregate(zip_with(embedding, centroid,
+            |  (x, y) -> CAST(floor((CAST(x AS DOUBLE) / norm - y)
+            |                     * (CAST(x AS DOUBLE) / norm - y) * 1e12) AS BIGINT)),
+            |  0L, (acc, v) -> acc + v)""".stripMargin))
+      val cellStats = dist.groupBy("cell")
+        .agg(sum("dist2_fp").as("sum_fp"), count(lit(1)).as("n_cell"))
+      dist.join(cellStats, "cell")
+        .select(col("vec_id"), col("cell"), col("dist2_fp"),
+          (col("dist2_fp") * col("n_cell") * 100 > col("sum_fp") * 105)
+            .as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
     // SemDeDup (Abbas et al., 2023): semantic dedup via the LEARNED
     // clustering — pairwise cosine only WITHIN each quantizer cell of
     // the serving layout, never across the corpus. A vector is dropped
@@ -305,6 +342,32 @@ object SemiStructuredOps extends OpGroup {
         |       CAST(NULL AS BIGINT) AS absent
         |FROM events ORDER BY event_id""".stripMargin,
     "ann_ivf_partition_pruned" -> ivfProbeSql,
+    // outlier flags re-derived from the same persisted cells+centroids:
+    // per-element fixed-point distance, integer cross-multiplied margin
+    "embedding_outlier_filter" -> {
+      s"""WITH $ivfCorpusCtes,
+         |cent AS (
+         |  SELECT CAST(cand_cell AS INTEGER) AS cell, centroid
+         |  FROM read_parquet('${ivfLayoutCache.lastPath}.centroids/*.parquet')),
+         |dist AS (
+         |  SELECT c.vec_id, c.cell,
+         |         sum(CAST(floor((CAST(c.embedding[t.i] AS DOUBLE) / n.norm - ct.centroid[t.i])
+         |               * (CAST(c.embedding[t.i] AS DOUBLE) / n.norm - ct.centroid[t.i])
+         |               * 1e12) AS BIGINT)) AS dist2_fp
+         |  FROM corpus c JOIN norms n ON n.vec_id = c.vec_id
+         |       JOIN cent ct ON ct.cell = c.cell
+         |  CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= least(len(c.embedding), len(ct.centroid))
+         |  GROUP BY c.vec_id, c.cell),
+         |stats AS (
+         |  SELECT cell, CAST(sum(dist2_fp) AS BIGINT) AS sum_fp,
+         |         count(*) AS n_cell
+         |  FROM dist GROUP BY cell)
+         |SELECT d.vec_id, d.cell, d.dist2_fp,
+         |       (d.dist2_fp * s.n_cell * 100 > s.sum_fp * 105) AS is_outlier
+         |FROM dist d JOIN stats s USING (cell)
+         |ORDER BY d.vec_id""".stripMargin
+    },
     // the kNN graph re-derived from the same persisted cells: within-
     // cell pairs, fixed-point cosine (bit-exact), per-node top-3
     "knn_graph_topk" -> {

@@ -148,6 +148,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("embedding outlier filter: flag ⇔ exact margin rule; bulk of every cell kept") {
+    val rows = SparkEntry.queries("embedding_outlier_filter")(spark, sf())
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(rows.length === Tables.embeddings(spark, sf()).count())
+    val byCell = rows.groupBy(_._2)
+    byCell.foreach { case (cell, m) =>
+      val sumFp = m.map(v => BigInt(v._3)).sum
+      val n = m.length
+      m.foreach { case (id, _, d2, flagged) =>
+        assert(flagged === (BigInt(d2) * n * 100 > sumFp * 105),
+          s"vec $id in cell $cell: flag disagrees with the margin rule")
+      }
+      assert(m.count(_._4) < n / 2, s"cell $cell: filter must keep the bulk")
+    }
+    assert(rows.exists(_._4), "the 5% margin flags a tail on the fixture")
+  }
+
   test("kmeans IVF is deterministic across invocations (fixed seed)") {
     val a = SparkEntry.queries("ann_kmeans_ivf")(spark, sf())
       .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
