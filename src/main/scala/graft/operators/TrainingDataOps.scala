@@ -406,6 +406,47 @@ object TrainingDataOps extends OpGroup {
         .orderBy("doc_id")
     }),
 
+    // Near-dup cluster REPRESENTATIVE selection: after connected
+    // components, a curation pass keeps ONE member per duplicate
+    // cluster — the HIGHEST-QUALITY one (Lee et al. keep the longest;
+    // quality_score's blend generalizes that), not the arbitrary
+    // min-id. Composes the capped-candidate CC labels with the
+    // per-doc quality projection: one equi-join + one per-component
+    // rank (WindowGroupLimit prunes map-side; components are many, so
+    // the rank shuffle has no few-key skew). Quality is computed from
+    // exact integer counts ⇒ IEEE-identical cross-engine; ties break
+    // by doc_id.
+    "neardup_cluster_representative" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          array_distinct(split(col("text"), " ")).as("ws"))
+      val pairs = graft.functions.TextSim
+        .jaccardPairs(docs, "doc_id", "source", "ws", LlmOps.JaccardDfCap)
+        .filter(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6) >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val labels = graft.functions.GraphOps.connectedComponents(
+        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
+      val quality = docs
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_unique", size(col("ws")))
+        .select(col("doc_id"),
+          round(col("n_unique").cast("double") / col("n_tokens") * lit(0.5)
+            + least(lit(1.0), col("n_tokens").cast("double") / 100.0) * lit(0.5), 6)
+            .as("quality"))
+      val w = Window.partitionBy("component")
+        .orderBy(col("quality").desc, col("doc_id"))
+      labels.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .select(col("doc_id"), col("component"), col("cluster_size"),
+          col("quality"), (col("rn") === 1).as("is_rep"))
+        .orderBy("doc_id")
+    }),
+
     // Positional document fingerprint: exact-integer position-weighted
     // sum — order-sensitive content signature, associative to compute.
     "doc_fingerprint" -> ((s, d) =>
@@ -651,6 +692,37 @@ object TrainingDataOps extends OpGroup {
          |       (c.doc_id = c.component) AS is_rep
          |FROM comp c JOIN sizes s USING (component)
          |ORDER BY c.doc_id""".stripMargin),
+    // the CC closure + the exact-integer quality blend, representative
+    // = per-component argmax(quality, doc_id)
+    "neardup_cluster_representative" -> (
+      s"""WITH RECURSIVE ${LlmOps.jaccardCtesDuck},
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component
+         |         FROM reach GROUP BY src),
+         |q AS (
+         |  SELECT doc_id,
+         |         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |               / len(string_split(text, ' ')) * 0.5
+         |             + least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |               / 100.0) * 0.5, 6) AS quality
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |ranked AS (
+         |  SELECT c.doc_id, c.component, q.quality,
+         |         row_number() OVER (PARTITION BY c.component
+         |           ORDER BY q.quality DESC, c.doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY c.component) AS cluster_size
+         |  FROM comp c JOIN q USING (doc_id))
+         |SELECT doc_id, component, cluster_size, quality, (rn = 1) AS is_rep
+         |FROM ranked ORDER BY doc_id""".stripMargin),
     "lang_id_ngram" ->
       """WITH scored AS (
         |  SELECT doc_id, lang AS lang_stored,

@@ -193,6 +193,26 @@ class CorpusDedupSpec extends SparkSpec {
     assert(meanRatio >= 0.8, f"mean cosine ratio $meanRatio%.3f below pinned 0.80")
   }
 
+  test("neardup_cluster_representative: exactly one rep per cluster, the best-quality member") {
+    val rows = operators.TrainingDataOps.queries("neardup_cluster_representative")(
+      spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val byComp = rows.groupBy(_._2)
+    assert(byComp.nonEmpty)
+    var multi = 0
+    byComp.foreach { case (comp, m) =>
+      assert(m.forall(_._3 == m.length.toLong), s"cluster $comp size column")
+      val reps = m.filter(_._5)
+      assert(reps.length === 1, s"cluster $comp must keep exactly one rep")
+      // the rep is the quality argmax with doc_id tiebreak
+      val best = m.minBy { case (id, _, _, q, _) => (-q, id) }
+      assert(reps.head._1 === best._1, s"cluster $comp rep is not the best member")
+      if (m.length > 1) multi += 1
+    }
+    assert(multi > 0, "fixture contains multi-member near-dup clusters")
+  }
+
   test("semantic_dedup_cluster: smallest id per cell kept; dropped ids have a dominator") {
     val rows = operators.SemiStructuredOps.queries("semantic_dedup_cluster")(
       spark, sf()).collect()
