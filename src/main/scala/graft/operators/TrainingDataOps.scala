@@ -410,12 +410,13 @@ object TrainingDataOps extends OpGroup {
     // components, a curation pass keeps ONE member per duplicate
     // cluster — the HIGHEST-QUALITY one (Lee et al. keep the longest;
     // quality_score's blend generalizes that), not the arbitrary
-    // min-id. Composes the capped-candidate CC labels with the
-    // per-doc quality projection: one equi-join + one per-component
-    // rank (WindowGroupLimit prunes map-side; components are many, so
-    // the rank shuffle has no few-key skew). Quality is computed from
-    // exact integer counts ⇒ IEEE-identical cross-engine; ties break
-    // by doc_id.
+    // min-id. The per-cluster argmax is an AGGREGATE (max_by over a
+    // (quality, -doc_id) struct — map-side combinable, so a degenerate
+    // giant cluster folds in partial aggregates instead of flowing
+    // through one window task), then one component-keyed join marks
+    // the winner. Quality is computed from exact integer counts ⇒
+    // IEEE-identical cross-engine; -doc_id makes the struct order
+    // total, so the argmax is unique by construction.
     "neardup_cluster_representative" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 0)
@@ -436,14 +437,14 @@ object TrainingDataOps extends OpGroup {
           round(col("n_unique").cast("double") / col("n_tokens") * lit(0.5)
             + least(lit(1.0), col("n_tokens").cast("double") / 100.0) * lit(0.5), 6)
             .as("quality"))
-      val w = Window.partitionBy("component")
-        .orderBy(col("quality").desc, col("doc_id"))
-      labels.join(quality, "doc_id")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy("component")))
+      val labeled = labels.join(quality, "doc_id")
+      val reps = labeled.groupBy("component")
+        .agg(
+          expr("max_by(doc_id, struct(quality, -doc_id))").as("rep_id"),
+          count(lit(1)).as("cluster_size"))
+      labeled.join(reps, "component")
         .select(col("doc_id"), col("component"), col("cluster_size"),
-          col("quality"), (col("rn") === 1).as("is_rep"))
+          col("quality"), (col("doc_id") === col("rep_id")).as("is_rep"))
         .orderBy("doc_id")
     }),
 
