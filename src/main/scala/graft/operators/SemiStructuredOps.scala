@@ -221,15 +221,24 @@ object SemiStructuredOps extends OpGroup {
     // relative margin over the cell mean — the curation step that drops
     // garbage embeddings (truncated docs, encoder failures) before
     // dedup/training mines them as "hard" examples. Exactness: the
-    // distance is fixed-pointed PER ELEMENT (floor((x/norm − c)²·1e12)
-    // — elementwise IEEE ops are bit-deterministic, the BIGINT sum is
-    // associative) and the threshold test cross-multiplies exact int64
-    // (d²·n·100 > Σd²·105, i.e. 1.05× the cell mean) so no fp compare
-    // can disagree across engines/partitionings. The 5% margin fits the
-    // fixture's near-uniform directional spread (max/mean ≈ 1.08 — the
-    // AnnSpec recall-ceiling regime); a clustered real corpus takes a
-    // larger margin. Cost: k broadcast centroid rows + one cell
-    // aggregate — two scans of the layout, nothing corpus².
+    // difference vector is rounded through FLOAT (one well-defined IEEE
+    // rounding of `x/norm − c` — div and sub are single correctly-
+    // rounded ops, so no compiler contraction can perturb them), then
+    // the distance is `fixed_dot(diff, diff)` — the bit-proven
+    // primitive (functions/VectorExpr.scala): per-element
+    // floor(d·d·1e15) is deterministic and the BIGINT sum associative.
+    // (Round 6 fixed-pointed floor((x/norm−c)²·1e12) directly — a
+    // compound double expression whose evaluation order an engine may
+    // contract, and the driver's DuckDB build flipped one floor/hash.)
+    // The threshold test (1.05× the cell mean) multiplies in
+    // DECIMAL(38,0): dist2_fp reaches 4e15 for unit vectors, so int64
+    // cross-multiplication would wrap silently once a cell holds ~2e4
+    // vectors while DuckDB promotes to HUGEINT — decimal keeps both
+    // engines exact at any cell size. The 5% margin fits the fixture's
+    // near-uniform directional spread (max/mean ≈ 1.08 — the AnnSpec
+    // recall-ceiling regime); a clustered real corpus takes a larger
+    // margin. Cost: k broadcast centroid rows + one cell aggregate —
+    // two scans of the layout, nothing corpus².
     "embedding_outlier_filter" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       val stored = s.read.parquet(ivfLayout(s, d))
@@ -239,17 +248,17 @@ object SemiStructuredOps extends OpGroup {
       val cents = s.read.parquet(s"${ivfLayout(s, d)}.centroids")
         .select(col("cand_cell").cast("int").as("cell"), col("centroid"))
       val dist = stored.join(broadcast(cents), "cell")
-        .withColumn("dist2_fp", expr(
-          """aggregate(zip_with(embedding, centroid,
-            |  (x, y) -> CAST(floor((CAST(x AS DOUBLE) / norm - y)
-            |                     * (CAST(x AS DOUBLE) / norm - y) * 1e12) AS BIGINT)),
-            |  0L, (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("diff", expr(
+          """zip_with(embedding, centroid,
+            |  (x, y) -> CAST(CAST(x AS DOUBLE) / norm - y AS FLOAT))""".stripMargin))
+        .withColumn("dist2_fp", expr("fixed_dot(diff, diff)"))
       val cellStats = dist.groupBy("cell")
-        .agg(sum("dist2_fp").as("sum_fp"), count(lit(1)).as("n_cell"))
+        .agg(sum(col("dist2_fp").cast("decimal(38,0)")).as("sum_fp_dec"),
+          count(lit(1)).as("n_cell"))
       dist.join(cellStats, "cell")
         .select(col("vec_id"), col("cell"), col("dist2_fp"),
-          (col("dist2_fp") * col("n_cell") * 100 > col("sum_fp") * 105)
-            .as("is_outlier"))
+          (col("dist2_fp").cast("decimal(38,0)") * col("n_cell") * 100 >
+            col("sum_fp_dec") * 105).as("is_outlier"))
         .orderBy("vec_id")
     }),
 
@@ -343,28 +352,35 @@ object SemiStructuredOps extends OpGroup {
         |FROM events ORDER BY event_id""".stripMargin,
     "ann_ivf_partition_pruned" -> ivfProbeSql,
     // outlier flags re-derived from the same persisted cells+centroids:
-    // per-element fixed-point distance, integer cross-multiplied margin
+    // the diff vector is rounded through FLOAT (mirroring the Spark
+    // lambda's single defined rounding), then fixed-pointed at 1e15 as
+    // in fixed_dot; the margin compares in HUGEINT (Spark side uses
+    // DECIMAL(38,0)) so neither engine can wrap int64
     "embedding_outlier_filter" -> {
       s"""WITH $ivfCorpusCtes,
          |cent AS (
          |  SELECT CAST(cand_cell AS INTEGER) AS cell, centroid
          |  FROM read_parquet('${ivfLayoutCache.lastPath}.centroids/*.parquet')),
-         |dist AS (
-         |  SELECT c.vec_id, c.cell,
-         |         sum(CAST(floor((CAST(c.embedding[t.i] AS DOUBLE) / n.norm - ct.centroid[t.i])
-         |               * (CAST(c.embedding[t.i] AS DOUBLE) / n.norm - ct.centroid[t.i])
-         |               * 1e12) AS BIGINT)) AS dist2_fp
+         |diff AS (
+         |  SELECT c.vec_id, c.cell, t.i,
+         |         CAST(CAST(c.embedding[t.i] AS DOUBLE) / n.norm
+         |              - ct.centroid[t.i] AS FLOAT) AS d
          |  FROM corpus c JOIN norms n ON n.vec_id = c.vec_id
          |       JOIN cent ct ON ct.cell = c.cell
          |  CROSS JOIN range(1, 2049) t(i)
-         |  WHERE t.i <= least(len(c.embedding), len(ct.centroid))
-         |  GROUP BY c.vec_id, c.cell),
+         |  WHERE t.i <= least(len(c.embedding), len(ct.centroid))),
+         |dist AS (
+         |  SELECT vec_id, cell,
+         |         sum(CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * 1e15)
+         |             AS BIGINT)) AS dist2_fp
+         |  FROM diff GROUP BY vec_id, cell),
          |stats AS (
-         |  SELECT cell, CAST(sum(dist2_fp) AS BIGINT) AS sum_fp,
+         |  SELECT cell, CAST(sum(dist2_fp) AS HUGEINT) AS sum_fp,
          |         count(*) AS n_cell
          |  FROM dist GROUP BY cell)
          |SELECT d.vec_id, d.cell, d.dist2_fp,
-         |       (d.dist2_fp * s.n_cell * 100 > s.sum_fp * 105) AS is_outlier
+         |       (CAST(d.dist2_fp AS HUGEINT) * s.n_cell * 100
+         |          > s.sum_fp * 105) AS is_outlier
          |FROM dist d JOIN stats s USING (cell)
          |ORDER BY d.vec_id""".stripMargin
     },
