@@ -87,6 +87,37 @@ object TrainingDataOps extends OpGroup {
   private val NegPerAnchor = 3
   private val PosPoolPerLabel = 8
 
+  /** Near-dup cluster labels — connected components over the Jaccard
+    * pair graph — persisted once per (session, dataset) and consumed by
+    * BOTH cluster-consumer policies (`neardup_connected_components`'s
+    * min-id sizing and `neardup_cluster_representative`'s quality
+    * argmax). This is the production dedup-graph shape: the iterative CC
+    * (the expensive part — O(diameter) equi-join rounds) runs in the
+    * offline indexing step exactly once, and every downstream keep/drop
+    * policy is a cheap join against the persisted (doc_id, component)
+    * labels. The oracles deliberately do NOT read this layout: DuckDB
+    * re-derives the closure from the documents table as a recursive
+    * reachability CTE, so the persisted labels are themselves checked.
+    */
+  private val ccLayoutCache = new graft.Layout("graft_cclabels")
+
+  private[graft] def ccLabels(s: SparkSession, d: String): String =
+    ccLayoutCache(s, d) { p =>
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("ws"))
+      val pairs = graft.functions.TextSim
+        .jaccardPairs(docs, "doc_id", "source", "ws", LlmOps.JaccardDfCap)
+        .filter(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6) >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      graft.functions.GraphOps.connectedComponents(
+          docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Contrastive-pair dataset construction (embedding-model training):
     // per anchor, ONE hard positive (argmax cosine over an ANN-BLOCKED
@@ -377,27 +408,17 @@ object TrainingDataOps extends OpGroup {
 
     // Near-dup CLUSTERING: connected components over the Jaccard pair
     // graph (pairs alone can't drive dedup — a keep-one policy needs the
-    // transitive closure). Min-label propagation to fixpoint: each round
-    // every node takes the least component id among itself and its
-    // neighbors — the equi-join form of large-star/small-star, so the
-    // per-round cost is one edges⋈labels join however big the corpus.
-    // The fixpoint is the component MINIMUM — deterministic regardless
-    // of iteration count or partitioning; the oracle recomputes it as a
-    // DuckDB recursive reachability closure. localCheckpoint per round
-    // truncates the iterated lineage (same reasoning as batch_chunks).
+    // transitive closure). The closure itself — min-label propagation to
+    // fixpoint, one edges⋈labels equi-join per round (GraphOps) — is
+    // computed ONCE per dataset into the persisted ccLabels layout; this
+    // key is the min-id policy over those labels: sizes + the
+    // component-minimum representative. The fixpoint is the component
+    // MINIMUM — deterministic regardless of iteration count or
+    // partitioning; the oracle recomputes it from scratch as a DuckDB
+    // recursive reachability closure (the persisted labels are checked,
+    // not trusted).
     "neardup_connected_components" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("source"),
-          array_distinct(split(col("text"), " ")).as("ws"))
-      val pairs = graft.functions.TextSim
-        .jaccardPairs(docs, "doc_id", "source", "ws", LlmOps.JaccardDfCap)
-        .filter(round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6) >= 0.3)
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
-      val labels = graft.functions.GraphOps.connectedComponents(
-        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
+      val labels = s.read.parquet(ccLabels(s, d))
       val sizes = labels.groupBy("component")
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "component")
@@ -410,29 +431,21 @@ object TrainingDataOps extends OpGroup {
     // components, a curation pass keeps ONE member per duplicate
     // cluster — the HIGHEST-QUALITY one (Lee et al. keep the longest;
     // quality_score's blend generalizes that), not the arbitrary
-    // min-id. The per-cluster argmax is an AGGREGATE (max_by over a
-    // (quality, -doc_id) struct — map-side combinable, so a degenerate
-    // giant cluster folds in partial aggregates instead of flowing
-    // through one window task), then one component-keyed join marks
-    // the winner. Quality is computed from exact integer counts ⇒
+    // min-id. Reads the SAME persisted ccLabels layout as
+    // `neardup_connected_components` — the closure is derived once, the
+    // policies differ. The per-cluster argmax is an AGGREGATE (max_by
+    // over a (quality, -doc_id) struct — map-side combinable, so a
+    // degenerate giant cluster folds in partial aggregates instead of
+    // flowing through one window task), then one component-keyed join
+    // marks the winner. Quality is computed from exact integer counts ⇒
     // IEEE-identical cross-engine; -doc_id makes the struct order
     // total, so the argmax is unique by construction.
     "neardup_cluster_representative" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val labels = s.read.parquet(ccLabels(s, d))
+      val quality = Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("source"), col("text"),
-          array_distinct(split(col("text"), " ")).as("ws"))
-      val pairs = graft.functions.TextSim
-        .jaccardPairs(docs, "doc_id", "source", "ws", LlmOps.JaccardDfCap)
-        .filter(round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6) >= 0.3)
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
-      val labels = graft.functions.GraphOps.connectedComponents(
-        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
-      val quality = docs
         .withColumn("n_tokens", size(split(col("text"), " ")))
-        .withColumn("n_unique", size(col("ws")))
+        .withColumn("n_unique", size(array_distinct(split(col("text"), " "))))
         .select(col("doc_id"),
           round(col("n_unique").cast("double") / col("n_tokens") * lit(0.5)
             + least(lit(1.0), col("n_tokens").cast("double") / 100.0) * lit(0.5), 6)
