@@ -69,29 +69,42 @@ object GlobalRank {
 
   private val ThresholdKey = "graft.globalrank.smallThreshold"
 
-  /** Snapshots created by the sliced paths, per session. The returned
-    * plan still reads the checkpointed RDD, so it cannot be unpersisted
-    * inside rowNumber/prefixSum — but a long-lived session running many
-    * sliced rankings accumulates executor storage between GCs. Callers
-    * that have fully consumed the returned plans reclaim it with
-    * [[releaseCheckpoints]].
+  /** Checkpoint RDDs created by the sliced paths, per session. The
+    * returned plan still reads the checkpointed RDD, so it cannot be
+    * unpersisted inside rowNumber/prefixSum. Both the session key and
+    * the RDDs are held WEAKLY: a caller that simply drops its plans
+    * falls back to the pre-registry behavior — the ContextCleaner
+    * reclaims the blocks once the RDD is unreachable — instead of this
+    * registry pinning executor storage (and the session object)
+    * forever. [[releaseCheckpoints]] is therefore an EAGER reclaim for
+    * long-lived sessions running many sliced rankings, not an
+    * obligation.
     */
-  private val snapshots = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.SparkSession,
-    java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+  private val snapshots = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[
+        java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]]())
 
   private def snapshot(df: DataFrame): DataFrame = {
     val snap = df.localCheckpoint()
-    snapshots.computeIfAbsent(df.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
-      .add(snap)
+    snap.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        snapshots.computeIfAbsent(df.sparkSession,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[
+            java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]())
+          .add(new java.lang.ref.WeakReference(l.rdd))
+      case _ => // not an RDD-backed snapshot — nothing persisted
+    }
     snap
   }
 
-  /** Unpersist every checkpoint snapshot this session's sliced
-    * rank/prefix-sum calls created. Safe only once the plans returned by
-    * those calls have been fully consumed (a later re-execution of such
-    * a plan would recompute from a missing block and fail). Returns the
+  /** Eagerly unpersist every still-reachable checkpoint snapshot this
+    * session's sliced rank/prefix-sum calls created. Safe only once the
+    * plans returned by those calls have been fully consumed (a later
+    * re-execution of such a plan would recompute from a missing block
+    * and fail). Snapshots whose plans were already garbage-collected are
+    * reclaimed by the ContextCleaner and skipped here. Returns the
     * number of snapshots released.
     */
   def releaseCheckpoints(spark: org.apache.spark.sql.SparkSession): Int = {
@@ -99,12 +112,9 @@ object GlobalRank {
     if (q == null) 0
     else {
       var n = 0
-      q.forEach { snap =>
-        snap.queryExecution.analyzed match {
-          case l: org.apache.spark.sql.execution.LogicalRDD =>
-            l.rdd.unpersist(blocking = false); n += 1
-          case _ => // not an RDD-backed snapshot — nothing persisted
-        }
+      q.forEach { ref =>
+        val rdd = ref.get()
+        if (rdd != null) { rdd.unpersist(blocking = false); n += 1 }
       }
       n
     }

@@ -46,9 +46,13 @@ object GraphOps {
       changed = next.select(col(idCol), col("component").as("__c2"))
         .join(labels, idCol)
         .filter(col("__c2") =!= col("component")).count()
+      // the superseded round is dead once `next` is materialized and the
+      // change count (the last reader of the old labels) has run
+      Checkpoints.release(labels)
       labels = next
       iters += 1
     }
+    Checkpoints.release(und)
     labels
   }
 }

@@ -193,6 +193,17 @@ object RankingOps extends OpGroup {
       val nNodes = nodes.count()
       val base = PrScale / nNodes
 
+      // Per-edge contribution floor(r·w/ow) is computed DIVIDE-FIRST:
+      //   (r DIV ow)·w + ((r MOD ow)·w) DIV ow
+      // — exact by the division identity (r = q·ow + m with m < ow,
+      // all operands non-negative), and overflow-safe where the naive
+      // r·w wraps int64: r reaches PrScale=1e12, so r·w overflows once
+      // an edge carries ~9×10⁶ transitions — precisely the large-graph
+      // regime the distributed path exists for. Divide-first bounds the
+      // intermediates by q·w ≤ r and m·w < ow² (ow > 3×10⁹ transitions
+      // out of ONE node before that wraps). All three evaluations —
+      // driver loop, distributed expr, DuckDB replay — use the same
+      // form, so the recurrence stays bit-identical everywhere.
       if (nNodes <= threshold) {
         // ONE collect of the counted edges; out-weights fold from it (a
         // second lazy reference would re-run the window pipeline for
@@ -206,7 +217,9 @@ object RankingOps extends OpGroup {
         for (_ <- 1 to PrIters) {
           val inflow = new scala.collection.mutable.HashMap[String, Long]()
           eRows.foreach { case (src, dst, w, ow) =>
-            inflow.update(dst, inflow.getOrElse(dst, 0L) + (ranks(src) * w) / ow)
+            val r = ranks(src)
+            val c = (r / ow) * w + ((r % ow) * w) / ow
+            inflow.update(dst, inflow.getOrElse(dst, 0L) + c)
           }
           ranks = nodeList.map(nd =>
             nd -> (15L * base + 85L * inflow.getOrElse(nd, 0L)) / 100L).toMap
@@ -217,7 +230,10 @@ object RankingOps extends OpGroup {
           .orderBy(col("pr_fp").desc, col("event_type"))
       } else {
         // distributed iterate: all operands non-negative, so DIV (floor)
-        // equals the driver path's truncating long division
+        // equals the driver path's truncating long division. Superseded
+        // round snapshots are released eagerly (Checkpoints) — only the
+        // final ranks, still read by the returned plan, is left to the
+        // ContextCleaner.
         val e = trans
           .join(trans.groupBy("src").agg(sum("w").as("ow")), "src")
           .select("src", "dst", "w", "ow").localCheckpoint()
@@ -225,15 +241,20 @@ object RankingOps extends OpGroup {
           .withColumn("r", lit(base)).localCheckpoint()
         for (_ <- 1 to PrIters) {
           val inflow = e.join(ranks, col("src") === col("node"))
-            .select(col("dst"), expr("CAST((r * w) DIV ow AS BIGINT)").as("c"))
+            .select(col("dst"),
+              expr("CAST((r DIV ow) * w + ((r % ow) * w) DIV ow AS BIGINT)")
+                .as("c"))
             .groupBy("dst").agg(sum("c").as("inflow"))
-          ranks = nodes.select(col("event_type").as("node"))
+          val next = nodes.select(col("event_type").as("node"))
             .join(inflow, col("node") === col("dst"), "left")
             .select(col("node"),
               expr(s"CAST((15 * $base + 85 * coalesce(inflow, 0L)) DIV 100 AS BIGINT)")
                 .as("r"))
             .localCheckpoint()
+          graft.functions.Checkpoints.release(ranks)
+          ranks = next
         }
+        graft.functions.Checkpoints.release(e)
         ranks.select(col("node").as("event_type"), col("r").as("pr_fp"))
           .orderBy(col("pr_fp").desc, col("event_type"))
       }
@@ -253,7 +274,8 @@ object RankingOps extends OpGroup {
          |  SELECT n.node,
          |    CAST((15 * $baseExpr + 85 * COALESCE(i$i.inflow, 0)) // 100 AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
-         |    SELECT dst AS node, CAST(sum((r * w) // ow) AS BIGINT) AS inflow
+         |    SELECT dst AS node,
+         |           CAST(sum((r // ow) * w + ((r % ow) * w) // ow) AS BIGINT) AS inflow
          |    FROM e JOIN pr${i - 1} p ON p.node = e.src GROUP BY dst) i$i
          |  USING (node))""".stripMargin
     }.mkString(",\n")

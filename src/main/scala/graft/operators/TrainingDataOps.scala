@@ -80,8 +80,13 @@ object TrainingDataOps extends OpGroup {
 
   /** Contrastive sampling knobs: global negative-pool size (broadcast),
     * negatives per anchor, and the bounded per-label positive fallback
-    * pool (guarantees every anchor a positive candidate even when its
-    * (cell, label) block is a singleton).
+    * pool. The pool covers anchors whose (cell, label) BLOCK is a
+    * singleton — they still draw same-label candidates from the pool.
+    * An anchor whose whole LABEL is a singleton has no distinct
+    * same-label candidate anywhere (its only pool row is itself,
+    * excluded by anchor_id <> cand_id) and deliberately emits no 'pos'
+    * row — the dropped-anchor contract: such a label cannot contribute
+    * a positive pair to contrastive training by definition.
     */
   private val NegPoolSize = 100
   private val NegPerAnchor = 3
