@@ -53,7 +53,7 @@ object LlmOps extends OpGroup {
   private val MinHashDupSlots = MinHashes / 2 // est_jaccard ≥ 0.5
 
   private def minhashLayout(s: SparkSession, d: String): String =
-    minhashLayoutCache(s, d) { p =>
+    minhashLayoutCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
       Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))
         .withColumn("shingles", graft.functions.TextSim.shingles("words", 3))
@@ -84,7 +84,7 @@ object LlmOps extends OpGroup {
   private val dedupIndexCache = new graft.Layout("graft_dedup_idx")
 
   private def dedupIndex(s: SparkSession, d: String): String =
-    dedupIndexCache(s, d) { p =>
+    dedupIndexCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
       Tables.documents(s, d)
         .filter(col("doc_id") % 5 < 4)
         .groupBy(prefixKey.as("h"))

@@ -71,7 +71,7 @@ object MultimodalOps extends OpGroup {
   private val mediaDirCache = new graft.Layout("graft_media")
 
   private def mediaDir(s: SparkSession, d: String): String =
-    mediaDirCache(s, d) { p =>
+    mediaDirCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
       Tables.documents(s, d)
         .filter(col("doc_id") % 25 === 0)

@@ -81,7 +81,7 @@ object ScaleOps extends OpGroup {
   private val minhash8LayoutCache = new graft.Layout("graft_minhash8")
 
   private def minhash8Layout(s: SparkSession, d: String): String =
-    minhash8LayoutCache(s, d) { p =>
+    minhash8LayoutCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
       val minhash8 = udaf(new MinHashSignature(8))
       // Shingles come from explode(sequence) + try_element_at — fully
       // codegen'd — instead of a transform() lambda: higher-order

@@ -57,7 +57,7 @@ object SemiStructuredOps extends OpGroup {
   private[operators] def ivfLayoutPath: String = ivfLayoutCache.lastPath
 
   private[graft] def ivfLayout(s: SparkSession, d: String): String =
-    ivfLayoutCache(s, d) { p =>
+    ivfLayoutCache(s, d, graft.Layout.fingerprint(Tables.embeddings(s, d))) { p =>
       quantizer(s, d)
         .transform(graft.functions.AnnIvf.features(s, Tables.embeddings(s, d)))
         .select(col("vec_id"), col("embedding"), col("cell"))
@@ -103,7 +103,7 @@ object SemiStructuredOps extends OpGroup {
   private val pqLayoutCache = new graft.Layout("graft_pq")
 
   private def pqLayout(s: SparkSession, d: String): String =
-    pqLayoutCache(s, d) { p =>
+    pqLayoutCache(s, d, graft.Layout.fingerprint(Tables.embeddings(s, d))) { p =>
       val cb = pqCodebook(s, d)
       graft.functions.AnnPq.register(s, cb)
       graft.functions.VectorFunctions.register(s)

@@ -35,7 +35,7 @@ object TrainingDataOps extends OpGroup {
   private val simhashLayoutCache = new graft.Layout("graft_simhash")
 
   private def simhashLayout(s: SparkSession, d: String): String =
-    simhashLayoutCache(s, d) { p =>
+    simhashLayoutCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
       graft.functions.TextSim
         .simhash(Tables.documents(s, d), "doc_id", "text")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
@@ -53,7 +53,7 @@ object TrainingDataOps extends OpGroup {
   private val lshLayoutCache = new graft.Layout("graft_lsh")
 
   private def lshLayout(s: SparkSession, d: String): String =
-    lshLayoutCache(s, d) { p =>
+    lshLayoutCache(s, d, graft.Layout.fingerprint(Tables.embeddings(s, d))) { p =>
       graft.functions.VectorFunctions.register(s)
       val dim = Tables.embeddings(s, d)
         .select(size(col("embedding"))).head.getInt(0)
@@ -107,7 +107,7 @@ object TrainingDataOps extends OpGroup {
   private val ccLayoutCache = new graft.Layout("graft_cclabels")
 
   private[graft] def ccLabels(s: SparkSession, d: String): String =
-    ccLayoutCache(s, d) { p =>
+    ccLayoutCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("source"),
