@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{OpGroup, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-model operators (round-5 widening, SURVEY §2 rows M1-M4): the
@@ -50,6 +50,16 @@ object LangModelOps extends OpGroup {
     */
   private val nllSql =
     "CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)) * 1000000.0) AS BIGINT)"
+
+  /** BPE apply knobs: merge-table size, replace passes per merge (one
+    * pass per adjacent-occurrence chain halving — see the operator
+    * comment), and the token delimiter (U+001F unit separator — cannot
+    * occur in the space-split fixture vocabulary; words containing it
+    * are filtered anyway to keep the encoding total).
+    */
+  private val BpeMerges = 8
+  private val BpePasses = 8
+  private val BpeSep = "\u001f"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T5-style span corruption (fixed-window variant): deterministic
@@ -137,6 +147,49 @@ object LangModelOps extends OpGroup {
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
       pairs.groupBy("pair").agg(sum("c").as("merge_count"))
         .orderBy(col("merge_count").desc, col("pair")).limit(20)
+    }),
+
+    // M2b — BPE merge APPLICATION: tokenize the word dictionary with the
+    // mined merge table — the step that completes the tokenizer pipeline
+    // (M2 mines pairs; this encodes with them). The merge table is one
+    // mining pass's top-[[BpeMerges]] pairs in (count DESC, pair) priority
+    // order, collected driver-side as tiny model state (the PQ-codebook
+    // pattern; real BPE re-mines between merges — that is a loop of this
+    // operator, identical plumbing). Encoding runs on the DISTINCT word
+    // dictionary (≪ corpus — the M3 scale argument), never per token
+    // occurrence. Each word becomes a |-delimited char-token string
+    // ("|c|c|…|"), and each merge (a,b) applies as the string replace
+    // "|a|b|" → "|ab|" — token boundaries make false intra-token matches
+    // impossible, and BOTH engines' one-pass replace is left-to-right
+    // non-overlapping (Java UTF8String and DuckDB agree, verified), so
+    // iterating the replace [[BpePasses]] times reaches the same merge
+    // fixpoint bit-identically: a pass halves any remaining adjacent
+    // occurrence chain, so 8 passes close words up to ~2^8 chars.
+    "bpe_apply_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1 && !col("w").contains(BpeSep))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val merges = wc.filter(length(col("w")) >= 2)
+        .select(col("freq").as("c"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("c").as("mc"))
+        .orderBy(col("mc").desc, col("pair")).limit(BpeMerges)
+        .collect().map(_.getString(0))
+      var t: Column =
+        concat(lit(BpeSep), concat_ws(BpeSep, split(col("w"), "")), lit(BpeSep))
+      for (pair <- merges) {
+        val find = lit(s"$BpeSep${pair.substring(0, 1)}$BpeSep${pair.substring(1, 2)}$BpeSep")
+        val repl = lit(s"$BpeSep$pair$BpeSep")
+        for (_ <- 1 to BpePasses) t = replace(t, find, repl)
+      }
+      wc.withColumn("enc", trim(t, BpeSep))
+        .select(col("w").as("word"), col("freq"),
+          (length(col("enc")) - length(replace(col("enc"), lit(BpeSep), lit("")))
+            + 1).cast("int").as("n_tokens"),
+          replace(col("enc"), lit(BpeSep), lit(" ")).as("tokens"))
+        .orderBy("word")
     }),
 
     // M3 — blocked fuzzy matching (record-linkage dedup candidates): block
@@ -240,6 +293,47 @@ object LangModelOps extends OpGroup {
         |SELECT pair, CAST(sum(c) AS BIGINT) AS merge_count
         |FROM pairs GROUP BY pair
         |ORDER BY merge_count DESC, pair LIMIT 20""".stripMargin,
+
+    // merge table re-mined in SQL, applied as a recursive CTE over merge
+    // rank: state = the chr(31)-delimited token string, one step per
+    // merge, [[BpePasses]] nested one-pass replaces per step — the
+    // identical op sequence the Spark column expression evaluates
+    "bpe_apply_encode" -> {
+      val find = "chr(31) || substr(m.pair, 1, 1) || chr(31) || " +
+        "substr(m.pair, 2, 1) || chr(31)"
+      val repl = "chr(31) || m.pair || chr(31)"
+      val nested = (1 to BpePasses).foldLeft("e.t")((acc, _) =>
+        s"replace($acc, $find, $repl)")
+      s"""WITH RECURSIVE words AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wc AS (
+         |  SELECT w, count(*) AS freq FROM words
+         |  WHERE len(w) >= 1 AND instr(w, chr(31)) = 0 GROUP BY w),
+         |prs AS (
+         |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq AS c
+         |  FROM wc, UNNEST(range(1, len(w))) AS t(i)
+         |  WHERE len(w) >= 2),
+         |merges AS (
+         |  SELECT pair, row_number() OVER (ORDER BY sum(c) DESC, pair) AS rk
+         |  FROM prs GROUP BY pair
+         |  ORDER BY sum(c) DESC, pair LIMIT $BpeMerges),
+         |enc(w, freq, t, k) AS (
+         |  SELECT w, freq,
+         |         chr(31) || array_to_string(string_split(w, ''), chr(31))
+         |           || chr(31),
+         |         0
+         |  FROM wc
+         |  UNION ALL
+         |  SELECT e.w, e.freq, $nested, e.k + 1
+         |  FROM enc e JOIN merges m ON m.rk = e.k + 1),
+         |fin AS (
+         |  SELECT w, freq, trim(t, chr(31)) AS t FROM enc WHERE k = $BpeMerges)
+         |SELECT w AS word, freq,
+         |       CAST(length(t) - length(replace(t, chr(31), '')) + 1 AS INT)
+         |         AS n_tokens,
+         |       replace(t, chr(31), ' ') AS tokens
+         |FROM fin ORDER BY word""".stripMargin
+    },
 
     "fuzzy_pairs_blocked" ->
       """WITH names AS (

@@ -33,6 +33,36 @@ class LangModelSpec extends SparkSpec {
     assert(counts.forall(_ > 0))
   }
 
+  test("bpe_apply_encode: lossless per word, merge fixpoint reached, merges used") {
+    val rows = runL("bpe_apply_encode")
+    // the word dictionary, re-derived on the driver
+    val vocab = Tables.documents(spark, sf())
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    assert(rows.length === vocab.size, "one output row per distinct word")
+    // the mined merge table the operator applied (same ordering rule)
+    val merges = vocab.toSeq
+      .flatMap { case (w, c) => w.sliding(2).filter(_.length == 2).map(_ -> c) }
+      .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sum }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(8).map(_._1).toSet
+    var multiCharTokens = 0
+    rows.foreach { case Row(word: String, freq: Long, n: Int, tokens: String) =>
+      assert(freq === vocab(word), s"word $word frequency")
+      val ts = tokens.split(" ")
+      assert(ts.length === n, s"word $word n_tokens consistent with tokens")
+      assert(ts.mkString === word, s"word $word: encoding must be lossless")
+      // fixpoint: no adjacent token pair is itself a mined merge
+      ts.sliding(2).filter(_.length == 2).foreach { ab =>
+        assert(!merges.contains(ab(0) + ab(1)) ||
+            ab(0).length > 1 || ab(1).length > 1,
+          s"word $word: adjacent char pair ${ab.mkString} is an unapplied merge")
+      }
+      multiCharTokens += ts.count(_.length > 1)
+    }
+    assert(multiCharTokens > 0, "the merge table must actually merge something")
+  }
+
   test("fuzzy_pairs_blocked: pairs share a block, lev <= 3, multiplicity > 0") {
     val rows = runL("fuzzy_pairs_blocked")
     assert(rows.nonEmpty)
