@@ -216,6 +216,93 @@ object SemiStructuredOps extends OpGroup {
         .orderBy("src", "rank")
     }),
 
+    // LABEL PROPAGATION over the kNN graph — the standard semi-
+    // supervised consumer of knn_graph_topk's edges: a 20% seed set
+    // (vec_id % 5 = 0 keeps its true label) propagates to unlabeled
+    // nodes by weighted majority vote over each node's OWN kNN list
+    // (out-edges; weight = 4 − rank, an exact integer derived from the
+    // bit-proven cosine ranking), synchronous rounds, seeds clamped.
+    // Ties break (weight DESC, label ASC) — a total order, so every
+    // round is deterministic on any partitioning. SIZE-AWARE ROUTING
+    // (the PageRank recipe): node counts within the threshold iterate
+    // driver-side on the collected vocabulary-sized graph; beyond it
+    // the SAME recurrence runs as an edges⋈labels equi-join loop
+    // (weighted-vote variant of the GraphOps CC machinery), superseded
+    // round snapshots released eagerly. AnnSpec pins bit-equality of
+    // the two paths at threshold 0. Oracle: the [[LpIters]]-stage
+    // unrolled CTE replay (the PageRank recipe) over edges re-derived
+    // from the persisted layout.
+    "label_propagation_knn" -> ((s, d) => {
+      val seeds = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("node"), col("label").as("seed_lab"))
+      val edges = queries("knn_graph_topk")(s, d)
+        .select(col("src"), col("dst"),
+          (lit(4) - col("rank")).cast("long").as("w"))
+        .localCheckpoint()
+      val nodes = s.read.parquet(ivfLayout(s, d))
+        .select(col("vec_id").as("node"))
+      val threshold = s.conf.get(LpThresholdKey, "10000").toLong
+      val nNodes = nodes.count()
+
+      if (nNodes <= threshold) {
+        // collected iterate: the kNN graph of an offline-model-sized
+        // corpus slice (the PQ-codebook scale argument)
+        val e = edges.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val seedMap = seeds.collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val nodeList = nodes.collect().map(_.getLong(0)).sorted
+        var lab: Map[Long, Option[Int]] =
+          nodeList.map(n => n -> seedMap.get(n)).toMap
+        for (_ <- 1 to LpIters) {
+          val votes = new scala.collection.mutable.HashMap[(Long, Int), Long]()
+          e.foreach { case (src, dst, w) =>
+            lab(dst).foreach(l =>
+              votes.update((src, l), votes.getOrElse((src, l), 0L) + w))
+          }
+          val pick = votes.toSeq.groupBy(_._1._1).map { case (srcN, vs) =>
+            srcN -> vs.map { case ((_, l), ws) => (l, ws) }
+              .sortBy { case (l, ws) => (-ws, l) }.head._1
+          }
+          lab = nodeList.map(n =>
+            n -> (if (seedMap.contains(n)) Some(seedMap(n))
+                  else pick.get(n).orElse(lab(n)))).toMap
+        }
+        import s.implicits._
+        nodeList.toSeq.map(n => (n, seedMap.contains(n), lab(n)))
+          .toDF("vec_id", "is_seed", "label_pred")
+          .orderBy("vec_id")
+      } else {
+        var labels = nodes.join(seeds, Seq("node"), "left")
+          .select(col("node"), col("seed_lab").as("lab")).localCheckpoint()
+        for (_ <- 1 to LpIters) {
+          val votes = edges
+            .join(labels.filter(col("lab").isNotNull)
+              .select(col("node").as("dst"), col("lab")), "dst")
+            .groupBy("src", "lab").agg(sum("w").as("wsum"))
+          val wdw = Window.partitionBy("src")
+            .orderBy(col("wsum").desc, col("lab"))
+          val pick = votes.withColumn("rn", row_number().over(wdw))
+            .filter(col("rn") === 1)
+            .select(col("src").as("node"), col("lab").as("vote"))
+          val next = labels.join(pick, Seq("node"), "left")
+            .join(seeds, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("seed_lab"), col("vote"), col("lab")).as("lab"))
+            .localCheckpoint()
+          graft.functions.Checkpoints.release(labels)
+          labels = next
+        }
+        graft.functions.Checkpoints.release(edges)
+        labels.join(seeds, Seq("node"), "left")
+          .select(col("node").as("vec_id"),
+            col("seed_lab").isNotNull.as("is_seed"),
+            col("lab").as("label_pred"))
+          .orderBy("vec_id")
+      }
+    }),
+
     // Embedding OUTLIER filter over the IVF layout: each vector's
     // squared distance to its OWN cell centroid, flagged against a
     // relative margin over the cell mean — the curation step that drops
@@ -305,6 +392,14 @@ object SemiStructuredOps extends OpGroup {
     * keep most of each cell (the paper's ~epsilon ball).
     */
   private val SemDedupTau = 0.4
+
+  /** Label-propagation knobs: synchronous rounds (cells are small-
+    * diameter, 3 rounds saturate any cell containing a seed) and the
+    * size-aware routing threshold (the PageRank pattern — a session
+    * conf so AnnSpec can pin both paths bit-identical).
+    */
+  private val LpIters = 3
+  private val LpThresholdKey = "graft.labelprop.smallThreshold"
 
   /** `def`, not `val`: the ANN oracle references the session's serving
     * layout, known only after the query has materialized it (Verify's
@@ -413,6 +508,10 @@ object SemiStructuredOps extends OpGroup {
     // fitted model's transform output (AnnSpec asserts the identity) —
     // so it shares the structural re-derivation verbatim.
     "ann_kmeans_ivf" -> ivfProbeSql,
+    // the LP recurrence unrolled to LpIters chained CTE stages (the
+    // PageRank replay recipe) over the SAME within-cell top-3 edge
+    // derivation the knn_graph_topk oracle proves
+    "label_propagation_knn" -> labelPropDuck,
     // SemDeDup re-derived from the same persisted cells: within-cell
     // pairs, fixed-point cosine (bit-exact), dominated-by-smaller-id
     // rule — only the cell assignments are taken from the layout.
@@ -454,6 +553,63 @@ object SemiStructuredOps extends OpGroup {
        |  FROM corpus c CROSS JOIN range(1, 2049) t(i)
        |  WHERE t.i <= len(c.embedding)
        |  GROUP BY c.vec_id)""".stripMargin
+  }
+
+  /** DuckDB replay of label propagation: edges re-derived from the
+    * persisted layout exactly as the knn_graph_topk oracle does
+    * (within-cell fixed-point cosine top-3, weight = 4 − rank), then
+    * the synchronous vote recurrence unrolled to [[LpIters]] chained
+    * CTE stages — per-stage aggregation rules out a recursive CTE, the
+    * pagerankDuck reasoning.
+    */
+  private def labelPropDuck: String = {
+    import graft.functions.VectorFunctions.dotFpDuck
+    val stages = (1 to LpIters).map { k =>
+      s"""v$k AS (
+         |  SELECT e.src, l.lab, sum(e.w) AS wsum
+         |  FROM edges e JOIN lp${k - 1} l ON l.node = e.dst
+         |  WHERE l.lab IS NOT NULL GROUP BY e.src, l.lab),
+         |p$k AS (
+         |  SELECT src, lab FROM (
+         |    SELECT src, lab, row_number() OVER (PARTITION BY src
+         |      ORDER BY wsum DESC, lab) AS rn FROM v$k)
+         |  WHERE rn = 1),
+         |lp$k AS (
+         |  SELECT l.node, coalesce(s.seed_lab, p.lab, l.lab) AS lab
+         |  FROM lp${k - 1} l
+         |  LEFT JOIN seeds s ON s.node = l.node
+         |  LEFT JOIN p$k p ON p.src = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ivfCorpusCtes,
+       |dots AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         ${dotFpDuck("a.embedding", "b.embedding")} AS dot
+       |  FROM corpus a JOIN corpus b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  CROSS JOIN range(1, 2049) t(i)
+       |  WHERE t.i <= len(a.embedding)
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.src, d.dst,
+       |         (CAST(d.dot AS DOUBLE) / 1e15) / (na.norm * nb.norm) AS cos
+       |  FROM dots d JOIN norms na ON d.src = na.vec_id
+       |              JOIN norms nb ON d.dst = nb.vec_id),
+       |edges AS (
+       |  SELECT src, dst, CAST(4 - rank AS BIGINT) AS w FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rank FROM scored)
+       |  WHERE rank <= 3),
+       |seeds AS (
+       |  SELECT vec_id AS node, label AS seed_lab
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |lp0 AS (
+       |  SELECT c.vec_id AS node, s.seed_lab AS lab
+       |  FROM corpus c LEFT JOIN seeds s ON s.node = c.vec_id),
+       |$stages
+       |SELECT l.node AS vec_id, (s.node IS NOT NULL) AS is_seed,
+       |       l.lab AS label_pred
+       |FROM lp$LpIters l LEFT JOIN seeds s ON s.node = l.node
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB re-derivation of the full IVF probe from the persisted

@@ -165,6 +165,31 @@ class AnnSpec extends SparkSpec {
     assert(rows.exists(_._4), "the 5% margin flags a tail on the fixture")
   }
 
+  test("label propagation: distributed join-loop bit-identical to driver iterate; seeds clamped") {
+    def runLp() = SparkEntry.queries("label_propagation_knn")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    val driver = runLp()
+    spark.conf.set("graft.labelprop.smallThreshold", "0")
+    val dist = try runLp()
+      finally spark.conf.unset("graft.labelprop.smallThreshold")
+    assert(driver.toSeq === dist.toSeq,
+      "the two routing paths must agree bit-for-bit")
+    val seedTruth = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") % 5 === 0)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labelVocab = seedTruth.values.toSet
+    driver.foreach { case (id, isSeed, pred) =>
+      assert(isSeed === seedTruth.contains(id))
+      if (isSeed) assert(pred === Some(seedTruth(id)), s"seed $id must be clamped")
+      pred.foreach(p => assert(labelVocab.contains(p),
+        s"node $id predicted a label outside the seed vocabulary"))
+    }
+    val nonSeedLabeled = driver.count { case (_, s2, p) => !s2 && p.isDefined }
+    assert(nonSeedLabeled > 0, "propagation must label some non-seed nodes")
+  }
+
   test("kmeans IVF is deterministic across invocations (fixed seed)") {
     val a = SparkEntry.queries("ann_kmeans_ivf")(spark, sf())
       .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
