@@ -18,8 +18,10 @@ object PlanAudit {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // pin the large-N path so the audit sees cluster-scale plans
+    // pin the large-N paths so the audit sees cluster-scale plans
     spark.conf.set("graft.globalrank.smallThreshold", "0")
+    spark.conf.set("graft.pagerank.smallThreshold", "0")
+    spark.conf.set("graft.labelprop.smallThreshold", "0")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
