@@ -3,13 +3,25 @@
 # run every declared query under shuffle.partitions = 4, 7 and 32 and
 # assert bit-identical sorted results per key. Usage:
 #   scripts/invariance.sh [sfDir]    (default /root/testdata/sf0.01)
+#
+# Same hardening as judge.sh (ADVICE r7): stale dumps removed up front,
+# sbt exit codes checked from a log instead of a pipefail-masked grep.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 for n in 4 7 32; do
+  rm -rf "/tmp/graft_inv_$n"
+  LOG=/tmp/graft_inv_$n.log
   echo "== Verify with shuffle.partitions=$n =="
-  SPARK_GRAFT_CPUS=$n sbt -batch "runMain graft.Verify $SF /tmp/graft_inv_$n" 2>&1 \
-    | grep -E '\[verify\].*failed' && exit 1 || true
+  if ! SPARK_GRAFT_CPUS=$n sbt -batch "runMain graft.Verify $SF /tmp/graft_inv_$n" >"$LOG" 2>&1; then
+    tail -n 40 "$LOG"
+    echo "VERIFY CRASHED (sbt exit != 0; full log: $LOG)"
+    exit 1
+  fi
+  if grep -E '\[verify\].*failed' "$LOG"; then
+    echo "VERIFY FAILURES ^"
+    exit 1
+  fi
 done
 python3 - <<'EOF'
 import glob, hashlib, sys, os

@@ -50,19 +50,31 @@ object Bench {
     // truth two rounds running from exactly such spikes smearing over
     // unrelated keys.)
     val timedRuns = 2
-    val results = selected.map { case (name, fn) =>
+    val allRuns = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val best = (1 to timedRuns).map { _ =>
+      val runs = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+      }
+      name -> runs
     }
+    val results = allRuns.map { case (name, runs) => name -> runs.min }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def line(qs: Iterable[(String, Double)]): String = {
       val q = qs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$q,"sf":"$sfDir"}"""
+    }
+    // The artifact states its own methodology (ADVICE r7): per-query raw
+    // (run1, run2) pairs make a load-noise round diagnosable from the
+    // file alone — spiky pairs with a fast min = VM contention, both
+    // runs slow = a real plan cost — and "method" names the protocol so
+    // numbers are only compared like-for-like.
+    def fullLine: String = {
+      val runsJson = allRuns.map { case (k, rs) =>
+        s""""$k":[${rs.map(r => f"$r%.3f").mkString(",")}]"""
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"method":"untimed warm pass + min of $timedRuns timed runs","queries":${results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")},"runs":$runsJson,"sf":"$sfDir"}"""
     }
     // Tear down ALL state machinery BEFORE printing, then print the compact
     // line truly last: the driver machine-reads a bounded stdout tail, so
@@ -77,7 +89,7 @@ object Bench {
     // only a FULL run may write the artifact the judge reads — a
     // SPARK_GRAFT_ONLY iteration spot-run must not clobber it
     if (only.isEmpty)
-      Files.writeString(Paths.get("bench_full.json"), line(results) + "\n")
+      Files.writeString(Paths.get("bench_full.json"), fullLine + "\n")
     println(line(results))
     println(line(results.toSeq.sortBy(-_._2).take(20)))
   }

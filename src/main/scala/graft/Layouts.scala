@@ -57,6 +57,21 @@ final class Layout(prefix: String) {
 
 object Layout {
 
+  /** Memoized fingerprints: every layout ACCESS calls [[fingerprint]],
+    * and before round 8 each call re-ran the metadata count(*) — an
+    * extra Spark job per query invocation touching a layout, inside
+    * Bench's timed region (ADVICE r7). Keyed by (application,
+    * semantic plan hash, schema): fixtures are immutable within a
+    * session run (the write-once contract above), so one count per
+    * (session, input table) is exactly as safe and strictly cheaper.
+    * A regenerated fixture only exists ACROSS runs, where the
+    * applicationId key changes anyway; a different in-session input
+    * (LayoutSpec's regenerated local relations) hashes to a different
+    * semantic plan and still recomputes.
+    */
+  private val fps =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), String]()
+
   /** Content fingerprint of a layout's input table: row count + a hash
     * of the schema. Path-safe, cheap to compute (a count(*) over
     * parquet prunes every column — the scan reads row-group metadata,
@@ -69,11 +84,16 @@ object Layout {
     * cross-run / regenerated-fixture edge loudly instead of
     * accidentally.
     */
-  def fingerprint(df: DataFrame): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val sh = md.digest(df.schema.catalogString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map("%02x".format(_)).mkString
-    s"n${df.count()}x$sh"
-  }
+  def fingerprint(df: DataFrame): String =
+    fps.computeIfAbsent(
+      (df.sparkSession.sparkContext.applicationId,
+        df.queryExecution.analyzed.semanticHash(),
+        df.schema.catalogString),
+      _ => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sh = md.digest(df.schema.catalogString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(4).map("%02x".format(_)).mkString
+        s"n${df.count()}x$sh"
+      })
 }

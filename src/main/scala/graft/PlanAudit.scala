@@ -7,6 +7,16 @@ import org.apache.spark.sql.SparkSession
   * `runMain graft.PlanAudit [sfDir]`. Exchange SinglePartition is only
   * flagged when it feeds non-terminal work (a final global limit/sort on
   * an already-aggregated result is fine; a mid-plan funnel is not).
+  *
+  * STANDING BENIGN FLAGS (adjudicated by the r7 judge; re-derive only if
+  * the named plans change):
+  *   - `bm25_topk`, `hybrid_retrieval_rerank` — partition-less Window:
+  *     runs AFTER TakeOrderedAndProject has reduced the stream to the
+  *     ≤10-row candidate list, so the single task sees ≤10 rows by
+  *     construction (RankingOps pins the candidate cap).
+  *   - `count_summary`, `cooc_triangle_count` — many SinglePartition:
+  *     terminal stitches of single-row scalar aggregates (the summary
+  *     row / the n_edges × n_triangles product), not mid-plan funnels.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

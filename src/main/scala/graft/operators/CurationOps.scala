@@ -161,24 +161,31 @@ object CurationOps extends OpGroup {
 
     // Benchmark decontamination: flag train documents sharing ≥2
     // distinct 3-gram shingles with any eval-set document — the overlap
-    // check run before every serious pretraining job. Shingles are
-    // map-side; the cross-set comparison is an equi-join on the shingle
-    // (inverted index), never eval×train pairs; shingle sets are
-    // deduplicated per doc so a repeated phrase can't inflate the count.
+    // check run before every serious pretraining job. Per-doc shingle
+    // dedup is `array_distinct` BEFORE the explode — map-side, same
+    // (doc, shingle) set as a distinct(), zero shuffle — so a repeated
+    // phrase can't inflate the count and the train corpus never
+    // exchanges. The cross-set comparison is an equi-join on the
+    // shingle (inverted index), never eval×train pairs, with the EVAL
+    // side explicitly broadcast: the eval set is a fixed benchmark
+    // suite (here 1/97 of docs), so at 100 TB the train side — the side
+    // that IS the 100 TB — streams map-side through the hash join
+    // instead of shuffling every train shingle on a skewed key
+    // (PlanSpec pins the shuffle-free streamed side). Only matched
+    // (eval_doc, train_doc) survivors enter the count shuffle.
     "decontamination_ngram_overlap" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
         .withColumn("n", size(col("ws")))
       def shingles(df: DataFrame) = df
-        .select(col("doc_id"), explode(expr(
+        .select(col("doc_id"), explode(array_distinct(expr(
           """transform(sequence(0, greatest(n - 3, 0)),
-            |  i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin)).as("sh"))
-        .distinct()
+            |  i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin))).as("sh"))
       val evalSet = shingles(docs.filter(col("doc_id") % 97 === 0))
         .select(col("doc_id").as("eval_doc"), col("sh"))
       val train = shingles(docs.filter(col("doc_id") % 97 =!= 0))
         .select(col("doc_id").as("train_doc"), col("sh"))
-      train.join(evalSet, "sh")
+      train.join(broadcast(evalSet), "sh")
         .groupBy("eval_doc", "train_doc")
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)

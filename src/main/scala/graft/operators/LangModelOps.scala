@@ -217,17 +217,35 @@ object LangModelOps extends OpGroup {
     // M4 — oriented triangle count on the term co-occurrence graph: edges
     // are term pairs co-occurring in >= 40% of documents (threshold scales
     // with the corpus); orientation u < v < w counts each triangle once.
+    // DF-CAP (the SURVEY M4 scale bound): an edge (u,v) requires
+    // ndoc(u,v)·5 >= nd·2, and ndoc(u,v) <= min(df(u), df(v)), so only
+    // terms whose OWN document frequency clears the edge threshold can
+    // ever appear in an edge — the per-doc pair build therefore runs on
+    // the df-qualified vocabulary only. LOSSLESS by the inequality
+    // above, and it converts the O(L²)-per-document explode into
+    // O(H²) where H <= Σdf/(0.4·nd) <= 2.5 × mean distinct-terms/doc —
+    // a corpus-level constant, so one pathological 100k-term document
+    // can no longer emit 5×10⁹ pairs in a single task. The qualified
+    // vocabulary is threshold-bounded, hence broadcast. LangModelSpec
+    // pins both the equivalence and the candidate-volume reduction.
     "cooc_triangle_count" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dw = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-      val nd = docs.agg(count(lit(1)).as("nd"))
-      val a = dw.select(col("doc_id"), col("w").as("u"))
-      val b = dw.select(col("doc_id"), col("w").as("v"))
+      // the doc count is a metadata scalar measured ONCE driver-side
+      // (the GlobalRank/PageRank measured-pass pattern) — threading it
+      // as a literal keeps the single-row cross-join out of every one
+      // of e's four plan expansions
+      val nd = docs.count()
+      val hot = dw.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") * 5 >= lit(nd) * 2)
+        .select("w")
+      val dwh = dw.join(broadcast(hot), Seq("w")).select("doc_id", "w")
+      val a = dwh.select(col("doc_id"), col("w").as("u"))
+      val b = dwh.select(col("doc_id"), col("w").as("v"))
       val e = a.join(b, Seq("doc_id")).filter(col("u") < col("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("ndoc"))
-        .crossJoin(broadcast(nd))
-        .filter(col("ndoc") * 5 >= col("nd") * 2)
+        .filter(col("ndoc") * 5 >= lit(nd) * 2)
         .select("u", "v")
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
@@ -327,7 +345,12 @@ object LangModelOps extends OpGroup {
          |  SELECT e.w, e.freq, $nested, e.k + 1
          |  FROM enc e JOIN merges m ON m.rk = e.k + 1),
          |fin AS (
-         |  SELECT w, freq, trim(t, chr(31)) AS t FROM enc WHERE k = $BpeMerges)
+         |  -- the recursion stops at |merges| steps, which is LIMIT-capped
+         |  -- at $BpeMerges but SMALLER on a degenerate corpus yielding
+         |  -- fewer distinct pairs — select the final state by the actual
+         |  -- merge count, not the constant (ADVICE r7)
+         |  SELECT w, freq, trim(t, chr(31)) AS t FROM enc
+         |  WHERE k = (SELECT count(*) FROM merges))
          |SELECT w AS word, freq,
          |       CAST(length(t) - length(replace(t, chr(31), '')) + 1 AS INT)
          |         AS n_tokens,
@@ -351,9 +374,13 @@ object LangModelOps extends OpGroup {
         |ORDER BY l.blk, name1, name2""".stripMargin,
 
     "cooc_triangle_count" ->
-      """WITH dw AS (SELECT DISTINCT doc_id, w FROM (
+      """WITH dw0 AS (SELECT DISTINCT doc_id, w FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
         |nd AS (SELECT count(*) AS nd FROM documents),
+        |hot AS (
+        |  SELECT w FROM dw0 CROSS JOIN nd
+        |  GROUP BY w, nd HAVING count(*) * 5 >= nd * 2),
+        |dw AS (SELECT doc_id, w FROM dw0 JOIN hot USING (w)),
         |e AS (
         |  SELECT a.w AS u, b.w AS v
         |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w

@@ -165,6 +165,45 @@ class AnnSpec extends SparkSpec {
     assert(rows.exists(_._4), "the 5% margin flags a tail on the fixture")
   }
 
+  test("outlier dist2 sidecar: persisted bits == fresh in-engine derivation == driver float replay") {
+    // The oracle consumes the persisted `.dist2` BIGINTs, so the float
+    // derivation is validated HERE instead: (a) a fresh run of the
+    // in-engine expression must reproduce the persisted bits exactly
+    // (determinism of the codegen'd FLOAT/fixed_dot chain), and (b) an
+    // independent plain-Scala IEEE replay must agree bit-for-bit
+    // (correctness of that chain — two implementations, one spec).
+    val rows = SparkEntry.queries("embedding_outlier_filter")(spark, sf())
+      .as[(Long, Int, Long, Boolean)].collect()
+    val lp = operators.SemiStructuredOps.ivfLayout(spark, sf())
+    val fresh = operators.SemiStructuredOps.outlierDistances(spark, lp)
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (id, cell, d2, _) =>
+      assert(fresh(id) === ((cell, d2)),
+        s"vec $id: persisted dist2 bits diverge from a fresh in-engine derivation")
+    }
+    val cents = spark.read.parquet(s"$lp.centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val vecs = spark.read.parquet(lp)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def fdot(a: Array[Double], b: Array[Double]): Long =
+      a.indices.foldLeft(0L)((acc, i) =>
+        acc + math.floor(a(i) * b(i) * 1e15).toLong)
+    val replay = vecs.map { case (id, v, cell) =>
+      val vd = v.map(_.toDouble)
+      val norm = math.sqrt(fdot(vd, vd).toDouble / 1e15)
+      val c = cents(cell)
+      val diff = v.indices.map(i => (vd(i) / norm - c(i)).toFloat.toDouble).toArray
+      id -> fdot(diff, diff)
+    }.toMap
+    rows.foreach { case (id, _, d2, _) =>
+      assert(replay(id) === d2,
+        s"vec $id: persisted dist2 bits diverge from the driver-side IEEE replay")
+    }
+  }
+
   test("label propagation: distributed join-loop bit-identical to driver iterate; seeds clamped") {
     def runLp() = SparkEntry.queries("label_propagation_knn")(spark, sf())
       .collect().map(r => (r.getLong(0), r.getBoolean(1),

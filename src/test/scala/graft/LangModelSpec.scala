@@ -85,6 +85,57 @@ class LangModelSpec extends SparkSpec {
       "triangle count exceeds the e^{3/2} extremal bound")
   }
 
+  test("cooc_triangle_count df-cap: lossless vs an uncapped replay; candidate volume reduced") {
+    val Array(Row(edges: Long, tris: Long)) = runL("cooc_triangle_count")
+    // driver replay WITHOUT the cap: exact pair document-counts over every
+    // distinct term — the O(L²) build the cap replaces must yield the
+    // same edge set, because an edge needs ndoc >= 0.4·nd and
+    // ndoc <= min(df(u), df(v)) makes the term-level filter lossless
+    val docsW = Tables.documents(spark, sf()).select("text").collect()
+      .map(_.getString(0).split(" ", -1).distinct.sorted)
+    val nd = docsW.length
+    val pairCounts = new scala.collection.mutable.HashMap[(String, String), Int]()
+    docsW.foreach { ws =>
+      var i = 0
+      while (i < ws.length) {
+        var j = i + 1
+        while (j < ws.length) {
+          val k = (ws(i), ws(j))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0) + 1)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    // NB: .filter + .keySet, not .collect { case (p, c) => p } — a
+    // pair-producing collect on a Map rebuilds a MAP and silently
+    // collapses edges sharing a left endpoint
+    val exactEdges = pairCounts
+      .filter { case (_, c) => c * 5 >= nd * 2 }.keySet.toSet
+    assert(edges === exactEdges.size.toLong,
+      "df-cap must be lossless on the edge set")
+    val bySrc = exactEdges.groupBy(_._1)
+    var t = 0L
+    exactEdges.foreach { case (u, v) =>
+      bySrc.getOrElse(v, Set.empty).foreach { case (_, w2) =>
+        if (exactEdges.contains((u, w2))) t += 1
+      }
+    }
+    assert(tris === t, "df-cap must be lossless on the triangle count")
+    // the promised scale bound: per-doc pairs run over the df-qualified
+    // vocabulary only, and that vocabulary is corpus-bounded
+    val dfm = docsW.flatten.groupBy(identity).map { case (w, o) => w -> o.length }
+    val hot = dfm.collect { case (w, c) if c * 5 >= nd * 2 => w }.toSet
+    val capped = docsW.map { ws =>
+      val h = ws.count(hot); h.toLong * (h - 1) / 2
+    }.sum
+    val uncapped = docsW.map(ws => ws.length.toLong * (ws.length - 1) / 2).sum
+    assert(capped < uncapped,
+      s"the cap must shrink candidate volume (capped=$capped uncapped=$uncapped)")
+    assert(hot.size.toLong * 2 * nd <= 5L * dfm.values.map(_.toLong).sum,
+      "qualified vocabulary exceeds the Σdf/(0.4·nd) envelope")
+  }
+
   test("rolling_zscore_outliers only flags |z| >= 2 on full windows") {
     val rows = runS("rolling_zscore_outliers")
     assert(rows.nonEmpty, "planted variance yields at least one outlier")
