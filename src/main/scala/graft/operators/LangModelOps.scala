@@ -61,6 +61,38 @@ object LangModelOps extends OpGroup {
   private val BpePasses = 8
   private val BpeSep = "\u001f"
 
+  /** The BPE-encoded word dictionary — (word, freq, n_tokens, tokens) —
+    * shared by `bpe_apply_encode` (which orders it) and
+    * `tokenizer_vocab_coverage` (which aggregates it). See the
+    * `bpe_apply_encode` operator comment for the merge-application
+    * semantics; this helper is exactly that pipeline, unordered.
+    */
+  private def bpeEncoded(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains(BpeSep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val merges = wc.filter(length(col("w")) >= 2)
+      .select(col("freq").as("c"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("c").as("mc"))
+      .orderBy(col("mc").desc, col("pair")).limit(BpeMerges)
+      .collect().map(_.getString(0))
+    var t: Column =
+      concat(lit(BpeSep), concat_ws(BpeSep, split(col("w"), "")), lit(BpeSep))
+    for (pair <- merges) {
+      val find = lit(s"$BpeSep${pair.substring(0, 1)}$BpeSep${pair.substring(1, 2)}$BpeSep")
+      val repl = lit(s"$BpeSep$pair$BpeSep")
+      for (_ <- 1 to BpePasses) t = replace(t, find, repl)
+    }
+    wc.withColumn("enc", trim(t, BpeSep))
+      .select(col("w").as("word"), col("freq"),
+        (length(col("enc")) - length(replace(col("enc"), lit(BpeSep), lit("")))
+          + 1).cast("int").as("n_tokens"),
+        replace(col("enc"), lit(BpeSep), lit(" ")).as("tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T5-style span corruption (fixed-window variant): deterministic
     // ~15% of 3-token windows are replaced by numbered sentinels; the
@@ -165,31 +197,34 @@ object LangModelOps extends OpGroup {
     // iterating the replace [[BpePasses]] times reaches the same merge
     // fixpoint bit-identically: a pass halves any remaining adjacent
     // occurrence chain, so 8 passes close words up to ~2^8 chars.
-    "bpe_apply_encode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val wc = docs.select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 1 && !col("w").contains(BpeSep))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      val merges = wc.filter(length(col("w")) >= 2)
-        .select(col("freq").as("c"), explode(expr(
-          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("c").as("mc"))
-        .orderBy(col("mc").desc, col("pair")).limit(BpeMerges)
-        .collect().map(_.getString(0))
-      var t: Column =
-        concat(lit(BpeSep), concat_ws(BpeSep, split(col("w"), "")), lit(BpeSep))
-      for (pair <- merges) {
-        val find = lit(s"$BpeSep${pair.substring(0, 1)}$BpeSep${pair.substring(1, 2)}$BpeSep")
-        val repl = lit(s"$BpeSep$pair$BpeSep")
-        for (_ <- 1 to BpePasses) t = replace(t, find, repl)
-      }
-      wc.withColumn("enc", trim(t, BpeSep))
-        .select(col("w").as("word"), col("freq"),
-          (length(col("enc")) - length(replace(col("enc"), lit(BpeSep), lit("")))
-            + 1).cast("int").as("n_tokens"),
-          replace(col("enc"), lit(BpeSep), lit(" ")).as("tokens"))
-        .orderBy("word")
+    "bpe_apply_encode" -> ((s, d) => bpeEncoded(s, d).orderBy("word")),
+
+    // M2c — tokenizer VOCAB COVERAGE stats: the acceptance report a
+    // tokenizer build runs after mining+applying merges (M2/M2b). Each
+    // token of the encoded dictionary is weighted by its word's corpus
+    // frequency, giving per-token occurrence counts and each token's
+    // share of all token occurrences (1e-6 fixed-point — exact integer
+    // division, identical in both engines); single-char tokens are the
+    // un-merged fallback tail, so their aggregate share is the coverage
+    // headline ("how much of the corpus still encodes char-by-char").
+    // Scale: everything runs on the DISTINCT-word dictionary (the M2b
+    // argument — never per occurrence); the per-token aggregate is
+    // vocab-bounded; the total is a single-row broadcast. occurrences ×
+    // 1e6 stays < 2^63 while the corpus holds < ~9.2e12 token
+    // occurrences — beyond that the share numerator takes DECIMAL.
+    "tokenizer_vocab_coverage" -> ((s, d) => {
+      val toks = bpeEncoded(s, d)
+        .select(col("word"), col("freq"),
+          explode(split(col("tokens"), " ")).as("token"))
+      val perTok = toks.groupBy("token").agg(
+        sum("freq").as("occurrences"),
+        countDistinct("word").as("n_words"))
+      val tot = perTok.agg(sum("occurrences").as("total_occ"))
+      perTok.crossJoin(broadcast(tot))
+        .select(col("token"), length(col("token")).as("token_len"),
+          col("n_words"), col("occurrences"),
+          expr("occurrences * 1000000 DIV total_occ").as("occ_share_fp"))
+        .orderBy(col("occurrences").desc, col("token")).limit(30)
     }),
 
     // M3 — blocked fuzzy matching (record-linkage dedup candidates): block
@@ -256,6 +291,52 @@ object LangModelOps extends OpGroup {
     }),
   )
 
+  /** Shared DuckDB CTE prefix for the BPE pipeline oracles: re-mine the
+    * merge table in SQL, apply it as a recursive CTE over merge rank
+    * (state = the chr(31)-delimited token string, one step per merge,
+    * [[BpePasses]] nested one-pass replaces per step — the identical op
+    * sequence the Spark column expression evaluates), ending in
+    * `fin(w, freq, t)` with `t` the trimmed chr(31)-delimited encoding.
+    * Consumers append either the final SELECT (bpe_apply_encode) or
+    * further CTEs (tokenizer_vocab_coverage).
+    */
+  private def bpeEncodeCtesDuck: String = {
+    val find = "chr(31) || substr(m.pair, 1, 1) || chr(31) || " +
+      "substr(m.pair, 2, 1) || chr(31)"
+    val repl = "chr(31) || m.pair || chr(31)"
+    val nested = (1 to BpePasses).foldLeft("e.t")((acc, _) =>
+      s"replace($acc, $find, $repl)")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS (
+       |  SELECT w, count(*) AS freq FROM words
+       |  WHERE len(w) >= 1 AND instr(w, chr(31)) = 0 GROUP BY w),
+       |prs AS (
+       |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq AS c
+       |  FROM wc, UNNEST(range(1, len(w))) AS t(i)
+       |  WHERE len(w) >= 2),
+       |merges AS (
+       |  SELECT pair, row_number() OVER (ORDER BY sum(c) DESC, pair) AS rk
+       |  FROM prs GROUP BY pair
+       |  ORDER BY sum(c) DESC, pair LIMIT $BpeMerges),
+       |enc(w, freq, t, k) AS (
+       |  SELECT w, freq,
+       |         chr(31) || array_to_string(string_split(w, ''), chr(31))
+       |           || chr(31),
+       |         0
+       |  FROM wc
+       |  UNION ALL
+       |  SELECT e.w, e.freq, $nested, e.k + 1
+       |  FROM enc e JOIN merges m ON m.rk = e.k + 1),
+       |fin AS (
+       |  -- the recursion stops at |merges| steps, which is LIMIT-capped
+       |  -- at $BpeMerges but SMALLER on a degenerate corpus yielding
+       |  -- fewer distinct pairs — select the final state by the actual
+       |  -- merge count, not the constant (ADVICE r7)
+       |  SELECT w, freq, trim(t, chr(31)) AS t FROM enc
+       |  WHERE k = (SELECT count(*) FROM merges))""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "span_corruption_mask" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -313,50 +394,31 @@ object LangModelOps extends OpGroup {
         |ORDER BY merge_count DESC, pair LIMIT 20""".stripMargin,
 
     // merge table re-mined in SQL, applied as a recursive CTE over merge
-    // rank: state = the chr(31)-delimited token string, one step per
-    // merge, [[BpePasses]] nested one-pass replaces per step — the
-    // identical op sequence the Spark column expression evaluates
-    "bpe_apply_encode" -> {
-      val find = "chr(31) || substr(m.pair, 1, 1) || chr(31) || " +
-        "substr(m.pair, 2, 1) || chr(31)"
-      val repl = "chr(31) || m.pair || chr(31)"
-      val nested = (1 to BpePasses).foldLeft("e.t")((acc, _) =>
-        s"replace($acc, $find, $repl)")
-      s"""WITH RECURSIVE words AS (
-         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-         |wc AS (
-         |  SELECT w, count(*) AS freq FROM words
-         |  WHERE len(w) >= 1 AND instr(w, chr(31)) = 0 GROUP BY w),
-         |prs AS (
-         |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq AS c
-         |  FROM wc, UNNEST(range(1, len(w))) AS t(i)
-         |  WHERE len(w) >= 2),
-         |merges AS (
-         |  SELECT pair, row_number() OVER (ORDER BY sum(c) DESC, pair) AS rk
-         |  FROM prs GROUP BY pair
-         |  ORDER BY sum(c) DESC, pair LIMIT $BpeMerges),
-         |enc(w, freq, t, k) AS (
-         |  SELECT w, freq,
-         |         chr(31) || array_to_string(string_split(w, ''), chr(31))
-         |           || chr(31),
-         |         0
-         |  FROM wc
-         |  UNION ALL
-         |  SELECT e.w, e.freq, $nested, e.k + 1
-         |  FROM enc e JOIN merges m ON m.rk = e.k + 1),
-         |fin AS (
-         |  -- the recursion stops at |merges| steps, which is LIMIT-capped
-         |  -- at $BpeMerges but SMALLER on a degenerate corpus yielding
-         |  -- fewer distinct pairs — select the final state by the actual
-         |  -- merge count, not the constant (ADVICE r7)
-         |  SELECT w, freq, trim(t, chr(31)) AS t FROM enc
-         |  WHERE k = (SELECT count(*) FROM merges))
-         |SELECT w AS word, freq,
-         |       CAST(length(t) - length(replace(t, chr(31), '')) + 1 AS INT)
-         |         AS n_tokens,
-         |       replace(t, chr(31), ' ') AS tokens
-         |FROM fin ORDER BY word""".stripMargin
-    },
+    // rank — see [[bpeEncodeCtesDuck]]
+    "bpe_apply_encode" -> (bpeEncodeCtesDuck +
+      """
+        |SELECT w AS word, freq,
+        |       CAST(length(t) - length(replace(t, chr(31), '')) + 1 AS INT)
+        |         AS n_tokens,
+        |       replace(t, chr(31), ' ') AS tokens
+        |FROM fin ORDER BY word""".stripMargin),
+
+    // per-token aggregation of the SAME encoded dictionary the
+    // bpe_apply_encode oracle derives; exact integer share division
+    "tokenizer_vocab_coverage" -> (bpeEncodeCtesDuck +
+      """,
+        |toks AS (
+        |  SELECT w, freq, unnest(string_split(t, chr(31))) AS token FROM fin),
+        |pertok AS (
+        |  SELECT token, CAST(sum(freq) AS BIGINT) AS occurrences,
+        |         count(DISTINCT w) AS n_words
+        |  FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(occurrences) AS BIGINT) AS total_occ FROM pertok)
+        |SELECT token, CAST(length(token) AS INTEGER) AS token_len,
+        |       n_words, occurrences,
+        |       CAST(occurrences * 1000000 // total_occ AS BIGINT) AS occ_share_fp
+        |FROM pertok CROSS JOIN tot
+        |ORDER BY occurrences DESC, token LIMIT 30""".stripMargin),
 
     "fuzzy_pairs_blocked" ->
       """WITH names AS (

@@ -158,6 +158,33 @@ object LlmOps extends OpGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Cross-LINGUAL near-dup audit: the minhash near-dup pairs (same
+    // persisted signatures, same capped band join) annotated with each
+    // side's declared language and flagged where the languages differ —
+    // the curation sweep that surfaces mis-tagged languages and
+    // boilerplate shared across locale sites (a same-content pair
+    // declaring two languages is one or the other). Confirmed dups only
+    // (n_match ≥ MinHashDupSlots ⇔ est_jaccard ≥ 0.5), so the lang
+    // equi-joins touch the candidate set, not the corpus²; documents
+    // joins in on doc_id (co-partitioned hash join — at scale the
+    // candidate side is the small one and AQE broadcasts it).
+    "crosslingual_near_dup" -> ((s, d) => {
+      val stored = s.read.parquet(minhashLayout(s, d))
+      val pairs = graft.functions.TextSim.signatureBandPairs(stored,
+          numBands = MinHashBands, rowsPerBand = MinHashRowsPerBand)
+        .filter(col("n_match") >= MinHashDupSlots)
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      pairs
+        .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")),
+          "doc_a")
+        .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+          (col("lang_a") =!= col("lang_b")).as("is_cross_lingual"),
+          col("n_match"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // jaccard core (SURVEY L3's oracle-able half): unigram-set Jaccard
     // over source-blocked doc pairs via inverted-index join. Standard LSH
     // hygiene: tokens seen in more than DF_CAP documents are dropped
@@ -335,6 +362,17 @@ object LlmOps extends OpGroup {
          |       round(CAST(n_match AS DOUBLE) / $MinHashes.0, 6) AS est_jaccard,
          |       n_match >= $MinHashDupSlots AS is_dup
          |FROM m ORDER BY doc_a, doc_b""".stripMargin,
+    "crosslingual_near_dup" ->
+      s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
+              minhashLayoutCache.lastPath, numHashes = MinHashes,
+              numBands = MinHashBands, rowsPerBand = MinHashRowsPerBand)},
+         |langs AS (SELECT doc_id, lang FROM documents)
+         |SELECT m.doc_a, m.doc_b, la.lang AS lang_a, lb.lang AS lang_b,
+         |       la.lang <> lb.lang AS is_cross_lingual, m.n_match
+         |FROM m JOIN langs la ON la.doc_id = m.doc_a
+         |       JOIN langs lb ON lb.doc_id = m.doc_b
+         |WHERE m.n_match >= $MinHashDupSlots
+         |ORDER BY m.doc_a, m.doc_b""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, lang,
         |       CAST(length(text) AS INTEGER) AS n_chars_calc,

@@ -310,6 +310,37 @@ object TrainingDataOps extends OpGroup {
           round(col("sfx").cast("double") / col("n") / 1e6, 6).as("mean_val"))
         .orderBy("label", "pos")),
 
+    // Embedding per-DIMENSION moment sweep — the encoder-QC gate that
+    // catches collapsed dimensions (var ≈ 0: the encoder ignores the
+    // axis), clipped dimensions (min/max pinned at a saturation bound),
+    // and mean drift — run before any cosine-based pipeline trusts the
+    // space. Moments are exact: x is fixed-pointed at the leaf (×1e6
+    // toward-zero, the mean_pool idiom), Σfx and Σfx² fold through
+    // DECIMAL(38,0) (fx² ≤ ~4e13 per element, so an int64 SUM would
+    // wrap at ~2e5 rows×dims — the outlier-filter lesson), and
+    // mean/var resolve in ONE shared double expression over the exact
+    // sums (the X1/X2 recipe). Scale: partial aggregation combines the
+    // dim-wide explode to |dims| rows per task BEFORE the shuffle, so
+    // the exchange carries dims × partitions rows no matter the corpus.
+    "embedding_dim_stats" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("fx", (col("x").cast("double") * 1e6).cast("long"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("fx").cast("decimal(38,0)")).as("sum_fp"),
+          sum((col("fx") * col("fx")).cast("decimal(38,0)")).as("sumsq_fp"),
+          min("fx").as("min_fp"), max("fx").as("max_fp"))
+        .select(col("pos"), col("n_vecs"),
+          expr("round(CAST(sum_fp AS DOUBLE) / n_vecs / 1000000.0, 6)")
+            .as("mean_val"),
+          expr("""round((CAST(sumsq_fp AS DOUBLE) / n_vecs
+                 | - (CAST(sum_fp AS DOUBLE) / n_vecs)
+                 |   * (CAST(sum_fp AS DOUBLE) / n_vecs))
+                 | / 1000000000000.0, 6)""".stripMargin).as("var_val"),
+          col("min_fp"), col("max_fp"))
+        .orderBy("pos")),
+
     // Language ID by stopword-list scoring with a fixed tie-break order.
     "lang_id_ngram" -> ((s, d) => {
       def score(langWords: Seq[String]): Column =
@@ -636,6 +667,28 @@ object TrainingDataOps extends OpGroup {
         |SELECT label, pos,
         |       round(CAST(sum(fx) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_val
         |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // identical leaf fixed-pointing and the IDENTICAL mean/var double
+    // expression over the exact sums (HUGEINT here, DECIMAL(38,0) in
+    // Spark — both exact, both convert once to double)
+    "embedding_dim_stats" ->
+      """WITH idx AS (SELECT unnest(range(1, 4097)) AS i),
+        |ex AS (
+        |  SELECT CAST(i - 1 AS INT) AS pos,
+        |         CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS fx
+        |  FROM embeddings, idx WHERE i <= len(embedding)),
+        |agg AS (
+        |  SELECT pos, CAST(count(*) AS BIGINT) AS n_vecs,
+        |         sum(fx) AS sum_fp, sum(fx * fx) AS sumsq_fp,
+        |         min(fx) AS min_fp, max(fx) AS max_fp
+        |  FROM ex GROUP BY pos)
+        |SELECT pos, n_vecs,
+        |       round(CAST(sum_fp AS DOUBLE) / n_vecs / 1000000.0, 6) AS mean_val,
+        |       round((CAST(sumsq_fp AS DOUBLE) / n_vecs
+        |          - (CAST(sum_fp AS DOUBLE) / n_vecs)
+        |            * (CAST(sum_fp AS DOUBLE) / n_vecs))
+        |          / 1000000000000.0, 6) AS var_val,
+        |       min_fp, max_fp
+        |FROM agg ORDER BY pos""".stripMargin,
     "ann_ivf_topk" -> (
       LlmOps.cosinePairsDuck(
         "b.vec_id < 10 AND a.label = b.label AND a.vec_id <> b.vec_id") +

@@ -229,6 +229,25 @@ class AnnSpec extends SparkSpec {
     assert(nonSeedLabeled > 0, "propagation must label some non-seed nodes")
   }
 
+  test("embedding_dim_stats covers every dimension with exact moments") {
+    val rows = SparkEntry.queries("embedding_dim_stats")(spark, sf()).collect()
+    val emb = Tables.embeddings(spark, sf()).select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    assert(rows.length === emb.map(_.length).max)
+    val n = emb.length.toLong
+    rows.foreach { r =>
+      assert(r.getLong(1) === n, "every dimension sees the whole corpus")
+      assert(r.getDouble(3) >= 0.0, "variance is non-negative")
+      assert(r.getLong(4) <= r.getLong(5), "min <= max")
+    }
+    // driver replay of dimension 0's moments (same toward-zero leaf
+    // fixed-pointing the operator declares)
+    val fx0 = emb.map(v => (v(0).toDouble * 1e6).toLong)
+    val r0 = rows.find(_.getInt(0) == 0).get
+    assert(r0.getLong(4) === fx0.min && r0.getLong(5) === fx0.max)
+    assert(math.abs(r0.getDouble(2) - fx0.sum.toDouble / n / 1e6) < 1e-5)
+  }
+
   test("kmeans IVF is deterministic across invocations (fixed seed)") {
     val a = SparkEntry.queries("ann_kmeans_ivf")(spark, sf())
       .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet

@@ -150,6 +150,30 @@ class LangModelSpec extends SparkSpec {
     assert(slopes === slopes.sorted.reverse)
   }
 
+  test("tokenizer_vocab_coverage conserves occurrences vs the encoded dictionary") {
+    val enc = runL("bpe_apply_encode") // word, freq, n_tokens, tokens
+    val totalTok = enc.map(r => r.getLong(1) * r.getInt(2)).sum
+    // unlimited per-token aggregation re-derived on the driver
+    val perTokOcc = enc
+      .flatMap(r => r.getString(3).split(" ").map(t => t -> r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val perTokWords = enc
+      .flatMap(r => r.getString(3).split(" ").distinct.map(t => t -> r.getString(0)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.length.toLong }
+    val rows = runL("tokenizer_vocab_coverage")
+    assert(rows.length === math.min(30, perTokOcc.size))
+    rows.foreach { r =>
+      val tok = r.getString(0)
+      assert(r.getInt(1) === tok.length)
+      assert(r.getLong(2) === perTokWords(tok), s"n_words mismatch for '$tok'")
+      assert(r.getLong(3) === perTokOcc(tok), s"occurrences mismatch for '$tok'")
+      assert(r.getLong(4) === r.getLong(3) * 1000000L / totalTok,
+        s"share must divide by TOTAL token occurrences, not the top-30's")
+    }
+    val occs = rows.map(_.getLong(3)).toSeq
+    assert(occs === occs.sorted.reverse, "rows ranked by occurrences")
+  }
+
   test("typed_cogroup_reconcile is full-outer complete and exact") {
     val rows = runS("typed_cogroup_reconcile")
     val orders = Tables.orders(spark, sf()).select("o_orderkey")

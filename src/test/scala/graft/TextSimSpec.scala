@@ -155,4 +155,23 @@ class TextSimSpec extends SparkSpec {
     val relErr = math.abs(approx - exact).toDouble / exact
     assert(relErr < 0.1, s"approx=$approx exact=$exact relErr=$relErr")
   }
+
+  test("crosslingual_near_dup is the confirmed-dup subset annotated with langs") {
+    val pairs = operators.LlmOps.queries("crosslingual_near_dup")(spark, sf())
+      .collect()
+    // minhash_near_dedup: (doc_a, doc_b, n_match, est_jaccard, is_dup)
+    val dups = operators.LlmOps.queries("minhash_near_dedup")(spark, sf())
+      .collect().filter(_.getBoolean(4))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === dups,
+      "pair set must be exactly the is_dup candidates")
+    val langs = Tables.documents(spark, sf()).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { r =>
+      assert(r.getString(2) === langs(r.getLong(0)), "lang_a from documents")
+      assert(r.getString(3) === langs(r.getLong(1)), "lang_b from documents")
+      assert(r.getBoolean(4) === (r.getString(2) != r.getString(3)),
+        "flag is exactly lang_a <> lang_b")
+    }
+  }
 }
