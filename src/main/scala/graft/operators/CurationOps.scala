@@ -192,6 +192,81 @@ object CurationOps extends OpGroup {
         .orderBy("eval_doc", "train_doc")
     }),
 
+    // DSIR-shaped importance resampling (Xie et al. 2023): score each
+    // candidate doc by how target-domain-like its hashed-unigram profile
+    // is, keep the top of the pool. Features = md5-bucketed word
+    // unigrams (256 buckets — the portable content hash, never a JVM
+    // hash); per-bucket log-ratio λ_b = ln of exact-integer
+    // add-one-smoothed count ratios, so both engines feed ln() identical
+    // doubles (the bm25 precedent), then truncate to 1e-6 fixed-point.
+    // Doc weight = Σ_b c_{doc,b}·λ_b — pure int64 arithmetic (λ ≤ ~20e6,
+    // c ≤ doc length; the 100 TB variant lifts the count products and
+    // the weight sum to DECIMAL(38,0), same expressions). Scale: the
+    // λ table is ≤256 rows (broadcast); scoring is one (doc, bucket)
+    // map-side-combinable shuffle + one broadcast join; top-50 is
+    // TakeOrdered, never a global window.
+    "dsir_importance_resample" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .withColumn("b",
+          conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long"))
+      val isTarget = col("source").isin("src0", "src1")
+      val ct = words.filter(isTarget)
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val cr = words.filter(!isTarget)
+        .groupBy("b").agg(count(lit(1)).as("cr"))
+      val lam = cr.join(ct, Seq("b"), "full_outer")
+        .na.fill(0L, Seq("ct", "cr"))
+      // totals re-derived from the ≤256-row bucket table — no second
+      // pass over the corpus, and the single-row cross join touches
+      // only this tiny build, never the per-doc scoring plan
+      val tots = lam.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      val lamFp = lam.crossJoin(broadcast(tots))
+        .withColumn("lam_fp",
+          (log(((col("ct") + 1) * (col("tr") + 256)).cast("double") /
+               ((col("cr") + 1) * (col("tt") + 256)).cast("double"))
+            * 1e6).cast("long"))
+        .select("b", "lam_fp")
+      words.filter(!isTarget)
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+        .join(broadcast(lamFp), "b")
+        .groupBy("doc_id", "source")
+        .agg(sum(col("c") * col("lam_fp")).as("weight_fp"))
+        .orderBy(col("weight_fp").desc, col("doc_id")).limit(50)
+    }),
+
+    // Length-percentile gate: per-language p95 length threshold and the
+    // count of docs a truncate-the-tail quality filter would drop. The
+    // percentile is RANK-DEFINED (value at row ceil(0.95·n) of the
+    // (n_chars, doc_id) order) — pure integer math, no engine quantile
+    // convention in the loop. Ranking runs through GlobalRank's
+    // measured two-phase scheme: languages are few and huge — exactly
+    // the low-cardinality-partition window trap the slice machinery
+    // exists for; at cluster scale each language ranks across ~32
+    // slices instead of one task. The per-lang thresholds (≤|langs|
+    // rows) broadcast back over the corpus for the over-threshold count.
+    "length_percentile_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val ranked = graft.functions.GlobalRank
+        .rowNumber(docs, "rn", Seq("lang"), Seq("n_chars", "doc_id"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val p95 = ranked.join(broadcast(counts), "lang")
+        .filter(col("rn") === expr("(n_docs * 95 + 99) DIV 100"))
+        .select(col("lang"), col("n_chars").as("p95_chars"))
+      docs.join(broadcast(p95), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max("p95_chars").as("p95_chars"),
+          sum(when(col("n_chars") > col("p95_chars"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .select(col("lang"), col("n_docs"), col("p95_chars"),
+          col("n_dropped"), (col("n_docs") - col("n_dropped")).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // Deterministic train/val/test split (~80/10/10 by the first md5
     // byte): fixed-length lowercase hex compares lexicographically AS
     // its numeric value, so plain string thresholds give identical
@@ -334,6 +409,61 @@ object CurationOps extends OpGroup {
         |GROUP BY ev.eval_doc, tr.train_doc
         |HAVING count(*) >= 2
         |ORDER BY eval_doc, train_doc""".stripMargin,
+    // identical md5 bucketing, identical exact-integer smoothed ratio
+    // fed to ln(), identical toward-zero 1e-6 truncation (trunc here,
+    // CAST AS LONG in Spark — same toward-zero semantics)
+    "dsir_importance_resample" ->
+      """WITH wb AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substr(md5(w), 1, 2)) AS BIGINT) AS b,
+        |         source IN ('src0', 'src1') AS is_t
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1),
+        |ctt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM wb WHERE is_t GROUP BY b),
+        |crr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM wb WHERE NOT is_t GROUP BY b),
+        |lam AS (
+        |  SELECT coalesce(ctt.b, crr.b) AS b,
+        |         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        |  FROM ctt FULL JOIN crr ON ctt.b = crr.b),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+        |               CAST(sum(cr) AS BIGINT) AS tr FROM lam),
+        |lamf AS (
+        |  SELECT b,
+        |         CAST(trunc(ln(CAST((ct + 1) * (tr + 256) AS DOUBLE)
+        |                     / CAST((cr + 1) * (tt + 256) AS DOUBLE))
+        |                    * 1000000) AS BIGINT) AS lam_fp
+        |  FROM lam CROSS JOIN tot),
+        |dc AS (
+        |  SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM wb WHERE NOT is_t GROUP BY doc_id, source, b)
+        |SELECT d.doc_id, d.source,
+        |       CAST(sum(d.c * l.lam_fp) AS BIGINT) AS weight_fp
+        |FROM dc d JOIN lamf l USING (b)
+        |GROUP BY d.doc_id, d.source
+        |ORDER BY weight_fp DESC, doc_id LIMIT 50""".stripMargin,
+    // same rank-defined percentile: value at row ceil(0.95·n) of the
+    // (n_chars, doc_id) order per language
+    "length_percentile_gate" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars, doc_id) AS rn
+        |  FROM d),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY lang),
+        |p AS (
+        |  SELECT r.lang, CAST(r.n_chars AS BIGINT) AS p95_chars
+        |  FROM r JOIN c USING (lang)
+        |  WHERE r.rn = (c.n_docs * 95 + 99) // 100)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(max(p.p95_chars) AS BIGINT) AS p95_chars,
+        |       CAST(sum(CASE WHEN d.n_chars > p.p95_chars
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       CAST(count(*) - sum(CASE WHEN d.n_chars > p.p95_chars
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM d JOIN p USING (lang)
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
     "train_val_test_split" ->
       """WITH s AS (
         |  SELECT lang, doc_id,

@@ -185,6 +185,33 @@ object LlmOps extends OpGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Dedup-rate AUDIT by source: the per-source duplication scoreboard a
+    // curation run reports before deciding mixture weights (a source
+    // that is 40% near-dup of itself earns less budget). Same persisted
+    // signatures + capped band join; a doc counts as duplicated if it
+    // appears on EITHER side of a confirmed pair. Rate is an exact 1e-6
+    // fixed-point integer division. Scale: the dup-doc set is bounded by
+    // the capped candidate pairs; the per-source agg is one map-side
+    // combinable shuffle of (source) keys; the dup set joins documents
+    // on doc_id (broadcast — it is the small side by construction).
+    "dedup_rate_by_source" -> ((s, d) => {
+      val stored = s.read.parquet(minhashLayout(s, d))
+      val pairs = graft.functions.TextSim.signatureBandPairs(stored,
+          numBands = MinHashBands, rowsPerBand = MinHashRowsPerBand)
+        .filter(col("n_match") >= MinHashDupSlots)
+      val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1))
+      Tables.documents(s, d).select("doc_id", "source")
+        .join(broadcast(dupDocs), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0))).as("n_dup_docs"))
+        .withColumn("dup_rate_fp", expr("n_dup_docs * 1000000 DIV n_docs"))
+        .orderBy("source")
+    }),
+
     // jaccard core (SURVEY L3's oracle-able half): unigram-set Jaccard
     // over source-blocked doc pairs via inverted-index join. Standard LSH
     // hygiene: tokens seen in more than DF_CAP documents are dropped
@@ -373,6 +400,21 @@ object LlmOps extends OpGroup {
          |       JOIN langs lb ON lb.doc_id = m.doc_b
          |WHERE m.n_match >= $MinHashDupSlots
          |ORDER BY m.doc_a, m.doc_b""".stripMargin,
+    "dedup_rate_by_source" ->
+      s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
+              minhashLayoutCache.lastPath, numHashes = MinHashes,
+              numBands = MinHashBands, rowsPerBand = MinHashRowsPerBand)},
+         |dup AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM m WHERE n_match >= $MinHashDupSlots
+         |    UNION ALL
+         |    SELECT doc_b AS doc_id FROM m WHERE n_match >= $MinHashDupSlots))
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(dup.doc_id) AS BIGINT) AS n_dup_docs,
+         |       CAST(count(dup.doc_id) * 1000000 // count(*) AS BIGINT)
+         |         AS dup_rate_fp
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, lang,
         |       CAST(length(text) AS INTEGER) AS n_chars_calc,

@@ -272,6 +272,44 @@ object TrainingDataOps extends OpGroup {
         .orderBy("q_id", "rank")
     }),
 
+    // ANN index ACCEPTANCE eval: recall@3 of the IVF (cell-blocked)
+    // search vs brute-force exact top-3 ground truth, per query — the
+    // standard index-quality gate an ANN deployment runs before serving
+    // (ground truth is only ever computed for a small query SAMPLE; the
+    // ≤10-query brute-force side here is that sample, not a corpus scan
+    // pattern). One scored set feeds both rankings: exact = rank over
+    // all candidates, IVF = rank over the same rows filtered to the
+    // query's cell — so the comparison can never diverge on scoring.
+    // Recall is an exact 1e-6 fixed-point integer division; every
+    // column is integer ⇒ engine-portable by construction.
+    "ann_recall_eval" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          graft.functions.VectorFunctions.norm("embedding").as("norm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("norm").as("q_norm"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot("q_emb", "embedding") /
+            (col("q_norm") * col("norm")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val exact = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).select("q_id", "vec_id")
+      val ivf = scored.filter(col("label") === col("q_label"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).select("q_id", "vec_id")
+        .withColumn("hit", lit(1))
+      exact.join(ivf, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .withColumn("recall_fp", expr("n_hit * 1000000 DIV n_exact"))
+        .orderBy("q_id")
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by coarse cell.
     "embedding_near_dup" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
@@ -700,6 +738,30 @@ object TrainingDataOps extends OpGroup {
         |  FROM scored)
         |SELECT id_b AS q_id, rank, id_a AS neighbor_id, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+    // one brute-force scored set (cosinePairsDuck), exact = rank over
+    // all rows, IVF = rank over the cell-matched subset — mirroring the
+    // single-scored-set structure of the Spark plan
+    "ann_recall_eval" -> (
+      LlmOps.cosinePairsDuck("b.vec_id < 10 AND a.vec_id <> b.vec_id") +
+      """,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |exact AS (
+        |  SELECT id_b AS q_id, id_a AS vec_id FROM (
+        |    SELECT id_b, id_a, row_number() OVER (PARTITION BY id_b
+        |             ORDER BY cos DESC, id_a) AS rank
+        |    FROM scored) rk WHERE rank <= 3),
+        |ivf AS (
+        |  SELECT id_b AS q_id, id_a AS vec_id FROM (
+        |    SELECT s.id_b, s.id_a, row_number() OVER (PARTITION BY s.id_b
+        |             ORDER BY s.cos DESC, s.id_a) AS rank
+        |    FROM scored s JOIN lab q ON q.vec_id = s.id_b
+        |    WHERE s.pair_label = q.label) rk WHERE rank <= 3)
+        |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(count(i.vec_id) AS BIGINT) AS n_hit,
+        |       CAST(count(i.vec_id) * 1000000 // count(*) AS BIGINT) AS recall_fp
+        |FROM exact e LEFT JOIN ivf i
+        |  ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin),
     "embedding_near_dup" -> (
       LlmOps.cosinePairsDuck("a.label = b.label AND a.vec_id < b.vec_id") +
       """

@@ -248,6 +248,28 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(r0.getDouble(2) - fx0.sum.toDouble / n / 1e6) < 1e-5)
   }
 
+  test("ann_recall_eval agrees with the declared exact/IVF top-3 queries") {
+    val rows = SparkEntry.queries("ann_recall_eval")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // independent re-derivation from the two declared rankings
+    val exact = SparkEntry.queries("cosine_similarity_topk")(spark, sf())
+      .filter(col("rank") <= 3).select("q_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, sf())
+      .select("q_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val (q, nExact, nHit, recFp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val ex = exact(q).map(_._2).toSet
+      assert(nExact === ex.size.toLong)
+      assert(nHit ===
+        ivf.get(q).fold(0L)(_.map(_._2).toSet.intersect(ex).size.toLong))
+      assert(recFp === nHit * 1000000L / nExact)
+      assert(recFp >= 0L && recFp <= 1000000L)
+    }
+  }
+
   test("kmeans IVF is deterministic across invocations (fixed seed)") {
     val a = SparkEntry.queries("ann_kmeans_ivf")(spark, sf())
       .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet

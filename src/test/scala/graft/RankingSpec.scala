@@ -93,4 +93,59 @@ class RankingSpec extends SparkSpec {
       assert(a === b, "int64 fixed-point iterate must be partition-invariant")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dsir_importance_resample weights replay exactly on the driver") {
+    val rows = operators.CurationOps
+      .queries("dsir_importance_resample")(spark, sf()).collect()
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val target = Set("src0", "src1")
+    def buckets(text: String): Seq[Long] =
+      text.split(" ").filter(_.nonEmpty).toSeq
+        .map(w => java.lang.Long.parseLong(md5Hex(w).substring(0, 2), 16))
+    val ctM = docs.filter(d => target(d._2)).flatMap(d => buckets(d._3))
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val crDocs = docs.filterNot(d => target(d._2))
+    val crM = crDocs.flatMap(d => buckets(d._3))
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val (tt, tr) = (ctM.values.sum, crM.values.sum)
+    def lamFp(b: Long): Long =
+      (math.log(((ctM.getOrElse(b, 0L) + 1) * (tr + 256)).toDouble /
+                ((crM.getOrElse(b, 0L) + 1) * (tt + 256)).toDouble) * 1e6).toLong
+    val expected = crDocs.map { d =>
+      (d._1, buckets(d._3).map(lamFp).sum)
+    }.toMap
+    assert(rows.length === math.min(50, crDocs.length))
+    assert(rows.forall(r => !target(r.getString(1))),
+      "target-domain docs never appear in the scored pool")
+    val ws = rows.map(_.getLong(2)).toSeq
+    assert(ws === ws.sorted.reverse, "rows ranked by weight")
+    rows.foreach(r => assert(r.getLong(2) === expected(r.getLong(0)),
+      s"weight mismatch for doc ${r.getLong(0)}"))
+  }
+
+  test("length_percentile_gate thresholds are the rank-defined p95") {
+    val rows = operators.CurationOps
+      .queries("length_percentile_gate")(spark, sf()).collect()
+    val docs = Tables.documents(spark, sf()).select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._2)
+    assert(rows.map(_.getString(0)).toSet === byLang.keySet)
+    rows.foreach { r =>
+      val (lang, n, p95, nDrop, nKept) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val g = byLang(lang)
+      assert(n === g.length.toLong)
+      val sorted = g.sortBy(d => (d._3, d._1)).map(_._3)
+      val k = ((n * 95 + 99) / 100).toInt
+      assert(p95 === sorted(k - 1), s"p95 for $lang")
+      assert(nDrop === g.count(_._3 > p95).toLong)
+      assert(nKept === n - nDrop)
+    }
+  }
 }

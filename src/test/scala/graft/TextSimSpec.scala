@@ -174,4 +174,25 @@ class TextSimSpec extends SparkSpec {
         "flag is exactly lang_a <> lang_b")
     }
   }
+
+  test("dedup_rate_by_source counts exactly the docs on confirmed pairs") {
+    val rows = operators.LlmOps.queries("dedup_rate_by_source")(spark, sf())
+      .collect()
+    val docs = Tables.documents(spark, sf()).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.map(_.getLong(1)).sum === docs.length.toLong,
+      "per-source doc counts partition the corpus")
+    val dupIds = operators.LlmOps.queries("minhash_near_dedup")(spark, sf())
+      .collect().filter(_.getBoolean(4))
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val (src, n, nDup, rateFp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val ids = bySource(src).map(_._1)
+      assert(n === ids.length.toLong)
+      assert(nDup === ids.count(dupIds).toLong, s"dup docs for $src")
+      assert(rateFp === nDup * 1000000L / n)
+    }
+  }
 }
