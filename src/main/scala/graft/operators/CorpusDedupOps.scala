@@ -143,6 +143,34 @@ object CorpusDedupOps extends OpGroup {
           col("n_grams"))
         .orderBy("doc_id", "span_start")
     }),
+
+    // N-gram NOVELTY score: per doc, the fraction of its distinct
+    // 3-token shingles that no EARLIER doc (doc_id order = ingest
+    // order) contains — the freshness/memorization audit a curator
+    // runs on an incremental crawl (novelty ≈ 0 ⇒ the doc is
+    // boilerplate/recrawl; the C1/C2 dedup family asks "is this text
+    // duplicated", this asks "was it already known when it arrived").
+    // A shingle is novel in exactly the doc that is min(doc_id) over
+    // its occurrences. Scale: the shingle stream shuffles ONCE on the
+    // shingle (whole-partition min window — the dup_span_detect
+    // argument; hot boilerplate shingles are AQE-skew-split), then
+    // only (doc_id, flag) pairs reach the per-doc aggregate. Shingle
+    // construction mirrors decontamination_ngram_overlap verbatim.
+    "ngram_novelty_score" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, greatest(n - 3, 0)),
+            |  i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin))).as("sh"))
+      sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("sh")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_fp", expr("n_novel * 1000000 DIV n_shingles"))
+        .orderBy("doc_id")
+    }),
   )
 
   // Both oracles unnest positions through a range(0, 4096) envelope:
@@ -194,5 +222,26 @@ object CorpusDedupOps extends OpGroup {
          |       CAST(count(*) AS BIGINT) AS n_grams
          |FROM islands GROUP BY doc_id, span_id
          |ORDER BY doc_id, span_start""".stripMargin,
+    // shingle construction mirrors decontamination_ngram_overlap's CTE;
+    // first occurrence = min(doc_id) per shingle, same window shape
+    "ngram_novelty_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(ws[CAST(t.i AS INTEGER) : CAST(t.i AS INTEGER) + 2], ' ') AS sh
+        |  FROM d CROSS JOIN range(1, 8193) t(i)
+        |  WHERE t.i <= greatest(n - 2, 1)),
+        |f AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) AS first_doc
+        |  FROM sh)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |         * 1000000 // count(*) AS BIGINT) AS novelty_fp
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -227,4 +227,35 @@ class CorpusDedupSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length,
       "tau splits the corpus: some kept, some dropped")
   }
+
+  test("ngram_novelty_score replays on the driver; novelty laws hold") {
+    val rows = run("ngram_novelty_score")
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(rows.length === docs.length, "one row per document")
+    def shingles(text: String): Set[String] = {
+      val ws = text.split(" ")
+      val n = ws.length
+      (0 to math.max(n - 3, 0)).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    // first-occurrence doc per shingle, in doc_id order
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, t) =>
+      shingles(t).foreach(s => firstDoc.getOrElseUpdate(s, id))
+    }
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    docs.foreach { case (id, t) =>
+      val sh = shingles(t)
+      val novel = sh.count(s => firstDoc(s) == id).toLong
+      val (nSh, nNov, fp) = byId(id)
+      assert(nSh === sh.size.toLong, s"shingle count for doc $id")
+      assert(nNov === novel, s"novel count for doc $id")
+      assert(fp === novel * 1000000L / sh.size)
+    }
+    // the earliest doc is fully novel by construction
+    assert(byId(docs.head._1)._3 === 1000000L)
+    // every shingle is novel in exactly one doc
+    assert(rows.map(_.getLong(2)).sum === firstDoc.size.toLong)
+  }
 }

@@ -550,6 +550,35 @@ class PlanSpec extends SparkSpec {
     val sem = shape("semantic_dedup_cluster")
     assert(!sem.contains("CartesianProduct"),
       "within-cell pairs must come from the cell equi-join")
+    // novelty: first-occurrence is a whole-partition window over the
+    // shingle (ONE corpus-scale shuffle — the dup_span argument); the
+    // per-doc aggregate moves only (doc_id, flag) pairs.
+    val nov = shape("ngram_novelty_score")
+    assert(!nov.contains("Join"), "first-occurrence is windowed — no join")
+    assert("Exchange hashpartitioning".r.findAllIn(nov).size === 2,
+      "exactly the shingle shuffle and the per-doc aggregate shuffle")
+  }
+
+  test("curation scoring operators keep their scale shapes") {
+    def plan(k: String) = SparkEntry.queries(k)(spark, sf())
+      .queryExecution.executedPlan.toString
+    // DSIR: the λ table (≤256 rows) must broadcast into the per-doc
+    // scoring stream, and top-50 is TakeOrdered — a sort or SMJ here
+    // means the corpus-sized (doc, bucket) stream got shuffled for a
+    // 256-row model.
+    val dsir = plan("dsir_importance_resample")
+    assert(dsir.contains("TakeOrderedAndProject"),
+      "top-50 must be TakeOrdered, never a global sort")
+    assert(dsir.contains("BroadcastHashJoin"),
+      "the λ table must broadcast into the scoring stream")
+    assert(!dsir.contains("CartesianProduct"),
+      "the single-row totals cross join must stay on the ≤256-row " +
+        "λ build (BroadcastNestedLoop), never the corpus")
+    // dedup-rate audit: the dup-doc set joins documents via broadcast —
+    // the corpus side never exchanges for the join.
+    val rate = plan("dedup_rate_by_source")
+    assert(rate.contains("BroadcastHashJoin"),
+      "the bounded dup-doc set must broadcast into documents")
   }
 
   test("contrastive positive mining is ANN-blocked: no label-only corpus self-join") {
