@@ -89,6 +89,32 @@ object EventAnalyticsOps extends OpGroup {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
+
+    // V4 — rolling active users: per day, DAU plus the trailing-7-day
+    // actives (WAU7) — the engagement headline over an append-only
+    // event log. EXACT distinct counting in a rolling window cannot be
+    // a window-frame aggregate (distinct doesn't decompose over
+    // frames); the scalable exact form expands each (user, day) fact
+    // to the ≤7 window days it feeds (a ×7 map-side explode of the
+    // ALREADY-DEDUPLICATED per-day fact — not of raw events) and
+    // re-counts distinct per window day. Two combinable shuffles
+    // regardless of event volume: the (user, day) dedup and the
+    // per-day distinct; calendar days present join back via broadcast.
+    "rolling_active_users" -> ((s, d) => {
+      val au = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = au.select("day").distinct()
+      val dau = au.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = au
+        .select(col("user_id"), explode(expr("sequence(0, 6)")).as("i"),
+          col("day"))
+        .select(col("user_id"), expr("date_add(day, i)").as("day"))
+        .join(broadcast(days), "day")
+        .groupBy("day").agg(countDistinct("user_id").as("wau7"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau7"))
+        .orderBy("day")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -152,5 +178,24 @@ object EventAnalyticsOps extends OpGroup {
          |FROM active JOIN first_seen USING (user_id)
          |GROUP BY cohort_week, week_offset
          |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // same expand-the-deduped-fact shape: every (user, day) feeds days
+    // day..day+6; only window days that exist in the log are reported
+    "rolling_active_users" ->
+      """WITH au AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM au),
+        |expanded AS (
+        |  SELECT au.user_id, au.day + CAST(t.i AS INTEGER) AS day
+        |  FROM au CROSS JOIN range(0, 7) t(i)),
+        |wau AS (
+        |  SELECT e.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau7
+        |  FROM expanded e JOIN days USING (day)
+        |  GROUP BY e.day),
+        |dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM au GROUP BY day)
+        |SELECT day, dau, wau7
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
   )
 }

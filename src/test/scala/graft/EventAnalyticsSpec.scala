@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, to_date}
+
 /** Semantic pins for EventAnalyticsOps (oracle checks hash-equality;
   * these pin the invariants the hash can't name).
   */
@@ -35,5 +37,27 @@ class EventAnalyticsSpec extends SparkSpec {
     val offset0 = cells.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
     assert(offset0 === firstSeen,
       "every user is active in their own cohort week (offset 0)")
+  }
+
+  test("rolling_active_users: WAU7 replays as the exact trailing-7-day distinct") {
+    val rows = run("rolling_active_users")
+    val au = Tables.events(spark, sf())
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = au.map(_._1).distinct
+    assert(rows.length === days.length, "one row per active day")
+    val byDay = rows.map(r =>
+      r.getDate(0).toLocalDate -> (r.getLong(1), r.getLong(2))).toMap
+    days.foreach { d =>
+      val dau = au.filter(_._1 == d).map(_._2).distinct.length.toLong
+      val wau = au.filter { case (ad, _) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(7))
+      }.map(_._2).distinct.length.toLong
+      val (gotDau, gotWau) = byDay(d)
+      assert(gotDau === dau, s"DAU for $d")
+      assert(gotWau === wau, s"WAU7 for $d")
+      assert(gotWau >= gotDau, "the window dominates its last day")
+    }
   }
 }
