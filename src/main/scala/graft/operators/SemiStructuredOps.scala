@@ -344,6 +344,53 @@ object SemiStructuredOps extends OpGroup {
       }
     }),
 
+    // K-CORE pruning of the kNN graph: peel nodes of degree < k from
+    // the SYMMETRIZED edge set in synchronous rounds — the graph-dedup
+    // hygiene step that strips weakly-connected periphery (an isolated
+    // near-dup pair is noise; a dense core is a boilerplate family
+    // worth one representative). Direction matters: the top-3 kNN list
+    // is asymmetric, so the graph is symmetrized (u~v if either lists
+    // the other) before degrees are counted. Each peel round is one
+    // alive-semi-join + one degree aggregate over the bounded kNN edge
+    // set (≤ 2·3·|V| edges by construction — never corpus²), with
+    // per-round localCheckpoint + eager release (the CC/LP loop
+    // discipline). [[KcoreIters]] synchronous rounds reach the true
+    // 2-core on the fixtures — AnnSpec peels one more round driver-side
+    // and asserts the fixpoint held.
+    "kcore_graph_prune" -> ((s, d) => {
+      val knn = queries("knn_graph_topk")(s, d).select("src", "dst")
+      val und = knn
+        .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val nodes = s.read.parquet(ivfLayout(s, d))
+        .select(col("vec_id").as("node"))
+      val deg0 = und.groupBy("src").agg(count(lit(1)).as("deg0"))
+      var alive = und.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      for (_ <- 1 to KcoreIters) {
+        val next = und
+          .join(alive.select(col("node").as("src")), "src")
+          .join(alive.select(col("node").as("dst")), "dst")
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KcoreK)
+          .select(col("src").as("node")).localCheckpoint()
+        graft.functions.Checkpoints.release(alive)
+        alive = next
+      }
+      // und and the final alive snapshot stay live — the returned plan
+      // still reads both (deg0 is lazy); the weak registry hands them
+      // to the ContextCleaner once the plan is dropped (GlobalRank r7
+      // contract), while the loop's superseded rounds were released
+      // eagerly above.
+      nodes
+        .join(deg0.select(col("src").as("node"), col("deg0")), Seq("node"), "left")
+        .na.fill(0L, Seq("deg0"))
+        .join(alive.withColumn("in_core", lit(true)), Seq("node"), "left")
+        .na.fill(false, Seq("in_core"))
+        .select(col("node").as("vec_id"), col("deg0"), col("in_core"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding OUTLIER filter over the IVF layout: each vector's
     // squared distance to its OWN cell centroid, flagged against a
     // relative margin over the cell mean — the curation step that drops
@@ -431,6 +478,15 @@ object SemiStructuredOps extends OpGroup {
     */
   private val LpIters = 3
   private val LpThresholdKey = "graft.labelprop.smallThreshold"
+
+  /** k-core knobs: core order (degree ≥ 2 in the symmetrized kNN graph)
+    * and synchronous peel rounds. 4 rounds reach the true 2-core on the
+    * fixtures (AnnSpec peels a fifth round on the driver and asserts
+    * the fixpoint); the bounded unroll is what makes the recurrence
+    * oracle-replayable (the PageRank/label-prop argument).
+    */
+  private val KcoreK = 2
+  private val KcoreIters = 4
 
   /** `def`, not `val`: the ANN oracle references the session's serving
     * layout, known only after the query has materialized it (Verify's
@@ -534,6 +590,7 @@ object SemiStructuredOps extends OpGroup {
     // PageRank replay recipe) over the SAME within-cell top-3 edge
     // derivation the knn_graph_topk oracle proves
     "label_propagation_knn" -> labelPropDuck,
+    "kcore_graph_prune" -> kcoreDuck,
     // SemDeDup re-derived from the same persisted cells: within-cell
     // pairs, fixed-point cosine (bit-exact), dominated-by-smaller-id
     // rule — only the cell assignments are taken from the layout.
@@ -577,32 +634,16 @@ object SemiStructuredOps extends OpGroup {
        |  GROUP BY c.vec_id)""".stripMargin
   }
 
-  /** DuckDB replay of label propagation: edges re-derived from the
+  /** Shared DuckDB CTE chain re-deriving the kNN edge set from the
     * persisted layout exactly as the knn_graph_topk oracle does
-    * (within-cell fixed-point cosine top-3, weight = 4 − rank), then
-    * the synchronous vote recurrence unrolled to [[LpIters]] chained
-    * CTE stages — per-stage aggregation rules out a recursive CTE, the
-    * pagerankDuck reasoning.
+    * (within-cell fixed-point cosine top-3, weight = 4 − rank):
+    * `corpus`/`norms` (via [[ivfCorpusCtes]]) → `dots` → `scored` →
+    * `edges(src, dst, w)`. Consumed by both graph oracles
+    * (label propagation, k-core).
     */
-  private def labelPropDuck: String = {
+  private def knnEdgeCtes: String = {
     import graft.functions.VectorFunctions.dotFpDuck
-    val stages = (1 to LpIters).map { k =>
-      s"""v$k AS (
-         |  SELECT e.src, l.lab, sum(e.w) AS wsum
-         |  FROM edges e JOIN lp${k - 1} l ON l.node = e.dst
-         |  WHERE l.lab IS NOT NULL GROUP BY e.src, l.lab),
-         |p$k AS (
-         |  SELECT src, lab FROM (
-         |    SELECT src, lab, row_number() OVER (PARTITION BY src
-         |      ORDER BY wsum DESC, lab) AS rn FROM v$k)
-         |  WHERE rn = 1),
-         |lp$k AS (
-         |  SELECT l.node, coalesce(s.seed_lab, p.lab, l.lab) AS lab
-         |  FROM lp${k - 1} l
-         |  LEFT JOIN seeds s ON s.node = l.node
-         |  LEFT JOIN p$k p ON p.src = l.node)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $ivfCorpusCtes,
+    s"""$ivfCorpusCtes,
        |dots AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |         ${dotFpDuck("a.embedding", "b.embedding")} AS dot
@@ -620,7 +661,32 @@ object SemiStructuredOps extends OpGroup {
        |  SELECT src, dst, CAST(4 - rank AS BIGINT) AS w FROM (
        |    SELECT src, dst, row_number() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst) AS rank FROM scored)
-       |  WHERE rank <= 3),
+       |  WHERE rank <= 3)""".stripMargin
+  }
+
+  /** DuckDB replay of label propagation: edges via [[knnEdgeCtes]],
+    * then the synchronous vote recurrence unrolled to [[LpIters]]
+    * chained CTE stages — per-stage aggregation rules out a recursive
+    * CTE, the pagerankDuck reasoning.
+    */
+  private def labelPropDuck: String = {
+    val stages = (1 to LpIters).map { k =>
+      s"""v$k AS (
+         |  SELECT e.src, l.lab, sum(e.w) AS wsum
+         |  FROM edges e JOIN lp${k - 1} l ON l.node = e.dst
+         |  WHERE l.lab IS NOT NULL GROUP BY e.src, l.lab),
+         |p$k AS (
+         |  SELECT src, lab FROM (
+         |    SELECT src, lab, row_number() OVER (PARTITION BY src
+         |      ORDER BY wsum DESC, lab) AS rn FROM v$k)
+         |  WHERE rn = 1),
+         |lp$k AS (
+         |  SELECT l.node, coalesce(s.seed_lab, p.lab, l.lab) AS lab
+         |  FROM lp${k - 1} l
+         |  LEFT JOIN seeds s ON s.node = l.node
+         |  LEFT JOIN p$k p ON p.src = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgeCtes,
        |seeds AS (
        |  SELECT vec_id AS node, label AS seed_lab
        |  FROM embeddings WHERE vec_id % 5 = 0),
@@ -632,6 +698,36 @@ object SemiStructuredOps extends OpGroup {
        |       l.lab AS label_pred
        |FROM lp$LpIters l LEFT JOIN seeds s ON s.node = l.node
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB replay of the k-core peel: edges via [[knnEdgeCtes]],
+    * symmetrized + deduped, then [[KcoreIters]] synchronous peel rounds
+    * as chained CTEs (per-round aggregation — same unroll reasoning).
+    */
+  private def kcoreDuck: String = {
+    val rounds = (1 to KcoreIters).map { k =>
+      s"""a$k AS (
+         |  SELECT u.src AS node
+         |  FROM und u JOIN a${k - 1} s ON s.node = u.src
+         |             JOIN a${k - 1} t ON t.node = u.dst
+         |  GROUP BY u.src HAVING count(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgeCtes,
+       |und AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges
+       |    UNION ALL SELECT dst, src FROM edges)),
+       |deg0 AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg0
+       |  FROM und GROUP BY src),
+       |a0 AS (SELECT DISTINCT src AS node FROM und),
+       |$rounds
+       |SELECT c.vec_id, coalesce(d.deg0, 0) AS deg0,
+       |       (a.node IS NOT NULL) AS in_core
+       |FROM corpus c
+       |LEFT JOIN deg0 d ON d.node = c.vec_id
+       |LEFT JOIN a$KcoreIters a ON a.node = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
   }
 
   /** DuckDB re-derivation of the full IVF probe from the persisted

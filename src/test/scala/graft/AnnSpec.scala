@@ -248,6 +248,34 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(r0.getDouble(2) - fx0.sum.toDouble / n / 1e6) < 1e-5)
   }
 
+  test("kcore_graph_prune reaches the true 2-core within its unroll budget") {
+    val rows = SparkEntry.queries("kcore_graph_prune")(spark, sf()).collect()
+    val knn = SparkEntry.queries("knn_graph_topk")(spark, sf())
+      .select("src", "dst").as[(Long, Long)].collect()
+    val und = (knn ++ knn.map(p => (p._2, p._1))).distinct
+    val deg0 = und.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    // driver peel to the TRUE fixpoint (unbounded rounds)
+    var alive = und.map(_._1).toSet
+    var iters = 0
+    var changed = true
+    while (changed) {
+      val next = und.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).collect { case (n, es) if es.length >= 2 => n }.toSet
+      changed = next != alive
+      alive = next
+      iters += 1
+    }
+    assert(iters - 1 <= 4,
+      "the fixture graph must reach its 2-core within the 4-round unroll")
+    rows.foreach { r =>
+      assert(r.getLong(1) === deg0.getOrElse(r.getLong(0), 0L),
+        s"deg0 for node ${r.getLong(0)}")
+      assert(r.getBoolean(2) === alive(r.getLong(0)),
+        s"core membership for node ${r.getLong(0)}")
+    }
+    assert(rows.count(_.getBoolean(2)) > 0, "fixture keeps a non-empty core")
+  }
+
   test("ann_recall_eval agrees with the declared exact/IVF top-3 queries") {
     val rows = SparkEntry.queries("ann_recall_eval")(spark, sf()).collect()
     assert(rows.nonEmpty)
