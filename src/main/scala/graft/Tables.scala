@@ -47,15 +47,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS) which Spark
-    * refuses to read natively ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * and truncate to microseconds — the same truncation DuckDB applies when
-    * it maps TIMESTAMP_NS to its µs TIMESTAMP, keeping the oracle aligned.
+  /** `events.parquet` has shipped with two `ts` encodings across data
+    * drops: parquet TIMESTAMP(NANOS) — which Spark refuses to read
+    * natively ([PARQUET_TYPE_ILLEGAL]), so it is read as a nanos long and
+    * truncated to microseconds (the same truncation DuckDB applies mapping
+    * TIMESTAMP_NS to its µs TIMESTAMP) — and plain TIMESTAMP(MICROS),
+    * which Spark reads natively. Dispatch on the footer schema so either
+    * drop works unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet isAdjustedToUTC=false decodes as TIMESTAMP_NTZ; every
+        // consumer (unix_micros, windowing, watermarks) expects the
+        // session-UTC TIMESTAMP the nanos path produced. The cast under
+        // the pinned UTC session re-labels the same wall-clock instant —
+        // bit-identical micros — and matches DuckDB's NTZ read.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
