@@ -339,6 +339,35 @@ object CurationOps extends OpGroup {
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderpriority")
     }),
+
+    // Boilerplate detection: 3-gram phrases recurring across ≥3 DISTINCT
+    // documents of one source — the per-domain template/header audit run
+    // before near-dup thresholds are tuned (recurring boilerplate
+    // inflates every similarity measure). Per-doc phrase dedup is
+    // array_distinct BEFORE the explode (map-side, the decontamination
+    // argument), so the shuffle carries (source, phrase) counts — never
+    // raw doc×phrase multiplicity — and the per-source doc totals join
+    // back broadcast (source cardinality ≪ corpus). At 100 TB the
+    // absolute ≥3 recurrence keeps output sub-linear in corpus size:
+    // random text collides vanishingly, real boilerplate repeats per
+    // domain by construction.
+    "template_phrase_detect" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+      val sh = docs.select(col("source"),
+        explode(array_distinct(expr(
+          """transform(sequence(0, greatest(n - 3, 0)),
+            |  i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin)))
+          .as("phrase"))
+      val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      sh.groupBy("source", "phrase").agg(count(lit(1)).as("n_doc"))
+        .filter(col("n_doc") >= 3)
+        .join(broadcast(perSrc), "source")
+        .select(col("source"), col("phrase"), col("n_doc"), col("n_docs"),
+          expr("n_doc * 1000000 DIV n_docs").as("share_fp"))
+        .orderBy("source", "phrase")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -507,5 +536,27 @@ object CurationOps extends OpGroup {
          |       ${dsumSql("l_quantity")} AS sum_qty
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // same slice-windowed 3-gram chain as decontamination's shingles
+    "template_phrase_detect" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, string_split(text, ' ') AS ws,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, doc_id,
+        |         array_to_string(ws[CAST(t.i AS INTEGER) : CAST(t.i AS INTEGER) + 2], ' ')
+        |           AS phrase
+        |  FROM d CROSS JOIN range(1, 8193) t(i)
+        |  WHERE t.i <= greatest(n - 2, 1)),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY source)
+        |SELECT sh.source, sh.phrase,
+        |       CAST(count(*) AS BIGINT) AS n_doc, ps.n_docs,
+        |       CAST(count(*) * 1000000 // ps.n_docs AS BIGINT) AS share_fp
+        |FROM sh JOIN ps USING (source)
+        |GROUP BY sh.source, sh.phrase, ps.n_docs
+        |HAVING count(*) >= 3
+        |ORDER BY source, phrase""".stripMargin,
   )
 }

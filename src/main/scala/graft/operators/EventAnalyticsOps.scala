@@ -115,6 +115,38 @@ object EventAnalyticsOps extends OpGroup {
         .select(col("day"), col("dau"), col("wau7"))
         .orderBy("day")
     }),
+
+    // V4b — winsorized (p05/p95-clipped) mean of the event measure per
+    // type: the robust KPI that survives a fat-fingered 10000× purchase.
+    // Rank-defined percentiles via GlobalRank's two-phase rank (5 event
+    // types — the identical low-cardinality window trap as
+    // percentile_disc); measure lifted to exact integer CENTS at the
+    // leaf (2-decimal data), clamps and sums stay int64, one 1e-6
+    // fixed-point division at the end. The bounds table is
+    // type-cardinality-sized — broadcast back into the event stream, so
+    // the clip pass is map-side; two combinable shuffles total.
+    "winsorized_mean_value" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        ev, "rn", Seq("event_type"), Seq("cents"))
+      val cnts = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val bounds = ranked.join(broadcast(cnts), "event_type")
+        .groupBy("event_type")
+        .agg(
+          min(when(col("rn") === ceil(col("cnt") * 0.05), col("cents")))
+            .as("lo"),
+          min(when(col("rn") === ceil(col("cnt") * 0.95), col("cents")))
+            .as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_type"),
+          greatest(col("lo"), least(col("hi"), col("cents"))).as("cl"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cl").as("sum_cl"))
+        .select(col("event_type"), col("n"),
+          expr("sum_cl * 10000 DIV n").as("winsor_mean_fp"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -197,5 +229,28 @@ object EventAnalyticsOps extends OpGroup {
         |  FROM au GROUP BY day)
         |SELECT day, dau, wau7
         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    // identical rank-defined p05/p95 pick (row ceil(q·n) of the cents
+    // order), identical int64 clamp/sum, toward-zero 1e-6 division
+    "winsorized_mean_value" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |ranked AS (
+        |  SELECT event_type, cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY cents) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM ev),
+        |bounds AS (
+        |  SELECT event_type,
+        |         min(CASE WHEN rn = ceil(cnt * 0.05) THEN cents END) AS lo,
+        |         min(CASE WHEN rn = ceil(cnt * 0.95) THEN cents END) AS hi
+        |  FROM ranked GROUP BY event_type)
+        |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(greatest(b.lo, least(b.hi, ev.cents))) * 10000
+        |         // count(*) AS BIGINT) AS winsor_mean_fp
+        |FROM ev JOIN bounds b USING (event_type)
+        |GROUP BY ev.event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -289,6 +289,67 @@ object LangModelOps extends OpGroup {
         .agg(count(lit(1)).as("n_triangles"))
       e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
+
+    // M5 — pairwise PMI over the SAME df-qualified co-occurrence edges
+    // M4 counts: pmi(u,v) = ln(nd·ndoc_uv / (df_u·df_v)), the collocation
+    // score a phrase-mining pass ranks candidate merges by. Determinism:
+    // every ln() input is a ratio of exact int64 products (ndoc·nd and
+    // df_u·df_v both < 2^63 while nd < ~3e9 — past that the products
+    // take DECIMAL), so both engines evaluate the identical parse tree
+    // over bit-identical doubles (the dsir/bigram precedent), then
+    // truncate to 1e-6 fixed-point. Scale: the edge list is
+    // df-threshold-bounded (M4's cap argument), the df table is
+    // vocabulary-sized — both joins broadcast; top-30 is TakeOrdered.
+    "pmi_cooc_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dw = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      val nd = docs.count() // driver-measured literal (M4 precedent)
+      val dfs = dw.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") * 5 >= lit(nd) * 2)
+      val dwh = dw.join(broadcast(dfs.select("w")), Seq("w"))
+      val a = dwh.select(col("doc_id"), col("w").as("u"))
+      val b = dwh.select(col("doc_id"), col("w").as("v"))
+      val e = a.join(b, Seq("doc_id")).filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("ndoc"))
+        .filter(col("ndoc") * 5 >= lit(nd) * 2)
+      e.join(broadcast(dfs.select(col("w").as("u"), col("df").as("df_u"))), "u")
+        .join(broadcast(dfs.select(col("w").as("v"), col("df").as("df_v"))), "v")
+        .select(col("u"), col("v"), col("ndoc"), col("df_u"), col("df_v"),
+          expr(s"""CAST(FLOOR(ln(CAST(ndoc * ${nd}L AS DOUBLE)
+                   / CAST(df_u * df_v AS DOUBLE)) * 1000000) AS BIGINT)""")
+            .as("pmi_fp"))
+        .orderBy(col("pmi_fp").desc, col("u"), col("v")).limit(30)
+    }),
+
+    // M6 — OOV-rate audit under a frequency-cutoff vocabulary: the
+    // acceptance check run before freezing a tokenizer's word list. The
+    // vocabulary keeps words with corpus freq ≥ total/32 (a relative
+    // cutoff, scale-invariant); each source is scored by the token share
+    // falling outside it. All arithmetic is exact int64 (counts and one
+    // 1e-6 fixed-point integer division). Scale: tokens collapse to the
+    // (source, word) count table FIRST (map-side combinable — the corpus
+    // row stream never reaches a join), the vocabulary is
+    // threshold-bounded hence broadcast, and the final aggregate is
+    // per-source.
+    "oov_rate_by_source" -> ((s, d) => {
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val wf = sw.groupBy("w").agg(sum("c").as("freq"))
+      val tot = wf.agg(sum("freq").as("tot"))
+      val vocab = wf.crossJoin(broadcast(tot))
+        .filter(col("freq") * 32 >= col("tot"))
+        .select(col("w"), lit(1L).as("in_v"))
+      sw.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("source").agg(
+          sum("c").as("n_tokens"),
+          sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L)))
+            .as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000 DIV n_tokens").as("oov_rate_fp"))
+        .orderBy("source")
+    }),
   )
 
   /** Shared DuckDB CTE prefix for the BPE pipeline oracles: re-mine the
@@ -454,5 +515,47 @@ object LangModelOps extends OpGroup {
         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
         |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT (SELECT count(*) FROM e) AS n_edges, n_triangles FROM tri""".stripMargin,
+
+    // identical df-qualified edge chain as cooc_triangle_count; identical
+    // exact-int64 ln() input and toward-neg-inf FLOOR 1e-6 truncation
+    "pmi_cooc_topk" ->
+      """WITH dw0 AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |dfs AS (
+        |  SELECT w, count(*) AS df FROM dw0 CROSS JOIN nd
+        |  GROUP BY w, nd HAVING count(*) * 5 >= nd * 2),
+        |dw AS (SELECT doc_id, w FROM dw0 JOIN dfs USING (w)),
+        |e AS (
+        |  SELECT a.w AS u, b.w AS v, count(*) AS ndoc
+        |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  CROSS JOIN nd
+        |  GROUP BY a.w, b.w, nd.nd
+        |  HAVING count(*) * 5 >= nd * 2)
+        |SELECT e.u, e.v, e.ndoc,
+        |       du.df AS df_u, dv.df AS df_v,
+        |       CAST(FLOOR(ln(CAST(e.ndoc * nd.nd AS DOUBLE)
+        |         / CAST(du.df * dv.df AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_fp
+        |FROM e JOIN dfs du ON e.u = du.w
+        |       JOIN dfs dv ON e.v = dv.w
+        |       CROSS JOIN nd
+        |ORDER BY pmi_fp DESC, u, v LIMIT 30""".stripMargin,
+
+    "oov_rate_by_source" ->
+      """WITH sw AS (
+        |  SELECT source, w, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY source, w),
+        |wf AS (SELECT w, sum(c) AS freq FROM sw GROUP BY w),
+        |tot AS (SELECT sum(freq) AS tot FROM wf),
+        |vocab AS (SELECT w FROM wf CROSS JOIN tot WHERE freq * 32 >= tot)
+        |SELECT sw.source,
+        |       CAST(sum(sw.c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.w IS NULL THEN sw.c ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       CAST(sum(CASE WHEN v.w IS NULL THEN sw.c ELSE 0 END) * 1000000
+        |         // sum(sw.c) AS BIGINT) AS oov_rate_fp
+        |FROM sw LEFT JOIN vocab v ON sw.w = v.w
+        |GROUP BY sw.source ORDER BY source""".stripMargin,
   )
 }

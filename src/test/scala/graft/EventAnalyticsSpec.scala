@@ -60,4 +60,25 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(gotWau >= gotDau, "the window dominates its last day")
     }
   }
+
+  test("winsorized_mean_value replays as the exact p05/p95-clipped mean") {
+    val rows = run("winsorized_mean_value")
+    val ev = Tables.events(spark, sf()).select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    assert(rows.map(_.getString(0)).toSet === ev.map(_._1).toSet,
+      "one row per event type")
+    rows.foreach { r =>
+      val cents = ev.filter(_._1 == r.getString(0)).map(_._2).sorted
+      assert(r.getLong(1) === cents.length.toLong)
+      val lo = cents(math.ceil(cents.length * 0.05).toInt - 1)
+      val hi = cents(math.ceil(cents.length * 0.95).toInt - 1)
+      assert(lo <= hi)
+      val clipped = cents.map(c => math.max(lo, math.min(hi, c)))
+      val expected = clipped.map(BigInt(_)).sum * 10000 / cents.length
+      assert(r.getLong(2) === expected.toLong,
+        s"winsorized mean replay for ${r.getString(0)}")
+      assert(r.getLong(2) >= lo * 10000L && r.getLong(2) <= hi * 10000L,
+        "clipped mean confined to the clip bounds")
+    }
+  }
 }

@@ -136,6 +136,47 @@ class LangModelSpec extends SparkSpec {
       "qualified vocabulary exceeds the Σdf/(0.4·nd) envelope")
   }
 
+  test("pmi_cooc_topk: fixed-point PMI replays from the edge counts, ranked desc") {
+    val rows = runL("pmi_cooc_topk")
+    assert(rows.length === 30)
+    val nd = Tables.documents(spark, sf()).count()
+    val fps = rows.map(_.getLong(5)).toSeq
+    assert(fps === fps.sorted.reverse, "rows ranked by PMI")
+    rows.foreach { r =>
+      val (u, v) = (r.getString(0), r.getString(1))
+      val (ndoc, dfu, dfv, fp) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(u < v, "edges oriented u < v")
+      assert(ndoc * 5 >= nd * 2, "edge passes the df threshold")
+      assert(ndoc <= math.min(dfu, dfv), "pair count bounded by each df")
+      val expected = math.floor(
+        math.log(ndoc.toDouble * nd / (dfu.toDouble * dfv)) * 1e6).toLong
+      assert(fp === expected, s"PMI replay mismatch for ($u,$v)")
+    }
+  }
+
+  test("oov_rate_by_source partitions the token stream; OOV = below-cutoff vocabulary") {
+    val rows = runL("oov_rate_by_source")
+    val toks = Tables.documents(spark, sf()).select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(w => (r.getString(0), w)))
+    val tot = toks.length.toLong
+    val vocab = toks.groupBy(_._2).collect {
+      case (w, os) if os.length.toLong * 32 >= tot => w
+    }.toSet
+    val bySrc = toks.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === bySrc.keySet)
+    rows.foreach { r =>
+      val st = bySrc(r.getString(0))
+      assert(r.getLong(1) === st.length.toLong, "token count per source")
+      assert(r.getLong(2) === st.count(t => !vocab(t._2)).toLong,
+        "OOV tokens are exactly those outside the cutoff vocabulary")
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    assert(rows.map(_.getLong(1)).sum === tot,
+      "per-source token counts partition the corpus")
+    assert(rows.exists(_.getLong(2) > 0), "fixture corpus has OOV mass")
+  }
+
   test("rolling_zscore_outliers only flags |z| >= 2 on full windows") {
     val rows = runS("rolling_zscore_outliers")
     assert(rows.nonEmpty, "planted variance yields at least one outlier")

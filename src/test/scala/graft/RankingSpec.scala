@@ -148,4 +148,29 @@ class RankingSpec extends SparkSpec {
       assert(nKept === n - nDrop)
     }
   }
+
+  test("template_phrase_detect replays as distinct-doc 3-gram recurrence >= 3") {
+    val rows = operators.CurationOps
+      .queries("template_phrase_detect")(spark, sf()).collect()
+    val docs = Tables.documents(spark, sf()).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def phrases(text: String): Set[String] = {
+      val ws = text.split(" ", -1)
+      (0 to math.max(ws.length - 3, 0))
+        .map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val counts = docs
+      .flatMap { case (src, t) => phrases(t).map(p => (src, p)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val nDocs = docs.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val expected = counts.filter(_._2 >= 3)
+    assert(rows.length === expected.size, "exactly the recurring phrases")
+    assert(rows.nonEmpty, "fixture corpus contains recurring 3-grams")
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === expected(k), s"doc count for $k")
+      assert(r.getLong(3) === nDocs(k._1))
+      assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(3))
+    }
+  }
 }
