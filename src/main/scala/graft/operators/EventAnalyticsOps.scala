@@ -116,7 +116,7 @@ object EventAnalyticsOps extends OpGroup {
         .orderBy("day")
     }),
 
-    // V4b — winsorized (p05/p95-clipped) mean of the event measure per
+    // X4 — winsorized (p05/p95-clipped) mean of the event measure per
     // type: the robust KPI that survives a fat-fingered 10000× purchase.
     // Rank-defined percentiles via GlobalRank's two-phase rank (5 event
     // types — the identical low-cardinality window trap as
@@ -145,6 +145,35 @@ object EventAnalyticsOps extends OpGroup {
         .agg(count(lit(1)).as("n"), sum("cl").as("sum_cl"))
         .select(col("event_type"), col("n"),
           expr("sum_cl * 10000 DIV n").as("winsor_mean_fp"))
+        .orderBy("event_type")
+    }),
+
+    // V5 — Shannon entropy of each event type's NEXT-type distribution
+    // (the transition matrix R3's PageRank walks): a type whose entropy
+    // collapses is a deterministic funnel step; one near ln(k) routes
+    // uniformly. Determinism: the per-cell contribution
+    // -p·ln(p) = -ln(c/tot)·c/tot is ONE shared double expression over
+    // exact int64 inputs, FLOOR-truncated to 1e-6 fixed-point AT THE
+    // CELL, then integer-summed (associative — any partial-agg layout
+    // matches; the dsir ln-precedent). Scale: the transition build is
+    // one per-user lag window (the R3 chain); the cell table is
+    // |types|²-bounded, its row-count totals broadcast back.
+    "event_transition_entropy" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq0 = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val tc = seq0.groupBy("event_type", "nxt").agg(count(lit(1)).as("c"))
+      val tt = tc.groupBy("event_type").agg(sum("c").as("tot"))
+      tc.join(broadcast(tt), "event_type")
+        .select(col("event_type"), col("tot"),
+          expr("""CAST(FLOOR(-ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * c * 1000000 / tot) AS BIGINT)""").as("h_fp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("out_deg"), max("tot").as("n_trans"),
+          sum("h_fp").as("entropy_fp"))
         .orderBy("event_type")
     }),
   )
@@ -252,5 +281,25 @@ object EventAnalyticsOps extends OpGroup {
         |         // count(*) AS BIGINT) AS winsor_mean_fp
         |FROM ev JOIN bounds b USING (event_type)
         |GROUP BY ev.event_type ORDER BY event_type""".stripMargin,
+
+    // identical lead-chain over the (ts, event_id) total order, identical
+    // -ln(c/tot)·c·1e6/tot cell expression FLOOR-truncated then int-summed
+    "event_transition_entropy" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |tc AS (SELECT event_type, nxt, count(*) AS c
+        |       FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+        |tt AS (SELECT event_type, sum(c) AS tot FROM tc GROUP BY event_type)
+        |SELECT tc.event_type,
+        |       CAST(count(*) AS BIGINT) AS out_deg,
+        |       CAST(max(tt.tot) AS BIGINT) AS n_trans,
+        |       CAST(sum(CAST(FLOOR(-ln(CAST(tc.c AS DOUBLE)
+        |         / CAST(tt.tot AS DOUBLE)) * tc.c * 1000000 / tt.tot)
+        |         AS BIGINT)) AS BIGINT) AS entropy_fp
+        |FROM tc JOIN tt USING (event_type)
+        |GROUP BY tc.event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -290,7 +290,7 @@ object LangModelOps extends OpGroup {
       e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 
-    // M5 — pairwise PMI over the SAME df-qualified co-occurrence edges
+    // M6 — pairwise PMI over the SAME df-qualified co-occurrence edges
     // M4 counts: pmi(u,v) = ln(nd·ndoc_uv / (df_u·df_v)), the collocation
     // score a phrase-mining pass ranks candidate merges by. Determinism:
     // every ln() input is a ratio of exact int64 products (ndoc·nd and
@@ -322,7 +322,7 @@ object LangModelOps extends OpGroup {
         .orderBy(col("pmi_fp").desc, col("u"), col("v")).limit(30)
     }),
 
-    // M6 — OOV-rate audit under a frequency-cutoff vocabulary: the
+    // M7 — OOV-rate audit under a frequency-cutoff vocabulary: the
     // acceptance check run before freezing a tokenizer's word list. The
     // vocabulary keeps words with corpus freq ≥ total/32 (a relative
     // cutoff, scale-invariant); each source is scored by the token share
@@ -348,6 +348,28 @@ object LangModelOps extends OpGroup {
             .as("n_oov"))
         .select(col("source"), col("n_tokens"), col("n_oov"),
           expr("n_oov * 1000000 DIV n_tokens").as("oov_rate_fp"))
+        .orderBy("source")
+    }),
+
+    // M8 — lexical-diversity scoreboard per source: type-token ratio and
+    // hapax-legomenon share (Heaps-law corner of corpus QC — a source
+    // whose TTR collapses is templated/machine-generated; one whose
+    // hapax share explodes is OCR noise). Pure counting: the corpus
+    // collapses to the (source, word) count table map-side (M7's
+    // argument), then ONE per-source aggregate; ratios are exact 1e-6
+    // integer divisions.
+    "lexical_diversity_by_source" -> ((s, d) => {
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      sw.groupBy("source").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          expr("n_types * 1000000 DIV n_tokens").as("ttr_fp"),
+          expr("n_hapax * 1000000 DIV n_types").as("hapax_share_fp"))
         .orderBy("source")
     }),
   )
@@ -557,5 +579,19 @@ object LangModelOps extends OpGroup {
         |         // sum(sw.c) AS BIGINT) AS oov_rate_fp
         |FROM sw LEFT JOIN vocab v ON sw.w = v.w
         |GROUP BY sw.source ORDER BY source""".stripMargin,
+
+    "lexical_diversity_by_source" ->
+      """WITH sw AS (
+        |  SELECT source, w, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY source, w)
+        |SELECT source,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+        |       CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_fp,
+        |       CAST(count(*) FILTER (WHERE c = 1) * 1000000 // count(*)
+        |         AS BIGINT) AS hapax_share_fp
+        |FROM sw GROUP BY source ORDER BY source""".stripMargin,
   )
 }

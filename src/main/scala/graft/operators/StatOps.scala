@@ -122,6 +122,43 @@ object StatOps extends OpGroup {
         Iterator(Recon(k, n, gross, total))
       }.toDF().orderBy("o_orderkey")
     }),
+
+    // X5 — median/MAD robust outlier gate per event type (the
+    // winsorized-mean sibling for heavy-tailed measures: median and MAD
+    // have breakdown point 0.5 where X1's mean/stddev window has 0).
+    // Median and MAD are RANK-DEFINED (value at row ceil(0.5·n) — the
+    // percentile_disc convention), so everything is exact int64 cents:
+    // no engine quantile interpolation anywhere. Two GlobalRank
+    // two-phase ranks (5 event types — the low-cardinality window
+    // trap), each statistic table is type-cardinality-sized and
+    // broadcasts back into the stream; the outlier test |x−med| > 3·MAD
+    // is a map-side integer predicate feeding one combinable aggregate.
+    "mad_robust_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val cnts = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val r1 = graft.functions.GlobalRank.rowNumber(
+        ev, "rn", Seq("event_type"), Seq("cents"))
+      val med = r1.join(broadcast(cnts), "event_type")
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === ceil(col("cnt") * 0.5), col("cents")))
+          .as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("cents") - col("med")))
+      val r2 = graft.functions.GlobalRank.rowNumber(
+        dev.select("event_type", "ad"), "rn", Seq("event_type"), Seq("ad"))
+      val mad = r2.join(broadcast(cnts), "event_type")
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === ceil(col("cnt") * 0.5), col("ad")))
+          .as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max("med").as("med_cents"), max("mad").as("mad_cents"),
+          sum(when(col("ad") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
   )
 
   // Not `private`: Catalyst's generated (de)serializer projections live
@@ -190,5 +227,42 @@ object StatOps extends OpGroup {
         |       COALESCE(gross_fp, 0) AS gross_fp, total_fp
         |FROM ok FULL JOIN la USING (k)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // identical rank-defined median/MAD picks and integer outlier test
+    "mad_robust_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r1 AS (
+        |  SELECT event_type, cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY cents) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM ev),
+        |med AS (
+        |  SELECT event_type,
+        |         min(CASE WHEN rn = ceil(cnt * 0.5) THEN cents END) AS med
+        |  FROM r1 GROUP BY event_type),
+        |dev AS (
+        |  SELECT ev.event_type, ev.cents, m.med,
+        |         abs(ev.cents - m.med) AS ad
+        |  FROM ev JOIN med m USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, ad,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY ad) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type,
+        |         min(CASE WHEN rn = ceil(cnt * 0.5) THEN ad END) AS mad
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(d.med) AS BIGINT) AS med_cents,
+        |       CAST(max(x.mad) AS BIGINT) AS mad_cents,
+        |       CAST(count(*) FILTER (WHERE d.ad > 3 * x.mad) AS BIGINT)
+        |         AS n_outliers
+        |FROM dev d JOIN mad x USING (event_type)
+        |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
   )
 }

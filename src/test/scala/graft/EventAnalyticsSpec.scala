@@ -81,4 +81,32 @@ class EventAnalyticsSpec extends SparkSpec {
         "clipped mean confined to the clip bounds")
     }
   }
+
+  test("event_transition_entropy replays per cell; bounded by ln(out_deg)") {
+    val rows = run("event_transition_entropy")
+    val seq = Tables.events(spark, sf())
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val trans = seq.groupBy(_._1).values.flatMap { es =>
+      val o = es.sortBy(e => (e._2, e._3)).map(_._4)
+      o.zip(o.drop(1))
+    }.toSeq
+    val cells = trans.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val byType = cells.groupBy(_._1._1)
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cs = byType(t).values.toSeq
+      val tot = cs.sum
+      assert(r.getLong(1) === cs.length.toLong, s"out-degree for $t")
+      assert(r.getLong(2) === tot, s"transition count for $t")
+      val expected = cs.map(c =>
+        math.floor(-math.log(c.toDouble / tot) * c * 1000000.0 / tot).toLong).sum
+      assert(r.getLong(3) === expected, s"entropy replay for $t")
+      assert(r.getLong(3) >= 0 &&
+        r.getLong(3) <= math.ceil(math.log(cs.length.toDouble) * 1e6).toLong,
+        "0 <= H <= ln(out_deg)")
+    }
+  }
 }

@@ -177,6 +177,49 @@ class LangModelSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0), "fixture corpus has OOV mass")
   }
 
+  test("lexical_diversity_by_source replays as exact type/token/hapax counts") {
+    val rows = runL("lexical_diversity_by_source")
+    val toks = Tables.documents(spark, sf()).select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(w => (r.getString(0), w)))
+    val bySrc = toks.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === bySrc.keySet)
+    rows.foreach { r =>
+      val freq = bySrc(r.getString(0)).groupBy(_._2).map {
+        case (w, os) => w -> os.length.toLong
+      }
+      val (nTok, nTyp, nHap) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTok === freq.values.sum)
+      assert(nTyp === freq.size.toLong)
+      assert(nHap === freq.values.count(_ == 1L).toLong)
+      assert(r.getLong(4) === nTyp * 1000000L / nTok)
+      assert(r.getLong(5) === nHap * 1000000L / nTyp)
+      assert(nHap <= nTyp && nTyp <= nTok, "count hierarchy")
+    }
+  }
+
+  test("mad_robust_outliers: rank-defined median/MAD replay; outliers exact") {
+    val rows = runS("mad_robust_outliers")
+    val ev = Tables.events(spark, sf()).select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    assert(rows.map(_.getString(0)).toSet === ev.map(_._1).toSet)
+    rows.foreach { r =>
+      val cents = ev.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(1) === cents.length.toLong)
+      def rankPick(xs: Array[Long]): Long = {
+        val s = xs.sorted
+        s(math.ceil(s.length * 0.5).toInt - 1)
+      }
+      val med = rankPick(cents)
+      val mad = rankPick(cents.map(c => math.abs(c - med)))
+      assert(r.getLong(2) === med, s"median for ${r.getString(0)}")
+      assert(r.getLong(3) === mad, s"MAD for ${r.getString(0)}")
+      assert(r.getLong(4) ===
+        cents.count(c => math.abs(c - med) > 3 * mad).toLong)
+      assert(r.getLong(4) < cents.length / 2,
+        "MAD's 0.5 breakdown point: outliers are a strict minority")
+    }
+  }
+
   test("rolling_zscore_outliers only flags |z| >= 2 on full windows") {
     val rows = runS("rolling_zscore_outliers")
     assert(rows.nonEmpty, "planted variance yields at least one outlier")
