@@ -176,6 +176,127 @@ object EventAnalyticsOps extends OpGroup {
           sum("h_fp").as("entropy_fp"))
         .orderBy("event_type")
     }),
+
+    // V6 — RFM segmentation (recency / frequency / monetary quintiles),
+    // the classic CRM cube. Quintiles are RANK-DEFINED — q =
+    // ceil(5·rank/n) over each metric's total order (metric DESC,
+    // user_id tiebreak) — so no engine ntile convention is exposed.
+    // Three GlobalRank two-phase ranks over the per-user fact (at 100 TB
+    // users are one huge unpartitioned rank domain — exactly the
+    // single-partition window trap); user count threaded as a
+    // driver-measured literal; monetary stays exact int64 cents.
+    "rfm_segmentation" -> ((s, d) => {
+      val u = Tables.events(s, d).groupBy("user_id").agg(
+        max(expr("unix_micros(ts)")).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("m"))
+      val n = u.count() // driver-measured scalar (GlobalRank pattern)
+      // rank ascending on the negation = metric-descending rank
+      val w = u.withColumn("neg_last", -col("last_us"))
+        .withColumn("neg_f", -col("f")).withColumn("neg_m", -col("m"))
+      val rr = graft.functions.GlobalRank.rowNumber(
+        w, "rr", Nil, Seq("neg_last", "user_id"))
+      val fr = graft.functions.GlobalRank.rowNumber(
+        rr, "fr", Nil, Seq("neg_f", "user_id"))
+      val mr = graft.functions.GlobalRank.rowNumber(
+        fr, "mr", Nil, Seq("neg_m", "user_id"))
+      mr.select(
+          expr(s"CAST(ceil(rr * 5.0 / ${n}L) AS BIGINT)").as("r_q"),
+          expr(s"CAST(ceil(fr * 5.0 / ${n}L) AS BIGINT)").as("f_q"),
+          expr(s"CAST(ceil(mr * 5.0 / ${n}L) AS BIGINT)").as("m_q"),
+          col("m"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"), sum("m").as("monetary_cents"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
+    // V7 — conversion latency by acquisition channel: per converting
+    // user, µs from first 'view' to the first LATER 'purchase', median
+    // per entry event type (the user's first event). Latency math is
+    // exact integer µs; the median is rank-defined per channel
+    // (GlobalRank; channels are few and huge — the low-cardinality
+    // trap). Three user-keyed aggregates + co-partitioned user joins;
+    // the per-channel count table broadcasts.
+    "conversion_latency_by_entry" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), col("ts"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val fe = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("entry"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("us") > col("v_us"))
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      val lat = v.join(p, "user_id").join(fe, "user_id")
+        .select(col("entry"), col("user_id"),
+          (col("p_us") - col("v_us")).as("lat_us"))
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        lat, "rn", Seq("entry"), Seq("lat_us", "user_id"))
+      val cnts = lat.groupBy("entry").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(cnts), "entry")
+        .groupBy("entry")
+        .agg(count(lit(1)).as("n_converted"),
+          min(when(col("rn") === ceil(col("n") * 0.5), col("lat_us")))
+            .as("median_lat_us"),
+          min("lat_us").as("min_us"), max("lat_us").as("max_us"))
+        .orderBy("entry")
+    }),
+
+    // V8 — revenue concentration (Pareto check): the top decile of
+    // users by monetary total, and their share of all revenue — the
+    // whale-dependency metric behind every LTV model. Rank-defined
+    // top decile (rank ≤ ceil(0.1·n) over (m DESC, user_id)); exact
+    // int64 cents throughout; share = 1e-6 integer division. One
+    // per-user aggregate, one GlobalRank, one single-row summary.
+    "pareto_revenue_concentration" -> ((s, d) => {
+      val u = Tables.events(s, d).groupBy("user_id").agg(
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("m"))
+      val n = u.count() // driver-measured scalar (GlobalRank pattern)
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        u.withColumn("neg_m", -col("m")), "rn", Nil, Seq("neg_m", "user_id"))
+      ranked.agg(
+          count(lit(1)).as("n_users"),
+          sum("m").as("total_cents"),
+          sum(when(col("rn") <= ceil(lit(n) * 0.1), col("m"))
+            .otherwise(lit(0L))).as("top_cents"))
+        .select(col("n_users"),
+          expr(s"CAST(ceil(${n}L * 0.1) AS BIGINT)").as("n_top"),
+          col("total_cents"), col("top_cents"),
+          expr("top_cents * 1000000 DIV total_cents").as("top_share_fp"))
+    }),
+
+    // V9 — session-duration histogram in log2-minute buckets over the
+    // V1 gap-sessionization (bucket b = floor(ln(dur_min)/ln 2);
+    // singleton sessions — duration 0 — take the -99 sentinel): the
+    // engagement-depth distribution. Reuses V1's one (user_id, ts)
+    // window chain; duration is exact integer µs; the ln-ratio bucket
+    // is ONE shared double expression over exact int64 µs (dsir
+    // ln-precedent); histogram = one tiny combinable aggregate.
+    "session_duration_histogram" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val se = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > GapUs, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(runW))
+      se.groupBy("user_id", "sid")
+        .agg((max("us") - min("us")).as("dur"), count(lit(1)).as("ne"))
+        .select(
+          expr("""CASE WHEN dur = 0 THEN -99
+                 ELSE CAST(FLOOR(ln(CAST(dur AS DOUBLE) / 60000000.0)
+                   / ln(2.0)) AS BIGINT) END""").as("bucket"),
+          col("ne"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_sessions"), sum("ne").as("n_events"))
+        .orderBy("bucket")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -301,5 +422,102 @@ object EventAnalyticsOps extends OpGroup {
         |         AS BIGINT)) AS BIGINT) AS entropy_fp
         |FROM tc JOIN tt USING (event_type)
         |GROUP BY tc.event_type ORDER BY event_type""".stripMargin,
+
+    // identical rank-defined quintiles over (metric DESC, user_id)
+    "rfm_segmentation" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |         CAST(count(*) AS BIGINT) AS f,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT m,
+        |         row_number() OVER (ORDER BY last_us DESC, user_id) AS rr,
+        |         row_number() OVER (ORDER BY f DESC, user_id) AS fr,
+        |         row_number() OVER (ORDER BY m DESC, user_id) AS mr,
+        |         count(*) OVER () AS n
+        |  FROM u)
+        |SELECT CAST(ceil(rr * 5.0 / n) AS BIGINT) AS r_q,
+        |       CAST(ceil(fr * 5.0 / n) AS BIGINT) AS f_q,
+        |       CAST(ceil(mr * 5.0 / n) AS BIGINT) AS m_q,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(m) AS BIGINT) AS monetary_cents
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // identical first-event channel, strict-after purchase, rank median
+    "conversion_latency_by_entry" ->
+      """WITH fe AS (
+        |  SELECT user_id, event_type AS entry FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1),
+        |v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+        |      FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.v_us
+        |      GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT f.entry, v.user_id, p.p_us - v.v_us AS lat_us
+        |  FROM v JOIN p USING (user_id) JOIN fe f USING (user_id)),
+        |r AS (
+        |  SELECT entry, lat_us,
+        |         row_number() OVER (PARTITION BY entry
+        |           ORDER BY lat_us, user_id) AS rn,
+        |         count(*) OVER (PARTITION BY entry) AS n
+        |  FROM lat)
+        |SELECT entry, CAST(count(*) AS BIGINT) AS n_converted,
+        |       CAST(min(CASE WHEN rn = ceil(n * 0.5) THEN lat_us END)
+        |         AS BIGINT) AS median_lat_us,
+        |       CAST(min(lat_us) AS BIGINT) AS min_us,
+        |       CAST(max(lat_us) AS BIGINT) AS max_us
+        |FROM r GROUP BY entry ORDER BY entry""".stripMargin,
+
+    // identical (m DESC, user_id) rank and ceil(0.1·n) cut
+    "pareto_revenue_concentration" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT m, row_number() OVER (ORDER BY m DESC, user_id) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM u)
+        |SELECT CAST(max(n) AS BIGINT) AS n_users,
+        |       CAST(ceil(max(n) * 0.1) AS BIGINT) AS n_top,
+        |       CAST(sum(m) AS BIGINT) AS total_cents,
+        |       CAST(sum(CASE WHEN rn <= ceil(n * 0.1) THEN m ELSE 0 END)
+        |         AS BIGINT) AS top_cents,
+        |       CAST(sum(CASE WHEN rn <= ceil(n * 0.1) THEN m ELSE 0 END)
+        |         * 1000000 // sum(m) AS BIGINT) AS top_share_fp
+        |FROM r""".stripMargin,
+
+    // identical V1 session chain, identical ln-ratio bucket expression
+    "session_duration_histogram" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us FROM events),
+         |fl AS (
+         |  SELECT user_id, us, event_id,
+         |         CASE WHEN lag(us) OVER w IS NULL
+         |                   OR us - lag(us) OVER w > $GapUs
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |se AS (
+         |  SELECT user_id, us,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |           ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM fl),
+         |du AS (SELECT user_id, sid, max(us) - min(us) AS dur,
+         |              count(*) AS ne
+         |       FROM se GROUP BY user_id, sid),
+         |b AS (
+         |  SELECT CASE WHEN dur = 0 THEN -99
+         |              ELSE CAST(FLOOR(ln(CAST(dur AS DOUBLE) / 60000000.0)
+         |                / ln(2.0)) AS BIGINT) END AS bucket, ne
+         |  FROM du)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+         |       CAST(sum(ne) AS BIGINT) AS n_events
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -159,6 +159,37 @@ object StatOps extends OpGroup {
             .as("n_outliers"))
         .orderBy("event_type")
     }),
+
+    // X6 — interarrival burstiness per event type: mean gap and CV² of
+    // per-user interarrival µs (CV² ≈ 1 ⇒ Poisson arrivals; > 1 ⇒
+    // bursty — the traffic-shape audit behind capacity planning and
+    // bot detection). Gaps are exact integer µs from ONE per-user lag
+    // window (the sessionize sort, reused); Σx and Σx² fold through
+    // DECIMAL(38,0) (gap² ~ 6e24 overflows int64 — the
+    // embedding_dim_stats lift), and CV² resolves in ONE shared double
+    // expression over those exact sums, FLOOR-truncated to 1e-6
+    // fixed-point. One map-side-combinable shuffle after the window.
+    "interarrival_burstiness" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), expr("unix_micros(ts)").as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("gap").cast("decimal(38,0)")).as("sx"),
+          // cast BEFORE the square: gap² ~ 6e24 would overflow an int64
+          // multiply (ANSI would throw; legacy would wrap silently)
+          sum(col("gap").cast("decimal(19,0)")
+            * col("gap").cast("decimal(19,0)")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(sx DIV n AS BIGINT)").as("mean_gap_us"),
+          expr("""CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 / CAST(sx AS DOUBLE) / CAST(sx AS DOUBLE) - 1.0)
+                 * 1000000) AS BIGINT)""").as("cv2_fp"))
+        .orderBy("event_type")
+    }),
   )
 
   // Not `private`: Catalyst's generated (de)serializer projections live
@@ -264,5 +295,27 @@ object StatOps extends OpGroup {
         |         AS n_outliers
         |FROM dev d JOIN mad x USING (event_type)
         |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
+
+    // identical lag chain; HUGEINT moments (Spark: DECIMAL(38,0)), one
+    // shared double expression, FLOOR 1e-6 truncation
+    "interarrival_burstiness" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(gap AS BIGINT) AS gap
+        |      FROM seq WHERE gap IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(gap AS HUGEINT)) AS sx,
+        |         sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sxx
+        |  FROM g GROUP BY event_type)
+        |SELECT event_type, n,
+        |       CAST(sx // n AS BIGINT) AS mean_gap_us,
+        |       CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         / CAST(sx AS DOUBLE) / CAST(sx AS DOUBLE) - 1.0)
+        |         * 1000000) AS BIGINT) AS cv2_fp
+        |FROM m ORDER BY event_type""".stripMargin,
   )
 }

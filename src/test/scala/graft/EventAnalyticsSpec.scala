@@ -109,4 +109,122 @@ class EventAnalyticsSpec extends SparkSpec {
         "0 <= H <= ln(out_deg)")
     }
   }
+
+  test("rfm_segmentation: cells partition the user base; cube replays exactly") {
+    val rows = run("rfm_segmentation")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("user_id", "unix_micros(ts) AS us",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.map(_._2).max, es.length.toLong, es.map(_._3).sum)
+    }.toArray
+    val n = users.length
+    def quint(rankOf: Array[(Long, Long)]): Map[Long, Long] = {
+      // rankOf: (user, metric) ranked metric-DESC with user tiebreak
+      val sorted = rankOf.sortBy { case (u, v) => (-v, u) }
+      sorted.zipWithIndex.map { case ((u, _), i) =>
+        u -> math.ceil((i + 1) * 5.0 / n).toLong
+      }.toMap
+    }
+    val rq = quint(users.map(u => (u._1, u._2)))
+    val fq = quint(users.map(u => (u._1, u._3)))
+    val mq = quint(users.map(u => (u._1, u._4)))
+    val expected = users.groupBy(u => (rq(u._1), fq(u._1), mq(u._1)))
+      .map { case (k, us) => k -> (us.length.toLong, us.map(_._4).sum) }
+    assert(rows.length === expected.size, "exactly the occupied cells")
+    assert(rows.map(_.getLong(3)).sum === n.toLong,
+      "cells partition the user base")
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(Seq(k._1, k._2, k._3).forall(q => q >= 1 && q <= 5))
+      val (cnt, mon) = expected(k)
+      assert(r.getLong(3) === cnt, s"cell count for $k")
+      assert(r.getLong(4) === mon, s"cell monetary for $k")
+    }
+  }
+
+  test("conversion_latency_by_entry replays the strict view->purchase chain") {
+    val rows = run("conversion_latency_by_entry")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val lats = byUser.toSeq.flatMap { case (u, es) =>
+      val entry = es.minBy(e => (e._3, e._4))._2
+      val vs = es.filter(_._2 == "view").map(_._3)
+      if (vs.isEmpty) None else {
+        val v = vs.min
+        val ps = es.filter(e => e._2 == "purchase" && e._3 > v).map(_._3)
+        if (ps.isEmpty) None else Some((entry, u, ps.min - v))
+      }
+    }
+    val byEntry = lats.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byEntry.keySet)
+    assert(rows.map(_.getLong(1)).sum === lats.length.toLong,
+      "every converting user counted exactly once")
+    rows.foreach { r =>
+      val ls = byEntry(r.getString(0)).sortBy(l => (l._3, l._2)).map(_._3)
+      assert(r.getLong(1) === ls.length.toLong)
+      val med = ls(math.ceil(ls.length * 0.5).toInt - 1)
+      assert(r.getLong(2) === med, s"median for ${r.getString(0)}")
+      assert(r.getLong(3) === ls.min && r.getLong(4) === ls.max)
+      assert(ls.forall(_ > 0), "strict ordering keeps latencies positive")
+    }
+  }
+
+  test("pareto_revenue_concentration replays the rank-defined top decile") {
+    val rows = run("pareto_revenue_concentration")
+    assert(rows.length === 1)
+    val m = Tables.events(spark, sf())
+      .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).sum) }.toArray
+    val n = m.length
+    val nTop = math.ceil(n * 0.1).toInt
+    val top = m.sortBy { case (u, v) => (-v, u) }.take(nTop)
+    val r = rows.head
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === nTop.toLong)
+    assert(r.getLong(2) === m.map(_._2).sum)
+    assert(r.getLong(3) === top.map(_._2).sum, "top-decile monetary")
+    assert(r.getLong(4) === r.getLong(3) * 1000000L / r.getLong(2))
+    assert(r.getLong(4) >= 100000L,
+      "top decile holds at least its uniform share")
+  }
+
+  test("session_duration_histogram partitions sessions and events") {
+    val rows = run("session_duration_histogram")
+    val gap = 1800000000L
+    val ev = Tables.events(spark, sf())
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val durs = ev.groupBy(_._1).values.flatMap { es =>
+      val o = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val sessions = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      var cur = scala.collection.mutable.ArrayBuffer[Long]()
+      o.foreach { t =>
+        if (cur.nonEmpty && t - cur.last > gap) {
+          sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[Long]()
+        }
+        cur += t
+      }
+      sessions += cur.toSeq
+      sessions.map(s => (s.max - s.min, s.length.toLong))
+    }.toSeq
+    def bucket(dur: Long): Long =
+      if (dur == 0) -99L
+      else math.floor(math.log(dur.toDouble / 60000000.0) / math.log(2.0)).toLong
+    val expected = durs.groupBy(d => bucket(d._1))
+      .map { case (b, ds) => b -> (ds.length.toLong, ds.map(_._2).sum) }
+    assert(rows.length === expected.size)
+    assert(rows.map(_.getLong(2)).sum === ev.length.toLong,
+      "histogram partitions every event")
+    rows.foreach { r =>
+      val (ns, ne) = expected(r.getLong(0))
+      assert(r.getLong(1) === ns, s"sessions in bucket ${r.getLong(0)}")
+      assert(r.getLong(2) === ne, s"events in bucket ${r.getLong(0)}")
+    }
+  }
 }

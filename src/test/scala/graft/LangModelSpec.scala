@@ -220,6 +220,33 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("interarrival_burstiness: exact BigInt moment replay; Poisson-adjacent CV²") {
+    val rows = runS("interarrival_burstiness")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = ev.groupBy(_._1).values.flatMap { es =>
+      val o = es.sortBy(e => (e._2, e._3))
+      o.drop(1).zip(o).map { case (cur, prev) => (cur._4, cur._2 - prev._2) }
+    }.toSeq
+    val byType = gaps.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val gs = byType(r.getString(0)).map(_._2)
+      val n = gs.length.toLong
+      val sx = gs.map(BigInt(_)).sum
+      val sxx = gs.map(g => BigInt(g) * BigInt(g)).sum
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === (sx / n).toLong, "integer mean gap")
+      val cv2 = math.floor((n.toDouble * sxx.toDouble / sx.toDouble / sx.toDouble
+        - 1.0) * 1000000).toLong
+      assert(r.getLong(3) === cv2, s"CV² replay for ${r.getString(0)}")
+      // uniform-random arrival fixture: CV² within a loose Poisson band
+      assert(r.getLong(3) > 500000L && r.getLong(3) < 2000000L)
+    }
+  }
+
   test("rolling_zscore_outliers only flags |z| >= 2 on full windows") {
     val rows = runS("rolling_zscore_outliers")
     assert(rows.nonEmpty, "planted variance yields at least one outlier")
