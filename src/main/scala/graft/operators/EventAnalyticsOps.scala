@@ -297,6 +297,35 @@ object EventAnalyticsOps extends OpGroup {
         .agg(count(lit(1)).as("n_sessions"), sum("ne").as("n_events"))
         .orderBy("bucket")
     }),
+
+    // V10 — weekday seasonality per event type: day-of-week counts
+    // collapsed to peak day + a χ²/n uniformity score. Day-of-week is
+    // ENGINE-INDEPENDENT integer math — (epoch_day + 4) % 7, Monday=0
+    // (Spark's dayofweek is 1-based Sunday-first, DuckDB's 0-based:
+    // neither convention may leak into the result). χ²/n =
+    // Σ(7·o−n)²/(7n²) in exact int64 with a 1e-6 fixed-point division
+    // ((7o−n)² caps int64 near n ≈ 1e9 per type — the DECIMAL(38,0)
+    // lift applies beyond, same expression). Two tiny aggregates, one
+    // broadcast join.
+    "weekday_seasonality_profile" -> ((s, d) => {
+      val c = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) DIV 86400000000 + 4) % 7").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val t = c.groupBy("event_type")
+        .agg(sum("o").as("n"), max("o").as("mx"))
+      c.join(broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          max("n").as("n_events"),
+          min(when(col("o") === col("mx"), col("dow"))).as("peak_dow"),
+          sum(expr("(7 * o - n) * (7 * o - n)")).as("ss"))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          col("peak_dow"),
+          expr("ss * 1000000 DIV (7 * n_events * n_events)")
+            .as("chi2_over_n_fp"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -519,5 +548,24 @@ object EventAnalyticsOps extends OpGroup {
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
          |       CAST(sum(ne) AS BIGINT) AS n_events
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // identical (epoch_day + 4) % 7 day index and χ²/n integer form
+    "weekday_seasonality_profile" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY event_type, dow),
+        |t AS (SELECT event_type, sum(o) AS n, max(o) AS mx
+        |      FROM c GROUP BY event_type)
+        |SELECT c.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(max(t.n) AS BIGINT) AS n_events,
+        |       CAST(min(CASE WHEN c.o = t.mx THEN c.dow END) AS BIGINT)
+        |         AS peak_dow,
+        |       CAST(sum((7 * c.o - t.n) * (7 * c.o - t.n)) * 1000000
+        |         // (7 * max(t.n) * max(t.n)) AS BIGINT) AS chi2_over_n_fp
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY c.event_type ORDER BY event_type""".stripMargin,
   )
 }

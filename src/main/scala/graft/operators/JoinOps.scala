@@ -163,6 +163,38 @@ object JoinOps extends OpGroup {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("y")
     }),
+
+    // J10 — order→ship latency distribution per priority class: the
+    // SLA report a fulfilment warehouse runs nightly. Lag is exact
+    // integer DAYS (both engines truncate the timestamp to its date
+    // first — no hour-boundary convention exposed); the median is
+    // rank-defined per priority over a TOTAL order (lag, orderkey,
+    // linenumber, partkey, suppkey — (orderkey, linenumber) alone is
+    // NOT unique in this fixture, the §12 trap). Priorities are 5
+    // values over the whole fact table — GlobalRank's low-cardinality
+    // case; the join itself is the plain o↔l equi-join AQE handles.
+    "ship_latency_by_priority" -> ((s, d) => {
+      val f = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("p"),
+          col("o_orderdate"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("p"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("lag_days"),
+          col("o_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+      val ranked = graft.functions.GlobalRank.rowNumber(f, "rn", Seq("p"),
+        Seq("lag_days", "o_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+      val cnts = f.groupBy("p").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(cnts), "p")
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_lines"),
+          min(when(col("rn") === ceil(col("n") * 0.5), col("lag_days")))
+            .as("median_days"),
+          min("lag_days").as("min_days"), max("lag_days").as("max_days"))
+        .orderBy("p")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -233,5 +265,26 @@ object JoinOps extends OpGroup {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.p_user AND p.p_ts <= c.ts_us
         |ORDER BY c.event_id""".stripMargin,
+
+    // identical date-truncated day lag and rank-defined median; the
+    // rank's tie chain extends to (partkey, suppkey) — §12 uniqueness
+    "ship_latency_by_priority" ->
+      """WITH f AS (
+        |  SELECT o.o_orderpriority AS p,
+        |         datediff('day', o.o_orderdate, l.l_shipdate) AS lag_days,
+        |         o.o_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |r AS (
+        |  SELECT p, lag_days,
+        |         row_number() OVER (PARTITION BY p ORDER BY lag_days,
+        |           o_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn,
+        |         count(*) OVER (PARTITION BY p) AS n
+        |  FROM f)
+        |SELECT p, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(min(CASE WHEN rn = ceil(n * 0.5) THEN lag_days END)
+        |         AS BIGINT) AS median_days,
+        |       CAST(min(lag_days) AS BIGINT) AS min_days,
+        |       CAST(max(lag_days) AS BIGINT) AS max_days
+        |FROM r GROUP BY p ORDER BY p""".stripMargin,
   )
 }

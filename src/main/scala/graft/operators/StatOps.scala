@@ -190,6 +190,30 @@ object StatOps extends OpGroup {
                  * 1000000) AS BIGINT)""").as("cv2_fp"))
         .orderBy("event_type")
     }),
+
+    // X7 — Benford first-digit audit of the monetary measure: observed
+    // first-digit shares of the integer cents next to the Benford
+    // expectation log10(1+1/d) — the fraud/synthetic-data smell test.
+    // The first digit comes from the DECIMAL STRING of the exact cents
+    // (no float log10 on the data path); shares are 1e-6 integer
+    // divisions; the expectation column is a 9-row constant expression
+    // (ln on small exact rationals — dsir precedent). One digit-keyed
+    // aggregate + one single-row broadcast total.
+    "benford_first_digit_audit" -> ((s, d) => {
+      val ct = Tables.events(s, d)
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .filter(col("cents") > 0)
+        .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+          .as("d1"))
+        .groupBy("d1").agg(count(lit(1)).as("n_values"))
+      val t = ct.agg(sum("n_values").as("n"))
+      ct.crossJoin(broadcast(t))
+        .select(col("d1"), col("n_values"),
+          expr("n_values * 1000000 DIV n").as("share_fp"),
+          expr("CAST(FLOOR(ln(1.0 + 1.0 / d1) / ln(10.0) * 1000000) AS BIGINT)")
+            .as("benford_fp"))
+        .orderBy("d1")
+    }),
   )
 
   // Not `private`: Catalyst's generated (de)serializer projections live
@@ -317,5 +341,20 @@ object StatOps extends OpGroup {
         |         / CAST(sx AS DOUBLE) / CAST(sx AS DOUBLE) - 1.0)
         |         * 1000000) AS BIGINT) AS cv2_fp
         |FROM m ORDER BY event_type""".stripMargin,
+
+    // identical string-derived first digit and expectation expression
+    "benford_first_digit_audit" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS d1
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |        FROM events) WHERE cents > 0),
+        |ct AS (SELECT d1, CAST(count(*) AS BIGINT) AS n_values
+        |       FROM dg GROUP BY d1),
+        |t AS (SELECT sum(n_values) AS n FROM ct)
+        |SELECT d1, n_values,
+        |       CAST(n_values * 1000000 // n AS BIGINT) AS share_fp,
+        |       CAST(FLOOR(ln(1.0 + 1.0 / d1) / ln(10.0) * 1000000)
+        |         AS BIGINT) AS benford_fp
+        |FROM ct CROSS JOIN t ORDER BY d1""".stripMargin,
   )
 }

@@ -99,4 +99,35 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.length === want.length)
     got.zip(want).foreach { case (g, w0) => assert(g === w0) }
   }
+
+  test("ship_latency_by_priority: rank-defined median replays; lines partition") {
+    val rows = operators.JoinOps
+      .queries("ship_latency_by_priority")(spark, sf()).collect()
+    val od = Tables.orders(spark, sf())
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(to_date(o_orderdate) AS STRING) AS od").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val lags = Tables.lineitem(spark, sf())
+      .selectExpr("l_orderkey", "CAST(to_date(l_shipdate) AS STRING) AS sd")
+      .collect()
+      .map { r =>
+        val (p, odate) = od(r.getLong(0))
+        val days = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(odate),
+          java.time.LocalDate.parse(r.getString(1)))
+        (p, days)
+      }
+    val byP = lags.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byP.keySet)
+    assert(rows.map(_.getLong(1)).sum === lags.length.toLong,
+      "every line counted exactly once")
+    rows.foreach { r =>
+      val ds = byP(r.getString(0)).map(_._2).sorted
+      assert(r.getLong(1) === ds.length.toLong)
+      // median value at rank ceil(n/2) is tie-insensitive
+      assert(r.getLong(2) === ds(math.ceil(ds.length * 0.5).toInt - 1),
+        s"median for ${r.getString(0)}")
+      assert(r.getLong(3) === ds.min && r.getLong(4) === ds.max)
+    }
+  }
 }

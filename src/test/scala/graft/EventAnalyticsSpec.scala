@@ -227,4 +227,27 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(r.getLong(2) === ne, s"events in bucket ${r.getLong(0)}")
     }
   }
+
+  test("weekday_seasonality_profile: engine-free day index; χ²/n replays") {
+    val rows = run("weekday_seasonality_profile")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getString(0), (r.getLong(1) / 86400000000L + 4) % 7))
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val counts = byType(r.getString(0)).groupBy(_._2)
+        .map { case (dw, xs) => dw -> xs.length.toLong }
+      val n = counts.values.sum
+      assert(r.getLong(1) === counts.size.toLong, "distinct weekdays")
+      assert(r.getLong(2) === n)
+      val mx = counts.values.max
+      assert(r.getLong(3) === counts.collect {
+        case (dw, c) if c == mx => dw
+      }.min, "peak day = min dow among maxima")
+      val ss = counts.values.map(o => (7 * o - n) * (7 * o - n)).sum
+      assert(r.getLong(4) === ss * 1000000L / (7 * n * n), "χ²/n replay")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 6)
+    }
+  }
 }

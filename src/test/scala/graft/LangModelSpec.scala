@@ -247,6 +247,29 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("benford_first_digit_audit: digits partition positive values; replay exact") {
+    val rows = runS("benford_first_digit_audit")
+    val cents = Tables.events(spark, sf())
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS c").collect()
+      .map(_.getLong(0)).filter(_ > 0)
+    val counts = cents.groupBy(c => c.toString.head.asDigit.toLong)
+      .map { case (dg, xs) => dg -> xs.length.toLong }
+    val n = cents.length.toLong
+    assert(rows.map(_.getLong(0)).toSet === counts.keySet)
+    assert(rows.map(_.getLong(1)).sum === n,
+      "digit counts partition the positive values")
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(d >= 1 && d <= 9)
+      assert(r.getLong(1) === counts(d))
+      assert(r.getLong(2) === counts(d) * 1000000L / n)
+      assert(r.getLong(3) ===
+        math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1000000).toLong)
+    }
+    // Benford expectations are a fixed distribution summing to ~1
+    assert(math.abs(rows.map(_.getLong(3)).sum - 1000000L) < 10L)
+  }
+
   test("rolling_zscore_outliers only flags |z| >= 2 on full windows") {
     val rows = runS("rolling_zscore_outliers")
     assert(rows.nonEmpty, "planted variance yields at least one outlier")
