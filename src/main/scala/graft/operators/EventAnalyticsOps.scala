@@ -298,6 +298,81 @@ object EventAnalyticsOps extends OpGroup {
         .orderBy("bucket")
     }),
 
+    // V11 — Gini coefficient of per-user revenue (the inequality summary
+    // behind V8's Pareto cut): G = (2·Σ rank·m − (n+1)·Σm) / (n·Σm) over
+    // the (m ASC, user_id) total order — rank-defined, so ties resolve
+    // identically in both engines. Σ rank·m runs in DECIMAL(38,0)
+    // (rank·cents passes int64 once n·m̄ nears 1e18; HUGEINT twin on the
+    // oracle side); the numerator is non-negative by the Chebyshev sum
+    // inequality, so toward-zero DIV and floor // agree. One per-user
+    // aggregate + one GlobalRank (users = one huge unpartitioned rank
+    // domain — the single-partition window trap) + a single-row summary.
+    "gini_revenue_inequality" -> ((s, d) => {
+      val u = Tables.events(s, d).groupBy("user_id").agg(
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("m"))
+      val n = u.count() // driver-measured scalar (GlobalRank pattern)
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        u, "rn", Nil, Seq("m", "user_id"))
+      ranked.agg(
+          count(lit(1)).as("n_users"),
+          sum("m").as("total_cents"),
+          sum(expr("CAST(rn AS DECIMAL(38,0)) * m")).as("s1"))
+        .select(col("n_users"), col("total_cents"),
+          expr(s"""CAST((2 * s1 - (${n}L + 1) * CAST(total_cents AS DECIMAL(38,0)))
+                 * 1000000 DIV (${n}L * CAST(total_cents AS DECIMAL(38,0)))
+                 AS BIGINT)""").as("gini_fp"))
+    }),
+
+    // V12 — inactivity churn by acquisition channel: a user is churned
+    // at the log horizon (max ts, measured once driver-side — the
+    // GlobalRank scalar pattern) if their last event is >14 days older.
+    // Channel = the user's first event type (V7's entry definition, one
+    // per-user window); everything else is exact integer µs and one
+    // combinable per-channel aggregate; rate = 1e-6 integer division.
+    "churn_inactivity_by_entry" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      val horizon = ev.agg(max("us")).first().getLong(0)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val entry = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("entry"))
+      val last = ev.groupBy("user_id").agg(max("us").as("last_us"))
+      entry.join(last, "user_id")
+        .groupBy("entry")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(lit(horizon) - col("last_us") > lit(14L * 86400000000L),
+            1L).otherwise(0L)).as("n_churned"))
+        .select(col("entry"), col("n_users"), col("n_churned"),
+          expr("n_churned * 1000000 DIV n_users").as("churn_rate_fp"))
+        .orderBy("entry")
+    }),
+
+    // V13 — next-event prediction table: per type, the top-3 successor
+    // types by transition count ((c DESC, successor) tiebreak) with a
+    // 1e-6 transition probability — the Markov table R3's PageRank and
+    // V5's entropy both read. The ranked table is |types|²-bounded (an
+    // enum squared), so the row_number window runs over a broadcast-size
+    // AGGREGATE, never the event stream; the transition build itself is
+    // the shared one-shuffle per-user lead chain.
+    "markov_next_event_topk" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq0 = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val tc = seq0.groupBy("event_type", "nxt").agg(count(lit(1)).as("c"))
+      val tt = tc.groupBy("event_type").agg(sum("c").as("tot"))
+      val rw = Window.partitionBy("event_type").orderBy(col("c").desc, col("nxt"))
+      tc.withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 3)
+        .join(broadcast(tt), "event_type")
+        .select(col("event_type"), col("rk").cast("long").as("rk"),
+          col("nxt"), col("c"),
+          expr("c * 1000000 DIV tot").as("p_fp"))
+        .orderBy("event_type", "rk")
+    }),
+
     // V10 — weekday seasonality per event type: day-of-week counts
     // collapsed to peak day + a χ²/n uniformity score. Day-of-week is
     // ENGINE-INDEPENDENT integer math — (epoch_day + 4) % 7, Monday=0
@@ -548,6 +623,66 @@ object EventAnalyticsOps extends OpGroup {
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
          |       CAST(sum(ne) AS BIGINT) AS n_events
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // identical (m ASC, user_id) rank, HUGEINT Σrank·m, floor division
+    "gini_revenue_inequality" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, user_id) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(m) AS BIGINT) AS total_cents,
+        |       CAST((2 * sum(CAST(rn AS HUGEINT) * m)
+        |              - (max(n) + 1) * sum(m)) * 1000000
+        |         // (max(n) * sum(m)) AS BIGINT) AS gini_fp
+        |FROM r""".stripMargin,
+
+    // identical first-event channel, µs horizon, 1e-6 rate division
+    "churn_inactivity_by_entry" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |h AS (SELECT max(us) AS horizon FROM ev),
+         |fe AS (
+         |  SELECT user_id, event_type AS entry FROM (
+         |    SELECT user_id, event_type,
+         |           row_number() OVER (PARTITION BY user_id
+         |             ORDER BY ts, event_id) AS rn
+         |    FROM ev) WHERE rn = 1),
+         |last AS (SELECT user_id, max(us) AS last_us FROM ev GROUP BY user_id)
+         |SELECT entry, CAST(count(*) AS BIGINT) AS n_users,
+         |       CAST(sum(CASE WHEN h.horizon - last_us > ${14L * 86400000000L}
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+         |       CAST(sum(CASE WHEN h.horizon - last_us > ${14L * 86400000000L}
+         |                     THEN 1 ELSE 0 END) * 1000000
+         |         // count(*) AS BIGINT) AS churn_rate_fp
+         |FROM fe JOIN last USING (user_id) CROSS JOIN h
+         |GROUP BY entry ORDER BY entry""".stripMargin,
+
+    // identical lead chain, (c DESC, nxt) rank, 1e-6 probability
+    "markov_next_event_topk" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |tc AS (SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
+        |       FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+        |tt AS (SELECT event_type, sum(c) AS tot FROM tc GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, nxt, c,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY c DESC, nxt) AS rk
+        |  FROM tc)
+        |SELECT r.event_type, CAST(r.rk AS BIGINT) AS rk, r.nxt, r.c,
+        |       CAST(r.c * 1000000 // tt.tot AS BIGINT) AS p_fp
+        |FROM r JOIN tt USING (event_type)
+        |WHERE r.rk <= 3
+        |ORDER BY r.event_type, r.rk""".stripMargin,
 
     // identical (epoch_day + 4) % 7 day index and χ²/n integer form
     "weekday_seasonality_profile" ->

@@ -372,6 +372,42 @@ object LangModelOps extends OpGroup {
           expr("n_hapax * 1000000 DIV n_types").as("hapax_share_fp"))
         .orderBy("source")
     }),
+
+    // M9 — Zipf rank–frequency fit over the token unigram table: OLS
+    // slope of ln(freq) on ln(rank) for the top-1000 tokens — the
+    // one-number "is this corpus natural language?" check (Zipfian text
+    // slopes near −1; templated or synthetic text flattens or cliffs).
+    // Rank is GlobalRank-defined over (freq DESC, w) — the vocabulary is
+    // one global rank domain (single-partition window trap). Each
+    // regressor is FLOOR-truncated 1e-6 fixed-point of ln() over exact
+    // int64 (dsir precedent); the four moment sums stay int64
+    // (x_fp·y_fp ≤ ~2e14 per row × 1000 rows); the final normal-equation
+    // combination lifts to DECIMAL(38,0)/HUGEINT (n·Σxy ≈ 1e20 passes
+    // int64). Zipf slope is negative, so the output is NEGATED — both
+    // engines truncate the positive quotient identically (toward-zero
+    // DIV = floor //).
+    "zipf_rank_frequency" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        wc.withColumn("neg_f", -col("freq")), "rn", Nil, Seq("neg_f", "w"))
+      val pts = ranked.filter(col("rn") <= 1000)
+        .select(col("freq"),
+          expr("CAST(FLOOR(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("x"),
+          expr("CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("y"))
+      pts.agg(count(lit(1)).as("n_points"), sum("freq").as("top_freq"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select(col("n_points"), col("top_freq"),
+          expr("""CAST((CAST(sx AS DECIMAL(38,0)) * sy
+                   - CAST(n_points AS DECIMAL(38,0)) * sxy) * 1000000
+                 DIV (CAST(n_points AS DECIMAL(38,0)) * sxx
+                   - CAST(sx AS DECIMAL(38,0)) * sx)
+                 AS BIGINT)""").as("zipf_slope_neg_fp"))
+    }),
   )
 
   /** Shared DuckDB CTE prefix for the BPE pipeline oracles: re-mine the
@@ -593,5 +629,28 @@ object LangModelOps extends OpGroup {
         |       CAST(count(*) FILTER (WHERE c = 1) * 1000000 // count(*)
         |         AS BIGINT) AS hapax_share_fp
         |FROM sw GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical (freq DESC, w) rank, identical FLOOR(ln·1e6) regressors,
+    // HUGEINT normal equations, negated positive quotient
+    "zipf_rank_frequency" ->
+      """WITH wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |r AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rn
+        |  FROM wc),
+        |pts AS (
+        |  SELECT freq,
+        |         CAST(FLOOR(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |         CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM r WHERE rn <= 1000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |       CAST(sum(freq) AS BIGINT) AS top_freq,
+        |       CAST((sum(x) * sum(y) - count(*) * sum(CAST(x AS HUGEINT) * y))
+        |              * 1000000
+        |         // (count(*) * sum(CAST(x AS HUGEINT) * x)
+        |              - sum(x) * sum(x)) AS BIGINT) AS zipf_slope_neg_fp
+        |FROM pts""".stripMargin,
   )
 }

@@ -214,6 +214,35 @@ object StatOps extends OpGroup {
             .as("benford_fp"))
         .orderBy("d1")
     }),
+
+    // X8 — supplier market concentration per nation (Herfindahl index in
+    // basis points): HHI = Σᵢ shareᵢ² over each nation's suppliers,
+    // share = supplier revenue / nation revenue. Revenue follows the
+    // flagship exact-decimal form (each item's double rounded ONCE to
+    // DECIMAL(18,6), then exact sums), lifted to integer 1e-6 currency
+    // units; squares and the S² divisor run in DECIMAL(38,0) (HUGEINT on
+    // the oracle side — mᵢ² ≈ 1e24 at a 1e12 market, far past int64).
+    // Shape: fact shuffles once on (nationkey, suppkey) after a
+    // broadcast dim join; the per-nation fold is supplier-cardinality
+    // sized; nation names join broadcast. HHI_bp ≤ 10000 by definition.
+    "hhi_supplier_concentration" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val bySup = li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(graft.Det.decSum(col("rev")).as("m"))
+        .select(col("s_nationkey"),
+          expr("CAST(m * 1000000 AS DECIMAL(38,0))").as("mfp"))
+      bySup.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(expr("mfp * mfp")).as("q"), sum("mfp").as("s"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_suppliers"),
+          expr("CAST(q * 10000 DIV (s * s) AS BIGINT)").as("hhi_bp"))
+        .orderBy("n_name")
+    }),
   )
 
   // Not `private`: Catalyst's generated (de)serializer projections live
@@ -356,5 +385,22 @@ object StatOps extends OpGroup {
         |       CAST(FLOOR(ln(1.0 + 1.0 / d1) / ln(10.0) * 1000000)
         |         AS BIGINT) AS benford_fp
         |FROM ct CROSS JOIN t ORDER BY d1""".stripMargin,
+
+    // identical DECIMAL(18,6) revenue, 1e-6 integer lift, HUGEINT Σm²
+    "hhi_supplier_concentration" ->
+      """WITH by_sup AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,6))) * 1000000 AS HUGEINT) AS mfp
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, s_suppkey),
+        |by_nat AS (
+        |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |         sum(mfp * mfp) AS q, sum(mfp) AS s
+        |  FROM by_sup GROUP BY s_nationkey)
+        |SELECT n_name, n_suppliers,
+        |       CAST(q * 10000 // (s * s) AS BIGINT) AS hhi_bp
+        |FROM by_nat JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
   )
 }

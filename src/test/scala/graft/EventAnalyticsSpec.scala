@@ -228,6 +228,78 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("gini_revenue_inequality replays the exact rank formula; 0 <= G < 1") {
+    val Array(r) = run("gini_revenue_inequality")
+    val m = Tables.events(spark, sf())
+      .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).sum) }.toArray
+    val n = m.length
+    val sorted = m.sortBy { case (u, v) => (v, u) }
+    val s0 = sorted.map(x => BigInt(x._2)).sum
+    val s1 = sorted.zipWithIndex
+      .map { case ((_, v), i) => BigInt(i + 1) * v }.sum
+    val gini = (2 * s1 - (BigInt(n) + 1) * s0) * 1000000 / (BigInt(n) * s0)
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === s0.toLong)
+    assert(r.getLong(2) === gini.toLong, "Gini fixed-point replay")
+    assert(gini >= 0 && gini < 1000000,
+      "Gini of a non-degenerate distribution sits in [0, 1)")
+  }
+
+  test("churn_inactivity_by_entry: users partition; horizon rule replays") {
+    val rows = run("churn_inactivity_by_entry")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val horizon = ev.map(_._3).max
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.minBy(e => (e._3, e._4))._2, es.map(_._3).max)
+    }.toSeq
+    val byEntry = users.groupBy(_._2)
+    assert(rows.map(_.getString(0)).toSet === byEntry.keySet)
+    assert(rows.map(_.getLong(1)).sum === users.length.toLong,
+      "channel rows partition the user base")
+    rows.foreach { r =>
+      val us = byEntry(r.getString(0))
+      val churned =
+        us.count(u => horizon - u._3 > 14L * 86400000000L).toLong
+      assert(r.getLong(1) === us.length.toLong)
+      assert(r.getLong(2) === churned, s"churned for ${r.getString(0)}")
+      assert(r.getLong(3) === churned * 1000000L / us.length)
+    }
+  }
+
+  test("markov_next_event_topk: exactly the top-3 by (c DESC, nxt); p exact") {
+    val rows = run("markov_next_event_topk")
+    val seq = Tables.events(spark, sf())
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = seq.groupBy(_._1).values.flatMap { es =>
+      val o = es.sortBy(e => (e._2, e._3)).map(_._4)
+      o.zip(o.drop(1))
+    }.toSeq
+    val cells = trans.groupBy(identity)
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val byType = cells.groupBy(_._1._1)
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val tot = byType(t).values.sum
+      val exp = byType(t).toSeq.map { case ((_, nxt), c) => (nxt, c) }
+        .sortBy { case (nxt, c) => (-c, nxt) }.take(3)
+      val got = rs.sortBy(_.getLong(1))
+      assert(got.map(_.getLong(1)).toSeq === (1L to exp.length).toSeq,
+        s"dense ranks for $t")
+      got.zip(exp).foreach { case (r, (nxt, c)) =>
+        assert(r.getString(2) === nxt, s"successor order for $t")
+        assert(r.getLong(3) === c)
+        assert(r.getLong(4) === c * 1000000L / tot, s"probability for $t")
+      }
+    }
+  }
+
   test("weekday_seasonality_profile: engine-free day index; χ²/n replays") {
     val rows = run("weekday_seasonality_profile")
     val ev = Tables.events(spark, sf())

@@ -270,6 +270,45 @@ class LangModelSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getLong(3)).sum - 1000000L) < 10L)
   }
 
+  test("zipf_rank_frequency: exact moment replay; slope strictly negative") {
+    val Array(r) = runL("zipf_rank_frequency")
+    val freqs = Tables.documents(spark, sf())
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+    val top = freqs.toSeq.sortBy { case (w, f) => (-f, w) }.take(1000)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1000000).toLong,
+        math.floor(math.log(f.toDouble) * 1000000).toLong)
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val slopeNeg = (sx * sy - n * sxy) * 1000000 / (n * sxx - sx * sx)
+    assert(r.getLong(0) === pts.length.toLong)
+    assert(r.getLong(1) === top.map(t => BigInt(t._2)).sum.toLong)
+    assert(r.getLong(2) === slopeNeg.toLong, "normal-equation replay")
+    assert(r.getLong(2) > 0, "Zipfian text slopes negative (negated > 0)")
+  }
+
+  test("hhi_supplier_concentration: bounds and single-supplier degenerate case") {
+    val rows = runS("hhi_supplier_concentration")
+    // every nation with a supplier that shipped something appears once
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      val ns = r.getLong(1)
+      val hhi = r.getLong(2)
+      // HHI is bounded below by the uniform allocation 10^4/n and above
+      // by the single-supplier monopoly 10^4 (integer floor may shave
+      // at most 1 off the lower bound)
+      assert(hhi <= 10000L, s"HHI above monopoly for ${r.getString(0)}")
+      assert(hhi >= 10000L / ns - 1, s"HHI below uniform for ${r.getString(0)}")
+      if (ns == 1) assert(hhi === 10000L, "monopoly nation scores exactly 10^4")
+    }
+  }
+
   test("rolling_zscore_outliers only flags |z| >= 2 on full windows") {
     val rows = runS("rolling_zscore_outliers")
     assert(rows.nonEmpty, "planted variance yields at least one outlier")
