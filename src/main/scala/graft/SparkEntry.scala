@@ -34,6 +34,7 @@ object SparkEntry {
     operators.LangModelOps,
     operators.StatOps,
     operators.CorpusDedupOps,
+    operators.QualityOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,285 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse- and corpus-quality analytics (round-9 widening, SURVEY §2
+  * rows Q1-Q4): a declarative data-quality scorecard (the Deequ/dbt-test
+  * shape — constraint verification as ONE pass of conditional aggregates,
+  * not one job per rule), association mining over co-ordered brands
+  * (market-basket lift), temperature-balanced corpus mixture weights (the
+  * multilingual sampling scheme of the mT5/XLM-R line), and a Heaps-law
+  * vocabulary growth curve (tokenizer budget planning).
+  *
+  * Determinism & scale design:
+  *   - Every score is exact-integer: violation counts are conditional
+  *     int64 sums; shares/weights/lifts are 1e-6 fixed-point integer
+  *     divisions; products that pass int64 near corpus scale are lifted
+  *     to DECIMAL(38,0) (HUGEINT on the oracle side) BEFORE multiplying.
+  *   - The DQ scorecard folds all per-table rules into ONE conditional
+  *     aggregate per fact table (`stack` unpivots the single row), so the
+  *     rule count doesn't multiply fact scans; referential integrity is
+  *     the one extra anti-join pass.
+  *   - Basket pairs explode per-order DISTINCT brands — an enum² bound
+  *     (≤ |brands|²/2 per order), never line² — then aggregate to the
+  *     |brands|²-bounded pair table; lift denominators join broadcast.
+  *   - The exp(τ·ln n) mixture weight is fixed-pointed PER SOURCE before
+  *     the normalizing sum, so the normalization is an associative
+  *     integer sum (any partial-agg layout matches the oracle).
+  */
+object QualityOps extends OpGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 — data-quality rule scorecard: six declarative constraints over
+    // the order facts (range checks, domain check, null check, RI) with
+    // checked/violation counts and a 1e-6 pass rate — the audit table a
+    // warehouse publishes next to its loads. All row-level rules for a
+    // table fold into ONE conditional aggregate (stack unpivots the
+    // single row → one scan per fact regardless of rule count);
+    // referential integrity adds one anti-join. The rule table is
+    // rule-cardinality-sized — driver-safe by construction.
+    "dq_rule_scorecard" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ords = Tables.orders(s, d)
+      val liAgg = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("v_disc"),
+        sum(when(col("l_tax") > 0.08, 1L).otherwise(0L)).as("v_tax"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"))
+      val oAgg = ords.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+          .as("v_status"))
+      val liRules = liAgg.select(
+        expr("""stack(4,
+          'lineitem.quantity_in_1_50', v_qty,
+          'lineitem.discount_le_0.05', v_disc,
+          'lineitem.tax_le_0.08', v_tax,
+          'lineitem.shipdate_not_null', v_ship) AS (rule, n_violations)"""),
+        col("n").as("n_checked"))
+      val oRules = oAgg.select(
+        expr("""stack(2,
+          'orders.totalprice_positive', v_price,
+          'orders.status_in_O_F', v_status) AS (rule, n_violations)"""),
+        col("n").as("n_checked"))
+      val ri = li.select("l_orderkey")
+        .join(ords.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem.orderkey_in_orders").as("rule"),
+          col("n_violations"))
+        .crossJoin(liAgg.select(col("n").as("n_checked")))
+      liRules.select("rule", "n_checked", "n_violations")
+        .union(oRules.select("rule", "n_checked", "n_violations"))
+        .union(ri.select("rule", "n_checked", "n_violations"))
+        .select(col("rule"), col("n_checked"), col("n_violations"),
+          expr("(n_checked - n_violations) * 1000000 DIV n_checked")
+            .as("pass_rate_fp"))
+        .orderBy("rule")
+    }),
+
+    // Q2 — market-basket affinity: top-20 brand pairs by lift =
+    // P(b1,b2)/(P(b1)·P(b2)) over co-ordered DISTINCT brands. The pair
+    // explode is per-order distinct brands — bounded by an enum² (≤
+    // C(|brands|,2) per order), never lines² — and collapses to the
+    // |brands|²-bounded pair table; per-brand order counts broadcast
+    // back. lift_fp = c·N·1e6/(n1·n2) runs in DECIMAL(38,0)/HUGEINT
+    // (c·N ≈ 1e19 at warehouse scale passes int64 before the 1e6 lift);
+    // N is the driver-measured order count (GlobalRank scalar pattern).
+    "market_basket_affinity" -> ((s, d) => {
+      val part = Tables.part(s, d).select("p_partkey", "p_brand")
+      val ol = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val nOrders = ol.select("ok").distinct().count() // measured scalar
+      val nb = ol.groupBy("b").agg(count(lit(1)).as("nb"))
+      val pairs = ol.as("x")
+        .join(ol.as("y"),
+          col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .join(broadcast(nb.select(col("b").as("b1"), col("nb").as("n1"))), "b1")
+        .join(broadcast(nb.select(col("b").as("b2"), col("nb").as("n2"))), "b2")
+        .select(col("b1"), col("b2"), col("c"),
+          expr(s"""CAST(CAST(c AS DECIMAL(38,0)) * ${nOrders}L * 1000000
+                 DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""")
+            .as("lift_fp"))
+        .orderBy(col("lift_fp").desc, col("b1"), col("b2")).limit(20)
+    }),
+
+    // Q3 — temperature-balanced corpus mixture weights (τ = 0.7): the
+    // multilingual sampling scheme q_i ∝ p_i^τ that up-weights tail
+    // sources when drawing training batches. The per-source weight
+    // exp(τ·ln mass) is FLOOR-truncated to 1e-6 fixed-point BEFORE the
+    // normalizing sum (integer — associative, any partial-agg layout
+    // matches; the dsir ln-precedent), so no float sum-order leaks.
+    // Shares run DECIMAL(38,0)/HUGEINT (mass·1e6 ≈ 1e19 at 100 TB).
+    // One map-side per-source aggregate + one single-row broadcast.
+    "mixture_temperature_weights" -> ((s, d) => {
+      val src = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("mass"))
+        .withColumn("w_fp",
+          expr("""CAST(FLOOR(exp(0.7 * ln(CAST(mass AS DOUBLE))) * 1000000)
+                 AS BIGINT)"""))
+      val tot = src.agg(sum("mass").as("tot_mass"), sum("w_fp").as("tot_w"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("mass"),
+          expr("""CAST(CAST(mass AS DECIMAL(38,0)) * 1000000
+                 DIV tot_mass AS BIGINT)""").as("raw_share_fp"),
+          expr("""CAST(CAST(w_fp AS DECIMAL(38,0)) * 1000000
+                 DIV tot_w AS BIGINT)""").as("temp_weight_fp"))
+        .orderBy("source")
+    }),
+
+    // Q4 — Heaps-law vocabulary growth: cumulative distinct 3-token
+    // shingle count after each decile of the corpus (docs ordered by
+    // doc_id) — the V(n) curve a dedup index or tokenizer budget is
+    // planned against. Shingles (not unigrams) because an n-gram space
+    // keeps growing where a closed word list saturates — the same
+    // 3-token windows the decontamination index keys on. Each shingle
+    // collapses to its FIRST document (min doc_id — one map-side
+    // combinable agg over the distinct (doc, shingle) stream); the doc
+    // order rank comes from GlobalRank (docs = one global rank domain);
+    // decile = ceil(10·rank/nd) with nd the measured count. The running
+    // vocab total is a window over the ≤10-row decile aggregate
+    // (bm25-class benign partition-less window: it runs AFTER the
+    // reduction, never on the corpus).
+    "heaps_law_vocab_growth" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nd = docs.count() // driver-measured scalar (GlobalRank pattern)
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        docs.select("doc_id"), "dr", Nil, Seq("doc_id"))
+      val fo = docs
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(1, n - 2),
+            |  i -> concat_ws(' ', slice(ws, i, 3)))""".stripMargin))).as("w"))
+        .groupBy("w").agg(min("doc_id").as("fdoc"))
+      val fr = fo.join(ranked.withColumnRenamed("doc_id", "fdoc"), "fdoc")
+      val perDecile = fr
+        .select(expr(s"CAST(ceil(dr * 10.0 / ${nd}L) AS BIGINT)").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_words"))
+      val w10 = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDecile
+        .withColumn("vocab_size", sum("new_words").over(w10))
+        .select(col("decile"),
+          expr(s"${nd}L * decile DIV 10").as("n_docs_prefix"),
+          col("new_words"), col("vocab_size"))
+        .orderBy("decile")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // identical conditional counts, identical rule labels, 1e-6 pass rate
+    "dq_rule_scorecard" ->
+      """WITH li AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_tax > 0.08 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_tax,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_ship
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_status
+        |  FROM orders),
+        |ri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |rules AS (
+        |  SELECT 'lineitem.quantity_in_1_50' AS rule, n AS n_checked,
+        |         v_qty AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem.discount_le_0.05', n, v_disc FROM li
+        |  UNION ALL SELECT 'lineitem.tax_le_0.08', n, v_tax FROM li
+        |  UNION ALL SELECT 'lineitem.shipdate_not_null', n, v_ship FROM li
+        |  UNION ALL SELECT 'orders.totalprice_positive', n, v_price FROM o
+        |  UNION ALL SELECT 'orders.status_in_O_F', n, v_status FROM o
+        |  UNION ALL SELECT 'lineitem.orderkey_in_orders', li.n, ri.v
+        |    FROM li CROSS JOIN ri)
+        |SELECT rule, n_checked, n_violations,
+        |       CAST((n_checked - n_violations) * 1000000 // n_checked
+        |         AS BIGINT) AS pass_rate_fp
+        |FROM rules ORDER BY rule""".stripMargin,
+
+    // identical distinct co-order pairs, HUGEINT lift, same tiebreak
+    "market_basket_affinity" ->
+      """WITH ol AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ol),
+        |nb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM ol GROUP BY b),
+        |pairs AS (
+        |  SELECT x.b AS b1, y.b AS b2, CAST(count(*) AS BIGINT) AS c
+        |  FROM ol x JOIN ol y ON x.ok = y.ok AND x.b < y.b
+        |  GROUP BY x.b, y.b)
+        |SELECT b1, b2, c,
+        |       CAST(CAST(c AS HUGEINT) * n.n_orders * 1000000
+        |         // (CAST(n1.nb AS HUGEINT) * n2.nb) AS BIGINT) AS lift_fp
+        |FROM pairs
+        |JOIN nb n1 ON n1.b = pairs.b1
+        |JOIN nb n2 ON n2.b = pairs.b2
+        |CROSS JOIN n
+        |ORDER BY lift_fp DESC, b1, b2 LIMIT 20""".stripMargin,
+
+    // identical per-source FLOOR(exp(0.7·ln)·1e6) weight, integer sums
+    "mixture_temperature_weights" ->
+      """WITH src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS mass,
+        |         CAST(FLOOR(exp(0.7 * ln(CAST(sum(n_chars) AS DOUBLE)))
+        |           * 1000000) AS BIGINT) AS w_fp
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(mass) AS tot_mass, sum(w_fp) AS tot_w FROM src)
+        |SELECT source, n_docs, mass,
+        |       CAST(CAST(mass AS HUGEINT) * 1000000 // tot_mass AS BIGINT)
+        |         AS raw_share_fp,
+        |       CAST(CAST(w_fp AS HUGEINT) * 1000000 // tot_w AS BIGINT)
+        |         AS temp_weight_fp
+        |FROM src CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // identical doc_id rank, 3-token shingles, first-doc collapse,
+    // decile cut and prefix sum
+    "heaps_law_vocab_growth" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS dr
+        |  FROM documents),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |fo AS (
+        |  SELECT w, min(doc_id) AS fdoc FROM (
+        |    SELECT DISTINCT doc_id,
+        |           array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+        |             AS w
+        |    FROM toks
+        |    CROSS JOIN range(1, 4096) r(i) WHERE i + 2 <= len(t))
+        |  GROUP BY w),
+        |fr AS (SELECT w, dr FROM fo JOIN ranked ON fdoc = doc_id),
+        |pd AS (
+        |  SELECT CAST(ceil(dr * 10.0 / nd.nd) AS BIGINT) AS decile,
+        |         CAST(count(*) AS BIGINT) AS new_words
+        |  FROM fr CROSS JOIN nd GROUP BY 1)
+        |SELECT decile,
+        |       CAST(nd.nd * decile // 10 AS BIGINT) AS n_docs_prefix,
+        |       new_words,
+        |       CAST(sum(new_words) OVER (ORDER BY decile
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        |FROM pd CROSS JOIN nd ORDER BY decile""".stripMargin,
+  )
+}
