@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   *   - `count_summary`, `cooc_triangle_count` — many SinglePartition:
   *     terminal stitches of single-row scalar aggregates (the summary
   *     row / the n_edges × n_triangles product), not mid-plan funnels.
+  *   - `dq_rule_scorecard` (r9) — many SinglePartition: the same
+  *     scalar-stitch class — each branch is a whole-table conditional
+  *     aggregate already reduced to ONE row before the union.
+  *   - `heaps_law_vocab_growth` (r9) — partition-less Window: the
+  *     running vocab total runs AFTER the decile groupBy has reduced
+  *     the stream to ≤10 rows by construction (bm25 class).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

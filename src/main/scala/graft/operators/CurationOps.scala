@@ -368,6 +368,40 @@ object CurationOps extends OpGroup {
           expr("n_doc * 1000000 DIV n_docs").as("share_fp"))
         .orderBy("source", "phrase")
     }),
+
+    // Cross-source contamination matrix: for every source pair, the
+    // number of shared 3-token shingles and the max-containment score
+    // n_shared/min(|A|,|B|) — the corpus-lineage audit that catches one
+    // crawl re-hosting another (the source×source face of
+    // decontamination_ngram_overlap's doc×doc check). The corpus
+    // collapses to DISTINCT (source, shingle) map-side; the self-join is
+    // keyed on the shingle and emits ≤ C(|sources|,2) rows per key (an
+    // enum² bound — hot boilerplate shingles cannot blow a task); the
+    // per-source shingle totals broadcast back. Containment is a 1e-6
+    // integer division.
+    "cross_source_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") >= 3)
+      val sh = docs.select(col("source"),
+        explode(array_distinct(expr(
+          """transform(sequence(1, n - 2),
+            |  i -> concat_ws(' ', slice(ws, i, 3)))""".stripMargin))).as("sh"))
+        .distinct()
+      val tot = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(tot.select(col("source").as("s1"), col("n_sh").as("t1"))), "s1")
+        .join(broadcast(tot.select(col("source").as("s2"), col("n_sh").as("t2"))), "s2")
+        .select(col("s1"), col("s2"), col("n_shared"), col("t1"), col("t2"),
+          expr("n_shared * 1000000 DIV least(t1, t2)").as("containment_fp"))
+        .orderBy("s1", "s2")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -558,5 +592,31 @@ object CurationOps extends OpGroup {
         |GROUP BY sh.source, sh.phrase, ps.n_docs
         |HAVING count(*) >= 3
         |ORDER BY source, phrase""".stripMargin,
+
+    // identical distinct (source, shingle) windows, pair counts, and
+    // min-denominator containment
+    "cross_source_contamination" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |         array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+        |           AS sh
+        |  FROM toks CROSS JOIN range(1, 4096) r(i)
+        |  WHERE i + 2 <= len(t)),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+        |        FROM sh GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT s1, s2, n_shared, t1.n_sh AS t1, t2.n_sh AS t2,
+        |       CAST(n_shared * 1000000 // least(t1.n_sh, t2.n_sh) AS BIGINT)
+        |         AS containment_fp
+        |FROM pairs
+        |JOIN tot t1 ON t1.source = pairs.s1
+        |JOIN tot t2 ON t2.source = pairs.s2
+        |ORDER BY s1, s2""".stripMargin,
   )
 }

@@ -546,6 +546,40 @@ object TrainingDataOps extends OpGroup {
           .as("fingerprint"),
           count(lit(1)).as("n_tokens"))
         .orderBy("doc_id")),
+
+    // Class-balance / drift audit: squared L2 distance from each label's
+    // centroid to the GLOBAL centroid — the one-number-per-class report
+    // that catches a mislabeled batch or an embedding-model drift before
+    // training on it. Determinism: per-(label, dim) sums are exact
+    // (leaf fixed-point ×1e6 toward-zero → DECIMAL(38,0) sums, the
+    // dim_stats idiom); the global sums are the label sums RE-SUMMED
+    // (decimal — associative); each dim's squared mean-difference is ONE
+    // shared double expression over exact sums, FLOOR-truncated to 1e-9
+    // fixed-point, then INTEGER-summed across dims (order-free — the
+    // dsir ln-precedent applied to drift). Scale: partial aggregation
+    // reduces the explode to labels×dims rows before the shuffle; the
+    // label×dim table (enum × dims) is broadcast-sized.
+    "embedding_centroid_drift" -> ((s, d) => {
+      val ld = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("fx", (col("x").cast("double") * 1e6).cast("long"))
+        .groupBy("label", "pos")
+        .agg(sum(col("fx").cast("decimal(38,0)")).as("s_l"),
+          count(lit(1)).as("n_l"))
+      val g = ld.groupBy("pos")
+        .agg(sum("s_l").as("s_g"), sum("n_l").as("n_g"))
+      ld.join(broadcast(g), "pos")
+        .select(col("label"), col("n_l"),
+          expr("""CAST(FLOOR(
+                 |  (CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)
+                 |    - CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                 |  * (CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)
+                 |    - CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                 |  / 1000.0) AS BIGINT)""".stripMargin).as("c_fp"))
+        .groupBy("label")
+        .agg(max("n_l").as("n_vecs"), sum("c_fp").as("drift2_fp"))
+        .orderBy("label")
+    }),
   )
 
   // `def`: the LSH oracle embeds the session's persisted layout path
@@ -910,5 +944,33 @@ object TrainingDataOps extends OpGroup {
         |         AS fingerprint,
         |       count(*) AS n_tokens
         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical leaf fixed-point, decimal sums, shared per-dim double
+    // expression FLOOR-truncated then integer-summed across dims
+    "embedding_centroid_drift" ->
+      """WITH idx AS (SELECT unnest(range(1, 4097)) AS i),
+        |ex AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS pos,
+        |         CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |           * 1000000) AS BIGINT) AS fx
+        |  FROM embeddings, idx WHERE i <= len(embedding)),
+        |ld AS (
+        |  SELECT label, pos, sum(fx) AS s_l,
+        |         CAST(count(*) AS BIGINT) AS n_l
+        |  FROM ex GROUP BY label, pos),
+        |g AS (SELECT pos, sum(s_l) AS s_g, sum(n_l) AS n_g
+        |      FROM ld GROUP BY pos),
+        |c AS (
+        |  SELECT label, n_l,
+        |         CAST(FLOOR(
+        |           (CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)
+        |             - CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |           * (CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)
+        |             - CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |           / 1000.0) AS BIGINT) AS c_fp
+        |  FROM ld JOIN g USING (pos))
+        |SELECT label, CAST(max(n_l) AS BIGINT) AS n_vecs,
+        |       CAST(sum(c_fp) AS BIGINT) AS drift2_fp
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
   )
 }

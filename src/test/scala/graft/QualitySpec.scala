@@ -79,6 +79,61 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("cross_source_contamination: oriented pairs, bounded containment") {
+    val rows = operators.CurationOps
+      .queries("cross_source_contamination")(spark, sf()).collect()
+    val srcs = Tables.documents(spark, sf())
+      .select("source").distinct().count().toInt
+    assert(rows.length <= srcs * (srcs - 1) / 2, "at most the upper triangle")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "oriented pair")
+      val (shared, t1, t2, cont) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(shared >= 1 && shared <= math.min(t1, t2),
+        "shared shingles bounded by the smaller set")
+      assert(cont === shared * 1000000L / math.min(t1, t2))
+      assert(cont > 0 && cont <= 1000000L)
+    }
+    // symmetry of the underlying measure: (s1,s2) appears at most once
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
+      === rows.length)
+  }
+
+  test("embedding_centroid_drift: weighted drift identity over labels") {
+    val rows = operators.TrainingDataOps
+      .queries("embedding_centroid_drift")(spark, sf()).collect()
+    val total = Tables.embeddings(spark, sf()).count()
+    assert(rows.map(_.getLong(1)).sum === total, "labels partition the vectors")
+    assert(rows.forall(_.getLong(2) >= 0), "squared distance is non-negative")
+    // replay one label's drift from first principles
+    val vecs = Tables.embeddings(spark, sf())
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val dims = vecs.head._2.length
+    val fx = vecs.map { case (l, v) =>
+      (l, v.map(x => (x.toDouble * 1e6).toLong))
+    }
+    val labels = fx.map(_._1).distinct.sorted
+    val gSum = Array.ofDim[BigInt](dims).map(_ => BigInt(0))
+    fx.foreach { case (_, v) =>
+      (0 until dims).foreach(i => gSum(i) += v(i))
+    }
+    val nG = fx.length
+    val expected = labels.map { l =>
+      val vs = fx.filter(_._1 == l)
+      val nL = vs.length
+      val drift = (0 until dims).map { i =>
+        val sL = vs.map(v => BigInt(v._2(i))).sum
+        val mu = sL.toDouble / nL - gSum(i).toDouble / nG
+        math.floor(mu * mu / 1000.0).toLong
+      }.sum
+      l -> drift
+    }.toMap
+    rows.foreach(r =>
+      assert(r.getLong(2) === expected(r.getInt(0)),
+        s"drift replay for label ${r.getInt(0)}"))
+  }
+
   test("heaps_law_vocab_growth: dense deciles, exact cumulative vocabulary") {
     val rows = run("heaps_law_vocab_growth")
     assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length),
