@@ -145,6 +145,34 @@ object AggWindowOps extends OpGroup {
           round(col("rn").cast("double") / col("n"), 6).as("cume"))
         .orderBy("c_custkey")
     }),
+
+    // W5 — month-over-month revenue growth per nation: the BI trend
+    // report every warehouse serves. The lag window runs over the
+    // nation×month AGGREGATE (|nations|·|months| rows — broadcast-sized
+    // at any corpus scale), partitioned by nation, never over the order
+    // stream. Revenue = exact integer cents; growth is SIGNED, so it is
+    // derived as (cur·1e6 DIV prev) − 1e6 — the division runs on
+    // positive operands only, where Spark's toward-zero DIV and
+    // DuckDB's floor // agree (a direct (cur−prev)·1e6/prev would
+    // diverge on negative growth).
+    "mom_revenue_growth" -> ((s, d) => {
+      val ords = Tables.orders(s, d).select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val nm = ords
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "month").agg(sum("cents").as("rev_cents"))
+      val w = Window.partitionBy("n_name").orderBy("month")
+      nm.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .select(col("n_name"), col("month"), col("rev_cents"),
+          col("prev_cents"),
+          expr("rev_cents * 1000000 DIV prev_cents - 1000000")
+            .as("growth_fp"))
+        .orderBy("n_name", "month")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -209,5 +237,24 @@ object AggWindowOps extends OpGroup {
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // identical month truncation, cents lift, and positive-operand
+    // division form for the signed growth
+    "mom_revenue_growth" ->
+      """WITH nm AS (
+        |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE)
+        |           AS month,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, month)
+        |SELECT n_name, month, rev_cents,
+        |       lag(rev_cents) OVER w AS prev_cents,
+        |       CAST(rev_cents * 1000000 // lag(rev_cents) OVER w - 1000000
+        |         AS BIGINT) AS growth_fp
+        |FROM nm WINDOW w AS (PARTITION BY n_name ORDER BY month)
+        |ORDER BY n_name, month""".stripMargin,
   )
 }
