@@ -390,10 +390,19 @@ object CurationOps extends OpGroup {
             |  i -> concat_ws(' ', slice(ws, i, 3)))""".stripMargin))).as("sh"))
         .distinct()
       val tot = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      // pair generation is a per-shingle ARRAY expansion, not a
+      // self-join: one groupBy collects each shingle's sorted source set
+      // (≤ |sources|), then the oriented pairs explode map-side — the
+      // hot boilerplate shingle never becomes a join key (r9 bench:
+      // 1.23 s → join-free)
+      val pairs = sh.groupBy("sh")
+        .agg(array_sort(collect_set(col("source"))).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (x, i) ->
+            |  transform(slice(ss, i + 2, size(ss)),
+            |    y -> struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
+        .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .groupBy("s1", "s2")
         .agg(count(lit(1)).as("n_shared"))
       pairs
         .join(broadcast(tot.select(col("source").as("s1"), col("n_sh").as("t1"))), "s1")

@@ -99,10 +99,18 @@ object QualityOps extends OpGroup {
         .distinct()
       val nOrders = ol.select("ok").distinct().count() // measured scalar
       val nb = ol.groupBy("b").agg(count(lit(1)).as("nb"))
-      val pairs = ol.as("x")
-        .join(ol.as("y"),
-          col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+      // pair generation is a per-order ARRAY expansion, not a self-join:
+      // one groupBy collects each order's sorted brand set (≤ |brands|),
+      // then the oriented pairs explode map-side — no second shuffle of
+      // the fact and no hot-key join (r9 bench: 1.54 s → join-free)
+      val pairs = ol.groupBy("ok")
+        .agg(array_sort(collect_set(col("b"))).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)),
+            |    y -> struct(x AS b1, y AS b2))))""".stripMargin)).as("p"))
+        .select(col("p.b1").as("b1"), col("p.b2").as("b2"))
+        .groupBy("b1", "b2")
         .agg(count(lit(1)).as("c"))
       pairs
         .join(broadcast(nb.select(col("b").as("b1"), col("nb").as("n1"))), "b1")
