@@ -501,6 +501,25 @@ object TrainingDataOps extends OpGroup {
         .orderBy("doc_id")
     }),
 
+    // Dedup reporting rollup: the cluster-size histogram a curation run
+    // publishes (how much of the corpus is duplicated, and in what
+    // cluster shapes) — n_removable = (size−1)·n_clusters is the doc
+    // count a keep-one policy deletes. Reads the SAME persisted ccLabels
+    // layout; two component-keyed aggregates, both map-side combinable;
+    // the histogram domain is bounded by the largest cluster size. The
+    // oracle recomputes the closure from scratch (labels checked, not
+    // trusted — the CC precedent).
+    "neardup_cluster_size_histogram" -> ((s, d) => {
+      val labels = s.read.parquet(ccLabels(s, d))
+      labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+        .orderBy("cluster_size")
+    }),
+
     // Near-dup cluster REPRESENTATIVE selection: after connected
     // components, a curation pass keeps ONE member per duplicate
     // cluster — the HIGHEST-QUALITY one (Lee et al. keep the longest;
@@ -860,6 +879,28 @@ object TrainingDataOps extends OpGroup {
          |       (c.doc_id = c.component) AS is_rep
          |FROM comp c JOIN sizes s USING (component)
          |ORDER BY c.doc_id""".stripMargin),
+    // the same recomputed closure, rolled up to the size histogram
+    "neardup_cluster_size_histogram" -> (
+      s"""WITH RECURSIVE ${LlmOps.jaccardCtesDuck},
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component
+         |         FROM reach GROUP BY src),
+         |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |          FROM comp GROUP BY component)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+
     // the CC closure + the exact-integer quality blend, representative
     // = per-component argmax(quality, doc_id)
     "neardup_cluster_representative" -> (
