@@ -373,6 +373,36 @@ object EventAnalyticsOps extends OpGroup {
         .orderBy("event_type", "rk")
     }),
 
+    // V14 — first-touch revenue attribution: every purchase's value is
+    // credited to the user's FIRST event type (the acquisition channel),
+    // the simplest attribution model a marketing warehouse serves.
+    // Channel = V7's first-event window (one user_id partitioning);
+    // revenue stays exact int64 cents; share = 1e-6 integer division
+    // against the single-row broadcast total. Shape: one window pass +
+    // one co-partitioned user join + one channel aggregate.
+    "first_touch_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val entry = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("entry"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("np"), sum("cents").as("rev"))
+      val byEntry = entry.join(p, "user_id")
+        .groupBy("entry")
+        .agg(count(lit(1)).as("n_buyers"), sum("np").as("n_purchases"),
+          sum("rev").as("attributed_cents"))
+      val tot = byEntry.agg(sum("attributed_cents").as("total_cents"))
+      byEntry.crossJoin(broadcast(tot))
+        .select(col("entry"), col("n_buyers"), col("n_purchases"),
+          col("attributed_cents"),
+          expr("attributed_cents * 1000000 DIV total_cents").as("share_fp"))
+        .orderBy("entry")
+    }),
+
     // V10 — weekday seasonality per event type: day-of-week counts
     // collapsed to peak day + a χ²/n uniformity score. Day-of-week is
     // ENGINE-INDEPENDENT integer math — (epoch_day + 4) % 7, Monday=0
@@ -683,6 +713,32 @@ object EventAnalyticsOps extends OpGroup {
         |FROM r JOIN tt USING (event_type)
         |WHERE r.rk <= 3
         |ORDER BY r.event_type, r.rk""".stripMargin,
+
+    // identical first-event channel, cents sums, 1e-6 share division
+    "first_touch_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |fe AS (
+        |  SELECT user_id, event_type AS entry FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS np,
+        |         CAST(sum(cents) AS BIGINT) AS rev
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+        |be AS (
+        |  SELECT entry, CAST(count(*) AS BIGINT) AS n_buyers,
+        |         CAST(sum(np) AS BIGINT) AS n_purchases,
+        |         CAST(sum(rev) AS BIGINT) AS attributed_cents
+        |  FROM fe JOIN p USING (user_id) GROUP BY entry),
+        |tot AS (SELECT sum(attributed_cents) AS total_cents FROM be)
+        |SELECT entry, n_buyers, n_purchases, attributed_cents,
+        |       CAST(attributed_cents * 1000000 // total_cents AS BIGINT)
+        |         AS share_fp
+        |FROM be CROSS JOIN tot ORDER BY entry""".stripMargin,
 
     // identical (epoch_day + 4) % 7 day index and χ²/n integer form
     "weekday_seasonality_profile" ->

@@ -243,6 +243,56 @@ object StatOps extends OpGroup {
           expr("CAST(q * 10000 DIV (s * s) AS BIGINT)").as("hhi_bp"))
         .orderBy("n_name")
     }),
+
+    // X9 — percentile grid per event type: p10/p25/p50/p75/p90 of the
+    // exact-cents measure in one report — the distribution summary a
+    // metrics catalog publishes (generalizes X4's two clip points and
+    // X5's single median). All five picks are RANK-DEFINED (row
+    // ceil(q·n), the percentile_disc convention) off ONE GlobalRank
+    // two-phase rank (few huge groups — the low-cardinality window
+    // trap); per-type counts broadcast; one conditional-min aggregate
+    // collects the whole grid.
+    "event_value_percentile_grid" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        ev, "rn", Seq("event_type"), Seq("cents"))
+      val cnts = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      def pick(q: Double, name: String) =
+        min(when(col("rn") === ceil(col("cnt") * q), col("cents"))).as(name)
+      ranked.join(broadcast(cnts), "event_type")
+        .groupBy("event_type")
+        .agg(max("cnt").as("n"),
+          pick(0.10, "p10"), pick(0.25, "p25"), pick(0.50, "p50"),
+          pick(0.75, "p75"), pick(0.90, "p90"))
+        .orderBy("event_type")
+    }),
+
+    // X10 — corpus QC correlation: Pearson r between document token
+    // count and distinct-token count — the one-number lexical-health
+    // probe (r ≈ 1 means length drives vocabulary as natural text does;
+    // r collapsing flags templated filler). Both variables are EXACT
+    // integers, so the five moments are exact int64 sums (x·y ≤ 1e8 per
+    // doc; DECIMAL(38,0)/HUGEINT lift on the moment COMBINATION, where
+    // n·Σxy passes int64 near 1e9 docs — the X2/M9 recipe); r resolves
+    // in ONE shared double expression FLOOR-truncated to 1e-6.
+    "doc_length_quality_corr" -> ((s, d) => {
+      val m = Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("x"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+      m.select(col("n"),
+        expr("""CAST(FLOOR(
+               |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               |  * 1000000) AS BIGINT)""".stripMargin).as("pearson_r_fp"))
+    }),
   )
 
   // Not `private`: Catalyst's generated (de)serializer projections live
@@ -402,5 +452,46 @@ object StatOps extends OpGroup {
         |       CAST(q * 10000 // (s * s) AS BIGINT) AS hhi_bp
         |FROM by_nat JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY n_name""".stripMargin,
+
+    // identical rank-defined ceil(q·n) picks off one rank pass
+    "event_value_percentile_grid" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY cents) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM ev)
+        |SELECT event_type, CAST(max(cnt) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN rn = ceil(cnt * 0.10) THEN cents END) AS BIGINT) AS p10,
+        |  CAST(min(CASE WHEN rn = ceil(cnt * 0.25) THEN cents END) AS BIGINT) AS p25,
+        |  CAST(min(CASE WHEN rn = ceil(cnt * 0.50) THEN cents END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN rn = ceil(cnt * 0.75) THEN cents END) AS BIGINT) AS p75,
+        |  CAST(min(CASE WHEN rn = ceil(cnt * 0.90) THEN cents END) AS BIGINT) AS p90
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical exact integer moments and shared r expression
+    "doc_length_quality_corr" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM (
+        |    SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |           CAST(len(list_distinct(string_split(text, ' ')))
+        |             AS BIGINT) AS y
+        |    FROM documents))
+        |SELECT n,
+        |       CAST(FLOOR(
+        |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         * 1000000) AS BIGINT) AS pearson_r_fp
+        |FROM m""".stripMargin,
   )
 }

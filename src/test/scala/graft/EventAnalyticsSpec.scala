@@ -300,6 +300,25 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("first_touch_attribution conserves purchase revenue across channels") {
+    val rows = run("first_touch_attribution")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("user_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val purch = ev.filter(_._2 == "purchase")
+    assert(rows.map(_.getLong(3)).sum === purch.map(_._3).sum,
+      "attributed cents sum to total purchase revenue")
+    assert(rows.map(_.getLong(2)).sum === purch.length.toLong,
+      "every purchase attributed exactly once")
+    assert(rows.map(_.getLong(1)).sum ===
+      purch.map(_._1).distinct.length.toLong,
+      "every buying user attributed to exactly one channel")
+    val shareSum = rows.map(_.getLong(4)).sum
+    assert(shareSum > 1000000L - rows.length && shareSum <= 1000000L,
+      "shares sum to 1e6 up to floor ulps")
+  }
+
   test("weekday_seasonality_profile: engine-free day index; χ²/n replays") {
     val rows = run("weekday_seasonality_profile")
     val ev = Tables.events(spark, sf())

@@ -309,6 +309,48 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("event_value_percentile_grid: monotone grid, quantiles bracket data") {
+    val rows = runS("event_value_percentile_grid")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val cents = byType(r.getString(0)).map(_._2).sorted
+      assert(r.getLong(1) === cents.length.toLong)
+      val grid = (2 to 6).map(r.getLong)
+      assert(grid === grid.sorted, "percentiles are monotone")
+      val qs = Seq(0.10, 0.25, 0.50, 0.75, 0.90)
+      grid.zip(qs).foreach { case (v, q) =>
+        assert(v === cents(math.ceil(cents.length * q).toInt - 1),
+          s"rank-defined p$q for ${r.getString(0)}")
+      }
+      assert(grid.head >= cents.min && grid.last <= cents.max)
+    }
+  }
+
+  test("doc_length_quality_corr: exact moment replay; r in [0, 1e6]") {
+    val Array(r) = runS("doc_length_quality_corr")
+    val xs = Tables.documents(spark, sf())
+      .select("text").collect().map { row =>
+        val ws = row.getString(0).split(" ", -1)
+        (ws.length.toLong, ws.distinct.length.toLong)
+      }
+    val n = xs.length.toLong
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val expected = math.floor(
+      (n.toDouble * sxy - sx.toDouble * sy) /
+        (math.sqrt(n.toDouble * sxx - sx.toDouble * sx) *
+          math.sqrt(n.toDouble * syy - sy.toDouble * sy)) * 1000000).toLong
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === expected, "Pearson moment replay")
+    assert(r.getLong(1) >= -1000000L && r.getLong(1) <= 1000000L)
+  }
+
   test("rolling_zscore_outliers only flags |z| >= 2 on full windows") {
     val rows = runS("rolling_zscore_outliers")
     assert(rows.nonEmpty, "planted variance yields at least one outlier")
