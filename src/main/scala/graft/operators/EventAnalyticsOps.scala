@@ -403,6 +403,31 @@ object EventAnalyticsOps extends OpGroup {
         .orderBy("entry")
     }),
 
+    // V15 — out-of-order arrival audit: per event type, how many events
+    // arrive (by event_id, the ingest sequence) with an event time
+    // behind the user's running maximum, and how far behind — the
+    // measurement that justifies a streaming watermark delay (T5 drops
+    // what this op quantifies). Running max is a per-user rows-framed
+    // window over the (event_id) ingest order — user_id-partitioned,
+    // never global; lateness is exact integer µs; shares are 1e-6
+    // integer divisions into one combinable per-type aggregate.
+    "late_arrival_audit" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("mx", max("us").over(w))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("us") < col("mx"), 1L).otherwise(0L)).as("n_late"),
+          max(col("mx") - col("us")).as("max_lateness_us"))
+        .select(col("event_type"), col("n_events"), col("n_late"),
+          expr("n_late * 1000000 DIV n_events").as("late_share_fp"),
+          col("max_lateness_us"))
+        .orderBy("event_type")
+    }),
+
     // V10 — weekday seasonality per event type: day-of-week counts
     // collapsed to peak day + a χ²/n uniformity score. Day-of-week is
     // ENGINE-INDEPENDENT integer math — (epoch_day + 4) % 7, Monday=0
@@ -739,6 +764,24 @@ object EventAnalyticsOps extends OpGroup {
         |       CAST(attributed_cents * 1000000 // total_cents AS BIGINT)
         |         AS share_fp
         |FROM be CROSS JOIN tot ORDER BY entry""".stripMargin,
+
+    // identical ingest-order running max and µs lateness
+    "late_arrival_audit" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |mx AS (
+        |  SELECT event_type, us,
+        |         max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |           ROWS UNBOUNDED PRECEDING) AS mx
+        |  FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN us < mx THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_late,
+        |       CAST(sum(CASE WHEN us < mx THEN 1 ELSE 0 END) * 1000000
+        |         // count(*) AS BIGINT) AS late_share_fp,
+        |       CAST(max(mx - us) AS BIGINT) AS max_lateness_us
+        |FROM mx GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // identical (epoch_day + 4) % 7 day index and χ²/n integer form
     "weekday_seasonality_profile" ->

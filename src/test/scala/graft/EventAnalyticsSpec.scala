@@ -319,6 +319,33 @@ class EventAnalyticsSpec extends SparkSpec {
       "shares sum to 1e6 up to floor ulps")
   }
 
+  test("late_arrival_audit replays the ingest-order running max") {
+    val rows = run("late_arrival_audit")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_.getLong(1)).sum === ev.length.toLong,
+      "type rows partition the log")
+    val expected = ev.groupBy(_._1).values.flatMap { es =>
+      var mx = Long.MinValue
+      es.sortBy(_._2).map { e =>
+        mx = math.max(mx, e._4)
+        (e._3, e._4 < mx, mx - e._4)
+      }
+    }.toSeq
+    val byType = expected.groupBy(_._1)
+    rows.foreach { r =>
+      val es = byType(r.getString(0))
+      assert(r.getLong(1) === es.length.toLong)
+      assert(r.getLong(2) === es.count(_._2).toLong,
+        s"late count for ${r.getString(0)}")
+      assert(r.getLong(4) === es.map(_._3).max,
+        s"max lateness for ${r.getString(0)}")
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
   test("weekday_seasonality_profile: engine-free day index; χ²/n replays") {
     val rows = run("weekday_seasonality_profile")
     val ev = Tables.events(spark, sf())
