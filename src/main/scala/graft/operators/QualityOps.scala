@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * multilingual sampling scheme of the mT5/XLM-R line), and a Heaps-law
   * vocabulary growth curve (tokenizer budget planning).
   *
+  * Reference context: the reference's warehouse declares NOT NULL /
+  * REQUIRED constraints in its BigQuery schemas
+  * (/root/reference/terraform/schemas/artists_schema.json:2 and
+  * main.tf:76-96) and trusts the load to enforce them; Q1 is the
+  * query-engine face of that contract — the audit a 100 TB load
+  * publishes instead of failing row-by-row. Q2-Q4 serve the north-star
+  * LLM-pipeline mandate (BASELINE.json), beyond the reference surface.
+  *
   * Determinism & scale design:
   *   - Every score is exact-integer: violation counts are conditional
   *     int64 sums; shares/weights/lifts are 1e-6 fixed-point integer
