@@ -34,12 +34,16 @@ import org.apache.spark.sql.functions._
   *   - Keep-first is a row_number over (hash) ordered by (doc_id,
   *     chunk_idx) — a total order, so the survivor set is identical on
   *     any partitioning/retry (same rule as dedup_keep_first).
-  *   - Shuffle inventory (both rows): the hash-keyed exchange carries
-  *     ONLY (hash, doc, pos) triples — never window text. Chunk dedup
-  *     moves the corpus bytes exactly once (an explicit doc_id
-  *     repartition that the flag join AND the reassembly aggregate both
-  *     reuse); span detection never shuffles text at all (positions
-  *     ride forward, the text stays at the scan). Nothing is joined
+  *   - Shuffle inventory (both rows): hash-keyed exchanges carry ONLY
+  *     (hash, doc, pos) triples — never window text. Chunk dedup moves
+  *     the corpus bytes exactly once (an explicit doc_id repartition
+  *     that the flag join AND the reassembly aggregate both reuse);
+  *     span detection never shuffles text at all (positions ride
+  *     forward, the text stays at the scan). Occurrence counts are
+  *     map-side-combinable pre-aggregates joined back (semi), never
+  *     whole-partition windows — a hot boilerplate gram collapses per
+  *     mapper instead of pinning one unsplittable window task (AQE
+  *     skew-splits joins/aggregates, not windows). Nothing is joined
   *     all-pairs and nothing collects to the driver.
   *   - Span merge is the classic interval-union window: a gram opens a
   *     new span iff its start lies beyond the running max end of every
@@ -119,12 +123,21 @@ object CorpusDedupOps extends OpGroup {
           s"transform(sequence(0, size(t) - $GramK), " +
             s"i -> sha2(array_join(slice(t, i + 1, $GramK), ' '), 256))")))
         .toDF("doc_id", "pos", "h")
-      // occurrence count as a whole-partition window: the gram stream
-      // shuffles ONCE on the hash (groupBy + join-back would shuffle
-      // the same stream twice and recompute the explode)
-      val hits = grams
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
+      // occurrence count as a map-side-combinable pre-aggregate plus a
+      // semi join-back of the qualifying hash set onto the gram stream.
+      // The old shape (count over a whole-partition window on h) pinned
+      // EVERY occurrence of one gram into a single window task — and
+      // AQE skew-splitting applies to joins/aggregates, not windows, so
+      // a degenerate boilerplate gram (1e8+ occurrences at web scale)
+      // was one unsplittable task. Here the hot gram folds into one row
+      // per mapper in the partial count, and the join-back is an
+      // equi-join AQE CAN skew-split (broadcast at fixture scale: the
+      // duplicated-hash set is far smaller than the gram stream). Cost:
+      // a second, column-pruned (h only) pass over the gram positions.
+      val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)
+        .select("h")
+      val hits = grams.join(dupHashes, Seq("h"), "left_semi")
         .select("doc_id", "pos")
       val prevEnd = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -151,11 +164,14 @@ object CorpusDedupOps extends OpGroup {
     // boilerplate/recrawl; the C1/C2 dedup family asks "is this text
     // duplicated", this asks "was it already known when it arrived").
     // A shingle is novel in exactly the doc that is min(doc_id) over
-    // its occurrences. Scale: the shingle stream shuffles ONCE on the
-    // shingle (whole-partition min window — the dup_span_detect
-    // argument; hot boilerplate shingles are AQE-skew-split), then
-    // only (doc_id, flag) pairs reach the per-doc aggregate. Shingle
-    // construction mirrors decontamination_ngram_overlap verbatim.
+    // its occurrences. Scale: TWO map-side-combinable aggregates joined
+    // on doc_id — per-doc shingle totals, and min(doc_id)-per-shingle
+    // re-aggregated to novel-counts-per-doc. A hot boilerplate shingle
+    // folds into one row per mapper in the min() partial, and no
+    // shingle-keyed join or window ever lands a hot key in one task
+    // (the old whole-partition min window did — AQE does not split
+    // windows). The final join carries doc-cardinality rows only.
+    // Shingle construction mirrors decontamination_ngram_overlap.
     "ngram_novelty_score" -> ((s, d) => {
       val sh = Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
@@ -163,21 +179,24 @@ object CorpusDedupOps extends OpGroup {
         .select(col("doc_id"), explode(array_distinct(expr(
           """transform(sequence(0, greatest(n - 3, 0)),
             |  i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin))).as("sh"))
-      sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("sh")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = sh.groupBy("sh").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_novel"))
         .withColumn("novelty_fp", expr("n_novel * 1000000 DIV n_shingles"))
+        .select("doc_id", "n_shingles", "n_novel", "novelty_fp")
         .orderBy("doc_id")
     }),
   )
 
-  // Both oracles unnest positions through a range(0, 4096) envelope:
-  // valid for documents up to 4096 chunks / 4103 gram positions (the
-  // fixtures top out at 100 tokens). A longer regenerated fixture would
-  // fail verification loudly (oracle emits fewer positions than Spark),
-  // not silently — widen the envelope if that ever trips.
+  // Oracles unnest positions through a range envelope: chunk_dedup's
+  // range(0, 4096) covers documents up to 40960 tokens; dup_span's
+  // range(0, 8192) covers the repo-wide 8192-token document envelope
+  // (the same bound the shingle oracles use). The fixtures top out at
+  // 100 tokens; a longer regenerated fixture would fail verification
+  // loudly (oracle emits fewer positions than Spark), not silently —
+  // widen the envelope if that ever trips.
   val oracleSql: Map[String, String] = Map(
     "chunk_dedup_reassemble" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -201,7 +220,7 @@ object CorpusDedupOps extends OpGroup {
          |grams AS (
          |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
          |         sha256(array_to_string(t[(i+1):(i+$GramK)], ' ')) AS h
-         |  FROM toks CROSS JOIN range(0, 4096) r(i) WHERE i <= len(t) - $GramK),
+         |  FROM toks CROSS JOIN range(0, 8192) r(i) WHERE i <= len(t) - $GramK),
          |hits AS (
          |  SELECT doc_id, pos FROM (
          |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n

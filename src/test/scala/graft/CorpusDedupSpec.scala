@@ -258,4 +258,89 @@ class CorpusDedupSpec extends SparkSpec {
     // every shingle is novel in exactly one doc
     assert(rows.map(_.getLong(2)).sum === firstDoc.size.toLong)
   }
+
+  test("dup_span_detect skew pin: no task materializes a hot gram's full occurrence set") {
+    // A degenerate boilerplate gram — ONE 8-gram with 43 occurrences in
+    // each of 120 docs (5160 total, a single hash) — models the web-scale
+    // hot-gram edge. The pre-r10 whole-partition `count over (partition
+    // by h)` window pins ALL 5160 occurrences into one window task (AQE
+    // skew-splits joins/aggregates, never windows); the r10 pre-aggregate
+    // + semi-join-back shape must keep every task's shuffle read strictly
+    // below half that, because the hot count collapses map-side and the
+    // only surviving window partitions by doc_id (bounded by doc length).
+    // AQE small-partition coalescing is tuned down so the tiny fixture's
+    // task boundaries are observable — at real scale the 64 MB advisory
+    // plays the same role these 1 KB settings play here.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("skewcorpus")
+    (0L until 120L).map { id =>
+      val text =
+        (Seq.fill(50)("b") ++ (0 until 10).map(i => s"u${id}_$i")).mkString(" ")
+      (id, text, "web")
+    }.toDF("doc_id", "text", "source")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val taskRecords = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties).exists(p =>
+          "graft-skew-pin" == p.getProperty("spark.jobGroup.id")))
+          j.stageIds.foreach(stages.add(_))
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (stages.contains(t.stageId) && t.taskMetrics != null)
+          taskRecords.put(t.taskInfo.taskId,
+            t.taskMetrics.shuffleReadMetrics.recordsRead)
+    }
+    val saved = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.files.maxPartitionBytes",
+    ).map(k => k -> spark.conf.getOption(k))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+      // parallelismFirst coalescing targets max(total/parallelism,
+      // minPartitionSize) — the 1 MB default folds this tiny fixture's
+      // exchanges into ONE task and would mask the very skew this pins
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+      spark.sparkContext.setJobGroup("graft-skew-pin", "skew pin",
+        interruptOnCancel = false)
+      val rows =
+        operators.CorpusDedupOps.queries("dup_span_detect")(spark, dir).collect()
+      spark.sparkContext.clearJobGroup()
+      // semantics first: each doc's boilerplate run is one span [0, 50)
+      assert(rows.length === 120, "one merged span per document")
+      assert(rows.forall(r => r.getInt(1) === 0 && r.getInt(2) === 50))
+      // drain the listener bus (metrics arrive async after collect)
+      val deadline = System.nanoTime() + 15_000_000_000L
+      var last = -1
+      while (System.nanoTime() < deadline &&
+        (taskRecords.size != last || taskRecords.isEmpty)) {
+        last = taskRecords.size; Thread.sleep(300)
+      }
+      assert(!taskRecords.isEmpty, "listener captured the query's tasks")
+      val hotOccurrences = 43L * 120L
+      val maxTask = taskRecords.values().asScala.max
+      assert(maxTask < hotOccurrences / 2,
+        s"max per-task shuffle read $maxTask must stay well below the hot " +
+          s"gram's $hotOccurrences occurrences — a whole-partition window " +
+          "would pin them all into one task")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }

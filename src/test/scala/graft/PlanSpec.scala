@@ -536,27 +536,40 @@ class PlanSpec extends SparkSpec {
       !chunk.contains("BroadcastNestedLoopJoin"))
     assert("Exchange hashpartitioning".r.findAllIn(chunk).size === 3,
       "text shuffles once; only ids+hashes ride the other two exchanges")
-    // span detect: duplicate detection is a whole-partition window over
-    // the gram hash — the positional stream shuffles ONCE on the hash
-    // and once on doc_id (whose partitioning the span aggregate then
-    // reuses); a join here means the stream got matched against itself.
+    // span detect (r10 skew-proof shape): duplicate detection is a
+    // map-side-combinable count pre-aggregate + SEMI join-back of the
+    // qualifying hash set — never a whole-partition window on the gram
+    // hash (AQE skew-splits joins/aggregates, not windows; a hot
+    // boilerplate gram must not pin one unsplittable task). The only
+    // remaining windows partition by doc_id (bounded by doc length).
     val span = shape("dup_span_detect")
-    assert(!span.contains("Join"), "dup detection is windowed — no join")
-    assert("Exchange hashpartitioning".r.findAllIn(span).size === 2,
-      "exactly the gram-hash shuffle and the per-doc span shuffle")
+    assert("LeftSemi".r.findAllIn(span).nonEmpty,
+      "dup-hash set must semi-join back onto the gram stream")
+    assert(!span.contains("CartesianProduct") &&
+      !span.contains("BroadcastNestedLoopJoin"))
+    assert("windowspecdefinition\\(doc_id".r.findAllIn(span).size ===
+      "windowspecdefinition\\(".r.findAllIn(span).size,
+      "no whole-partition window keyed by the gram hash — only the " +
+        "doc_id-bounded span-merge windows survive")
     // SemDeDup: the within-cell pair generation must be the cell
     // equi-join (cost Σ|cell|², bounded by the quantizer), never a
     // corpus-level cartesian.
     val sem = shape("semantic_dedup_cluster")
     assert(!sem.contains("CartesianProduct"),
       "within-cell pairs must come from the cell equi-join")
-    // novelty: first-occurrence is a whole-partition window over the
-    // shingle (ONE corpus-scale shuffle — the dup_span argument); the
-    // per-doc aggregate moves only (doc_id, flag) pairs.
+    // novelty (r10 skew-proof shape): first-occurrence is min(doc_id)
+    // per shingle as a map-side-combinable aggregate, re-aggregated to
+    // doc-cardinality novel-counts; the final join carries only per-doc
+    // rows. No shingle-keyed window or join anywhere — a hot
+    // boilerplate shingle collapses in the min() partial per mapper.
     val nov = shape("ngram_novelty_score")
-    assert(!nov.contains("Join"), "first-occurrence is windowed — no join")
-    assert("Exchange hashpartitioning".r.findAllIn(nov).size === 2,
-      "exactly the shingle shuffle and the per-doc aggregate shuffle")
+    assert(!nov.contains("Window"),
+      "first-occurrence is aggregated — no shingle-partition window")
+    assert(!nov.contains("CartesianProduct") &&
+      !nov.contains("BroadcastNestedLoopJoin"))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(nov).size === 1,
+      "exactly one join, and it carries doc-cardinality aggregates only")
   }
 
   test("curation scoring operators keep their scale shapes") {
