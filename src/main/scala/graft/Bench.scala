@@ -44,13 +44,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter(kv => ks(kv._1)))
-    // Each query: one untimed codegen-warm run, then the MIN of two timed
-    // runs. Min (not mean) rejects shared-VM load spikes — the plans are
-    // deterministic, so any excess over the fastest observed run is
-    // scheduler noise, not plan cost. (Driver totals read 1.7× the warm
-    // truth two rounds running from exactly such spikes smearing over
-    // unrelated keys.)
-    val timedRuns = 2
+    // Each query: one untimed codegen-warm run, then the MIN of three
+    // timed runs. Min (not mean) rejects shared-VM load spikes — the
+    // plans are deterministic, so any excess over the fastest observed
+    // run is scheduler noise, not plan cost. (Driver totals read 1.7×
+    // the warm truth two rounds running from exactly such spikes
+    // smearing over unrelated keys; the r9 pairs showed single-run
+    // spikes of 2-3× on an idle-plan query, so two samples were still
+    // occasionally both unlucky — three damp that tail.)
+    val timedRuns = 3
     // A query that THROWS must not masquerade as a 2 ms entry (BENCH_r08:
     // a fixture schema change failed 31 queries, and their fail-fast times
     // read as the round's best numbers). Track failures per query; they

@@ -30,6 +30,10 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // UTC like Bench/Verify/tests: Tables.events' NTZ branch casts ts
+      // to session-zone TIMESTAMP and is wall-clock-preserving only
+      // under a UTC session
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .getOrCreate()

@@ -75,4 +75,35 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Exact table row count from parquet FOOTER stats — the layout
+    * manifest read (S6d / paged_agg_pushdown, Iceberg-manifest style)
+    * against raw parquet: no data pages are read and NO Spark job runs.
+    * For the "measured scalar" pattern (cooc_triangle_count's nd,
+    * market_basket_affinity's N) this replaces a full extra table scan
+    * per query invocation; at 100 TB the cost is one metadata listing +
+    * footer read per file, the same work any catalog does at plan time.
+    * Exactness: parquet footers record per-row-group counts written at
+    * commit time; with no filter and no deletes (fixtures are immutable
+    * per round) their sum IS count(*). Cached per (dir, table) beside
+    * the relation cache, same lifetime.
+    */
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def rowCount(s: SparkSession, dir: String, name: String): Long =
+    rowCounts.computeIfAbsent((dir, name), { _ =>
+      val conf = s.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(files)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      files(fs.getFileStatus(root)).map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
 }

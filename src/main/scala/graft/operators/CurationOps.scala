@@ -611,7 +611,7 @@ object CurationOps extends OpGroup {
         |  SELECT DISTINCT source,
         |         array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
         |           AS sh
-        |  FROM toks CROSS JOIN range(1, 4096) r(i)
+        |  FROM toks CROSS JOIN range(1, 8193) r(i)
         |  WHERE i + 2 <= len(t)),
         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
         |        FROM sh GROUP BY source),

@@ -267,11 +267,12 @@ object LangModelOps extends OpGroup {
       val docs = Tables.documents(s, d)
       val dw = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-      // the doc count is a metadata scalar measured ONCE driver-side
-      // (the GlobalRank/PageRank measured-pass pattern) — threading it
-      // as a literal keeps the single-row cross-join out of every one
-      // of e's four plan expansions
-      val nd = docs.count()
+      // the doc count is a metadata scalar read from parquet FOOTER
+      // stats (S6d manifest path, r10) — threading it as a literal
+      // keeps the single-row cross-join out of every one of e's four
+      // plan expansions, and the footer read replaces the full extra
+      // table scan the old driver-measured count() paid per invocation
+      val nd = Tables.rowCount(s, d, "documents")
       val hot = dw.groupBy("w").agg(count(lit(1)).as("df"))
         .filter(col("df") * 5 >= lit(nd) * 2)
         .select("w")
@@ -304,7 +305,7 @@ object LangModelOps extends OpGroup {
       val docs = Tables.documents(s, d)
       val dw = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-      val nd = docs.count() // driver-measured literal (M4 precedent)
+      val nd = Tables.rowCount(s, d, "documents") // footer-stats literal (M4 precedent)
       val dfs = dw.groupBy("w").agg(count(lit(1)).as("df"))
         .filter(col("df") * 5 >= lit(nd) * 2)
       val dwh = dw.join(broadcast(dfs.select("w")), Seq("w"))

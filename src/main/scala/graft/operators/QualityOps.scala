@@ -98,14 +98,22 @@ object QualityOps extends OpGroup {
     // |brands|²-bounded pair table; per-brand order counts broadcast
     // back. lift_fp = c·N·1e6/(n1·n2) runs in DECIMAL(38,0)/HUGEINT
     // (c·N ≈ 1e19 at warehouse scale passes int64 before the 1e6 lift);
-    // N is the driver-measured order count (GlobalRank scalar pattern).
+    // N is the order count read from parquet footer stats (S6d
+    // manifest path) — a metadata literal, not a measured scan.
     "market_basket_affinity" -> ((s, d) => {
       val part = Tables.part(s, d).select("p_partkey", "p_brand")
       val ol = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
         .join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
         .distinct()
-      val nOrders = ol.select("ok").distinct().count() // measured scalar
+      // N = transaction-universe size (all orders), read from parquet
+      // FOOTER stats (the S6d manifest path) — no extra scan per
+      // invocation, no Spark job. r10 change: N was count(DISTINCT ok)
+      // over the joined stream (orders observed in the basket data,
+      // ~98% of all orders in the fixture); the standard lift
+      // denominator is total transactions, which a catalog answers
+      // from metadata. Oracle mirrors count(*) FROM orders.
+      val nOrders = Tables.rowCount(s, d, "orders")
       val nb = ol.groupBy("b").agg(count(lit(1)).as("nb"))
       // pair generation is a per-order ARRAY expansion, not a self-join:
       // one groupBy collects each order's sorted brand set (≤ |brands|),
@@ -239,7 +247,7 @@ object QualityOps extends OpGroup {
       """WITH ol AS (
         |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ol),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
         |nb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM ol GROUP BY b),
         |pairs AS (
         |  SELECT x.b AS b1, y.b AS b2, CAST(count(*) AS BIGINT) AS c
@@ -284,7 +292,7 @@ object QualityOps extends OpGroup {
         |           array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
         |             AS w
         |    FROM toks
-        |    CROSS JOIN range(1, 4096) r(i) WHERE i + 2 <= len(t))
+        |    CROSS JOIN range(1, 8193) r(i) WHERE i + 2 <= len(t))
         |  GROUP BY w),
         |fr AS (SELECT w, dr FROM fo JOIN ranked ON fdoc = doc_id),
         |pd AS (

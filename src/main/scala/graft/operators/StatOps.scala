@@ -185,9 +185,14 @@ object StatOps extends OpGroup {
             * col("gap").cast("decimal(19,0)")).as("sxx"))
         .select(col("event_type"), col("n"),
           expr("CAST(sx DIV n AS BIGINT)").as("mean_gap_us"),
-          expr("""CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          // sx = 0 guard (all gaps zero, e.g. a replayed event type):
+          // NaN would otherwise reach the double→BIGINT cast, where
+          // Spark's legacy cast (NULL/0) and DuckDB's diverge — NULL
+          // identically on both sides instead
+          expr("""CASE WHEN sx = 0 THEN NULL ELSE
+                 CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                  / CAST(sx AS DOUBLE) / CAST(sx AS DOUBLE) - 1.0)
-                 * 1000000) AS BIGINT)""").as("cv2_fp"))
+                 * 1000000) AS BIGINT) END""").as("cv2_fp"))
         .orderBy("event_type")
     }),
 
@@ -416,9 +421,10 @@ object StatOps extends OpGroup {
         |  FROM g GROUP BY event_type)
         |SELECT event_type, n,
         |       CAST(sx // n AS BIGINT) AS mean_gap_us,
-        |       CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |         / CAST(sx AS DOUBLE) / CAST(sx AS DOUBLE) - 1.0)
-        |         * 1000000) AS BIGINT) AS cv2_fp
+        |       CASE WHEN sx = 0 THEN NULL ELSE
+        |         CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           / CAST(sx AS DOUBLE) / CAST(sx AS DOUBLE) - 1.0)
+        |           * 1000000) AS BIGINT) END AS cv2_fp
         |FROM m ORDER BY event_type""".stripMargin,
 
     // identical string-derived first digit and expectation expression

@@ -642,4 +642,30 @@ class PlanSpec extends SparkSpec {
         s"$q plans $hashEx hash exchanges — expected exactly one:\n${p.take(500)}")
     }
   }
+
+  test("measured scalars come from footer stats: query construction runs no job") {
+    // r10: the nd / N scalars in cooc_triangle_count, pmi_cooc_topk and
+    // market_basket_affinity are read from parquet footer metadata
+    // (Tables.rowCount, the S6d manifest path) instead of a driver
+    // count() action — so BUILDING these DataFrames must trigger zero
+    // Spark jobs. A job here means a full extra table scan snuck back
+    // into every invocation.
+    Tables.documents(spark, sf()); Tables.orders(spark, sf())
+    Tables.part(spark, sf()); Tables.lineitem(spark, sf())
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Seq("market_basket_affinity", "cooc_triangle_count", "pmi_cooc_topk")
+        .foreach(k => SparkEntry.queries(k)(spark, sf()))
+      Thread.sleep(1500) // listener bus is async; jobs would have landed
+      assert(jobs.get() === 0,
+        s"query construction launched ${jobs.get()} Spark job(s) — the " +
+          "measured scalars must come from footer stats, not a scan")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

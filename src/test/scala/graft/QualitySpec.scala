@@ -39,7 +39,10 @@ class QualitySpec extends SparkSpec {
           Tables.part(spark, sf())("p_partkey"))
       .select("l_orderkey", "p_brand").distinct().collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val n = ob.map(_._1).distinct.length.toLong
+    // r10: N is the transaction-universe size — ALL orders, read from
+    // footer stats in the operator — not just orders observed in the
+    // joined basket stream
+    val n = Tables.orders(spark, sf()).count()
     val nb = ob.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
     val pairCount = ob.groupBy(_._1).values.flatMap { es =>
       val bs = es.map(_._2).distinct.sorted
