@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# Scale-trend gate (r10, VERDICT r9 ask #3): run the most expensive
+# DATA-PROPORTIONAL queries at sf0.01 AND sf0.1 in one artifact and
+# assert time(sf0.1)/time(sf0.01) stays sub-linear-ish (< 15x for 10x
+# the data). This catches a quadratic candidate blowup — the failure
+# class neither COPYCHECK nor PlanAudit can see — the moment it
+# appears, instead of at a 100x deployment.
+#
+# Query choice: the near-dup / pair-generation / graph families (the
+# operators where an all-pairs regression is even possible) plus the
+# heaviest join+window batch queries. Streaming queries are excluded
+# (checkpoint/state-store floors, not data-proportional) as are the
+# sink-roundtrip fixtures (staging-write bound).
+#
+# Usage: scripts/scale_gate.sh [out.json]   (default SCALE_r10.json)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OUT=${1:-SCALE_r10.json}
+QUERIES=${SCALE_GATE_QUERIES:-dup_span_detect,ngram_novelty_score,cross_source_contamination,market_basket_affinity,cooc_triangle_count,lsh_hyperplane_near_dup,minhash_near_dedup,semantic_dedup_cluster,kcore_graph_prune,label_propagation_knn,ship_latency_by_priority,markov_next_event_topk}
+CPUS=${SPARK_GRAFT_CPUS:-8}
+THRESHOLD=${SCALE_GATE_THRESHOLD:-15.0}
+
+for sf in sf0.01 sf0.1; do
+  echo "== Bench at $sf (cpus=$CPUS): $QUERIES =="
+  SPARK_GRAFT_SF_DIR=/root/testdata/$sf SPARK_GRAFT_ONLY=$QUERIES \
+    SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | grep '{"metric"' | head -1 > /tmp/scale_gate_$sf.json
+done
+
+python3 - "$OUT" "$THRESHOLD" <<'EOF'
+import json, sys
+out, threshold = sys.argv[1], float(sys.argv[2])
+lo = json.load(open('/tmp/scale_gate_sf0.01.json'))
+hi = json.load(open('/tmp/scale_gate_sf0.1.json'))
+rows, failed = {}, []
+for k, t_hi in hi['queries'].items():
+    t_lo = lo['queries'][k]
+    # floor tiny denominators: a 0.05 s sf0.01 time is session overhead,
+    # not plan cost, and would turn a healthy 1 s sf0.1 run into a fake 20x
+    ratio = t_hi / max(t_lo, 0.15)
+    ok = ratio < threshold
+    rows[k] = {"t_sf0.01": round(t_lo, 3), "t_sf0.1": round(t_hi, 3),
+               "ratio": round(ratio, 2), "pass": ok}
+    if not ok:
+        failed.append(k)
+artifact = {"metric": "scale_trend", "data_ratio": 10,
+            "threshold": threshold, "n_queries": len(rows),
+            "n_failed": len(failed), "failed": failed, "queries": rows}
+with open(out, "w") as f:
+    json.dump(artifact, f, indent=1)
+for k, r in sorted(rows.items(), key=lambda kv: -kv[1]["ratio"]):
+    print(f"{'PASS' if r['pass'] else 'FAIL'} {k}: "
+          f"{r['t_sf0.01']}s -> {r['t_sf0.1']}s (x{r['ratio']})")
+print(f"\n{len(rows)-len(failed)}/{len(rows)} pass -> {out}")
+sys.exit(1 if failed else 0)
+EOF
