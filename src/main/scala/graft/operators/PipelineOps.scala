@@ -175,10 +175,11 @@ object PipelineOps extends OpGroup {
     // pass 2 re-delivers the OLDEST event — its window closed long ago
     // (watermark from the checkpoint sits at max(ts) - 30 min), so the
     // re-delivery is discarded and the final sink equals the clean batch
-    // aggregation over closed windows. No SQL oracle — append-mode
-    // emission timing is engine-specific (the driver does a rows-only
-    // check); the window CONTENTS under late data are asserted by
-    // StreamingSpec instead.
+    // aggregation over closed windows. r10: that equality IS the SQL
+    // oracle — batch windowed agg over the slice, restricted to windows
+    // with end <= final watermark (max event-ms - 30 min) — so T5 gets
+    // a full value-exact check (the T8 bounded-input precedent);
+    // StreamingSpec still pins the late-drop semantics on MemoryStream.
     "watermark_late_drop" -> ((s, d) => {
       val stage = freshDir("graft_t5_stage")
       val sink = freshDir("graft_t5_sink")
@@ -195,8 +196,31 @@ object PipelineOps extends OpGroup {
       // re-delivery of the earliest event, written after batch 1 so the
       // oldest-first file queue orders it second
       ev.coalesce(1).write.mode(SaveMode.Overwrite).json(stage)
+      val before = Option(new java.io.File(stage).listFiles()).getOrElse(Array())
+        .filter(_.getName.endsWith(".json")).map(_.getName).toSet
       ev.orderBy("ts_us").limit(1)
         .write.mode(SaveMode.Append).json(stage)
+      // the re-delivery file must be STRICTLY newer than every clean
+      // file: FileStreamSource orders the queue by modification time,
+      // and both writes land within the same ms — a tie (or inversion)
+      // puts the late row in the FIRST batch, where the watermark is
+      // still 0 and nothing is dropped (exactly what the r10 oracle
+      // caught: the first window counted the re-delivery)
+      val all = Option(new java.io.File(stage).listFiles()).getOrElse(Array())
+        .filter(_.getName.endsWith(".json"))
+      val newest = all.filter(f => before(f.getName)).map(_.lastModified).max
+      all.filterNot(f => before(f.getName))
+        .foreach(f => f.setLastModified(newest + 10000))
+      // watermark-carrier micro-batch: Spark filters LATE EVENTS with
+      // the PREVIOUS batch's watermark while EVICTING with the current
+      // one (the SPARK-24634 split), so a re-delivery arriving in the
+      // very next batch after the clean slice is filtered against
+      // watermark 0 and silently COUNTED (the r10 oracle caught this).
+      // An empty file between the two gives the advanced watermark one
+      // batch to become "previous", making the drop actually happen.
+      val carrier = new java.io.File(stage, "part-99999-wm-carrier.json")
+      carrier.createNewFile()
+      carrier.setLastModified(newest + 5000)
       // ONE AvailableNow cycle, one file per micro-batch: the watermark
       // advances to max(ts) - 30 min after batch 1, so batch 2's
       // re-delivery lands behind it and is dropped — same semantics as a
@@ -365,6 +389,29 @@ object PipelineOps extends OpGroup {
     "stream_dedup" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_id % 5 = 0 ORDER BY event_id""".stripMargin,
+    // T5 structural oracle (r10, VERDICT r9 ask #4): the append-mode
+    // sink equals the BATCH windowed agg over the 1/20 slice restricted
+    // to windows CLOSED by the final watermark. Mechanics mirrored
+    // exactly: Spark's watermark is max event-time in TRUNCATED ms
+    // minus the 30-min delay (EventTimeStats collects us DIV 1000), a
+    // window is emitted when window.end <= watermark, and the late
+    // re-delivery is dropped (its window closed long before), so it
+    // never perturbs a count. sum_value is decimal-routed on both
+    // sides (tumblingCounts uses dsum), so the compare is value-exact.
+    "watermark_late_drop" ->
+      s"""WITH ev AS (
+         |  SELECT ts, epoch_us(ts) AS us, event_type, value
+         |  FROM events WHERE event_id % 20 = 0),
+         |wm AS (SELECT max(us) // 1000 - 1800000 AS wm_ms FROM ev),
+         |agg AS (
+         |  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start,
+         |         event_type, CAST(count(*) AS BIGINT) AS n,
+         |         ${dsumSql("value")} AS sum_value
+         |  FROM ev GROUP BY w_start, event_type)
+         |SELECT w_start, event_type, n, sum_value
+         |FROM agg CROSS JOIN wm
+         |WHERE (w_start + 600) * 1000 <= wm_ms
+         |ORDER BY w_start, event_type""".stripMargin,
     // batch join = the stream-stream join's append-mode result on
     // bounded input (watermark delay > staged disorder ⇒ zero drops)
     "stream_stream_join" ->

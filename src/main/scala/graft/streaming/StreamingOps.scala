@@ -46,7 +46,10 @@ object StreamingOps {
     events
       .withWatermark("ts", ttl)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // dsum (decimal-routed) so the per-window double is independent
+      // of micro-batch/partial-agg order — what lets T5 carry a full
+      // value-exact oracle instead of a rows-only check
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
 

@@ -55,4 +55,34 @@ class HllSpec extends SparkSpec {
     assert((hi - lo) / hi <= 0.02,
       s"HLL estimate moved ${(hi - lo) / hi * 100}% across partitionings: $es")
   }
+
+  test("sketch estimates are cross-sf monotone (G7/D3, r10 VERDICT ask #4)") {
+    // The two rows-only sketch queries can still be pinned STRUCTURALLY
+    // across data scales: the fixtures grow ~10x per sf step, so any
+    // correct ε≤5% estimator must report strictly more distincts at the
+    // larger scale — a sketch that ignored its input (or saturated)
+    // would fail this while still passing a single-sf tolerance check.
+    val sfs = Seq(sf("sf0.001"), sf("sf0.01"))
+    // G7: the global (-1) rollup row's estimate
+    val g7 = sfs.map { d =>
+      SparkEntry.queries("hll_count_rollup")(spark, d)
+        .collect().find(_.getInt(0) == -1).get.getLong(1)
+    }
+    assert(g7(1) > g7(0) * 5,
+      s"hll_count_rollup global estimate not ~10x across sf: $g7")
+    // D3: approx tracks exact at BOTH scales and grows with the data
+    val d3 = sfs.map { d =>
+      val r = SparkEntry.queries("count_distinct_approx")(spark, d).head
+      (r.getLong(0), r.getLong(1)) // (approx, exact)
+    }
+    // approx_count_distinct's default rsd is 0.05 — individual draws
+    // routinely land past 1 sigma (6.4% observed at sf0.001), so the
+    // per-scale bound is 2x rsd
+    d3.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+        s"approx_count_distinct off by >10%: approx=$approx exact=$exact")
+    }
+    assert(d3(1)._1 > d3(0)._1 * 5,
+      s"approx_orders not ~10x across sf: ${d3.map(_._1)}")
+  }
 }
