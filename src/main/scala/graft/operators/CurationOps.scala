@@ -411,9 +411,160 @@ object CurationOps extends OpGroup {
           expr("n_shared * 1000000 DIV least(t1, t2)").as("containment_fp"))
         .orderBy("s1", "s2")
     }),
+
+    // The consumer-grade COMPOSITE (r10, VERDICT r9 ask #7): the
+    // app.py:133-220 five-stage composition, LLM-pipeline edition —
+    // quality gate → exact dedup → decontamination → mixture weights
+    // chained over `documents` as ONE declared query, proving the
+    // operators compose without materialization cliffs. Per-source
+    // funnel report: raw → past-gate → past-dedup → clean counts, then
+    // the τ=0.7 temperature weight over the SURVIVING corpus.
+    //
+    // Stage rules reuse the standalone operators verbatim:
+    //   1. gate: keep docs with n_chars <= per-lang rank-defined p95
+    //      (length_percentile_gate's threshold, GlobalRank two-phase);
+    //   2. dedup: sha256(text) keep-first by doc_id among survivors
+    //      (exact_dedup_hash's rule);
+    //   3. decontamination: drop survivors sharing >= 2 distinct
+    //      3-shingles with any doc of the FIXED eval suite (the raw
+    //      corpus' doc_id % 97 == 0 slice — benchmark membership does
+    //      not depend on upstream filters), and drop the eval slice
+    //      itself (it is the benchmark, not training data);
+    //   4. weights: w_fp = FLOOR(exp(0.7 ln mass)·1e6) per source over
+    //      the clean corpus, share_fp normalized DECIMAL(38,0)-wide
+    //      (mixture_temperature_weights' exact fixed-point recipe).
+    // Scale: every stage is the standalone operator's plan — broadcast
+    // thresholds/eval-index, map-side shingle dedup, one corpus-bytes
+    // shuffle (the dedup hash exchange) — and the funnel aggregates
+    // carry source-cardinality rows only.
+    "curation_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+      // 1 — per-lang p95 gate
+      val base = docs.select("doc_id", "lang", "n_chars")
+      val ranked = graft.functions.GlobalRank
+        .rowNumber(base, "rn", Seq("lang"), Seq("n_chars", "doc_id"))
+      val nLang = base.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val p95 = ranked.join(broadcast(nLang), "lang")
+        .filter(col("rn") === expr("(n_lang * 95 + 99) DIV 100"))
+        .select(col("lang"), col("n_chars").as("p95_chars"))
+      val gated = docs.join(broadcast(p95), "lang")
+        .filter(col("n_chars") <= col("p95_chars"))
+        .select(docs.columns.map(col): _*)
+      // 2 — exact keep-first dedup among gate survivors
+      val deduped = gated
+        .withColumn("rn2", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
+        .filter(col("rn2") === 1).drop("rn2")
+      // 3 — decontamination vs the fixed eval suite
+      val shingleExpr = expr(
+        """transform(sequence(0, greatest(n - 3, 0)),
+          |  i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin)
+      def shingles(df: DataFrame) = df
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), explode(array_distinct(shingleExpr)).as("sh"))
+      val evalSh = shingles(docs.filter(col("doc_id") % 97 === 0))
+        .select(col("doc_id").as("eval_doc"), col("sh"))
+      val contaminated = shingles(deduped.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(evalSh), "sh")
+        .groupBy("doc_id", "eval_doc").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select("doc_id").distinct()
+      val clean = deduped.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // 4 — funnel + temperature weights (source-cardinality joins)
+      val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      val g1 = gated.groupBy("source").agg(count(lit(1)).as("n_gate"))
+      val g2 = deduped.groupBy("source").agg(count(lit(1)).as("n_dedup"))
+      val g3 = clean.groupBy("source")
+        .agg(count(lit(1)).as("n_clean"), sum("n_chars").as("mass"))
+        .withColumn("w_fp",
+          expr("""CAST(FLOOR(exp(0.7 * ln(CAST(mass AS DOUBLE))) * 1000000)
+                 AS BIGINT)"""))
+      val tot = g3.agg(sum("w_fp").as("tot_w"))
+      raw.join(g1, "source").join(g2, "source").join(g3, "source")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_raw"), col("n_gate"), col("n_dedup"),
+          col("n_clean"), col("mass"), col("w_fp"),
+          expr("""CAST(CAST(w_fp AS DECIMAL(38,0)) * 1000000
+                 DIV tot_w AS BIGINT)""").as("share_fp"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // stage-for-stage CTE mirror of the composite: same rank-defined
+    // p95, same sha256 keep-first, same fixed eval suite and >= 2
+    // shared-shingle rule, same FLOOR/ln/exp fixed-point weights
+    "curation_pipeline_e2e" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, lang, n_chars, text FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars, doc_id) AS rn
+        |  FROM docs),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |      FROM docs GROUP BY lang),
+        |p AS (
+        |  SELECT r.lang, CAST(r.n_chars AS BIGINT) AS p95_chars
+        |  FROM r JOIN c USING (lang)
+        |  WHERE r.rn = (c.n_lang * 95 + 99) // 100),
+        |gated AS (
+        |  SELECT d.* FROM docs d JOIN p USING (lang)
+        |  WHERE d.n_chars <= p.p95_chars),
+        |deduped AS (
+        |  SELECT doc_id, source, lang, n_chars, text FROM (
+        |    SELECT g.*, row_number() OVER (PARTITION BY sha256(text)
+        |             ORDER BY doc_id) AS rn2
+        |    FROM gated g) WHERE rn2 = 1),
+        |esh AS (
+        |  SELECT DISTINCT doc_id AS eval_doc,
+        |         array_to_string(ws[CAST(t.i AS INTEGER) : CAST(t.i AS INTEGER) + 2], ' ') AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |               CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+        |        FROM docs WHERE doc_id % 97 = 0)
+        |  CROSS JOIN range(1, 8193) t(i)
+        |  WHERE t.i <= greatest(n - 2, 1)),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(ws[CAST(t.i AS INTEGER) : CAST(t.i AS INTEGER) + 2], ' ') AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |               CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+        |        FROM deduped WHERE doc_id % 97 <> 0)
+        |  CROSS JOIN range(1, 8193) t(i)
+        |  WHERE t.i <= greatest(n - 2, 1)),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT t.doc_id, e.eval_doc
+        |    FROM tsh t JOIN esh e USING (sh)
+        |    GROUP BY t.doc_id, e.eval_doc
+        |    HAVING count(*) >= 2)),
+        |clean AS (
+        |  SELECT * FROM deduped
+        |  WHERE doc_id % 97 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+        |        FROM docs GROUP BY source),
+        |s1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gate
+        |       FROM gated GROUP BY source),
+        |s2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dedup
+        |       FROM deduped GROUP BY source),
+        |s3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_clean,
+        |              CAST(sum(n_chars) AS BIGINT) AS mass,
+        |              CAST(FLOOR(exp(0.7 * ln(CAST(sum(n_chars) AS DOUBLE)))
+        |                * 1000000) AS BIGINT) AS w_fp
+        |       FROM clean GROUP BY source),
+        |tot AS (SELECT sum(w_fp) AS tot_w FROM s3)
+        |SELECT source, n_raw, n_gate, n_dedup, n_clean, mass, w_fp,
+        |       CAST(CAST(w_fp AS HUGEINT) * 1000000 // tot_w AS BIGINT)
+        |         AS share_fp
+        |FROM raw JOIN s1 USING (source) JOIN s2 USING (source)
+        |JOIN s3 USING (source) CROSS JOIN tot
+        |ORDER BY source""".stripMargin,
     "hash_sample_stratified" ->
       """SELECT doc_id, lang, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
         |FROM documents

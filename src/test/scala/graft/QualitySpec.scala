@@ -157,4 +157,27 @@ class QualitySpec extends SparkSpec {
     val nd = Tables.documents(spark, sf()).count()
     rows.foreach(r => assert(r.getLong(1) === nd * r.getLong(0) / 10))
   }
+
+  test("curation_pipeline_e2e: funnel is monotone, stages bite, shares normalize") {
+    val rows = operators.CurationOps
+      .queries("curation_pipeline_e2e")(spark, sf()).collect()
+    assert(rows.nonEmpty, "one funnel row per source")
+    rows.foreach { r =>
+      val (nRaw, nGate, nDedup, nClean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nRaw >= nGate && nGate >= nDedup && nDedup >= nClean &&
+        nClean >= 0, s"funnel not monotone for ${r.getString(0)}")
+    }
+    // the corpus totals must shrink at the gate (a p95 cap always cuts
+    // the tail) and at decontamination (the eval slice alone guarantees
+    // removals) — a stage that never fires is silently disconnected
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum > 0,
+      "quality gate dropped nothing corpus-wide")
+    assert(rows.map(r => r.getLong(3) - r.getLong(4)).sum > 0,
+      "decontamination + eval-slice removal dropped nothing corpus-wide")
+    // floored fixed-point shares: sum in (1e6 - #sources, 1e6]
+    val shareSum = rows.map(_.getLong(7)).sum
+    assert(shareSum > 1000000L - rows.length && shareSum <= 1000000L,
+      s"share_fp sum $shareSum outside the floored-normalization window")
+  }
 }
