@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
   *     bytes on both engines, the exact_dedup_hash precedent) — the
   *     window bodies never shuffle for the duplicate test, only their
   *     hashes + positions.
-  *   - Keep-first is a row_number over (hash) ordered by (doc_id,
-  *     chunk_idx) — a total order, so the survivor set is identical on
-  *     any partitioning/retry (same rule as dedup_keep_first).
+  *   - Keep-first is min(struct(doc_id, chunk_idx)) per hash — a total
+  *     order, so the survivor set is identical on any partitioning or
+  *     retry (same rule as dedup_keep_first), and a map-side-combinable
+  *     aggregate, so no whole-partition keep-first window exists.
   *   - Shuffle inventory (both rows): hash-keyed exchanges carry ONLY
   *     (hash, doc, pos) triples — never window text. Chunk dedup moves
   *     the corpus bytes exactly once (an explicit doc_id repartition
@@ -78,22 +79,31 @@ object CorpusDedupOps extends OpGroup {
         .toDF("doc_id", "chunk_idx", "chunk")
       // keep-first: the globally-earliest (doc_id, chunk_idx) occurrence
       // of each distinct window survives; later repeats are dropped.
-      // The flag stream windows over (doc_id, chunk_idx, hash) ONLY —
-      // the chunk text never rides the hash exchange; it reaches the
-      // reassembly through one explicit doc_id repartition, whose
-      // partitioning both the (doc_id, chunk_idx) flag join and the
-      // final doc_id aggregate then reuse (doc_id is a subset of the
-      // join key, so EnsureRequirements adds no further exchange).
-      // Net 100 TB shuffle inventory: corpus text bytes move ONCE.
-      val keepFirst = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
-      val flags = chunks
+      // r10 skew-proof shape: the survivor per hash is min(struct(
+      // doc_id, chunk_idx)) — a map-side-combinable pre-aggregate, so a
+      // boilerplate window repeated 1e8 times corpus-wide collapses to
+      // one row per mapper instead of pinning one whole-partition
+      // keep-first window task (AQE never splits windows). Its output
+      // IS the kept-set — one row per DISTINCT hash — which rejoins the
+      // chunk stream on (doc_id, chunk_idx): a UNIQUE key, so that join
+      // cannot have a hot key at any scale. The chunk text never rides
+      // the hash exchange; it reaches the reassembly through one
+      // explicit doc_id repartition, whose partitioning both the kept
+      // join and the final doc_id aggregate reuse (doc_id ⊆ join key ⇒
+      // EnsureRequirements adds no further exchange). Net 100 TB
+      // shuffle inventory unchanged: corpus text bytes move ONCE,
+      // 3 hash exchanges total.
+      val kept = chunks
         .select(col("doc_id"), col("chunk_idx"),
           sha2(col("chunk"), 256).as("h"))
-        .withColumn("kept", row_number().over(keepFirst) === 1)
-        .select("doc_id", "chunk_idx", "kept")
+        .groupBy("h")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+        .select(col("f.doc_id").as("doc_id"),
+          col("f.chunk_idx").as("chunk_idx"), lit(true).as("kept"))
         .repartition(col("doc_id"))
       chunks.repartition(col("doc_id"))
-        .join(flags, Seq("doc_id", "chunk_idx"))
+        .join(kept, Seq("doc_id", "chunk_idx"), "left")
+        .withColumn("kept", coalesce(col("kept"), lit(false)))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_chunks"),

@@ -101,17 +101,20 @@ object LlmOps extends OpGroup {
     // resolve by the same keep-first rule as exact_dedup_hash, and
     // EVERY rejected row names its survivor: the historical canonical
     // when the hash is indexed, else the batch's first occurrence
-    // (min doc_id over the same hash window — no extra shuffle).
-    // Accepted rows are their own canonical ⇒ NULL.
+    // (the same batch_min the keep-first rule derives).
+    // Accepted rows are their own canonical ⇒ NULL. r10: within-batch
+    // keep-first is a map-side-combinable min(doc_id) pre-aggregate
+    // joined back on the hash (the exact_dedup_hash skew argument —
+    // AQE splits a hot-hash JOIN, never a window).
     "incremental_dedup_index" -> ((s, d) => {
       val idx = s.read.parquet(dedupIndex(s, d))
       val batch = Tables.documents(s, d)
         .filter(col("doc_id") % 5 === 4)
         .select(col("doc_id"), prefixKey.as("h"))
-      val firstInBatch = Window.partitionBy("h").orderBy("doc_id")
+      val bmin = batch.groupBy("h").agg(min("doc_id").as("batch_min"))
       batch
-        .withColumn("first_of_hash", row_number().over(firstInBatch) === 1)
-        .withColumn("batch_min", min("doc_id").over(Window.partitionBy("h")))
+        .join(bmin, Seq("h"))
+        .withColumn("first_of_hash", col("doc_id") === col("batch_min"))
         .join(idx, Seq("h"), "left_outer")
         .withColumn("accepted",
           col("canonical_id").isNull && col("first_of_hash"))
@@ -134,12 +137,18 @@ object LlmOps extends OpGroup {
         .orderBy("doc_id")),
 
     // L2 — exact content dedup via sha256 + deterministic keep-first.
+    // r10 skew-proof shape: canonical = min(doc_id) per hash as a
+    // map-side-combinable pre-aggregate joined back on the hash — a
+    // web-scale boilerplate document (1e8 identical copies, one hash)
+    // collapses per mapper and the join-back is AQE-skew-splittable,
+    // where the old keep-first window pinned every copy into ONE task.
     "exact_dedup_hash" -> ((s, d) => {
-      val w = Window.partitionBy("h").orderBy("doc_id")
-      Tables.documents(s, d)
-        .withColumn("h", sha2(col("text"), 256))
-        .withColumn("rn", row_number().over(w))
-        .select(col("doc_id"), col("h"), (col("rn") === 1).as("is_canonical"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val first = docs.groupBy("h").agg(min("doc_id").as("first_doc"))
+      docs.join(first, Seq("h"))
+        .select(col("doc_id"), col("h"),
+          (col("doc_id") === col("first_doc")).as("is_canonical"))
         .orderBy("doc_id")
     }),
 

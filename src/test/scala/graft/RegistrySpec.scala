@@ -13,11 +13,15 @@ class RegistrySpec extends SparkSpec {
     val rowsOnly = q -- o
     val expected = Set(
       "count_distinct_approx",     // HLL++ output is approximate
-      "watermark_late_drop",       // append-mode emission timing
       "percentile_approx_scale",   // sketch output
       "hll_count_rollup")          // DataSketches estimates (BigQuery
                                    // HLL_COUNT analog); ε + merge law
                                    // pinned in HllSpec
+    // watermark_late_drop graduated in r10: the append-mode sink is
+    // oracled as the batch windowed agg over windows closed by the
+    // final watermark (max event-ms - 30 min), value-exact via dsum.
+    // The sketch keys above additionally carry cross-sf monotonicity
+    // pins (HllSpec) since r10.
     // Graduated to structural (persisted-layout) oracles — the engine-
     // specific hash/model outputs become parquet INPUT data DuckDB
     // re-derives the pipeline from: ann_ivf_partition_pruned (r3),
