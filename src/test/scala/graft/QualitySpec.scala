@@ -159,8 +159,15 @@ class QualitySpec extends SparkSpec {
   }
 
   test("curation_pipeline_e2e: funnel is monotone, stages bite, shares normalize") {
-    val rows = operators.CurationOps
-      .queries("curation_pipeline_e2e")(spark, sf()).collect()
+    val df = operators.CurationOps
+      .queries("curation_pipeline_e2e")(spark, sf())
+    val rows = df.collect()
+    // the funnel taps reference the gate→dedup chain from four
+    // consumers; at runtime AQE must REUSE those exchanges, not
+    // re-execute the corpus subplan per tap (the no-materialization-
+    // cliff claim of SURVEY §2.K Q5)
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "diamond subplans re-executed — AQE exchange reuse did not fire")
     assert(rows.nonEmpty, "one funnel row per source")
     rows.foreach { r =>
       val (nRaw, nGate, nDedup, nClean) =
