@@ -92,7 +92,59 @@ object LlmOps extends OpGroup {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
     }
 
+  /** Today's batch keyed + bloom pre-filter verdict, spec-visible so
+    * CorpusDedupSpec can pin selectivity and the no-false-negative law.
+    * The bitset is sized from FOOTER stats (Tables.rowCount — the S6d
+    * manifest path): items ≈ the 4/5 historical slice, 10 bits/item ⇒
+    * ~1% fpp; at 100 TB the same two metadata numbers come from the
+    * catalog, never a scan.
+    */
+  private[graft] def bloomPrefilteredBatch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomDedup.register(s)
+    val items = math.max(64L, Tables.rowCount(s, d, "documents") * 4 / 5)
+    val bits = items * 10
+    // might_contain demands a CONSTANT or scalar-subquery bitset (the
+    // InjectRuntimeFilter shape) — a scalar subquery keeps the build
+    // fully distributed and the probe codegen'd
+    s.read.parquet(dedupIndex(s, d))
+      .agg(expr(s"bloom_agg(h, ${items}L, ${bits}L)").as("bf"))
+      .createOrReplaceTempView("graft_bloom_idx")
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), prefixKey.as("h"))
+      .withColumn("maybe_seen",
+        expr("bloom_might_contain((SELECT bf FROM graft_bloom_idx), h)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C4b — bloom-pre-filtered incremental dedup: IDENTICAL verdicts to
+    // incremental_dedup_index (they share an oracle) but the index join
+    // probes ONLY rows the broadcast bloom bitset cannot rule out. At
+    // 100 TB the bitset is a few MB against a TB-scale index shuffle:
+    // fresh-crawl keys (the common case) skip the join entirely, false
+    // positives just take the exact path and come back NULL — the
+    // pre-filter is invisible to correctness by the no-false-negative
+    // property, which CorpusDedupSpec pins along with selectivity.
+    "bloom_prefilter_dedup" -> ((s, d) => {
+      val idx = s.read.parquet(dedupIndex(s, d))
+      val pre = bloomPrefilteredBatch(s, d)
+      val probed = pre.filter(col("maybe_seen"))
+        .join(idx, Seq("h"), "left_outer")
+        .select(col("doc_id"), col("h"), col("canonical_id"))
+      val missed = pre.filter(!col("maybe_seen"))
+        .select(col("doc_id"), col("h"),
+          lit(null).cast("long").as("canonical_id"))
+      val unioned = probed.unionByName(missed)
+      val bmin = unioned.groupBy("h").agg(min("doc_id").as("batch_min"))
+      unioned.join(bmin, Seq("h"))
+        .withColumn("accepted",
+          col("canonical_id").isNull && col("doc_id") === col("batch_min"))
+        .select(col("doc_id"), col("h"), col("accepted"),
+          when(col("accepted"), lit(null).cast("long"))
+            .otherwise(coalesce(col("canonical_id"), col("batch_min")))
+            .as("canonical_id"))
+        .orderBy("doc_id")
+    }),
     // Incremental dedup: today's batch (doc_id % 5 = 4) against the
     // persisted historical index — accepted ⇔ content hash unseen; a
     // seen hash reports the historical canonical id it collides with.
@@ -364,32 +416,38 @@ object LlmOps extends OpGroup {
        |    ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
        |  GROUP BY doc_a, doc_b, na, nb)""".stripMargin
 
+  private val incrementalDedupOracle =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |         sha256(array_to_string((string_split(text, ' '))[1:30], ' ')) AS h
+      |  FROM documents),
+      |idx AS (
+      |  SELECT h, min(doc_id) AS canonical_id
+      |  FROM keyed WHERE doc_id % 5 < 4 GROUP BY 1),
+      |batch AS (
+      |  SELECT doc_id, h,
+      |         (row_number() OVER (PARTITION BY h
+      |            ORDER BY doc_id)) = 1 AS first_of_hash,
+      |         min(doc_id) OVER (PARTITION BY h) AS batch_min
+      |  FROM keyed WHERE doc_id % 5 = 4)
+      |SELECT b.doc_id, b.h,
+      |       (i.canonical_id IS NULL AND b.first_of_hash) AS accepted,
+      |       CASE WHEN i.canonical_id IS NULL AND b.first_of_hash THEN NULL
+      |            ELSE coalesce(i.canonical_id, b.batch_min) END AS canonical_id
+      |FROM batch b LEFT JOIN idx i ON b.h = i.h
+      |ORDER BY b.doc_id""".stripMargin
+
   // `def`: the minhash oracle embeds the session's persisted layout path
   // (Verify runs every query before dumping oracle SQL)
   def oracleSql: Map[String, String] = Map(
+    // the bloom pre-filter is correctness-invisible (no false
+    // negatives; false positives resolve through the exact join), so
+    // C4b shares C4's oracle verbatim
+    "bloom_prefilter_dedup" -> incrementalDedupOracle,
     // the index is itself deterministic (sha + min id over the
     // historical slice), so the oracle recomputes index AND batch join
     // from the base table — nothing structural to trust
-    "incremental_dedup_index" ->
-      """WITH keyed AS (
-        |  SELECT doc_id,
-        |         sha256(array_to_string((string_split(text, ' '))[1:30], ' ')) AS h
-        |  FROM documents),
-        |idx AS (
-        |  SELECT h, min(doc_id) AS canonical_id
-        |  FROM keyed WHERE doc_id % 5 < 4 GROUP BY 1),
-        |batch AS (
-        |  SELECT doc_id, h,
-        |         (row_number() OVER (PARTITION BY h
-        |            ORDER BY doc_id)) = 1 AS first_of_hash,
-        |         min(doc_id) OVER (PARTITION BY h) AS batch_min
-        |  FROM keyed WHERE doc_id % 5 = 4)
-        |SELECT b.doc_id, b.h,
-        |       (i.canonical_id IS NULL AND b.first_of_hash) AS accepted,
-        |       CASE WHEN i.canonical_id IS NULL AND b.first_of_hash THEN NULL
-        |            ELSE coalesce(i.canonical_id, b.batch_min) END AS canonical_id
-        |FROM batch b LEFT JOIN idx i ON b.h = i.h
-        |ORDER BY b.doc_id""".stripMargin,
+    "incremental_dedup_index" -> incrementalDedupOracle,
     "minhash_near_dedup" ->
       s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
               minhashLayoutCache.lastPath, numHashes = MinHashes,

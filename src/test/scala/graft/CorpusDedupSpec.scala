@@ -259,6 +259,38 @@ class CorpusDedupSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === firstDoc.size.toLong)
   }
 
+  test("bloom_prefilter_dedup: verdicts identical to the exact path; filter has no false negatives and prunes") {
+    import org.apache.spark.sql.Row
+    // 1 — end result is bit-identical to incremental_dedup_index
+    val exact = operators.LlmOps
+      .queries("incremental_dedup_index")(spark, sf()).collect()
+    val bloomed = operators.LlmOps
+      .queries("bloom_prefilter_dedup")(spark, sf()).collect()
+    assert(exact.toSeq === bloomed.toSeq,
+      "bloom pre-filter changed the dedup verdicts")
+    // 2 — no false negatives: every batch key that IS in the historical
+    // index must survive the pre-filter (else the exact join is skipped
+    // for a real duplicate and data is silently re-admitted)
+    val pre = operators.LlmOps.bloomPrefilteredBatch(spark, sf()).collect()
+      .map { case Row(id: Long, h: String, maybe: Boolean) => (id, h, maybe) }
+    val histKeys = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 5 < 4)
+      .select(expr(
+        "sha2(concat_ws(' ', slice(split(text, ' '), 1, 30)), 256)"))
+      .collect().map(_.getString(0)).toSet
+    pre.filter(p => histKeys(p._2)).foreach { case (id, _, maybe) =>
+      assert(maybe, s"FALSE NEGATIVE: doc $id's indexed key was pre-filtered out")
+    }
+    // 3 — the filter actually prunes: genuinely-new keys (the fixture
+    // batch has many) must be ruled out at ~the configured 1% fpp, not
+    // pass wholesale (a saturated or mis-sized bitset)
+    val fresh = pre.filterNot(p => histKeys(p._2))
+    assert(fresh.nonEmpty, "fixture batch has no fresh keys — pin is vacuous")
+    val passed = fresh.count(_._3)
+    assert(passed.toDouble / fresh.length <= 0.25,
+      s"bloom passed $passed of ${fresh.length} fresh keys — bitset saturated")
+  }
+
   test("dup_span_detect skew pin: no task materializes a hot gram's full occurrence set") {
     // A degenerate boilerplate gram — ONE 8-gram with 43 occurrences in
     // each of 120 docs (5160 total, a single hash) — models the web-scale
