@@ -35,6 +35,7 @@ object SparkEntry {
     operators.StatOps,
     operators.CorpusDedupOps,
     operators.QualityOps,
+    operators.InfoStatOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

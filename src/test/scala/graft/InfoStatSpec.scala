@@ -1,0 +1,95 @@
+package graft
+
+/** Semantic pins for InfoStatOps (the DuckDB oracle hash-checks the
+  * queries; these pin the mathematical invariants a hash match can't
+  * name — non-negativity laws, CDF bounds, weight conservation, the
+  * pair-count triangular law, and ordering contracts).
+  */
+class InfoStatSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.InfoStatOps.queries(key)(spark, sf()).collect()
+
+  test("kl_divergence_source_unigram: Gibbs non-negativity within floor slack") {
+    val rows = run("kl_divergence_source_unigram")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nTyp, kl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTok > 0 && nTyp > 0 && nTyp <= nTok)
+      // each of the n_types terms is FLOOR-truncated (error < 1 ulp of
+      // 1e-9), so the exact KL >= 0 implies kl_fp >= -n_types
+      assert(kl >= -nTyp, s"KL must be >= 0 up to floor slack: $r")
+    }
+    // sources are distinct and sorted (output contract)
+    val srcs = rows.map(_.getString(0))
+    assert(srcs.distinct.length === srcs.length && srcs.sorted.sameElements(srcs))
+  }
+
+  test("chi2_event_weekday_independence: full grid, dof law, chi2 >= 0") {
+    val Array(r) = run("chi2_event_weekday_independence")
+    val (n, cells, dof, chi2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n === Tables.events(spark, sf()).count())
+    // the grid is the full cross product of observed margins, so
+    // n_cells = (#types)·(#dows) and dof = (#types-1)·(#dows-1):
+    // with r rows and c cols, cells - dof = r + c - 1
+    val types = Tables.events(spark, sf())
+      .select("event_type").distinct().count()
+    assert(cells % types === 0)
+    val dows = cells / types
+    assert(dof === (types - 1) * (dows - 1))
+    // chi2 >= 0 up to per-cell floor slack
+    assert(chi2 >= -cells)
+  }
+
+  test("ks_two_sample_value: statistic is a CDF distance in [0, 1e9]") {
+    val Array(r) = run("ks_two_sample_value")
+    val (n1, n2, ks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n1 > 0 && n2 > 0)
+    assert(ks >= 0 && ks <= 1000000000L)
+    // both samples together cover every click/purchase event
+    val byType = Tables.events(spark, sf())
+      .filter("event_type IN ('click','purchase')")
+      .groupBy("event_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(n1 === byType("click") && n2 === byType("purchase"))
+  }
+
+  test("ewma_control_chart: weights conserve mass; top-50 ordering holds") {
+    val rows = run("ewma_control_chart")
+    assert(rows.length === 50)
+    // dev ordering is |dev| desc with (user_id, event_id) ties
+    val devs = rows.map(r => math.abs(r.getLong(4)))
+    assert(devs.sameElements(devs.sortBy(-_)))
+    rows.foreach { r =>
+      val (v, ewma, dev) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dev === 256 * v - ewma, "deviation replays from the weights")
+      // weights sum to 256, so ewma_num/256 lies in the lagged value
+      // range — bounded by the global fixture envelope [10, 490020]
+      assert(ewma >= 10 * 256 && ewma <= 490020L * 256)
+    }
+  }
+
+  test("theil_sen_nation_trend: pair counts are triangular; one median per nation") {
+    val rows = run("theil_sen_nation_trend")
+    assert(rows.length === Tables.nation(spark, sf()).count())
+    rows.foreach { r =>
+      val nPairs = r.getLong(1)
+      // n_pairs = C(m, 2) for the nation's month count m => 8p+1 square
+      val disc = 8 * nPairs + 1
+      val root = math.sqrt(disc.toDouble).round
+      assert(root * root === disc, s"n_pairs=$nPairs is not triangular")
+    }
+    val names = rows.map(_.getString(0))
+    assert(names.distinct.length === names.length)
+  }
+
+  test("mutual_information_lang_source: MI >= 0; cells bound by margins") {
+    val Array(r) = run("mutual_information_lang_source")
+    val (n, cells, mi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n === Tables.documents(spark, sf()).count())
+    val langs = Tables.documents(spark, sf()).select("lang").distinct().count()
+    val srcs = Tables.documents(spark, sf()).select("source").distinct().count()
+    assert(cells <= langs * srcs)
+    assert(mi >= -cells, "MI >= 0 up to per-cell floor slack")
+  }
+}
