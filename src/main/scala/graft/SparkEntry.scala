@@ -36,6 +36,7 @@ object SparkEntry {
     operators.CorpusDedupOps,
     operators.QualityOps,
     operators.InfoStatOps,
+    operators.GovernanceOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,291 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance and lifecycle operators (round-10 widening): the
+  * release-management layer around a training-data pipeline —
+  * re-identification risk audits before publishing a dataset, balanced
+  * shard planning for the writer fleet, user-lifecycle survival curves,
+  * and sequential behavior rules. The reference's pipeline ends by
+  * publishing partitioned datasets to a warehouse
+  * (`/root/reference/app.py:206-214` type-routed writes;
+  * `/root/reference/terraform/main.tf:76-96` the published tables) —
+  * these are the audits and plans a responsible publisher runs at that
+  * boundary.
+  *
+  * Determinism & scale design:
+  *   - All ratios are exact 1e-6 integer divisions; all log-domain
+  *     values are FLOOR-fixed-pointed at the leaf over exact int64
+  *     inputs then integer-summed (order-free at any layout).
+  *   - Prefix sums (shard cut-points, survival at-risk ladders) route
+  *     through [[graft.functions.GlobalRank.prefixSum]] — the sliced
+  *     two-phase scheme — never a partition-less window.
+  *   - Group state is domain-bounded: anonymity classes by the QI
+  *     domain, shard stats by the shard count, survival rows by the
+  *     duration-hour domain, rules by the event-type enum².
+  */
+object GovernanceOps extends OpGroup {
+
+  /** 30-minute session gap (µs) — the sessionize_gap_batch convention. */
+  private val GapUs = 1800000000L
+
+  /** Kaplan–Meier per-death-time hazard log-term in 1e-6 fixed point;
+    * NULL-armed separately for the terminal all-die row (survival 0).
+    */
+  private val kmTermSql =
+    """CASE WHEN d > 0 AND d < n_risk
+      | THEN CAST(FLOOR(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+      |   * 1000000.0) AS BIGINT) ELSE 0 END"""
+      .stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z1 — k-anonymity audit over quasi-identifiers (nation, market
+    // segment, account-balance band): the re-identification risk report
+    // run before any dataset leaves the pipeline. One map-side
+    // equivalence-class count (state = the QI domain), one 4-bucket
+    // rollup; classes of size < 5 are the publishable-risk surface.
+    "k_anonymity_audit" -> ((s, d) => {
+      val qi = Tables.customer(s, d).select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").as("bal_band"))
+      val cls = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("k"))
+      cls.withColumn("k_bucket", expr(
+          """CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+            |     WHEN k <= 9 THEN '5-9' ELSE '10+' END"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n_classes"), sum("k").as("n_rows"))
+        .withColumn("at_risk", expr("k_bucket IN ('1', '2-4')"))
+        .orderBy("k_bucket")
+    }),
+
+    // Z2 — balanced shard planner: cut the doc_id-ordered corpus into 8
+    // contiguous shards of ~equal BYTES by the exclusive running char
+    // count — the shard-writer plan that keeps one output file from
+    // being 100× another. The prefix sum is GlobalRank's two-phase
+    // scheme; the shard id is a pure function of (exclusive-cum, total)
+    // so every row routes identically on any layout; per-shard stats
+    // are shard-cardinality-sized.
+    "shard_balance_planner" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val tot = docs.agg(sum("n_chars").as("total"))
+      graft.functions.GlobalRank
+        .prefixSum(docs, "cum", col("n_chars"), Nil, Seq("doc_id"))
+        .crossJoin(broadcast(tot))
+        .withColumn("shard_id",
+          expr("CAST((cum - n_chars) * 8 DIV total AS BIGINT)"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("shard_chars"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+          max("total").as("total"))
+        .withColumn("share_fp", expr("shard_chars * 1000000 DIV total"))
+        .drop("total")
+        .orderBy("shard_id")
+    }),
+
+    // Z3 — Kaplan–Meier survival of user lifetime (first → last event,
+    // hours), right-censored at 24 hours of trailing inactivity: the
+    // user-lifecycle curve behind every retention forecast. The event
+    // stream collapses to per-user (first, last) map-side; per-hour
+    // death/censor counts are the ONLY shuffled state (duration-domain-
+    // bounded); the at-risk ladder and the log-survival product are two
+    // GlobalRank prefix sums over that support; each hazard ln() is
+    // FLOOR-fixed-pointed at the leaf. The terminal all-die row (S=0)
+    // emits NULL — ln(0) has no fixed-point form and both engines arm
+    // the same CASE.
+    "kaplan_meier_survival" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .groupBy("user_id")
+        .agg(min("us").as("first_us"), max("us").as("last_us"))
+      val mx = u.agg(max("last_us").as("max_us"))
+      val uu = u.crossJoin(broadcast(mx))
+        .select(expr("(last_us - first_us) DIV 3600000000").as("t_hours"),
+          expr("max_us - last_us > 86400000000").as("churned"))
+      val perT = uu.groupBy("t_hours").agg(
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("cns"))
+      val n = uu.agg(count(lit(1)).as("n_users"))
+      val risk = graft.functions.GlobalRank
+        .prefixSum(perT, "cum_all", col("d") + col("cns"), Nil, Seq("t_hours"))
+        .crossJoin(broadcast(n))
+        .withColumn("n_risk", expr("n_users - (cum_all - d - cns)"))
+        .withColumn("term", expr(kmTermSql))
+      graft.functions.GlobalRank
+        .prefixSum(risk, "log_s0", col("term"), Nil, Seq("t_hours"))
+        .filter(col("d") > 0)
+        .select(col("t_hours"), col("n_risk"), col("d").as("n_deaths"),
+          expr("CASE WHEN d = n_risk THEN NULL ELSE log_s0 END")
+            .as("log_s_fp"))
+        .orderBy("t_hours")
+    }),
+
+    // Z4 — sequential pattern rules A→B inside 30-minute sessions:
+    // "sessions that view later purchase" association mining with
+    // order. Sessions derive from the sessionize_gap_batch gap logic;
+    // each session collapses to its DISTINCT event types ordered by
+    // first occurrence (≤ |enum| entries), pairs by per-session ARRAY
+    // EXPANSION (≤ C(|enum|,2) — never events²); support/confidence
+    // are exact 1e-6 divisions against broadcast denominators.
+    "session_sequence_rules" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), expr("unix_micros(ts)").as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull.or(col("us") - col("prev_us") > GapUs),
+            1L).otherwise(0L))
+        .withColumn("session_idx", sum("new_sess")
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val stypes = flagged
+        .groupBy("user_id", "session_idx", "event_type")
+        .agg(min("us").as("first_us"))
+      val nSess = stypes.select("user_id", "session_idx").distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val anteS = stypes.groupBy("event_type")
+        .agg(count(lit(1)).as("ante_sessions"))
+        .withColumnRenamed("event_type", "antecedent")
+      val pairs = stypes
+        .groupBy("user_id", "session_idx")
+        .agg(sort_array(collect_list(
+          struct(col("first_us"), col("event_type")))).as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(a) - 2), i ->
+            |  transform(sequence(i + 1, size(a) - 1), j ->
+            |    named_struct('antecedent', a[i].event_type,
+            |                 'consequent', a[j].event_type))))"""
+            .stripMargin.replace("\n", " "))).as("p"))
+        .select(col("p.antecedent").as("antecedent"),
+          col("p.consequent").as("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(count(lit(1)).as("pair_sessions"))
+      pairs.join(broadcast(anteS), Seq("antecedent"))
+        .crossJoin(broadcast(nSess))
+        .select(col("antecedent"), col("consequent"), col("pair_sessions"),
+          expr("pair_sessions * 1000000 DIV n_sessions").as("support_fp"),
+          expr("pair_sessions * 1000000 DIV ante_sessions")
+            .as("confidence_fp"))
+        .orderBy(col("pair_sessions").desc, col("antecedent"),
+          col("consequent"))
+        .limit(15)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "k_anonymity_audit" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |         count(*) AS k
+        |  FROM customer GROUP BY 1, 2, 3),
+        |buck AS (
+        |  SELECT CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+        |              WHEN k <= 9 THEN '5-9' ELSE '10+' END AS k_bucket,
+        |         k
+        |  FROM cls)
+        |SELECT k_bucket, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(k) AS BIGINT) AS n_rows,
+        |       k_bucket IN ('1', '2-4') AS at_risk
+        |FROM buck GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+
+    "shard_balance_planner" ->
+      """WITH cum AS (
+        |  SELECT doc_id, n_chars,
+        |         sum(n_chars) OVER (ORDER BY doc_id) AS cum
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents),
+        |sh AS (
+        |  SELECT CAST((cum - n_chars) * 8 // total AS BIGINT) AS shard_id,
+        |         doc_id, n_chars, total
+        |  FROM cum CROSS JOIN tot)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |       CAST(CAST(sum(n_chars) AS BIGINT) * 1000000 // max(total)
+        |         AS BIGINT) AS share_fp
+        |FROM sh GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    "kaplan_meier_survival" ->
+      s"""WITH u AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         |         max(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY user_id),
+         |mx AS (SELECT max(last_us) AS max_us FROM u),
+         |uu AS (
+         |  SELECT (last_us - first_us) // 3600000000 AS t_hours,
+         |         max_us - last_us > 86400000000 AS churned
+         |  FROM u CROSS JOIN mx),
+         |pert AS (
+         |  SELECT t_hours,
+         |         sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+         |         sum(CASE WHEN churned THEN 0 ELSE 1 END) AS cns
+         |  FROM uu GROUP BY t_hours),
+         |n AS (SELECT count(*) AS n_users FROM uu),
+         |cum AS (
+         |  SELECT t_hours, d, cns,
+         |         sum(d + cns) OVER (ORDER BY t_hours) AS cum_all
+         |  FROM pert),
+         |risk AS (
+         |  SELECT t_hours, d, cns, n_users - (cum_all - d - cns) AS n_risk
+         |  FROM cum CROSS JOIN n),
+         |terms AS (SELECT *, $kmTermSql AS term FROM risk),
+         |logs AS (
+         |  SELECT *, sum(term) OVER (ORDER BY t_hours) AS log_s0 FROM terms)
+         |SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+         |       CAST(d AS BIGINT) AS n_deaths,
+         |       CAST(CASE WHEN d = n_risk THEN NULL ELSE log_s0 END
+         |         AS BIGINT) AS log_s_fp
+         |FROM logs WHERE d > 0 ORDER BY t_hours""".stripMargin,
+
+    "session_sequence_rules" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |         CASE WHEN lag(us) OVER w IS NULL
+         |                OR us - lag(us) OVER w > $GapUs
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, event_type, us,
+         |         sum(new_sess) OVER (PARTITION BY user_id
+         |           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+         |           AS session_idx
+         |  FROM flagged),
+         |stypes AS (
+         |  SELECT user_id, session_idx, event_type, min(us) AS first_us
+         |  FROM sess GROUP BY user_id, session_idx, event_type),
+         |nsess AS (
+         |  SELECT count(*) AS n_sessions FROM
+         |    (SELECT DISTINCT user_id, session_idx FROM stypes)),
+         |antes AS (
+         |  SELECT event_type AS antecedent, count(*) AS ante_sessions
+         |  FROM stypes GROUP BY event_type),
+         |pairs AS (
+         |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         |         count(*) AS pair_sessions
+         |  FROM stypes a JOIN stypes b
+         |    ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+         |   AND (a.first_us < b.first_us
+         |        OR (a.first_us = b.first_us
+         |            AND a.event_type < b.event_type))
+         |  GROUP BY 1, 2)
+         |SELECT antecedent, consequent,
+         |       CAST(pair_sessions AS BIGINT) AS pair_sessions,
+         |       CAST(pair_sessions * 1000000 // n_sessions AS BIGINT)
+         |         AS support_fp,
+         |       CAST(pair_sessions * 1000000 // ante_sessions AS BIGINT)
+         |         AS confidence_fp
+         |FROM pairs JOIN antes USING (antecedent) CROSS JOIN nsess
+         |ORDER BY pair_sessions DESC, antecedent, consequent
+         |LIMIT 15""".stripMargin,
+  )
+}

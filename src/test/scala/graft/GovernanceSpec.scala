@@ -1,0 +1,83 @@
+package graft
+
+/** Semantic pins for GovernanceOps (the DuckDB oracle hash-checks the
+  * queries; these pin conservation laws, monotonicity, and bounds a
+  * hash match can't name).
+  */
+class GovernanceSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.GovernanceOps.queries(key)(spark, sf()).collect()
+
+  test("k_anonymity_audit: rows conserve to the customer count; buckets disjoint") {
+    val rows = run("k_anonymity_audit")
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.customer(spark, sf()).count(), "every customer in one class")
+    rows.foreach { r =>
+      val (bucket, nCls, nRows, atRisk) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(nCls > 0 && nRows >= nCls)
+      assert(atRisk === (bucket == "1" || bucket == "2-4"))
+      if (bucket == "1") assert(nRows === nCls, "singleton classes")
+    }
+  }
+
+  test("shard_balance_planner: shards partition the corpus contiguously and evenly") {
+    val rows = run("shard_balance_planner").sortBy(_.getLong(0))
+    val docs = Tables.documents(spark, sf())
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    assert(rows.map(_.getLong(2)).sum ===
+      docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+        .collect()(0).getLong(0))
+    // contiguity: shard ranges do not interleave
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a.getLong(4) < b.getLong(3),
+        "last_doc of shard i precedes first_doc of shard i+1")
+      case _ =>
+    }
+    // balance: every shard within [0, 2/8] byte share (greedy cut bound:
+    // a shard holds its target 1/8 plus at most one straddling doc)
+    rows.foreach(r => assert(r.getLong(5) <= 250000,
+      s"shard ${r.getLong(0)} exceeds 25% of corpus bytes"))
+  }
+
+  test("kaplan_meier_survival: at-risk ladder decreases; log-survival non-increasing") {
+    val rows = run("kaplan_meier_survival")
+    assert(rows.nonEmpty)
+    val ts = rows.map(_.getLong(0))
+    assert(ts.sorted.sameElements(ts) && ts.distinct.length === ts.length)
+    // n_risk strictly decreases across death times
+    val risks = rows.map(_.getLong(1))
+    risks.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a > b, "at-risk count must shrink")
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)))
+    // log S is non-increasing where defined (NULL only on a terminal
+    // all-die row)
+    val logs = rows.map(r => if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    logs.flatten.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, "survival cannot increase")
+      case _ =>
+    }
+    logs.zipWithIndex.foreach { case (v, i) =>
+      if (v.isEmpty) assert(i === rows.length - 1,
+        "NULL log-survival only at the terminal row")
+    }
+  }
+
+  test("session_sequence_rules: confidence >= support; bounded by 1e6; ordered") {
+    val rows = run("session_sequence_rules")
+    assert(rows.nonEmpty && rows.length <= 15)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sorted.reverse.sameElements(counts))
+    rows.foreach { r =>
+      val (a, b, supp, conf) =
+        (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4))
+      assert(a !== b, "a type cannot precede itself in the distinct set")
+      assert(supp >= 0 && supp <= 1000000L)
+      assert(conf >= supp, "antecedent sessions are a subset of all sessions")
+      assert(conf <= 1000000L)
+    }
+  }
+}
