@@ -212,6 +212,28 @@ object LangModelOps extends OpGroup {
     // vocab-bounded; the total is a single-row broadcast. occurrences ×
     // 1e6 stays < 2^63 while the corpus holds < ~9.2e12 token
     // occurrences — beyond that the share numerator takes DECIMAL.
+    // tokenizer FERTILITY by language: BPE tokens emitted per word —
+    // the per-language cost gauge a multilingual tokenizer build signs
+    // off on (a lang with fertility ≫ others is under-served by the
+    // merge table and overpays context budget). Reuses the mined+applied
+    // merge table via [[bpeEncoded]]: the corpus collapses map-side to
+    // the (lang, word) count table, joins the word-DICTIONARY encoding
+    // (dictionary-not-corpus — the join carries vocab rows), and folds
+    // to one exact integer ratio per language.
+    "tokenizer_fertility_by_lang" -> ((s, d) => {
+      val enc = bpeEncoded(s, d).select(col("word").as("w"), col("n_tokens"))
+      val lw = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      lw.join(enc, Seq("w"))
+        .groupBy("lang")
+        .agg(sum("c").as("n_words"),
+          sum(expr("c * n_tokens")).as("n_bpe_tokens"))
+        .withColumn("fertility_fp",
+          expr("n_bpe_tokens * 1000000 DIV n_words"))
+        .orderBy("lang")
+    }),
+
     "tokenizer_vocab_coverage" -> ((s, d) => {
       val toks = bpeEncoded(s, d)
         .select(col("word"), col("freq"),
@@ -539,6 +561,26 @@ object LangModelOps extends OpGroup {
         |       CAST(occurrences * 1000000 // total_occ AS BIGINT) AS occ_share_fp
         |FROM pertok CROSS JOIN tot
         |ORDER BY occurrences DESC, token LIMIT 30""".stripMargin),
+
+    // same recursive merge application; per-lang word counts join the
+    // encoded dictionary, exact integer fertility ratio
+    "tokenizer_fertility_by_lang" -> (bpeEncodeCtesDuck +
+      """,
+        |lwc AS (
+        |  SELECT lang, w, count(*) AS c FROM
+        |    (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |     FROM documents)
+        |  GROUP BY lang, w),
+        |enc2 AS (
+        |  SELECT w, CAST(len(string_split(t, chr(31))) AS BIGINT)
+        |           AS n_tokens
+        |  FROM fin)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+        |       CAST(sum(c * n_tokens) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(CAST(sum(c * n_tokens) AS BIGINT) * 1000000
+        |         // CAST(sum(c) AS BIGINT) AS BIGINT) AS fertility_fp
+        |FROM lwc JOIN enc2 USING (w)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
 
     "fuzzy_pairs_blocked" ->
       """WITH names AS (

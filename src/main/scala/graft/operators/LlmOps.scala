@@ -295,6 +295,27 @@ object LlmOps extends OpGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // containment twin of ngram_jaccard_pairs: |A∩B| / min(|A|,|B|) —
+    // the asymmetric-size near-dup measure (a short doc fully embedded
+    // in a long one scores ~1.0 where Jaccard dilutes toward 0; the
+    // quote-inclusion / page-wrapper case Jaccard systematically
+    // misses). Same df-capped inverted-index candidates, same blocked
+    // join — only the final scoring leaf differs, so the 100 TB story
+    // is ngram_jaccard_pairs' verbatim.
+    "containment_near_dup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("ws"))
+      graft.functions.TextSim
+        .jaccardPairs(docs, "doc_id", "source", "ws", JaccardDfCap)
+        .withColumn("containment",
+          round(col("inter").cast("double") / least(col("na"), col("nb")), 6))
+        .filter(col("containment") >= 0.5)
+        .select("doc_a", "doc_b", "inter", "containment")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // L4 — brute-force cosine top-k: 10 query vectors × all neighbors,
     // top-5 each. The 100 TB path swaps the cross join for the
     // label-blocked IVF variant (ann_ivf_topk) — same scoring core.
@@ -500,6 +521,13 @@ object LlmOps extends OpGroup {
          |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
          |FROM pairs
          |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "containment_near_dup" ->
+      s"""WITH $jaccardCtesDuck
+         |SELECT doc_a, doc_b, inter,
+         |       round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS containment
+         |FROM pairs
+         |WHERE round(CAST(inter AS DOUBLE) / least(na, nb), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "cosine_similarity_topk" ->
       s"""${cosinePairsDuck("b.vec_id < 10 AND a.vec_id <> b.vec_id")},

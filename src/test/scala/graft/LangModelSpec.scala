@@ -402,4 +402,25 @@ class LangModelSpec extends SparkSpec {
     rows.filter(_.getLong(1) == 0).foreach(r =>
       assert(r.getLong(2) === 0L, "childless orders have zero gross"))
   }
+
+  test("tokenizer_fertility_by_lang replays from the encoded dictionary") {
+    val enc = runL("bpe_apply_encode") // word, freq, n_tokens, tokens
+      .map(r => r.getString(0) -> r.getInt(2).toLong).toMap
+    val lwc = Tables.documents(spark, sf())
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(w => (r.getString(0), w)))
+      .filter { case (_, w) => enc.contains(w) }
+      .groupBy(_._1)
+    val rows = runL("tokenizer_fertility_by_lang")
+    assert(rows.map(_.getString(0)).toSet === lwc.keySet)
+    rows.foreach { r =>
+      val (lang, nWords, nTok, fert) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val words = lwc(lang)
+      assert(nWords === words.length.toLong, s"word count for $lang")
+      assert(nTok === words.map(p => enc(p._2)).sum, s"token count for $lang")
+      assert(fert === nTok * 1000000L / nWords)
+      assert(fert >= 1000000L, "every word encodes to >= 1 token")
+    }
+  }
 }

@@ -195,4 +195,25 @@ class TextSimSpec extends SparkSpec {
       assert(rateFp === nDup * 1000000L / n)
     }
   }
+
+  test("containment_near_dup dominates Jaccard on the shared candidate set") {
+    // containment >= jaccard pointwise (min <= union), so every pair the
+    // Jaccard op keeps at >= 0.5 must appear in the containment output
+    val cont = operators.LlmOps.queries("containment_near_dup")(spark, sf())
+      .collect()
+    val jac = operators.LlmOps.queries("ngram_jaccard_pairs")(spark, sf())
+      .collect()
+    val contByPair = cont.map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getDouble(3)).toMap
+    cont.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "oriented pair")
+      assert(r.getDouble(3) >= 0.5 && r.getDouble(3) <= 1.0)
+    }
+    jac.filter(_.getDouble(3) >= 0.5).foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(contByPair.contains(k), s"jaccard>=0.5 pair $k missing")
+      assert(contByPair(k) >= r.getDouble(3),
+        "containment must dominate jaccard on a shared pair")
+    }
+  }
 }
