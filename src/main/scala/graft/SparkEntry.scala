@@ -37,6 +37,7 @@ object SparkEntry {
     operators.QualityOps,
     operators.InfoStatOps,
     operators.GovernanceOps,
+    operators.CalibrationOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

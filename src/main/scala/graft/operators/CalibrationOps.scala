@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-calibration and tuning-curve operators (round-10 widening):
+  * the evaluation layer over the pipeline's own classifiers and dedup
+  * knobs — confusion matrices for the heuristic language-ID, the
+  * pair-yield curve a dedup threshold sweep produces before anyone
+  * picks τ, and percentile-rank feature normalization. The reference's
+  * analytics stage exists to answer exactly these "how good is the
+  * pipeline's own metadata" questions over staged data
+  * (`/root/reference/app.py:129-152`, `/root/reference/README.md:180-205`).
+  *
+  * Determinism & scale design:
+  *   - Everything downstream of the corpus collapses to enum-bounded
+  *     state (lang×lang cells, 5 thresholds, event-type groups);
+  *     shares/ratios are exact 1e-6 integer divisions.
+  *   - The threshold sweep reuses the SAME df-capped inverted-index
+  *     candidates as the production near-dup ops — the sweep costs one
+  *     candidate pass, not five.
+  *   - Percentile ranks route through GlobalRank's grouped two-phase
+  *     rank (the low-cardinality window-partition trap: event_type has
+  *     5 values, so a plain window would put 20% of the stream in one
+  *     task).
+  */
+object CalibrationOps extends OpGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // lang-ID confusion matrix: stored label × stopword-scored
+    // prediction, with per-stored-lang recall shares — the acceptance
+    // report for the L-family lang_id_ngram heuristic. Composes the
+    // EXISTING operator's projection verbatim (one code path to audit),
+    // then folds to the |langs|² cell table.
+    "lang_confusion_matrix" -> ((s, d) => {
+      val pred = TrainingDataOps.queries("lang_id_ngram")(s, d)
+        .select("lang_stored", "lang_pred")
+      val cells = pred.groupBy("lang_stored", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = cells.groupBy("lang_stored").agg(sum("n_docs").as("n_stored"))
+      cells.join(broadcast(tot), Seq("lang_stored"))
+        .select(col("lang_stored"), col("lang_pred"), col("n_docs"),
+          col("n_stored"),
+          expr("n_docs * 1000000 DIV n_stored").as("share_fp"),
+          (col("lang_stored") === col("lang_pred")).as("correct"))
+        .orderBy("lang_stored", "lang_pred")
+    }),
+
+    // dedup threshold sweep: candidate-pair and affected-doc yield at
+    // τ ∈ {0.5 .. 0.9} — the tuning curve read before fixing a near-dup
+    // threshold. ONE df-capped candidate pass (shared with
+    // ngram_jaccard_pairs / containment_near_dup) feeds all five
+    // thresholds via a 5-way explode of the tiny threshold array; both
+    // aggregates are threshold-cardinality-sized.
+    "dedup_threshold_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("ws"))
+      val jt = graft.functions.TextSim
+        .jaccardPairs(docs, "doc_id", "source", "ws", LlmOps.JaccardDfCap)
+        .withColumn("j_fp", expr("inter * 1000000 DIV (na + nb - inter)"))
+      val hits = jt.select(col("doc_a"), col("doc_b"), col("j_fp"),
+          explode(expr(
+            "transform(sequence(5, 9), t -> CAST(t * 100000 AS BIGINT))"))
+            .as("threshold_fp"))
+        .filter(col("j_fp") >= col("threshold_fp"))
+      val np = hits.groupBy("threshold_fp").agg(count(lit(1)).as("n_pairs"))
+      val nd = hits
+        .select(col("threshold_fp"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .distinct()
+        .groupBy("threshold_fp").agg(count(lit(1)).as("n_dup_docs"))
+      np.join(nd, Seq("threshold_fp")).orderBy("threshold_fp")
+    }),
+
+    // percentile-rank normalization: each event's value mapped to its
+    // within-type percentile rank in 1e-6 fixed point — the
+    // distribution-free feature scaling a heterogeneous metric mix
+    // needs before any cross-type model. Rank is the GROUPED two-phase
+    // rank over (v_fp, event_id) (total order ⇒ engine-independent);
+    // per-type counts broadcast; n=1 groups are zero-armed identically
+    // on both engines.
+    "percentile_rank_normalize" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v_fp"))
+      val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      graft.functions.GlobalRank
+        .rowNumber(ev, "rn", Seq("event_type"), Seq("v_fp", "event_id"))
+        .join(broadcast(cnt), Seq("event_type"))
+        .withColumn("pct_fp", expr(
+          "CASE WHEN n = 1 THEN 0 ELSE (rn - 1) * 1000000 DIV (n - 1) END"))
+        .select("event_id", "event_type", "v_fp", "pct_fp")
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "lang_confusion_matrix" ->
+      s"""WITH pred AS (${TrainingDataOps.oracleSql("lang_id_ngram")}),
+         |cells AS (
+         |  SELECT lang_stored, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM pred GROUP BY lang_stored, lang_pred),
+         |tots AS (
+         |  SELECT lang_stored, CAST(sum(n_docs) AS BIGINT) AS n_stored
+         |  FROM cells GROUP BY lang_stored)
+         |SELECT lang_stored, lang_pred, n_docs, n_stored,
+         |       CAST(n_docs * 1000000 // n_stored AS BIGINT) AS share_fp,
+         |       lang_stored = lang_pred AS correct
+         |FROM cells JOIN tots USING (lang_stored)
+         |ORDER BY lang_stored, lang_pred""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      s"""WITH ${LlmOps.jaccardCtesDuck},
+         |jt AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS j_fp
+         |  FROM pairs),
+         |th AS (SELECT CAST(unnest([500000, 600000, 700000, 800000,
+         |                           900000]) AS BIGINT) AS threshold_fp),
+         |hits AS (
+         |  SELECT threshold_fp, doc_a, doc_b
+         |  FROM jt CROSS JOIN th WHERE j_fp >= threshold_fp),
+         |np AS (SELECT threshold_fp, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM hits GROUP BY threshold_fp),
+         |nd AS (
+         |  SELECT threshold_fp, CAST(count(*) AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT DISTINCT threshold_fp, doc FROM
+         |         (SELECT threshold_fp, doc_a AS doc FROM hits
+         |          UNION ALL
+         |          SELECT threshold_fp, doc_b AS doc FROM hits))
+         |  GROUP BY threshold_fp)
+         |SELECT threshold_fp, n_pairs, n_dup_docs
+         |FROM np JOIN nd USING (threshold_fp)
+         |ORDER BY threshold_fp""".stripMargin,
+
+    "percentile_rank_normalize" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 1000) AS BIGINT) AS v_fp
+        |  FROM events),
+        |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM ev GROUP BY event_type),
+        |rk AS (
+        |  SELECT event_id, event_type, v_fp,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY v_fp, event_id) AS BIGINT) AS rn
+        |  FROM ev)
+        |SELECT event_id, rk.event_type, v_fp,
+        |       CAST(CASE WHEN n = 1 THEN 0
+        |                 ELSE (rn - 1) * 1000000 // (n - 1) END AS BIGINT)
+        |         AS pct_fp
+        |FROM rk JOIN cnt ON rk.event_type = cnt.event_type
+        |ORDER BY event_id""".stripMargin,
+  )
+}

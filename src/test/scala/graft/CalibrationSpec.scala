@@ -1,0 +1,59 @@
+package graft
+
+/** Semantic pins for CalibrationOps — conservation, monotone tuning
+  * curves, and percentile-rank bounds the oracle hash can't name.
+  */
+class CalibrationSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.CalibrationOps.queries(key)(spark, sf()).collect()
+
+  test("lang_confusion_matrix: cells conserve the corpus; shares sum per row") {
+    val rows = run("lang_confusion_matrix")
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.documents(spark, sf()).count(), "every doc lands in one cell")
+    rows.foreach { r =>
+      assert(r.getBoolean(5) === (r.getString(0) == r.getString(1)))
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    // per-stored-lang: cell counts sum to the row total, shares to ~1e6
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      val total = cells.head.getLong(3)
+      assert(cells.map(_.getLong(2)).sum === total)
+      val shareSum = cells.map(_.getLong(4)).sum
+      assert(shareSum > 1000000L - cells.length && shareSum <= 1000000L,
+        "floor-truncated shares sum to 1e6 within per-cell slack")
+    }
+  }
+
+  test("dedup_threshold_sweep: yields decrease monotonically in the threshold") {
+    val rows = run("dedup_threshold_sweep")
+    assert(rows.nonEmpty && rows.length <= 5)
+    val ths = rows.map(_.getLong(0))
+    assert(ths.sorted.sameElements(ths))
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.getLong(1) >= b.getLong(1), "pair yield non-increasing")
+        assert(a.getLong(2) >= b.getLong(2), "doc yield non-increasing")
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getLong(2) <= 2 * r.getLong(1),
+      "a pair touches at most two docs"))
+  }
+
+  test("percentile_rank_normalize: bounds, coverage, and in-type monotonicity") {
+    val rows = run("percentile_rank_normalize")
+    assert(rows.length === Tables.events(spark, sf()).count())
+    rows.foreach(r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
+    rows.groupBy(_.getString(1)).foreach { case (t, rs) =>
+      if (rs.length >= 2) {
+        assert(rs.map(_.getLong(3)).min === 0L, s"min pct for $t")
+        assert(rs.map(_.getLong(3)).max === 1000000L, s"max pct for $t")
+        // pct ordering agrees with value ordering (ties broken by id)
+        val sorted = rs.sortBy(r => (r.getLong(2), r.getLong(0)))
+        val pcts = sorted.map(_.getLong(3))
+        assert(pcts.toSeq === pcts.sorted.toSeq, s"monotone pct for $t")
+      }
+    }
+  }
+}
