@@ -23,6 +23,19 @@ import org.apache.spark.sql.SparkSession
   *   - `heaps_law_vocab_growth` (r9) — partition-less Window: the
   *     running vocab total runs AFTER the decile groupBy has reduced
   *     the stream to ≤10 rows by construction (bm25 class).
+  *   - `bloom_prefilter_dedup` (r10) — many SinglePartition: the bloom
+  *     bitset is a SINGLE-ROW scalar-subquery aggregate by design (the
+  *     InjectRuntimeFilter shape); its exchange carries one row of a
+  *     few MB, then the probe side streams map-side.
+  *   - `chi2_event_weekday_independence`,
+  *     `mutual_information_lang_source` (r10) — many SinglePartition:
+  *     scalar-stitch class — the margins are enum-bounded (≤ |types|,
+  *     |dows|, |langs|, |sources| rows) and the output is ONE row; every
+  *     single-partition exchange carries enum-cardinality rows.
+  *   - `hybrid_retrieval_rerank` (r10 re-audit) — many SinglePartition
+  *     in addition to its documented window: the terminal fusion of the
+  *     two ≤10-row candidate branches (bm25 + cosine), same scalar-
+  *     stitch class, not a mid-plan funnel.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -75,6 +75,41 @@ object CalibrationOps extends OpGroup {
       np.join(nd, Seq("threshold_fp")).orderBy("threshold_fp")
     }),
 
+    // Shannon entropy profile of the pipeline's categorical columns —
+    // the one-number-per-column skew gauge a profiler publishes next to
+    // null rates (entropy ≈ 0: a constant/near-constant column; near
+    // ln|domain|: uniform). Each column collapses map-side to its
+    // (column, value) count table (enum-bounded state); per-column
+    // totals broadcast; each −p·ln p term FLOOR-fixed-pointed 1e-9 at
+    // the leaf over exact int64 counts then integer-summed.
+    "column_entropy_profile" -> ((s, d) => {
+      val streams = Seq(
+        Tables.events(s, d)
+          .select(lit("events.event_type").as("col_name"),
+            col("event_type").as("val")),
+        Tables.documents(s, d)
+          .select(lit("documents.lang").as("col_name"),
+            col("lang").as("val")),
+        Tables.documents(s, d)
+          .select(lit("documents.source").as("col_name"),
+            col("source").as("val")),
+        Tables.customer(s, d)
+          .select(lit("customer.c_mktsegment").as("col_name"),
+            col("c_mktsegment").as("val")))
+      val counts = streams.reduce(_ union _)
+        .groupBy("col_name", "val").agg(count(lit(1)).as("c"))
+      val tots = counts.groupBy("col_name").agg(sum("c").as("n_rows"))
+      counts.join(broadcast(tots), Seq("col_name"))
+        .withColumn("term_fp", expr(
+          """CAST(FLOOR((CAST(c AS DOUBLE) / n_rows)
+            | * ln(CAST(c AS DOUBLE) / n_rows) * 1000000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("col_name")
+        .agg(max("n_rows").as("n_rows"), count(lit(1)).as("n_values"),
+          (-sum("term_fp")).as("entropy_fp"))
+        .orderBy("col_name")
+    }),
+
     // percentile-rank normalization: each event's value mapped to its
     // within-type percentile rank in 1e-6 fixed point — the
     // distribution-free feature scaling a heterogeneous metric mix
@@ -134,6 +169,33 @@ object CalibrationOps extends OpGroup {
          |SELECT threshold_fp, n_pairs, n_dup_docs
          |FROM np JOIN nd USING (threshold_fp)
          |ORDER BY threshold_fp""".stripMargin,
+
+    "column_entropy_profile" ->
+      """WITH vals AS (
+        |  SELECT 'events.event_type' AS col_name, event_type AS val
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents.lang', lang FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.source', source FROM documents
+        |  UNION ALL
+        |  SELECT 'customer.c_mktsegment', c_mktsegment FROM customer),
+        |counts AS (
+        |  SELECT col_name, val, CAST(count(*) AS BIGINT) AS c
+        |  FROM vals GROUP BY col_name, val),
+        |tots AS (
+        |  SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows
+        |  FROM counts GROUP BY col_name),
+        |terms AS (
+        |  SELECT col_name, n_rows,
+        |         CAST(FLOOR((CAST(c AS DOUBLE) / n_rows)
+        |           * ln(CAST(c AS DOUBLE) / n_rows) * 1000000000.0)
+        |           AS BIGINT) AS term_fp
+        |  FROM counts JOIN tots USING (col_name))
+        |SELECT col_name, CAST(max(n_rows) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_values,
+        |       CAST(-sum(term_fp) AS BIGINT) AS entropy_fp
+        |FROM terms GROUP BY col_name ORDER BY col_name""".stripMargin,
 
     "percentile_rank_normalize" ->
       """WITH ev AS (

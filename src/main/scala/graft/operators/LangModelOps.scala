@@ -166,6 +166,61 @@ object LangModelOps extends OpGroup {
         .orderBy(col("avg_nll_fp").desc, col("doc_id")).limit(20)
     }),
 
+    // M1b — cross-entropy of each SOURCE under the corpus bigram model:
+    // the source-level face of M1 (CCNet runs exactly this rollup — a
+    // source whose mean NLL sits far above the corpus is the one the
+    // perplexity filter will decimate; read it BEFORE filtering). Same
+    // model tables, same leaf-fixed-point NLL, one per-source integer
+    // aggregate instead of per-doc top-k — scale story identical to M1.
+    "cross_entropy_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("source"), split(col("text"), " ").as("a"))
+      val words = toks.select(explode(col("a")).as("w"))
+      val vdf = words.select("w").distinct().agg(count(lit(1)).as("v"))
+      val bi = toks.filter(size(col("a")) >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
+            .stripMargin)).as("b"))
+        .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bi.join(c2, Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(vdf))
+        .withColumn("nll", expr(nllSql))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_sum"))
+        .withColumn("avg_nll_fp", expr("nll_sum DIV n_bigrams"))
+        .select("source", "n_bigrams", "avg_nll_fp")
+        .orderBy("source")
+    }),
+
+    // M12 — vocabulary coverage curve: the share of token occurrences
+    // covered by the top-{10, 100, 1000} words — the curve a tokenizer /
+    // stopword budget is sized from (Zipf's integral form). Rank over
+    // the vocab via the two-phase GlobalRank (vocab = one global rank
+    // domain), cumulative mass via the matching two-phase prefix sum
+    // over the SAME (neg_f, w) order; coverage is an exact 1e-6
+    // division at three picked ranks.
+    "vocab_coverage_curve" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("neg_f", -col("freq"))
+      val tot = wc.agg(sum("freq").as("total_tokens"))
+      val ranked = graft.functions.GlobalRank
+        .rowNumber(wc, "rn", Nil, Seq("neg_f", "w"))
+      graft.functions.GlobalRank
+        .prefixSum(ranked, "cum_tokens", col("freq"), Nil, Seq("neg_f", "w"))
+        .filter(col("rn").isin(10L, 100L, 1000L))
+        .crossJoin(broadcast(tot))
+        .select(col("rn").as("cutoff"), col("cum_tokens"),
+          col("total_tokens"),
+          expr("cum_tokens * 1000000 DIV total_tokens").as("coverage_fp"))
+        .orderBy("cutoff")
+    }),
+
     // M2 — BPE pair mining: the inner step of byte-pair-encoding tokenizer
     // training. Adjacent-character pairs are counted once per DISTINCT
     // word (dictionary-sized explode) weighted by word frequency — the
@@ -522,6 +577,45 @@ object LangModelOps extends OpGroup {
          |SELECT doc_id, n_bigrams,
          |       CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_fp
          |FROM agg ORDER BY avg_nll_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    // identical model tables + NLL leaf as bigram_lm_perplexity, rolled
+    // up per source
+    "cross_entropy_by_source" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS a FROM documents),
+         |words AS (SELECT unnest(a) AS w FROM toks),
+         |vv AS (SELECT count(DISTINCT w) AS v FROM words),
+         |bi AS (SELECT source, a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+         |       FROM toks, UNNEST(range(1, len(a))) AS t(i)),
+         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1t AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |sc AS (SELECT source, $nllSql AS nll
+         |       FROM bi JOIN c2t USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vv),
+         |agg AS (SELECT source, count(*) AS n_bigrams,
+         |               CAST(sum(nll) AS BIGINT) AS nll_sum
+         |        FROM sc GROUP BY source)
+         |SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |       CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_fp
+         |FROM agg ORDER BY source""".stripMargin,
+
+    // same (freq DESC, w) total order for rank and running mass
+    "vocab_coverage_curve" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS freq FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |rk AS (
+        |  SELECT w, freq,
+        |         row_number() OVER (ORDER BY freq DESC, w) AS rn,
+        |         sum(freq) OVER (ORDER BY freq DESC, w
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM wc),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM wc)
+        |SELECT CAST(rn AS BIGINT) AS cutoff,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens, total_tokens,
+        |       CAST(CAST(cum_tokens AS BIGINT) * 1000000 // total_tokens
+        |         AS BIGINT) AS coverage_fp
+        |FROM rk CROSS JOIN tot WHERE rn IN (10, 100, 1000)
+        |ORDER BY cutoff""".stripMargin,
 
     "bpe_top_pairs" ->
       """WITH words AS (

@@ -40,6 +40,29 @@ class CalibrationSpec extends SparkSpec {
       "a pair touches at most two docs"))
   }
 
+  test("column_entropy_profile: four columns, entropy within [0, ln(n_values)]") {
+    val rows = run("column_entropy_profile")
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq(
+      "customer.c_mktsegment", "documents.lang", "documents.source",
+      "events.event_type"))
+    val counts = Map(
+      "events.event_type" -> Tables.events(spark, sf()).count(),
+      "documents.lang" -> Tables.documents(spark, sf()).count(),
+      "documents.source" -> Tables.documents(spark, sf()).count(),
+      "customer.c_mktsegment" -> Tables.customer(spark, sf()).count())
+    rows.foreach { r =>
+      val (cn, n, nv, h) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === counts(cn), s"row count for $cn")
+      assert(nv >= 1 && nv <= n)
+      // each -p ln p term is >= 0 after negation (FLOOR only adds mass),
+      // and H <= ln(n_values) + per-term slack
+      assert(h >= 0, s"entropy must be non-negative for $cn")
+      assert(h <= math.floor(math.log(nv.toDouble) * 1e9).toLong + nv,
+        s"entropy bounded by ln(n_values) for $cn")
+    }
+  }
+
   test("percentile_rank_normalize: bounds, coverage, and in-type monotonicity") {
     val rows = run("percentile_rank_normalize")
     assert(rows.length === Tables.events(spark, sf()).count())

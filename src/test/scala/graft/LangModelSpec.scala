@@ -403,6 +403,39 @@ class LangModelSpec extends SparkSpec {
       assert(r.getLong(2) === 0L, "childless orders have zero gross"))
   }
 
+  test("cross_entropy_by_source: NLL bounds and bigram-mass conservation") {
+    val rows = runL("cross_entropy_by_source")
+    val expected = Tables.documents(spark, sf())
+      .select("text").collect()
+      .map(_.getString(0).split(" ").length.toLong - 1).filter(_ >= 1).sum
+    assert(rows.map(_.getLong(1)).sum === expected,
+      "per-source bigram counts partition the corpus bigram stream")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) >= 0, "add-one smoothing keeps NLL >= 0")
+    }
+    val srcs = rows.map(_.getString(0))
+    assert(srcs.distinct.length === srcs.length)
+  }
+
+  test("vocab_coverage_curve: monotone coverage, mass bounds") {
+    val rows = runL("vocab_coverage_curve")
+    assert(rows.nonEmpty && rows.length <= 3)
+    val cuts = rows.map(_.getLong(0))
+    assert(cuts.sorted.sameElements(cuts))
+    assert(cuts.toSet.subsetOf(Set(10L, 100L, 1000L)))
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "cumulative mass <= total")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+      assert(r.getLong(3) === r.getLong(1) * 1000000L / r.getLong(2))
+    }
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.getLong(1) <= b.getLong(1), "coverage grows with cutoff")
+      case _ =>
+    }
+  }
+
   test("tokenizer_fertility_by_lang replays from the encoded dictionary") {
     val enc = runL("bpe_apply_encode") // word, freq, n_tokens, tokens
       .map(r => r.getString(0) -> r.getInt(2).toLong).toMap
