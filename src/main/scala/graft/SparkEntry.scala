@@ -38,6 +38,7 @@ object SparkEntry {
     operators.InfoStatOps,
     operators.GovernanceOps,
     operators.CalibrationOps,
+    operators.TelemetryOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
