@@ -124,6 +124,62 @@ object GovernanceOps extends OpGroup {
         .orderBy("t_hours")
     }),
 
+    // Z5 — the EVENTS-domain consumer composite (Q5's twin over the
+    // behavioral stream): sessionize (30-min gap) → engagement gate
+    // (≥3 events) → in-session ordered funnel (view → click →
+    // purchase, V2's chained conditional-min shape but WITHIN session)
+    // → per-entry-type scorecard (sessions, gated, converted, exact
+    // conversion rate + mean gated duration). ONE query, every stage
+    // reusing the standalone operator's plan shape; the only
+    // corpus-bytes exchange is the sessionize window's user shuffle —
+    // the gate, funnel, and scorecard all ride the same partitioning,
+    // and the output is entry-type-cardinality rows.
+    "engagement_pipeline_e2e" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), expr("unix_micros(ts)").as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull.or(col("us") - col("prev_us") > GapUs),
+            1L).otherwise(0L))
+        .withColumn("session_idx", sum("new_sess")
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val w = Window.partitionBy("user_id", "session_idx")
+      val wOrd = w.orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val staged = sess
+        .withColumn("entry_type", first("event_type").over(wOrd))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click"
+          && col("us") > col("t1"), col("us"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase"
+          && col("us") > col("t2"), col("us"))).over(w))
+      val perSess = staged.groupBy("user_id", "session_idx")
+        .agg(min("entry_type").as("entry_type"),
+          count(lit(1)).as("n_events"),
+          (max("us") - min("us")).as("dur_us"),
+          max(col("t3").isNotNull.cast("long")).as("converted"))
+      perSess.groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") >= 3, 1L).otherwise(0L)).as("n_gated"),
+          sum(when(col("n_events") >= 3 && col("converted") === 1L, 1L)
+            .otherwise(0L)).as("n_converted"),
+          sum(when(col("n_events") >= 3, col("dur_us")).otherwise(0L))
+            .as("gated_dur_us"))
+        .select(col("entry_type"), col("n_sessions"), col("n_gated"),
+          col("n_converted"),
+          expr("""CASE WHEN n_gated = 0 THEN NULL
+                  ELSE n_converted * 1000000 DIV n_gated END""")
+            .as("conv_fp"),
+          expr("""CASE WHEN n_gated = 0 THEN NULL
+                  ELSE gated_dur_us DIV n_gated END""")
+            .as("mean_gated_dur_us"))
+        .orderBy("entry_type")
+    }),
+
     // Z4 — sequential pattern rules A→B inside 30-minute sessions:
     // "sessions that view later purchase" association mining with
     // order. Sessions derive from the sessionize_gap_batch gap logic;
@@ -243,6 +299,63 @@ object GovernanceOps extends OpGroup {
          |       CAST(CASE WHEN d = n_risk THEN NULL ELSE log_s0 END
          |         AS BIGINT) AS log_s_fp
          |FROM logs WHERE d > 0 ORDER BY t_hours""".stripMargin,
+
+    "engagement_pipeline_e2e" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |         CASE WHEN lag(us) OVER w IS NULL
+         |                OR us - lag(us) OVER w > $GapUs
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |         sum(new_sess) OVER (PARTITION BY user_id
+         |           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+         |           AS session_idx
+         |  FROM flagged),
+         |st0 AS (
+         |  SELECT *,
+         |    first_value(event_type) OVER (PARTITION BY user_id, session_idx
+         |      ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      UNBOUNDED FOLLOWING) AS entry_type,
+         |    min(CASE WHEN event_type = 'view' THEN us END) OVER ws AS t1
+         |  FROM sess WINDOW ws AS (PARTITION BY user_id, session_idx)),
+         |st1 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'click' AND us > t1
+         |                     THEN us END)
+         |    OVER (PARTITION BY user_id, session_idx) AS t2
+         |  FROM st0),
+         |st2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2
+         |                     THEN us END)
+         |    OVER (PARTITION BY user_id, session_idx) AS t3
+         |  FROM st1),
+         |persess AS (
+         |  SELECT user_id, session_idx, min(entry_type) AS entry_type,
+         |         count(*) AS n_events, max(us) - min(us) AS dur_us,
+         |         max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+         |           AS converted
+         |  FROM st2 GROUP BY user_id, session_idx)
+         |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_events >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gated,
+         |  CAST(sum(CASE WHEN n_events >= 3 AND converted = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+         |  CAST(CASE WHEN sum(CASE WHEN n_events >= 3 THEN 1 ELSE 0 END) = 0
+         |       THEN NULL
+         |       ELSE sum(CASE WHEN n_events >= 3 AND converted = 1
+         |                THEN 1 ELSE 0 END) * 1000000
+         |            // sum(CASE WHEN n_events >= 3 THEN 1 ELSE 0 END) END
+         |    AS BIGINT) AS conv_fp,
+         |  CAST(CASE WHEN sum(CASE WHEN n_events >= 3 THEN 1 ELSE 0 END) = 0
+         |       THEN NULL
+         |       ELSE sum(CASE WHEN n_events >= 3 THEN dur_us ELSE 0 END)
+         |            // sum(CASE WHEN n_events >= 3 THEN 1 ELSE 0 END) END
+         |    AS BIGINT) AS mean_gated_dur_us
+         |FROM persess GROUP BY entry_type ORDER BY entry_type""".stripMargin,
 
     "session_sequence_rules" ->
       s"""WITH ev AS (

@@ -66,6 +66,32 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("engagement_pipeline_e2e: funnel monotone; sessions conserve; rates replay") {
+    val rows = run("engagement_pipeline_e2e")
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getString(0))
+    assert(types.distinct.length === types.length &&
+      types.sorted.sameElements(types))
+    // stage totals conserve the sessionize_gap_batch session count
+    val nSess = operators.EventAnalyticsOps
+      .queries("sessionize_gap_batch")(spark, sf()).count()
+    assert(rows.map(_.getLong(1)).sum === nSess,
+      "every session claims exactly one entry type")
+    rows.foreach { r =>
+      val (n, gated, conv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(conv <= gated && gated <= n, "funnel stages are monotone")
+      if (gated == 0) {
+        assert(r.isNullAt(4) && r.isNullAt(5), "rates NULL when no gated")
+      } else {
+        assert(r.getLong(4) === conv * 1000000L / gated, "conv rate replay")
+        assert(r.getLong(5) >= 0L)
+      }
+    }
+    // the gate bites somewhere and some conversion exists at sf0.001+
+    assert(rows.map(_.getLong(2)).sum < nSess || nSess == 0,
+      "the >=3-event gate must exclude at least one session")
+  }
+
   test("session_sequence_rules: confidence >= support; bounded by 1e6; ordered") {
     val rows = run("session_sequence_rules")
     assert(rows.nonEmpty && rows.length <= 15)
