@@ -196,6 +196,54 @@ object LangModelOps extends OpGroup {
         .orderBy("source")
     }),
 
+    // M1c — DoReMi-style excess-loss mixture reweighting: upweight the
+    // sources the reference model finds HARD (excess per-bigram NLL over
+    // the corpus mean), w_i ∝ exp(η·excess_i) with η=1.5 — the
+    // multiplicative-weights fixed point for static losses (T rounds of
+    // constant-loss updates compose to one exponential, so the closed
+    // form IS the converged loop). Loss comes from the same corpus
+    // bigram model as M1/M1b (vocab²-bounded); the reweight itself is
+    // source-cardinality state: exp() FLOOR-fixed-pointed at the leaf
+    // over exact-int inputs (Q3's discipline), INTEGER normalization.
+    "doremi_excess_loss_reweight" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("source"), split(col("text"), " ").as("a"))
+      val words = toks.select(explode(col("a")).as("w"))
+      val vdf = words.select("w").distinct().agg(count(lit(1)).as("v"))
+      val bi = toks.filter(size(col("a")) >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
+            .stripMargin)).as("b"))
+        .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val perSrc = bi.join(c2, Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(vdf))
+        .withColumn("nll", expr(nllSql))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_sum"))
+        .withColumn("avg_nll_fp", expr("nll_sum DIV n_bigrams"))
+      val ref = perSrc.agg(
+        expr("sum(nll_sum) DIV sum(n_bigrams)").as("ref_nll_fp"))
+      val wts = perSrc.crossJoin(broadcast(ref))
+        // excess capped at 4.0 nats: keeps exp() in int64 fixed-point
+        // range on ANY data (exp(6)·1e6 ≈ 4e8) — a runaway-loss source
+        // saturates the upweight instead of overflowing it
+        .withColumn("excess_fp",
+          expr("least(greatest(0L, avg_nll_fp - ref_nll_fp), 4000000L)"))
+        .withColumn("raw_fp", expr(
+          """CAST(FLOOR(exp(CAST(excess_fp AS DOUBLE) * 1.5 / 1000000.0)
+            | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")))
+      val tot = wts.agg(sum("raw_fp").as("tot_raw"))
+      wts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_bigrams"), col("avg_nll_fp"),
+          col("excess_fp"),
+          expr("raw_fp * 1000000 DIV tot_raw").as("weight_fp"))
+        .orderBy("source")
+    }),
+
     // M12 — vocabulary coverage curve: the share of token occurrences
     // covered by the top-{10, 100, 1000} words — the curve a tokenizer /
     // stopword budget is sized from (Zipf's integral form). Rank over
@@ -596,6 +644,40 @@ object LangModelOps extends OpGroup {
          |SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          |       CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_fp
          |FROM agg ORDER BY source""".stripMargin,
+
+    // same model CTEs as cross_entropy_by_source + the closed-form
+    // multiplicative-weights reweight
+    "doremi_excess_loss_reweight" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS a FROM documents),
+         |words AS (SELECT unnest(a) AS w FROM toks),
+         |vv AS (SELECT count(DISTINCT w) AS v FROM words),
+         |bi AS (SELECT source, a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+         |       FROM toks, UNNEST(range(1, len(a))) AS t(i)),
+         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1t AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |sc AS (SELECT source, $nllSql AS nll
+         |       FROM bi JOIN c2t USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vv),
+         |agg AS (SELECT source, count(*) AS n_bigrams,
+         |               CAST(sum(nll) AS BIGINT) AS nll_sum
+         |        FROM sc GROUP BY source),
+         |src AS (SELECT source, n_bigrams, nll_sum,
+         |               CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_fp
+         |        FROM agg),
+         |ref AS (SELECT CAST(sum(nll_sum) // sum(n_bigrams) AS BIGINT)
+         |               AS ref_nll_fp FROM src),
+         |wts AS (SELECT source, n_bigrams, avg_nll_fp,
+         |               least(greatest(0, avg_nll_fp - ref_nll_fp), 4000000)
+         |                 AS excess_fp
+         |        FROM src CROSS JOIN ref),
+         |raw AS (SELECT *,
+         |          CAST(FLOOR(exp(CAST(excess_fp AS DOUBLE) * 1.5 / 1000000.0)
+         |            * 1000000.0) AS BIGINT) AS raw_fp
+         |        FROM wts),
+         |tot AS (SELECT CAST(sum(raw_fp) AS BIGINT) AS tot_raw FROM raw)
+         |SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll_fp,
+         |       CAST(excess_fp AS BIGINT) AS excess_fp,
+         |       CAST(raw_fp * 1000000 // tot_raw AS BIGINT) AS weight_fp
+         |FROM raw CROSS JOIN tot ORDER BY source""".stripMargin,
 
     // same (freq DESC, w) total order for rank and running mass
     "vocab_coverage_curve" ->

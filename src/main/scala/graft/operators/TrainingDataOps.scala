@@ -310,6 +310,44 @@ object TrainingDataOps extends OpGroup {
         .orderBy("q_id")
     }),
 
+    // recall@k CURVE for the cell-restricted ANN (k ∈ {1,3,5}): the
+    // acceptance PLOT an index deployment publishes, generalizing
+    // ann_recall_eval's single k. ONE brute-force scored set over the
+    // ≤10-query sample feeds both rankings (exact vs cell-filtered) and
+    // ALL THREE k values via a 3-way explode of the tiny k array — the
+    // sweep costs one scoring pass; micro-averaged recall is an exact
+    // 1e-6 division per k.
+    "ann_recall_at_k_curve" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          graft.functions.VectorFunctions.norm("embedding").as("norm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("norm").as("q_norm"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot("q_emb", "embedding") /
+            (col("q_norm") * col("norm")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val exact = scored.withColumn("re", row_number().over(w))
+        .filter(col("re") <= 5).select("q_id", "vec_id", "re")
+      val ivf = scored.filter(col("label") === col("q_label"))
+        .withColumn("ri", row_number().over(w))
+        .filter(col("ri") <= 5).select("q_id", "vec_id", "ri")
+      exact.join(ivf, Seq("q_id", "vec_id"), "left")
+        .select(col("re"), col("ri"),
+          explode(expr("array(1, 3, 5)")).as("k"))
+        .groupBy("k")
+        .agg(sum(when(col("re") <= col("k"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(when(col("re") <= col("k") && col("ri") <= col("k"), 1L)
+            .otherwise(0L)).as("n_hit"))
+        .withColumn("recall_fp", expr("n_hit * 1000000 DIV n_exact"))
+        .orderBy("k")
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by coarse cell.
     "embedding_near_dup" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
@@ -815,6 +853,36 @@ object TrainingDataOps extends OpGroup {
         |FROM exact e LEFT JOIN ivf i
         |  ON i.q_id = e.q_id AND i.vec_id = e.vec_id
         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin),
+    // same single-scored-set structure as ann_recall_eval, both rank
+    // columns kept and swept over k by a cross join with the tiny k list
+    "ann_recall_at_k_curve" -> (
+      LlmOps.cosinePairsDuck("b.vec_id < 10 AND a.vec_id <> b.vec_id") +
+      """,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |exact AS (
+        |  SELECT id_b AS q_id, id_a AS vec_id, rank AS re FROM (
+        |    SELECT id_b, id_a, row_number() OVER (PARTITION BY id_b
+        |             ORDER BY cos DESC, id_a) AS rank
+        |    FROM scored) rk WHERE rank <= 5),
+        |ivf AS (
+        |  SELECT id_b AS q_id, id_a AS vec_id, rank AS ri FROM (
+        |    SELECT s.id_b, s.id_a, row_number() OVER (PARTITION BY s.id_b
+        |             ORDER BY s.cos DESC, s.id_a) AS rank
+        |    FROM scored s JOIN lab q ON q.vec_id = s.id_b
+        |    WHERE s.pair_label = q.label) rk WHERE rank <= 5),
+        |joined AS (
+        |  SELECT e.re, i.ri FROM exact e LEFT JOIN ivf i
+        |    ON i.q_id = e.q_id AND i.vec_id = e.vec_id),
+        |ks AS (SELECT unnest([1, 3, 5]) AS k)
+        |SELECT CAST(k AS INTEGER) AS k,
+        |       CAST(sum(CASE WHEN re <= k THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_exact,
+        |       CAST(sum(CASE WHEN re <= k AND ri <= k THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_hit,
+        |       CAST(sum(CASE WHEN re <= k AND ri <= k THEN 1 ELSE 0 END)
+        |         * 1000000 // sum(CASE WHEN re <= k THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS recall_fp
+        |FROM joined CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin),
     "embedding_near_dup" -> (
       LlmOps.cosinePairsDuck("a.label = b.label AND a.vec_id < b.vec_id") +
       """

@@ -305,4 +305,22 @@ class AnnSpec extends SparkSpec {
       .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("ann_recall_at_k_curve: k=3 point equals the micro-average of ann_recall_eval") {
+    val curve = SparkEntry.queries("ann_recall_at_k_curve")(spark, sf())
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(curve.keySet === Set(1, 3, 5))
+    curve.values.foreach { case (nExact, nHit, recall) =>
+      assert(nHit <= nExact)
+      assert(recall === nHit * 1000000L / nExact)
+      assert(recall >= 0 && recall <= 1000000L)
+    }
+    // cross-pin: the k=3 micro-average must replay ann_recall_eval's
+    // per-query counts exactly
+    val per = SparkEntry.queries("ann_recall_eval")(spark, sf()).collect()
+    val (se, sh) = (per.map(_.getLong(1)).sum, per.map(_.getLong(2)).sum)
+    assert(curve(3)._1 === se, "n_exact at k=3 matches")
+    assert(curve(3)._2 === sh, "n_hit at k=3 matches")
+  }
 }

@@ -418,6 +418,26 @@ class LangModelSpec extends SparkSpec {
     assert(srcs.distinct.length === srcs.length)
   }
 
+  test("doremi_excess_loss_reweight: weights normalize; order tracks excess") {
+    val rows = runL("doremi_excess_loss_reweight")
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_.getLong(4)).sum
+    assert(wSum > 1000000L - rows.length && wSum <= 1000000L,
+      "floor-truncated weights sum to 1e6 within per-source slack")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 4000000L, "excess capped")
+      assert(r.getLong(4) >= 0)
+    }
+    // a strictly larger excess must never get a smaller weight
+    for (a <- rows; b <- rows if a.getLong(3) > b.getLong(3))
+      assert(a.getLong(4) >= b.getLong(4),
+        s"monotone upweight: ${a.getString(0)} vs ${b.getString(0)}")
+    // zero-excess sources share the minimum weight
+    val zero = rows.filter(_.getLong(3) == 0L).map(_.getLong(4))
+    if (zero.nonEmpty) assert(zero.max === rows.map(_.getLong(4)).min ||
+      zero.min === rows.map(_.getLong(4)).min)
+  }
+
   test("vocab_coverage_curve: monotone coverage, mass bounds") {
     val rows = runL("vocab_coverage_curve")
     assert(rows.nonEmpty && rows.length <= 3)
