@@ -39,6 +39,7 @@ object SparkEntry {
     operators.GovernanceOps,
     operators.CalibrationOps,
     operators.TelemetryOps,
+    operators.SmoothingOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

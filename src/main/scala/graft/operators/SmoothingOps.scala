@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Language-model smoothing statistics and corpus-comparison operators
+  * (round-10 widening, second session): the count-table post-processing
+  * an LM data pipeline runs AFTER the raw n-gram counts land — the
+  * Good-Turing frequency spectrum (how much probability mass the unseen
+  * tail owns), Kneser-Ney continuation counts (the lower-order
+  * distribution every modern interpolated LM backs off to), and the
+  * Monroe log-odds-with-Dirichlet-prior term comparison (which words
+  * actually distinguish one source from the rest of the corpus — the
+  * statistically-honest version of "top TF-IDF by source"). The
+  * reference stages a text corpus into an analytics warehouse for
+  * exactly this kind of aggregate read (`/root/reference/app.py:129-152`
+  * staged-load; `/root/reference/README.md:180-205` declared analysis
+  * tables).
+  *
+  * Determinism & scale design (the LangModelOps/InfoStatOps discipline):
+  *   - The corpus flows ONLY through map-side-combinable token/bigram
+  *     counts; everything downstream is vocab- or spectrum-sized state.
+  *     The Good-Turing spectrum is bounded by max token count, the
+  *     continuation table by vocabulary, the log-odds table by
+  *     vocabulary — none grows with corpus rows.
+  *   - Good-Turing r* and Kneser-Ney p_cont are PURE-INTEGER fixed
+  *     point (`a * 1000000 DIV b` over exact int64 counts) — no doubles
+  *     anywhere, so engine equality is trivial. The r* numerator
+  *     `(r+1)·N_{r+1}·1e6` wraps int64 only past r ≈ 9e12 occurrences of
+  *     a single token (~a 100T-token corpus's top stop-word) — the
+  *     documented DECIMAL(38,0) lift point.
+  *   - The log-odds z-score is a single leaf expression over exact
+  *     int64 counts, FLOOR-truncated to 1e-6 fixed point — the
+  *     identical parse tree evaluates on both engines (the klTerm/nll
+  *     precedent), and the per-word z lives OUTSIDE any aggregate, so
+  *     no fp summation order exists at all.
+  *   - Spectrum-successor lookup is a broadcast self-join on r+1 (the
+  *     spectrum is tiny), NOT a partition-less lead() window — the
+  *     PlanAudit zero-new-flags rule.
+  */
+object SmoothingOps extends OpGroup {
+
+  /** Monroe et al. log-odds z-score leaf, 1e-6 fixed point. Inputs are
+    * exact int64 counts (y1/y2 per word, n1/n2 totals); the Dirichlet
+    * prior is informative — word w's pseudo-count `aw` is its corpus
+    * share scaled to a total prior mass of A0 = 1000. Every cast is
+    * explicit so Spark and DuckDB build the identical double parse
+    * tree.
+    */
+  private val A0 = "1000.0"
+  private val awSql =
+    s"($A0 * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))"
+  private val zTermSql =
+    s"""CAST(FLOOR((
+       |  ln((CAST(y1 AS DOUBLE) + $awSql)
+       |     / (CAST(n1 AS DOUBLE) + $A0 - CAST(y1 AS DOUBLE) - $awSql))
+       |  - ln((CAST(y2 AS DOUBLE) + $awSql)
+       |     / (CAST(n2 AS DOUBLE) + $A0 - CAST(y2 AS DOUBLE) - $awSql))
+       | ) / sqrt(1.0 / (CAST(y1 AS DOUBLE) + $awSql)
+       |          + 1.0 / (CAST(y2 AS DOUBLE) + $awSql))
+       | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Good-Turing frequency spectrum: N_r = number of token TYPES seen
+    // exactly r times, plus the smoothed count r* = (r+1)·N_{r+1}/N_r
+    // (1e-6 fp, pure integer) where the spectrum has a successor. The
+    // r=1 row over the total token count is the unseen-mass estimate a
+    // coverage model reads. Two stacked map-side-combinable aggregates
+    // (token counts, then spectrum); the successor lookup broadcasts
+    // the spectrum against itself on r+1.
+    "good_turing_spectrum" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("r"))
+      val spec = wc.groupBy("r").agg(count(lit(1)).as("n_types"))
+      val next = spec.select(col("r").as("r_next"),
+        col("n_types").as("n_types_next"))
+      spec.join(broadcast(next), col("r_next") === col("r") + 1, "left")
+        .select(col("r"), col("n_types"),
+          expr("CASE WHEN n_types_next IS NULL THEN NULL " +
+            "ELSE (r + 1) * n_types_next * 1000000 DIV n_types END")
+            .as("gt_rstar_fp"))
+        .orderBy("r")
+    }),
+
+    // Kneser-Ney continuation counts: for each word w, the number of
+    // DISTINCT left contexts it follows (N1+(·w)) and the continuation
+    // probability p_cont(w) = N1+(·w) / |distinct bigram types| — the
+    // unigram distribution an interpolated KN model backs off to
+    // ("how novel are the contexts this word appears in", not "how
+    // often does it appear"). Corpus → distinct bigram types is one
+    // map-side-combinable aggregate; everything after is vocab-sized.
+    // The type total rides a 1-row broadcast cross join.
+    "kneser_ney_continuation" -> ((s, d) => {
+      val types = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
+            .stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .distinct()
+      val cont = types.groupBy("w2").agg(count(lit(1)).as("n_contexts"))
+      val tot = types.agg(count(lit(1)).as("n_bigram_types"))
+      cont.crossJoin(broadcast(tot))
+        .select(col("w2").as("w"), col("n_contexts"), col("n_bigram_types"),
+          expr("n_contexts * 1000000 DIV n_bigram_types").as("pcont_fp"))
+        .orderBy(col("n_contexts").desc, col("w"))
+    }),
+
+    // Monroe log-odds informative terms: which words distinguish the
+    // src0 slice from the rest of the corpus, scored by the Dirichlet-
+    // prior log-odds z — the corpus-comparison statistic that (unlike
+    // raw TF-IDF deltas) shrinks rare-word noise via the informative
+    // prior and normalizes by the variance of the log-odds. One
+    // conditional-aggregate pass builds the per-word (y1, y2) table
+    // (vocab-sized); totals ride a 1-row broadcast; z is a leaf
+    // fixed-point expression per word, no aggregate ever sees a double.
+    "log_odds_informative_terms" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w")
+        .agg(count(when(col("source") === "src0", 1)).as("y1"),
+          count(when(col("source") =!= "src0", 1)).as("y2"))
+      val tot = counts.agg(sum("y1").as("n1"), sum("y2").as("n2"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("z_fp", expr(zTermSql))
+        .select("w", "y1", "y2", "z_fp")
+        .orderBy(col("z_fp").desc, col("w"))
+        .limit(25)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "good_turing_spectrum" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM words GROUP BY w),
+        |spec AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types
+        |         FROM wc GROUP BY r)
+        |SELECT a.r, a.n_types,
+        |       CAST((a.r + 1) * b.n_types * 1000000 // a.n_types AS BIGINT)
+        |         AS gt_rstar_fp
+        |FROM spec a LEFT JOIN spec b ON b.r = a.r + 1
+        |ORDER BY a.r""".stripMargin,
+
+    "kneser_ney_continuation" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 2),
+        |types AS (
+        |  SELECT DISTINCT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(a))) AS t(i)),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_contexts
+        |         FROM types GROUP BY w2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM types)
+        |SELECT w2 AS w, n_contexts, n_bigram_types,
+        |       CAST(n_contexts * 1000000 // n_bigram_types AS BIGINT)
+        |         AS pcont_fp
+        |FROM cont CROSS JOIN tot
+        |ORDER BY n_contexts DESC, w""".stripMargin,
+
+    "log_odds_informative_terms" ->
+      s"""WITH words AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         |counts AS (
+         |  SELECT w,
+         |         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS y1,
+         |         CAST(count(*) FILTER (WHERE source <> 'src0') AS BIGINT) AS y2
+         |  FROM words GROUP BY w),
+         |tot AS (SELECT CAST(sum(y1) AS BIGINT) AS n1,
+         |               CAST(sum(y2) AS BIGINT) AS n2 FROM counts)
+         |SELECT w, y1, y2, $zTermSql AS z_fp
+         |FROM counts CROSS JOIN tot
+         |ORDER BY z_fp DESC, w LIMIT 25""".stripMargin,
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for SmoothingOps — the conservation laws and smoothing
+  * identities the oracle hash can't name.
+  */
+class SmoothingSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.SmoothingOps.queries(key)(spark, sf()).collect()
+
+  test("good_turing_spectrum: conserves tokens, types, and the GT identity") {
+    val rows = run("good_turing_spectrum")
+    val words = Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("w"))
+    // Σ r·N_r = total tokens; Σ N_r = vocabulary size
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === words.count())
+    assert(rows.map(_.getLong(1)).sum ===
+      words.distinct().count())
+    // spectrum rows are unique and sorted by r
+    val rs = rows.map(_.getLong(0))
+    assert(rs.distinct.length === rs.length && rs.sorted.sameElements(rs))
+    // GT identity: r*·N_r = (r+1)·N_{r+1} to fixed-point truncation
+    val byR = rows.map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val next = byR.get(r.getLong(0) + 1)
+        assert(next.isDefined, "r* present only when the successor exists")
+        val expected = (r.getLong(0) + 1) * next.get.getLong(1) * 1000000L /
+          r.getLong(1)
+        assert(r.getLong(2) === expected)
+      } else assert(!byR.contains(r.getLong(0) + 1))
+    }
+  }
+
+  test("kneser_ney_continuation: contexts partition the bigram-type set") {
+    val rows = run("kneser_ney_continuation")
+    // each distinct bigram type contributes exactly one context to its
+    // right word, so Σ n_contexts = n_bigram_types (the constant column)
+    val tot = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(2) === tot), "type total is corpus-constant")
+    assert(rows.map(_.getLong(1)).sum === tot)
+    // p_cont is a probability: the fixed-point masses sum to 1e6 up to
+    // per-row truncation (each row truncates < 1 unit)
+    val mass = rows.map(_.getLong(3)).sum
+    assert(mass <= 1000000L && mass > 1000000L - rows.length)
+    // ordering is total: (n_contexts desc, w asc)
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0)))
+    assert(keys.sorted.sameElements(keys))
+  }
+
+  test("log_odds_informative_terms: z ranks src0-exclusive words on top") {
+    val rows = run("log_odds_informative_terms")
+    assert(rows.length <= 25 && rows.nonEmpty)
+    // ordered by z desc (ties broken by word)
+    val zs = rows.map(_.getLong(3))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+    // counts reconcile with the corpus for the top word
+    val top = rows.head
+    val Array(cnt) = Tables.documents(spark, sf())
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") === top.getString(0))
+      .agg(count(when(col("source") === "src0", 1)).as("y1"),
+        count(when(col("source") =!= "src0", 1)).as("y2"))
+      .collect()
+    assert(top.getLong(1) === cnt.getLong(0) && top.getLong(2) === cnt.getLong(1))
+    // a word over-represented in src0 must outrank the same word's
+    // mirror-image under-representation: z is monotone in y1 at fixed
+    // totals — pin the direction with the top vs bottom rows
+    assert(rows.head.getLong(3) >= rows.last.getLong(3))
+  }
+}
