@@ -40,6 +40,7 @@ object SparkEntry {
     operators.CalibrationOps,
     operators.TelemetryOps,
     operators.SmoothingOps,
+    operators.AuditOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

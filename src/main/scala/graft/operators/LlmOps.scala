@@ -41,18 +41,18 @@ object LlmOps extends OpGroup {
     * DuckDB oracle re-derives them from the same files (the
     * lsh_hyperplane / ann_pq_adc recipe).
     */
-  private val minhashLayoutCache = new graft.Layout("graft_minhash")
+  private[operators] val minhashLayoutCache = new graft.Layout("graft_minhash")
 
   /** One MinHash band layout, named once: every divisor/threshold/SQL
     * parameter below derives from these (a band-layout change is a
     * one-line edit, not four coordinated literals).
     */
-  private val MinHashes = 16
-  private val MinHashBands = 4
-  private val MinHashRowsPerBand = MinHashes / MinHashBands
-  private val MinHashDupSlots = MinHashes / 2 // est_jaccard ≥ 0.5
+  private[operators] val MinHashes = 16
+  private[operators] val MinHashBands = 4
+  private[operators] val MinHashRowsPerBand = MinHashes / MinHashBands
+  private[operators] val MinHashDupSlots = MinHashes / 2 // est_jaccard ≥ 0.5
 
-  private def minhashLayout(s: SparkSession, d: String): String =
+  private[graft] def minhashLayout(s: SparkSession, d: String): String =
     minhashLayoutCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
       Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))

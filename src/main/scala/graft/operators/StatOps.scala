@@ -298,6 +298,38 @@ object StatOps extends OpGroup {
                |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                |  * 1000000) AS BIGINT)""".stripMargin).as("pearson_r_fp"))
     }),
+
+    // X11 — weighted percentiles: the quantity-weighted p50/p90 of the
+    // exact-cents price per return flag — "the price at which half the
+    // VOLUME (not half the line items) has shipped", the
+    // inventory-weighted distribution read a mix planner uses. Fully
+    // rank-defined: smallest value whose cumulative weight reaches
+    // ⌈q·W⌉ (the integer comparison cumw·100 ≥ totw·q is exactly that
+    // ceiling test). Skew-proof shape: weights first collapse to the
+    // DISTINCT (group, value) domain in a map-side-combinable
+    // aggregate — a hot price point folds per mapper — then the
+    // cumulative weight runs over the value DOMAIN via the GlobalRank
+    // two-phase prefix sum (3 giant groups = the low-cardinality
+    // window trap); totals broadcast. cumw·100 wraps int64 only past
+    // ~9e16 total units — far beyond a 100 TB fact table.
+    "weighted_percentile_value" -> ((s, d) => {
+      val agg = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+        .groupBy("grp", "cents").agg(sum("w").as("wv"))
+      val cum = graft.functions.GlobalRank.prefixSum(
+        agg, "cumw", col("wv"), Seq("grp"), Seq("cents"))
+      val tot = agg.groupBy("grp").agg(sum("wv").as("totw"))
+      cum.join(broadcast(tot), "grp")
+        .groupBy("grp")
+        .agg(max("totw").as("total_weight"),
+          min(when(col("cumw") * 100 >= col("totw") * 50, col("cents")))
+            .as("p50_cents"),
+          min(when(col("cumw") * 100 >= col("totw") * 90, col("cents")))
+            .as("p90_cents"))
+        .orderBy("grp")
+    }),
   )
 
   // Not `private`: Catalyst's generated (de)serializer projections live
@@ -499,5 +531,26 @@ object StatOps extends OpGroup {
         |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |         * 1000000) AS BIGINT) AS pearson_r_fp
         |FROM m""".stripMargin,
+
+    "weighted_percentile_value" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wv
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, cents, wv,
+        |         CAST(sum(wv) OVER (PARTITION BY grp ORDER BY cents)
+        |           AS BIGINT) AS cumw
+        |  FROM agg),
+        |tot AS (SELECT grp, CAST(sum(wv) AS BIGINT) AS totw
+        |        FROM agg GROUP BY grp)
+        |SELECT grp, max(totw) AS total_weight,
+        |       min(CASE WHEN cumw * 100 >= totw * 50 THEN cents END)
+        |         AS p50_cents,
+        |       min(CASE WHEN cumw * 100 >= totw * 90 THEN cents END)
+        |         AS p90_cents
+        |FROM cum JOIN tot USING (grp)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
   )
 }
