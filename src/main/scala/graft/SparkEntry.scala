@@ -41,6 +41,7 @@ object SparkEntry {
     operators.TelemetryOps,
     operators.SmoothingOps,
     operators.AuditOps,
+    operators.TemporalOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

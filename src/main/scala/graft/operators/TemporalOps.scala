@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal-shape operators (round-10 widening, second session): the
+  * calendar-bucketed interval overlap join (how many order lines were
+  * OPEN in each month, weighted by days open — the WIP/inventory-age
+  * query every fulfillment dashboard runs), per-day run-length
+  * compression of event streams (the RLE profile a telemetry store
+  * reads before choosing an encoding), and weekday-deseasonalized
+  * daily-revenue outliers (the "is this spike real or just Saturday"
+  * anomaly gate). The reference's pipeline stamps and stages exactly
+  * these temporal shapes (`/root/reference/app.py:133-220` dated
+  * loads; `/root/reference/README.md:180-205` date-partitioned
+  * analysis tables).
+  *
+  * Determinism & scale design:
+  *   - The interval join is the EXPLODE-TO-BUCKETS range join: each
+  *     [order, ship] interval expands to the integer month keys it
+  *     touches (TPC-H ship lag caps the fan-out at ~5 rows/line; the
+  *     knob a 100 TB run sizes is bucket granularity), then one
+  *     map-side-combinable month rollup — never an interval×interval
+  *     or interval×calendar theta-join. Month keys are pure integers
+  *     (y·12+m−1); day math is exact integer datediff on both engines.
+  *   - RLE runs derive from ONE per-(user, day) lag window — the
+  *     sessionize sort, calendar-sharded so a power user cannot pin a
+  *     task to their lifetime history; runs then fold map-side.
+  *   - The seasonal outlier test is INTEGER-ONLY end to end: day and
+  *     weekday sums are exact cents, the weekday mean is 1e-6
+  *     fixed-point integer division, and the 2σ test compares
+  *     (n·r − Σr)² > 4·(n·Σr² − (Σr)²) with both sides lifted to
+  *     DECIMAL(38,0)/HUGEINT — no doubles exist anywhere in the
+  *     query, so engine agreement is arithmetic, not numerical. State
+  *     is calendar-bounded (days × 1, weekdays × 7).
+  *   - int64 envelopes: residual_fp ≈ day_cents·1e6 wraps past ~9e3
+  *     daily revenue dollars ·1e9 — the weekday mean and Σr lift to
+  *     DECIMAL(38,0) at the documented bound.
+  */
+object TemporalOps extends OpGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Interval-vs-calendar overlap join: for each month, how many
+    // order lines were open (ordered but not yet shipped) at any point
+    // in it, and the total line-days of WIP it carried. Month key is
+    // the integer y·12+m−1, exploded per line from order month to ship
+    // month; overlap days clip the interval to the month window.
+    "interval_overlap_months" -> ((s, d) => {
+      val li = Tables.orders(s, d).select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+          to_date(col("l_shipdate")).as("sd")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("sd") >= col("od"))
+      li.select(col("od"), col("sd"), explode(expr(
+          """sequence(year(od) * 12 + month(od) - 1,
+            |         year(sd) * 12 + month(sd) - 1)""".stripMargin)).as("mk"))
+        .withColumn("m_start", expr("make_date(mk DIV 12, mk % 12 + 1, 1)"))
+        .withColumn("m_end", last_day(col("m_start")))
+        .withColumn("overlap_days",
+          expr("datediff(least(sd, m_end), greatest(od, m_start)) + 1"))
+        .groupBy("mk", "m_start")
+        .agg(count(lit(1)).as("n_open_lines"),
+          sum(col("overlap_days").cast("long")).as("total_open_days"))
+        .select("m_start", "n_open_lines", "total_open_days")
+        .orderBy("m_start")
+    }),
+
+    // Run-length compression profile: collapse consecutive same-type
+    // events per (user, day) and report, per event type, how much an
+    // RLE encoding would save and the longest run it must represent.
+    // Day-sharded lag window; everything after folds map-side.
+    "rle_event_compression" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+        .withColumn("day", expr("us DIV 86400000000"))
+      val w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+      val runs = ev
+        .withColumn("run_start",  // <=> mirrors IS DISTINCT FROM on nulls
+          !(col("event_type") <=> lag("event_type", 1).over(w)))
+        .withColumn("run_id",
+          sum(when(col("run_start"), 1L).otherwise(0L)).over(w))
+        .groupBy("user_id", "day", "run_id", "event_type")
+        .agg(count(lit(1)).as("run_len"))
+      runs.groupBy("event_type")
+        .agg(sum("run_len").as("n_events"), count(lit(1)).as("n_runs"),
+          max("run_len").as("max_run_len"))
+        .withColumn("compression_fp", expr("n_runs * 1000000 DIV n_events"))
+        .orderBy("event_type")
+    }),
+
+    // Weekday-deseasonalized daily-revenue outliers: day revenue in
+    // exact cents, weekday mean in 1e-6 fixed point, and a 2σ flag on
+    // the residual computed as a pure-integer inequality
+    // (n·r − Σr)² > 4·(n·Σr² − (Σr)²) in DECIMAL(38,0)/HUGEINT.
+    "seasonal_residual_outliers" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        // datediff-from-epoch, not unix_micros: o_orderdate has shipped
+        // as TIMESTAMP_NTZ, which unix_micros refuses; date arithmetic
+        // is encoding-independent on both engines
+        .select(expr("CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS BIGINT)")
+            .as("epoch_day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("epoch_day").agg(sum("cents").as("day_cents"))
+        .withColumn("weekday", expr("(epoch_day + 4) % 7"))
+      val wd = daily.groupBy("weekday")
+        .agg(count(lit(1)).as("n_d"), sum("day_cents").as("s"))
+        .select(col("weekday"), expr("s * 1000000 DIV n_d").as("wd_mean_fp"))
+      val res = daily.join(broadcast(wd), "weekday")
+        .withColumn("residual_fp",
+          expr("day_cents * 1000000 - wd_mean_fp"))
+      val mom = res.agg(count(lit(1)).as("n"),
+        sum(col("residual_fp").cast("decimal(38,0)")).as("sr"),
+        sum(expr("CAST(residual_fp AS DECIMAL(38,0)) * residual_fp")).as("srr"))
+      res.crossJoin(broadcast(mom))
+        .withColumn("is_outlier", expr(
+          """(CAST(n AS DECIMAL(38,0)) * residual_fp - sr)
+            | * (CAST(n AS DECIMAL(38,0)) * residual_fp - sr)
+            | > 4 * (CAST(n AS DECIMAL(38,0)) * srr - sr * sr)""".stripMargin))
+        .select("epoch_day", "weekday", "day_cents", "wd_mean_fp",
+          "residual_fp", "is_outlier")
+        .orderBy("epoch_day")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "interval_overlap_months" ->
+      """WITH li AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS od,
+        |         CAST(l_shipdate AS DATE) AS sd
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)),
+        |mon AS (
+        |  SELECT od, sd, CAST(t.mk AS BIGINT) AS mk
+        |  FROM li, UNNEST(generate_series(year(od) * 12 + month(od) - 1,
+        |                                  year(sd) * 12 + month(sd) - 1))
+        |         AS t(mk)),
+        |ov AS (
+        |  SELECT mk,
+        |         make_date(CAST(mk // 12 AS INTEGER),
+        |                   CAST(mk % 12 + 1 AS INTEGER), 1) AS m_start,
+        |         od, sd
+        |  FROM mon),
+        |ov2 AS (
+        |  SELECT mk, m_start, last_day(m_start) AS m_end, od, sd FROM ov)
+        |SELECT m_start, CAST(count(*) AS BIGINT) AS n_open_lines,
+        |       CAST(sum(date_diff('day', greatest(od, m_start),
+        |                          least(sd, m_end)) + 1) AS BIGINT)
+        |         AS total_open_days
+        |FROM ov2 GROUP BY mk, m_start ORDER BY m_start""".stripMargin,
+
+    "rle_event_compression" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, day, event_type, us, event_id,
+        |         CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+        |              THEN 1 ELSE 0 END AS run_start
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id, day ORDER BY us, event_id)),
+        |rid AS (
+        |  SELECT user_id, day, event_type,
+        |         sum(run_start) OVER (PARTITION BY user_id, day
+        |           ORDER BY us, event_id) AS run_id
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, day, run_id, event_type,
+        |         CAST(count(*) AS BIGINT) AS run_len
+        |  FROM rid GROUP BY user_id, day, run_id, event_type)
+        |SELECT event_type, CAST(sum(run_len) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_runs,
+        |       max(run_len) AS max_run_len,
+        |       CAST(count(*) * 1000000 // sum(run_len) AS BIGINT)
+        |         AS compression_fp
+        |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "seasonal_residual_outliers" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |           CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1),
+        |dw AS (SELECT epoch_day, (epoch_day + 4) % 7 AS weekday, day_cents
+        |       FROM daily),
+        |wd AS (
+        |  SELECT weekday,
+        |         CAST(sum(day_cents) * 1000000 // count(*) AS BIGINT)
+        |           AS wd_mean_fp
+        |  FROM dw GROUP BY weekday),
+        |res AS (
+        |  SELECT epoch_day, dw.weekday, day_cents, wd_mean_fp,
+        |         day_cents * 1000000 - wd_mean_fp AS residual_fp
+        |  FROM dw JOIN wd ON dw.weekday = wd.weekday),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(residual_fp AS HUGEINT)) AS HUGEINT) AS sr,
+        |         CAST(sum(CAST(residual_fp AS HUGEINT) * residual_fp)
+        |           AS HUGEINT) AS srr
+        |  FROM res)
+        |SELECT epoch_day, weekday, day_cents, wd_mean_fp, residual_fp,
+        |       (CAST(n AS HUGEINT) * residual_fp - sr)
+        |         * (CAST(n AS HUGEINT) * residual_fp - sr)
+        |         > 4 * (CAST(n AS HUGEINT) * srr - sr * sr) AS is_outlier
+        |FROM res CROSS JOIN mom ORDER BY epoch_day""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for TemporalOps — conservation and clipping laws the
+  * oracle hash can't name.
+  */
+class TemporalSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.TemporalOps.queries(key)(spark, sf()).collect()
+
+  test("interval_overlap_months: month slices conserve interval days") {
+    val rows = run("interval_overlap_months")
+    val li = Tables.orders(spark, sf())
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .join(Tables.lineitem(spark, sf()).select(col("l_orderkey"),
+        to_date(col("l_shipdate")).as("sd")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("sd") >= col("od"))
+    val Array(tot) = li.agg(
+      sum(expr("CAST(datediff(sd, od) + 1 AS BIGINT)")).as("days"),
+      count(lit(1)).as("n")).collect()
+    // clipping to months is a partition of each interval's days
+    assert(rows.map(_.getLong(2)).sum === tot.getLong(0))
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "every open line has ≥1 day")
+      assert(r.getLong(2) <= r.getLong(1) * 31, "a month caps at 31 days/line")
+    }
+    // months are unique and sorted
+    val ms = rows.map(_.getDate(0).toString)
+    assert(ms.distinct.length === ms.length && ms.sorted.sameElements(ms))
+  }
+
+  test("rle_event_compression: runs partition the event stream") {
+    val rows = run("rle_event_compression")
+    assert(rows.map(_.getLong(1)).sum === Tables.events(spark, sf()).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1),
+        "1 ≤ runs ≤ events")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(1),
+        "1 ≤ max run ≤ events")
+      assert(r.getLong(4) <= 1000000L, "compression ratio ≤ 1")
+    }
+  }
+
+  test("seasonal_residual_outliers: residuals cancel within each weekday") {
+    val rows = run("seasonal_residual_outliers")
+    val nDays = Tables.orders(spark, sf())
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(rows.length === nDays, "one row per order day")
+    // Σ residual per weekday = the fixed-point truncation remainder:
+    // 0 ≤ n_d·mean_true − n_d·mean_fp < n_d
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val resSum = rs.map(_.getLong(4)).sum
+      assert(resSum >= 0 && resSum < rs.length,
+        s"weekday residuals cancel up to truncation (got $resSum for ${rs.length} days)")
+    }
+    // outliers are a small minority (2σ admits ≲ a few % of days)
+    val nOut = rows.count(_.getBoolean(5))
+    assert(nOut.toDouble / rows.length < 0.2, s"$nOut/${rows.length} outliers")
+  }
+}
