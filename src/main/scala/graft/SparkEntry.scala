@@ -42,6 +42,7 @@ object SparkEntry {
     operators.SmoothingOps,
     operators.AuditOps,
     operators.TemporalOps,
+    operators.EmbeddingAlgebraOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-matrix algebra (round-10 widening, second session): the
+  * covariance structure and leading principal component of the corpus
+  * embedding matrix — the two linear-algebra reads an embedding-QC
+  * pass runs before trusting a vector store (correlated dimensions ⇒
+  * wasted capacity / a broken encoder head; the top component and its
+  * dominance ⇒ how anisotropic the space is, the known failure mode of
+  * contrastive encoders). Both are Σ-of-outer-products computations:
+  * the only corpus-sized pass is a map-side explode of per-row
+  * products, and ALL downstream state is d²-bounded (the gram matrix),
+  * which is precisely how a 1000-executor PCA is actually built —
+  * partial gram per partition, one d²-sized shuffle, iterate on
+  * broadcast-sized vectors.
+  *
+  * Determinism & scale design:
+  *   - Embedding floats fix-point at the LEAF (trunc(x·1e6) — the
+  *     embedding_dim_stats convention); every product/sum after is
+  *     exact integer arithmetic in DECIMAL(38,0)/HUGEINT. No double
+  *     exists anywhere in either query — engine agreement is
+  *     arithmetic, not numerical.
+  *   - The covariance test statistic is the cross-multiplied exact
+  *     form n·Σxy − Σx·Σy (no division, no mean), ranked by absolute
+  *     value — rank-stable under any partitioning.
+  *   - Power-iteration normalization is integer: v·1e6 div max|v|,
+  *     with TRUNCATING division spelled sign-explicitly on both
+  *     engines (Spark DIV truncates toward zero, DuckDB // floors —
+  *     the CASE makes them agree on negatives).
+  *   - Envelope: per-element products fx·fx ≤ 1e12; gram cells reach
+  *     rows·1e12 (DECIMAL(38,0) holds to ~1e26 rows); iteration-2
+  *     terms reach d·cell·1e6 ≈ 1e22 at fixture scale — all inside
+  *     DECIMAL(38,0)/HUGEINT by wide margins.
+  */
+object EmbeddingAlgebraOps extends OpGroup {
+
+  /** Leaf fixed-point of the float embedding, as an int64 array. */
+  private val fxArr =
+    expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT))")
+
+  /** Truncating (toward-zero) integer division of two exact decimals,
+    * spelled so Spark and DuckDB agree on negative numerators.
+    */
+  private def truncDivSpark(a: String, b: String) =
+    s"CAST(CASE WHEN $a < 0 THEN -((-($a)) DIV ($b)) ELSE ($a) DIV ($b) END AS BIGINT)"
+  private def truncDivDuck(a: String, b: String) =
+    s"CAST(CASE WHEN $a < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-|covariance| dimension pairs: per row, the upper-triangle
+    // outer product explodes map-side (d²/2 cells/row, zero joins);
+    // one (i, j)-keyed map-side-combinable aggregate builds Σxy; the
+    // d per-dimension sums broadcast back twice; the ranking key is
+    // the exact integer n·Σxy − Σx·Σy. TakeOrdered top-20.
+    "embedding_covariance_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).withColumn("fxs", fxArr)
+      val pairs = emb.select(explode(expr(
+          """flatten(transform(sequence(1, size(fxs) - 1),
+            |  i -> transform(sequence(i + 1, size(fxs)),
+            |    j -> named_struct('i', i - 1, 'j', j - 1,
+            |      'p', element_at(fxs, i) * element_at(fxs, j)))))"""
+            .stripMargin)).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast("decimal(38,0)")).as("sxy"))
+      val dims = emb.select(posexplode(col("fxs")).as(Seq("pos", "fx")))
+        .groupBy("pos").agg(sum(col("fx").cast("decimal(38,0)")).as("sx"))
+      pairs
+        .join(broadcast(dims.select(col("pos").as("i"), col("sx").as("sx_i"))), "i")
+        .join(broadcast(dims.select(col("pos").as("j"), col("sx").as("sx_j"))), "j")
+        .withColumn("cov_num",
+          expr("CAST(n AS DECIMAL(38,0)) * sxy - sx_i * sx_j"))
+        .select("i", "j", "n", "cov_num")
+        .orderBy(abs(col("cov_num")).desc, col("i"), col("j"))
+        .limit(20)
+    }),
+
+    // Leading principal component by two normalized power-iteration
+    // steps over the (uncentered) gram matrix: G folds from the SAME
+    // map-side outer-product explode (full grid, diagonal included);
+    // v₁ = G·1, v₂ = G·v̂₁, each normalized to 1e6 fixed point by its
+    // max-|component| (integer trunc-div). The iteration state (v, its
+    // max) is d-sized — broadcast both times; nothing corpus-sized
+    // survives past the first aggregate.
+    "embedding_pca_power_iter" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).withColumn("fxs", fxArr)
+      val g = emb.select(explode(expr(
+          """flatten(transform(sequence(1, size(fxs)),
+            |  i -> transform(sequence(1, size(fxs)),
+            |    j -> named_struct('i', i - 1, 'j', j - 1,
+            |      'p', element_at(fxs, i) * element_at(fxs, j)))))"""
+            .stripMargin)).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+        .groupBy("i", "j")
+        .agg(sum(col("p").cast("decimal(38,0)")).as("gij"))
+      val v1 = g.groupBy("i").agg(sum("gij").as("v1raw"))
+      val m1 = v1.agg(max(abs(col("v1raw"))).as("m1"))
+      val v1s = v1.crossJoin(broadcast(m1))
+        .select(col("i").as("j"),
+          expr(truncDivSpark("v1raw * 1000000", "m1")).as("v1s"))
+      val v2 = g.join(broadcast(v1s), "j")
+        .groupBy("i")
+        .agg(sum(expr("gij * v1s")).as("v2raw"))
+      val m2 = v2.agg(max(abs(col("v2raw"))).as("m2"))
+      v2.crossJoin(broadcast(m2))
+        .join(broadcast(v1s.select(col("j").as("i"), col("v1s"))), "i")
+        .select(col("i").as("pos"), col("v1s"),
+          expr(truncDivSpark("v2raw * 1000000", "m2")).as("v2s"))
+        .orderBy("pos")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "embedding_covariance_topk" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+         |         CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+         |           * 1000000) AS BIGINT) AS fx
+         |  FROM embeddings, UNNEST(range(1, 4097)) t(i)
+         |  WHERE i <= len(embedding)),
+         |pr AS (
+         |  SELECT a.pos AS i, b.pos AS j, a.fx * b.fx AS p
+         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos < b.pos),
+         |pa AS (
+         |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sxy
+         |  FROM pr GROUP BY i, j),
+         |dims AS (
+         |  SELECT pos, CAST(sum(CAST(fx AS HUGEINT)) AS HUGEINT) AS sx
+         |  FROM ex GROUP BY pos)
+         |SELECT pa.i, pa.j, pa.n,
+         |       CAST(n AS HUGEINT) * sxy - dx.sx * dy.sx AS cov_num
+         |FROM pa JOIN dims dx ON dx.pos = pa.i
+         |        JOIN dims dy ON dy.pos = pa.j
+         |ORDER BY abs(CAST(n AS HUGEINT) * sxy - dx.sx * dy.sx) DESC,
+         |         pa.i, pa.j
+         |LIMIT 20""".stripMargin,
+
+    "embedding_pca_power_iter" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+         |         CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+         |           * 1000000) AS BIGINT) AS fx
+         |  FROM embeddings, UNNEST(range(1, 4097)) t(i)
+         |  WHERE i <= len(embedding)),
+         |g AS (
+         |  SELECT a.pos AS i, b.pos AS j,
+         |         CAST(sum(CAST(a.fx AS HUGEINT) * b.fx) AS HUGEINT) AS gij
+         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+         |  GROUP BY a.pos, b.pos),
+         |v1 AS (SELECT i, CAST(sum(gij) AS HUGEINT) AS v1raw
+         |       FROM g GROUP BY i),
+         |m1 AS (SELECT max(abs(v1raw)) AS m1 FROM v1),
+         |v1s AS (SELECT i AS j,
+         |               ${truncDivDuck("v1raw * 1000000", "m1")} AS v1s
+         |        FROM v1 CROSS JOIN m1),
+         |v2 AS (
+         |  SELECT g.i, CAST(sum(gij * v1s) AS HUGEINT) AS v2raw
+         |  FROM g JOIN v1s ON v1s.j = g.j GROUP BY g.i),
+         |m2 AS (SELECT max(abs(v2raw)) AS m2 FROM v2)
+         |SELECT v2.i AS pos, v1s.v1s,
+         |       ${truncDivDuck("v2raw * 1000000", "m2")} AS v2s
+         |FROM v2 CROSS JOIN m2
+         |JOIN v1s ON v1s.j = v2.i
+         |ORDER BY pos""".stripMargin,
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for EmbeddingAlgebraOps — the exact-arithmetic
+  * reconciliation and PSD-iteration laws the oracle hash can't name.
+  */
+class EmbeddingAlgebraSpec extends SparkSpec {
+
+  test("embedding_covariance_topk: the exact statistic reconciles with a direct fold") {
+    val rows = operators.EmbeddingAlgebraOps.queries(
+      "embedding_covariance_topk")(spark, sf()).collect()
+    assert(rows.length === 20)
+    rows.foreach(r => assert(r.getInt(0) < r.getInt(1), "upper triangle only"))
+    // ranking is by |cov_num| nonincreasing
+    val mags = rows.map(_.getDecimal(3).abs)
+    mags.zip(mags.tail).foreach { case (a, b) => assert(a.compareTo(b) >= 0) }
+    // direct recomputation of the top pair from the raw table
+    val (i, j) = (rows.head.getInt(0), rows.head.getInt(1))
+    val fx = Tables.embeddings(spark, sf())
+      .select(expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT))")
+        .as("fxs"))
+      .select(expr(s"element_at(fxs, ${i + 1})").as("a"),
+        expr(s"element_at(fxs, ${j + 1})").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * b")).as("sxy"),
+        sum(col("a").cast("decimal(38,0)")).as("sa"),
+        sum(col("b").cast("decimal(38,0)")).as("sb"))
+      .select(expr("CAST(n AS DECIMAL(38,0)) * sxy - sa * sb").as("cov"))
+      .collect()(0).getDecimal(0)
+    assert(rows.head.getDecimal(3).compareTo(fx) === 0)
+  }
+
+  test("embedding_pca_power_iter: normalized PSD iteration keeps direction") {
+    val rows = operators.EmbeddingAlgebraOps.queries(
+      "embedding_pca_power_iter")(spark, sf()).collect()
+    val d = Tables.embeddings(spark, sf())
+      .select(size(col("embedding"))).first().getInt(0)
+    assert(rows.length === d, "one component per dimension")
+    val v1 = rows.map(_.getLong(1))
+    val v2 = rows.map(_.getLong(2))
+    // normalization: components bounded by 1e6 and the bound attained
+    Seq(v1, v2).foreach { v =>
+      assert(v.forall(x => math.abs(x) <= 1000000L))
+      assert(v.exists(x => math.abs(x) === 1000000L), "max component hits ±1e6")
+    }
+    // G is PSD (gram of real vectors): v·Gv ≥ 0 ⇒ successive iterates
+    // cannot anti-align
+    val dot = v1.zip(v2).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    assert(dot >= 0, s"iterates anti-aligned: dot=$dot")
+  }
+}
