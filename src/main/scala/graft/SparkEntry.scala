@@ -43,6 +43,7 @@ object SparkEntry {
     operators.AuditOps,
     operators.TemporalOps,
     operators.EmbeddingAlgebraOps,
+    operators.ModelPrepOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
