@@ -44,6 +44,7 @@ object SparkEntry {
     operators.TemporalOps,
     operators.EmbeddingAlgebraOps,
     operators.ModelPrepOps,
+    operators.ParetoStatOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

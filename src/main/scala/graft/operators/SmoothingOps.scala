@@ -110,6 +110,41 @@ object SmoothingOps extends OpGroup {
         .orderBy(col("n_contexts").desc, col("w"))
     }),
 
+    // Deleted-interpolation λ estimation (the TnT/Brants recipe): for
+    // every bigram type, compare the held-out bigram ML estimate
+    // (c2−1)/(c1−1) against the unigram one (cw−1)/(N−1) by exact
+    // integer CROSS-MULTIPLICATION and vote the bigram's token mass to
+    // λ2 (context wins) or λ1 (unigram wins / tie / undefined) — the
+    // one-pass closed form for interpolation weights, no EM. Bigram
+    // and unigram tables are vocab-bounded map-side-combinable
+    // aggregates; the comparison is per-type, join-backed by two
+    // broadcast vocab tables; output is one row of exact masses.
+    "deleted_interpolation_lambdas" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("a"))
+      val words = toks.select(explode(col("a")).as("w"))
+      val cw = words.groupBy("w").agg(count(lit(1)).as("c"))
+      val nn = words.agg(count(lit(1)).as("nn"))
+      val bi = toks.filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
+            .stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      bi
+        .join(broadcast(cw.select(col("w").as("w1"), col("c").as("c1w1"))), "w1")
+        .join(broadcast(cw.select(col("w").as("w2"), col("c").as("cw2"))), "w2")
+        .crossJoin(broadcast(nn))
+        .withColumn("to_l2", expr(
+          "CASE WHEN c1w1 - 1 > 0 AND (c2 - 1) * (nn - 1) > (cw2 - 1) * (c1w1 - 1) THEN 1 ELSE 0 END"))
+        .agg(count(lit(1)).as("n_bigram_types"),
+          sum(expr("CASE WHEN to_l2 = 0 THEN c2 ELSE 0 END")).as("lambda1_mass"),
+          sum(expr("CASE WHEN to_l2 = 1 THEN c2 ELSE 0 END")).as("lambda2_mass"))
+        .withColumn("lambda2_fp", expr(
+          "lambda2_mass * 1000000 DIV (lambda1_mass + lambda2_mass)"))
+    }),
+
     // Monroe log-odds informative terms: which words distinguish the
     // src0 slice from the rest of the corpus, scored by the Dirichlet-
     // prior log-odds z — the corpus-comparison statistic that (unlike
@@ -160,6 +195,37 @@ object SmoothingOps extends OpGroup {
         |         AS pcont_fp
         |FROM cont CROSS JOIN tot
         |ORDER BY n_contexts DESC, w""".stripMargin,
+
+    "deleted_interpolation_lambdas" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |words AS (SELECT unnest(a) AS w FROM toks),
+        |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM words),
+        |bi AS (
+        |  SELECT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2,
+        |         CAST(count(*) AS BIGINT) AS c2
+        |  FROM (SELECT a FROM toks WHERE len(a) >= 2) t,
+        |       UNNEST(range(1, len(a))) AS r(i)
+        |  GROUP BY 1, 2),
+        |voted AS (
+        |  SELECT c2,
+        |         CASE WHEN c1.c - 1 > 0
+        |                   AND (c2 - 1) * (nn - 1) > (cu.c - 1) * (c1.c - 1)
+        |              THEN 1 ELSE 0 END AS to_l2
+        |  FROM bi JOIN cw c1 ON c1.w = bi.w1
+        |          JOIN cw cu ON cu.w = bi.w2
+        |          CROSS JOIN nt),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_bigram_types,
+        |         CAST(sum(CASE WHEN to_l2 = 0 THEN c2 ELSE 0 END) AS BIGINT)
+        |           AS lambda1_mass,
+        |         CAST(sum(CASE WHEN to_l2 = 1 THEN c2 ELSE 0 END) AS BIGINT)
+        |           AS lambda2_mass
+        |  FROM voted)
+        |SELECT n_bigram_types, lambda1_mass, lambda2_mass,
+        |       CAST(lambda2_mass * 1000000 // (lambda1_mass + lambda2_mass)
+        |         AS BIGINT) AS lambda2_fp
+        |FROM m""".stripMargin,
 
     "log_odds_informative_terms" ->
       s"""WITH words AS (

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for ParetoStatOps + deleted-interpolation — dominance
+  * soundness/completeness and mass-partition laws.
+  */
+class ParetoStatSpec extends SparkSpec {
+
+  test("skyline_2d_pareto: sound and complete against brute-force dominance") {
+    val sky = operators.ParetoStatOps.queries("skyline_2d_pareto")(
+      spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sky.nonEmpty)
+    val all = Tables.part(spark, sf())
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"),
+        col("p_size").cast("long").as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    // soundness: nothing dominates a frontier point
+    sky.foreach(p => assert(!all.exists(q => dominates(q, p)),
+      s"frontier point $p is dominated"))
+    // completeness: every non-frontier point is dominated
+    val skySet = sky.map(_._1).toSet
+    all.filterNot(p => skySet(p._1)).foreach(p =>
+      assert(all.exists(q => dominates(q, p)),
+        s"non-frontier point $p is undominated"))
+  }
+
+  test("jackknife_loo_nation: closed-form LOO means reconcile") {
+    val rows = operators.ParetoStatOps.queries("jackknife_loo_nation")(
+      spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val per = Tables.customer(spark, sf())
+      .select(col("c_nationkey").cast("long").as("nation"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (nAll, sAll) = (per.length.toLong, per.map(_._2).sum)
+    rows.foreach { r =>
+      val g = r.getLong(0)
+      val (nG, sG) = (per.count(_._1 == g).toLong,
+        per.filter(_._1 == g).map(_._2).sum)
+      assert(r.getLong(1) === nG)
+      val num = (sAll - sG) * 1000000L
+      val expected = num / (nAll - nG) // JVM / truncates like Spark DIV
+      assert(r.getLong(2) === expected, s"nation $g LOO mean")
+      assert(r.getLong(3) >= 0, "jackknife variance nonnegative")
+    }
+    assert(rows.map(_.getLong(3)).distinct.length === 1,
+      "jk variance is a constant column")
+  }
+
+  test("deleted_interpolation_lambdas: masses partition the bigram tokens") {
+    val Array(r) = operators.SmoothingOps.queries(
+      "deleted_interpolation_lambdas")(spark, sf()).collect()
+    val nBigrams = Tables.documents(spark, sf())
+      .select(size(split(col("text"), " ")).as("n"))
+      .filter(col("n") >= 2)
+      .agg(sum(expr("CAST(n - 1 AS BIGINT)"))).collect()(0).getLong(0)
+    assert(r.getLong(1) + r.getLong(2) === nBigrams,
+      "λ masses partition the bigram token count")
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    assert(r.getLong(0) >= 1, "at least one bigram type")
+  }
+}
