@@ -45,6 +45,7 @@ object SparkEntry {
     operators.EmbeddingAlgebraOps,
     operators.ModelPrepOps,
     operators.ParetoStatOps,
+    operators.SketchFillOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
