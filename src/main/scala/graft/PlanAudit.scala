@@ -36,6 +36,24 @@ import org.apache.spark.sql.SparkSession
   *     in addition to its documented window: the terminal fusion of the
   *     two ≤10-row candidate branches (bm25 + cosine), same scalar-
   *     stitch class, not a mid-plan funnel.
+  *   - `doremi_excess_loss_reweight` (r10) — many SinglePartition:
+  *     scalar-stitch — the per-source excess-loss table is
+  *     |sources|-bounded and the weight normalization is a single-row
+  *     aggregate cross-joined back (the cross_entropy family shape).
+  *   - `cusum_drift_alarm`, `deleted_interpolation_lambdas`,
+  *     `jackknife_loo_nation` (r10, second session) — many
+  *     SinglePartition: scalar-stitch — the μ/MAD, Σ-mass, and
+  *     jackknife-variance aggregates are single-row broadcasts over
+  *     calendar-/vocab-/group-bounded inputs; the data path never
+  *     funnels (CUSUM windows are year-sharded, the λ vote and LOO
+  *     means are map-side joins).
+  *   - `embedding_pca_power_iter`, `quantile_sketch_merge` (r10,
+  *     second session) — many SinglePartition: bounded-model-state
+  *     stitches — the exchanged relations are the d-sized iteration
+  *     vector + its 1-row max (power iteration) and the 128-cell
+  *     histogram + 1-row (min, max) envelope + 3-row quantile spine
+  *     (sketch); the corpus-sized pass in both is one
+  *     map-side-combinable aggregate that is NOT single-partition.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
