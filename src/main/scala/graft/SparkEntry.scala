@@ -46,6 +46,7 @@ object SparkEntry {
     operators.ModelPrepOps,
     operators.ParetoStatOps,
     operators.SketchFillOps,
+    operators.SeriesInfraOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
