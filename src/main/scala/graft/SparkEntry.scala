@@ -47,6 +47,7 @@ object SparkEntry {
     operators.ParetoStatOps,
     operators.SketchFillOps,
     operators.SeriesInfraOps,
+    operators.SampleAuditOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
