@@ -48,6 +48,7 @@ object SparkEntry {
     operators.SketchFillOps,
     operators.SeriesInfraOps,
     operators.SampleAuditOps,
+    operators.ExperimentOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -106,6 +106,38 @@ object RankingOps extends OpGroup {
         .select(col("doc_id"), col("rank"), col("score_fp"))
         .orderBy("rank")),
 
+    // R6 — reciprocal rank fusion (k=60) of the BM25 lexical top-10
+    // and the dense exact-dot top-10 against query vec 0 — the
+    // UNION-style fusion (vs R4's cascade: here each leg retrieves
+    // independently and ranks fuse, so a doc missed by one leg can
+    // still win). The dense leg ranks by the EXACT fixed-point dot
+    // (codegen FixedPointDot — integer, engine-trivial); RRF
+    // contributions 1e9 DIV (60+rank) are pure integer. Both legs are
+    // TakeOrdered(10); the fusion join touches ≤20 rows; the ≤10-row
+    // windows are the documented benign bm25 class.
+    "rrf_rank_fusion" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val lex = bm25Top(s, d).withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("score_fp").desc, col("doc_id"))))
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val dense = Tables.embeddings(s, d)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          expr("fixed_dot(embedding, q_emb)").as("dot_fp"))
+        .orderBy(col("dot_fp").desc, col("doc_id")).limit(10)
+        .withColumn("dense_rank",
+          row_number().over(Window.orderBy(col("dot_fp").desc, col("doc_id"))))
+      lex.select(col("doc_id"), col("bm25_rank"))
+        .join(dense.select(col("doc_id"), col("dense_rank")),
+          Seq("doc_id"), "full_outer")
+        .withColumn("rrf_fp", expr(
+          """coalesce(1000000000 DIV (60 + bm25_rank), 0)
+            | + coalesce(1000000000 DIV (60 + dense_rank), 0)""".stripMargin))
+        .select("doc_id", "bm25_rank", "dense_rank", "rrf_fp")
+        .orderBy(col("rrf_fp").desc, col("doc_id"))
+    }),
+
     // R4 — two-stage hybrid retrieval: BM25 lexical recall bounds the
     // candidate set (≤10 docs), then dense embedding cosine reranks the
     // survivors against the query vector (vec 0 stands in for the
@@ -321,6 +353,36 @@ object RankingOps extends OpGroup {
        |        ORDER BY score_fp DESC, doc_id LIMIT 10)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "rrf_rank_fusion" ->
+      s"""WITH $bm25CtesDuck,
+         |lex AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id)
+         |           AS INT) AS bm25_rank
+         |  FROM top),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |dots AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         ${graft.functions.VectorFunctions.dotFpDuck("e.embedding", "q.q_emb")} AS dot_fp
+         |  FROM embeddings e CROSS JOIN qv q
+         |  CROSS JOIN range(1, 4097) t(i)
+         |  WHERE t.i <= least(len(e.embedding), len(q.q_emb))
+         |  GROUP BY e.vec_id),
+         |dtop AS (SELECT doc_id, dot_fp FROM dots
+         |         ORDER BY dot_fp DESC, doc_id LIMIT 10),
+         |dense AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY dot_fp DESC, doc_id)
+         |           AS INT) AS dense_rank
+         |  FROM dtop)
+         |SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+         |       lex.bm25_rank, dense.dense_rank,
+         |       CAST(coalesce(1000000000 // (60 + lex.bm25_rank), 0)
+         |         + coalesce(1000000000 // (60 + dense.dense_rank), 0)
+         |         AS BIGINT) AS rrf_fp
+         |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+         |ORDER BY rrf_fp DESC, doc_id""".stripMargin,
+
     "bm25_topk" ->
       s"""WITH $bm25CtesDuck
          |SELECT doc_id,
