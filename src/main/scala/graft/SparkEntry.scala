@@ -49,6 +49,7 @@ object SparkEntry {
     operators.SeriesInfraOps,
     operators.SampleAuditOps,
     operators.ExperimentOps,
+    operators.UpliftOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
