@@ -50,6 +50,7 @@ object SparkEntry {
     operators.SampleAuditOps,
     operators.ExperimentOps,
     operators.UpliftOps,
+    operators.MiningOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
