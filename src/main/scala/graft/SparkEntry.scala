@@ -51,6 +51,8 @@ object SparkEntry {
     operators.ExperimentOps,
     operators.UpliftOps,
     operators.MiningOps,
+    operators.RankStatOps,
+    operators.RetrievalEvalOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

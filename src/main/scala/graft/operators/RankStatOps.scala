@@ -1,0 +1,339 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Rank-based / nonparametric statistics (round-10 widening, fourth
+  * session): the distribution-free siblings of the StatOps/InfoStatOps
+  * monitors — Spearman rank correlation, the Mann–Whitney U test (with
+  * its AUC effect size), Kendall's τ over the monthly revenue series,
+  * and Cramér's V association strength. These are the comparisons a
+  * data-quality dashboard runs when the underlying measures are skewed
+  * or ordinal and Pearson/χ² raw values mislead (the reference stages
+  * its analytics tables for exactly this class of SQL reporting,
+  * `/root/reference/README.md:180-205`).
+  *
+  * Determinism & scale design (the established leaf-fixed-point rules):
+  *   - Ranks are TIE-AVERAGED and kept integer by doubling: for a value
+  *     v in group g, r2 = 2·rank_min + cnt(v) − 1 = twice the average
+  *     rank — an exact int64. On the Spark side r2 derives from the
+  *     VALUE-DOMAIN prefix sum ([[graft.functions.GlobalRank.prefixSum]]
+  *     over per-(group, value) counts — two-phase beyond the size
+  *     threshold, never an unsplittable whole-partition window), then
+  *     equi-joins back onto the fact rows; the ×2 scaling cancels in
+  *     every correlation ratio.
+  *   - All moment sums are DECIMAL(38,0) (order-free exact addition at
+  *     any partitioning); HUGEINT on the DuckDB side. The only floating
+  *     ops are TERMINAL single IEEE expressions over those exact
+  *     integers (one divide + sqrt per output row), identical parse
+  *     trees on both engines, rounded to 6dp.
+  *   - Envelopes (documented, spec-pinned): Spearman moment products
+  *     n·Σr² stay inside DECIMAL(38,0) up to ~1e8 rows per group;
+  *     Mann–Whitney's 2·U ≤ 2·n1·n2 stays in int64 to ~2e9 rows per
+  *     side; Kendall pairs are CALENDAR-bounded (C(months,2), the
+  *     Theil–Sen argument); Cramér's grid is enum²-bounded.
+  *   - Signed fixed-point division truncates TOWARD ZERO explicitly on
+  *     both engines (CASE on sign) — Spark `DIV` and DuckDB `//` are
+  *     not assumed to share semantics on negatives.
+  */
+object RankStatOps extends OpGroup {
+
+  /** Terminal Pearson-on-exact-integers ratio, NULL-guarded against a
+    * degenerate (constant) variable — identical text both engines.
+    */
+  private def rhoSql(num: String, dx: String, dy: String): String =
+    s"""CASE WHEN $dx = 0 OR $dy = 0 THEN NULL
+       |ELSE round(CAST($num AS DOUBLE)
+       |  / (sqrt(CAST($dx AS DOUBLE)) * sqrt(CAST($dy AS DOUBLE))), 6)
+       |END""".stripMargin.replace("\n", " ")
+
+  /** Signed fixed-point scale-then-divide, truncation toward zero on
+    * both engines (`n`, `d` integer expressions, d > 0).
+    */
+  private def signedFpDiv(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN ($n) * 1000000 DIV ($d)
+       |ELSE -((-($n)) * 1000000 DIV ($d)) END""".stripMargin
+      .replace("\n", " ")
+
+  private def signedFpDivDuck(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN CAST(($n) AS HUGEINT) * 1000000 // ($d)
+       |ELSE -((-CAST(($n) AS HUGEINT)) * 1000000 // ($d)) END"""
+      .stripMargin.replace("\n", " ")
+
+  /** Per-cell χ² contribution (O−E)²/E in 1e-6 fixed point (the
+    * InfoStatOps chi2 leaf, re-spelled here over the margins' names).
+    */
+  private val chi2TermSql =
+    """CAST(FLOOR((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n_tot)
+      | * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n_tot)
+      | / (CAST(rt AS DOUBLE) * ct / n_tot) * 1000000.0) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Doubled tie-averaged rank map for one variable over the value
+    * domain: per-(group, value) counts → inclusive prefix sum over the
+    * value order (two-phase beyond the GlobalRank threshold) →
+    * r2 = 2·cum − cnt + 1.
+    */
+  private def rankMap2(df: DataFrame, grp: String, v: String,
+      out: String): DataFrame = {
+    val cnts = df.groupBy(grp, v).agg(count(lit(1)).as("__cnt"))
+    graft.functions.GlobalRank
+      .prefixSum(cnts, "__cum", col("__cnt"), Seq(grp), Seq(v))
+      .select(col(grp), col(v),
+        (lit(2) * col("__cum") - col("__cnt") + 1).as(out))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Spearman ρ between quantity and extended price per returnflag:
+    // monotone-association strength robust to the price scale. Ranks
+    // from the value domain (50 distinct quantities; prices dense —
+    // the prefix sum is two-phase sliced beyond 4M distinct), joined
+    // back on (group, value); five DECIMAL(38,0) moment sums; one
+    // terminal IEEE ratio per group.
+    "spearman_rank_corr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      val rx = rankMap2(li, "l_returnflag", "x", "rx2")
+      val ry = rankMap2(li, "l_returnflag", "y", "ry2")
+      val dec = DecimalType(38, 0)
+      val j = li.join(rx, Seq("l_returnflag", "x"))
+        .join(ry, Seq("l_returnflag", "y"))
+      j.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("rx2").cast(dec)).as("sx"),
+          sum(col("ry2").cast(dec)).as("sy"),
+          sum((col("rx2") * col("rx2")).cast(dec)).as("sxx"),
+          sum((col("ry2") * col("ry2")).cast(dec)).as("syy"),
+          sum((col("rx2") * col("ry2")).cast(dec)).as("sxy"))
+        .withColumn("num",
+          col("n_rows").cast(dec) * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dx",
+          col("n_rows").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dy",
+          col("n_rows").cast(dec) * col("syy") - col("sy") * col("sy"))
+        .withColumn("rho_spearman", expr(rhoSql("num", "dx", "dy")))
+        .select("l_returnflag", "n_rows", "rho_spearman")
+        .orderBy("l_returnflag")
+    }),
+
+    // Mann–Whitney U comparing click vs purchase `value` distributions
+    // — the distribution-free A/B location test. Works ENTIRELY in the
+    // quantized value domain (the KS support-bounded recipe): per-value
+    // counts, one inclusive prefix sum of the purchase CDF, then
+    // 2·U_click = Σ_v c1(v)·(2·cumB(<v) + c2(v)) — all int64. The AUC
+    // effect size U/(n1·n2) is the only division, fixed-pointed.
+    "mann_whitney_u_value" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v_fp"))
+      val sup = ev.groupBy("v_fp").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(sup, "cum2", col("c2"), Nil, Seq("v_fp"))
+      cum.agg(
+          sum("c1").as("n1"), sum("c2").as("n2"),
+          sum(expr("c1 * (2 * cum2 - c2)")).as("u2_click"))
+        .withColumn("u2_purchase",
+          expr("2 * n1 * n2 - u2_click"))
+        .withColumn("auc_fp",
+          expr("u2_click * 1000000 DIV (2 * n1 * n2)"))
+        .select("n1", "n2", "u2_click", "u2_purchase", "auc_fp")
+    }),
+
+    // Kendall τ_a between monthly order count and monthly revenue:
+    // does more orders mean more revenue, rank-wise, month over month.
+    // The monthly series is CALENDAR-bounded, so pair generation is the
+    // Theil–Sen array expansion (C(months,2) pairs from one sorted
+    // collect_list — never a self-join); concordant/discordant/tie
+    // counts are exact integers; τ_a = (C−D)/n_pairs fixed-pointed with
+    // explicit toward-zero truncation (it can be negative).
+    "kendall_tau_monthly" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("mi"))
+        .agg(count(lit(1)).as("n_ord"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      val pairs = monthly
+        .agg(sort_array(collect_list(struct(col("mi"), col("n_ord"),
+          col("rev")))).as("a"))
+        .select(size(col("a")).cast("long").as("n_months"),
+          explode(expr(
+            """flatten(transform(sequence(0, size(a) - 2), i ->
+              |  transform(sequence(i + 1, size(a) - 1), j ->
+              |    named_struct('dx', sign(a[j].n_ord - a[i].n_ord),
+              |                 'dy', sign(CAST(a[j].rev - a[i].rev AS DOUBLE)))
+              |  )))""".stripMargin.replace("\n", " "))).as("p"))
+      pairs.groupBy("n_months").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(expr("p.dx * p.dy > 0"), 1L).otherwise(0L)).as("concordant"),
+          sum(when(expr("p.dx * p.dy < 0"), 1L).otherwise(0L)).as("discordant"),
+          sum(when(expr("p.dx = 0 AND p.dy <> 0"), 1L).otherwise(0L)).as("ties_x"),
+          sum(when(expr("p.dy = 0 AND p.dx <> 0"), 1L).otherwise(0L)).as("ties_y"),
+          sum(when(expr("p.dx = 0 AND p.dy = 0"), 1L).otherwise(0L)).as("ties_both"))
+        .withColumn("tau_a_fp",
+          expr(signedFpDiv("concordant - discordant", "n_pairs")))
+        .select("n_months", "n_pairs", "concordant", "discordant",
+          "ties_x", "ties_y", "ties_both", "tau_a_fp")
+    }),
+
+    // Cramér's V over the o_orderpriority × o_orderstatus contingency:
+    // the [0,1]-normalized association strength a χ² raw value hides.
+    // Full margin cross-product grid (zero cells contribute their E —
+    // the chi2_event_weekday discipline), enum²-bounded; χ² leaves
+    // FLOOR-fixed-pointed then integer-summed; V is one terminal sqrt
+    // over exact integers.
+    "cramers_v_priority_status" -> ((s, d) => {
+      val c = Tables.orders(s, d)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("o"))
+      val rt = c.groupBy("o_orderpriority").agg(sum("o").as("rt"))
+      val ct = c.groupBy("o_orderstatus").agg(sum("o").as("ct"))
+      val n = c.agg(sum("o").as("n_tot"),
+        countDistinct("o_orderpriority").as("n_rows_dim"),
+        countDistinct("o_orderstatus").as("n_cols_dim"))
+      broadcast(rt).crossJoin(broadcast(ct))
+        .join(c, Seq("o_orderpriority", "o_orderstatus"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(n))
+        .withColumn("term_fp", expr(chi2TermSql))
+        .groupBy("n_tot", "n_rows_dim", "n_cols_dim").agg(
+          count(lit(1)).as("n_cells"),
+          sum("term_fp").as("chi2_fp"))
+        .withColumn("dof",
+          expr("(n_rows_dim - 1) * (n_cols_dim - 1)"))
+        .withColumn("cramers_v", expr(
+          """round(sqrt(CAST(chi2_fp AS DOUBLE) / 1000000.0
+            | / (n_tot * least(n_rows_dim - 1, n_cols_dim - 1))), 6)"""
+            .stripMargin.replace("\n", " ")))
+        .select("n_tot", "n_cells", "dof", "chi2_fp", "cramers_v")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "spearman_rank_corr" ->
+      s"""WITH q AS (
+         |  SELECT l_returnflag,
+         |         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag,
+         |         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+         |           + count(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx2,
+         |         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+         |           + count(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry2
+         |  FROM q),
+         |m AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+         |         sum(CAST(rx2 AS HUGEINT)) AS sx,
+         |         sum(CAST(ry2 AS HUGEINT)) AS sy,
+         |         sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         |         sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+         |         sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+         |  FROM r GROUP BY 1),
+         |f AS (
+         |  SELECT l_returnflag, n_rows,
+         |         n_rows * sxy - sx * sy AS num,
+         |         n_rows * sxx - sx * sx AS dx,
+         |         n_rows * syy - sy * sy AS dy
+         |  FROM m)
+         |SELECT l_returnflag, n_rows,
+         |       ${rhoSql("num", "dx", "dy")} AS rho_spearman
+         |FROM f ORDER BY l_returnflag""".stripMargin,
+
+    "mann_whitney_u_value" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v_fp
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |sup AS (
+         |  SELECT v_fp,
+         |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS c2
+         |  FROM ev GROUP BY 1),
+         |cum AS (
+         |  SELECT v_fp, c1, c2,
+         |         CAST(sum(c2) OVER (ORDER BY v_fp) AS BIGINT) AS cum2
+         |  FROM sup),
+         |m AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |         CAST(sum(c2) AS BIGINT) AS n2,
+         |         CAST(sum(c1 * (2 * cum2 - c2)) AS BIGINT) AS u2_click
+         |  FROM cum)
+         |SELECT n1, n2, u2_click,
+         |       CAST(2 * n1 * n2 - u2_click AS BIGINT) AS u2_purchase,
+         |       CAST(u2_click * 1000000 // (2 * n1 * n2) AS BIGINT) AS auc_fp
+         |FROM m""".stripMargin,
+
+    "kendall_tau_monthly" ->
+      s"""WITH monthly AS (
+         |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+         |         CAST(count(*) AS BIGINT) AS n_ord,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |p AS (
+         |  SELECT sign(b.n_ord - a.n_ord) AS dx,
+         |         sign(CAST(b.rev - a.rev AS DOUBLE)) AS dy
+         |  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+         |m AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM monthly) AS n_months,
+         |         CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS concordant,
+         |         CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS discordant,
+         |         CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS ties_x,
+         |         CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS ties_y,
+         |         CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS ties_both
+         |  FROM p)
+         |SELECT n_months, n_pairs, concordant, discordant,
+         |       ties_x, ties_y, ties_both,
+         |       CAST(${signedFpDivDuck("concordant - discordant", "n_pairs")}
+         |         AS BIGINT) AS tau_a_fp
+         |FROM m""".stripMargin,
+
+    "cramers_v_priority_status" ->
+      s"""WITH c AS (
+         |  SELECT o_orderpriority, o_orderstatus,
+         |         CAST(count(*) AS BIGINT) AS o
+         |  FROM orders GROUP BY 1, 2),
+         |rt AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS rt
+         |       FROM c GROUP BY 1),
+         |ct AS (SELECT o_orderstatus, CAST(sum(o) AS BIGINT) AS ct
+         |       FROM c GROUP BY 1),
+         |n AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot,
+         |             CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+         |               AS n_rows_dim,
+         |             CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+         |               AS n_cols_dim
+         |      FROM c),
+         |grid AS (
+         |  SELECT rt.o_orderpriority, ct.o_orderstatus, rt.rt, ct.ct,
+         |         COALESCE(c.o, 0) AS o, n.n_tot, n.n_rows_dim, n.n_cols_dim
+         |  FROM rt CROSS JOIN ct CROSS JOIN n
+         |  LEFT JOIN c ON c.o_orderpriority = rt.o_orderpriority
+         |            AND c.o_orderstatus = ct.o_orderstatus),
+         |agg AS (
+         |  SELECT n_tot, n_rows_dim, n_cols_dim,
+         |         CAST(count(*) AS BIGINT) AS n_cells,
+         |         CAST(sum($chi2TermSql) AS BIGINT) AS chi2_fp
+         |  FROM grid GROUP BY 1, 2, 3)
+         |SELECT n_tot, n_cells,
+         |       CAST((n_rows_dim - 1) * (n_cols_dim - 1) AS BIGINT) AS dof,
+         |       chi2_fp,
+         |       round(sqrt(CAST(chi2_fp AS DOUBLE) / 1000000.0
+         |         / (n_tot * least(n_rows_dim - 1, n_cols_dim - 1))), 6)
+         |         AS cramers_v
+         |FROM agg""".stripMargin,
+  )
+}

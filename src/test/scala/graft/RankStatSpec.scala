@@ -1,0 +1,111 @@
+package graft
+
+/** Semantic pins for RankStatOps: brute-force replays at sf0.001 (the
+  * statistics recomputed naively in Scala from collected rows must
+  * match the distributed value-domain derivations exactly), plus the
+  * range/identity laws a hash match can't name — |ρ| ≤ 1, the U
+  * identity U₁+U₂ = 2n₁n₂, the Kendall pair-count conservation law,
+  * and V ∈ [0, 1].
+  */
+class RankStatSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.RankStatOps.queries(key)(spark, sf()).collect()
+
+  /** Doubled tie-averaged ranks of xs (brute force). */
+  private def avgRank2(xs: Seq[Long]): Map[Long, Long] = {
+    val sorted = xs.sorted
+    sorted.distinct.map { v =>
+      val lo = sorted.indexOf(v) + 1L // min rank (1-based)
+      val cnt = sorted.count(_ == v).toLong
+      v -> (2 * lo + cnt - 1)
+    }.toMap
+  }
+
+  test("spearman_rank_corr: |rho| <= 1 and matches a brute-force replay") {
+    val rows = run("spearman_rank_corr")
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf())
+      .selectExpr("l_returnflag",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val (g, n, rho) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(math.abs(rho) <= 1.0 + 1e-9)
+      val grp = li.filter(_._1 == g)
+      assert(n === grp.length)
+      val rx = avgRank2(grp.map(_._2))
+      val ry = avgRank2(grp.map(_._3))
+      val pts = grp.map(t => (BigInt(rx(t._2)), BigInt(ry(t._3))))
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val num = BigInt(n) * sxy - sx * sy
+      val dx = BigInt(n) * sxx - sx * sx
+      val dy = BigInt(n) * syy - sy * sy
+      val expect = BigDecimal(num.toDouble /
+        (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rho - expect) <= 1e-6, s"group $g: $rho vs $expect")
+    }
+  }
+
+  test("mann_whitney_u_value: U identity and brute-force replay") {
+    val Array(r) = run("mann_whitney_u_value")
+    val (n1, n2, u1, u2, auc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(u1 + u2 === 2 * n1 * n2, "U1 + U2 = 2 n1 n2")
+    assert(auc >= 0 && auc <= 1000000L)
+    val ev = Tables.events(spark, sf())
+      .filter("event_type IN ('click','purchase')")
+      .selectExpr("event_type", "CAST(round(value * 1000) AS BIGINT) AS v")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val b = ev.filter(_._1 == "purchase").map(_._2)
+    assert(n1 === a.length && n2 === b.length)
+    // 2*U1 = 2*#(a>b) + #(a=b), brute force over all cross pairs
+    var gt = 0L; var eq = 0L
+    for (x <- a; y <- b) { if (x > y) gt += 1 else if (x == y) eq += 1 }
+    assert(u1 === 2 * gt + eq, "2U replays from the cross-pair count")
+  }
+
+  test("kendall_tau_monthly: pair conservation and brute-force replay") {
+    val Array(r) = run("kendall_tau_monthly")
+    val nm = r.getLong(0); val np = r.getLong(1)
+    val (c, dd, tx, ty, tb, tau) = (r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(np === nm * (nm - 1) / 2, "n_pairs is triangular in n_months")
+    assert(c + dd + tx + ty + tb === np, "every pair is classified once")
+    assert(math.abs(tau) <= 1000000L)
+    val monthly = Tables.orders(spark, sf())
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "year(o_orderdate) * 12 + month(o_orderdate)").as("mi"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    assert(nm === monthly.length)
+    var bc = 0L; var bd = 0L
+    for (i <- monthly.indices; j <- (i + 1) until monthly.length) {
+      val dx = (monthly(j)._2 - monthly(i)._2).sign
+      val dy = (monthly(j)._3 - monthly(i)._3).sign
+      if (dx * dy > 0) bc += 1 else if (dx * dy < 0) bd += 1
+    }
+    assert(c === bc && dd === bd, "concordant/discordant replay")
+  }
+
+  test("cramers_v_priority_status: grid shape and V in [0, 1]") {
+    val Array(r) = run("cramers_v_priority_status")
+    val (n, cells, dof, chi2, v) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(n === Tables.orders(spark, sf()).count())
+    // full margin cross product: with r×c dims, cells=(r·c), and
+    // dof=(r−1)(c−1) — fixture has 5 priorities × 3 statuses
+    assert(cells === 15 && dof === 8)
+    assert(chi2 >= -cells, "chi2 >= 0 up to per-cell floor slack")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+}
