@@ -53,6 +53,7 @@ object SparkEntry {
     operators.MiningOps,
     operators.RankStatOps,
     operators.RetrievalEvalOps,
+    operators.LinkPredOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

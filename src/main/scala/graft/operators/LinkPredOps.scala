@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.OpGroup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link prediction and structure statistics over the kNN similarity
+  * graph (round-10 widening, fourth session): common-neighbors and
+  * Adamic–Adar candidate scoring — the standard "which pairs are
+  * probably near-duplicates we MISSED" audit a dedup pipeline runs over
+  * its own neighborhood graph — plus degree assortativity (do
+  * well-connected items cluster together, the graph-shape number that
+  * predicts whether near-dup clusters will snowball).
+  *
+  * Scale & determinism design:
+  *   - Edges are `knn_graph_topk`'s — derived once from the persisted
+  *     IVF layout (out-degree ≤ 3 by construction), undirected by a
+  *     distinct union of both orientations.
+  *   - Two-hop candidate generation fans out Σ deg(z)² over
+  *     INTERMEDIATE nodes z; out-degree is capped but IN-degree of a
+  *     hub is not, so intermediates carry an explicit degree cap
+  *     (deg ≤ [[LinkPredOps.MaxHubDegree]], mirrored verbatim in the
+  *     oracle — the cooc df-cap discipline): a celebrity node cannot
+  *     quadratically explode candidates at corpus scale, and dropping
+  *     hubs is the standard Adamic–Adar rationale anyway (a hub's
+  *     endorsement carries no information — its AA weight ~1/ln(deg)
+  *     is already negligible).
+  *   - Adamic–Adar weights are FLOOR(1e9/ln(deg)) — one IEEE ln over
+  *     an exact integer degree per node (identical text both engines),
+  *     then integer-summed; deg ≥ 2 for every intermediate by
+  *     construction (it touches both endpoints), so ln > 0.
+  *   - Assortativity moments are DECIMAL(38,0) sums over the directed
+  *     edge list (the symmetric Pearson form); one terminal IEEE
+  *     ratio. Top-k outputs resolve via TakeOrdered, no global sort.
+  */
+object LinkPredOps extends OpGroup {
+
+  /** Intermediate-node degree cap for 2-hop candidate generation. */
+  val MaxHubDegree = 64
+
+  /** Undirected neighbor pairs (both orientations, deduped) from the
+    * kNN top-3 edges, plus per-node degree.
+    */
+  private def undirected(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
+      .select(col("src"), col("dst"))
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    (und, deg)
+  }
+
+  private val rhoSql =
+    """CASE WHEN dx = 0 OR dy = 0 THEN NULL
+      |ELSE round(CAST(num AS DOUBLE)
+      |  / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
+      |END""".stripMargin.replace("\n", " ")
+
+  /** Two-hop non-adjacent candidate pairs (a < b) through capped-degree
+    * intermediates, one row per (a, b, z) path.
+    */
+  private def twoHop(s: SparkSession, d: String): DataFrame = {
+    val (und, deg) = undirected(s, d)
+    val ok = deg.filter(col("deg") <= MaxHubDegree)
+      .select(col("node"), col("deg").as("deg_z"))
+    val left = und.select(col("src").as("a"), col("dst").as("z"))
+      .join(ok, col("z") === col("node")).drop("node")
+    val right = und.select(col("src").as("z2"), col("dst").as("b"))
+    val paths = left.join(right, col("z") === col("z2"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "z", "deg_z")
+    // drop already-adjacent pairs (we predict NEW links)
+    paths.join(und.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_anti")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Common-neighbors score: top-20 non-adjacent pairs by shared
+    // neighborhood size — the "missed near-dup pair" audit.
+    "common_neighbors_linkpred" -> ((s, d) => {
+      twoHop(s, d)
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+        .orderBy(col("n_common").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Adamic–Adar: the same candidates, rare intermediates weighted up
+    // by 1/ln(deg) (1e9 fixed point at the leaf, integer-summed).
+    "adamic_adar_linkpred" -> ((s, d) => {
+      twoHop(s, d)
+        .withColumn("w_fp",
+          expr("CAST(FLOOR(1000000000.0 / ln(deg_z)) AS BIGINT)"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"), sum("w_fp").as("aa_fp"))
+        .orderBy(col("aa_fp").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Degree assortativity: Pearson correlation of endpoint degrees
+    // over the directed edge list (the symmetric form) — one number
+    // summarizing hub-to-hub vs hub-to-leaf wiring.
+    "degree_assortativity" -> ((s, d) => {
+      val (und, deg) = undirected(s, d)
+      val dec = DecimalType(38, 0)
+      val j = und
+        .join(deg.select(col("node").as("src"), col("deg").as("dx0")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy0")), "dst")
+      j.agg(count(lit(1)).as("n_edges"),
+          sum(col("dx0").cast(dec)).as("sx"),
+          sum(col("dy0").cast(dec)).as("sy"),
+          sum((col("dx0") * col("dx0")).cast(dec)).as("sxx"),
+          sum((col("dy0") * col("dy0")).cast(dec)).as("syy"),
+          sum((col("dx0") * col("dy0")).cast(dec)).as("sxy"))
+        .withColumn("num",
+          col("n_edges").cast(dec) * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dx",
+          col("n_edges").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dy",
+          col("n_edges").cast(dec) * col("syy") - col("sy") * col("sy"))
+        .withColumn("assortativity", expr(rhoSql))
+        .select("n_edges", "assortativity")
+    }),
+  )
+
+  /** Shared oracle CTE chain: knn edges → undirected pairs → degrees →
+    * capped two-hop non-adjacent candidates (the Spark derivation
+    * mirrored clause for clause, including the hub cap).
+    */
+  private def twoHopDuck: String =
+    s"""${SemiStructuredOps.knnEdgeCtes},
+       |und AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges
+       |    UNION ALL SELECT dst, src FROM edges) u),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM und GROUP BY 1),
+       |paths AS (
+       |  SELECT l.src AS a, r.dst AS b, l.dst AS z, g.deg AS deg_z
+       |  FROM und l
+       |  JOIN deg g ON g.node = l.dst AND g.deg <= $MaxHubDegree
+       |  JOIN und r ON r.src = l.dst
+       |  WHERE l.src < r.dst),
+       |cand AS (
+       |  SELECT p.a, p.b, p.z, p.deg_z FROM paths p
+       |  LEFT JOIN und e ON e.src = p.a AND e.dst = p.b
+       |  WHERE e.src IS NULL)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "common_neighbors_linkpred" ->
+      s"""WITH $twoHopDuck
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+         |FROM cand GROUP BY a, b
+         |ORDER BY n_common DESC, a, b LIMIT 20""".stripMargin,
+
+    "adamic_adar_linkpred" ->
+      s"""WITH $twoHopDuck
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+         |       CAST(sum(CAST(FLOOR(1000000000.0 / ln(deg_z)) AS BIGINT))
+         |         AS BIGINT) AS aa_fp
+         |FROM cand GROUP BY a, b
+         |ORDER BY aa_fp DESC, a, b LIMIT 20""".stripMargin,
+
+    "degree_assortativity" ->
+      s"""WITH ${SemiStructuredOps.knnEdgeCtes},
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges
+         |    UNION ALL SELECT dst, src FROM edges) u),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |j AS (
+         |  SELECT gx.deg AS dx0, gy.deg AS dy0
+         |  FROM und u JOIN deg gx ON gx.node = u.src
+         |             JOIN deg gy ON gy.node = u.dst),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |         sum(CAST(dx0 AS HUGEINT)) AS sx,
+         |         sum(CAST(dy0 AS HUGEINT)) AS sy,
+         |         sum(CAST(dx0 AS HUGEINT) * dx0) AS sxx,
+         |         sum(CAST(dy0 AS HUGEINT) * dy0) AS syy,
+         |         sum(CAST(dx0 AS HUGEINT) * dy0) AS sxy
+         |  FROM j),
+         |f AS (
+         |  SELECT n_edges,
+         |         n_edges * sxy - sx * sy AS num,
+         |         n_edges * sxx - sx * sx AS dx,
+         |         n_edges * syy - sy * sy AS dy
+         |  FROM m)
+         |SELECT n_edges, $rhoSql AS assortativity FROM f""".stripMargin,
+  )
+}

@@ -641,7 +641,7 @@ object SemiStructuredOps extends OpGroup {
     * `edges(src, dst, w)`. Consumed by both graph oracles
     * (label propagation, k-core).
     */
-  private def knnEdgeCtes: String = {
+  private[operators] def knnEdgeCtes: String = {
     import graft.functions.VectorFunctions.dotFpDuck
     s"""$ivfCorpusCtes,
        |dots AS (

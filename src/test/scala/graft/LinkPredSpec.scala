@@ -1,0 +1,84 @@
+package graft
+
+/** Semantic pins for LinkPredOps: brute-force replay of both scores
+  * from the collected edge list at sf0.001, the non-adjacency
+  * contract (predicted pairs are NOT edges), the AA/CN consistency
+  * law, and the assortativity range.
+  */
+class LinkPredSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.LinkPredOps.queries(key)(spark, sf()).collect()
+
+  /** Undirected adjacency + degrees from the declared kNN edges. */
+  private lazy val graph: (Set[(Long, Long)], Map[Long, Long]) = {
+    val e = operators.SemiStructuredOps.queries("knn_graph_topk")(
+      spark, sf()).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val und = (e ++ e.map(p => (p._2, p._1))).toSet
+    val deg = und.groupBy(_._1).map { case (n, s) => n -> s.size.toLong }
+    (und, deg)
+  }
+
+  /** Brute-force capped two-hop candidate scores. */
+  private lazy val bruteScores: Map[(Long, Long), (Long, Long)] = {
+    val (und, deg) = graph
+    val nbrs = und.groupBy(_._1).map { case (n, s) => n -> s.map(_._2) }
+    val cands = scala.collection.mutable.HashMap[(Long, Long), (Long, Long)]()
+    for {
+      (z, dz) <- deg if dz <= operators.LinkPredOps.MaxHubDegree
+      a <- nbrs(z); b <- nbrs(z) if a < b
+      if !und.contains((a, b))
+    } {
+      val w = math.floor(1e9 / math.log(dz.toDouble)).toLong
+      val (c, s) = cands.getOrElse((a, b), (0L, 0L))
+      cands((a, b)) = (c + 1, s + w)
+    }
+    cands.toMap
+  }
+
+  test("common_neighbors_linkpred: top-20 replays brute force; non-adjacent") {
+    val rows = run("common_neighbors_linkpred")
+    assert(rows.nonEmpty && rows.length <= 20)
+    val (und, _) = graph
+    val scores = rows.map(_.getLong(2))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending by score")
+    rows.foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(!und.contains((a, b)), "predicted pair must not be an edge")
+      assert(n === bruteScores((a, b))._1, s"CN($a,$b) replay")
+    }
+    // the 20th score is a true top-20 cut: no excluded pair beats it
+    val cut = scores.last
+    val returned = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    bruteScores.foreach { case (p, (c, _)) =>
+      if (!returned(p)) assert(c <= cut, s"missed pair $p with score $c > $cut")
+    }
+  }
+
+  test("adamic_adar_linkpred: weights replay; consistent with CN counts") {
+    val rows = run("adamic_adar_linkpred")
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (a, b, n, aa) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (bc, bs) = bruteScores((a, b))
+      assert(n === bc && aa === bs, s"AA($a,$b) replay")
+      // each intermediate has deg in [2, cap] so its weight lies in
+      // [1e9/ln(cap), 1e9/ln(2)]
+      val wMin = math.floor(1e9 /
+        math.log(operators.LinkPredOps.MaxHubDegree.toDouble)).toLong
+      val wMax = math.floor(1e9 / math.log(2.0)).toLong
+      assert(aa >= n * wMin && aa <= n * wMax)
+    }
+  }
+
+  test("degree_assortativity: one row, r in [-1, 1], edge count matches") {
+    val Array(r) = run("degree_assortativity")
+    val (und, _) = graph
+    assert(r.getLong(0) === und.size, "directed edge count")
+    if (!r.isNullAt(1)) {
+      val v = r.getDouble(1)
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
+    }
+  }
+}
