@@ -54,6 +54,7 @@ object SparkEntry {
     operators.RankStatOps,
     operators.RetrievalEvalOps,
     operators.LinkPredOps,
+    operators.SeriesStatOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series correlation structure + cohort value curves (round-10
+  * widening, fourth session): the autocorrelation profile of the daily
+  * event series (is today's volume predicted by yesterday's / last
+  * week's), the Ljung–Box portmanteau statistic over those lags (is
+  * the series white noise at all — the pre-forecasting sanity gate),
+  * and the cohort LTV curve over orders (cumulative revenue by
+  * acquisition cohort and age — the retention economics report).
+  *
+  * Determinism & scale design:
+  *   - The daily series is CALENDAR-bounded: the event stream collapses
+  *     to per-day counts map-side; everything after operates on the
+  *     ≤|days| array (the Theil–Sen/Kendall array-expansion precedent —
+  *     one bounded row, no self-join, no whole-partition window). Day
+  *     alignment is by ABSOLUTE day number (epoch datediff), so lag
+  *     pairs align on the calendar even across gaps.
+  *   - Deviations are pre-scaled integers: dd_t = N·x_t − S (N days, S
+  *     total events) — the ×N clears the rational mean, so ACF numerators
+  *     and denominator are exact int64 sums (documented envelope:
+  *     |dd| ≤ 3e9, i.e. ~1e8 events/day before a DECIMAL lift is
+  *     needed); r_k = num_k/den is one signed fixed-point division with
+  *     explicit toward-zero truncation on both engines.
+  *   - Ljung–Box terms are FLOOR-fixed-pointed at the leaf (one IEEE
+  *     expression over exact ints per lag, identical text both
+  *     engines) and integer-summed.
+  *   - The LTV cube is (cohorts × ages) — calendar² bounded — built
+  *     from ONE map-side-combinable aggregation of orders; the
+  *     cumulative-over-age window runs on that tiny cube, never on the
+  *     fact table.
+  */
+object SeriesStatOps extends OpGroup {
+
+  private val MaxLag = 7
+
+  /** Signed 1e6 fixed-point division, toward-zero on both engines. */
+  private def signedFpDiv(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN ($n) * 1000000 DIV ($d)
+       |ELSE -((-($n)) * 1000000 DIV ($d)) END""".stripMargin
+      .replace("\n", " ")
+
+  private def signedFpDivDuck(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN CAST(($n) AS HUGEINT) * 1000000 // ($d)
+       |ELSE -((-CAST(($n) AS HUGEINT)) * 1000000 // ($d)) END"""
+      .stripMargin.replace("\n", " ")
+
+  /** The daily series as one array row: a = sorted [(di, x)], with
+    * n_days and s_tot alongside. di is days since epoch.
+    */
+  private def dailyArray(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"))
+      .agg(count(lit(1)).as("x"))
+      .agg(sort_array(collect_list(struct(col("di"), col("x")))).as("a"))
+      .select(col("a"), size(col("a")).cast("long").as("n_days"),
+        expr("aggregate(a, CAST(0 AS BIGINT), (acc, e) -> acc + e.x)")
+          .as("s_tot"))
+
+  /** Per-lag exact numerators over the array (lag = calendar day
+    * difference, ≤ MaxLag), plus the shared denominator.
+    */
+  private def acfTerms(s: SparkSession, d: String): DataFrame = {
+    val base = dailyArray(s, d)
+      .filter(size(col("a")) >= 2)
+      .withColumn("den", expr(
+        """aggregate(a, CAST(0 AS BIGINT), (acc, e) ->
+          |  acc + (n_days * e.x - s_tot) * (n_days * e.x - s_tot))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("n_days"), col("s_tot"), col("den"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, size(a) - 2), i ->
+             |  filter(transform(sequence(i + 1,
+             |      least(i + $MaxLag, size(a) - 1)), j ->
+             |    named_struct('lag', a[j].di - a[i].di,
+             |      'prod', (n_days * a[i].x - s_tot)
+             |            * (n_days * a[j].x - s_tot))),
+             |    p -> p.lag <= $MaxLag)))"""
+            .stripMargin.replace("\n", " "))).as("p"))
+    base.groupBy(col("n_days"), col("den"),
+        col("p.lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_terms"), sum("p.prod").as("num"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ACF at lags 1..7 of the daily event-count series.
+    "autocorrelation_profile" -> ((s, d) => {
+      acfTerms(s, d)
+        .withColumn("r_fp", expr(signedFpDiv("num", "den")))
+        .select("lag", "n_terms", "num", "den", "r_fp")
+        .orderBy("lag")
+    }),
+
+    // Ljung–Box portmanteau Q over the same lags: each lag's term
+    // N(N+2)·r_k²/(N−k) FLOOR-fixed-pointed at the leaf from the exact
+    // integer (num, den), then summed.
+    "ljung_box_q" -> ((s, d) => {
+      acfTerms(s, d)
+        .withColumn("term_fp", expr(
+          """CAST(FLOOR(n_days * (n_days + 2)
+            | * (CAST(num AS DOUBLE) / den) * (CAST(num AS DOUBLE) / den)
+            | / (n_days - lag) * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("n_days")
+        .agg(count(lit(1)).as("n_lags"), sum("term_fp").as("q_fp"))
+        .select("n_days", "n_lags", "q_fp")
+    }),
+
+    // Cohort LTV: cumulative revenue by acquisition-month cohort and
+    // age in months (first year), with the cohort's customer count.
+    "cohort_ltv_curve" -> ((s, d) => {
+      val ords = Tables.orders(s, d).select(col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("mi"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cohort = ords.groupBy("o_custkey").agg(min("mi").as("cohort_mi"))
+      val sizes = cohort.groupBy("cohort_mi")
+        .agg(count(lit(1)).as("n_users"))
+      val cube = ords.join(cohort, "o_custkey")
+        .withColumn("age", col("mi") - col("cohort_mi"))
+        .groupBy("cohort_mi", "age")
+        .agg(sum("cents").as("rev_cents"))
+      val w = Window.partitionBy("cohort_mi").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cube.withColumn("cum_rev_cents", sum("rev_cents").over(w))
+        .filter(col("age") <= 11)
+        .join(broadcast(sizes), "cohort_mi")
+        .select("cohort_mi", "age", "n_users", "rev_cents", "cum_rev_cents")
+        .orderBy("cohort_mi", "age")
+    }),
+  )
+
+  /** Oracle CTE chain mirroring [[acfTerms]]: daily counts → stats →
+    * calendar-aligned lag pairs ≤ MaxLag → per-lag exact sums.
+    */
+  private val acfTermsDuck =
+    s"""daily AS (
+       |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+       |         CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |              CAST(sum(x) AS BIGINT) AS s_tot FROM daily),
+       |den AS (
+       |  SELECT CAST(sum((st.n_days * d.x - st.s_tot)
+       |       * (st.n_days * d.x - st.s_tot)) AS BIGINT) AS den
+       |  FROM daily d CROSS JOIN st),
+       |pairs AS (
+       |  SELECT b.di - a.di AS lag,
+       |         (st.n_days * a.x - st.s_tot)
+       |       * (st.n_days * b.x - st.s_tot) AS prod
+       |  FROM daily a JOIN daily b
+       |    ON b.di > a.di AND b.di - a.di <= $MaxLag
+       |  CROSS JOIN st),
+       |terms AS (
+       |  SELECT st.n_days, den.den, p.lag,
+       |         CAST(count(*) AS BIGINT) AS n_terms,
+       |         CAST(sum(p.prod) AS BIGINT) AS num
+       |  FROM pairs p CROSS JOIN st CROSS JOIN den
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "autocorrelation_profile" ->
+      s"""WITH $acfTermsDuck
+         |SELECT CAST(lag AS BIGINT) AS lag, n_terms, num, den,
+         |       CAST(${signedFpDivDuck("num", "den")} AS BIGINT) AS r_fp
+         |FROM terms ORDER BY lag""".stripMargin,
+
+    "ljung_box_q" ->
+      s"""WITH $acfTermsDuck
+         |SELECT n_days, CAST(count(*) AS BIGINT) AS n_lags,
+         |       CAST(sum(CAST(FLOOR(n_days * (n_days + 2)
+         |         * (CAST(num AS DOUBLE) / den) * (CAST(num AS DOUBLE) / den)
+         |         / (n_days - lag) * 1000000.0) AS BIGINT)) AS BIGINT) AS q_fp
+         |FROM terms GROUP BY n_days""".stripMargin,
+
+    "cohort_ltv_curve" ->
+      """WITH ords AS (
+        |  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cohort AS (SELECT o_custkey, min(mi) AS cohort_mi
+        |           FROM ords GROUP BY 1),
+        |sizes AS (SELECT cohort_mi, CAST(count(*) AS BIGINT) AS n_users
+        |          FROM cohort GROUP BY 1),
+        |cube0 AS (
+        |  SELECT c.cohort_mi, o.mi - c.cohort_mi AS age,
+        |         CAST(sum(o.cents) AS BIGINT) AS rev_cents
+        |  FROM ords o JOIN cohort c ON c.o_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_mi, age, rev_cents,
+        |         CAST(sum(rev_cents) OVER (PARTITION BY cohort_mi
+        |           ORDER BY age) AS BIGINT) AS cum_rev_cents
+        |  FROM cube0)
+        |SELECT CAST(c.cohort_mi AS INTEGER) AS cohort_mi,
+        |       CAST(c.age AS INTEGER) AS age,
+        |       s.n_users, c.rev_cents, c.cum_rev_cents
+        |FROM cum c JOIN sizes s ON s.cohort_mi = c.cohort_mi
+        |WHERE c.age <= 11
+        |ORDER BY c.cohort_mi, c.age""".stripMargin,
+  )
+}
