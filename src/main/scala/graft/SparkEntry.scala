@@ -55,6 +55,7 @@ object SparkEntry {
     operators.RetrievalEvalOps,
     operators.LinkPredOps,
     operators.SeriesStatOps,
+    operators.StorageLayoutOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
