@@ -56,6 +56,7 @@ object SparkEntry {
     operators.LinkPredOps,
     operators.SeriesStatOps,
     operators.StorageLayoutOps,
+    operators.EventSequenceOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
