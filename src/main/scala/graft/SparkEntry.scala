@@ -57,6 +57,7 @@ object SparkEntry {
     operators.SeriesStatOps,
     operators.StorageLayoutOps,
     operators.EventSequenceOps,
+    operators.SurvivorshipOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -173,6 +173,34 @@ object AggWindowOps extends OpGroup {
             .as("growth_fp"))
         .orderBy("n_name", "month")
     }),
+
+    // W6 — the remaining rank-window surface in one query: percent_rank
+    // and cume_dist of each month's revenue within its nation (ordered
+    // by (rev DESC, month) — a TOTAL order, so both are exact rationals
+    // over small integers and IEEE-identical across engines), plus
+    // nth_value(3) over the full partition frame (the 3rd-best month's
+    // revenue). Partitions are nation × ≤ calendar months — bounded.
+    "window_rank_suite" -> ((s, d) => {
+      val ords = Tables.orders(s, d).select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val nm = ords
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "month").agg(sum("cents").as("rev_cents"))
+      val byRev = Window.partitionBy("n_name")
+        .orderBy(col("rev_cents").desc, col("month"))
+      val full = byRev.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      nm.withColumn("pr", round(percent_rank().over(byRev), 6))
+        .withColumn("cd", round(cume_dist().over(byRev), 6))
+        .withColumn("third_best_cents", nth_value(col("rev_cents"), 3).over(full))
+        .select("n_name", "month", "rev_cents", "pr", "cd",
+          "third_best_cents")
+        .orderBy("n_name", "month")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -255,6 +283,27 @@ object AggWindowOps extends OpGroup {
         |       CAST(rev_cents * 1000000 // lag(rev_cents) OVER w - 1000000
         |         AS BIGINT) AS growth_fp
         |FROM nm WINDOW w AS (PARTITION BY n_name ORDER BY month)
+        |ORDER BY n_name, month""".stripMargin,
+
+    "window_rank_suite" ->
+      """WITH nm AS (
+        |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE)
+        |           AS month,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, month)
+        |SELECT n_name, month, rev_cents,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd,
+        |       nth_value(rev_cents, 3) OVER (PARTITION BY n_name
+        |         ORDER BY rev_cents DESC, month
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS third_best_cents
+        |FROM nm
+        |WINDOW w AS (PARTITION BY n_name ORDER BY rev_cents DESC, month)
         |ORDER BY n_name, month""".stripMargin,
   )
 }

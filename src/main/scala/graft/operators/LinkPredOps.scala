@@ -98,6 +98,34 @@ object LinkPredOps extends OpGroup {
         .limit(20)
     }),
 
+    // Local clustering coefficient per node: closed wedges over
+    // possible wedges, 2T/(deg·(deg−1)). Wedge generation fans out
+    // deg² per CENTER node, so centers carry the same hub cap as the
+    // two-hop ops (Σ deg² ≤ cap²·|V|); the triangle check is one
+    // equi-semi-join of wedge endpoints against the edge set.
+    "local_clustering_coefficient" -> ((s, d) => {
+      val (und, deg) = undirected(s, d)
+      val capped = deg.filter(col("deg") <= MaxHubDegree &&
+        col("deg") >= 2)
+      val la = und.select(col("src").as("v"), col("dst").as("a"))
+        .join(capped.select(col("node").as("v"), col("deg")), "v")
+      val lb = und.select(col("src").as("v2"), col("dst").as("b"))
+      val wedges = la.join(lb, col("v") === col("v2"))
+        .filter(col("a") < col("b"))
+        .select("v", "deg", "a", "b")
+      val tri = wedges.join(
+          und.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_semi")
+        .groupBy("v", "deg").agg(count(lit(1)).as("n_tri"))
+      capped.select(col("node").as("v"), col("deg"))
+        .join(tri, Seq("v", "deg"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("cc_fp",
+          expr("2 * n_tri * 1000000 DIV (deg * (deg - 1))"))
+        .select("v", "deg", "n_tri", "cc_fp")
+        .orderBy("v")
+    }),
+
     // Degree assortativity: Pearson correlation of endpoint degrees
     // over the directed edge list (the symmetric form) — one number
     // summarizing hub-to-hub vs hub-to-leaf wiring.
@@ -161,6 +189,35 @@ object LinkPredOps extends OpGroup {
          |         AS BIGINT) AS aa_fp
          |FROM cand GROUP BY a, b
          |ORDER BY aa_fp DESC, a, b LIMIT 20""".stripMargin,
+
+    "local_clustering_coefficient" ->
+      s"""WITH ${SemiStructuredOps.knnEdgeCtes},
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges
+         |    UNION ALL SELECT dst, src FROM edges) u),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |capped AS (SELECT node, deg FROM deg
+         |           WHERE deg <= $MaxHubDegree AND deg >= 2),
+         |wedges AS (
+         |  SELECT c.node AS v, c.deg, l.dst AS a, r.dst AS b
+         |  FROM capped c
+         |  JOIN und l ON l.src = c.node
+         |  JOIN und r ON r.src = c.node
+         |  WHERE l.dst < r.dst),
+         |tri AS (
+         |  SELECT w.v, w.deg, CAST(count(*) AS BIGINT) AS n_tri
+         |  FROM wedges w
+         |  WHERE EXISTS (SELECT 1 FROM und e
+         |                WHERE e.src = w.a AND e.dst = w.b)
+         |  GROUP BY w.v, w.deg)
+         |SELECT c.node AS v, c.deg,
+         |       COALESCE(t.n_tri, 0) AS n_tri,
+         |       CAST(2 * COALESCE(t.n_tri, 0) * 1000000
+         |         // (c.deg * (c.deg - 1)) AS BIGINT) AS cc_fp
+         |FROM capped c LEFT JOIN tri t ON t.v = c.node
+         |ORDER BY v""".stripMargin,
 
     "degree_assortativity" ->
       s"""WITH ${SemiStructuredOps.knnEdgeCtes},

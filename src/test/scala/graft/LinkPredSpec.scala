@@ -72,6 +72,31 @@ class LinkPredSpec extends SparkSpec {
     }
   }
 
+  test("local_clustering_coefficient: triangles replay brute-force") {
+    val rows = run("local_clustering_coefficient")
+    assert(rows.nonEmpty)
+    val (und, deg) = graph
+    val nbrs = und.groupBy(_._1).map { case (n, s) => n -> s.map(_._2) }
+    rows.foreach { r =>
+      val (v, dg, tri, cc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dg === deg(v) && dg >= 2 &&
+        dg <= operators.LinkPredOps.MaxHubDegree)
+      val n = nbrs(v).toSeq.sorted
+      val bt = (for {
+        i <- n.indices; j <- (i + 1) until n.length
+        if und.contains((n(i), n(j)))
+      } yield 1).size.toLong
+      assert(tri === bt, s"triangles at $v")
+      assert(cc === 2 * tri * 1000000L / (dg * (dg - 1)))
+      assert(cc >= 0 && cc <= 1000000L)
+    }
+    // every capped node with deg >= 2 appears exactly once
+    val expected = deg.filter { case (_, dg) =>
+      dg >= 2 && dg <= operators.LinkPredOps.MaxHubDegree }.keySet
+    assert(rows.map(_.getLong(0)).toSet === expected)
+  }
+
   test("degree_assortativity: one row, r in [-1, 1], edge count matches") {
     val Array(r) = run("degree_assortativity")
     val (und, _) = graph
