@@ -58,6 +58,7 @@ object SparkEntry {
     operators.StorageLayoutOps,
     operators.EventSequenceOps,
     operators.SurvivorshipOps,
+    operators.DriftOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for DriftOps: PSI non-negativity and bin-mass
+  * conservation, the Σbps = 10000 per-journey conservation law for
+  * position-based attribution (checked across every journey shape),
+  * and order-mass conservation for the aging report.
+  */
+class DriftSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.DriftOps.queries(key)(spark, sf()).collect()
+
+  test("psi_value_drift: 10 bins, mass conserved, PSI >= 0") {
+    val rows = run("psi_value_drift")
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(0)).sorted.sameElements(0L to 9L))
+    val nEvents = Tables.events(spark, sf()).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === nEvents,
+      "every event lands in exactly one bin")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0, "each PSI term is non-negative")
+    }
+    // reference deciles ⇒ reference bin counts are near-equal (each
+    // within 1 of n_ref/10 by the rank-boundary construction, except
+    // where ties merge bins)
+    val nRef = rows.map(_.getLong(1)).sum
+    assert(nRef > 0 && nRef < nEvents)
+  }
+
+  test("position_based_attribution: bps conservation per journey") {
+    // replay journeys brute-force and check Σbps = 10000 exactly
+    val ev = Tables.events(spark, sf())
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) AS us", "CAST(round(value*100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    var totalAttr = 0L
+    var nTouches = 0L
+    ev.groupBy(_._1).values.foreach { g =>
+      val s = g.toSeq.sortBy(e => (e._4, e._2))
+      var jid = 1L
+      val byJourney = scala.collection.mutable.HashMap[Long,
+        (scala.collection.mutable.ArrayBuffer[String], Option[Long])]()
+      s.foreach { e =>
+        if (e._3 == "purchase") {
+          val (ts, _) = byJourney.getOrElseUpdate(jid,
+            (scala.collection.mutable.ArrayBuffer(), None))
+          byJourney(jid) = (ts, Some(e._5))
+          jid += 1
+        } else {
+          val (ts, p) = byJourney.getOrElseUpdate(jid,
+            (scala.collection.mutable.ArrayBuffer(), None))
+          ts += e._3
+        }
+      }
+      byJourney.values.foreach { case (ts, p) =>
+        if (p.isDefined && ts.nonEmpty) {
+          val k = ts.length
+          val bps = (1 to k).map { pos =>
+            if (k == 1) 10000L
+            else if (k == 2) 5000L
+            else if (pos == 1 || pos == k) 4000L
+            else 2000L / (k - 2) +
+              (if (pos - 1 <= 2000 % (k - 2)) 1L else 0L)
+          }
+          assert(bps.sum === 10000L, s"journey of $k touches")
+          totalAttr += bps.map(_ * p.get).sum
+          nTouches += k
+        }
+      }
+    }
+    val rows = run("position_based_attribution")
+    assert(rows.map(_.getLong(2)).sum === totalAttr,
+      "attributed mass replays brute-force")
+    assert(rows.map(_.getLong(1)).sum === nTouches)
+  }
+
+  test("open_order_aging: order mass conserved over non-final statuses") {
+    val rows = run("open_order_aging")
+    assert(rows.nonEmpty)
+    val open = Tables.orders(spark, sf())
+      .filter(col("o_orderstatus") =!= "F")
+    assert(rows.map(_.getLong(2)).sum === open.count())
+    val bands = rows.map(_.getString(0)).distinct
+    assert(bands.forall(Set("0-030d", "031-090d", "091-180d",
+      "181-365d", "365d+")))
+  }
+}
