@@ -59,6 +59,7 @@ object SparkEntry {
     operators.EventSequenceOps,
     operators.SurvivorshipOps,
     operators.DriftOps,
+    operators.CorpusEvalOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

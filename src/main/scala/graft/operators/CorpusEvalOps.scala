@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-pipeline evaluation operators (round-10 widening, fourth
+  * session): precision/recall of the MinHash band-candidate generator
+  * against exact shingle-Jaccard ground truth (the dedup acceptance
+  * gate — `ann_recall_eval`'s sibling for the near-dup family),
+  * stupid-backoff bigram log-probability by source (the web-scale LM
+  * scoring rule of Brants et al. — no discounting model to fit, one
+  * multiplicative backoff), and per-source character entropy (the
+  * gibberish/encoding-anomaly monitor).
+  *
+  * Determinism & scale design:
+  *   - Ground truth is exact Jaccard over the SAME 3-shingle definition
+  *     the persisted signatures hash, computed ONLY within the
+  *     deterministic 10% doc sample (the bounded-ground-truth pattern:
+  *     at corpus scale the sample fraction is the knob, never the
+  *     corpus² truth); the J ≥ 0.5 threshold is the integer-exact
+  *     3·inter ≥ na+nb comparison — no doubles.
+  *   - Backoff scoring state is vocab²-bounded (observed bigram types);
+  *     each eval bigram's log-score is one FLOOR'd IEEE ln over exact
+  *     integer counts (identical text both engines), weighted by its
+  *     integer eval count and integer-summed; train/eval split is the
+  *     deterministic doc_id % 7 rule (split_leakage_audit's family).
+  *   - Char entropy state is (source × charset)-bounded; the corpus
+  *     flows through one map-side-combinable count after the position
+  *     expansion (the shingle-oracle envelope recipe).
+  */
+object CorpusEvalOps extends OpGroup {
+
+  /** Signed 1e6 fixed-point division, toward-zero on both engines. */
+  private def signedFpDiv(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN ($n) * 1000000 DIV ($d)
+       |ELSE -((-($n)) * 1000000 DIV ($d)) END""".stripMargin
+      .replace("\n", " ")
+
+  private def signedFpDivDuck(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN CAST(($n) AS HUGEINT) * 1000000 // ($d)
+       |ELSE -((-CAST(($n) AS HUGEINT)) * 1000000 // ($d)) END"""
+      .stripMargin.replace("\n", " ")
+
+  /** Stupid-backoff log-score of an eval bigram type, over exact
+    * integer counts: seen ⇒ ln(cb/cu); unseen ⇒ ln(0.4·(cw+1)/(T+V)).
+    */
+  private val backoffTermSql =
+    """CAST(FLOOR(CASE WHEN cb > 0
+      | THEN ln(CAST(cb AS DOUBLE) / cu)
+      | ELSE ln(0.4 * (CAST(cw AS DOUBLE) + 1) / (t_tok + v_sz))
+      | END * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dedup candidate quality: MinHash band candidates (est_j ≥ 0.5)
+    // vs exact 3-shingle Jaccard ≥ 0.5 inside the 10% truth sample.
+    "minhash_candidate_quality" -> ((s, d) => {
+      val sample = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("shs",
+          array_distinct(graft.functions.TextSim.shingles("ws", 3)))
+      val tok = sample.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val sized = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inv = tok.join(sized, "doc_id")
+      val truth = inv.as("a").join(inv.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(expr("3 * inter >= na + nb"))
+        .select("doc_a", "doc_b").withColumn("t", lit(1L))
+      val cand = graft.functions.TextSim
+        .signatureBandPairs(s.read.parquet(LlmOps.minhashLayout(s, d)),
+          numBands = LlmOps.MinHashBands,
+          rowsPerBand = LlmOps.MinHashRowsPerBand)
+        .filter(col("n_match") >= LlmOps.MinHashDupSlots &&
+          col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0)
+        .select("doc_a", "doc_b").withColumn("c", lit(1L))
+      val u = truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      val nDocs = sample.select(count(lit(1)).as("n_sample_docs"))
+      u.agg(sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+          sum(coalesce(col("t"), lit(0L)) * coalesce(col("c"), lit(0L)))
+            .as("n_hit"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("n_sample_docs"), col("n_truth"), col("n_cand"),
+          col("n_hit"),
+          expr("CASE WHEN n_cand = 0 THEN NULL " +
+            "ELSE n_hit * 1000000 DIV n_cand END").as("precision_fp"),
+          expr("CASE WHEN n_truth = 0 THEN NULL " +
+            "ELSE n_hit * 1000000 DIV n_truth END").as("recall_fp"))
+    }),
+
+    // Stupid-backoff bigram log-probability of the eval split
+    // (doc_id % 7 = 0) under the train-split LM, reported per source.
+    "stupid_backoff_logprob" -> ((s, d) => {
+      def bigrams(df: DataFrame) = df
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(0, greatest(size(ws) - 2, 0)),
+            |  i -> named_struct('u', ws[i], 'w', ws[i + 1]))"""
+            .stripMargin.replace("\n", " "))).as("b"))
+        .filter(col("b.w").isNotNull)
+        .select(col("doc_id"), col("source"),
+          col("b.u").as("u"), col("b.w").as("w"))
+      val docs = Tables.documents(s, d)
+      val train = bigrams(docs.filter(col("doc_id") % 7 =!= 0))
+      val eval_ = bigrams(docs.filter(col("doc_id") % 7 === 0))
+      val cb = train.groupBy("u", "w").agg(count(lit(1)).as("cb"))
+      val cuT = train.groupBy("u").agg(count(lit(1)).as("cu"))
+      val cwT = train.groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = train.agg(count(lit(1)).as("t_tok"),
+        countDistinct("w").as("v_sz"))
+      val ev = eval_.groupBy("source", "u", "w")
+        .agg(count(lit(1)).as("ce"))
+      ev.join(cb, Seq("u", "w"), "left")
+        .join(cuT, Seq("u"), "left")
+        .join(cwT, Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("cb", coalesce(col("cb"), lit(0L)))
+        .withColumn("cu", coalesce(col("cu"), lit(0L)))
+        .withColumn("cw", coalesce(col("cw"), lit(0L)))
+        .withColumn("term_fp", expr(backoffTermSql))
+        .groupBy("source")
+        .agg(sum("ce").as("n_bigrams"),
+          sum(expr("ce * term_fp")).as("sum_logprob_fp"))
+        .withColumn("avg_logprob_fp",
+          expr(signedFpDiv("sum_logprob_fp", "n_bigrams * 1000000")))
+        .select("source", "n_bigrams", "sum_logprob_fp", "avg_logprob_fp")
+        .orderBy("source")
+    }),
+
+    // Character-distribution entropy per source (encoding/gibberish
+    // monitor): H = −Σ (c/n)·ln(c/n) in 1e9 fixed point.
+    "char_entropy_by_source" -> ((s, d) => {
+      val chars = Tables.documents(s, d)
+        .select(col("source"), col("text"),
+          explode(expr("sequence(1, length(text))")).as("i"))
+        .select(col("source"), expr("substring(text, i, 1)").as("ch"))
+      val cnt = chars.groupBy("source", "ch").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("source").agg(sum("c").as("n_chars"))
+      cnt.join(broadcast(tot), "source")
+        .withColumn("term_fp", expr(
+          """CAST(FLOOR(-(CAST(c AS DOUBLE) / n_chars)
+            | * ln(CAST(c AS DOUBLE) / n_chars)
+            | * 1000000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          sum("term_fp").as("entropy_fp"))
+        .select("source", "n_chars", "n_distinct_chars", "entropy_fp")
+        .orderBy("source")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "minhash_candidate_quality" ->
+      s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
+              LlmOps.minhashLayoutCache.lastPath, numHashes = LlmOps.MinHashes,
+              numBands = LlmOps.MinHashBands,
+              rowsPerBand = LlmOps.MinHashRowsPerBand)},
+         |sample AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |shs AS (
+         |  SELECT DISTINCT doc_id,
+         |         array_to_string(ws[CAST(t.i + 1 AS INTEGER)
+         |           : CAST(t.i + 3 AS INTEGER)], ' ') AS sh
+         |  FROM sample CROSS JOIN range(0, 8193) t(i)
+         |  WHERE t.i <= greatest(len(ws) - 3, 0)),
+         |sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM shs GROUP BY 1),
+         |inv AS (SELECT s.doc_id, z.n, s.sh
+         |        FROM shs s JOIN sized z USING (doc_id)),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM inv a JOIN inv b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |  HAVING 3 * count(*) >= a.n + b.n),
+         |cnd AS (
+         |  SELECT doc_a, doc_b FROM m
+         |  WHERE n_match >= ${LlmOps.MinHashDupSlots}
+         |    AND doc_a % 10 = 0 AND doc_b % 10 = 0),
+         |u AS (
+         |  SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+         |         CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS t,
+         |         CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS c
+         |  FROM truth t FULL OUTER JOIN cnd c
+         |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         |agg AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+         |         CAST(sum(c) AS BIGINT) AS n_cand,
+         |         CAST(sum(t * c) AS BIGINT) AS n_hit,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM sample)
+         |           AS n_sample_docs
+         |  FROM u)
+         |SELECT n_sample_docs, n_truth, n_cand, n_hit,
+         |       CAST(CASE WHEN n_cand = 0 THEN NULL
+         |            ELSE n_hit * 1000000 // n_cand END AS BIGINT)
+         |         AS precision_fp,
+         |       CAST(CASE WHEN n_truth = 0 THEN NULL
+         |            ELSE n_hit * 1000000 // n_truth END AS BIGINT)
+         |         AS recall_fp
+         |FROM agg""".stripMargin,
+
+    "stupid_backoff_logprob" ->
+      s"""WITH bi AS (
+         |  SELECT doc_id, source, ws[CAST(t.i + 1 AS INTEGER)] AS u,
+         |         ws[CAST(t.i + 2 AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |        FROM documents) x
+         |  CROSS JOIN range(0, 8193) t(i)
+         |  WHERE t.i <= greatest(len(ws) - 2, 0)
+         |    AND ws[CAST(t.i + 2 AS INTEGER)] IS NOT NULL),
+         |train AS (SELECT * FROM bi WHERE doc_id % 7 <> 0),
+         |ev0 AS (SELECT * FROM bi WHERE doc_id % 7 = 0),
+         |cb AS (SELECT u, w, CAST(count(*) AS BIGINT) AS cb
+         |       FROM train GROUP BY 1, 2),
+         |cu AS (SELECT u, CAST(count(*) AS BIGINT) AS cu
+         |       FROM train GROUP BY 1),
+         |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+         |       FROM train GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_tok,
+         |               CAST(count(DISTINCT w) AS BIGINT) AS v_sz
+         |        FROM train),
+         |ev AS (SELECT source, u, w, CAST(count(*) AS BIGINT) AS ce
+         |       FROM ev0 GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT e.source, e.ce,
+         |         $backoffTermSql AS term_fp
+         |  FROM (SELECT e0.source, e0.ce,
+         |               COALESCE(b.cb, 0) AS cb, COALESCE(c1.cu, 0) AS cu,
+         |               COALESCE(c2.cw, 0) AS cw, t.t_tok, t.v_sz
+         |        FROM ev e0
+         |        LEFT JOIN cb b ON b.u = e0.u AND b.w = e0.w
+         |        LEFT JOIN cu c1 ON c1.u = e0.u
+         |        LEFT JOIN cw c2 ON c2.w = e0.w
+         |        CROSS JOIN tot t) e),
+         |agg AS (
+         |  SELECT source, CAST(sum(ce) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(ce * term_fp) AS BIGINT) AS sum_logprob_fp
+         |  FROM scored GROUP BY source)
+         |SELECT source, n_bigrams, sum_logprob_fp,
+         |       CAST(${signedFpDivDuck("sum_logprob_fp",
+                  "n_bigrams * 1000000")} AS BIGINT) AS avg_logprob_fp
+         |FROM agg ORDER BY source""".stripMargin,
+
+    "char_entropy_by_source" ->
+      """WITH chars AS (
+        |  SELECT source, substring(text, CAST(t.i AS INTEGER), 1) AS ch
+        |  FROM documents CROSS JOIN range(1, 8193) t(i)
+        |  WHERE t.i <= length(text)),
+        |cnt AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+        |        FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_chars
+        |        FROM cnt GROUP BY 1)
+        |SELECT c.source, t.n_chars,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |       CAST(sum(CAST(FLOOR(-(CAST(c.c AS DOUBLE) / t.n_chars)
+        |         * ln(CAST(c.c AS DOUBLE) / t.n_chars)
+        |         * 1000000000.0) AS BIGINT)) AS BIGINT) AS entropy_fp
+        |FROM cnt c JOIN tot t ON t.source = c.source
+        |GROUP BY c.source, t.n_chars ORDER BY c.source""".stripMargin,
+  )
+}

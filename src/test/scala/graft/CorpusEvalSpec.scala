@@ -1,0 +1,48 @@
+package graft
+
+/** Semantic pins for CorpusEvalOps: the precision/recall identities
+  * (hits bounded by both sides, fp ratios replay from counts), the
+  * backoff sanity laws (log-probs strictly negative, seen-mass
+  * dominance), and the entropy bounds (0 ≤ H ≤ ln(charset)).
+  */
+class CorpusEvalSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.CorpusEvalOps.queries(key)(spark, sf()).collect()
+
+  test("minhash_candidate_quality: hit bounds and fp ratio replay") {
+    val Array(r) = run("minhash_candidate_quality")
+    val (ns, nt, nc, nh) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ns > 0)
+    assert(nh <= nt && nh <= nc, "hits are an intersection")
+    if (nc > 0) assert(r.getLong(4) === nh * 1000000L / nc)
+    if (nt > 0) assert(r.getLong(5) === nh * 1000000L / nt)
+    // a sane LSH config has to find SOMETHING when truth is non-empty
+    if (nt > 0) assert(nh > 0, "band candidates must overlap exact truth")
+  }
+
+  test("stupid_backoff_logprob: strictly negative averages per source") {
+    val rows = run("stupid_backoff_logprob")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sum, avg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0)
+      // every scored bigram has probability < 1 ⇒ ln < 0 (floor'd)
+      assert(sum < 0 && avg < 0)
+      // avg replays from the sum (toward-zero)
+      assert(avg === sum / n)
+    }
+  }
+
+  test("char_entropy_by_source: 0 <= H <= ln(distinct chars)") {
+    val rows = run("char_entropy_by_source")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && k >= 1 && k <= n)
+      assert(h >= -k, "entropy >= 0 up to per-char floor slack")
+      val hMax = (math.log(k.toDouble) * 1e9).toLong
+      assert(h <= hMax, s"H bounded by ln(k): $h vs $hMax")
+    }
+  }
+}
