@@ -54,6 +54,26 @@ import org.apache.spark.sql.SparkSession
   *     histogram + 1-row (min, max) envelope + 3-row quantile spine
   *     (sketch); the corpus-sized pass in both is one
   *     map-side-combinable aggregate that is NOT single-partition.
+  *   - `consistent_hash_rebalance`, `cuped_variance_reduction`,
+  *     `decile_lift_table`, `neyman_allocation_plan`,
+  *     `table_checksum_rollup` (r10, third session) — many
+  *     SinglePartition: scalar-stitch — constant-sized ring / 1-row
+  *     θ-moments / 10-row decile grid / |strata|-row allocation /
+  *     3-row checksum outputs; each corpus pass is map-side-combinable
+  *     before its single-row exchange.
+  *   - `rrf_rank_fusion` (r10, third session) — partition-less Window:
+  *     bm25-class — the fusion rank runs AFTER both legs' TakeOrdered
+  *     has reduced the stream to ≤20 candidate rows.
+  *   - `minhash_candidate_quality` (r10, fourth session) — many
+  *     SinglePartition: scalar-stitch — the terminal
+  *     precision/recall aggregate is ONE row, and the sample-count
+  *     side is a single-row broadcast; truth/candidate generation
+  *     upstream are bucketed joins, never single-partition.
+  *   - `psi_value_drift` (r10, fourth session) — many SinglePartition:
+  *     bounded-model-state stitches — the exchanged relations are the
+  *     1-row cohort totals, the ≤9-row decile-edge array, and the
+  *     10-row bin grid; the event stream flows through one
+  *     map-side-combinable bin count.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
