@@ -60,6 +60,7 @@ object SparkEntry {
     operators.SurvivorshipOps,
     operators.DriftOps,
     operators.CorpusEvalOps,
+    operators.InfraPlanOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
