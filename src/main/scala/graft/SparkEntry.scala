@@ -61,6 +61,7 @@ object SparkEntry {
     operators.DriftOps,
     operators.CorpusEvalOps,
     operators.InfraPlanOps,
+    operators.AgreementOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Agreement / curve-shape / SLO operators (round-10 widening, fourth
+  * session): Cohen's κ between the stored language label and the
+  * lang-ID heuristic (chance-corrected agreement — the single number
+  * `lang_confusion_matrix` readers actually quote), knee-point
+  * detection over the sorted IVF cell-size curve (the Kneedle rule for
+  * "how many cells actually matter" — quantizer acceptance), and the
+  * SLO error-budget burn table over the event stream (daily burn rate
+  * plus cumulative budget consumption — the SRE monitoring view).
+  *
+  * Determinism & scale design:
+  *   - κ is the fully-rational closed form (N·ΣD − Σr·c)/(N² − Σr·c)
+  *     over exact integer confusion counts (the same composed
+  *     lang_id_ngram projection the confusion matrix audits); one
+  *     signed toward-zero fixed-point division.
+  *   - The knee search runs on the ≤|cells| aggregated curve: rank via
+  *     the two-phase numbering, chord endpoints as single-row
+  *     broadcast scalars, per-point integer cross products, first-max
+  *     tie rule — geometry in pure int64.
+  *   - Burn rates are per-day integer ppm; cumulative consumption is
+  *     ONE GlobalRank prefix sum over the calendar-bounded day axis
+  *     against the broadcast monthly budget.
+  */
+object AgreementOps extends OpGroup {
+
+  private val BudgetPpm = 10000L // 1% error budget
+
+  private def signedFpDiv(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN ($n) * 1000000 DIV ($d)
+       |ELSE -((-($n)) * 1000000 DIV ($d)) END""".stripMargin
+      .replace("\n", " ")
+
+  private def signedFpDivDuck(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN CAST(($n) AS HUGEINT) * 1000000 // ($d)
+       |ELSE -((-CAST(($n) AS HUGEINT)) * 1000000 // ($d)) END"""
+      .stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cohen's κ: chance-corrected stored-vs-predicted language
+    // agreement, exact rational over confusion counts.
+    "cohens_kappa_langid" -> ((s, d) => {
+      val pred = TrainingDataOps.queries("lang_id_ngram")(s, d)
+        .select("lang_stored", "lang_pred")
+      val cells = pred.groupBy("lang_stored", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val rt = cells.groupBy("lang_stored").agg(sum("n").as("r"))
+      val ct = cells.groupBy("lang_pred").agg(sum("n").as("c"))
+      val cross = rt.join(ct, col("lang_stored") === col("lang_pred"))
+        .agg(coalesce(sum(expr("r * c")), lit(0L)).as("pe_cross"))
+      val base = cells.agg(sum("n").as("n_docs"),
+        sum(when(col("lang_stored") === col("lang_pred"), col("n"))
+          .otherwise(0L)).as("n_agree"))
+      base.crossJoin(broadcast(cross))
+        .withColumn("kappa_fp", expr(signedFpDiv(
+          "n_docs * n_agree - pe_cross",
+          "n_docs * n_docs - pe_cross")))
+        .select("n_docs", "n_agree", "pe_cross", "kappa_fp")
+    }),
+
+    // Kneedle elbow of the sorted-desc IVF cell-size curve: the point
+    // farthest (by integer cross product) from the chord between the
+    // largest and smallest cell.
+    "kneedle_cell_elbow" -> ((s, d) => {
+      val cells = s.read.parquet(SemiStructuredOps.ivfLayout(s, d))
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("sz"))
+        .withColumn("nsz", -col("sz"))
+      val rn = graft.functions.GlobalRank
+        .rowNumber(cells, "rank", Nil, Seq("nsz", "cell"))
+        .select("rank", "cell", "sz")
+      val k = rn.agg(count(lit(1)).as("k"))
+      val withK = rn.crossJoin(broadcast(k))
+      val ends = withK.agg(
+        sum(when(col("rank") === 1, col("sz"))).as("s1"),
+        sum(when(col("rank") === col("k"), col("sz"))).as("sk"))
+      val scored = withK.crossJoin(broadcast(ends))
+        .withColumn("cross_prod",
+          expr("(k - 1) * (sz - s1) - (rank - 1) * (sk - s1)"))
+      val mx = scored.agg(max(abs(col("cross_prod"))).as("mx"))
+      val elbow = scored.crossJoin(broadcast(mx))
+        .filter(abs(col("cross_prod")) === col("mx"))
+        .agg(min("rank").as("elbow_rank"))
+      scored.crossJoin(broadcast(elbow))
+        .select(col("rank"), col("cell"), col("sz"), col("cross_prod"),
+          (col("rank") === col("elbow_rank")).as("is_elbow"))
+        .orderBy("rank")
+    }),
+
+    // SLO burn: daily error rate vs the 1% budget, plus cumulative
+    // share of the whole-period allowance consumed.
+    "slo_error_budget_burn" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+      val tot = daily.agg(sum("n_events").as("tot_events"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(daily, "cum_errors", col("n_errors"), Nil, Seq("di"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm", expr("n_errors * 1000000 DIV n_events"))
+        .withColumn("burn_fp",
+          expr(s"n_errors * 1000000 * 1000000 DIV (n_events * $BudgetPpm)"))
+        .withColumn("cum_consumed_fp",
+          expr(s"cum_errors * 1000000 * 1000000 DIV (tot_events * $BudgetPpm)"))
+        .select("di", "n_events", "n_errors", "rate_ppm", "burn_fp",
+          "cum_consumed_fp")
+        .orderBy("di")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cohens_kappa_langid" ->
+      s"""WITH pred AS (${TrainingDataOps.oracleSql("lang_id_ngram")}),
+         |cells AS (
+         |  SELECT lang_stored, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |rt AS (SELECT lang_stored AS l, CAST(sum(n) AS BIGINT) AS r
+         |       FROM cells GROUP BY 1),
+         |ct AS (SELECT lang_pred AS l, CAST(sum(n) AS BIGINT) AS c
+         |       FROM cells GROUP BY 1),
+         |x AS (SELECT CAST(COALESCE(sum(rt.r * ct.c), 0) AS BIGINT)
+         |        AS pe_cross
+         |      FROM rt JOIN ct ON ct.l = rt.l),
+         |b AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |             CAST(sum(CASE WHEN lang_stored = lang_pred
+         |                  THEN n ELSE 0 END) AS BIGINT) AS n_agree
+         |      FROM cells)
+         |SELECT b.n_docs, b.n_agree, x.pe_cross,
+         |       CAST(${signedFpDivDuck("b.n_docs * b.n_agree - x.pe_cross",
+                  "b.n_docs * b.n_docs - x.pe_cross")} AS BIGINT) AS kappa_fp
+         |FROM b CROSS JOIN x""".stripMargin,
+
+    "kneedle_cell_elbow" ->
+      s"""WITH cells AS (
+         |  SELECT CAST(cell AS INTEGER) AS cell, CAST(count(*) AS BIGINT) AS sz
+         |  FROM read_parquet('${SemiStructuredOps.ivfLayoutPath}/cell=*/*.parquet',
+         |    hive_partitioning=1)
+         |  GROUP BY 1),
+         |rn AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY sz DESC, cell) AS BIGINT)
+         |           AS rank, cell, sz
+         |  FROM cells),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM rn),
+         |ends AS (
+         |  SELECT (SELECT sz FROM rn WHERE rank = 1) AS s1,
+         |         (SELECT sz FROM rn JOIN k ON rn.rank = k.k) AS sk),
+         |scored AS (
+         |  SELECT r.rank, r.cell, r.sz,
+         |         (k.k - 1) * (r.sz - e.s1) - (r.rank - 1) * (e.sk - e.s1)
+         |           AS cross_prod
+         |  FROM rn r CROSS JOIN k CROSS JOIN ends e),
+         |mx AS (SELECT max(abs(cross_prod)) AS mx FROM scored),
+         |elbow AS (
+         |  SELECT min(rank) AS elbow_rank
+         |  FROM scored CROSS JOIN mx WHERE abs(cross_prod) = mx.mx)
+         |SELECT s.rank, s.cell, s.sz, CAST(s.cross_prod AS BIGINT) AS cross_prod,
+         |       s.rank = e.elbow_rank AS is_elbow
+         |FROM scored s CROSS JOIN elbow e ORDER BY s.rank""".stripMargin,
+
+    "slo_error_budget_burn" ->
+      s"""WITH daily AS (
+         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         |         CAST(count(*) AS BIGINT) AS n_events,
+         |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_errors
+         |  FROM events GROUP BY 1),
+         |cum AS (
+         |  SELECT *, CAST(sum(n_errors) OVER (ORDER BY di) AS BIGINT)
+         |           AS cum_errors
+         |  FROM daily),
+         |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot_events
+         |        FROM daily)
+         |SELECT c.di, c.n_events, c.n_errors,
+         |       CAST(c.n_errors * 1000000 // c.n_events AS BIGINT) AS rate_ppm,
+         |       CAST(c.n_errors * 1000000 * 1000000
+         |         // (c.n_events * $BudgetPpm) AS BIGINT) AS burn_fp,
+         |       CAST(c.cum_errors * 1000000 * 1000000
+         |         // (t.tot_events * $BudgetPpm) AS BIGINT) AS cum_consumed_fp
+         |FROM cum c CROSS JOIN tot t ORDER BY c.di""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+/** Semantic pins for AgreementOps: κ's closed-form replay against the
+  * confusion matrix, the knee geometry (chord endpoints score zero,
+  * exactly one elbow, first-max tie rule), and burn-table identities
+  * (cumulative consumption is monotone and ends at the whole-period
+  * burn).
+  */
+class AgreementSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.AgreementOps.queries(key)(spark, sf()).collect()
+
+  test("cohens_kappa_langid: closed form replays from the confusion") {
+    val Array(r) = run("cohens_kappa_langid")
+    val (n, agree, pe, kappa) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n === Tables.documents(spark, sf()).count())
+    assert(agree <= n && pe <= n * n)
+    assert(kappa <= 1000000L, "kappa <= 1")
+    val num = n * agree - pe
+    val den = n * n - pe
+    val expect =
+      if (num >= 0) num * 1000000L / den else -((-num) * 1000000L / den)
+    assert(kappa === expect)
+    // range law: κ ∈ [−1, 1] (the fixture's heuristic can sit on
+    // either side of chance at tiny scales — no direction assumed)
+    assert(kappa >= -1000000L && kappa <= 1000000L)
+  }
+
+  test("kneedle_cell_elbow: endpoints score zero; exactly one elbow") {
+    val rows = run("kneedle_cell_elbow")
+    assert(rows.nonEmpty)
+    val sizes = rows.map(_.getLong(2))
+    assert(sizes.sameElements(sizes.sortBy(-_)), "curve sorted desc")
+    val k = rows.length
+    assert(rows.head.getLong(3) === 0L, "chord start has zero cross")
+    assert(rows.last.getLong(3) === 0L, "chord end has zero cross")
+    val elbows = rows.filter(_.getBoolean(4))
+    assert(elbows.length === 1, "exactly one elbow")
+    val mx = rows.map(r => math.abs(r.getLong(3))).max
+    assert(math.abs(elbows.head.getLong(3)) === mx)
+    // first-max tie rule
+    val firstMax = rows.find(r => math.abs(r.getLong(3)) == mx).get
+    assert(firstMax.getLong(0) === elbows.head.getLong(0))
+    assert(k === rows.map(_.getInt(1)).distinct.length, "one row per cell")
+  }
+
+  test("slo_error_budget_burn: monotone consumption ending at total burn") {
+    val rows = run("slo_error_budget_burn")
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getLong(5))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+      "cumulative consumption is monotone")
+    val totEvents = rows.map(_.getLong(1)).sum
+    val totErrors = rows.map(_.getLong(2)).sum
+    assert(cums.last === totErrors * 1000000L * 1000000L /
+      (totEvents * 10000L), "final consumption is the whole-period burn")
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(3) <= 1000000L)
+    }
+  }
+}
