@@ -62,6 +62,7 @@ object SparkEntry {
     operators.CorpusEvalOps,
     operators.InfraPlanOps,
     operators.AgreementOps,
+    operators.CausalEvalOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Off-policy / uncertainty / causal evaluation operators (round-10
+  * widening, fourth session): inverse-propensity off-policy value
+  * estimation over the logged event stream (the counterfactual "what
+  * would policy π have earned" readout), a split-conformal prediction
+  * interval with its finite-sample coverage check (the
+  * distribution-free uncertainty wrapper modern ML serving publishes),
+  * and coarsened-exact-matching ATT (the deterministic cousin of
+  * propensity matching — CUPED/SRM's missing causal sibling).
+  *
+  * Determinism & scale design:
+  *   - IPS works entirely in (context × action) enum-bounded state:
+  *     empirical propensities are exact integer count ratios, matched
+  *     reward mass is summed per cell BEFORE the one division per
+  *     cell, and the target policy is a fixed literal CASE.
+  *   - Conformal: residuals are exact integers against the fixed-point
+  *     calibration means; the q̂ quantile is RANK-defined at the
+  *     standard ⌈0.9(n+1)⌉ index via the two-phase numbering; coverage
+  *     is an integer share.
+  *   - CEM: strata are fixed CASE bands over pre-period integer
+  *     aggregates (no data-dependent breaks ⇒ no quantile engine
+  *     drift); treatment is the md5-bit arm (ab_srm_check's split);
+  *     ATT composes per-stratum integer divisions identically on both
+  *     engines; all state is strata-bounded.
+  */
+object CausalEvalOps extends OpGroup {
+
+  private def signedFpDiv(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN ($n) DIV ($d)
+       |ELSE -((-($n)) DIV ($d)) END""".stripMargin.replace("\n", " ")
+
+  private def signedFpDivDuck(n: String, d: String): String =
+    s"""CASE WHEN ($n) >= 0 THEN CAST(($n) AS HUGEINT) // ($d)
+       |ELSE -((-CAST(($n) AS HUGEINT)) // ($d)) END"""
+      .stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IPS value of the fixed policy π(am)=click, π(pm)=purchase under
+    // the logged (empirical) behavior propensities.
+    "ips_policy_value" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        expr("CASE WHEN hour(ts) < 12 THEN 'am' ELSE 'pm' END").as("x"),
+        col("event_type").as("a"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("r"))
+      val nx = ev.groupBy("x").agg(count(lit(1)).as("n_x"))
+      val cell = ev.groupBy("x", "a")
+        .agg(count(lit(1)).as("n_xa"), sum("r").as("s_r"))
+      val tot = ev.agg(count(lit(1)).as("n_events"), sum("r").as("s_all"))
+      val pi = expr(
+        "CASE WHEN x = 'am' THEN 'click' ELSE 'purchase' END")
+      cell.filter(col("a") === pi)
+        .join(broadcast(nx), "x")
+        .withColumn("contrib", expr("s_r * n_x DIV n_xa"))
+        .agg(sum("contrib").as("ips_mass"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_events"),
+          expr("s_all * 1000 DIV n_events").as("v_logged_mean_fp"),
+          expr("ips_mass * 1000 DIV n_events").as("v_ips_fp"))
+    }),
+
+    // Split-conformal interval around the per-type calibration mean,
+    // with finite-sample coverage measured on the held-out half.
+    "split_conformal_interval" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      val cal = ev.filter(col("event_id") % 2 === 0)
+      val test = ev.filter(col("event_id") % 2 === 1)
+      val means = cal.groupBy("event_type")
+        .agg(count(lit(1)).as("n_t"), sum("v").as("s_t"))
+        .withColumn("mean_fp", expr("s_t * 1000 DIV n_t"))
+        .select("event_type", "mean_fp")
+      def resid(df: DataFrame) = df.join(broadcast(means), "event_type")
+        .withColumn("r", abs(expr("v * 1000 - mean_fp")))
+      val calR = resid(cal)
+      val nc = calR.agg(count(lit(1)).as("n_cal"))
+      val ranked = graft.functions.GlobalRank
+        .rowNumber(calR.select("r", "event_id"), "rn", Nil,
+          Seq("r", "event_id"))
+      val qhat = ranked.crossJoin(broadcast(nc))
+        .filter(expr("rn = (9 * (n_cal + 1) + 9) DIV 10"))
+        .select(col("n_cal"), col("r").as("q_hat"))
+      val testR = resid(test)
+      testR.crossJoin(broadcast(qhat))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L))
+            .as("n_covered"),
+          max("n_cal").as("n_cal"), max("q_hat").as("q_hat"))
+        .withColumn("coverage_fp", expr("n_covered * 1000000 DIV n_test"))
+        .select("n_cal", "n_test", "q_hat", "n_covered", "coverage_fp")
+    }),
+
+    // CEM ATT: md5-bit treatment arm, fixed pre-period covariate bands,
+    // treated-weighted outcome contrast over matched strata.
+    "coarsened_exact_matching_att" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"),
+        col("event_type"))
+      val mind = ev.agg(min("di").as("min_di"))
+      val tagged = ev.crossJoin(broadcast(mind))
+      val users = tagged.groupBy("user_id").agg(
+        sum(when(col("di") - col("min_di") < 15, col("v")).otherwise(0L))
+          .as("pre_v"),
+        sum(when(col("di") - col("min_di") < 15, 1L).otherwise(0L))
+          .as("pre_n"),
+        sum(when(col("di") - col("min_di") >= 15 &&
+          col("event_type") === "purchase", col("v")).otherwise(0L))
+          .as("outcome"))
+        .withColumn("arm", expr(
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .withColumn("v_band", expr(
+          """CASE WHEN pre_v = 0 THEN 0 WHEN pre_v < 100000 THEN 1
+            |     WHEN pre_v < 1000000 THEN 2 ELSE 3 END"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("n_band", expr(
+          "CASE WHEN pre_n < 5 THEN 0 WHEN pre_n < 10 THEN 1 ELSE 2 END"))
+      val strata = users.groupBy("v_band", "n_band").agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 1, col("outcome")).otherwise(0L)).as("st"),
+        sum(when(col("arm") === 0, col("outcome")).otherwise(0L)).as("sc"))
+      val matched = strata.filter(col("nt") > 0 && col("nc") > 0)
+      val totals = strata.agg(count(lit(1)).as("n_strata_total"))
+      matched.agg(count(lit(1)).as("n_strata_matched"),
+          sum("nt").as("n_treated_matched"),
+          sum("nc").as("n_control_matched"),
+          sum(expr("nt * (" +
+            signedFpDiv("st * 1000000", "nt") + " - " +
+            signedFpDiv("sc * 1000000", "nc") + ")")).as("att_mass"))
+        .crossJoin(broadcast(totals))
+        .withColumn("att_fp",
+          expr(signedFpDiv("att_mass", "n_treated_matched")))
+        .select("n_strata_total", "n_strata_matched", "n_treated_matched",
+          "n_control_matched", "att_fp")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ips_policy_value" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN hour(ts) < 12 THEN 'am' ELSE 'pm' END AS x,
+        |         event_type AS a,
+        |         CAST(round(value * 1000) AS BIGINT) AS r
+        |  FROM events),
+        |nx AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x FROM ev GROUP BY 1),
+        |cell AS (
+        |  SELECT x, a, CAST(count(*) AS BIGINT) AS n_xa,
+        |         CAST(sum(r) AS BIGINT) AS s_r
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |               CAST(sum(r) AS BIGINT) AS s_all FROM ev),
+        |m AS (
+        |  SELECT CAST(sum(c.s_r * n.n_x // c.n_xa) AS BIGINT) AS ips_mass
+        |  FROM cell c JOIN nx n ON n.x = c.x
+        |  WHERE c.a = CASE WHEN c.x = 'am' THEN 'click' ELSE 'purchase' END)
+        |SELECT t.n_events,
+        |       CAST(t.s_all * 1000 // t.n_events AS BIGINT)
+        |         AS v_logged_mean_fp,
+        |       CAST(m.ips_mass * 1000 // t.n_events AS BIGINT) AS v_ips_fp
+        |FROM m CROSS JOIN tot t""".stripMargin,
+
+    "split_conformal_interval" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |cal AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |tst AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+        |means AS (
+        |  SELECT event_type,
+        |         CAST(sum(v) * 1000 // count(*) AS BIGINT) AS mean_fp
+        |  FROM cal GROUP BY 1),
+        |calr AS (
+        |  SELECT c.event_id, abs(c.v * 1000 - m.mean_fp) AS r
+        |  FROM cal c JOIN means m USING (event_type)),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calr),
+        |ranked AS (
+        |  SELECT r, row_number() OVER (ORDER BY r, event_id) AS rn
+        |  FROM calr),
+        |qhat AS (
+        |  SELECT n.n_cal, r.r AS q_hat
+        |  FROM ranked r CROSS JOIN nc n
+        |  WHERE r.rn = (9 * (n.n_cal + 1) + 9) // 10),
+        |tstr AS (
+        |  SELECT abs(t.v * 1000 - m.mean_fp) AS r
+        |  FROM tst t JOIN means m USING (event_type))
+        |SELECT q.n_cal, CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(q.q_hat AS BIGINT) AS q_hat,
+        |       CAST(sum(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_covered,
+        |       CAST(sum(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END)
+        |         * 1000000 // count(*) AS BIGINT) AS coverage_fp
+        |FROM tstr t CROSS JOIN qhat q
+        |GROUP BY q.n_cal, q.q_hat""".stripMargin,
+
+    "coarsened_exact_matching_att" ->
+      s"""WITH ev AS (
+         |  SELECT user_id,
+         |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         |         CAST(round(value * 1000) AS BIGINT) AS v, event_type
+         |  FROM events),
+         |mind AS (SELECT min(di) AS min_di FROM ev),
+         |users AS (
+         |  SELECT e.user_id,
+         |         CAST(sum(CASE WHEN e.di - m.min_di < 15 THEN e.v
+         |              ELSE 0 END) AS BIGINT) AS pre_v,
+         |         CAST(sum(CASE WHEN e.di - m.min_di < 15 THEN 1
+         |              ELSE 0 END) AS BIGINT) AS pre_n,
+         |         CAST(sum(CASE WHEN e.di - m.min_di >= 15
+         |              AND e.event_type = 'purchase' THEN e.v
+         |              ELSE 0 END) AS BIGINT) AS outcome
+         |  FROM ev e CROSS JOIN mind m GROUP BY e.user_id),
+         |banded AS (
+         |  SELECT *,
+         |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         |           AS BIGINT) % 2 AS arm,
+         |         CASE WHEN pre_v = 0 THEN 0 WHEN pre_v < 100000 THEN 1
+         |              WHEN pre_v < 1000000 THEN 2 ELSE 3 END AS v_band,
+         |         CASE WHEN pre_n < 5 THEN 0 WHEN pre_n < 10 THEN 1
+         |              ELSE 2 END AS n_band
+         |  FROM users),
+         |strata AS (
+         |  SELECT v_band, n_band,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS nt,
+         |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS nc,
+         |         CAST(sum(CASE WHEN arm = 1 THEN outcome ELSE 0 END)
+         |           AS BIGINT) AS st,
+         |         CAST(sum(CASE WHEN arm = 0 THEN outcome ELSE 0 END)
+         |           AS BIGINT) AS sc
+         |  FROM banded GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_total
+         |        FROM strata),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_strata_matched,
+         |         CAST(sum(nt) AS BIGINT) AS n_treated_matched,
+         |         CAST(sum(nc) AS BIGINT) AS n_control_matched,
+         |         CAST(sum(nt * (${signedFpDivDuck("st * 1000000", "nt")}
+         |           - ${signedFpDivDuck("sc * 1000000", "nc")})) AS BIGINT)
+         |           AS att_mass
+         |  FROM strata WHERE nt > 0 AND nc > 0)
+         |SELECT t.n_strata_total, m.n_strata_matched, m.n_treated_matched,
+         |       m.n_control_matched,
+         |       CAST(${signedFpDivDuck("m.att_mass", "m.n_treated_matched")}
+         |         AS BIGINT) AS att_fp
+         |FROM m CROSS JOIN tot t""".stripMargin,
+  )
+}
