@@ -131,6 +131,75 @@ object CorpusEvalOps extends OpGroup {
         .orderBy("source")
     }),
 
+    // LSH S-curve calibration: measured band-candidate rate per exact
+    // Jaccard decile (inside the 10% truth sample) against the
+    // theoretical 1−(1−J^r)^b for the configured (b=4, r=4) layout —
+    // the plot that justifies the band configuration. One truth pass
+    // (shared shape with minhash_candidate_quality) + one candidate
+    // join; buckets are integer-exact J deciles; theory is a single
+    // IEEE leaf over the bucket-center literal.
+    "lsh_s_curve_calibration" -> ((s, d) => {
+      val sample = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("shs",
+          array_distinct(graft.functions.TextSim.shingles("ws", 3)))
+      val tok = sample.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val sized = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inv = tok.join(sized, "doc_id")
+      val truth = inv.as("a").join(inv.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("bucket",
+          expr("least(9, 10 * inter DIV (na + nb - inter))"))
+      val cand = graft.functions.TextSim
+        .signatureBandPairs(s.read.parquet(LlmOps.minhashLayout(s, d)),
+          numBands = LlmOps.MinHashBands,
+          rowsPerBand = LlmOps.MinHashRowsPerBand)
+        .filter(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0)
+        .select("doc_a", "doc_b").withColumn("c", lit(1L))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("c"), lit(0L))).as("n_cand"))
+        .withColumn("measured_fp", expr("n_cand * 1000000 DIV n_pairs"))
+        .withColumn("theory_fp", expr(
+          """CAST(FLOOR((1.0 - power(1.0 - power((2 * bucket + 1) / 20.0, 4.0),
+            | 4.0)) * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .select("bucket", "n_pairs", "n_cand", "measured_fp", "theory_fp")
+        .orderBy("bucket")
+    }),
+
+    // Survivor-policy disagreement over the persisted near-dup
+    // clusters: does keep-first (min doc_id) pick the same
+    // representative as keep-longest (max n_chars, ties to the
+    // smaller id)? The policy-sensitivity number a dedup design review
+    // asks for; fourth consumer of the shared ccLabels layout.
+    "cluster_policy_disagreement" -> ((s, d) => {
+      val labels = s.read.parquet(TrainingDataOps.ccLabels(s, d))
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      val j = labels.join(docs, "doc_id")
+      val per = j.groupBy("component")
+        .agg(count(lit(1)).as("sz"), min("doc_id").as("rep_first"),
+          max("n_chars").as("max_chars"))
+        .filter(col("sz") >= 2)
+      val longest = j.join(per.select(col("component"),
+          col("max_chars")), "component")
+        .filter(col("n_chars") === col("max_chars"))
+        .groupBy("component").agg(min("doc_id").as("rep_longest"))
+      per.join(longest, "component")
+        .agg(count(lit(1)).as("n_multi_clusters"),
+          sum(when(col("rep_first") === col("rep_longest"), 1L)
+            .otherwise(0L)).as("n_same_rep"),
+          sum(when(col("rep_first") =!= col("rep_longest"), 1L)
+            .otherwise(0L)).as("n_disagree"))
+        .withColumn("disagree_rate_fp",
+          expr("n_disagree * 1000000 DIV n_multi_clusters"))
+    }),
+
     // Character-distribution entropy per source (encoding/gibberish
     // monitor): H = −Σ (c/n)·ln(c/n) in 1e9 fixed point.
     "char_entropy_by_source" -> ((s, d) => {
@@ -246,6 +315,90 @@ object CorpusEvalOps extends OpGroup {
          |       CAST(${signedFpDivDuck("sum_logprob_fp",
                   "n_bigrams * 1000000")} AS BIGINT) AS avg_logprob_fp
          |FROM agg ORDER BY source""".stripMargin,
+
+    "lsh_s_curve_calibration" ->
+      s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
+              LlmOps.minhashLayoutCache.lastPath, numHashes = LlmOps.MinHashes,
+              numBands = LlmOps.MinHashBands,
+              rowsPerBand = LlmOps.MinHashRowsPerBand)},
+         |sample AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |shs AS (
+         |  SELECT DISTINCT doc_id,
+         |         array_to_string(ws[CAST(t.i + 1 AS INTEGER)
+         |           : CAST(t.i + 3 AS INTEGER)], ' ') AS sh
+         |  FROM sample CROSS JOIN range(0, 8193) t(i)
+         |  WHERE t.i <= greatest(len(ws) - 3, 0)),
+         |sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM shs GROUP BY 1),
+         |inv AS (SELECT s.doc_id, z.n, s.sh
+         |        FROM shs s JOIN sized z USING (doc_id)),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na,
+         |         b.n AS nb, CAST(count(*) AS BIGINT) AS inter
+         |  FROM inv a JOIN inv b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |bucketed AS (
+         |  SELECT doc_a, doc_b,
+         |         least(9, 10 * inter // (na + nb - inter)) AS bucket
+         |  FROM truth),
+         |cnd AS (
+         |  SELECT doc_a, doc_b, 1 AS c FROM m
+         |  WHERE doc_a % 10 = 0 AND doc_b % 10 = 0),
+         |agg AS (
+         |  SELECT t.bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(COALESCE(c.c, 0)) AS BIGINT) AS n_cand
+         |  FROM bucketed t LEFT JOIN cnd c
+         |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |  GROUP BY t.bucket)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_pairs, n_cand,
+         |       CAST(n_cand * 1000000 // n_pairs AS BIGINT) AS measured_fp,
+         |       CAST(FLOOR((1.0 - power(1.0
+         |         - power((2 * bucket + 1) / 20.0, 4.0), 4.0))
+         |         * 1000000.0) AS BIGINT) AS theory_fp
+         |FROM agg ORDER BY bucket""".stripMargin,
+
+    // the same recursive closure as the other ccLabels consumers,
+    // joined to doc lengths and folded to the policy contrast
+    "cluster_policy_disagreement" ->
+      s"""WITH RECURSIVE ${LlmOps.jaccardCtesDuck},
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component
+         |         FROM reach GROUP BY src),
+         |jj AS (
+         |  SELECT c.component, c.doc_id, dd.n_chars
+         |  FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id),
+         |per AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS sz,
+         |         min(doc_id) AS rep_first, max(n_chars) AS max_chars
+         |  FROM jj GROUP BY component HAVING count(*) >= 2),
+         |longest AS (
+         |  SELECT j.component, min(j.doc_id) AS rep_longest
+         |  FROM jj j JOIN per p ON p.component = j.component
+         |  WHERE j.n_chars = p.max_chars
+         |  GROUP BY j.component),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_multi_clusters,
+         |         CAST(sum(CASE WHEN p.rep_first = l.rep_longest
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS n_same_rep,
+         |         CAST(sum(CASE WHEN p.rep_first <> l.rep_longest
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+         |  FROM per p JOIN longest l ON l.component = p.component)
+         |SELECT n_multi_clusters, n_same_rep, n_disagree,
+         |       CAST(n_disagree * 1000000 // n_multi_clusters AS BIGINT)
+         |         AS disagree_rate_fp
+         |FROM m""".stripMargin,
 
     "char_entropy_by_source" ->
       """WITH chars AS (

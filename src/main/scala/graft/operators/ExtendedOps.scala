@@ -446,6 +446,34 @@ object ExtendedOps extends OpGroup {
           expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("total_chars"))
         .orderBy("p_partkey")),
 
+    // MAP higher-order-function surface (map_from_entries,
+    // transform_values, map_filter, element_at, cardinality) — the
+    // map-typed sibling of array_hof_ops. The map is built per order
+    // from the deduped (linenumber → Σqty) entries ((l_orderkey,
+    // l_linenumber) is NOT unique — pre-aggregating is what makes
+    // map_from_entries legal under ANSI duplicate-key semantics); all
+    // OUTPUTS are scalars derived through the map ops, so the oracle
+    // verifies the values without needing DuckDB map machinery.
+    "map_hof_ops" -> ((s, d) => {
+      val lines = Tables.lineitem(s, d)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
+      lines.groupBy("l_orderkey")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("l_linenumber"), col("qty"))))).as("m"))
+        .select(col("l_orderkey"),
+          expr("cardinality(m)").as("n_lines"),
+          expr("array_max(map_keys(m))").as("max_line"),
+          expr("element_at(m, 3)").as("qty_line3"),
+          expr("aggregate(map_values(m), 0L, (a, v) -> a + v)")
+            .as("total_qty"),
+          expr("element_at(transform_values(m, (k, v) -> 2 * v), 3)")
+            .as("doubled_line3"),
+          expr("cardinality(map_filter(m, (k, v) -> v >= 30))")
+            .as("n_heavy_lines"))
+        .orderBy("l_orderkey")
+    }),
+
     // Unpivot (melt): wide→long reshape, the inverse of
     // pivot_event_counts — one generate pass, no shuffle; variable
     // ordering is pinned by the explicit ids/values lists.
@@ -767,6 +795,24 @@ object ExtendedOps extends OpGroup {
         |       CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
         |         AS total_chars
         |FROM t ORDER BY p_partkey""".stripMargin,
+    // scalar derivations only — no DuckDB map machinery required
+    "map_hof_ops" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |           AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey,
+        |       CAST(count(*) AS INTEGER) AS n_lines,
+        |       CAST(max(l_linenumber) AS INTEGER) AS max_line,
+        |       CAST(sum(CASE WHEN l_linenumber = 3 THEN qty END) AS BIGINT)
+        |         AS qty_line3,
+        |       CAST(sum(qty) AS BIGINT) AS total_qty,
+        |       CAST(sum(CASE WHEN l_linenumber = 3 THEN 2 * qty END)
+        |         AS BIGINT) AS doubled_line3,
+        |       CAST(sum(CASE WHEN qty >= 30 THEN 1 ELSE 0 END) AS INTEGER)
+        |         AS n_heavy_lines
+        |FROM lines GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "unpivot_measures" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, val
         |FROM (

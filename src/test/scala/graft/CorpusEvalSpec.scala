@@ -34,6 +34,33 @@ class CorpusEvalSpec extends SparkSpec {
     }
   }
 
+  test("lsh_s_curve_calibration: rates in range; theory curve monotone") {
+    val rows = run("lsh_s_curve_calibration")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, n, c, meas, theo) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(b >= 0 && b <= 9 && c <= n)
+      assert(meas === c * 1000000L / n)
+      // theory replays: 1-(1-j^4)^4 at the bucket center
+      val j = (2 * b + 1) / 20.0
+      val expect = math.floor(
+        (1.0 - math.pow(1.0 - math.pow(j, 4.0), 4.0)) * 1e6).toLong
+      assert(theo === expect)
+    }
+    val theos = rows.sortBy(_.getLong(0)).map(_.getLong(4))
+    assert(theos.zip(theos.tail).forall { case (a, b) => a <= b },
+      "S-curve is monotone in J")
+  }
+
+  test("cluster_policy_disagreement: partition accounting") {
+    val Array(r) = run("cluster_policy_disagreement")
+    val (n, same, dis, rate) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n >= 1 && same + dis === n, "every cluster classified once")
+    assert(rate === dis * 1000000L / n)
+  }
+
   test("char_entropy_by_source: 0 <= H <= ln(distinct chars)") {
     val rows = run("char_entropy_by_source")
     assert(rows.nonEmpty)
