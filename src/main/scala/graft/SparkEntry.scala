@@ -63,6 +63,7 @@ object SparkEntry {
     operators.InfraPlanOps,
     operators.AgreementOps,
     operators.CausalEvalOps,
+    operators.CommerceOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

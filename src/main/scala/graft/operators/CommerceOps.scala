@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Commerce-analytics operators (round-10 widening, fourth session):
+  * the order-fill CDF curve (what fraction of lines ship within k days
+  * — the latency view `ship_latency_by_priority`'s quantiles
+  * summarize), a discount→quantity elasticity proxy per brand (does
+  * discounting move volume — Pearson over exact integer leaves), and
+  * supplier revenue-share shift between the corpus's two halves (the
+  * supply-base drift report).
+  *
+  * Determinism & scale design:
+  *   - The fill curve buckets latency map-side (grid-bounded state),
+  *     then cumulates over the 9-point k grid via a tiny
+  *     grid×bucket broadcast join — no window, no second scan.
+  *   - Elasticity is the DECIMAL(38,0)-moment Pearson (the Spearman
+  *     machinery's terminal-ratio pattern) over integer (discount_pct,
+  *     qty) leaves per brand.
+  *   - The half split is measured once (broadcast min/max years); both
+  *     halves aggregate in ONE pass via conditional sums; the top-10
+  *     movers resolve by TakeOrdered on (|shift|, key).
+  */
+object CommerceOps extends OpGroup {
+
+  private val rhoSql =
+    """CASE WHEN dx = 0 OR dy = 0 THEN NULL
+      |ELSE round(CAST(num AS DOUBLE)
+      |  / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
+      |END""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDF of order→ship latency at k ∈ {0, 15, …, 120} days.
+    "order_fill_curve" -> ((s, d) => {
+      val lat = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(expr(
+          """least(8, greatest(0,
+            |  datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))
+            |  DIV 15))""".stripMargin.replace("\n", " ")).as("b"))
+      val buckets = lat.groupBy("b").agg(count(lit(1)).as("n"))
+      val tot = buckets.agg(sum("n").as("n_total"))
+      val grid = buckets.sparkSession.range(0, 9)
+        .select((col("id") * 15).cast("long").as("k_days"),
+          col("id").cast("long").as("ki"))
+      grid.join(buckets, col("b") <= col("ki"))
+        .groupBy("k_days").agg(sum("n").as("n_within"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_fp", expr("n_within * 1000000 DIV n_total"))
+        .select("k_days", "n_within", "n_total", "share_fp")
+        .orderBy("k_days")
+    }),
+
+    // Discount→quantity Pearson per brand (elasticity proxy).
+    "price_elasticity_brand" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+      val part = Tables.part(s, d).select("p_partkey", "p_brand")
+      val dec = DecimalType(38, 0)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        .withColumn("num",
+          col("n_rows").cast(dec) * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dx",
+          col("n_rows").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dy",
+          col("n_rows").cast(dec) * col("syy") - col("sy") * col("sy"))
+        .withColumn("elasticity_corr", expr(rhoSql))
+        .select("p_brand", "n_rows", "elasticity_corr")
+        .orderBy("p_brand")
+    }),
+
+    // Supplier revenue-share shift: first half vs second half of the
+    // observed shipdate years, top-10 movers by |shift|.
+    "supplier_share_shift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"),
+        year(col("l_shipdate")).as("yr"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val yrs = li.agg(min("yr").as("y0"), max("yr").as("y1"))
+      val tagged = li.crossJoin(broadcast(yrs))
+        .withColumn("h", expr("CASE WHEN 2 * yr <= y0 + y1 THEN 1 ELSE 2 END"))
+      val sup = tagged.groupBy("l_suppkey").agg(
+        sum(when(col("h") === 1, col("cents")).otherwise(0L)).as("rev1"),
+        sum(when(col("h") === 2, col("cents")).otherwise(0L)).as("rev2"))
+      val tot = sup.agg(sum("rev1").as("t1"), sum("rev2").as("t2"))
+      sup.crossJoin(broadcast(tot))
+        .withColumn("share1_fp", expr("rev1 * 1000000 DIV t1"))
+        .withColumn("share2_fp", expr("rev2 * 1000000 DIV t2"))
+        .withColumn("shift_fp", expr("share2_fp - share1_fp"))
+        .select("l_suppkey", "rev1", "rev2", "share1_fp", "share2_fp",
+          "shift_fp")
+        .orderBy(abs(col("shift_fp")).desc, col("l_suppkey"))
+        .limit(10)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "order_fill_curve" ->
+      """WITH lat AS (
+        |  SELECT least(8, greatest(0,
+        |           datediff('day', CAST(o_orderdate AS DATE),
+        |             CAST(l_shipdate AS DATE)) // 15)) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |buckets AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+        |            FROM lat GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM buckets),
+        |grid AS (SELECT CAST(i * 15 AS BIGINT) AS k_days,
+        |                CAST(i AS BIGINT) AS ki
+        |         FROM range(0, 9) r(i)),
+        |agg AS (
+        |  SELECT g.k_days, CAST(sum(b.n) AS BIGINT) AS n_within
+        |  FROM grid g JOIN buckets b ON b.b <= g.ki
+        |  GROUP BY g.k_days)
+        |SELECT a.k_days, a.n_within, t.n_total,
+        |       CAST(a.n_within * 1000000 // t.n_total AS BIGINT) AS share_fp
+        |FROM agg a CROSS JOIN tot t ORDER BY a.k_days""".stripMargin,
+
+    "price_elasticity_brand" ->
+      s"""WITH q AS (
+         |  SELECT p.p_brand,
+         |         CAST(round(l_discount * 100) AS BIGINT) AS x,
+         |         CAST(round(l_quantity) AS BIGINT) AS y
+         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         |m AS (
+         |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+         |         sum(CAST(x AS HUGEINT)) AS sx,
+         |         sum(CAST(y AS HUGEINT)) AS sy,
+         |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |         sum(CAST(y AS HUGEINT) * y) AS syy,
+         |         sum(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM q GROUP BY 1),
+         |f AS (
+         |  SELECT p_brand, n_rows,
+         |         n_rows * sxy - sx * sy AS num,
+         |         n_rows * sxx - sx * sx AS dx,
+         |         n_rows * syy - sy * sy AS dy
+         |  FROM m)
+         |SELECT p_brand, n_rows, $rhoSql AS elasticity_corr
+         |FROM f ORDER BY p_brand""".stripMargin,
+
+    "supplier_share_shift" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, year(l_shipdate) AS yr,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |yrs AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM li),
+        |sup AS (
+        |  SELECT l.l_suppkey,
+        |         CAST(sum(CASE WHEN 2 * l.yr <= y.y0 + y.y1
+        |              THEN l.cents ELSE 0 END) AS BIGINT) AS rev1,
+        |         CAST(sum(CASE WHEN 2 * l.yr > y.y0 + y.y1
+        |              THEN l.cents ELSE 0 END) AS BIGINT) AS rev2
+        |  FROM li l CROSS JOIN yrs y GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev1) AS BIGINT) AS t1,
+        |               CAST(sum(rev2) AS BIGINT) AS t2 FROM sup),
+        |f AS (
+        |  SELECT s.l_suppkey, s.rev1, s.rev2,
+        |         CAST(s.rev1 * 1000000 // t.t1 AS BIGINT) AS share1_fp,
+        |         CAST(s.rev2 * 1000000 // t.t2 AS BIGINT) AS share2_fp
+        |  FROM sup s CROSS JOIN tot t)
+        |SELECT l_suppkey, rev1, rev2, share1_fp, share2_fp,
+        |       CAST(share2_fp - share1_fp AS BIGINT) AS shift_fp
+        |FROM f
+        |ORDER BY abs(share2_fp - share1_fp) DESC, l_suppkey
+        |LIMIT 10""".stripMargin,
+  )
+}
