@@ -170,6 +170,55 @@ object PipelineOps extends OpGroup {
       s.read.parquet(sink).orderBy("event_id")
     }),
 
+    // T10 — foreachBatch merge-on-read upsert: the production sink
+    // pattern (Delta/Iceberg MERGE's streaming driver). Staged CDC
+    // files replay as an ORDERED micro-batch sequence
+    // (maxFilesPerTrigger=1 over event_id-hashed files); each batch
+    // pre-shrinks to its per-key latest (map-side combinable) and
+    // APPENDS a delta file — the merge-on-read layout — and the read
+    // side resolves keep-latest over the total (ts_us, event_id)
+    // recency order. The resolved table is independent of HOW the
+    // stream was batched (keep-latest is associative), which is what
+    // makes a full value-exact oracle possible; the checkpoint makes
+    // each staged file exactly-once.
+    "stream_foreachbatch_upsert" -> ((s, d) => {
+      val stage = freshDir("graft_t10_stage")
+      val target = freshDir("graft_t10_target")
+      val ckpt = freshDir("graft_t10_ckpt")
+      val ev = Tables.events(s, d)
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      ev.repartition(4, col("event_id"))
+        .write.mode(SaveMode.Overwrite).json(stage)
+      val schema = StructType.fromDDL(
+        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, " +
+          "cents LONG")
+      val stream = StreamingOps.fileJsonStream(s, schema, stage,
+        maxFilesPerTrigger = Some(1))
+      withShufflePartitions(s, 4) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+              .orderBy(col("ts_us").desc, col("event_id").desc)
+            batch.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+              .write.mode(SaveMode.Append).parquet(target)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      s.read.parquet(target)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("user_id", "event_id", "ts_us", "event_type", "cents")
+        .orderBy("user_id")
+    }),
+
     // T5 — watermark late-drop (the GCS staging-TTL analog): pass 1
     // streams all events through a watermarked tumbling aggregation;
     // pass 2 re-delivers the OLDEST event — its window closed long ago
@@ -389,6 +438,19 @@ object PipelineOps extends OpGroup {
     "stream_dedup" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_id % 5 = 0 ORDER BY event_id""".stripMargin,
+    // T10: the merge-on-read resolve is batching-independent, so the
+    // oracle is the plain batch keep-latest over the staged slice
+    "stream_foreachbatch_upsert" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 10 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_id, ts_us, event_type, cents
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // T5 structural oracle (r10, VERDICT r9 ask #4): the append-mode
     // sink equals the BATCH windowed agg over the 1/20 slice restricted
     // to windows CLOSED by the final watermark. Mechanics mirrored
