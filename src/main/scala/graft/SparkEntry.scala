@@ -64,6 +64,7 @@ object SparkEntry {
     operators.AgreementOps,
     operators.CausalEvalOps,
     operators.CommerceOps,
+    operators.ScopedRankOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

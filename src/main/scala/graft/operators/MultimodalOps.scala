@@ -102,6 +102,32 @@ object MultimodalOps extends OpGroup {
           sha2(col("content"), 256).as("sha"))
         .orderBy("doc_id")),
 
+    // WebDataset-style shard packing plan for the media lake: files in
+    // doc_id order fill ~2 KiB shards by the closed-form prefix rule
+    // shard = ⌊cum_exclusive/S⌋ (deterministic at any partitioning —
+    // the sequential "start a new shard when full" rule is
+    // order-RECURSIVE and is deliberately traded for the prefix form,
+    // which a 1000-executor planner can compute in one pass; shards
+    // may overshoot S by at most one file). Prefix bytes via the
+    // two-phase numbering; output is shard-bounded.
+    "media_shard_packing" -> ((s, d) => {
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(mediaDir(s, d))
+        .select(
+          regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(files, "cum_incl", col("n_bytes"), Nil, Seq("doc_id"))
+      cum.withColumn("shard_id",
+          expr("(cum_incl - n_bytes) DIV 2048"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_files"), sum("n_bytes").as("shard_bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard_id")
+    }),
+
     // Nested-struct surgery WITHOUT explode/rebuild: update one field
     // inside a payload struct and drop another, via Column.withField /
     // dropFields — the BigQuery nested-RECORD UPDATE shape the 4-level
@@ -165,6 +191,23 @@ object MultimodalOps extends OpGroup {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS sha
         |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+    // shard plan re-derived from the same sampled docs (content bytes
+    // = UTF-8 text bytes, the ingest oracle's identity)
+    "media_shard_packing" ->
+      """WITH files AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |cum AS (
+        |  SELECT doc_id, n_bytes,
+        |         CAST(sum(n_bytes) OVER (ORDER BY doc_id) AS BIGINT)
+        |           AS cum_incl
+        |  FROM files)
+        |SELECT (cum_incl - n_bytes) // 2048 AS shard_id,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cum GROUP BY 1 ORDER BY shard_id""".stripMargin,
     // Frames: 4 windows of 8 bytes at stride len/4; ASCII text makes the
     // byte checksum equal the char-code sum.
     "multimodal_frame_sample" ->
