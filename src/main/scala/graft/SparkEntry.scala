@@ -65,6 +65,7 @@ object SparkEntry {
     operators.CausalEvalOps,
     operators.CommerceOps,
     operators.ScopedRankOps,
+    operators.CurriculumOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
