@@ -74,6 +74,21 @@ import org.apache.spark.sql.SparkSession
   *     1-row cohort totals, the ≤9-row decile-edge array, and the
   *     10-row bin grid; the event stream flows through one
   *     map-side-combinable bin count.
+  *   - `bloom_filter_sizing_plan`, `cohens_kappa_langid`,
+  *     `ips_policy_value`, `supplier_share_shift`,
+  *     `coarsened_exact_matching_att` (r10, fourth session) — many
+  *     SinglePartition: scalar-stitch — three 1-row table counts /
+  *     1-row confusion cross-moment / (context×action) enum cells /
+  *     1-row half-split totals / strata-bounded CEM cells; every
+  *     corpus pass upstream is one map-side-combinable aggregate.
+  *   - `half_sample_ci`, `split_conformal_interval`,
+  *     `kneedle_cell_elbow` (r10, fourth session) — many
+  *     SinglePartition: bounded-model-state stitches — the exchanged
+  *     relations are the 64-row resample-mean set, the 1-row q̂
+  *     quantile, and the ≤|cells| size curve with its 1-row chord
+  *     endpoints; the data-proportional passes (daily aggregation,
+  *     residual scan, cell counts) are map-side combinable and NOT
+  *     single-partition.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
