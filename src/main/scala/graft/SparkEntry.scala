@@ -66,6 +66,7 @@ object SparkEntry {
     operators.CommerceOps,
     operators.ScopedRankOps,
     operators.CurriculumOps,
+    operators.GraphAudienceOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
