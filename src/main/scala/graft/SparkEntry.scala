@@ -67,6 +67,7 @@ object SparkEntry {
     operators.ScopedRankOps,
     operators.CurriculumOps,
     operators.GraphAudienceOps,
+    operators.TokenDistOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

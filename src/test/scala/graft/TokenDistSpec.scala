@@ -1,0 +1,45 @@
+package graft
+
+/** Semantic pins for TokenDistOps: probability-mass bounds for the
+  * sampling table, the keep-rate range law and its high-frequency
+  * direction, and burstiness lower-bound/ordering.
+  */
+class TokenDistSpec extends SparkSpec {
+  private def run(key: String) =
+    operators.TokenDistOps.queries(key)(spark, sf()).collect()
+
+  test("negative_sampling_table: probs descend; top-20 mass < 1") {
+    val rows = run("negative_sampling_table")
+    assert(rows.length === 20)
+    val probs = rows.map(_.getLong(3))
+    assert(probs.sameElements(probs.sortBy(-_)))
+    assert(probs.sum < 1000000L, "top-20 is a strict subset of the mass")
+    rows.foreach { r =>
+      val (f, powFp) = (r.getLong(1), r.getLong(2))
+      assert(powFp === math.floor(math.pow(f.toDouble, 0.75) * 1e6).toLong)
+    }
+  }
+
+  test("frequent_word_subsampling: keep rate in (0, 1]; mass bounded") {
+    val rows = run("frequent_word_subsampling")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mass, rate) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rate > 0 && rate <= 1000000L)
+      assert(mass <= n * 1000000L, "kept mass bounded by full mass")
+      assert(rate === mass / n)
+    }
+  }
+
+  test("term_burstiness_topk: b >= 1e6 (tf >= df) and ordered") {
+    val rows = run("term_burstiness_topk")
+    assert(rows.length === 20)
+    val bs = rows.map(_.getLong(3))
+    assert(bs.sameElements(bs.sortBy(-_)))
+    rows.foreach { r =>
+      val (tf, df, b) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(df >= 5 && tf >= df, "a term occurs at least once per doc")
+      assert(b === tf * 1000000L / df && b >= 1000000L)
+    }
+  }
+}
