@@ -89,6 +89,11 @@ import org.apache.spark.sql.SparkSession
   *     endpoints; the data-proportional passes (daily aggregation,
   *     residual scan, cell counts) are map-side combinable and NOT
   *     single-partition.
+  *   - `knn_edge_reciprocity` (r10, fourth session) — many
+  *     SinglePartition: scalar-stitch — the 1-row edge count crossed
+  *     with the 1-row reciprocal count; the edge set itself is the
+  *     out-degree-bounded top-3 list and the reverse check is one
+  *     distributed equi-semi-join.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
