@@ -200,6 +200,26 @@ object CorpusEvalOps extends OpGroup {
           expr("n_disagree * 1000000 DIV n_multi_clusters"))
     }),
 
+    // What exact dedup would SAVE: byte mass of the non-canonical
+    // copies in each full-text sha256 group — the number that
+    // justifies running the dedup pass at all. One map-side hash
+    // aggregation; group state is (hash → count, bytes).
+    "dedup_savings_estimate" -> ((s, d) => {
+      val groups = Tables.documents(s, d)
+        .select(sha2(col("text"), 256).as("h"), col("n_chars"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("cnt"), min("n_chars").as("bytes_each"))
+      groups.agg(
+          sum("cnt").as("n_docs"),
+          sum(expr("cnt - 1")).as("n_dup_docs"),
+          sum(expr("cnt * bytes_each")).as("bytes_total"),
+          sum(expr("(cnt - 1) * bytes_each")).as("bytes_saved"))
+        .withColumn("savings_fp",
+          expr("bytes_saved * 1000000 DIV bytes_total"))
+        .select("n_docs", "n_dup_docs", "bytes_total", "bytes_saved",
+          "savings_fp")
+    }),
+
     // Character-distribution entropy per source (encoding/gibberish
     // monitor): H = −Σ (c/n)·ln(c/n) in 1e9 fixed point.
     "char_entropy_by_source" -> ((s, d) => {
@@ -399,6 +419,22 @@ object CorpusEvalOps extends OpGroup {
          |       CAST(n_disagree * 1000000 // n_multi_clusters AS BIGINT)
          |         AS disagree_rate_fp
          |FROM m""".stripMargin,
+
+    "dedup_savings_estimate" ->
+      """WITH groups AS (
+        |  SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(min(n_chars) AS BIGINT) AS bytes_each
+        |  FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |         CAST(sum(cnt - 1) AS BIGINT) AS n_dup_docs,
+        |         CAST(sum(cnt * bytes_each) AS BIGINT) AS bytes_total,
+        |         CAST(sum((cnt - 1) * bytes_each) AS BIGINT) AS bytes_saved
+        |  FROM groups)
+        |SELECT n_docs, n_dup_docs, bytes_total, bytes_saved,
+        |       CAST(bytes_saved * 1000000 // bytes_total AS BIGINT)
+        |         AS savings_fp
+        |FROM m""".stripMargin,
 
     "char_entropy_by_source" ->
       """WITH chars AS (

@@ -61,6 +61,20 @@ class CorpusEvalSpec extends SparkSpec {
     assert(rate === dis * 1000000L / n)
   }
 
+  test("dedup_savings_estimate: accounting identities") {
+    val Array(r) = run("dedup_savings_estimate")
+    val (n, dups, total, saved, fp) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n === Tables.documents(spark, sf()).count())
+    assert(dups >= 0 && dups < n)
+    assert(saved <= total && saved >= 0)
+    assert(fp === saved * 1000000L / total)
+    // n_dup_docs = n_docs − distinct hashes
+    val distinctHashes = Tables.documents(spark, sf())
+      .selectExpr("sha2(text, 256) AS h").distinct().count()
+    assert(dups === n - distinctHashes)
+  }
+
   test("char_entropy_by_source: 0 <= H <= ln(distinct chars)") {
     val rows = run("char_entropy_by_source")
     assert(rows.nonEmpty)
