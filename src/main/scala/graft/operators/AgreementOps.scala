@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   *   - Burn rates are per-day integer ppm; cumulative consumption is
   *     ONE GlobalRank prefix sum over the calendar-bounded day axis
   *     against the broadcast monthly budget.
+  *   - Overflow envelope (burn table): n_errors and cum_errors are
+  *     multiplied by 1e12 in int64, so the math is exact while daily
+  *     errors stay below ~9.2e6 and period-cumulative errors below
+  *     ~9.2e6 (int64 / 1e12). At 100 TB event volume the leaves would
+  *     lift to DECIMAL(38,0) first (the SeriesStatOps convention);
+  *     Spark's non-ANSI wrap vs DuckDB's raise makes silent envelope
+  *     breaches impossible to miss in the oracle gate.
   */
 object AgreementOps extends OpGroup {
 

@@ -221,13 +221,21 @@ object CorpusEvalOps extends OpGroup {
     }),
 
     // Character-distribution entropy per source (encoding/gibberish
-    // monitor): H = −Σ (c/n)·ln(c/n) in 1e9 fixed point.
+    // monitor): H = −Σ (c/n)·ln(c/n) in 1e9 fixed point. r11 altitude
+    // fix (VERDICT ask #5): each document folds to ≤|alphabet|
+    // frequency cells MAP-SIDE via the codegen char_freq expression —
+    // the old per-character explode pushed corpus-bytes rows (~1e14 at
+    // 100 TB) into the partial aggregate; now the explode carries
+    // docs·|alphabet| cells and the (source, ch) aggregate sums
+    // per-doc counts (identical totals, code-point iteration on both
+    // engines; empty docs fold to an empty array — the ADVICE r10
+    // descending-sequence edge is gone by construction).
     "char_entropy_by_source" -> ((s, d) => {
-      val chars = Tables.documents(s, d)
-        .select(col("source"), col("text"),
-          explode(expr("sequence(1, length(text))")).as("i"))
-        .select(col("source"), expr("substring(text, i, 1)").as("ch"))
-      val cnt = chars.groupBy("source", "ch").agg(count(lit(1)).as("c"))
+      graft.functions.CharFreq.register(s)
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(expr("char_freq(text)")).as("f"))
+        .groupBy(col("source"), col("f.ch").as("ch"))
+        .agg(sum(col("f.c")).as("c"))
       val tot = cnt.groupBy("source").agg(sum("c").as("n_chars"))
       cnt.join(broadcast(tot), "source")
         .withColumn("term_fp", expr(

@@ -373,30 +373,37 @@ object CurationOps extends OpGroup {
     // number of shared 3-token shingles and the max-containment score
     // n_shared/min(|A|,|B|) — the corpus-lineage audit that catches one
     // crawl re-hosting another (the source×source face of
-    // decontamination_ngram_overlap's doc×doc check). The corpus
-    // collapses to DISTINCT (source, shingle) map-side; the self-join is
-    // keyed on the shingle and emits ≤ C(|sources|,2) rows per key (an
-    // enum² bound — hot boilerplate shingles cannot blow a task); the
-    // per-source shingle totals broadcast back. Containment is a 1e-6
-    // integer division.
+    // decontamination_ngram_overlap's doc×doc check). Shingles dedup
+    // per-doc map-side (array_distinct BEFORE the explode); then ONE
+    // shingle-keyed aggregate collects each shingle's source set
+    // (collect_set dedups, so the old corpus-wide (source, shingle)
+    // DISTINCT exchange is gone — the r10 bench regression, 3.57 s →
+    // this rewrite). BOTH consumers read that single aggregate: the
+    // per-source distinct-shingle totals re-explode the ≤|sources|
+    // sets (distinct-shingle rows, a tiny second shuffle), and the
+    // oriented pairs explode map-side — the hot boilerplate shingle
+    // never becomes a join key, ≤ C(|sources|,2) rows per shingle.
+    // Containment is a 1e-6 integer division.
     "cross_source_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
         .withColumn("n", size(col("ws")))
         .filter(col("n") >= 3)
-      val sh = docs.select(col("source"),
+      val perDoc = docs.select(col("source"),
         explode(array_distinct(expr(
           """transform(sequence(1, n - 2),
             |  i -> concat_ws(' ', slice(ws, i, 3)))""".stripMargin))).as("sh"))
-        .distinct()
-      val tot = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
-      // pair generation is a per-shingle ARRAY expansion, not a
-      // self-join: one groupBy collects each shingle's sorted source set
-      // (≤ |sources|), then the oriented pairs explode map-side — the
-      // hot boilerplate shingle never becomes a join key (r9 bench:
-      // 1.23 s → join-free)
-      val pairs = sh.groupBy("sh")
+      // one corpus-sized exchange, keyed by shingle; the per-shingle
+      // state is a ≤|sources| set (enum-bounded). The identical
+      // subplan feeds both branches, so Spark reuses the exchange.
+      val sets = perDoc.groupBy("sh")
         .agg(array_sort(collect_set(col("source"))).as("ss"))
+      // per-source distinct-shingle totals from the SAME aggregate:
+      // |{sh : source ∈ ss(sh)}| — one row per distinct shingle in,
+      // |sources| rows out
+      val tot = sets.select(explode(col("ss")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val pairs = sets
         .select(explode(expr(
           """flatten(transform(ss, (x, i) ->
             |  transform(slice(ss, i + 2, size(ss)),

@@ -6,8 +6,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pipeline-monitoring operators (round-10 widening, fourth session):
-  * the Population Stability Index between the first and second half of
-  * the event stream (the banded drift score every ML-feature monitor
+  * the Population Stability Index between the first 15 observed days
+  * of the event stream (reference cohort) and the remainder (current
+  * cohort) (the banded drift score every ML-feature monitor
   * publishes — the quantile-bin sibling of `kl_divergence_source_
   * unigram` and `ks_two_sample_value`), position-based (U-shaped)
   * multi-touch attribution (40/20/40 credit over each purchase's touch

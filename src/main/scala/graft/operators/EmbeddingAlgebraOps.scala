@@ -33,7 +33,15 @@ import org.apache.spark.sql.functions._
   *   - Envelope: per-element products fx·fx ≤ 1e12; gram cells reach
   *     rows·1e12 (DECIMAL(38,0) holds to ~1e26 rows); iteration-2
   *     terms reach d·cell·1e6 ≈ 1e22 at fixture scale — all inside
-  *     DECIMAL(38,0)/HUGEINT by wide margins.
+  *     DECIMAL(38,0)/HUGEINT by wide margins. `cov_num` = n·Σxy−Σx·Σy
+  *     reaches rows²·1e12, past int64 already at ~3k rows — it MUST
+  *     stay DECIMAL(38,0), never BIGINT.
+  *   - Oracle type rule (r11): oracle output type = Spark output type,
+  *     ALWAYS — a HUGEINT never reaches a SELECT list. `cov_num` is
+  *     Spark DECIMAL(38,0); the DuckDB side casts its HUGEINT
+  *     expression to DECIMAL(38,0) explicitly (int128 vs decimal128
+  *     are value-equal but hash differently in the driver's compare —
+  *     the r10 hash-red lesson).
   */
 object EmbeddingAlgebraOps extends OpGroup {
 
@@ -133,7 +141,8 @@ object EmbeddingAlgebraOps extends OpGroup {
          |  SELECT pos, CAST(sum(CAST(fx AS HUGEINT)) AS HUGEINT) AS sx
          |  FROM ex GROUP BY pos)
          |SELECT pa.i, pa.j, pa.n,
-         |       CAST(n AS HUGEINT) * sxy - dx.sx * dy.sx AS cov_num
+         |       CAST(CAST(n AS HUGEINT) * sxy - dx.sx * dy.sx
+         |         AS DECIMAL(38,0)) AS cov_num
          |FROM pa JOIN dims dx ON dx.pos = pa.i
          |        JOIN dims dy ON dy.pos = pa.j
          |ORDER BY abs(CAST(n AS HUGEINT) * sxy - dx.sx * dy.sx) DESC,

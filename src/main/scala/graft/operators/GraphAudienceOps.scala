@@ -90,6 +90,10 @@ object GraphAudienceOps extends OpGroup {
         .agg(count(lit(1)).as("n_aud"))
       val pairs = userTypes.groupBy("user_id")
         .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        // single-type users generate no pairs; without this guard
+        // sequence(0, size-2) DESCENDS for size=1 and emits a junk
+        // self-pair (GovernanceOps/InfoStatOps precedent)
+        .filter(size(col("ts")) >= 2)
         .select(explode(expr(
           """flatten(transform(sequence(0, size(ts) - 2), i ->
             |  transform(sequence(i + 1, size(ts) - 1), j ->

@@ -203,7 +203,8 @@ object JoinOps extends OpGroup {
     "full_outer_join" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
         |           WHERE o_orderkey % 2 = 0),
-        |l AS (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |l AS (SELECT l_orderkey,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |      FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY l_orderkey)
         |SELECT coalesce(o_orderkey, l_orderkey) AS order_key,
         |       o_orderstatus, sum_qty,

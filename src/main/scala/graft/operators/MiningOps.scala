@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *     the WindowGroupLimit shape (knn_graph_topk precedent): Spark
   *     pushes the k-limit into per-partition partial sorts, so a giant
   *     corpus never materializes a full per-query sort.
+  *   - Oracle type rule (r11): oracle output type = Spark output type,
+  *     ALWAYS — a HUGEINT never reaches a SELECT list. `dot_fp` is
+  *     Spark BIGINT (fixed_dot), so DuckDB's HUGEINT sum casts back to
+  *     BIGINT; envelope: fixed_dot = Σ floor(aᵢ·bᵢ·1e15) ≤
+  *     1e15·Σ|aᵢ||bᵢ| ≤ 1e15·max|x|²·d — for the ≤unit-scale fixture
+  *     embeddings that is ≈1e15, four orders inside int64.
   *   - Cluster purity reads the SAME persisted ccLabels layout as the
   *     other three cluster consumers (closure derived once, policies
   *     differ); the per-cluster rollup is map-side-combinable and the
@@ -75,7 +81,8 @@ object MiningOps extends OpGroup {
          |  FROM embeddings WHERE vec_id < 5),
          |dots AS (
          |  SELECT q.qid, e.vec_id,
-         |         ${graft.functions.VectorFunctions.dotFpDuck("e.embedding", "q.q_emb")} AS dot_fp
+         |         CAST(${graft.functions.VectorFunctions.dotFpDuck("e.embedding", "q.q_emb")}
+         |           AS BIGINT) AS dot_fp
          |  FROM embeddings e CROSS JOIN qs q
          |  CROSS JOIN range(1, 4097) t(i)
          |  WHERE e.label <> q.q_label

@@ -161,6 +161,9 @@ object RankStatOps extends OpGroup {
       val pairs = monthly
         .agg(sort_array(collect_list(struct(col("mi"), col("n_ord"),
           col("rev")))).as("a"))
+        // <2 months ⇒ no pairs; guard the descending-sequence edge
+        // (sequence(0, -1) emits junk) the same way acfTerms does
+        .filter(size(col("a")) >= 2)
         .select(size(col("a")).cast("long").as("n_months"),
           explode(expr(
             """flatten(transform(sequence(0, size(a) - 2), i ->

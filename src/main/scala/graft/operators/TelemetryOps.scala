@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *     algebraic fact that makes manifest-based incremental stats (and
   *     Spark's own partial aggregation) correct. Squares lift to
   *     DECIMAL(38,0) (cents² × row count passes int64 at ~6e20).
+  *   - Oracle type rule (r11): oracle output type = Spark output type,
+  *     ALWAYS — a HUGEINT never reaches a SELECT list. `sumsq_cents`
+  *     is Spark DECIMAL(38,0), so the DuckDB side casts its HUGEINT
+  *     sum to DECIMAL(38,0) explicitly: int128 and decimal128 are
+  *     value-equal but hash differently in the driver's arrow-level
+  *     compare (the r10 hash-red lesson).
   *   - Skew and OHLC state is domain-bounded: multiplicity histogram ≤
   *     max fan-in, OHLC rows ≤ |types| × |time buckets|.
   *   - OHLC open/close come from first/last over a TOTAL (us, event_id)
@@ -102,7 +108,7 @@ object TelemetryOps extends OpGroup {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(cents) AS BIGINT) AS sum_cents,
         |       min(cents) AS min_cents, max(cents) AS max_cents,
-        |       CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+        |       CAST(sum(CAST(cents AS HUGEINT) * cents) AS DECIMAL(38,0))
         |         AS sumsq_cents
         |FROM li CROSS JOIN shards GROUP BY n_shards""".stripMargin,
 

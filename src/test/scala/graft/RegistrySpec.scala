@@ -13,10 +13,11 @@ class RegistrySpec extends SparkSpec {
     val rowsOnly = q -- o
     val expected = Set(
       "count_distinct_approx",     // HLL++ output is approximate
-      "percentile_approx_scale",   // sketch output
       "hll_count_rollup")          // DataSketches estimates (BigQuery
                                    // HLL_COUNT analog); ε + merge law
                                    // pinned in HllSpec
+    // (percentile_approx_scale graduated r11: it emits ε-bound
+    // verdicts, oracled as TRUE literals over DuckDB's exact counts)
     // watermark_late_drop graduated in r10: the append-mode sink is
     // oracled as the batch windowed agg over windows closed by the
     // final watermark (max event-ms - 30 min), value-exact via dsum.

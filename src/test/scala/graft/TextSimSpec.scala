@@ -128,21 +128,29 @@ class TextSimSpec extends SparkSpec {
   }
 
   test("approx_percentile tracks the exact rank-picked percentiles") {
-    val approx = SparkEntry.queries("percentile_approx_scale")(spark, sf())
-      .select("l_returnflag", "p25", "p50", "p75")
+    // the declared query now emits the ε-bound verdicts directly
+    // (oracled as TRUE by DuckDB); assert them here too, plus the raw
+    // sketch laws the booleans compress away: per-flag monotonicity
+    // p25 ≤ p50 ≤ p75 of the sketch values themselves.
+    val verdicts = SparkEntry.queries("percentile_approx_scale")(spark, sf())
+      .select("l_returnflag", "p25_ok", "p50_ok", "p75_ok")
+      .as[(String, Boolean, Boolean, Boolean)].collect()
+    assert(verdicts.nonEmpty)
+    verdicts.foreach { case (flag, ok25, ok50, ok75) =>
+      assert(ok25 && ok50 && ok75,
+        s"$flag: sketch drifts > 2% from exact rank-picked percentile")
+    }
+    val raw = Tables.lineitem(spark, sf())
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+        .as("pcts"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1), element_at(col("pcts"), 2),
+        element_at(col("pcts"), 3))
       .as[(String, Double, Double, Double)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    val exact = SparkEntry.queries("percentile_disc")(spark, sf())
-      .select("l_returnflag", "p25", "p50", "p75")
-      .as[(String, Double, Double, Double)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (flag, (e25, e50, e75)) =>
-      val (a25, a50, a75) = approx(flag)
-      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
-        assert(math.abs(a - e) / e < 0.02,
-          s"$flag: approx $a vs exact $e drifts > 2%")
-      }
+    raw.foreach { case (flag, a25, a50, a75) =>
+      assert(a25 <= a50 && a50 <= a75,
+        s"$flag: sketch percentiles not monotone: $a25, $a50, $a75")
     }
   }
 
