@@ -68,6 +68,7 @@ object SparkEntry {
     operators.CurriculumOps,
     operators.GraphAudienceOps,
     operators.TokenDistOps,
+    operators.QualitySignalOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

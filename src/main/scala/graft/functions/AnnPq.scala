@@ -114,16 +114,52 @@ object AnnPq {
     s
   }
 
-  /** Register `pq_encode(emb)` / `pq_adc(q, codes)` bound to `cb` in the
-    * session registry (idempotent per codebook — re-registering swaps
-    * the captured model, the house pattern for model-carrying
-    * expressions).
+  /** Per-SUBSPACE reconstruction error of a coded vector against the
+    * exact one, as m fixed-point longs: err_j = Σ_d floor((ne_i −
+    * cent_i)² · 1e12) over the subspace's slots — the quantization-loss
+    * profile that says WHICH subspace is burning recall (the PQ-tuning
+    * read: a hot subspace wants more codebook bits or a rotation).
+    * Same exactness argument as [[adcDot]]: per-slot IEEE double
+    * subtract/square and floor are bit-deterministic, long addition is
+    * order-free, so any partitioning and the DuckDB oracle agree.
+    * Envelope: slots are unit-scale ⇒ (ne−cent)² ≤ 4, term ≤ 4e12,
+    * per-subspace ≤ sub·4e12 ≈ 3.2e13 — int64 by 5 orders; corpus
+    * sums lift to DECIMAL(38,0) downstream.
+    */
+  def reconErr(ne: ArrayData, codes: ArrayData,
+      cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val cent = cb(j)(codes.getInt(j))
+      var s = 0L
+      var d = 0
+      while (d < sub) {
+        val t = ne.getFloat(j * sub + d).toDouble - cent(d)
+        s += math.floor(t * t * 1e12).toLong
+        d += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Register `pq_encode(emb)` / `pq_adc(q, codes)` /
+    * `pq_recon_err(ne, codes)` bound to `cb` in the session registry
+    * (idempotent per codebook — re-registering swaps the captured
+    * model, the house pattern for model-carrying expressions).
     */
   def register(spark: SparkSession, cb: Array[Array[Array[Double]]]): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode(exprs.head, cb), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_adc", exprs => PqAdcScore(exprs.head, exprs(1), cb), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_recon_err", exprs => PqReconError(exprs.head, exprs(1), cb),
+      "built-in")
   }
 }
 
@@ -174,5 +210,32 @@ case class PqAdcScore(left: Expression, right: Expression,
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (array<float> exact vector, array<int> codes) → per-subspace
+  * fixed-point reconstruction errors (length m), see [[AnnPq.reconErr]].
+  */
+case class PqReconError(left: Expression, right: Expression,
+    cb: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<int>), got ${l.sql}, ${r.sql}")
+    }
+  override def prettyName: String = "pq_recon_err"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(ne: Any, codes: Any): Any =
+    AnnPq.reconErr(ne.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (ne, c) =>
+      s"${ev.value} = graft.functions.AnnPq.reconErr($ne, $c, $cbRef);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqReconError =
     copy(left = newLeft, right = newRight)
 }

@@ -140,6 +140,12 @@ object SemiStructuredOps extends OpGroup {
     */
   private val pqLayoutCache = new graft.Layout("graft_pq")
 
+  /** Materialized PQ layout path, for the spec's independent
+    * re-derivation (QualitySignalSpec).
+    */
+  private[graft] def pqLayoutPathForSpec(s: SparkSession, d: String): String =
+    pqLayout(s, d)
+
   private def pqLayout(s: SparkSession, d: String): String =
     pqLayoutCache(s, d, graft.Layout.fingerprint(Tables.embeddings(s, d))) { p =>
       val cb = pqCodebook(s, d)
@@ -208,6 +214,31 @@ object SemiStructuredOps extends OpGroup {
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
           round(col("fx").cast("double") / 1e15, 6).as("adc_cosine"))
         .orderBy("q_id", "rank")
+    }),
+
+    // PQ quantization-loss profile (r11): per SUBSPACE, the corpus
+    // reconstruction error of the persisted codes against the exact
+    // normalized vectors — the tuning read that says which subspace is
+    // burning recall (a hot subspace wants more codebook bits or a
+    // rotation before anyone re-trains the whole quantizer). The
+    // per-vector fold is the codegen pq_recon_err expression (PqEncode
+    // house pattern: map-side, zero joins); everything after is an
+    // m-bounded moment aggregate. Corpus sums lift to DECIMAL(38,0)
+    // on BOTH engines (oracle type rule — no HUGEINT in a SELECT);
+    // the mean is a floor division of non-negatives, identical on
+    // both engines.
+    "pq_subspace_recon_error" -> ((s, d) => {
+      val stored = s.read.parquet(pqLayout(s, d))
+      graft.functions.AnnPq.register(s, pqCodebook(s, d))
+      stored.select(col("vec_id"),
+          posexplode(expr("pq_recon_err(ne, codes)")).as(Seq("j", "e")))
+        .groupBy("j")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("e").cast("decimal(38,0)")).as("sum_err_fp"))
+        .withColumn("mean_err_fp",
+          expr("CAST(sum_err_fp DIV n_vecs AS BIGINT)"))
+        .select("j", "n_vecs", "sum_err_fp", "mean_err_fp")
+        .orderBy("j")
     }),
 
     // The SERVING form of the same search: probe the cell-partitioned
@@ -526,6 +557,29 @@ object SemiStructuredOps extends OpGroup {
          |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
          |       round(CAST(fx AS DOUBLE) / 1e15, 6) AS adc_cosine
          |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // the same persisted codes + codebook, reconstruction error
+    // re-derived slot-by-slot: floor((ne[idx] − val)²·1e12) is one
+    // IEEE subtract/square per slot (bit-identical on both engines),
+    // summed per (vec, subspace) then folded to the m-bounded report
+    "pq_subspace_recon_error" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, ne, codes
+         |  FROM read_parquet('${pqLayoutCache.lastPath}/*.parquet')),
+         |cb AS (SELECT j, code, idx, val
+         |       FROM read_parquet('${pqLayoutCache.lastPath}.codebook/*.parquet')),
+         |terms AS (
+         |  SELECT v.vec_id, cb.j,
+         |         CAST(floor((CAST(v.ne[cb.idx] AS DOUBLE) - cb.val)
+         |           * (CAST(v.ne[cb.idx] AS DOUBLE) - cb.val) * 1e12)
+         |           AS BIGINT) AS t
+         |  FROM v JOIN cb ON v.codes[cb.j + 1] = cb.code),
+         |per AS (SELECT vec_id, j, CAST(sum(t) AS BIGINT) AS e
+         |        FROM terms GROUP BY 1, 2)
+         |SELECT j, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CAST(e AS HUGEINT)) AS DECIMAL(38,0)) AS sum_err_fp,
+         |       CAST(sum(CAST(e AS HUGEINT)) // count(*) AS BIGINT)
+         |         AS mean_err_fp
+         |FROM per GROUP BY j ORDER BY j""".stripMargin,
     "variant_semistructured" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,

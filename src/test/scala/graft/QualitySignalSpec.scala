@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.JlProject
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-11 quality-signal / projection operators: the
+  * Gopher top-bigram gate against a full independent Scala recompute,
+  * the JL expression against a driver-side reference fold + the md5
+  * sign rule, and the PQ reconstruction profile against an independent
+  * in-engine re-derivation from the persisted layout.
+  */
+class QualitySignalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top_bigram_mass matches an independent Scala recompute") {
+    val got = operators.QualitySignalOps.queries("top_bigram_mass")(
+        spark, sf())
+      .select("source", "n_docs", "n_flagged", "mean_share_fp")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    val docs = Tables.documents(spark, sf())
+      .select("source", "text").as[(String, String)].collect()
+    val perDoc = docs.flatMap { case (src, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 2) None
+      else {
+        val counts = ws.sliding(2).map(_.mkString(" "))
+          .toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+        val cTop = counts.values.max
+        val nBi = (ws.length - 1).toLong
+        Some(src -> (cTop * 1000000L / nBi))
+      }
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, xs) =>
+      val shares = xs.map(_._2)
+      src -> (shares.length.toLong,
+        shares.count(_ > operators.QualitySignalOps.FlagFp).toLong,
+        shares.sum / shares.length)
+    }
+    assert(got === expected)
+  }
+
+  test("jl_project matches a reference fold and the md5 sign rule") {
+    // sign rule: recompute a handful of cells from first principles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sgn(i: Int, j: Int): Int = {
+      val hex = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("01234567".contains(hex.charAt(0))) 1 else -1
+    }
+    for (i <- Seq(0, 1, 63, 4095); j <- 0 until JlProject.K)
+      assert(JlProject.signMatrix(i)(j) === sgn(i, j),
+        s"sign matrix disagrees with the md5 rule at ($i, $j)")
+
+    // expression vs reference fold on real vectors
+    JlProject.register(spark)
+    val rows = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"),
+        expr("jl_project(embedding)").as("p"))
+      .as[(Long, Array[Float], Array[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, emb, p) =>
+      assert(p.length === JlProject.K)
+      val ref = Array.fill(JlProject.K)(0L)
+      emb.zipWithIndex.foreach { case (x, i) =>
+        val fx = (x.toDouble * 1e6).toLong
+        (0 until JlProject.K).foreach(j =>
+          ref(j) += JlProject.signMatrix(i)(j) * fx)
+      }
+      assert(p.toSeq === ref.toSeq, s"vec $id: expression != reference fold")
+    }
+  }
+
+  test("random_projection_jl moments are k rows over the full corpus") {
+    val n = Tables.embeddings(spark, sf()).count()
+    val out = operators.QualitySignalOps.queries("random_projection_jl")(
+        spark, sf())
+      .select(col("j"), col("n"), col("sumsq_fp").cast("double"))
+      .as[(Int, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === (0 until JlProject.K))
+    out.foreach { case (j, cnt, ss) =>
+      assert(cnt === n, s"coordinate $j covers $cnt of $n vectors")
+      assert(ss >= 0.0)
+    }
+  }
+
+  test("pq_subspace_recon_error matches an independent in-engine re-derivation") {
+    val got = operators.SemiStructuredOps.queries("pq_subspace_recon_error")(
+        spark, sf())
+      .select(col("j"), col("n_vecs"), col("sum_err_fp").cast("string"),
+        col("mean_err_fp"))
+      .as[(Int, Long, String, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // independent re-derivation: explode ne positions, join the
+    // persisted codebook as a DataFrame (no pq_recon_err expression)
+    val layout = operators.SemiStructuredOps.pqLayoutPathForSpec(spark, sf())
+    val v = spark.read.parquet(layout)
+    val cb = spark.read.parquet(s"$layout.codebook")
+    val terms = v.select(col("vec_id"), col("codes"),
+        posexplode(col("ne")).as(Seq("pos0", "x")))
+      .withColumn("vidx", col("pos0") + 1)
+      .join(cb, col("vidx") === cb("idx"))
+      .filter(expr("element_at(codes, j + 1) = code"))
+      .select(col("vec_id"), col("j"),
+        expr("CAST(FLOOR((CAST(x AS DOUBLE) - val) * (CAST(x AS DOUBLE) - val) * 1e12) AS BIGINT)")
+          .as("t"))
+    val expected = terms.groupBy("vec_id", "j").agg(sum("t").as("e"))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("e").cast("decimal(38,0)")).as("sum_err_fp"))
+      .withColumn("mean_err_fp", expr("CAST(sum_err_fp DIV n_vecs AS BIGINT)"))
+      .select(col("j"), col("n_vecs"), col("sum_err_fp").cast("string"),
+        col("mean_err_fp"))
+      .as[(Int, Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+    got.foreach { case (_, _, s, m) =>
+      assert(BigDecimal(s) >= 0 && m >= 0)
+    }
+  }
+}
