@@ -1,22 +1,27 @@
 #!/usr/bin/env python3
-"""Arrow-level output-TYPE alignment gate (r11).
+"""Arrow-level output-TYPE gate (r11 alignment + r12 decimal ban).
 
 The driver's hash compare is sensitive to the PHYSICAL Arrow type of a
-column, not just its values: DuckDB exports HUGEINT as decimal128(38,0),
-so an oracle column that drifts to int128 hashes differently from a
-value-equal Spark BIGINT (the r10 hash-red lesson: embedding_covariance_
-topk / hard_negative_mining / incremental_stats_merge were value-exact
-yet red). Rule: oracle output type = Spark output type, always — a
-HUGEINT never reaches a SELECT list.
+column, not just its values. Two rules, both enforced here:
 
-This script enforces the rule mechanically: for every query in a Verify
-dump it compares the Arrow schema of the Spark parquet result against
-the Arrow schema of the DuckDB oracle result and flags any column whose
-types differ, EXCEPT the int-width family (int8/16/32/64), which the
-driver's ten INTEGER-vs-BIGINT rows prove hash-compatible.
+1. ALIGNMENT (r11): oracle output type = Spark output type, always —
+   DuckDB exports HUGEINT as decimal128(38,0), so an oracle column that
+   drifts to int128 hashes differently from a value-equal Spark BIGINT.
+   Widths within the int family (int8/16/32/64) are exempt (proven
+   hash-compatible by the driver's ten INTEGER-vs-BIGINT rows).
+
+2. DECIMAL BAN (r12): NO decimal128 column may appear in ANY query
+   output, on EITHER engine. The r11 controlled experiment proved
+   alignment alone is insufficient for decimals: the four queries whose
+   outputs were value-identical, type-aligned decimal128(38,0) on both
+   sides all stayed driver hash-red, while the BIGINT-landing fix
+   (hard_negative_mining) greened. Decimal128 is allowed internally;
+   at the SELECT boundary wide values must be emitted as BIGINT (when
+   they fit) or canonical digit strings (both engines render plain
+   digits, sign included, no exponent).
 
 Usage: python3 scripts/typecheck.py <sfDir> <verifyOutDir>
-Exit 0 = aligned; 1 = at least one risky mismatch.
+Exit 0 = aligned and decimal-free; 1 = at least one violation.
 """
 import json
 import os
@@ -63,6 +68,12 @@ def main(sf_dir, out_dir):
         n_checked += 1
         stypes = {f.name: f.type for f in sschema}
         otypes = {f.name: f.type for f in oschema}
+        # r12 decimal ban: presence on either side is a failure, even
+        # when the sides agree (alignment did not green decimals).
+        for side, types in (("spark", stypes), ("oracle", otypes)):
+            for c, t in sorted(types.items()):
+                if pa.types.is_decimal(t):
+                    bad.append((name, c, f"DECIMAL-OUTPUT[{side}]", str(t)))
         for c in sorted(set(stypes) & set(otypes)):
             st, ot = stypes[c], otypes[c]
             if st == ot:
@@ -72,9 +83,9 @@ def main(sf_dir, out_dir):
             bad.append((name, c, str(st), str(ot)))
 
     for name, c, st, ot in bad:
-        print(f"TYPE-MISMATCH {name}.{c}: spark={st} oracle={ot}")
+        print(f"TYPE-VIOLATION {name}.{c}: {st} vs {ot}")
     print(f"\n{n_checked} oracled queries checked, "
-          f"{len(bad)} risky column-type mismatches")
+          f"{len(bad)} type violations (mismatch or decimal128 output)")
     return 1 if bad else 0
 
 

@@ -4,6 +4,17 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  import org.apache.spark.sql.types._
+
+  /** True iff the type contains a DecimalType anywhere (nested too). */
+  def hasDecimal(t: DataType): Boolean = t match {
+    case _: DecimalType => true
+    case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+    case a: ArrayType => hasDecimal(a.elementType)
+    case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+    case _ => false
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,9 +37,19 @@ object Verify {
     // fixture schema change — diagnosable only by diffing rounds).
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // r12 decimal ban: the driver's hash compare reds ANY decimal128
+        // output column even when both engines agree on value and type
+        // (r11 controlled experiment). Fail the query HERE, loudly, so a
+        // decimal output can never silently re-enter the dump — wide
+        // values must cross the SELECT boundary as BIGINT or strings.
+        val dec = df.schema.filter(f => hasDecimal(f.dataType))
+        require(dec.isEmpty,
+          s"decimal128 output column(s) ${dec.map(_.name).mkString(", ")} — " +
+            "banned at the SELECT boundary (driver hash reds decimals)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -73,9 +73,14 @@ object JlProject {
     }
   }
 
-  /** Static helper the generated code calls (PqEncode house pattern). */
+  /** Static helper the generated code calls (PqEncode house pattern).
+    * Dimensions beyond the derived matrix (DimMax) are silently
+    * truncated — the SAME failure mode as the oracle's range(1, 4097)
+    * join, so an over-long embedding degrades identically on both
+    * engines instead of throwing only executor-side (ADVICE r11).
+    */
   def project(arr: ArrayData, signs: Array[Array[Int]]): ArrayData = {
-    val d = arr.numElements()
+    val d = math.min(arr.numElements(), signs.length)
     val k = if (signs.isEmpty) 0 else signs(0).length
     val out = new Array[Long](k)
     var i = 0

@@ -390,11 +390,13 @@ object ExtendedOps extends OpGroup {
     // them raw (un-oracle-able), the query emits the ε-BOUND VERDICT —
     // per flag, whether each sketch percentile tracks the exact
     // rank-picked value within 2% (GK accuracy 10000 ⇒ rank error
-    // ≤ n/10000, far inside 2% of a dense price distribution). The
-    // DuckDB oracle independently recomputes n and asserts TRUE per
-    // bound — the driver now verifies the sketch's error contract
-    // against a foreign engine every round. Raw-value tracking and
-    // sketch monotonicity stay pinned in TextSimSpec.
+    // ≤ n/10000, far inside 2% of a dense price distribution). r12
+    // (ADVICE r11): the exact rank-picked references e25/e50/e75 are
+    // EMITTED as output columns, so the DuckDB oracle recomputes them
+    // independently and the driver hash-compares them — a correlated
+    // bug in the Spark-side exact computation can no longer slip past
+    // the literal-TRUE verdicts. Raw-value tracking and sketch
+    // monotonicity stay pinned in TextSimSpec.
     "percentile_approx_scale" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
       val approx = li.groupBy("l_returnflag")
@@ -414,6 +416,8 @@ object ExtendedOps extends OpGroup {
             .as("e75"))
       approx.join(exact, "l_returnflag").join(broadcast(cnts), "l_returnflag")
         .select(col("l_returnflag"), col("n"),
+          col("e25").as("exact_p25"), col("e50").as("exact_p50"),
+          col("e75").as("exact_p75"),
           (abs(element_at(col("pcts"), 1) - col("e25")) / col("e25") < 0.02)
             .as("p25_ok"),
           (abs(element_at(col("pcts"), 2) - col("e50")) / col("e50") < 0.02)
@@ -713,15 +717,29 @@ object ExtendedOps extends OpGroup {
         |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |         / (n * (n - 1))), 6) AS stddev_qty
         |FROM s ORDER BY l_returnflag""".stripMargin,
-    // ε-bound oracle (r11): DuckDB recomputes the group counts and
-    // asserts the sketch-vs-exact verdicts are TRUE — the error
-    // contract of the GK sketch, checked by a foreign engine. If the
-    // sketch ever drifts past 2% of the rank-picked exact value the
+    // ε-bound oracle (r12 hardening, ADVICE r11): DuckDB independently
+    // recomputes the exact rank-picked percentiles — the REFERENCE
+    // values the sketch is bounded against now come from the foreign
+    // engine and are hash-compared, so a correlated bug in the Spark
+    // exact path reds the row. The verdicts stay literal TRUE: if the
+    // sketch drifts past 2% of the (foreign-verified) exact value the
     // Spark side emits false and the row hashes red.
     "percentile_approx_scale" ->
-      """SELECT l_returnflag, count(*) AS n,
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(max(cnt) AS BIGINT) AS n,
+        |       min(CASE WHEN rn = ceil(cnt * 0.25) THEN l_extendedprice END)
+        |         AS exact_p25,
+        |       min(CASE WHEN rn = ceil(cnt * 0.5)  THEN l_extendedprice END)
+        |         AS exact_p50,
+        |       min(CASE WHEN rn = ceil(cnt * 0.75) THEN l_extendedprice END)
+        |         AS exact_p75,
         |       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
-        |FROM lineitem GROUP BY l_returnflag
+        |FROM ranked GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "percentile_disc" ->
       """WITH ranked AS (

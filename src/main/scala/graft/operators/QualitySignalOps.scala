@@ -30,8 +30,13 @@ import org.apache.spark.sql.functions._
   *     Fixed-point leaves truncate toward zero (embedding_dim_stats
   *     convention); projections are exact int64 sums (|p_j| ≤ d·1e6 ≈
   *     4e9 at d=4096); squares lift to DECIMAL(38,0) BEFORE the
-  *     multiply. Oracle type rule: moment columns are DECIMAL(38,0)
-  *     on BOTH engines — a HUGEINT never reaches a SELECT.
+  *     multiply. Output type rule (r12): NO decimal128 at the SELECT
+  *     boundary — r11 proved by controlled experiment that the driver's
+  *     arrow-level hash reds decimal128 outputs even when both engines
+  *     emit value-identical DECIMAL(38,0) (type alignment did NOT green
+  *     the cells; presence of the type itself is the trigger). Wide
+  *     moments therefore stay DECIMAL(38,0)/HUGEINT internally and are
+  *     emitted as canonical digit STRINGS on both engines.
   */
 object QualitySignalOps extends OpGroup {
 
@@ -80,8 +85,9 @@ object QualitySignalOps extends OpGroup {
         .select(posexplode(expr("jl_project(embedding)")).as(Seq("j", "pj")))
         .groupBy("j")
         .agg(count(lit(1)).as("n"),
-          sum(col("pj").cast("decimal(38,0)")).as("sum_fp"),
-          sum(col("pj").cast("decimal(38,0)") * col("pj")).as("sumsq_fp"))
+          sum(col("pj").cast("decimal(38,0)")).cast("string").as("sum_fp"),
+          sum(col("pj").cast("decimal(38,0)") * col("pj")).cast("string")
+            .as("sumsq_fp"))
         .orderBy("j")
     }),
   )
@@ -122,9 +128,8 @@ object QualitySignalOps extends OpGroup {
          |  FROM ex e JOIN signs s ON s.i = e.pos
          |  GROUP BY 1, 2)
          |SELECT j, CAST(count(*) AS BIGINT) AS n,
-         |       CAST(sum(CAST(pj AS HUGEINT)) AS DECIMAL(38,0)) AS sum_fp,
-         |       CAST(sum(CAST(pj AS HUGEINT) * pj) AS DECIMAL(38,0))
-         |         AS sumsq_fp
+         |       CAST(sum(CAST(pj AS HUGEINT)) AS VARCHAR) AS sum_fp,
+         |       CAST(sum(CAST(pj AS HUGEINT) * pj) AS VARCHAR) AS sumsq_fp
          |FROM proj GROUP BY j ORDER BY j""".stripMargin,
   )
 }

@@ -223,10 +223,12 @@ object SemiStructuredOps extends OpGroup {
     // rotation before anyone re-trains the whole quantizer). The
     // per-vector fold is the codegen pq_recon_err expression (PqEncode
     // house pattern: map-side, zero joins); everything after is an
-    // m-bounded moment aggregate. Corpus sums lift to DECIMAL(38,0)
-    // on BOTH engines (oracle type rule — no HUGEINT in a SELECT);
-    // the mean is a floor division of non-negatives, identical on
-    // both engines.
+    // m-bounded moment aggregate. Corpus sums accumulate in
+    // DECIMAL(38,0)/HUGEINT but are EMITTED as digit strings — r11
+    // proved the driver hash reds any decimal128 output column even
+    // when both engines agree on value and type, so no decimal128
+    // crosses the SELECT boundary. The mean is a floor division of
+    // non-negatives, identical on both engines.
     "pq_subspace_recon_error" -> ((s, d) => {
       val stored = s.read.parquet(pqLayout(s, d))
       graft.functions.AnnPq.register(s, pqCodebook(s, d))
@@ -234,10 +236,12 @@ object SemiStructuredOps extends OpGroup {
           posexplode(expr("pq_recon_err(ne, codes)")).as(Seq("j", "e")))
         .groupBy("j")
         .agg(count(lit(1)).as("n_vecs"),
-          sum(col("e").cast("decimal(38,0)")).as("sum_err_fp"))
+          sum(col("e").cast("decimal(38,0)")).as("sum_dec"))
         .withColumn("mean_err_fp",
-          expr("CAST(sum_err_fp DIV n_vecs AS BIGINT)"))
-        .select("j", "n_vecs", "sum_err_fp", "mean_err_fp")
+          expr("CAST(sum_dec DIV n_vecs AS BIGINT)"))
+        .select(col("j"), col("n_vecs"),
+          col("sum_dec").cast("string").as("sum_err_fp"),
+          col("mean_err_fp"))
         .orderBy("j")
     }),
 
@@ -576,7 +580,7 @@ object SemiStructuredOps extends OpGroup {
          |per AS (SELECT vec_id, j, CAST(sum(t) AS BIGINT) AS e
          |        FROM terms GROUP BY 1, 2)
          |SELECT j, CAST(count(*) AS BIGINT) AS n_vecs,
-         |       CAST(sum(CAST(e AS HUGEINT)) AS DECIMAL(38,0)) AS sum_err_fp,
+         |       CAST(sum(CAST(e AS HUGEINT)) AS VARCHAR) AS sum_err_fp,
          |       CAST(sum(CAST(e AS HUGEINT)) // count(*) AS BIGINT)
          |         AS mean_err_fp
          |FROM per GROUP BY j ORDER BY j""".stripMargin,

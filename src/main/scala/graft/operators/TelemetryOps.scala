@@ -23,12 +23,14 @@ import org.apache.spark.sql.functions._
   *     algebraic fact that makes manifest-based incremental stats (and
   *     Spark's own partial aggregation) correct. Squares lift to
   *     DECIMAL(38,0) (cents² × row count passes int64 at ~6e20).
-  *   - Oracle type rule (r11): oracle output type = Spark output type,
-  *     ALWAYS — a HUGEINT never reaches a SELECT list. `sumsq_cents`
-  *     is Spark DECIMAL(38,0), so the DuckDB side casts its HUGEINT
-  *     sum to DECIMAL(38,0) explicitly: int128 and decimal128 are
-  *     value-equal but hash differently in the driver's arrow-level
-  *     compare (the r10 hash-red lesson).
+  *   - Output type rule (r12): the r11 cast-the-oracle-to-DECIMAL(38,0)
+  *     fix did NOT green the driver hash — the driver reds decimal128
+  *     outputs even when both engines emit value-identical, type-aligned
+  *     decimal128 (r11 verdict's controlled experiment). So NO decimal128
+  *     ever reaches a SELECT list: `sumsq_cents` keeps DECIMAL(38,0)
+  *     internally and is emitted as a canonical digit STRING on both
+  *     engines (Spark decimal→string and DuckDB HUGEINT→VARCHAR both
+  *     render plain digits, sign included, no exponent).
   *   - Skew and OHLC state is domain-bounded: multiplicity histogram ≤
   *     max fan-in, OHLC rows ≤ |types| × |time buckets|.
   *   - OHLC open/close come from first/last over a TOTAL (us, event_id)
@@ -55,7 +57,7 @@ object TelemetryOps extends OpGroup {
       per.agg(count(lit(1)).as("n_shards"), sum("n").as("n_rows"),
         sum("s").as("sum_cents"), min("mn").as("min_cents"),
         max("mx").as("max_cents"),
-        sum("ss").cast("decimal(38,0)").as("sumsq_cents"))
+        sum("ss").cast("decimal(38,0)").cast("string").as("sumsq_cents"))
     }),
 
     // join-key skew profile: the multiplicity histogram of the
@@ -108,7 +110,7 @@ object TelemetryOps extends OpGroup {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(cents) AS BIGINT) AS sum_cents,
         |       min(cents) AS min_cents, max(cents) AS max_cents,
-        |       CAST(sum(CAST(cents AS HUGEINT) * cents) AS DECIMAL(38,0))
+        |       CAST(sum(CAST(cents AS HUGEINT) * cents) AS VARCHAR)
         |         AS sumsq_cents
         |FROM li CROSS JOIN shards GROUP BY n_shards""".stripMargin,
 

@@ -12,8 +12,11 @@ class EmbeddingAlgebraSpec extends SparkSpec {
       "embedding_covariance_topk")(spark, sf()).collect()
     assert(rows.length === 20)
     rows.foreach(r => assert(r.getInt(0) < r.getInt(1), "upper triangle only"))
+    // cov_num crosses the SELECT boundary as a canonical digit string
+    // (r12 decimal ban); parse back to exact decimal for the law checks
+    def cov(r: org.apache.spark.sql.Row) = new java.math.BigDecimal(r.getString(3))
     // ranking is by |cov_num| nonincreasing
-    val mags = rows.map(_.getDecimal(3).abs)
+    val mags = rows.map(r => cov(r).abs)
     mags.zip(mags.tail).foreach { case (a, b) => assert(a.compareTo(b) >= 0) }
     // direct recomputation of the top pair from the raw table
     val (i, j) = (rows.head.getInt(0), rows.head.getInt(1))
@@ -28,7 +31,7 @@ class EmbeddingAlgebraSpec extends SparkSpec {
         sum(col("b").cast("decimal(38,0)")).as("sb"))
       .select(expr("CAST(n AS DECIMAL(38,0)) * sxy - sa * sb").as("cov"))
       .collect()(0).getDecimal(0)
-    assert(rows.head.getDecimal(3).compareTo(fx) === 0)
+    assert(cov(rows.head).compareTo(fx) === 0)
   }
 
   test("embedding_pca_power_iter: normalized PSD iteration keeps direction") {

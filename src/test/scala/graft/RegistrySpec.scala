@@ -49,6 +49,30 @@ class RegistrySpec extends SparkSpec {
     assert(distinct <= 100, "tracked-item budget (100) overflowed")
   }
 
+  test("no DecimalType in any decimal-accumulating query's output schema") {
+    // r12 decimal ban (VERDICT r11 ask #2): the driver's hash compare
+    // reds any decimal128 output column even when both engines emit
+    // value-identical, type-aligned decimal128 — so DECIMAL may exist
+    // only INTERNALLY; the SELECT boundary must be int64 or strings.
+    // Verify.hasDecimal enforces this over the whole suite every dump;
+    // here the four formerly-red queries plus the heaviest decimal-
+    // accumulating kin are pinned in-suite so the ban trips at sbt-test
+    // time, before a dump ever runs.
+    val watch = Seq(
+      "embedding_covariance_topk", "incremental_stats_merge",
+      "random_projection_jl", "pq_subspace_recon_error",
+      "embedding_pca_power_iter", "embedding_dim_stats",
+      "embedding_outlier_filter", "cuped_variance_reduction",
+      "percentile_approx_scale", "twap_by_event_type",
+      "jackknife_loo_nation", "seasonal_residual_outliers")
+    for (k <- watch) {
+      val schema = SparkEntry.queries(k)(spark, sf()).schema
+      val dec = schema.filter(f => Verify.hasDecimal(f.dataType))
+      assert(dec.isEmpty,
+        s"$k emits decimal output column(s): ${dec.map(_.name).mkString(", ")}")
+    }
+  }
+
   test("no query key collides across operator groups") {
     val all = SparkEntry.groups.flatMap(_.queries.keys)
     val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }

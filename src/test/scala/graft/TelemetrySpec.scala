@@ -20,7 +20,10 @@ class TelemetrySpec extends SparkSpec {
     assert(r.getLong(2) === direct.getLong(1), "sum merges")
     assert(r.getLong(3) === direct.getLong(2), "min merges")
     assert(r.getLong(4) === direct.getLong(3), "max merges")
-    assert(r.getDecimal(5).compareTo(direct.getDecimal(4)) === 0,
+    // sumsq_cents crosses the SELECT boundary as a digit string (r12
+    // decimal ban); parse back for the exact merge-law compare
+    assert(new java.math.BigDecimal(r.getString(5))
+        .compareTo(direct.getDecimal(4)) === 0,
       "sum of squares merges")
     assert(r.getLong(0) >= 1 && r.getLong(0) <= 16, "shard count bounded")
   }
