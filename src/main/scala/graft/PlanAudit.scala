@@ -94,6 +94,13 @@ import org.apache.spark.sql.SparkSession
   *     with the 1-row reciprocal count; the edge set itself is the
   *     out-degree-bounded top-3 list and the reverse check is one
   *     distributed equi-semi-join.
+  *   - `proportional_quota_fill` (r12) — partition-less Window AND
+  *     many SinglePartition: bm25/heaps_law class — the
+  *     largest-remainder rank runs AFTER the (source × lang) groupBy
+  *     has reduced the stream to the ≤|sources|·|langs| cell grid, and
+  *     the single-partition exchanges carry the 1-row N-total and
+  *     1-row leftover scalar broadcasts (scalar-stitch class); the
+  *     corpus pass is one map-side combinable count.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

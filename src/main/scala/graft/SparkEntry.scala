@@ -69,6 +69,7 @@ object SparkEntry {
     operators.GraphAudienceOps,
     operators.TokenDistOps,
     operators.QualitySignalOps,
+    operators.CorpusHygieneOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
