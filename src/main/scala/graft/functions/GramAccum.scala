@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One cell of the accumulated upper-triangle gram matrix: exact
+  * Σ fx_i·fx_j over every row where both dimensions exist, carried as
+  * int64 limbs `s = sHi·10^18 + sLo` (canonical toward-zero split, so
+  * the pair is a pure function of the value — partition-invariant).
+  */
+case class GramCell(i: Int, j: Int, n: Long, sHi: Long, sLo: Long)
+
+/** Mergeable buffer: per upper-triangle cell (diagonal included, index
+  * idx(i,j) = i·d − i(i−1)/2 + (j−i)), the pair count and the running
+  * sum in (hi, lo) limbs. `d` grows monotonically if a longer vector
+  * arrives (buffers resize; absent dims simply contribute no pairs).
+  */
+case class GramBuf(d: Int, cnt: Array[Long], hi: Array[Long], lo: Array[Long])
+
+/** Exact upper-triangle gram accumulation as a typed `Aggregator` —
+  * the r11 verdict's polish ask on `embedding_covariance_topk` /
+  * `embedding_pca_power_iter` (the CharFreq precedent applied to the
+  * gram): instead of exploding d(d+1)/2 (i, j, product) rows PER
+  * VECTOR into a corpus-×-d² hash aggregate, each row folds into one
+  * d(d+1)/2-long buffer map-side with a tight multiply-add loop, and
+  * partial buffers merge element-wise — a commutative monoid, so any
+  * partitioning of 100 TB of vectors combines to the same cells. The
+  * shuffle carries ONE buffer per partition instead of rows·d²/2
+  * records.
+  *
+  * Exactness/overflow: per-pair products |fx_i·fx_j| ≤ 1e12 at the
+  * documented ×1e6 fixed-point leaf envelope; the lo limb flushes into
+  * hi (base 10^18, truncating div/mod — an exact decomposition for
+  * either sign) whenever |lo| ≥ 4·10^18, so int64 never overflows at
+  * ANY row count; `finish` re-splits each value canonically from the
+  * exact BigInt so the emitted (hi, lo) is independent of flush
+  * history (the partition-invariance property the sweep asserts).
+  * Downstream reconstructs DECIMAL(38,0) as sHi·10^18 + sLo — exact to
+  * ~10^38, i.e. ~10^26 rows.
+  */
+class GramUpperSum extends Aggregator[Array[Long], GramBuf, Seq[GramCell]] {
+
+  private val Base = 1000000000000000000L // 10^18
+  private val Flush = 4000000000000000000L // 4·10^18: headroom ≫ max |p|
+
+  private def tri(d: Int): Int = d * (d + 1) / 2
+
+  override def zero: GramBuf =
+    GramBuf(0, Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray)
+
+  /** Re-index a tri(dOld) buffer into tri(dNew) (row-major by i). */
+  private def grow(b: GramBuf, dNew: Int): GramBuf = {
+    val out = GramBuf(dNew, new Array[Long](tri(dNew)),
+      new Array[Long](tri(dNew)), new Array[Long](tri(dNew)))
+    var i = 0
+    var src = 0
+    while (i < b.d) {
+      val dst = i * dNew - i * (i - 1) / 2
+      System.arraycopy(b.cnt, src, out.cnt, dst, b.d - i)
+      System.arraycopy(b.hi, src, out.hi, dst, b.d - i)
+      System.arraycopy(b.lo, src, out.lo, dst, b.d - i)
+      src += b.d - i
+      i += 1
+    }
+    out
+  }
+
+  @inline private def add(b: GramBuf, idx: Int, p: Long): Unit = {
+    var l = b.lo(idx) + p
+    if (l >= Flush || l <= -Flush) {
+      b.hi(idx) += l / Base
+      l = l % Base
+    }
+    b.lo(idx) = l
+  }
+
+  override def reduce(buf0: GramBuf, fxs: Array[Long]): GramBuf = {
+    if (fxs == null || fxs.length == 0) return buf0
+    val d = fxs.length
+    val b = if (d > buf0.d) grow(buf0, d) else buf0
+    var i = 0
+    var idx = 0
+    while (i < d) {
+      val fi = fxs(i)
+      // cells (i, i..d-1) are contiguous from idx when d == b.d; when
+      // the buffer is wider (earlier longer vector), re-base per row
+      idx = i * b.d - i * (i - 1) / 2
+      var j = i
+      while (j < d) {
+        val k = idx + (j - i)
+        b.cnt(k) += 1
+        add(b, k, fi * fxs(j))
+        j += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(a0: GramBuf, c0: GramBuf): GramBuf = {
+    if (c0.d == 0) return a0
+    if (a0.d == 0) return c0
+    val (a, c) = if (a0.d >= c0.d) (a0, c0) else (c0, a0)
+    var i = 0
+    while (i < c.d) {
+      val srcRow = i * c.d - i * (i - 1) / 2
+      val dstRow = i * a.d - i * (i - 1) / 2
+      var o = 0
+      while (o < c.d - i) {
+        a.cnt(dstRow + o) += c.cnt(srcRow + o)
+        a.hi(dstRow + o) += c.hi(srcRow + o)
+        add(a, dstRow + o, c.lo(srcRow + o))
+        o += 1
+      }
+      i += 1
+    }
+    a
+  }
+
+  override def finish(b: GramBuf): Seq[GramCell] = {
+    val out = Seq.newBuilder[GramCell]
+    var i = 0
+    while (i < b.d) {
+      var j = i
+      while (j < b.d) {
+        val k = i * b.d - i * (i - 1) / 2 + (j - i)
+        // canonical toward-zero re-split from the exact value
+        val v = BigInt(b.hi(k)) * Base + b.lo(k)
+        val hi = (v / Base).toLong
+        val lo = (v - BigInt(hi) * Base).toLong
+        out += GramCell(i, j, b.cnt(k), hi, lo)
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  override def bufferEncoder: Encoder[GramBuf] = ExpressionEncoder[GramBuf]()
+  override def outputEncoder: Encoder[Seq[GramCell]] =
+    ExpressionEncoder[Seq[GramCell]]()
+}

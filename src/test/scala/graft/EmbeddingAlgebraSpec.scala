@@ -34,6 +34,39 @@ class EmbeddingAlgebraSpec extends SparkSpec {
     assert(cov(rows.head).compareTo(fx) === 0)
   }
 
+  test("GramUpperSum: merge law, limb flush, and variable-dim resize") {
+    import graft.functions.{GramCell, GramUpperSum}
+    val agg = new GramUpperSum
+    // magnitudes force |p| = 4e18 ≥ the 4e18 flush threshold, so the
+    // hi/lo limb path and its canonical re-split are exercised; one
+    // short row exercises the buffer resize
+    val rows = Seq(Array(2000000000L, -2000000000L, 1000000000L),
+      Array(-2000000000L, 2000000000L, 2000000000L),
+      Array(1500000000L, 1500000000L))
+    def fold(rs: Seq[Array[Long]]) = rs.foldLeft(agg.zero)(agg.reduce)
+    val whole = agg.finish(fold(rows))
+    val split = agg.finish(agg.merge(fold(rows.take(1)), fold(rows.drop(1))))
+    assert(whole === split, "reduce-then-merge = one-pass fold")
+    // reference: exact BigInt gram over the same rows
+    def ref(i: Int, j: Int): (Long, BigInt) = {
+      val used = rows.filter(r => r.length > math.max(i, j))
+      (used.size.toLong,
+        used.map(r => BigInt(r(i)) * BigInt(r(j))).sum)
+    }
+    whole.foreach { case GramCell(i, j, n, hi, lo) =>
+      val (rn, rv) = ref(i, j)
+      assert(n === rn, s"cell ($i,$j) count")
+      assert(BigInt(hi) * BigInt("1000000000000000000") + lo === rv,
+        s"cell ($i,$j) value")
+      // canonical toward-zero split: lo strictly inside the base and
+      // sign-consistent with the value
+      assert(math.abs(lo) < 1000000000000000000L)
+      if (rv != 0) assert((rv.signum >= 0) === (if (hi != 0) hi > 0 else lo >= 0))
+    }
+    assert(whole.map(c => (c.i, c.j)).toSet ===
+      (for (i <- 0 until 3; j <- i until 3) yield (i, j)).toSet)
+  }
+
   test("embedding_pca_power_iter: normalized PSD iteration keeps direction") {
     val rows = operators.EmbeddingAlgebraOps.queries(
       "embedding_pca_power_iter")(spark, sf()).collect()
