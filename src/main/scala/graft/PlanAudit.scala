@@ -94,6 +94,11 @@ import org.apache.spark.sql.SparkSession
   *     with the 1-row reciprocal count; the edge set itself is the
   *     out-degree-bounded top-3 list and the reverse check is one
   *     distributed equi-semi-join.
+  *   - `join_cardinality_estimate` (r12) — many SinglePartition:
+  *     scalar-stitch — each of the three join profiles reduces to a
+  *     1-row (n, ndv) aggregate and a 1-row Σ f_A·f_B total before the
+  *     3-row union; the per-key histograms and their key equi-join are
+  *     map-side-combinable distributed passes, never single-partition.
   *   - `proportional_quota_fill` (r12) — partition-less Window AND
   *     many SinglePartition: bm25/heaps_law class — the
   *     largest-remainder rank runs AFTER the (source × lang) groupBy

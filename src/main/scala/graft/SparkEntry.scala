@@ -70,6 +70,7 @@ object SparkEntry {
     operators.TokenDistOps,
     operators.QualitySignalOps,
     operators.CorpusHygieneOps,
+    operators.PlanEvalOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
