@@ -94,6 +94,12 @@ import org.apache.spark.sql.SparkSession
   *     with the 1-row reciprocal count; the edge set itself is the
   *     out-degree-bounded top-3 list and the reverse check is one
   *     distributed equi-semi-join.
+  *   - `gini_split_stump` (r12) — partition-less Window AND many
+  *     SinglePartition: the prefix sum and the argmin run AFTER the
+  *     value-fixed binning has reduced the stream to the ≤10-bin grid
+  *     (slo_error_budget class); the single-partition exchanges carry
+  *     the 1-row totals and 1-row best-threshold broadcasts; the
+  *     corpus pass is one map-side combinable histogram count.
   *   - `join_cardinality_estimate` (r12) — many SinglePartition:
   *     scalar-stitch — each of the three join profiles reduces to a
   *     1-row (n, ndv) aggregate and a 1-row Σ f_A·f_B total before the

@@ -129,6 +129,43 @@ object CalibrationOps extends OpGroup {
         .select("event_id", "event_type", "v_fp", "pct_fp")
         .orderBy("event_id")
     }),
+
+    // Expected Calibration Error (Guo et al. 2017) of the langid
+    // heuristic: confidence = Laplace-smoothed best-score share
+    // (best+1)/(Σ scores+4) — smoothing makes confidence track the
+    // EVIDENCE MASS (a 9-stopword win states more confidence than a
+    // 1-stopword win), which is exactly the axis calibration audits;
+    // the raw ratio is degenerately 1.0 whenever only one list fires.
+    // Binned into 10 fixed-width bins; per bin the mean stated
+    // confidence vs the empirical accuracy, and the n-weighted ECE —
+    // the "can we trust this classifier's own confidence" read that
+    // decides whether low-confidence docs need human/model review.
+    // Everything is exact integer ppm off the SAME lang_id_ngram
+    // projection the confusion matrix audits; bins are value-fixed
+    // (never rank-defined), so the state is 10 cells at any scale.
+    "langid_calibration_ece" -> ((s, d) => {
+      val scored = TrainingDataOps.queries("lang_id_ngram")(s, d)
+        .filter(col("lang_pred") =!= "unknown")
+        .withColumn("stotal", expr("s_en + s_de + s_es + s_fr"))
+        .withColumn("best",
+          greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
+        .withColumn("conf_fp", expr("(best + 1) * 1000000 DIV (stotal + 4)"))
+        .withColumn("bin",
+          expr("least(CAST(conf_fp DIV 100000 AS INT), 9)"))
+        .withColumn("hit",
+          (col("lang_pred") === col("lang_stored")).cast("long"))
+      val bins = scored.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("conf_fp").as("sum_conf"),
+          sum("hit").as("n_correct"))
+        .withColumn("mean_conf_fp", expr("sum_conf DIV n"))
+        .withColumn("acc_fp", expr("n_correct * 1000000 DIV n"))
+        .withColumn("gap_fp", abs(col("mean_conf_fp") - col("acc_fp")))
+      val ece = bins.agg(
+        expr("CAST(sum(n * gap_fp) DIV sum(n) AS BIGINT)").as("ece_fp"))
+      bins.crossJoin(broadcast(ece))
+        .select("bin", "n", "mean_conf_fp", "acc_fp", "gap_fp", "ece_fp")
+        .orderBy("bin")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -215,5 +252,33 @@ object CalibrationOps extends OpGroup {
         |         AS pct_fp
         |FROM rk JOIN cnt ON rk.event_type = cnt.event_type
         |ORDER BY event_id""".stripMargin,
+
+    "langid_calibration_ece" ->
+      s"""WITH pred AS (${TrainingDataOps.oracleSql("lang_id_ngram")}),
+         |scored AS (
+         |  SELECT lang_stored, lang_pred,
+         |         s_en + s_de + s_es + s_fr AS stotal,
+         |         greatest(s_en, s_de, s_es, s_fr) AS best
+         |  FROM pred WHERE lang_pred <> 'unknown'),
+         |conf AS (
+         |  SELECT lang_stored, lang_pred,
+         |         (best + 1) * 1000000 // (stotal + 4) AS conf_fp,
+         |         least(CAST((best + 1) * 1000000 // (stotal + 4) // 100000
+         |           AS INT), 9) AS bin,
+         |         CASE WHEN lang_pred = lang_stored THEN 1 ELSE 0 END AS hit
+         |  FROM scored),
+         |bins AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(conf_fp) // count(*) AS BIGINT) AS mean_conf_fp,
+         |         CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS acc_fp
+         |  FROM conf GROUP BY bin),
+         |g AS (SELECT bin, n, mean_conf_fp, acc_fp,
+         |             abs(mean_conf_fp - acc_fp) AS gap_fp
+         |      FROM bins),
+         |e AS (SELECT CAST(sum(n * gap_fp) // sum(n) AS BIGINT) AS ece_fp
+         |      FROM g)
+         |SELECT bin, n, mean_conf_fp, acc_fp, CAST(gap_fp AS BIGINT) AS gap_fp,
+         |       ece_fp
+         |FROM g CROSS JOIN e ORDER BY bin""".stripMargin,
   )
 }

@@ -118,6 +118,56 @@ object ModelPrepOps extends OpGroup {
         .withColumn("collision_rate_fp",
           expr("n_collided_tokens * 1000000 DIV n_vocab"))
     }),
+
+    // Decision-stump split scan (r12): the best single o_totalprice
+    // threshold separating finished orders (Gini impurity on a fixed
+    // 50k-value grid) — the CART building block, run as histogram
+    // arithmetic: ONE map-side (bin → n, pos) count pass, a prefix
+    // sum over the ≤10-bin grid, and all 9 candidate splits evaluated
+    // from the cumulative counts. Value-fixed bins (never rank-defined)
+    // keep the state grid-bounded at any scale; squares lift to
+    // DECIMAL(38,0) before multiplying (n² ≈ 1e22 at 100 TB passes
+    // int64); per-threshold truncation is applied identically on both
+    // engines. Output: the 9-point Gini curve + the argmin threshold.
+    "gini_split_stump" -> ((s, d) => {
+      val ord = Tables.orders(s, d).select(
+        expr("least(CAST(FLOOR(o_totalprice / 50000) AS INT), 9)").as("bin"),
+        (col("o_orderstatus") === "F").cast("long").as("pos"))
+      val hist = ord.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+      val tot = hist.agg(sum("n").as("nt"), sum("p").as("pt"))
+      // prefix sums over the ≤10-row grid (slo_error_budget pattern)
+      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist
+        .withColumn("nl", sum("n").over(w))
+        .withColumn("pl", sum("p").over(w))
+        .filter(col("bin") < 9) // threshold t = (bin+1)·50000, 9 candidates
+        .crossJoin(broadcast(tot))
+      def gini(posC: String, nC: String) =
+        s"""CASE WHEN $nC = 0 THEN 0 ELSE 1000000 -
+           |CAST((CAST($posC AS DECIMAL(38,0)) * $posC
+           |  + CAST($nC - $posC AS DECIMAL(38,0)) * ($nC - $posC)) * 1000000
+           |  DIV (CAST($nC AS DECIMAL(38,0)) * $nC) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")
+      val curve = cum.select(
+          ((col("bin") + 1) * 50000L).as("threshold"),
+          col("nl").as("n_left"), col("pl").as("pos_left"),
+          (col("nt") - col("nl")).as("n_right"),
+          (col("pt") - col("pl")).as("pos_right"),
+          col("nt"))
+        .withColumn("gini_left", expr(gini("pos_left", "n_left")))
+        .withColumn("gini_right", expr(gini("pos_right", "n_right")))
+        .withColumn("gini_weighted_fp", expr(
+          """CAST((CAST(n_left AS DECIMAL(38,0)) * gini_left
+            | + CAST(n_right AS DECIMAL(38,0)) * gini_right)
+            | DIV nt AS BIGINT)""".stripMargin.replace("\n", " ")))
+      val best = curve.orderBy(col("gini_weighted_fp"), col("threshold"))
+        .limit(1).select(col("threshold").as("best_threshold"))
+      curve.crossJoin(broadcast(best))
+        .select("threshold", "n_left", "pos_left", "n_right", "pos_right",
+          "gini_weighted_fp", "best_threshold")
+        .orderBy("threshold")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -211,5 +261,47 @@ object ModelPrepOps extends OpGroup {
          |       CAST(sum(CASE WHEN n_tokens >= 2 THEN n_tokens ELSE 0 END)
          |         * 1000000 // sum(n_tokens) AS BIGINT) AS collision_rate_fp
          |FROM bk""".stripMargin,
+
+    "gini_split_stump" ->
+      """WITH ord AS (
+        |  SELECT least(CAST(FLOOR(o_totalprice / 50000) AS INT), 9) AS bin,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        |  FROM orders),
+        |hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(pos) AS BIGINT) AS p
+        |         FROM ord GROUP BY bin),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |               CAST(sum(p) AS BIGINT) AS pt FROM hist),
+        |cum AS (
+        |  SELECT bin,
+        |         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS nl,
+        |         CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS pl
+        |  FROM hist),
+        |curve AS (
+        |  SELECT (bin + 1) * 50000 AS threshold,
+        |         nl AS n_left, pl AS pos_left,
+        |         nt - nl AS n_right, pt - pl AS pos_right, nt,
+        |         CASE WHEN nl = 0 THEN 0 ELSE 1000000 -
+        |           CAST((CAST(pl AS HUGEINT) * pl
+        |             + CAST(nl - pl AS HUGEINT) * (nl - pl)) * 1000000
+        |             // (CAST(nl AS HUGEINT) * nl) AS BIGINT) END AS gl,
+        |         CASE WHEN nt - nl = 0 THEN 0 ELSE 1000000 -
+        |           CAST((CAST(pt - pl AS HUGEINT) * (pt - pl)
+        |             + CAST((nt - nl) - (pt - pl) AS HUGEINT)
+        |               * ((nt - nl) - (pt - pl))) * 1000000
+        |             // (CAST(nt - nl AS HUGEINT) * (nt - nl)) AS BIGINT)
+        |           END AS gr
+        |  FROM cum CROSS JOIN tot WHERE bin < 9),
+        |scored AS (
+        |  SELECT threshold, n_left, pos_left, n_right, pos_right,
+        |         CAST((CAST(n_left AS HUGEINT) * gl
+        |           + CAST(n_right AS HUGEINT) * gr) // nt AS BIGINT)
+        |           AS gini_weighted_fp
+        |  FROM curve),
+        |best AS (SELECT threshold AS best_threshold FROM scored
+        |         ORDER BY gini_weighted_fp, threshold LIMIT 1)
+        |SELECT threshold, n_left, pos_left, n_right, pos_right,
+        |       gini_weighted_fp, best_threshold
+        |FROM scored CROSS JOIN best ORDER BY threshold""".stripMargin,
   )
 }

@@ -245,6 +245,38 @@ object SemiStructuredOps extends OpGroup {
         .orderBy("j")
     }),
 
+    // PQ codebook utilization per subspace (r12): how many codes the
+    // corpus actually uses, how many are DEAD, and the Shannon entropy
+    // of the code distribution — the quantizer health check that pairs
+    // with pq_subspace_recon_error (dead/skewed codes waste bits the
+    // recon-error profile can't see; the fix is re-training or fewer
+    // bits). One posexplode of the persisted m-code arrays into an
+    // (m × k)-bounded count grid; entropy terms use the house
+    // 1e9-FLOOR'd IEEE-ln convention (char_entropy_by_source).
+    "pq_code_utilization" -> ((s, d) => {
+      val stored = s.read.parquet(pqLayout(s, d))
+      val used = stored
+        .select(posexplode(col("codes")).as(Seq("j", "code")))
+        .groupBy("j", "code").agg(count(lit(1)).as("c"))
+      val tot = used.groupBy("j")
+        .agg(sum("c").as("n_vecs"), count(lit(1)).as("n_used"))
+      val kc = s.read.parquet(pqLayout(s, d) + ".codebook")
+        .select("j", "code").distinct()
+        .groupBy("j").agg(count(lit(1)).as("k_codes"))
+      used.join(broadcast(tot), "j")
+        .withColumn("term_fp", expr(
+          """CAST(FLOOR(-(CAST(c AS DOUBLE) / n_vecs)
+            | * ln(CAST(c AS DOUBLE) / n_vecs)
+            | * 1000000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("j", "n_vecs", "n_used")
+        .agg(sum("term_fp").as("entropy_fp"))
+        .join(broadcast(kc), "j")
+        .select(col("j"), col("n_vecs"), col("k_codes"), col("n_used"),
+          (col("k_codes") - col("n_used")).as("n_dead"), col("entropy_fp"))
+        .orderBy("j")
+    }),
+
     // The SERVING form of the same search: probe the cell-partitioned
     // parquet layout — cells assigned at write time, probe filters prune
     // whole cell directories (dynamic partition pruning). Must return
@@ -584,6 +616,38 @@ object SemiStructuredOps extends OpGroup {
          |       CAST(sum(CAST(e AS HUGEINT)) // count(*) AS BIGINT)
          |         AS mean_err_fp
          |FROM per GROUP BY j ORDER BY j""".stripMargin,
+    // same persisted codes + codebook; code histogram re-derived by
+    // unnesting the m-code arrays, entropy via the shared FLOOR'd-ln
+    // term convention
+    "pq_code_utilization" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, codes
+         |  FROM read_parquet('${pqLayoutCache.lastPath}/*.parquet')),
+         |used AS (
+         |  SELECT CAST(t.i - 1 AS INT) AS j, codes[CAST(t.i AS INT)] AS code,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM v CROSS JOIN range(1, 129) t(i)
+         |  WHERE t.i <= len(codes)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT j, CAST(sum(c) AS BIGINT) AS n_vecs,
+         |               CAST(count(*) AS BIGINT) AS n_used
+         |        FROM used GROUP BY j),
+         |kc AS (SELECT j, CAST(count(DISTINCT code) AS BIGINT) AS k_codes
+         |       FROM read_parquet('${pqLayoutCache.lastPath}.codebook/*.parquet')
+         |       GROUP BY j),
+         |terms AS (
+         |  SELECT u.j, t.n_vecs, t.n_used,
+         |         CAST(FLOOR(-(CAST(u.c AS DOUBLE) / t.n_vecs)
+         |           * ln(CAST(u.c AS DOUBLE) / t.n_vecs)
+         |           * 1000000000.0) AS BIGINT) AS term_fp
+         |  FROM used u JOIN tot t USING (j))
+         |SELECT j, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+         |       CAST(max(k.k_codes) AS BIGINT) AS k_codes,
+         |       CAST(max(n_used) AS BIGINT) AS n_used,
+         |       CAST(max(k.k_codes) - max(n_used) AS BIGINT) AS n_dead,
+         |       CAST(sum(term_fp) AS BIGINT) AS entropy_fp
+         |FROM terms JOIN kc k USING (j)
+         |GROUP BY j ORDER BY j""".stripMargin,
     "variant_semistructured" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,

@@ -323,4 +323,23 @@ class AnnSpec extends SparkSpec {
     assert(curve(3)._1 === se, "n_exact at k=3 matches")
     assert(curve(3)._2 === sh, "n_hit at k=3 matches")
   }
+
+  test("pq_code_utilization: accounting + the uniform-entropy ceiling") {
+    val rows = SparkEntry.queries("pq_code_utilization")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty, "one row per subspace")
+    val nVecs = Tables.embeddings(spark, sf()).count()
+    rows.foreach { r =>
+      val (j, n, k, used, dead, h) = (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n === nVecs, s"subspace $j covers the corpus")
+      assert(used >= 1 && used <= k, s"subspace $j used $used of $k")
+      assert(dead === k - used)
+      // Shannon entropy of a distribution over `used` outcomes lives
+      // in [0, ln(used)]; 1e9 fixed point, +used for per-term floors
+      assert(h >= 0)
+      assert(h <= (math.log(used.toDouble) * 1e9).toLong + used,
+        s"subspace $j entropy $h above ln($used)")
+    }
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Semantic pins for CalibrationOps — conservation, monotone tuning
   * curves, and percentile-rank bounds the oracle hash can't name.
   */
@@ -78,5 +80,33 @@ class CalibrationSpec extends SparkSpec {
         assert(pcts.toSeq === pcts.sorted.toSeq, s"monotone pct for $t")
       }
     }
+  }
+
+  test("langid_calibration_ece: coverage, bounds, and the weighted-ECE identity") {
+    val rows = run("langid_calibration_ece")
+    assert(rows.nonEmpty)
+    val covered = operators.TrainingDataOps.queries("lang_id_ngram")(
+        spark, sf())
+      .filter(col("lang_pred") =!= "unknown").count()
+    assert(rows.map(_.getLong(1)).sum === covered,
+      "bins partition the confidently-predicted docs")
+    rows.foreach { r =>
+      val (bin, n, conf, acc, gap) = (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bin >= 0 && bin <= 9)
+      assert(n > 0)
+      // smoothed confidence (best+1)/(Σ+4) lives in (0.25, 1)
+      assert(conf > 250000 && conf < 1000000, s"bin $bin conf $conf")
+      assert(acc >= 0 && acc <= 1000000)
+      assert(gap === math.abs(conf - acc))
+      // bin membership: mean confidence falls in its own bin (value-
+      // fixed bins + means of members)
+      assert(conf / 100000 === bin.toLong || (bin == 9 && conf >= 900000))
+    }
+    val eces = rows.map(_.getLong(5)).distinct
+    assert(eces.length === 1, "ECE constant across rows")
+    val expect = rows.map(r => r.getLong(1) * r.getLong(4)).sum /
+      rows.map(_.getLong(1)).sum
+    assert(eces.head === expect, "ECE = Σ n·gap / N")
   }
 }

@@ -55,4 +55,30 @@ class ModelPrepSpec extends SparkSpec {
     assert(r.getLong(3) >= (vocab + 1023) / 1024, "pigeonhole lower bound")
     assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(0))
   }
+
+  test("gini_split_stump: conservation, impurity bounds, and the argmin pick") {
+    val rows = run("gini_split_stump")
+    assert(rows.length === 9, "nine candidate thresholds")
+    val nOrders = Tables.orders(spark, sf()).count()
+    val nF = Tables.orders(spark, sf())
+      .filter(col("o_orderstatus") === "F").count()
+    rows.foreach { r =>
+      val (t, nl, pl, nr, pr, g) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(t % 50000 === 0 && t >= 50000 && t <= 450000)
+      assert(nl + nr === nOrders, "split partitions the table")
+      assert(pl + pr === nF, "positives conserved")
+      assert(pl <= nl && pr <= nr)
+      // binary Gini impurity caps at 1/2
+      assert(g >= 0 && g <= 500000, s"weighted Gini $g out of range")
+    }
+    // the published best is the (gini, threshold)-lexicographic argmin
+    val best = rows.map(_.getLong(6)).distinct
+    assert(best.length === 1)
+    val expect = rows.map(r => (r.getLong(5), r.getLong(0))).min._2
+    assert(best.head === expect, "best_threshold = argmin of the curve")
+    // prefix monotonicity of the cumulative split
+    val nls = rows.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(nls.zip(nls.tail).forall { case (a, b) => a <= b })
+  }
 }
