@@ -254,6 +254,58 @@ object ExtendedOps extends OpGroup {
         .orderBy("c_nationkey")
     }),
 
+    // HLL audience intersection (r12): |users_A ∩ users_B| per
+    // event-type pair by inclusion–exclusion over the SKETCHES
+    // (est_A + est_B − est(A ∪ B)) — the sketch-era form of
+    // audience_overlap_matrix for when audiences are too big to hold
+    // as sets; sketches build map-side, the pairwise algebra runs on
+    // the |types|-row sketch table. Exact counts come from the
+    // per-user type-set expansion (the audience matrix's skew-proof
+    // shape) and ARE the hash-compared columns; the sketch estimate is
+    // engine-specific, so it surfaces as an ε-verdict (the
+    // percentile_approx_scale pattern): inclusion–exclusion error is
+    // bounded by the union's sketch error, so the pin is
+    // |est − exact| ≤ 5% of the union (lgK=12 ⇒ per-sketch ε ≈ 1.6%).
+    "hll_intersection_estimate" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select("user_id", "event_type").distinct()
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("sz"))
+      val inter = ut.groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ts) - 1),
+            |  i -> transform(sequence(i + 1, size(ts)),
+            |    j -> struct(element_at(ts, i) AS a, element_at(ts, j) AS b))))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val sk = Tables.events(s, d).groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val skPairs = sk.select(col("event_type").as("type_a"),
+          col("sk").as("sk_a"))
+        .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b")))
+        .filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          hll_sketch_estimate(col("sk_a")).as("est_a"),
+          hll_sketch_estimate(col("sk_b")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+            .as("est_u"))
+      inter
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("sz").as("exact_a"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("sz").as("exact_b"))), "type_b")
+        .withColumn("exact_union",
+          expr("exact_a + exact_b - exact_inter"))
+        .join(skPairs, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+          col("exact_inter"), col("exact_union"),
+          (abs(col("est_a") + col("est_b") - col("est_u")
+            - col("exact_inter")) <= col("exact_union") * 0.05)
+            .as("inter_ok"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Exact moment statistics: mean/stddev from DECIMAL-exact Σx and Σx²
     // then the same IEEE formula on both engines (never stddev()).
     "stats_moments" -> ((s, d) =>
@@ -741,6 +793,30 @@ object ExtendedOps extends OpGroup {
         |       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
         |FROM ranked GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // exact audience algebra recomputed; the sketch estimate is
+    // engine-specific, oracled as the TRUE ε-verdict (the graduated
+    // percentile_approx_scale pattern — exact columns hash-compared,
+    // the sketch bounded against them Spark-side)
+    "hll_intersection_estimate" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sz
+        |          FROM ut GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        |       sa.sz AS exact_a, sb.sz AS exact_b, exact_inter,
+        |       sa.sz + sb.sz - exact_inter AS exact_union,
+        |       TRUE AS inter_ok
+        |FROM pairs
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "percentile_disc" ->
       """WITH ranked AS (
         |  SELECT l_returnflag, l_extendedprice,

@@ -58,6 +58,40 @@ object MergeOps extends OpGroup {
       kept.unionByName(updated).unionByName(inserted)
         .orderBy("c_custkey")
     }),
+
+    // Snapshot diff audit (r12): classify every key of two table
+    // versions as added / removed / changed / unchanged and account
+    // the value movement — the reconciliation report run after every
+    // incremental load (the READ side of merge_upsert_cdc: that op
+    // applies a delta, this one verifies what a delta DID). Versions
+    // are derived deterministically from the target itself:
+    // %3==0 keys absent from the NEW snapshot (deleted), %5==0 keys
+    // absent from the OLD (added), %7==0 surviving keys get +500
+    // cents (changed). One full outer join on the key — the canonical
+    // diff shape: key-partitioned, no windows, map-side classifiable;
+    // the report is 4 domain-bounded rows.
+    "snapshot_diff_audit" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val old = base.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("cents").as("old_cents"))
+      val nw = base.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("cents") + 500)
+            .otherwise(col("cents")).as("new_cents"))
+      old.join(nw, Seq("o_orderkey"), "full_outer")
+        .withColumn("diff_class",
+          when(col("old_cents").isNull, "added")
+            .when(col("new_cents").isNull, "removed")
+            .when(col("old_cents") =!= col("new_cents"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("diff_class")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("old_cents"), lit(0L))).as("cents_old"),
+          sum(coalesce(col("new_cents"), lit(0L))).as("cents_new"))
+        .withColumn("cents_delta", expr("cents_new - cents_old"))
+        .orderBy("diff_class")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -87,5 +121,31 @@ object MergeOps extends OpGroup {
         |UNION ALL SELECT * FROM updated
         |UNION ALL SELECT * FROM inserted
         |ORDER BY c_custkey""".stripMargin,
+
+    "snapshot_diff_audit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |old AS (SELECT o_orderkey, cents AS old_cents FROM base
+        |        WHERE o_orderkey % 5 <> 0),
+        |nw AS (SELECT o_orderkey,
+        |              CASE WHEN o_orderkey % 7 = 0 THEN cents + 500
+        |                   ELSE cents END AS new_cents
+        |       FROM base WHERE o_orderkey % 3 <> 0),
+        |diff AS (
+        |  SELECT coalesce(old.o_orderkey, nw.o_orderkey) AS k,
+        |         old_cents, new_cents,
+        |         CASE WHEN old_cents IS NULL THEN 'added'
+        |              WHEN new_cents IS NULL THEN 'removed'
+        |              WHEN old_cents <> new_cents THEN 'changed'
+        |              ELSE 'unchanged' END AS diff_class
+        |  FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey)
+        |SELECT diff_class, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(coalesce(old_cents, 0)) AS BIGINT) AS cents_old,
+        |       CAST(sum(coalesce(new_cents, 0)) AS BIGINT) AS cents_new,
+        |       CAST(sum(coalesce(new_cents, 0)) - sum(coalesce(old_cents, 0))
+        |         AS BIGINT) AS cents_delta
+        |FROM diff GROUP BY diff_class ORDER BY diff_class""".stripMargin,
   )
 }

@@ -124,6 +124,36 @@ object TemporalOps extends OpGroup {
           "residual_fp", "is_outlier")
         .orderBy("epoch_day")
     }),
+
+    // MASE backtest (r12): score the seasonal-naive forecast
+    // f(d) = v(d−7) against the naive baseline n(d) = v(d−1) on the
+    // daily revenue series — MASE < 1e6 ppm means weekly seasonality
+    // genuinely predicts, the go/no-go read before building any real
+    // forecaster. Lags are equi-joins on shifted epoch days (calendar
+    // gaps drop out on BOTH engines identically — no LOCF guessing);
+    // days scored are those with both lags present. Exact cents; the
+    // ·1e6 products lift to DECIMAL(38,0) internally; one-row report.
+    "mase_seasonal_naive" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .select(expr(
+          "CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS BIGINT)")
+            .as("epoch_day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("epoch_day").agg(sum("cents").as("cents"))
+      val lag7 = daily.select((col("epoch_day") + 7).as("epoch_day"),
+        col("cents").as("f7"))
+      val lag1 = daily.select((col("epoch_day") + 1).as("epoch_day"),
+        col("cents").as("f1"))
+      daily.join(lag7, "epoch_day").join(lag1, "epoch_day")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cents") - col("f7"))).as("sae_seasonal"),
+          sum(abs(col("cents") - col("f1"))).as("sae_naive"))
+        .withColumn("mase_fp", expr(
+          """CASE WHEN sae_naive = 0 THEN -1
+            |ELSE CAST(CAST(sae_seasonal AS DECIMAL(38,0)) * 1000000
+            |  DIV sae_naive AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .select("n_days", "sae_seasonal", "sae_naive", "mase_fp")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -208,5 +238,25 @@ object TemporalOps extends OpGroup {
         |         * (CAST(n AS HUGEINT) * residual_fp - sr)
         |         > 4 * (CAST(n AS HUGEINT) * srr - sr * sr) AS is_outlier
         |FROM res CROSS JOIN mom ORDER BY epoch_day""".stripMargin,
+
+    "mase_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT d.cents, s7.cents AS f7, s1.cents AS f1
+        |  FROM daily d
+        |  JOIN daily s7 ON s7.epoch_day + 7 = d.epoch_day
+        |  JOIN daily s1 ON s1.epoch_day + 1 = d.epoch_day)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(abs(cents - f7)) AS BIGINT) AS sae_seasonal,
+        |       CAST(sum(abs(cents - f1)) AS BIGINT) AS sae_naive,
+        |       CAST(CASE WHEN sum(abs(cents - f1)) = 0 THEN -1
+        |            ELSE CAST(sum(abs(cents - f7)) AS HUGEINT) * 1000000
+        |              // sum(abs(cents - f1)) END AS BIGINT) AS mase_fp
+        |FROM j""".stripMargin,
   )
 }

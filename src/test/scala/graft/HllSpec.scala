@@ -85,4 +85,22 @@ class HllSpec extends SparkSpec {
     assert(d3(1)._1 > d3(0)._1 * 5,
       s"approx_orders not ~10x across sf: ${d3.map(_._1)}")
   }
+
+  test("hll_intersection_estimate: set algebra + every ε-verdict true") {
+    val rows = SparkEntry.queries("hll_intersection_estimate")(spark, sf())
+      .collect()
+    val nTypes = Tables.events(spark, sf())
+      .select("event_type").distinct().count()
+    assert(rows.length === nTypes * (nTypes - 1) / 2, "all unordered pairs")
+    rows.foreach { r =>
+      val (a, b, ea, eb, inter, union, ok) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getBoolean(6))
+      assert(a < b, "canonical pair order")
+      assert(inter <= math.min(ea, eb), "∩ bounded by both sides")
+      assert(union === ea + eb - inter, "inclusion–exclusion")
+      assert(union >= math.max(ea, eb))
+      assert(ok, s"sketch intersection for ($a, $b) outside 5% of union")
+    }
+  }
 }

@@ -59,4 +59,39 @@ class TemporalSpec extends SparkSpec {
     val nOut = rows.count(_.getBoolean(5))
     assert(nOut.toDouble / rows.length < 0.2, s"$nOut/${rows.length} outliers")
   }
+
+  test("mase_seasonal_naive: scored-day accounting and the ratio identity") {
+    val Array(r) = operators.TemporalOps.queries("mase_seasonal_naive")(
+      spark, sf()).collect()
+    val (n, saeS, saeN, mase) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0, "some days have both lags")
+    assert(saeS >= 0 && saeN >= 0)
+    if (saeN > 0)
+      assert(mase === (BigInt(saeS) * 1000000 / saeN).toLong, "ratio identity")
+    else assert(mase === -1L)
+    // scored days ⊆ observed days minus the first week's ramp
+    val days = Tables.orders(spark, sf())
+      .select(expr("CAST(o_orderdate AS DATE)")).distinct().count()
+    assert(n <= days, "cannot score more days than exist")
+  }
+
+  test("snapshot_diff_audit: the diff partitions both snapshots exactly") {
+    val rows = operators.MergeOps.queries("snapshot_diff_audit")(
+        spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.keySet === Set("added", "removed", "changed", "unchanged"))
+    val base = Tables.orders(spark, sf()).select("o_orderkey")
+    val nOld = base.filter(col("o_orderkey") % 5 =!= 0).count()
+    val nNew = base.filter(col("o_orderkey") % 3 =!= 0).count()
+    val surviving = rows("changed")._1 + rows("unchanged")._1
+    assert(surviving + rows("removed")._1 === nOld, "old side partitions")
+    assert(surviving + rows("added")._1 === nNew, "new side partitions")
+    // the planted +500-cent edit accounts for the entire changed delta
+    assert(rows("changed")._4 === rows("changed")._1 * 500,
+      "changed delta = n_changed × 500 cents")
+    assert(rows("unchanged")._4 === 0L)
+    assert(rows("added")._2 === 0L && rows("removed")._3 === 0L)
+  }
 }
