@@ -140,6 +140,32 @@ object CorpusHygieneOps extends OpGroup {
         .orderBy("source")
     }),
 
+    // Kish effective sample size of the SoftDeDup weights (r12): per
+    // source, ESS = (Σw)²/Σw² — how many EQUIVALENT uniform draws the
+    // downweighted corpus is actually worth (heavy near-dup clusters
+    // crater ESS long before they show in row counts; the standard
+    // acceptance read on ANY importance-weighting scheme). Same
+    // weight derivation as softdedup_weighting; squares lift to
+    // DECIMAL(38,0) BEFORE multiplying (w² ≤ 1e12 per doc passes
+    // int64 at ~9e6 docs/source); the two ratios take one truncation
+    // each, identical on both engines.
+    "importance_weight_ess" -> ((s, d) => {
+      val labels = s.read.parquet(TrainingDataOps.ccLabels(s, d))
+      val sizes = labels.groupBy("component").agg(count(lit(1)).as("sz"))
+      val w = labels.join(sizes, "component")
+        .withColumn("w_fp", expr("1000000 DIV sz"))
+      w.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w_fp").as("sw"),
+          sum(expr("CAST(w_fp AS DECIMAL(38,0)) * w_fp")).as("sww"))
+        .select(col("source"), col("n_docs"),
+          expr("CAST(CAST(sw AS DECIMAL(38,0)) * sw DIV sww AS BIGINT)")
+            .as("ess_docs"),
+          expr("""CAST(CAST(sw AS DECIMAL(38,0)) * sw * 1000000
+                 DIV (sww * n_docs) AS BIGINT)""").as("ess_ratio_fp"))
+        .orderBy("source")
+    }),
+
     // Wilson 95% interval on each source's short-doc rate: exact (k, n)
     // plus lo/hi ppm bounds from the shared IEEE expression.
     "wilson_ci_flag_rate" -> ((s, d) => {
@@ -232,6 +258,38 @@ object CorpusHygieneOps extends OpGroup {
          |         AS BIGINT) AS discount_fp
          |FROM w JOIN documents dd ON dd.doc_id = w.doc_id
          |GROUP BY dd.source ORDER BY dd.source""".stripMargin,
+
+    "importance_weight_ess" ->
+      s"""WITH RECURSIVE ${LlmOps.jaccardCtesDuck},
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component
+         |         FROM reach GROUP BY src),
+         |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+         |          FROM comp GROUP BY component),
+         |w AS (
+         |  SELECT c.doc_id, 1000000 // s.sz AS w_fp
+         |  FROM comp c JOIN sizes s USING (component)),
+         |agg AS (
+         |  SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(w.w_fp) AS HUGEINT) AS sw,
+         |         CAST(sum(CAST(w.w_fp AS HUGEINT) * w.w_fp) AS HUGEINT)
+         |           AS sww
+         |  FROM w JOIN documents dd ON dd.doc_id = w.doc_id
+         |  GROUP BY dd.source)
+         |SELECT source, n_docs,
+         |       CAST(sw * sw // sww AS BIGINT) AS ess_docs,
+         |       CAST(sw * sw * 1000000 // (sww * n_docs) AS BIGINT)
+         |         AS ess_ratio_fp
+         |FROM agg ORDER BY source""".stripMargin,
 
     "wilson_ci_flag_rate" -> {
       val (lo, hi) = wilsonFp("k", "n")

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalyticsOps extends OpGroup {
 
+  /** Power iterations for the stationary distribution — far past
+    * convergence for a 5-state chain (spectral gap ≫ 0), small enough
+    * that the oracle's unrolled CTE chain stays readable.
+    */
+  private val MarkovIters = 20
+
   /** Session gap: 30 min, in µs. */
   private val GapUs = 1800000000L
 
@@ -371,6 +377,65 @@ object EventAnalyticsOps extends OpGroup {
           col("nxt"), col("c"),
           expr("c * 1000000 DIV tot").as("p_fp"))
         .orderBy("event_type", "rk")
+    }),
+
+    // Stationary distribution of the event-type Markov chain (r12):
+    // 20 fixed power iterations π' = πP in exact ppm integers — where
+    // the user journey SETTLES, the long-run companion to
+    // markov_next_event_topk's one-step view (and the classic
+    // PageRank-without-teleport read on the behavior graph). The
+    // corpus pass is the shared one-shuffle lead chain folding to the
+    // |types|²-bounded transition matrix; the iteration runs on that
+    // BOUNDED MODEL STATE driver-side (the BPE-merge/PQ-codebook
+    // precedent — ≤25 cells, never a distributed loop), each step
+    // sum-then-truncate (Σ π(a)·p(a,b) DIV 1e6) so both engines'
+    // 20-step unrolls agree bit-for-bit.
+    "markov_stationary_dist" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq0 = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val tc = seq0.groupBy("event_type", "nxt").agg(count(lit(1)).as("c"))
+      val tt = tc.groupBy("event_type").agg(sum("c").as("tot"))
+      val pm = tc.join(tt, "event_type")
+        .select(col("event_type").as("a"), col("nxt").as("b"),
+          expr("c * 1000000 DIV tot").as("p_fp"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = pm.map(_._1).distinct.sorted
+      var pi: Map[String, Long] =
+        types.map(t => t -> 1000000L / types.length).toMap
+      for (_ <- 1 to MarkovIters) {
+        val nxt = types.map { b =>
+          b -> pm.filter(_._2 == b)
+            .map { case (a, _, p) => pi.getOrElse(a, 0L) * p }.sum / 1000000L
+        }.toMap
+        pi = nxt
+      }
+      import s.implicits._
+      types.map(t => (t, pi(t))).toSeq
+        .toDF("event_type", "pi_fp")
+        .orderBy("event_type")
+    }),
+
+    // DAU/MAU stickiness per month (r12): average daily actives over
+    // monthly actives — THE product-engagement ratio. Distinct counts
+    // are exact (per-day and per-month hash aggregates, both
+    // map-side-combinable on user_id); the report is calendar-bounded.
+    "dau_mau_stickiness" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        expr("date_format(ts, 'yyyy-MM')").as("month"),
+        expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+      val dau = ev.groupBy("month", "day")
+        .agg(countDistinct("user_id").as("dau"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+      val mau = ev.groupBy("month").agg(countDistinct("user_id").as("mau"))
+      dau.join(mau, "month")
+        .select(col("month"), col("n_days"), col("mau"),
+          expr("sum_dau DIV n_days").as("avg_dau"),
+          expr("sum_dau * 1000000 DIV (n_days * mau)").as("stickiness_fp"))
+        .orderBy("month")
     }),
 
     // V14 — first-touch revenue attribution: every purchase's value is
@@ -738,6 +803,58 @@ object EventAnalyticsOps extends OpGroup {
         |FROM r JOIN tt USING (event_type)
         |WHERE r.rk <= 3
         |ORDER BY r.event_type, r.rk""".stripMargin,
+
+    // same lead-chain transition matrix; the 20 sum-then-truncate
+    // iterations are UNROLLED as generated CTE stages (aggregates are
+    // not allowed inside a recursive term, and the chain depth is a
+    // compile-time constant anyway)
+    "markov_stationary_dist" -> {
+      val stages = (1 to MarkovIters).map { k =>
+        s"""it$k AS (
+           |  SELECT p.b AS t,
+           |         CAST(sum(i.pi * p.p_fp) // 1000000 AS BIGINT) AS pi
+           |  FROM it${k - 1} i JOIN pm p ON p.a = i.t GROUP BY p.b)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |tc AS (SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
+         |       FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+         |tt AS (SELECT event_type, sum(c) AS tot FROM tc GROUP BY event_type),
+         |pm AS (SELECT event_type AS a, nxt AS b,
+         |              CAST(c * 1000000 // tot AS BIGINT) AS p_fp
+         |       FROM tc JOIN tt USING (event_type)),
+         |types AS (SELECT DISTINCT a AS t FROM pm),
+         |it0 AS (SELECT t, CAST(1000000 // (SELECT count(*) FROM types)
+         |                  AS BIGINT) AS pi
+         |        FROM types),
+         |$stages
+         |SELECT t AS event_type, pi AS pi_fp
+         |FROM it$MarkovIters ORDER BY t""".stripMargin
+    },
+
+    // identical per-day / per-month distinct-user aggregates
+    "dau_mau_stickiness" ->
+      """WITH ev AS (
+        |  SELECT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS day,
+        |         user_id
+        |  FROM events),
+        |dau AS (
+        |  SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(dau) AS BIGINT) AS sum_dau
+        |  FROM (SELECT month, day, count(DISTINCT user_id) AS dau
+        |        FROM ev GROUP BY month, day)
+        |  GROUP BY month),
+        |mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |        FROM ev GROUP BY month)
+        |SELECT month, n_days, mau,
+        |       CAST(sum_dau // n_days AS BIGINT) AS avg_dau,
+        |       CAST(sum_dau * 1000000 // (n_days * mau) AS BIGINT)
+        |         AS stickiness_fp
+        |FROM dau JOIN mau USING (month) ORDER BY month""".stripMargin,
 
     // identical first-event channel, cents sums, 1e-6 share division
     "first_touch_attribution" ->

@@ -104,4 +104,34 @@ class CorpusHygieneSpec extends SparkSpec {
         s"cell quota $quota outside [⌊$ideal⌋, ⌈$ideal⌉]")
     }
   }
+
+  test("importance_weight_ess: Kish bounds and the equal-weights identity") {
+    val rows = run("importance_weight_ess").collect()
+    assert(rows.nonEmpty)
+    // direct weight recompute for the cross-check
+    val labels = spark.read.parquet(
+      operators.TrainingDataOps.ccLabels(spark, sf()))
+    val w = labels.join(
+        labels.groupBy("component").agg(count(lit(1)).as("sz")), "component")
+      .withColumn("w_fp", expr("1000000 DIV sz"))
+      .join(Tables.documents(spark, sf()).select("doc_id", "source"), "doc_id")
+      .select("source", "w_fp")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1))).toMap
+    rows.foreach { r =>
+      val (src, n, ess, ratio) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // Cauchy–Schwarz: 1 ≤ ESS ≤ n, with equality iff weights equal
+      assert(ess >= 1 && ess <= n, s"$src ESS $ess outside [1, $n]")
+      assert(ratio <= 1000000)
+      val ws = w(src)
+      val sw = ws.map(BigInt(_)).sum
+      val sww = ws.map(x => BigInt(x) * x).sum
+      assert(ess === (sw * sw / sww).toLong, s"$src ESS replay")
+      assert(ratio === (sw * sw * 1000000 / (sww * n)).toLong)
+      if (ws.distinct.length == 1)
+        assert(ess === n, s"$src equal weights must give ESS = n")
+      else assert(ess < n, s"$src unequal weights must give ESS < n")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, to_date}
+import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lead, lit, sum, to_date}
 
 /** Semantic pins for EventAnalyticsOps (oracle checks hash-equality;
   * these pin the invariants the hash can't name).
@@ -366,6 +366,60 @@ class EventAnalyticsSpec extends SparkSpec {
       val ss = counts.values.map(o => (7 * o - n) * (7 * o - n)).sum
       assert(r.getLong(4) === ss * 1000000L / (7 * n * n), "χ²/n replay")
       assert(r.getLong(3) >= 0 && r.getLong(3) <= 6)
+    }
+  }
+
+  test("markov_stationary_dist: probability mass, positivity, and convergence") {
+    val rows = SparkEntry.queries("markov_stationary_dist")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val nTypes = Tables.events(spark, sf())
+      .select("event_type").distinct().count()
+    assert(rows.length === nTypes, "one π entry per type")
+    rows.foreach { case (t, pi) =>
+      assert(pi > 0 && pi < 1000000, s"π($t) = $pi degenerate")
+    }
+    // sum-then-truncate loses < 1 ppm per entry per iteration
+    val mass = rows.map(_._2).sum
+    assert(mass <= 1000000 && mass > 1000000 - nTypes * 21,
+      s"π mass $mass drifted past the truncation envelope")
+    // convergence: one more exact iteration moves nothing by > 1000 ppm
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pm = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("event_type", "nxt").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum("c").over(
+        Window.partitionBy("event_type")))
+      .select(col("event_type"), col("nxt"),
+        expr("c * 1000000 DIV tot").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val pi = rows.toMap
+    val next = rows.map { case (b, _) =>
+      b -> pm.filter(_._2 == b).map { case (a, _, p) => pi(a) * p }.sum / 1000000L
+    }
+    next.foreach { case (t, v) =>
+      assert(math.abs(v - pi(t)) <= 1000, s"π($t) still moving: $v vs ${pi(t)}")
+    }
+  }
+
+  test("dau_mau_stickiness: ratio identity and the DAU ≤ MAU dominance") {
+    val rows = SparkEntry.queries("dau_mau_stickiness")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDays, mau, avgDau, st) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(avgDau <= mau, "a day's actives are a subset of the month's")
+      assert(st > 0 && st <= 1000000)
+      // replay: stickiness from the raw per-day distinct counts
+      val days = Tables.events(spark, sf())
+        .filter(expr(s"date_format(ts, 'yyyy-MM') = '${r.getString(0)}'"))
+        .groupBy(expr("CAST(ts AS DATE)"))
+        .agg(countDistinct("user_id").as("d")).collect()
+      assert(days.length === nDays)
+      val sumDau = days.map(_.getLong(1)).sum
+      assert(st === sumDau * 1000000L / (nDays * mau), "ratio replay")
     }
   }
 }
