@@ -51,7 +51,63 @@ object CorpusEvalOps extends OpGroup {
       | ELSE ln(0.4 * (CAST(cw AS DOUBLE) + 1) / (t_tok + v_sz))
       | END * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
 
+  /** Function words for the Burrows Delta profile (top-K corpus words
+    * by total count, ties to word asc) and the sign-explicit
+    * toward-zero division both engines agree on for negative z.
+    */
+  private val BurrowsK = 20
+  private def truncDivSpark(a: String, b: String) =
+    s"CAST(CASE WHEN $a < 0 THEN -((-($a)) DIV ($b)) ELSE ($a) DIV ($b) END AS BIGINT)"
+  private def truncDivDuck(a: String, b: String) =
+    s"CAST(CASE WHEN $a < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END AS BIGINT)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Burrows' Delta stylometry (r12, Burrows 2002): pairwise style
+    // distance between sources = mean |z_a − z_b| over the top-K
+    // function-word rates — THE attribution statistic of text
+    // forensics, here reading which sources share a generating
+    // process/template (near-identical Delta pairs are merge or
+    // contamination candidates the content-hash dedup family can't
+    // see). Scale: token pass folds to the (source × K) rate grid
+    // (zero-filled — a missing function word IS signal); per-word
+    // moments are |sources|-bounded; the pair matrix is the
+    // |sources|²-bounded OUTPUT, built from a broadcast self-join of
+    // the tiny z table. Rates/μ exact ppm; σ = FLOOR'd IEEE sqrt of
+    // the exact integer variance; z uses sign-explicit truncation.
+    "burrows_delta_sources" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val csw = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val ns = csw.groupBy("source").agg(sum("c").as("n_s"))
+      val top = csw.groupBy("w").agg(sum("c").as("ct"))
+        .orderBy(col("ct").desc, col("w")).limit(BurrowsK).select("w")
+      val grid = ns.crossJoin(broadcast(top))
+        .join(csw, Seq("source", "w"), "left")
+        .withColumn("r", expr("coalesce(c, 0) * 1000000 DIV n_s"))
+      val stats = grid.groupBy("w").agg(count(lit(1)).as("m"),
+          sum("r").as("sr"),
+          sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("srr"))
+        .withColumn("mu", expr("sr DIV m"))
+        .withColumn("sigma", expr(
+          """CAST(FLOOR(sqrt(CAST(
+            |  CAST((CAST(m AS DECIMAL(38,0)) * srr - CAST(sr AS DECIMAL(38,0)) * sr)
+            |    DIV (m * (m - 1)) AS BIGINT) AS DOUBLE))) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+      val z = grid
+        .join(broadcast(stats.select("w", "mu", "sigma")), "w")
+        .withColumn("z", expr("CASE WHEN sigma = 0 THEN 0 ELSE " +
+          truncDivSpark("(r - mu) * 1000000", "sigma") + " END"))
+        .select("source", "w", "z")
+      z.select(col("source").as("source_a"), col("w"), col("z").as("z_a"))
+        .join(broadcast(
+          z.select(col("source").as("source_b"), col("w"),
+            col("z").as("z_b"))), "w")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(expr(s"sum(abs(z_a - z_b)) DIV $BurrowsK").as("delta_fp"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Dedup candidate quality: MinHash band candidates (est_j ≥ 0.5)
     // vs exact 3-shingle Jaccard ≥ 0.5 inside the 10% truth sample.
     "minhash_candidate_quality" -> ((s, d) => {
@@ -252,6 +308,47 @@ object CorpusEvalOps extends OpGroup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical grid/moments/z; σ is the same FLOOR'd IEEE sqrt of the
+    // exact integer variance, z the same sign-explicit truncation
+    "burrows_delta_sources" -> {
+      val zDuck = truncDivDuck("(r - mu) * 1000000", "sigma")
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |csw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |        FROM toks GROUP BY source, w),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+         |       FROM csw GROUP BY source),
+         |top AS (SELECT w FROM (SELECT w, sum(c) AS ct FROM csw GROUP BY w)
+         |        ORDER BY ct DESC, w LIMIT $BurrowsK),
+         |grid AS (
+         |  SELECT ns.source, top.w,
+         |         coalesce(c.c, 0) * 1000000 // ns.n_s AS r
+         |  FROM ns CROSS JOIN top
+         |  LEFT JOIN csw c ON c.source = ns.source AND c.w = top.w),
+         |stats AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(r) AS BIGINT) AS sr,
+         |         CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS srr
+         |  FROM grid GROUP BY w),
+         |ms AS (
+         |  SELECT w, m, sr // m AS mu,
+         |         CAST(FLOOR(sqrt(CAST(
+         |           CAST((CAST(m AS HUGEINT) * srr
+         |             - CAST(sr AS HUGEINT) * sr)
+         |             // (m * (m - 1)) AS BIGINT) AS DOUBLE)))
+         |           AS BIGINT) AS sigma
+         |  FROM stats),
+         |z AS (
+         |  SELECT g.source, g.w,
+         |         CASE WHEN sigma = 0 THEN 0 ELSE $zDuck END AS z
+         |  FROM grid g JOIN ms USING (w))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(sum(abs(a.z - b.z)) // $BurrowsK AS BIGINT) AS delta_fp
+         |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     "minhash_candidate_quality" ->
       s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
               LlmOps.minhashLayoutCache.lastPath, numHashes = LlmOps.MinHashes,

@@ -84,6 +84,30 @@ object SmoothingOps extends OpGroup {
         .orderBy("r")
     }),
 
+    // Chao1 species-richness estimator (r12, Chao 1984, bias-corrected
+    // form): per source, how many vocabulary types EXIST beyond what
+    // the sample saw — Ŝ = S_obs + f1(f1−1)/(2(f2+1)) from the
+    // singleton/doubleton spectrum. The corpus-planning sibling of the
+    // Good-Turing unseen-mass row and heaps_law_vocab_growth: "is this
+    // source's vocabulary exhausted, or does more crawling buy new
+    // types". Two stacked combinable aggregates per source; the
+    // estimator is exact integer arithmetic (bias-corrected form is
+    // total — no f2=0 special case).
+    "chao1_vocab_richness" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("r"))
+      wc.groupBy("source").agg(
+          sum("r").as("n_tokens"),
+          count(lit(1)).as("s_obs"),
+          sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"))
+        .withColumn("chao1_fp", expr(
+          "s_obs * 1000000 + f1 * (f1 - 1) * 1000000 DIV (2 * (f2 + 1))"))
+        .select("source", "n_tokens", "s_obs", "f1", "f2", "chao1_fp")
+        .orderBy("source")
+    }),
+
     // Kneser-Ney continuation counts: for each word w, the number of
     // DISTINCT left contexts it follows (N1+(·w)) and the continuation
     // probability p_cont(w) = N1+(·w) / |distinct bigram types| — the
@@ -180,6 +204,23 @@ object SmoothingOps extends OpGroup {
         |         AS gt_rstar_fp
         |FROM spec a LEFT JOIN spec b ON b.r = a.r + 1
         |ORDER BY a.r""".stripMargin,
+
+    "chao1_vocab_richness" ->
+      """WITH words AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS r
+        |       FROM words GROUP BY source, w)
+        |SELECT source, CAST(sum(r) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS s_obs,
+        |       CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |       CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |       CAST(count(*) * 1000000
+        |         + sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+        |           * (sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) - 1) * 1000000
+        |           // (2 * (sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1))
+        |         AS BIGINT) AS chao1_fp
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
 
     "kneser_ney_continuation" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents

@@ -86,4 +86,49 @@ class CorpusEvalSpec extends SparkSpec {
       assert(h <= hMax, s"H bounded by ln(k): $h vs $hMax")
     }
   }
+
+  test("burrows_delta_sources: pair structure and a full Scala replay") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.CorpusEvalOps.queries("burrows_delta_sources")(
+        spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sources = Tables.documents(spark, sf())
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    val m = sources.length
+    assert(rows.size === m * (m - 1) / 2, "all unordered source pairs")
+    rows.foreach { case ((a, b), d) =>
+      assert(a < b, "canonical order")
+      assert(d >= 0, s"Delta($a, $b) = $d negative")
+    }
+    // full replay: rebuild the z grid in Scala from raw counts
+    val toks = Tables.documents(spark, sf())
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nS = toks.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val topW = toks.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(20).map(_._1)
+    def trunc(a: Long, b: Long): Long =
+      if (a < 0) -((-a) / b) else a / b
+    val rate = (for (s0 <- sources; w <- topW) yield {
+      val c = toks.find(t => t._1 == s0 && t._2 == w).map(_._3).getOrElse(0L)
+      (s0, w) -> c * 1000000L / nS(s0)
+    }).toMap
+    val zs = topW.map { w =>
+      val rs = sources.map(s0 => rate((s0, w)))
+      val (sr, srr) = (rs.sum, rs.map(r => BigInt(r) * r).sum)
+      val mu = sr / m
+      val varI = ((BigInt(m) * srr - BigInt(sr) * sr) /
+        (m.toLong * (m - 1))).toLong
+      val sigma = math.floor(math.sqrt(varI.toDouble)).toLong
+      w -> sources.map(s0 => s0 ->
+        (if (sigma == 0) 0L else trunc((rate((s0, w)) - mu) * 1000000L, sigma))
+      ).toMap
+    }.toMap
+    for (i <- sources.indices; j <- i + 1 until m) {
+      val (a, b) = (sources(i), sources(j))
+      val expect = topW.map(w => math.abs(zs(w)(a) - zs(w)(b))).sum / 20
+      assert(rows((a, b)) === expect, s"Delta($a, $b) replay")
+    }
+  }
 }

@@ -69,4 +69,23 @@ class SmoothingSpec extends SparkSpec {
     // totals — pin the direction with the top vs bottom rows
     assert(rows.head.getLong(3) >= rows.last.getLong(3))
   }
+
+  test("chao1_vocab_richness: estimator dominance and spectrum accounting") {
+    val rows = operators.SmoothingOps.queries("chao1_vocab_richness")(
+      spark, sf()).collect()
+    val nSources = Tables.documents(spark, sf())
+      .select("source").distinct().count()
+    assert(rows.length === nSources)
+    rows.foreach { r =>
+      val (n, sObs, f1, f2, chao1) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sObs <= n, "types ≤ tokens")
+      assert(f1 + f2 <= sObs, "singletons+doubletons ⊆ observed types")
+      // Chao1 never estimates FEWER types than observed
+      assert(chao1 >= sObs * 1000000L, "Ŝ ≥ S_obs")
+      // bias-corrected replay
+      assert(chao1 === sObs * 1000000L +
+        f1 * (f1 - 1) * 1000000L / (2 * (f2 + 1)))
+    }
+  }
 }
