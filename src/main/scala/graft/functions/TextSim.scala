@@ -189,7 +189,19 @@ object TextSim {
     * frequency): bit b is set iff the signed sum of token-hash bit b is
     * positive.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromTokens(
+      df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok")),
+      idCol, "__tok")
+
+  /** SimHash over a PRE-EXPLODED token stream — the generalized form:
+    * the caller picks the feature granularity (whitespace words for
+    * text dedup, byte n-grams for the media phash) and this folds the
+    * signed per-bit sums into one 64-bit signature per id. Identical
+    * bit rule to [[simhash]] (which delegates here).
+    */
+  def simhashFromTokens(toks: DataFrame, idCol: String,
+      tokCol: String): DataFrame = {
     val sums = (0 until 64).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__s$b")
@@ -197,7 +209,7 @@ object TextSim {
     val assemble = (0 until 64).map { b =>
       when(col(s"__s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    df.select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__w"))
+    toks.select(col(idCol).as("__id"), col(tokCol).as("__w"))
       .withColumn("__h", xxhash64(col("__w")))
       .groupBy("__id").agg(sums.head, sums.tail: _*)
       .select(col("__id").as(idCol), assemble.as("simhash"))

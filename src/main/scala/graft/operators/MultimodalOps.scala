@@ -83,7 +83,60 @@ object MultimodalOps extends OpGroup {
         }
     }
 
+  /** Perceptual-hash layout: one 64-bit signature per media object,
+    * persisted once per (session, dataset) — the media-dedup index a
+    * production lake maintains next to the objects. The SIGNATURE
+    * function is the decode stub's analog: a real pipeline computes
+    * pHash/aHash over decoded downsampled pixels; no codecs ship here,
+    * so the locality-sensitive signature is SimHash over the content's
+    * byte 4-grams (deterministic on the payload, same banding/Hamming
+    * serving shape). The Spark-side plumbing — binary ingest, persisted
+    * signature layout, banded candidate join — is the real part.
+    */
+  private val phashCache = new graft.Layout("graft_phash")
+
+  private def phashLayout(s: SparkSession, d: String): String =
+    phashCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(mediaDir(s, d))
+        .select(
+          regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          expr("decode(content, 'UTF-8')").as("txt"))
+      val grams = media.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(length(txt) - 3, 1)),
+          |  i -> substring(txt, i, 4))""".stripMargin)).as("__g"))
+      graft.functions.TextSim.simhashFromTokens(grams, "doc_id", "__g")
+        .select(col("doc_id"), col("simhash").as("phash"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Media near-dup dedup over the persisted phash layout (r12): the
+    // simhash banded-join serving shape applied to binary objects —
+    // per file, its signature and whether ANY other object sits within
+    // Hamming ≤ 16 (the re-encoded/cropped-duplicate sweep a media
+    // lake runs before training). Candidates come from 16-bit band
+    // equality (equi-join, bucket-capped); the oracle re-derives bands,
+    // Hamming and flags from the SAME persisted signatures, and the
+    // signature derivation itself is pinned by a Scala replay in
+    // MultimodalSpec (xxhash64 is engine-specific — the layout-oracle
+    // graduation pattern of simhash_dedup/minhash_near_dedup).
+    "media_phash_near_dup" -> ((s, d) => {
+      val sims = s.read.parquet(phashLayout(s, d))
+        .select(col("doc_id"), col("phash").as("simhash"))
+      val pairs = graft.functions.TextSim
+        .simhashPairs(sims, "doc_id", maxHamming = 16)
+      val flagged = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct().withColumn("hit", lit(true))
+      sims.join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash").as("phash"),
+          coalesce(col("hit"), lit(false)).as("is_near_dup"))
+        .orderBy("doc_id")
+    }),
+
     // The media INGEST path: Spark's binaryFile source reads one file
     // per object — (path, modificationTime, length, content) — with one
     // input partition per file, so codec work downstream parallelizes
@@ -177,7 +230,47 @@ object MultimodalOps extends OpGroup {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  // def (not val): the phash oracle embeds the layout's materialized
+  // path, which exists only after the query ran — Verify dumps oracle
+  // SQL last, so a def resolves `lastPath` correctly (the
+  // TrainingDataOps / SemiStructuredOps layout-oracle convention)
+  def oracleSql: Map[String, String] = Map(
+    // bands / Hamming / flags re-derived from the SAME persisted
+    // signatures (simhash_dedup's layout-oracle pattern — the
+    // derivation itself is pinned Scala-side in MultimodalSpec)
+    "media_phash_near_dup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, phash
+         |  FROM read_parquet('${phashCache.lastPath}/*.parquet')),
+         |bands AS (
+         |  SELECT doc_id, phash, t.k AS bk,
+         |         (phash >> CAST(16 * t.k AS INTEGER)) & 65535 AS bv
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t),
+         |small AS (
+         |  SELECT bk, bv FROM (SELECT bk, bv, count(*) AS bn
+         |                      FROM bands GROUP BY bk, bv)
+         |  WHERE bn <= 1000),
+         |kept AS (SELECT b.* FROM bands b JOIN small USING (bk, bv)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.phash AS ph_a, b.phash AS ph_b
+         |  FROM kept a JOIN kept b
+         |    ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |h AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(sum((xor(ph_a, ph_b) >> CAST(t.i AS INTEGER)) & 1)
+         |           AS INTEGER) AS hamming
+         |  FROM cand CROSS JOIN range(0, 64) t(i)
+         |  GROUP BY doc_a, doc_b),
+         |flag AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM h WHERE hamming <= 16
+         |    UNION ALL
+         |    SELECT doc_b FROM h WHERE hamming <= 16))
+         |SELECT s.doc_id, s.phash, (f.doc_id IS NOT NULL) AS is_near_dup
+         |FROM sh s LEFT JOIN flag f ON f.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+
     // the struct surgery is a pure projection, so the oracle states the
     // field-level result directly
     "nested_field_update" ->

@@ -56,4 +56,52 @@ class ScopedRankSpec extends SparkSpec {
     if (!r.isNullAt(1))
       assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
   }
+
+  test("media_phash_near_dup: signature replays from raw bytes; flags symmetric") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.MultimodalOps.queries("media_phash_near_dup")(
+      spark, sf()).collect()
+    val mediaDocs = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 25 === 0).count()
+    assert(rows.length === mediaDocs, "one signature per media object")
+    // Scala replay of the phash for the first object: simhash bit rule
+    // over the content's byte 4-grams, hashes via Spark's own xxhash64
+    // (the engine-specific piece the layout-oracle pattern pins HERE)
+    val doc = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 25 === 0).orderBy("doc_id")
+      .select("doc_id", "text").first()
+    val txt = doc.getString(1)
+    val grams = (1 to math.max(txt.length - 3, 1))
+      .map(i => txt.substring(i - 1, math.min(i + 3, txt.length)))
+    import spark.implicits._
+    val hs = grams.toDF("g").select(xxhash64(col("g"))).as[Long].collect()
+    var expected = 0L
+    for (b <- 0 until 64) {
+      val s0 = hs.map(h => if (((h >> b) & 1L) == 1L) 1L else -1L).sum
+      if (s0 > 0) expected |= 1L << b
+    }
+    val got = rows.find(_.getLong(0) == doc.getLong(0)).get.getLong(1)
+    assert(got === expected, "phash = simhash over byte 4-grams")
+    // flag consistency: a file is flagged iff some OTHER file is within
+    // Hamming 16 (brute force over the ≤|media| signature set)
+    val sigs = rows.map(r => r.getLong(0) -> r.getLong(1))
+    rows.foreach { r =>
+      val near = sigs.exists { case (id, s0) =>
+        id != r.getLong(0) &&
+          java.lang.Long.bitCount(s0 ^ r.getLong(1)) <= 16
+      }
+      // banded candidates are a SUBSET of brute force: flagged ⇒ near.
+      // The recall direction is only GUARANTEED at Hamming ≤ 3
+      // (pigeonhole: ≤3 flipped bits dirty ≤3 of the 4 bands, so one
+      // 16-bit band must match exactly); past that, banding may miss —
+      // by design, that is the LSH recall trade.
+      assert(!r.getBoolean(2) || near, "flagged without a near signature")
+      val nearGuaranteed = sigs.exists { case (id, s0) =>
+        id != r.getLong(0) &&
+          java.lang.Long.bitCount(s0 ^ r.getLong(1)) <= 3
+      }
+      assert(!nearGuaranteed || r.getBoolean(2),
+        "≤3-bit neighbor shares a clean band ⇒ must flag")
+    }
+  }
 }
