@@ -130,6 +130,37 @@ object CalibrationOps extends OpGroup {
         .orderBy("event_id")
     }),
 
+    // Quantile normalization of doc length onto the corpus reference
+    // distribution (r12): each doc's n_chars is replaced by the CORPUS
+    // value at its within-source percentile — the batch-effect
+    // correction (bioinformatics' quantile normalization, generalized
+    // to unequal group sizes by rank-mapping into the corpus ECDF)
+    // that makes per-source length gates comparable when sources have
+    // systematically different length scales. Ranks are GlobalRank
+    // two-phase numberings (corpus = partition-less two-phase, source
+    // = grouped) over the TOTAL (n_chars, doc_id) order; the target
+    // index ⌈srank·N/n_s⌉ runs in DECIMAL(38,0) (srank·N ≈ 1e22 at
+    // 100 TB passes int64) and the value lookup is an equi-join on the
+    // UNIQUE corpus rank.
+    "quantile_normalize_doclen" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val n = Tables.rowCount(s, d, "documents")
+      val g = graft.functions.GlobalRank
+        .rowNumber(docs, "grank", Nil, Seq("n_chars", "doc_id"))
+      val lookup = g.select(col("grank").as("target"),
+        col("n_chars").as("qn_chars"))
+      val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      graft.functions.GlobalRank
+        .rowNumber(docs, "srank", Seq("source"), Seq("n_chars", "doc_id"))
+        .join(broadcast(sizes), "source")
+        .withColumn("target", expr(
+          s"CAST((CAST(srank AS DECIMAL(38,0)) * ${n}L + n_s - 1) " +
+            "DIV n_s AS BIGINT)"))
+        .join(lookup, "target")
+        .select("doc_id", "source", "n_chars", "qn_chars")
+        .orderBy("doc_id")
+    }),
+
     // Expected Calibration Error (Guo et al. 2017) of the langid
     // heuristic: confidence = Laplace-smoothed best-score share
     // (best+1)/(Σ scores+4) — smoothing makes confidence track the
@@ -252,6 +283,26 @@ object CalibrationOps extends OpGroup {
         |         AS pct_fp
         |FROM rk JOIN cnt ON rk.event_type = cnt.event_type
         |ORDER BY event_id""".stripMargin,
+
+    "quantile_normalize_doclen" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+        |g AS (
+        |  SELECT n_chars AS qn_chars,
+        |         row_number() OVER (ORDER BY n_chars, doc_id) AS grank
+        |  FROM docs),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM docs GROUP BY source),
+        |r AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |         row_number() OVER (PARTITION BY d.source
+        |           ORDER BY d.n_chars, d.doc_id) AS srank, s.n_s
+        |  FROM docs d JOIN sz s USING (source))
+        |SELECT r.doc_id, r.source, r.n_chars, g.qn_chars
+        |FROM r CROSS JOIN n
+        |JOIN g ON g.grank = (CAST(r.srank AS HUGEINT) * n.nn + r.n_s - 1)
+        |                      // r.n_s
+        |ORDER BY r.doc_id""".stripMargin,
 
     "langid_calibration_ece" ->
       s"""WITH pred AS (${TrainingDataOps.oracleSql("lang_id_ngram")}),

@@ -57,6 +57,28 @@ object InfoStatOps extends OpGroup {
       .stripMargin.replace("\n", " ")
 
   /** Per-support-point KS CDF gap in 1e-9 fixed point. */
+  /** Welch t and Welch–Satterthwaite df as ONE shared IEEE formula
+    * string over the exact-moment columns (n1, n2, sv1, sv2, vn1,
+    * vn2) — both engines parse the identical text; the wide variance
+    * numerators vn = n·Σv² − (Σv)² are DECIMAL(38,0) on Spark and
+    * HUGEINT on DuckDB, but CAST AS DOUBLE of equal integers is the
+    * same double, so every IEEE operation after is bit-identical.
+    * a = vn/(n²(n−1)) is s²/n; t = Δmean/√(a1+a2);
+    * df = (a1+a2)²/(a1²/(n1−1)+a2²/(n2−1)). FLOOR'd ppm.
+    */
+  private def welchA(vn: String, n: String) =
+    s"(CAST($vn AS DOUBLE) / (CAST($n AS DOUBLE) * ($n - 1) * $n))"
+  private[operators] val welchTSql =
+    s"""CAST(FLOOR((CAST(sv1 AS DOUBLE) / n1 - CAST(sv2 AS DOUBLE) / n2)
+       | / sqrt(${welchA("vn1", "n1")} + ${welchA("vn2", "n2")})
+       | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+  private[operators] val welchDfSql =
+    s"""CAST(FLOOR((${welchA("vn1", "n1")} + ${welchA("vn2", "n2")})
+       | * (${welchA("vn1", "n1")} + ${welchA("vn2", "n2")})
+       | / (${welchA("vn1", "n1")} * ${welchA("vn1", "n1")} / (n1 - 1)
+       |    + ${welchA("vn2", "n2")} * ${welchA("vn2", "n2")} / (n2 - 1))
+       | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
   private val ksGapSql =
     """CAST(FLOOR(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)
       | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
@@ -137,6 +159,42 @@ object InfoStatOps extends OpGroup {
     // both CDFs are GlobalRank two-phase prefix sums over that support;
     // the gap is FLOOR-fixed-pointed per support point and max-reduced
     // (order-free). No partition-less window anywhere.
+    // Welch's unequal-variance t (r12): the parametric companion to
+    // ks_two_sample_value / mann_whitney over the SAME two samples
+    // (click vs purchase event values) — t and the Welch–Satterthwaite
+    // df from exact integer moments (Σv int64, Σv² lifted to
+    // DECIMAL(38,0)/HUGEINT, variance numerators n·Σv²−(Σv)² exact),
+    // then ONE shared IEEE formula string both engines parse
+    // identically; FLOOR'd ppm outputs. One map-side-combinable
+    // conditional-aggregate pass; the report is a single row.
+    "welch_t_value" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      ev.agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n2"),
+          sum(when(col("event_type") === "click", col("v")).otherwise(0L))
+            .as("sv1"),
+          sum(when(col("event_type") === "purchase", col("v")).otherwise(0L))
+            .as("sv2"),
+          sum(when(col("event_type") === "click",
+            expr("CAST(v AS DECIMAL(38,0)) * v")).otherwise(lit(0)))
+            .as("svv1"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(v AS DECIMAL(38,0)) * v")).otherwise(lit(0)))
+            .as("svv2"))
+        .withColumn("vn1",
+          expr("CAST(n1 AS DECIMAL(38,0)) * svv1 - CAST(sv1 AS DECIMAL(38,0)) * sv1"))
+        .withColumn("vn2",
+          expr("CAST(n2 AS DECIMAL(38,0)) * svv2 - CAST(sv2 AS DECIMAL(38,0)) * sv2"))
+        .withColumn("t_fp", expr(InfoStatOps.welchTSql))
+        .withColumn("df_fp", expr(InfoStatOps.welchDfSql))
+        .select("n1", "n2", "t_fp", "df_fp")
+    }),
+
     "ks_two_sample_value" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
@@ -241,6 +299,38 @@ object InfoStatOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same exact moments (HUGEINT squares), same shared IEEE formula
+    "welch_t_value" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN v ELSE 0 END)
+         |      AS BIGINT) AS sv1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END)
+         |      AS BIGINT) AS sv2,
+         |    sum(CASE WHEN event_type = 'click'
+         |        THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS svv1,
+         |    sum(CASE WHEN event_type = 'purchase'
+         |        THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS svv2
+         |  FROM ev),
+         |w AS (
+         |  SELECT n1, n2, sv1, sv2,
+         |         CAST(n1 AS HUGEINT) * svv1 - CAST(sv1 AS HUGEINT) * sv1
+         |           AS vn1,
+         |         CAST(n2 AS HUGEINT) * svv2 - CAST(sv2 AS HUGEINT) * sv2
+         |           AS vn2
+         |  FROM m)
+         |SELECT n1, n2,
+         |       $welchTSql AS t_fp,
+         |       $welchDfSql AS df_fp
+         |FROM w""".stripMargin,
+
     "kl_divergence_source_unigram" ->
       s"""WITH sw AS (
          |  SELECT source, unnest(string_split(text, ' ')) AS w

@@ -82,6 +82,27 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("quantile_normalize_doclen: ECDF mapping laws") {
+    val rows = run("quantile_normalize_doclen")
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length === docs.size, "every doc normalized")
+    val corpus = docs.values.toSeq.sorted
+    rows.foreach { r =>
+      assert(corpus.contains(r.getLong(3)),
+        "normalized value drawn from the corpus distribution")
+    }
+    // within each source the mapping is monotone in the raw value
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r.getLong(2), r.getLong(0)))
+      val qns = sorted.map(_.getLong(3))
+      assert(qns.toSeq === qns.sorted.toSeq, s"$src mapping not monotone")
+      // the source's longest doc maps to the corpus maximum
+      assert(qns.last === corpus.last, s"$src top rank → corpus max")
+    }
+  }
+
   test("langid_calibration_ece: coverage, bounds, and the weighted-ECE identity") {
     val rows = run("langid_calibration_ece")
     assert(rows.nonEmpty)

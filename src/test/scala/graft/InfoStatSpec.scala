@@ -92,4 +92,41 @@ class InfoStatSpec extends SparkSpec {
     assert(cells <= langs * srcs)
     assert(mi >= -cells, "MI >= 0 up to per-cell floor slack")
   }
+
+  test("welch_t_value: moment replay, df bounds, and sign consistency") {
+    import org.apache.spark.sql.functions._
+    val Array(r) = run("welch_t_value")
+    val (n1, n2, tFp, dfFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val vals = Tables.events(spark, sf())
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val (c, p) = (vals.filter(_._1 == "click").map(_._2),
+      vals.filter(_._1 == "purchase").map(_._2))
+    assert(n1 === c.length && n2 === p.length)
+    // Welch–Satterthwaite df lies in [min(n)−1, n1+n2−2]
+    assert(dfFp >= (math.min(n1, n2) - 1) * 1000000L)
+    assert(dfFp <= (n1 + n2 - 2) * 1000000L)
+    // full replay in IEEE doubles from exact BigInt moments
+    def mom(xs: Array[Long]) = {
+      val n = xs.length
+      val sv = xs.sum
+      val svv = xs.map(x => BigInt(x) * x).sum
+      val vn = BigInt(n) * svv - BigInt(sv) * sv
+      (n.toLong, sv, vn)
+    }
+    val (na, sva, vna) = mom(c)
+    val (nb, svb, vnb) = mom(p)
+    val a = vna.toDouble / (na.toDouble * (na - 1) * na)
+    val b = vnb.toDouble / (nb.toDouble * (nb - 1) * nb)
+    val t = (sva.toDouble / na - svb.toDouble / nb) / math.sqrt(a + b)
+    val df = (a + b) * (a + b) / (a * a / (na - 1) + b * b / (nb - 1))
+    assert(tFp === math.floor(t * 1e6).toLong, "t replay")
+    assert(dfFp === math.floor(df * 1e6).toLong, "df replay")
+    // sign agrees with the raw mean difference
+    val meanDiff = sva.toDouble / na - svb.toDouble / nb
+    if (meanDiff > 0) assert(tFp >= 0) else if (meanDiff < 0) assert(tFp < 0)
+  }
 }
