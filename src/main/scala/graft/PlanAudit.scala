@@ -112,6 +112,12 @@ import org.apache.spark.sql.SparkSession
   *     the single-partition exchanges carry the 1-row N-total and
   *     1-row leftover scalar broadcasts (scalar-stitch class); the
   *     corpus pass is one map-side combinable count.
+  *   - `bh_fdr_ks_nations` (r12, second session) — many
+  *     SinglePartition: scalar-stitch — the exchanged relations are
+  *     the 1-row (N, m) total, the 1-row k* step-up threshold, and the
+  *     ≤|nations| ranked test table; the corpus pass is ONE map-side
+  *     combinable (nation × bucket) count and the CDF window is
+  *     PARTITIONED by nation over the value-domain grid.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{OpGroup, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experimentation-analytics operators (round-10 widening, second
@@ -13,6 +14,14 @@ import org.apache.spark.sql.functions._
   * answer to "which segment deserves the labeling budget"). Both are
   * moment-closed-form: ONE map-side-combinable aggregate pass over the
   * data, then arithmetic on a handful of exact sums.
+  *
+  * Round-12 widening adds the two reads that make a fleet of parallel
+  * tests trustworthy: `bh_fdr_ks_nations` (Benjamini–Hochberg step-up
+  * control over 25 per-nation KS drift tests — the difference between
+  * "one alert" and "25 uncorrected alarms") and `delta_method_ratio_ci`
+  * (the delta-method SE of a ratio-of-means metric with the customer as
+  * the randomization unit — the cluster-robust CI naive per-order
+  * variance gets wrong).
   *
   * Determinism & scale design:
   *   - All moments are exact integer sums (values as 1e-3/1e-2 fixed
@@ -31,6 +40,53 @@ import org.apache.spark.sql.functions._
 object ExperimentOps extends OpGroup {
 
   private val Budget = 1000L
+
+  /** KS CDF gap at one support bucket, 1e-9 fp: |F_i − G_i| where F_i
+    * is nation i's CDF and G_i the complement's, both from exact int64
+    * cumulative counts. One shared string → identical IEEE tree.
+    */
+  private val ksGapSql =
+    """CAST(FLOOR(abs(CAST(cum AS DOUBLE) / n_i
+      | - CAST(gcum - cum AS DOUBLE) / (n_tot - n_i))
+      | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Smirnov asymptotic tail p ≈ min(1, 2·exp(−2·D²·n·m/(n+m))) in
+    * 1e-9 fp, from the already-truncated d_fp (so both engines start
+    * from the same D) and exact integer group sizes.
+    */
+  private val ksPSql =
+    """CAST(LEAST(1000000000, CAST(FLOOR(2.0
+      | * exp(-2.0 * (CAST(d_fp AS DOUBLE) / 1000000000.0)
+      |       * (CAST(d_fp AS DOUBLE) / 1000000000.0)
+      |       * (CAST(n_i AS DOUBLE) * (n_tot - n_i) / n_tot))
+      | * 1000000000.0) AS BIGINT)) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Delta-method ratio point estimate Σx/Σy in 1e-6 fp (cents/order). */
+  private val ratioSql =
+    """CAST(FLOOR(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+      | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Delta-method SE of the ratio-of-means estimator R̂ = x̄/ȳ, 1e-6 fp:
+    * sqrt((s_xx − 2R·s_xy + R²·s_yy) / (n·ȳ²)) with sample (co)variances
+    * from exact moment sums (variance numerators n·Σab−Σa·Σb are
+    * DECIMAL(38,0)/HUGEINT-exact before the ONE double formula).
+    */
+  private val seSql =
+    """CAST(FLOOR(sqrt(
+      |  ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |   - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |   + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+      |     * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |  * CAST(n AS DOUBLE)
+      |  / (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
 
   /** Shared σ_h·N_h weight leaf (1e-6 fp): N·sqrt((n·Σx²−(Σx)²)/n²). */
   private val wLeafSql =
@@ -81,6 +137,97 @@ object ExperimentOps extends OpGroup {
                |  * 1000000.0) AS BIGINT)""".stripMargin).as("var_reduction_fp"))
     }),
 
+    // BH/FDR over per-nation KS drift tests (r12): for each nation, the
+    // two-sample KS distance between its order-value distribution
+    // (1000-dollar-bucket quantized) and the corpus complement, the
+    // Smirnov asymptotic tail p ≈ min(1, 2·exp(−2·D²·nm/(n+m))), then
+    // Benjamini–Hochberg step-up at α = 1/20 (Benjamini & Hochberg
+    // 1995) — the multiple-testing control a metrics platform runs
+    // before alerting "nation X shifted" across 25 parallel tests.
+    // Scale: one map-side (nation × bucket) count; everything after
+    // runs on the ≤|nations|·|buckets| value-domain grid (the
+    // per-nation CDF window is PARTITIONED by nation; the global CDF
+    // is re-derived by summing the grid, not a partition-less window);
+    // the BH rank is the ≤m² broadcast self-join (neyman recipe).
+    // Step-up comparison p ≤ α·r/m is exact integer arithmetic on the
+    // already-truncated p_fp, so rejection sets match bit-for-bit.
+    "bh_fdr_ks_nations" -> ((s, d) => {
+      val cnt = Tables.orders(s, d)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+          "o_custkey")
+        .groupBy(col("c_nationkey").as("nk"),
+          expr("CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT)").as("b"))
+        .agg(count(lit(1)).as("cb"))
+      val nk  = cnt.groupBy("nk").agg(sum("cb").as("n_i"))
+      val bs  = cnt.select("b").distinct()
+      val tot = nk.agg(sum("n_i").as("n_tot"), count(lit(1)).as("m_tests"))
+      val wCum = Window.partitionBy("nk").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = nk.crossJoin(broadcast(bs))
+        .join(cnt, Seq("nk", "b"), "left")
+        .withColumn("c0", coalesce(col("cb"), lit(0L)))
+        .withColumn("cum", sum("c0").over(wCum))
+      val g = grid.groupBy("b").agg(sum("cum").as("gcum"))
+      val per = grid.join(broadcast(g), "b").crossJoin(broadcast(tot))
+        .withColumn("gap_fp", expr(ksGapSql))
+        .groupBy("nk", "n_i", "n_tot", "m_tests")
+        .agg(max("gap_fp").as("d_fp"))
+        .withColumn("p_fp", expr(ksPSql))
+      val rk = per.select(col("nk").as("nk2"), col("p_fp").as("p2"))
+      val ranked = per.join(broadcast(rk),
+          col("p2") < col("p_fp") ||
+            (col("p2") === col("p_fp") && col("nk2") < col("nk")), "left")
+        .groupBy("nk", "n_i", "d_fp", "p_fp", "m_tests")
+        .agg((count(col("nk2")) + lit(1L)).as("bh_rank"))
+      val kstar = ranked.agg(max(when(
+          expr("p_fp * 20 * m_tests <= bh_rank * 1000000000"),
+          col("bh_rank"))).as("k_star"))
+      ranked.crossJoin(broadcast(kstar))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))),
+          "nk")
+        .withColumn("rejected", expr(
+          """CAST(CASE WHEN k_star IS NOT NULL AND bh_rank <= k_star
+            | THEN 1 ELSE 0 END AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .select("nation", "n_i", "d_fp", "p_fp", "bh_rank", "rejected")
+        .orderBy("nation")
+    }),
+
+    // Delta-method CI for a ratio-of-means metric (r12): revenue per
+    // order by market segment, with the customer as the randomization
+    // unit (the cluster-robust read every experiment platform needs —
+    // naive per-order variance understates SE when orders cluster
+    // within customers; Deng et al. 2017's ratio-metric recipe). Per
+    // customer x = Σ order cents, y = order count; per segment the six
+    // exact moments (n, Σx, Σy, Σx², Σy², Σxy — squares lifted to
+    // DECIMAL(38,0)/HUGEINT) feed ONE shared IEEE formula for R and
+    // its delta-method SE; the 95% bounds are integer arithmetic on
+    // the truncated fps. Two map-side-combinable aggregate levels
+    // (customer, then segment); the report is |segments|-bounded.
+    "delta_method_ratio_ci" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("segment")), "o_custkey")
+        .groupBy("segment", "o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"),
+          count(lit(1)).as("y"))
+      per.groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .withColumn("ratio_fp", expr(ratioSql))
+        .withColumn("se_fp", expr(seSql))
+        .select(col("segment"), col("n"), col("sy").as("n_orders"),
+          col("ratio_fp"), col("se_fp"),
+          expr("ratio_fp - CAST(FLOOR(1.96 * se_fp) AS BIGINT)").as("lo_fp"),
+          expr("ratio_fp + CAST(FLOOR(1.96 * se_fp) AS BIGINT)").as("hi_fp"))
+        .orderBy("segment")
+    }),
+
     // Neyman allocation: split a 1000-unit sampling budget across
     // market segments ∝ N_h·σ_h of the balance metric, with exact
     // largest-remainder rounding (ranked by a ≤25-cell self-join).
@@ -114,6 +261,75 @@ object ExperimentOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "bh_fdr_ks_nations" ->
+      s"""WITH cnt AS (
+         |  SELECT c_nationkey AS nk,
+         |         CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS b,
+         |         CAST(count(*) AS BIGINT) AS cb
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |nk AS (SELECT nk, CAST(sum(cb) AS BIGINT) AS n_i
+         |       FROM cnt GROUP BY 1),
+         |bs AS (SELECT DISTINCT b FROM cnt),
+         |tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n_tot,
+         |               CAST(count(*) AS BIGINT) AS m_tests FROM nk),
+         |grid AS (
+         |  SELECT nk.nk, nk.n_i, bs.b,
+         |         CAST(sum(coalesce(cnt.cb, 0)) OVER
+         |           (PARTITION BY nk.nk ORDER BY bs.b) AS BIGINT) AS cum
+         |  FROM nk CROSS JOIN bs
+         |  LEFT JOIN cnt ON cnt.nk = nk.nk AND cnt.b = bs.b),
+         |g AS (SELECT b, CAST(sum(cum) AS BIGINT) AS gcum
+         |      FROM grid GROUP BY 1),
+         |gaps AS (
+         |  SELECT grid.nk, grid.n_i, n_tot, m_tests, $ksGapSql AS gap_fp
+         |  FROM grid JOIN g USING (b) CROSS JOIN tot),
+         |per AS (
+         |  SELECT nk, n_i, n_tot, m_tests,
+         |         CAST(max(gap_fp) AS BIGINT) AS d_fp
+         |  FROM gaps GROUP BY 1, 2, 3, 4),
+         |pp AS (SELECT nk, n_i, m_tests, d_fp, $ksPSql AS p_fp FROM per),
+         |ranked AS (
+         |  SELECT a.nk, a.n_i, a.d_fp, a.p_fp, a.m_tests,
+         |         CAST(count(b2.nk) + 1 AS BIGINT) AS bh_rank
+         |  FROM pp a LEFT JOIN pp b2
+         |    ON b2.p_fp < a.p_fp OR (b2.p_fp = a.p_fp AND b2.nk < a.nk)
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |ks AS (SELECT max(CASE WHEN p_fp * 20 * m_tests
+         |                         <= bh_rank * 1000000000
+         |              THEN bh_rank END) AS k_star FROM ranked)
+         |SELECT n_name AS nation, n_i, d_fp, p_fp, bh_rank,
+         |       CAST(CASE WHEN k_star IS NOT NULL AND bh_rank <= k_star
+         |            THEN 1 ELSE 0 END AS BIGINT) AS rejected
+         |FROM ranked CROSS JOIN ks
+         |JOIN nation ON n_nationkey = ranked.nk
+         |ORDER BY nation""".stripMargin,
+
+    "delta_method_ratio_ci" ->
+      s"""WITH per AS (
+         |  SELECT c_mktsegment AS segment, o_custkey,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS x,
+         |         CAST(count(*) AS BIGINT) AS y
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM per GROUP BY 1),
+         |r AS (SELECT segment, n, sy, $ratioSql AS ratio_fp,
+         |             $seSql AS se_fp FROM m)
+         |SELECT segment, n, sy AS n_orders, ratio_fp, se_fp,
+         |       CAST(ratio_fp - CAST(FLOOR(1.96 * se_fp) AS BIGINT)
+         |         AS BIGINT) AS lo_fp,
+         |       CAST(ratio_fp + CAST(FLOOR(1.96 * se_fp) AS BIGINT)
+         |         AS BIGINT) AS hi_fp
+         |FROM r ORDER BY segment""".stripMargin,
+
     "cuped_variance_reduction" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us,

@@ -41,7 +41,54 @@ object GovernanceOps extends OpGroup {
       |   * 1000000.0) AS BIGINT) ELSE 0 END"""
       .stripMargin.replace("\n", " ")
 
+  /** Entropy term −p·ln p at one (QI-group, sensitive-value) cell,
+    * 1e-9 fp, from exact counts: (cs/n)·ln(n/cs). One shared string.
+    */
+  private val entTermSql =
+    """CAST(FLOOR(CAST(cs AS DOUBLE) / n * ln(CAST(n AS DOUBLE) / cs)
+      | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** l-diversity floor, and ln(LMin)·1e9 as the Scala-computed integer
+    * both engines compare the floor'd entropy against (interpolated as
+    * a literal so the threshold is one shared constant).
+    */
+  private val LMin = 3L
+  private val HMinFp: Long = math.floor(math.log(LMin.toDouble) * 1e9).toLong
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // l-diversity audit (r12): the step AFTER k-anonymity — a QI class
+    // can be large (k-safe) yet publish everyone's sensitive attribute
+    // if all members share one value. QI = (nation, balance band);
+    // sensitive = market segment. Per class: distinct-l and entropy
+    // l-diversity (Machanavajjhala et al. 2007), flagged at l < 3 and
+    // H < ln 3. Scale: one map-side (QI × sensitive) cell count (state
+    // = the QI×sensitive domain), class totals broadcast back, entropy
+    // terms FLOOR'd at the leaf then integer-summed (order-free); the
+    // report is QI-domain-bounded.
+    "l_diversity_audit" -> ((s, d) => {
+      val cell = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nk"),
+          expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").as("band"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("cs"))
+      val grp = cell.groupBy("nk", "band")
+        .agg(sum("cs").as("n"), count(lit(1)).as("l_distinct"))
+      cell.join(broadcast(grp), Seq("nk", "band"))
+        .withColumn("term_fp", expr(entTermSql))
+        .groupBy("nk", "band", "n", "l_distinct")
+        .agg(sum("term_fp").as("h_fp"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))),
+          "nk")
+        .withColumn("l_ok", expr(
+          s"CAST(CASE WHEN l_distinct >= $LMin THEN 1 ELSE 0 END AS BIGINT)"))
+        .withColumn("entropy_ok", expr(
+          s"CAST(CASE WHEN h_fp >= $HMinFp THEN 1 ELSE 0 END AS BIGINT)"))
+        .select("nation", "band", "n", "l_distinct", "h_fp", "l_ok",
+          "entropy_ok")
+        .orderBy("nation", "band")
+    }),
+
     // Z1 — k-anonymity audit over quasi-identifiers (nation, market
     // segment, account-balance band): the re-identification risk report
     // run before any dataset leaves the pipeline. One map-side
@@ -235,6 +282,28 @@ object GovernanceOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "l_diversity_audit" ->
+      s"""WITH cell AS (
+         |  SELECT c_nationkey AS nk,
+         |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+         |         c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cs
+         |  FROM customer GROUP BY 1, 2, 3),
+         |grp AS (SELECT nk, band, CAST(sum(cs) AS BIGINT) AS n,
+         |               CAST(count(*) AS BIGINT) AS l_distinct
+         |        FROM cell GROUP BY 1, 2),
+         |h AS (
+         |  SELECT cell.nk, cell.band, n, l_distinct,
+         |         CAST(sum($entTermSql) AS BIGINT) AS h_fp
+         |  FROM cell JOIN grp USING (nk, band)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT n_name AS nation, band, n, l_distinct, h_fp,
+         |       CAST(CASE WHEN l_distinct >= $LMin THEN 1 ELSE 0 END
+         |         AS BIGINT) AS l_ok,
+         |       CAST(CASE WHEN h_fp >= $HMinFp THEN 1 ELSE 0 END
+         |         AS BIGINT) AS entropy_ok
+         |FROM h JOIN nation ON n_nationkey = h.nk
+         |ORDER BY nation, band""".stripMargin,
+
     "k_anonymity_audit" ->
       """WITH cls AS (
         |  SELECT c_nationkey, c_mktsegment,

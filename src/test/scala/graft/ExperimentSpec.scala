@@ -50,4 +50,56 @@ class ExperimentSpec extends SparkSpec {
     val byW = rows.maxBy(_.getLong(2))
     assert(byW.getLong(3) === rows.map(_.getLong(3)).max)
   }
+
+  test("bh_fdr_ks_nations: rank permutation + step-up coherence") {
+    val rows = operators.ExperimentOps.queries("bh_fdr_ks_nations")(
+      spark, sf()).collect()
+    val m = Tables.nation(spark, sf()).count()
+    assert(rows.length === m, "one test per nation")
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.orders(spark, sf()).count(), "orders partitioned by nation")
+    assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to m).toSeq,
+      "BH rank is a permutation of 1..m")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000000L, "D in [0,1]")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000000L, "p in [0,1]")
+    }
+    // step-up replay: rejected == (rank <= max passing rank)
+    val passing = rows.filter(r =>
+      r.getLong(3) * 20 * m <= r.getLong(4) * 1000000000L)
+    val kStar = if (passing.isEmpty) 0L else passing.map(_.getLong(4)).max
+    rows.foreach { r =>
+      assert((r.getLong(5) == 1L) === (r.getLong(4) <= kStar),
+        s"${r.getString(0)}: step-up rejection replay")
+    }
+    // monotone: the rejection set is a rank prefix
+    val rejRanks = rows.filter(_.getLong(5) == 1L).map(_.getLong(4))
+    if (rejRanks.nonEmpty)
+      assert(rejRanks.sorted.toSeq === (1L to rejRanks.max).toSeq)
+  }
+
+  test("delta_method_ratio_ci: interval brackets the replayed ratio") {
+    val rows = operators.ExperimentOps.queries("delta_method_ratio_ci")(
+      spark, sf()).collect()
+    assert(rows.length === 5, "one row per market segment")
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.orders(spark, sf()).count(), "orders partitioned by segment")
+    rows.foreach { r =>
+      val (ratio, se, lo, hi) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(se >= 0L)
+      assert(lo <= ratio && ratio <= hi, "CI brackets the point estimate")
+      assert(hi - ratio === ratio - lo, "symmetric interval by construction")
+    }
+    // ratio replay for one segment from the raw tables
+    val seg = rows.head.getString(0)
+    val exp = Tables.orders(spark, sf())
+      .join(Tables.customer(spark, sf())
+        .filter(col("c_mktsegment") === seg)
+        .select(col("c_custkey").as("o_custkey")), "o_custkey")
+      .agg(expr("""CAST(FLOOR(CAST(sum(CAST(round(o_totalprice * 100)
+        AS BIGINT)) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT)"""))
+      .first().getLong(0)
+    assert(rows.head.getLong(3) === exp, s"$seg ratio replay")
+  }
 }

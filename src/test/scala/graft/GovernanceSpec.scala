@@ -106,4 +106,22 @@ class GovernanceSpec extends SparkSpec {
       assert(conf <= 1000000L)
     }
   }
+
+  test("l_diversity_audit: partition + entropy-bound laws") {
+    val rows = run("l_diversity_audit")
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.customer(spark, sf()).count(),
+      "customers partitioned by QI class")
+    rows.foreach { r =>
+      val (n, l, h) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(l >= 1 && l <= 5 && l <= n, "1 <= l <= |segments| and <= n")
+      // uniform maximizes entropy: H <= ln l; leaf floors only lower it
+      assert(h <= math.ceil(math.log(l.toDouble) * 1e9).toLong, "H <= ln l")
+      assert(h >= 0L)
+      assert((r.getLong(5) == 1L) === (l >= 3L), "distinct-l flag replay")
+      assert((r.getLong(6) == 1L) === (h >= 1098612288L),
+        "entropy flag replay against floor(ln(3)*1e9)")
+      if (l == 1) assert(h === 0L, "single sensitive value => zero entropy")
+    }
+  }
 }
