@@ -40,6 +40,22 @@ object DriftOps extends OpGroup {
   private val PsiSmooth = 1L // Laplace +1 per bin
   private val PsiBins = 10L
 
+  /** SPRT daily LLR increment, 1e-9 fp: H0 p=0.20 vs H1 p=0.25 on the
+    * purchase share — k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) as ONE
+    * shared string whose log arguments are literal ratios, so both
+    * engines build the identical IEEE tree over exact counts.
+    */
+  private val sprtTermSql =
+    """CAST(FLOOR((CAST(k AS DOUBLE) * ln(0.25 / 0.20)
+      | + CAST(n - k AS DOUBLE) * ln((1.0 - 0.25) / (1.0 - 0.20)))
+      | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Wald boundaries ln((1−β)/α) = ±ln 19 at α = β = 0.05, floored to
+    * 1e-9 fp as Scala-computed literals shared by both engine texts.
+    */
+  private val SprtUpFp: Long = math.floor(math.log(19.0) * 1e9).toLong
+  private val SprtLoFp: Long = math.floor(-math.log(19.0) * 1e9).toLong
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PSI of `value` between the stream's first 15 observed days
     // (reference) and the rest (current), over reference-decile bins.
@@ -149,9 +165,57 @@ object DriftOps extends OpGroup {
         .agg(count(lit(1)).as("n_orders"), sum("cents").as("value_cents"))
         .orderBy("age_band", "o_orderpriority")
     }),
+
+    // SPRT conversion monitor (r12, second session): Wald's sequential
+    // probability ratio test on the daily purchase-conversion rate —
+    // H0: p = 0.20 vs H1: p = 0.25, α = β = 0.05 — the always-valid
+    // sequential complement to the fixed-horizon ab_srm_check /
+    // welch_t_value reads (peek any day without α-inflation; Wald
+    // 1945). Per day (k purchases of n events) the LLR increment
+    // k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) is ONE shared IEEE leaf
+    // over exact integer counts, FLOOR'd then integer-prefix-summed
+    // via GlobalRank (calendar-bounded support); the ±ln 19 decision
+    // boundaries are Scala-computed integer literals shared by both
+    // engines, so the per-day verdict is exact integer comparison.
+    "sprt_conversion_monitor" -> ((s, d) => {
+      // integer day index alongside the date: the sliced prefix-sum
+      // path ranges over a numeric (the psi_value_drift convention)
+      val perDay = Tables.events(s, d)
+        .groupBy(expr("CAST(ts AS DATE)").as("day"),
+          expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("k"))
+        .withColumn("llr_fp", expr(sprtTermSql))
+      graft.functions.GlobalRank
+        .prefixSum(perDay, "cum_llr_fp", col("llr_fp"), Nil, Seq("di"))
+        .withColumn("decision", expr(
+          s"""CASE WHEN cum_llr_fp >= $SprtUpFp THEN 'reject_h0'
+             |     WHEN cum_llr_fp <= $SprtLoFp THEN 'accept_h0'
+             |     ELSE 'continue' END""".stripMargin.replace("\n", " ")))
+        .select("day", "n", "k", "llr_fp", "cum_llr_fp", "decision")
+        .orderBy("day")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sprt_conversion_monitor" ->
+      s"""WITH perday AS (
+         |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN event_type = 'purchase'
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT day, n, k, $sprtTermSql AS llr_fp FROM perday),
+         |c AS (
+         |  SELECT day, n, k, llr_fp,
+         |         CAST(sum(llr_fp) OVER (ORDER BY day) AS BIGINT)
+         |           AS cum_llr_fp
+         |  FROM t)
+         |SELECT day, n, k, llr_fp, cum_llr_fp,
+         |       CASE WHEN cum_llr_fp >= $SprtUpFp THEN 'reject_h0'
+         |            WHEN cum_llr_fp <= $SprtLoFp THEN 'accept_h0'
+         |            ELSE 'continue' END AS decision
+         |FROM c ORDER BY day""".stripMargin,
     "psi_value_drift" ->
       s"""WITH ev AS (
          |  SELECT event_id,

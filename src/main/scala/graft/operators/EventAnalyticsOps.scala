@@ -32,6 +32,76 @@ object EventAnalyticsOps extends OpGroup {
   /** Session gap: 30 min, in µs. */
   private val GapUs = 1800000000L
 
+  /** Per-transition entropy leaf −p·ln p = (c/tot)·ln(tot/c), 1e-9 fp,
+    * over the exact (count, row-total) integers. One shared string.
+    */
+  private val hTermSql =
+    """CAST(FLOOR(CAST(c AS DOUBLE) / tot * ln(CAST(tot AS DOUBLE) / c)
+      | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Shared oracle CTE chain for the Markov family: lead-chain counts
+    * → ppm transition matrix → MarkovIters unrolled exact-integer
+    * power-iteration stages (aggregates are not allowed inside a
+    * recursive term, and the depth is a compile-time constant).
+    */
+  private lazy val markovCtes: String = {
+    val stages = (1 to MarkovIters).map { k =>
+      s"""it$k AS (
+         |  SELECT p.b AS t,
+         |         CAST(sum(i.pi * p.p_fp) // 1000000 AS BIGINT) AS pi
+         |  FROM it${k - 1} i JOIN pm p ON p.a = i.t GROUP BY p.b)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS nxt
+       |  FROM events),
+       |tc AS (SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
+       |       FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+       |tt AS (SELECT event_type, sum(c) AS tot FROM tc GROUP BY event_type),
+       |pm AS (SELECT event_type AS a, nxt AS b,
+       |              CAST(c * 1000000 // tot AS BIGINT) AS p_fp
+       |       FROM tc JOIN tt USING (event_type)),
+       |types AS (SELECT DISTINCT a AS t FROM pm),
+       |it0 AS (SELECT t, CAST(1000000 // (SELECT count(*) FROM types)
+       |                  AS BIGINT) AS pi
+       |        FROM types),
+       |$stages""".stripMargin
+  }
+
+  /** Shared transition-count matrix: the one-shuffle per-user lead
+    * chain folded to (event_type, nxt, c) — |types|²-bounded.
+    */
+  private def transitionCounts(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("event_type", "nxt").agg(count(lit(1)).as("c"))
+  }
+
+  /** 20 exact sum-then-truncate power iterations π' = πP on the
+    * COLLECTED ≤|types|² ppm matrix (bounded model state driver-side —
+    * the BPE-merge precedent); pure integer ops, so both engines'
+    * unrolls agree bit-for-bit.
+    */
+  private def stationaryPi(pm: Array[(String, String, Long)])
+      : Seq[(String, Long)] = {
+    val types = pm.map(_._1).distinct.sorted
+    var pi: Map[String, Long] =
+      types.map(t => t -> 1000000L / types.length).toMap
+    for (_ <- 1 to MarkovIters) {
+      val nxt = types.map { b =>
+        b -> pm.filter(_._2 == b)
+          .map { case (a, _, p) => pi.getOrElse(a, 0L) * p }.sum / 1000000L
+      }.toMap
+      pi = nxt
+    }
+    types.map(t => (t, pi(t))).toSeq
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V1 — gap sessionization (batch twin of T4's streaming session
     // window): boundary flag via lag, session index via running sum,
@@ -391,30 +461,47 @@ object EventAnalyticsOps extends OpGroup {
     // sum-then-truncate (Σ π(a)·p(a,b) DIV 1e6) so both engines'
     // 20-step unrolls agree bit-for-bit.
     "markov_stationary_dist" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val seq0 = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("nxt", lead(col("event_type"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-      val tc = seq0.groupBy("event_type", "nxt").agg(count(lit(1)).as("c"))
+      val tc = transitionCounts(s, d)
       val tt = tc.groupBy("event_type").agg(sum("c").as("tot"))
       val pm = tc.join(tt, "event_type")
         .select(col("event_type").as("a"), col("nxt").as("b"),
           expr("c * 1000000 DIV tot").as("p_fp"))
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val types = pm.map(_._1).distinct.sorted
-      var pi: Map[String, Long] =
-        types.map(t => t -> 1000000L / types.length).toMap
-      for (_ <- 1 to MarkovIters) {
-        val nxt = types.map { b =>
-          b -> pm.filter(_._2 == b)
-            .map { case (a, _, p) => pi.getOrElse(a, 0L) * p }.sum / 1000000L
-        }.toMap
-        pi = nxt
-      }
       import s.implicits._
-      types.map(t => (t, pi(t))).toSeq
-        .toDF("event_type", "pi_fp")
+      stationaryPi(pm).toDF("event_type", "pi_fp")
+        .orderBy("event_type")
+    }),
+
+    // Entropy rate of the event-type Markov chain (r12, second
+    // session): H = Σ_a π_a · h_a with h_a = −Σ_b P_ab ln P_ab — the
+    // bits-per-step unpredictability of the user journey, weighting
+    // each state's branching entropy (V5's per-state read) by how
+    // often the chain actually VISITS it (the stationary π). The
+    // corpus pass is the same one-shuffle lead chain; per-state
+    // entropy terms are FLOOR'd IEEE leaves over exact (c, tot)
+    // integers summed distributed; π reuses the exact integer power
+    // iteration on the collected ≤|types|² matrix; the contribution
+    // product is pure int64 (π ppm × h 1e-9 ≤ 3.3e15).
+    "markov_entropy_rate" -> ((s, d) => {
+      // ONE corpus pass: the lead chain folds to the ≤|types|² count
+      // matrix, collected once; π is the integer iteration on it, and
+      // the ln leaves re-enter Spark SQL on the 25-cell local relation
+      // so the IEEE tree stays engine-evaluated (never Scala math).
+      val cells = transitionCounts(s, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val tots = cells.groupBy(_._1).map { case (a, cs) =>
+        a -> cs.map(_._3).sum }
+      val pm = cells.map { case (a, b, c) =>
+        (a, b, c * 1000000L / tots(a)) }
+      import s.implicits._
+      val hA = cells.toSeq.toDF("event_type", "nxt", "c")
+        .join(broadcast(tots.toSeq.toDF("event_type", "tot")), "event_type")
+        .withColumn("term", expr(hTermSql))
+        .groupBy("event_type").agg(sum("term").as("h_state_fp"))
+      val pi = stationaryPi(pm).toDF("event_type", "pi_fp")
+      hA.join(broadcast(pi), "event_type")
+        .withColumn("contrib_fp", expr("pi_fp * h_state_fp DIV 1000000"))
+        .select("event_type", "pi_fp", "h_state_fp", "contrib_fp")
         .orderBy("event_type")
     }),
 
@@ -808,33 +895,21 @@ object EventAnalyticsOps extends OpGroup {
     // iterations are UNROLLED as generated CTE stages (aggregates are
     // not allowed inside a recursive term, and the chain depth is a
     // compile-time constant anyway)
-    "markov_stationary_dist" -> {
-      val stages = (1 to MarkovIters).map { k =>
-        s"""it$k AS (
-           |  SELECT p.b AS t,
-           |         CAST(sum(i.pi * p.p_fp) // 1000000 AS BIGINT) AS pi
-           |  FROM it${k - 1} i JOIN pm p ON p.a = i.t GROUP BY p.b)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH seq AS (
-         |  SELECT user_id, event_type,
-         |         lead(event_type) OVER (PARTITION BY user_id
-         |           ORDER BY ts, event_id) AS nxt
-         |  FROM events),
-         |tc AS (SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
-         |       FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
-         |tt AS (SELECT event_type, sum(c) AS tot FROM tc GROUP BY event_type),
-         |pm AS (SELECT event_type AS a, nxt AS b,
-         |              CAST(c * 1000000 // tot AS BIGINT) AS p_fp
-         |       FROM tc JOIN tt USING (event_type)),
-         |types AS (SELECT DISTINCT a AS t FROM pm),
-         |it0 AS (SELECT t, CAST(1000000 // (SELECT count(*) FROM types)
-         |                  AS BIGINT) AS pi
-         |        FROM types),
-         |$stages
+    "markov_stationary_dist" ->
+      s"""$markovCtes
          |SELECT t AS event_type, pi AS pi_fp
-         |FROM it$MarkovIters ORDER BY t""".stripMargin
-    },
+         |FROM it$MarkovIters ORDER BY t""".stripMargin,
+
+    // same CTE chain; the per-state entropy joins the unrolled π
+    "markov_entropy_rate" ->
+      s"""$markovCtes,
+         |h AS (SELECT event_type, CAST(sum($hTermSql) AS BIGINT)
+         |        AS h_state_fp
+         |      FROM tc JOIN tt USING (event_type) GROUP BY event_type)
+         |SELECT h.event_type, pi AS pi_fp, h_state_fp,
+         |       CAST(pi * h_state_fp // 1000000 AS BIGINT) AS contrib_fp
+         |FROM h JOIN it$MarkovIters i ON i.t = h.event_type
+         |ORDER BY event_type""".stripMargin,
 
     // identical per-day / per-month distinct-user aggregates
     "dau_mau_stickiness" ->

@@ -41,6 +41,18 @@ object GovernanceOps extends OpGroup {
       |   * 1000000.0) AS BIGINT) ELSE 0 END"""
       .stripMargin.replace("\n", " ")
 
+  /** Nelson–Aalen per-death-time hazard increment d/n in 1e-9 fp. */
+  private val naTermSql =
+    """CAST(FLOOR(CAST(d AS DOUBLE) / n_risk * 1000000000.0)
+      | AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Breslow survival exp(−H) in 1e-6 fp from the already-truncated
+    * cumulative hazard (so both engines exponentiate the same int).
+    */
+  private val breslowSql =
+    """CAST(FLOOR(exp(-CAST(h_cum AS DOUBLE) / 1000000000.0)
+      | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
   /** Entropy term −p·ln p at one (QI-group, sensitive-value) cell,
     * 1e-9 fp, from exact counts: (cs/n)·ln(n/cs). One shared string.
     */
@@ -168,6 +180,42 @@ object GovernanceOps extends OpGroup {
         .select(col("t_hours"), col("n_risk"), col("d").as("n_deaths"),
           expr("CASE WHEN d = n_risk THEN NULL ELSE log_s0 END")
             .as("log_s_fp"))
+        .orderBy("t_hours")
+    }),
+
+    // Nelson–Aalen cumulative hazard (r12, second session): the
+    // non-parametric H(t) = Σ d/n companion to kaplan_meier_survival
+    // over the SAME user-lifetime ladder (Aalen 1978) — the estimator
+    // of choice when hazards, not survival curves, drive the decision
+    // (and Breslow's S̃ = exp(−H) cross-checks KM). Identical scale
+    // shape to Z3: per-user (first, last) map-side, duration-domain-
+    // bounded per-hour counts, two GlobalRank prefix sums; the hazard
+    // leaf d/n is FLOOR'd then integer-summed, and exp runs on the
+    // truncated cumulative so both engines agree bit-for-bit.
+    "nelson_aalen_hazard" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .groupBy("user_id")
+        .agg(min("us").as("first_us"), max("us").as("last_us"))
+      val mx = u.agg(max("last_us").as("max_us"))
+      val uu = u.crossJoin(broadcast(mx))
+        .select(expr("(last_us - first_us) DIV 3600000000").as("t_hours"),
+          expr("max_us - last_us > 86400000000").as("churned"))
+      val perT = uu.groupBy("t_hours").agg(
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("cns"))
+      val n = uu.agg(count(lit(1)).as("n_users"))
+      val risk = graft.functions.GlobalRank
+        .prefixSum(perT, "cum_all", col("d") + col("cns"), Nil,
+          Seq("t_hours"))
+        .crossJoin(broadcast(n))
+        .withColumn("n_risk", expr("n_users - (cum_all - d - cns)"))
+        .withColumn("term", expr(naTermSql))
+      graft.functions.GlobalRank
+        .prefixSum(risk, "h_cum", col("term"), Nil, Seq("t_hours"))
+        .filter(col("d") > 0)
+        .select(col("t_hours"), col("n_risk"), col("d").as("n_deaths"),
+          col("h_cum").as("h_cum_fp"), expr(breslowSql).as("s_breslow_fp"))
         .orderBy("t_hours")
     }),
 
@@ -368,6 +416,39 @@ object GovernanceOps extends OpGroup {
          |       CAST(CASE WHEN d = n_risk THEN NULL ELSE log_s0 END
          |         AS BIGINT) AS log_s_fp
          |FROM logs WHERE d > 0 ORDER BY t_hours""".stripMargin,
+
+    "nelson_aalen_hazard" ->
+      s"""WITH u AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         |         max(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY user_id),
+         |mx AS (SELECT max(last_us) AS max_us FROM u),
+         |uu AS (
+         |  SELECT (last_us - first_us) // 3600000000 AS t_hours,
+         |         max_us - last_us > 86400000000 AS churned
+         |  FROM u CROSS JOIN mx),
+         |pert AS (
+         |  SELECT t_hours,
+         |         sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+         |         sum(CASE WHEN churned THEN 0 ELSE 1 END) AS cns
+         |  FROM uu GROUP BY t_hours),
+         |n AS (SELECT count(*) AS n_users FROM uu),
+         |cum AS (
+         |  SELECT t_hours, d, cns,
+         |         sum(d + cns) OVER (ORDER BY t_hours) AS cum_all
+         |  FROM pert),
+         |risk AS (
+         |  SELECT t_hours, d, cns, n_users - (cum_all - d - cns) AS n_risk
+         |  FROM cum CROSS JOIN n),
+         |terms AS (SELECT *, $naTermSql AS term FROM risk),
+         |hs AS (
+         |  SELECT *, sum(term) OVER (ORDER BY t_hours) AS h_cum
+         |  FROM terms)
+         |SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+         |       CAST(d AS BIGINT) AS n_deaths,
+         |       CAST(h_cum AS BIGINT) AS h_cum_fp,
+         |       $breslowSql AS s_breslow_fp
+         |FROM hs WHERE d > 0 ORDER BY t_hours""".stripMargin,
 
     "engagement_pipeline_e2e" ->
       s"""WITH ev AS (

@@ -86,4 +86,30 @@ class DriftSpec extends SparkSpec {
     assert(bands.forall(Set("0-030d", "031-090d", "091-180d",
       "181-365d", "365d+")))
   }
+
+  test("sprt_conversion_monitor: prefix-sum + boundary-decision replay") {
+    val rows = run("sprt_conversion_monitor")
+    assert(rows.length === Tables.events(spark, sf())
+      .select(expr("CAST(ts AS DATE)")).distinct().count(),
+      "one row per observed day")
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.events(spark, sf()).count(), "events partitioned by day")
+    val up = math.floor(math.log(19.0) * 1e9).toLong
+    val lo = math.floor(-math.log(19.0) * 1e9).toLong
+    var cum = 0L
+    rows.foreach { r =>
+      val (n, k, llr, c, dec) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))
+      assert(k <= n, "purchases are a subset of events")
+      cum += llr
+      assert(c === cum, "cumulative LLR is the running sum of increments")
+      val expected = if (c >= up) "reject_h0"
+        else if (c <= lo) "accept_h0" else "continue"
+      assert(dec === expected, s"day ${r.get(0)}: boundary replay")
+      // increment replay: same IEEE formula in Scala
+      val exp2 = math.floor((k * math.log(0.25 / 0.20)
+        + (n - k) * math.log((1.0 - 0.25) / (1.0 - 0.20))) * 1e9).toLong
+      assert(llr === exp2, s"day ${r.get(0)}: LLR leaf replay")
+    }
+  }
 }

@@ -422,4 +422,24 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(st === sumDau * 1000000L / (nDays * mau), "ratio replay")
     }
   }
+
+  test("markov_entropy_rate: pi matches the stationary op; bounds + replay") {
+    val rows = run("markov_entropy_rate")
+    val pis = run("markov_stationary_dist")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === pis.keySet,
+      "same state set as the stationary operator")
+    val maxH = math.ceil(math.log(pis.size.toDouble) * 1e9).toLong
+    rows.foreach { r =>
+      val (t, pi, h, c) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))
+      assert(pi === pis(t), "pi identical to markov_stationary_dist")
+      assert(h >= 0L && h <= maxH,
+        "branching entropy bounded by ln |types|")
+      assert(c === pi * h / 1000000L, "contribution product replay")
+    }
+    // the rate (sum of contributions) cannot exceed the hottest state's
+    // branching entropy (weights sum to <= 1 after truncation)
+    assert(rows.map(_.getLong(3)).sum <= rows.map(_.getLong(2)).max)
+  }
 }

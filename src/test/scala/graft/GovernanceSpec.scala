@@ -107,6 +107,34 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("nelson_aalen_hazard: monotone hazard + increment replay vs KM ladder") {
+    val rows = run("nelson_aalen_hazard")
+    assert(rows.nonEmpty)
+    var prevT = -1L; var prevH = Long.MinValue; var prevS = Long.MaxValue
+    var prevRisk = Long.MaxValue
+    rows.foreach { r =>
+      val (t, nRisk, d, h, sB) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(t > prevT, "death times strictly increase"); prevT = t
+      assert(d >= 1 && d <= nRisk, "deaths bounded by the at-risk set")
+      assert(nRisk <= prevRisk, "at-risk set shrinks"); prevRisk = nRisk
+      assert(h >= prevH, "cumulative hazard is nondecreasing"); prevH = h
+      assert(sB <= prevS, "Breslow survival is nonincreasing"); prevS = sB
+      assert(sB >= 0L && sB <= 1000000L, "survival is a probability")
+      assert(sB === math.floor(math.exp(-h / 1e9) * 1e6).toLong,
+        "Breslow replay from the truncated cumulative")
+    }
+    // increment replay: consecutive output diffs equal this row's
+    // d/n leaf (censor-only support rows contribute exactly 0)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val leaf = math.floor(
+          b.getLong(2).toDouble / b.getLong(1) * 1e9).toLong
+        assert(b.getLong(3) - a.getLong(3) === leaf, "hazard increment")
+      case _ => ()
+    }
+  }
+
   test("l_diversity_audit: partition + entropy-bound laws") {
     val rows = run("l_diversity_audit")
     assert(rows.map(_.getLong(2)).sum ===
