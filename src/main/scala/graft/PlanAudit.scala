@@ -118,6 +118,13 @@ import org.apache.spark.sql.SparkSession
   *     ≤|nations| ranked test table; the corpus pass is ONE map-side
   *     combinable (nation × bucket) count and the CDF window is
   *     PARTITIONED by nation over the value-domain grid.
+  *   - `fellegi_sunter_weights` (r12, second session) — many
+  *     SinglePartition: scalar-stitch — all seven exchanged relations
+  *     are 1-row aggregates (the four inclusion–exclusion pair
+  *     totals, the two u-numerators, N) crossed onto the 4-row
+  *     pattern grid; each upstream pass is a map-side-combinable
+  *     count over the blocked key space, and no pair is ever
+  *     enumerated.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -32,6 +32,15 @@ object CommerceOps extends OpGroup {
       |  / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
       |END""".stripMargin.replace("\n", " ")
 
+  /** 90-day half-life decay leaf: ⌊cents · exp(ln ½ · age/90)⌋ as ONE
+    * shared string over exact integers — identical IEEE tree on both
+    * engines, truncated BEFORE the order-free integer sum.
+    */
+  private val decaySql =
+    """CAST(FLOOR(CAST(cents AS DOUBLE)
+      | * exp(ln(0.5) * age_days / 90.0)) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CDF of order→ship latency at k ∈ {0, 15, …, 120} days.
     "order_fill_curve" -> ((s, d) => {
@@ -102,6 +111,43 @@ object CommerceOps extends OpGroup {
           "shift_fp")
         .orderBy(abs(col("shift_fp")).desc, col("l_suppkey"))
         .limit(10)
+    }),
+
+    // Time-decayed revenue by nation (r12, second session): each
+    // order's cents weighted by exp(ln ½ · age/90) — a 90-day
+    // half-life recency kernel measured against the broadcast corpus
+    // max date (the open_order_aging scalar pattern) — the "how much
+    // of this account's value is RECENT" read behind every
+    // retention-weighted LTV and freshness-weighted mixture score.
+    // Each order's decayed value is ONE FLOOR'd IEEE leaf over exact
+    // (cents, age_days) integers, then integer-summed (order-free at
+    // any partitioning); the report is |nations|-bounded and the
+    // decay share is an exact integer ratio.
+    "time_decay_revenue" -> ((s, d) => {
+      val ords = Tables.orders(s, d)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+          "o_custkey")
+        .select(col("c_nationkey").as("nk"),
+          col("o_orderdate").cast("date").as("od"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val maxd = ords.agg(max("od").as("max_od"))
+      ords.crossJoin(broadcast(maxd))
+        .withColumn("age_days",
+          expr("datediff(max_od, od)").cast("long"))
+        .withColumn("dec_cents", expr(decaySql))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("raw_cents"),
+          sum("dec_cents").as("decayed_cents"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))),
+          "nk")
+        .withColumn("decay_share_fp", expr(
+          """CAST(CAST(decayed_cents AS DECIMAL(38,0)) * 1000000
+            | DIV raw_cents AS BIGINT)""".stripMargin.replace("\n", " ")))
+        .select("nation", "n_orders", "raw_cents", "decayed_cents",
+          "decay_share_fp")
+        .orderBy("nation")
     }),
   )
 
@@ -174,5 +220,26 @@ object CommerceOps extends OpGroup {
         |FROM f
         |ORDER BY abs(share2_fp - share1_fp) DESC, l_suppkey
         |LIMIT 10""".stripMargin,
+
+    "time_decay_revenue" ->
+      s"""WITH ords AS (
+         |  SELECT c_nationkey AS nk, CAST(o_orderdate AS DATE) AS od,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |maxd AS (SELECT max(od) AS max_od FROM ords),
+         |dec AS (
+         |  SELECT nk, cents,
+         |         CAST(datediff('day', od, max_od) AS BIGINT) AS age_days
+         |  FROM ords CROSS JOIN maxd),
+         |agg AS (
+         |  SELECT nk, CAST(count(*) AS BIGINT) AS n_orders,
+         |         CAST(sum(cents) AS BIGINT) AS raw_cents,
+         |         CAST(sum($decaySql) AS BIGINT) AS decayed_cents
+         |  FROM dec GROUP BY 1)
+         |SELECT n_name AS nation, n_orders, raw_cents, decayed_cents,
+         |       CAST(CAST(decayed_cents AS HUGEINT) * 1000000 // raw_cents
+         |         AS BIGINT) AS decay_share_fp
+         |FROM agg JOIN nation ON n_nationkey = nk
+         |ORDER BY nation""".stripMargin,
   )
 }

@@ -77,6 +77,40 @@ object TokenDistOps extends OpGroup {
         .orderBy(col("burstiness_fp").desc, col("w"))
         .limit(20)
     }),
+
+    // Simpson concentration per source (r12, second session): D = Σp²
+    // over the word unigram distribution (Simpson 1949) — the
+    // repeat-probability read on vocabulary concentration, the
+    // quadratic companion to the log-domain Shannon reads
+    // (lexical_diversity's TTR, vocab_gini, char_entropy). Reported
+    // with the effective vocabulary 1/D (how many EQUAL-mass types the
+    // source behaves like — the Hill number of order 2) and evenness
+    // (1/D)/types. EXACT integer arithmetic end to end: Σc² lifts to
+    // DECIMAL(38,0)/HUGEINT (int64-safe only to ~3e9 tokens/source)
+    // and every ratio is one integer division — no doubles anywhere.
+    // Scale: the corpus collapses to the (source × vocab) count table
+    // map-side; the report is |sources|-bounded.
+    "simpson_diversity_by_source" -> ((s, d) => {
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      sw.groupBy("source").agg(
+          sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("scc"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("""CAST(scc * 1000000000
+                 | DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)
+                 | AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("simpson_fp"),
+          expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens
+                 | DIV scc AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("eff_types"),
+          expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens
+                 | * 1000000 DIV (scc * n_types)
+                 | AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("evenness_fp"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -129,5 +163,26 @@ object TokenDistOps extends OpGroup {
         |FROM tf JOIN df ON df.w = tf.w
         |WHERE df.df >= 5
         |ORDER BY burstiness_fp DESC, tf.w LIMIT 20""".stripMargin,
+
+    "simpson_diversity_by_source" ->
+      """WITH sw AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |        FROM sw GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc
+        |  FROM cnt GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |       CAST(scc * 1000000000
+        |         // (CAST(n_tokens AS HUGEINT) * n_tokens)
+        |         AS BIGINT) AS simpson_fp,
+        |       CAST(CAST(n_tokens AS HUGEINT) * n_tokens // scc
+        |         AS BIGINT) AS eff_types,
+        |       CAST(CAST(n_tokens AS HUGEINT) * n_tokens * 1000000
+        |         // (scc * n_types) AS BIGINT) AS evenness_fp
+        |FROM agg ORDER BY source""".stripMargin,
   )
 }

@@ -48,4 +48,19 @@ class CommerceSpec extends SparkSpec {
       assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
     }
   }
+
+  test("time_decay_revenue: decay never amplifies; orders conserved") {
+    val rows = run("time_decay_revenue")
+    assert(rows.length === Tables.nation(spark, sf()).count(),
+      "one row per nation")
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.orders(spark, sf()).count(), "orders partitioned by nation")
+    rows.foreach { r =>
+      val (raw, dec, share) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dec >= 0L && dec <= raw, "exp(ln½·age/90) ≤ 1 per order")
+      assert(share >= 0L && share <= 1000000L)
+      assert(share === dec * 1000000L / raw, "share replay")
+      assert(share < 1000000L, "a multi-year corpus must decay")
+    }
+  }
 }

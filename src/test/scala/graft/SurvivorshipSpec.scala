@@ -57,4 +57,26 @@ class SurvivorshipSpec extends SparkSpec {
       else assert(tb.head.isEmpty)
     }
   }
+
+  test("fellegi_sunter_weights: pair conservation + weight monotonicity") {
+    val rows = operators.SurvivorshipOps
+      .queries("fellegi_sunter_weights")(spark, sf()).collect()
+    assert(rows.length === 4, "the 2-field agreement-pattern grid")
+    // Σ pattern pairs = Σ within-nation-block C(n, 2), independently
+    val blockPairs = Tables.customer(spark, sf())
+      .groupBy("c_nationkey").count().collect()
+      .map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
+    assert(rows.map(_.getLong(2)).sum === blockPairs,
+      "patterns partition the blocked candidate space")
+    rows.foreach(r => assert(r.getLong(2) >= 0L))
+    val w = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // each field's agreement adds a positive log-odds increment
+    // (m = 0.9 exceeds both u's), so weights are monotone in the
+    // pattern lattice and the increments are additive/symmetric
+    assert(w((1L, 1L)) > w((1L, 0L)) && w((1L, 1L)) > w((0L, 1L)))
+    assert(w((1L, 0L)) > w((0L, 0L)) && w((0L, 1L)) > w((0L, 0L)))
+    assert(math.abs(
+      (w((1L, 1L)) - w((0L, 1L))) - (w((1L, 0L)) - w((0L, 0L)))) <= 1L,
+      "field contributions are additive up to floor truncation")
+  }
 }

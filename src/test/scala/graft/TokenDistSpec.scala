@@ -1,8 +1,11 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Semantic pins for TokenDistOps: probability-mass bounds for the
   * sampling table, the keep-rate range law and its high-frequency
-  * direction, and burstiness lower-bound/ordering.
+  * direction, burstiness lower-bound/ordering, and the Simpson
+  * Hill-number bounds.
   */
 class TokenDistSpec extends SparkSpec {
   private def run(key: String) =
@@ -40,6 +43,26 @@ class TokenDistSpec extends SparkSpec {
       val (tf, df, b) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(df >= 5 && tf >= df, "a term occurs at least once per doc")
       assert(b === tf * 1000000L / df && b >= 1000000L)
+    }
+  }
+
+  test("simpson_diversity_by_source: Hill-number bounds + token conservation") {
+    val rows = run("simpson_diversity_by_source")
+    val totalTokens = Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.map(_.getLong(1)).sum === totalTokens,
+      "tokens partitioned by source")
+    rows.foreach { r =>
+      val (n, types, sim, eff, even) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(types >= 1 && types <= n)
+      // D in [1/types, 1]: uniform minimizes, single-type maximizes
+      assert(sim >= 1000000000L / types - 1 && sim <= 1000000000L,
+        "Simpson index bounds")
+      assert(eff >= 1 && eff <= types,
+        "effective vocabulary cannot exceed observed types")
+      assert(even >= 0 && even <= 1000000L, "evenness is a fraction")
+      if (types == n) assert(eff === types, "all-hapax source is even")
     }
   }
 }
