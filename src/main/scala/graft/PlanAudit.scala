@@ -125,6 +125,12 @@ import org.apache.spark.sql.SparkSession
   *     pattern grid; each upstream pass is a map-side-combinable
   *     count over the blocked key space, and no pair is ever
   *     enumerated.
+  *   - `logrank_test_arms` (r12, second session) — many
+  *     SinglePartition: the kaplan_meier class — the exchanged
+  *     relations are the 1-row max-date and arm-size scalars and the
+  *     duration-domain-bounded support ladder; the corpus pass is the
+  *     per-user (first, last) map-side aggregate, and the output is
+  *     ONE row.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

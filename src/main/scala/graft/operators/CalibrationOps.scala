@@ -27,7 +27,51 @@ import org.apache.spark.sql.functions._
   */
 object CalibrationOps extends OpGroup {
 
+  /** Beta-binomial method-of-moments shrinkage leaf (1e-6 fp): the
+    * prior mean p̄ and strength M = p̄(1−p̄)/v − 1 derive from the exact
+    * cross-brand rate moments (sr = Σ rate_fp, srr = Σ rate_fp², nb =
+    * #brands); each brand's posterior mean is (k + p̄M)/(n + M). When
+    * the rates are tighter than binomial noise allows (v ≤ 0 or
+    * M ≤ 0) the CASE falls back to the raw rate — identical text on
+    * both engines.
+    */
+  private def ebShrunkSql(intDiv: String): String = {
+    val pbar = "(CAST(sr AS DOUBLE) / nb / 1000000.0)"
+    val vv = """((CAST(nb AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr)
+      | / (CAST(nb AS DOUBLE) * (nb - 1)) / 1000000000000.0)"""
+      .stripMargin.replace("\n", " ")
+    val m = s"($pbar * (1.0 - $pbar) / $vv - 1.0)"
+    s"""CASE WHEN $vv <= 0 OR $m <= 0 THEN k * 1000000 $intDiv n
+       | ELSE CAST(FLOOR((CAST(k AS DOUBLE) + $pbar * $m)
+       |   / (CAST(n AS DOUBLE) + $m) * 1000000.0) AS BIGINT) END"""
+      .stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Empirical-Bayes rate shrinkage (r12, second session): per-brand
+    // return rates shrunk toward the cross-brand beta-binomial prior
+    // by method of moments (Robbins 1956 / the standard "stabilize
+    // small-sample rates" recipe) — what a quality monitor publishes
+    // instead of raw rates so a 3-line brand can't top the leaderboard
+    // on noise. One lineitem⨝part pass folds to |brands| (k, n) cells;
+    // the prior moments are three integer aggregates over that
+    // bounded table; the posterior leaf is ONE shared IEEE formula.
+    "eb_shrinkage_rates" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select(col("p_partkey").as("l_partkey"),
+          col("p_brand").as("brand")), "l_partkey")
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+        .withColumn("raw_fp", expr("k * 1000000 DIV n"))
+      val mom = per.agg(count(lit(1)).as("nb"), sum("raw_fp").as("sr"),
+        sum(expr("raw_fp * raw_fp")).as("srr"))
+      per.crossJoin(broadcast(mom))
+        .withColumn("shrunk_fp", expr(ebShrunkSql("DIV")))
+        .select("brand", "n", "k", "raw_fp", "shrunk_fp")
+        .orderBy("brand")
+    }),
+
     // lang-ID confusion matrix: stored label × stopword-scored
     // prediction, with per-stored-lang recall shares — the acceptance
     // report for the L-family lang_id_ngram heuristic. Composes the
@@ -200,6 +244,24 @@ object CalibrationOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "eb_shrinkage_rates" ->
+      s"""WITH per AS (
+         |  SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS k
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1),
+         |r AS (SELECT *, CAST(k * 1000000 // n AS BIGINT) AS raw_fp
+         |      FROM per),
+         |mom AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nb,
+         |         CAST(sum(raw_fp) AS BIGINT) AS sr,
+         |         CAST(sum(raw_fp * raw_fp) AS BIGINT) AS srr
+         |  FROM r)
+         |SELECT brand, n, k, raw_fp,
+         |       CAST(${ebShrunkSql("//")} AS BIGINT) AS shrunk_fp
+         |FROM r CROSS JOIN mom ORDER BY brand""".stripMargin,
+
     "lang_confusion_matrix" ->
       s"""WITH pred AS (${TrainingDataOps.oracleSql("lang_id_ngram")}),
          |cells AS (

@@ -53,6 +53,30 @@ object GovernanceOps extends OpGroup {
     """CAST(FLOOR(exp(-CAST(h_cum AS DOUBLE) / 1000000000.0)
       | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
 
+  /** Log-rank per-death-time expected arm-1 deaths d·r1/r, 1e-6 fp. */
+  private val lrETermSql =
+    """CASE WHEN d0 + d1 > 0
+      | THEN CAST(FLOOR(CAST(d0 + d1 AS DOUBLE) * r1 / rt
+      |   * 1000000.0) AS BIGINT) ELSE 0 END"""
+      .stripMargin.replace("\n", " ")
+
+  /** Log-rank per-death-time hypergeometric variance term, 1e-6 fp:
+    * d·(r1/r)·(1−r1/r)·(r−d)/(r−1), zero-armed at r ≤ 1.
+    */
+  private val lrVTermSql =
+    """CASE WHEN d0 + d1 > 0 AND rt > 1
+      | THEN CAST(FLOOR(CAST(d0 + d1 AS DOUBLE) * r1 / rt
+      |   * (1.0 - CAST(r1 AS DOUBLE) / rt)
+      |   * (rt - (d0 + d1)) / (rt - 1) * 1000000.0) AS BIGINT)
+      | ELSE 0 END""".stripMargin.replace("\n", " ")
+
+  /** χ² = (O1 − E1)²/V from the exact O1 and truncated E1/V fps. */
+  private val lrChi2Sql =
+    """CAST(FLOOR((CAST(o1 AS DOUBLE) - e1 / 1000000.0)
+      | * (CAST(o1 AS DOUBLE) - e1 / 1000000.0)
+      | / (v1 / 1000000.0) * 1000000.0) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
   /** Entropy term −p·ln p at one (QI-group, sensitive-value) cell,
     * 1e-9 fp, from exact counts: (cs/n)·ln(n/cs). One shared string.
     */
@@ -217,6 +241,58 @@ object GovernanceOps extends OpGroup {
         .select(col("t_hours"), col("n_risk"), col("d").as("n_deaths"),
           col("h_cum").as("h_cum_fp"), expr(breslowSql).as("s_breslow_fp"))
         .orderBy("t_hours")
+    }),
+
+    // Log-rank test between hash-split user cohorts (r12, second
+    // session): the Mantel–Cox two-sample comparison of the
+    // kaplan_meier/nelson_aalen lifetime curves — O₁ vs E₁ deaths with
+    // the hypergeometric variance at each death time (Mantel 1966),
+    // the test every retention experiment reads before claiming "arm B
+    // churns slower". Arms are the md5-bit split (ab_srm_check's
+    // convention — an A/A test here, so χ² should be unremarkable,
+    // which the spec pins). Same duration-domain ladder as Z3: the
+    // only corpus pass is the per-user (first, last) aggregate; the
+    // support carries 4 conditional counts, two GlobalRank prefix
+    // sums build both at-risk ladders, E/V leaves are FLOOR'd IEEE
+    // over exact integers, and the report is ONE row.
+    "logrank_test_arms" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .groupBy("user_id")
+        .agg(min("us").as("first_us"), max("us").as("last_us"))
+        .withColumn("arm", expr(
+          """CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),
+            | 16, 10) AS BIGINT) % 2""".stripMargin.replace("\n", " ")))
+      val mx = u.agg(max("last_us").as("max_us"))
+      val uu = u.crossJoin(broadcast(mx))
+        .select(expr("(last_us - first_us) DIV 3600000000").as("t_hours"),
+          expr("max_us - last_us > 86400000000").as("churned"), col("arm"))
+      val perT = uu.groupBy("t_hours").agg(
+        sum(when(col("arm") === 0 && col("churned"), 1L).otherwise(0L))
+          .as("d0"),
+        sum(when(col("arm") === 0 && !col("churned"), 1L).otherwise(0L))
+          .as("c0"),
+        sum(when(col("arm") === 1 && col("churned"), 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(col("arm") === 1 && !col("churned"), 1L).otherwise(0L))
+          .as("c1"))
+      val ns = uu.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      val lad0 = graft.functions.GlobalRank
+        .prefixSum(perT, "cum0", col("d0") + col("c0"), Nil, Seq("t_hours"))
+      val lad = graft.functions.GlobalRank
+        .prefixSum(lad0, "cum1", col("d1") + col("c1"), Nil, Seq("t_hours"))
+        .crossJoin(broadcast(ns))
+        .withColumn("r0", expr("n0 - (cum0 - d0 - c0)"))
+        .withColumn("r1", expr("n1 - (cum1 - d1 - c1)"))
+        .withColumn("rt", expr("r0 + r1"))
+      lad.agg(sum("d1").as("o1"), sum(expr(lrETermSql)).as("e1"),
+          sum(expr(lrVTermSql)).as("v1"),
+          max("n0").as("n0"), max("n1").as("n1"))
+        .select(col("n0"), col("n1"), col("o1"),
+          col("e1").as("e1_fp"), col("v1").as("v1_fp"),
+          expr(lrChi2Sql).as("chi2_fp"))
     }),
 
     // Z5 — the EVENTS-domain consumer composite (Q5's twin over the
@@ -449,6 +525,53 @@ object GovernanceOps extends OpGroup {
          |       CAST(h_cum AS BIGINT) AS h_cum_fp,
          |       $breslowSql AS s_breslow_fp
          |FROM hs WHERE d > 0 ORDER BY t_hours""".stripMargin,
+
+    "logrank_test_arms" ->
+      s"""WITH u AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         |         max(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY user_id),
+         |ua AS (
+         |  SELECT *, CAST(concat('0x',
+         |           substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         |           AS BIGINT) % 2 AS arm
+         |  FROM u),
+         |mx AS (SELECT max(last_us) AS max_us FROM u),
+         |uu AS (
+         |  SELECT (last_us - first_us) // 3600000000 AS t_hours,
+         |         max_us - last_us > 86400000000 AS churned, arm
+         |  FROM ua CROSS JOIN mx),
+         |pert AS (
+         |  SELECT t_hours,
+         |    sum(CASE WHEN arm = 0 AND churned THEN 1 ELSE 0 END) AS d0,
+         |    sum(CASE WHEN arm = 0 AND NOT churned THEN 1 ELSE 0 END) AS c0,
+         |    sum(CASE WHEN arm = 1 AND churned THEN 1 ELSE 0 END) AS d1,
+         |    sum(CASE WHEN arm = 1 AND NOT churned THEN 1 ELSE 0 END) AS c1
+         |  FROM uu GROUP BY t_hours),
+         |ns AS (
+         |  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         |         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+         |  FROM uu),
+         |lad AS (
+         |  SELECT *,
+         |         sum(d0 + c0) OVER (ORDER BY t_hours) AS cum0,
+         |         sum(d1 + c1) OVER (ORDER BY t_hours) AS cum1
+         |  FROM pert),
+         |r AS (
+         |  SELECT *, n0 - (cum0 - d0 - c0) AS r0,
+         |         n1 - (cum1 - d1 - c1) AS r1,
+         |         n0 - (cum0 - d0 - c0) + n1 - (cum1 - d1 - c1) AS rt
+         |  FROM lad CROSS JOIN ns),
+         |agg AS (
+         |  SELECT CAST(max(n0) AS BIGINT) AS n0,
+         |         CAST(max(n1) AS BIGINT) AS n1,
+         |         CAST(sum(d1) AS BIGINT) AS o1,
+         |         CAST(sum($lrETermSql) AS BIGINT) AS e1,
+         |         CAST(sum($lrVTermSql) AS BIGINT) AS v1
+         |  FROM r)
+         |SELECT n0, n1, o1, e1 AS e1_fp, v1 AS v1_fp,
+         |       $lrChi2Sql AS chi2_fp
+         |FROM agg""".stripMargin,
 
     "engagement_pipeline_e2e" ->
       s"""WITH ev AS (

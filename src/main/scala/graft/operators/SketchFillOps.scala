@@ -106,9 +106,78 @@ object SketchFillOps extends OpGroup {
             .otherwise("none").as("fill_source"))
         .orderBy("nation", "day")
     }),
+
+    // KMV (k-minimum-values) distinct sketch per event type (r12,
+    // second session): hash each user to 48 bits (the md5 split
+    // convention), keep the K = 64 smallest hashes per type, estimate
+    // NDV as (K−1)·2⁴⁸ / h_(K) (Bar-Yossef et al. 2002) — the
+    // mergeable bounded-memory cousin of HLL whose estimate, unlike
+    // HLL's, is a PURE INTEGER function of a deterministic hash: both
+    // engines compute the identical estimate, so this sketch row gets
+    // a full value oracle (vs the ε-banded hll rows). Exact NDV and
+    // the ppm error are EXHIBITED beside the estimate (the
+    // quantile_sketch_merge discipline). Scale: the min-K rank is the
+    // standard per-type top-k window over the distinct-hash table;
+    // sketch state is K·|types| rows.
+    "kmv_distinct_sketch" -> ((s, d) => {
+      val h = Tables.events(s, d)
+        .select(col("event_type"), expr(
+          """CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12),
+            | 16, 10) AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("h"))
+        .distinct()
+      val wK = Window.partitionBy("event_type").orderBy("h")
+      val kth = h.withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= KmvK)
+        .groupBy("event_type")
+        .agg(max("h").as("h_k"), count(lit(1)).as("k_kept"))
+      val exact = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      kth.join(exact, "event_type")
+        .withColumn("kmv_est", expr(
+          s"""CASE WHEN k_kept < $KmvK THEN n_exact
+             | ELSE ($KmvK - 1) * 281474976710656 DIV h_k END"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("err_ppm",
+          expr("abs(kmv_est - n_exact) * 1000000 DIV n_exact"))
+        .select("event_type", "n_exact", "h_k", "kmv_est", "err_ppm")
+        .orderBy("event_type")
+    }),
   )
 
+  /** KMV sketch size: estimator SE ≈ 1/√(K−2) ≈ 13%. */
+  private val KmvK = 64L
+
   val oracleSql: Map[String, String] = Map(
+    "kmv_distinct_sketch" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+         |           1, 12)) AS BIGINT) AS h
+         |  FROM events),
+         |kth AS (
+         |  SELECT event_type, CAST(max(h) AS BIGINT) AS h_k,
+         |         CAST(count(*) AS BIGINT) AS k_kept
+         |  FROM (SELECT event_type, h,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY h)
+         |            AS rn
+         |        FROM h) r
+         |  WHERE rn <= $KmvK GROUP BY event_type),
+         |exact AS (
+         |  SELECT event_type,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY event_type),
+         |est AS (
+         |  SELECT event_type, n_exact, h_k,
+         |         CAST(CASE WHEN k_kept < $KmvK THEN n_exact
+         |              ELSE ($KmvK - 1) * 281474976710656 // h_k END
+         |           AS BIGINT) AS kmv_est
+         |  FROM kth JOIN exact USING (event_type))
+         |SELECT event_type, n_exact, h_k, kmv_est,
+         |       CAST(abs(kmv_est - n_exact) * 1000000 // n_exact
+         |         AS BIGINT) AS err_ppm
+         |FROM est ORDER BY event_type""".stripMargin,
     "quantile_sketch_merge" ->
       s"""WITH li AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents

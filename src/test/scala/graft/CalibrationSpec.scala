@@ -130,4 +130,27 @@ class CalibrationSpec extends SparkSpec {
       rows.map(_.getLong(1)).sum
     assert(eces.head === expect, "ECE = Σ n·gap / N")
   }
+
+  test("eb_shrinkage_rates: shrinkage pulls toward the prior mean") {
+    val rows = run("eb_shrinkage_rates")
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.lineitem(spark, sf()).count(), "lines partitioned by brand")
+    val pbar = rows.map(_.getLong(3)).sum / rows.length
+    rows.foreach { r =>
+      val (n, k, raw, shrunk) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(k <= n)
+      assert(raw === k * 1000000L / n, "raw rate replay")
+      assert(shrunk >= 0L && shrunk <= 1000000L)
+      // posterior mean lies between the raw rate and the prior mean
+      // (within 1 fp of each end for floor truncation)
+      assert(shrunk >= math.min(raw, pbar) - 1 &&
+        shrunk <= math.max(raw, pbar) + 1,
+        s"${r.getString(0)}: $shrunk outside [$raw, $pbar]")
+      // strict contraction for any brand away from the mean
+      if (math.abs(raw - pbar) > 1000)
+        assert(math.abs(shrunk - pbar) < math.abs(raw - pbar),
+          s"${r.getString(0)}: no contraction")
+    }
+  }
 }

@@ -135,6 +135,23 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("logrank_test_arms: A/A split is unremarkable; accounting holds") {
+    val Array(r) = run("logrank_test_arms")
+    val (n0, n1, o1, e1, v1, chi2) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val users = Tables.events(spark, sf())
+      .select("user_id").distinct().count()
+    assert(n0 + n1 === users, "arms partition the user population")
+    assert(n0 > 0 && n1 > 0, "md5 bit splits both ways")
+    assert(o1 >= 0 && o1 <= n1, "observed deaths bounded by the arm")
+    assert(e1 > 0L && v1 > 0L, "expected deaths and variance positive")
+    // E1 cannot exceed total deaths (it allocates each death's mass)
+    assert(e1 <= (o1 + n0) * 1000000L)
+    // the arms are an A/A hash split of the same population: χ²₁
+    // should be far below the p=0.001 line (10.8)
+    assert(chi2 >= 0L && chi2 < 10800000L, s"A/A logrank chi2=$chi2")
+  }
+
   test("l_diversity_audit: partition + entropy-bound laws") {
     val rows = run("l_diversity_audit")
     assert(rows.map(_.getLong(2)).sum ===

@@ -51,4 +51,24 @@ class SketchFillSpec extends SparkSpec {
       .distinct().count()
     assert(nObs.toLong === direct, "observed cells = distinct (nation, day)")
   }
+
+  test("kmv_distinct_sketch: estimator accuracy + exact-count replay") {
+    val rows = operators.SketchFillOps.queries("kmv_distinct_sketch")(
+      spark, sf()).collect()
+    val exact = Tables.events(spark, sf())
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      val (t, n, hk, est, err) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n === exact(t), "exact NDV replay")
+      assert(hk > 0L && hk < 281474976710656L, "48-bit hash range")
+      assert(err === math.abs(est - n) * 1000000L / n, "error replay")
+      if (n <= 64) assert(est === n, "undersized sketch is exact")
+      else assert(err <= 600000L,
+        s"$t: KMV(64) ~13% SE estimator off by ${err}ppm")
+    }
+  }
 }
