@@ -150,6 +150,47 @@ object LinkPredOps extends OpGroup {
         .withColumn("assortativity", expr(rhoSql))
         .select("n_edges", "assortativity")
     }),
+
+    // Directed modularity of the TRUE-label partition on the kNN graph
+    // (r12, second session): Q = Σ_c (e_cc/m − (d_out_c/m)(d_in_c/m))
+    // (Leicht & Newman 2008) — how much more intra-label linking the
+    // similarity graph shows than degree chance predicts, THE
+    // embedding-quality read label_propagation's accuracy only hints
+    // at. Pure integer arithmetic: per-label edge/degree counts are
+    // combinable aggregates over the out-degree-≤3 edge list; each
+    // Q contribution is two exact DECIMAL(38,0)/HUGEINT divisions;
+    // the report is |labels|-bounded.
+    "graph_modularity_labels" -> ((s, d) => {
+      val lab = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("lab"))
+      val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
+        .select(col("src"), col("dst"))
+        .join(lab.select(col("vec_id").as("src"), col("lab").as("la")),
+          "src")
+        .join(lab.select(col("vec_id").as("dst"), col("lab").as("lb")),
+          "dst")
+      val dOut = e.groupBy(col("la").as("lab")).agg(count(lit(1)).as("d_out"))
+      val dIn = e.groupBy(col("lb").as("lab")).agg(count(lit(1)).as("d_in"))
+      val eIn = e.filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lab")).agg(count(lit(1)).as("e_in"))
+      val m = e.agg(count(lit(1)).as("m"))
+      lab.select("lab").distinct()
+        .join(dOut, Seq("lab"), "left")
+        .join(dIn, Seq("lab"), "left")
+        .join(eIn, Seq("lab"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("lab"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"),
+          coalesce(col("d_out"), lit(0L)).as("d_out"),
+          coalesce(col("d_in"), lit(0L)).as("d_in"), col("m"))
+        .withColumn("q_fp", expr(
+          """CAST(CAST(e_in AS DECIMAL(38,0)) * 1000000000 DIV m
+            | - CAST(d_out AS DECIMAL(38,0)) * d_in * 1000000000
+            |   DIV (CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .select("lab", "e_in", "d_out", "d_in", "q_fp")
+        .orderBy("lab")
+    }),
   )
 
   /** Shared oracle CTE chain: knn edges → undirected pairs → degrees →
@@ -246,5 +287,37 @@ object LinkPredOps extends OpGroup {
          |         n_edges * syy - sy * sy AS dy
          |  FROM m)
          |SELECT n_edges, $rhoSql AS assortativity FROM f""".stripMargin,
+
+    "graph_modularity_labels" ->
+      s"""WITH ${SemiStructuredOps.knnEdgeCtes},
+         |el AS (
+         |  SELECT CAST(la.label AS BIGINT) AS la,
+         |         CAST(lb.label AS BIGINT) AS lb
+         |  FROM edges e
+         |  JOIN embeddings la ON la.vec_id = e.src
+         |  JOIN embeddings lb ON lb.vec_id = e.dst),
+         |dout AS (SELECT la AS lab, CAST(count(*) AS BIGINT) AS d_out
+         |         FROM el GROUP BY 1),
+         |din AS (SELECT lb AS lab, CAST(count(*) AS BIGINT) AS d_in
+         |        FROM el GROUP BY 1),
+         |ein AS (SELECT la AS lab, CAST(count(*) AS BIGINT) AS e_in
+         |        FROM el WHERE la = lb GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+         |labs AS (SELECT DISTINCT CAST(label AS BIGINT) AS lab
+         |         FROM embeddings)
+         |SELECT labs.lab,
+         |       CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+         |       CAST(coalesce(d_out, 0) AS BIGINT) AS d_out,
+         |       CAST(coalesce(d_in, 0) AS BIGINT) AS d_in,
+         |       CAST(CAST(coalesce(e_in, 0) AS HUGEINT) * 1000000000 // m
+         |         - CAST(coalesce(d_out, 0) AS HUGEINT)
+         |           * coalesce(d_in, 0) * 1000000000
+         |           // (CAST(m AS HUGEINT) * m) AS BIGINT) AS q_fp
+         |FROM labs
+         |LEFT JOIN dout ON dout.lab = labs.lab
+         |LEFT JOIN din ON din.lab = labs.lab
+         |LEFT JOIN ein ON ein.lab = labs.lab
+         |CROSS JOIN mm
+         |ORDER BY labs.lab""".stripMargin,
   )
 }

@@ -41,7 +41,56 @@ object ParetoStatOps extends OpGroup {
     */
   private val SkyBucket = 100000L
 
+  /** Theil-T within-group leaf (x/μ_g)·ln(x/μ_g) in 1e-9 fp, spelled
+    * in pure doubles over exact ints (x·n_g/s_g) so no integer product
+    * can overflow at any corpus size. One shared string.
+    */
+  private val theilLeafSql =
+    """CAST(FLOOR(CAST(x AS DOUBLE) * n_g / s_g
+      | * ln(CAST(x AS DOUBLE) * n_g / s_g)
+      | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Theil between-group term (s_g/s)·ln(μ_g/μ) in 1e-9 fp. */
+  private val theilBetweenSql =
+    """CAST(FLOOR(CAST(s_g AS DOUBLE) / s_tot
+      | * ln(CAST(s_g AS DOUBLE) * n_tot / (CAST(s_tot AS DOUBLE) * n_g))
+      | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Theil-T inequality decomposition of customer revenue by nation
+    // (r12, second session): T = Σ_g (S_g/S)·T_g + Σ_g (S_g/S)·ln(μ_g/μ)
+    // — the inequality measure that decomposes ADDITIVELY into
+    // within-nation and between-nation components (Theil 1967), the
+    // question gini_revenue_inequality can't answer ("is the
+    // concentration inside markets or across them?"). Scale: two
+    // combinable aggregate levels (customer, nation); within leaves
+    // FLOOR'd at the customer then integer-summed (the tiny negative
+    // truncation residue is clamped identically on both engines);
+    // the report is |nations|-bounded.
+    "theil_inequality_decomp" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nation")), "o_custkey")
+        .groupBy("nation", "o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val g = cust.groupBy("nation")
+        .agg(count(lit(1)).as("n_g"), sum("x").as("s_g"))
+      val leaves = cust.join(broadcast(g), "nation")
+        .withColumn("leaf", expr(theilLeafSql))
+        .groupBy("nation", "n_g", "s_g").agg(sum("leaf").as("sl"))
+        .withColumn("t_within_fp", expr("greatest(sl, 0L) DIV n_g"))
+      val tot = g.agg(sum("n_g").as("n_tot"), sum("s_g").as("s_tot"))
+      leaves.crossJoin(broadcast(tot))
+        .withColumn("w_within_fp", expr(
+          """CAST(CAST(s_g AS DECIMAL(38,0)) * t_within_fp DIV s_tot
+            | AS BIGINT)""".stripMargin.replace("\n", " ")))
+        .withColumn("between_fp", expr(theilBetweenSql))
+        .select(col("nation"), col("n_g").as("n_cust"),
+          col("s_g").as("cents"), col("t_within_fp"), col("w_within_fp"),
+          col("between_fp"))
+        .orderBy("nation")
+    }),
+
     // 2D skyline: parts minimizing retail price while maximizing size.
     // A part is ON the frontier iff no other part is both ≤ price and
     // ≥ size with one strict. Equal (price, size) ties all survive.
@@ -104,6 +153,30 @@ object ParetoStatOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "theil_inequality_decomp" ->
+      s"""WITH cust AS (
+         |  SELECT c_nationkey AS nation, o_custkey,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS x
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+         |             CAST(sum(x) AS BIGINT) AS s_g
+         |      FROM cust GROUP BY 1),
+         |lv AS (
+         |  SELECT cust.nation, n_g, s_g,
+         |         CAST(sum($theilLeafSql) AS BIGINT) AS sl
+         |  FROM cust JOIN g USING (nation) GROUP BY 1, 2, 3),
+         |tw AS (SELECT *, greatest(sl, 0) // n_g AS t_within_fp FROM lv),
+         |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot,
+         |               CAST(sum(s_g) AS BIGINT) AS s_tot FROM g)
+         |SELECT CAST(nation AS BIGINT) AS nation, n_g AS n_cust,
+         |       s_g AS cents, CAST(t_within_fp AS BIGINT) AS t_within_fp,
+         |       CAST(CAST(s_g AS HUGEINT) * t_within_fp // s_tot
+         |         AS BIGINT) AS w_within_fp,
+         |       $theilBetweenSql AS between_fp
+         |FROM tw CROSS JOIN tot ORDER BY nation""".stripMargin,
+
     "skyline_2d_pareto" ->
       """WITH pts AS (
         |  SELECT p_partkey,

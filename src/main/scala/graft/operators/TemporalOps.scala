@@ -41,6 +41,36 @@ import org.apache.spark.sql.functions._
   */
 object TemporalOps extends OpGroup {
 
+  /** Gumbel method-of-moments pieces as ONE family of shared strings
+    * over the exact (nb, sm, smm) moments: sample std s, scale
+    * β = s·√6/π, location μ = m̄ − γβ (Euler–Mascheroni γ as an exact
+    * double literal), and the 12-period return level
+    * μ − β·ln(−ln(1 − 1/12)); each FLOOR'd to 1e-6-cent fp.
+    */
+  private val gumbelS =
+    """sqrt((CAST(nb AS DOUBLE) * CAST(smm AS DOUBLE)
+      | - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+      | / (CAST(nb AS DOUBLE) * (nb - 1)))"""
+      .stripMargin.replace("\n", " ")
+  private val gumbelBeta = s"($gumbelS * sqrt(6.0) / pi())"
+  private val gumbelMu =
+    s"(CAST(sm AS DOUBLE) / nb - 0.5772156649015329 * $gumbelBeta)"
+  private val gumbelBetaSql =
+    s"CAST(FLOOR($gumbelBeta * 1000000.0) AS BIGINT)"
+  private val gumbelMuSql =
+    s"CAST(FLOOR($gumbelMu * 1000000.0) AS BIGINT)"
+  /** −ln(−ln(1 − 1/12)) as the Scala-computed double literal (the
+    * wilson z² precedent): spelling `1.0 / 12.0` in SQL would hit
+    * Spark's DECIMAL literal division (which truncates the
+    * non-terminating quotient) while DuckDB promotes to double —
+    * the interpolated constant gives both engines the identical
+    * starting double.
+    */
+  private val gumbelC: Double = -math.log(-math.log(1.0 - 1.0 / 12.0))
+  private val gumbelZSql =
+    s"""CAST(FLOOR(($gumbelMu + $gumbelBeta * $gumbelC)
+       | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Interval-vs-calendar overlap join: for each month, how many
     // order lines were open (ordered but not yet shipped) at any point
@@ -96,6 +126,33 @@ object TemporalOps extends OpGroup {
     // exact cents, weekday mean in 1e-6 fixed point, and a 2σ flag on
     // the residual computed as a pure-integer inequality
     // (n·r − Σr)² > 4·(n·Σr² − (Σr)²) in DECIMAL(38,0)/HUGEINT.
+    // Gumbel block-maxima return level (r12, second session): monthly
+    // maxima of daily revenue, method-of-moments Gumbel fit
+    // (β = s·√6/π, μ = m̄ − γβ, Euler–Mascheroni γ), and the 12-period
+    // return level μ − β·ln(−ln(1 − 1/12)) — extreme-value capacity
+    // planning ("what daily peak should next year's worst month
+    // bring"), the tail-risk companion to hill_tail_index. Scale: the
+    // corpus folds to calendar-bounded daily cents map-side, then to
+    // ≤|months| maxima; the fit is ONE shared IEEE formula over three
+    // exact integer moments (Σmax² lifted to DECIMAL/HUGEINT).
+    "gumbel_return_level" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .select(expr("date_format(to_date(o_orderdate), 'yyyy-MM')")
+            .as("month"),
+          expr("CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS BIGINT)")
+            .as("epoch_day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("month", "epoch_day").agg(sum("cents").as("day_cents"))
+      val maxima = daily.groupBy("month").agg(max("day_cents").as("mx"))
+      maxima.agg(count(lit(1)).as("nb"), sum("mx").as("sm"),
+          sum(expr("CAST(mx AS DECIMAL(38,0)) * mx")).as("smm"))
+        .select(col("nb"),
+          expr("sm DIV nb").as("mean_max_cents"),
+          expr(gumbelBetaSql).as("beta_cents_fp"),
+          expr(gumbelMuSql).as("mu_cents_fp"),
+          expr(gumbelZSql).as("z12_cents_fp"))
+    }),
+
     "seasonal_residual_outliers" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         // datediff-from-epoch, not unix_micros: o_orderdate has shipped
@@ -157,6 +214,26 @@ object TemporalOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "gumbel_return_level" ->
+      s"""WITH daily AS (
+         |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         |         CAST(o_orderdate AS DATE) AS od,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS day_cents
+         |  FROM orders GROUP BY 1, 2),
+         |mx AS (SELECT month, CAST(max(day_cents) AS BIGINT) AS mx
+         |       FROM daily GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nb,
+         |         CAST(sum(mx) AS BIGINT) AS sm,
+         |         CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS smm
+         |  FROM mx)
+         |SELECT nb, CAST(sm // nb AS BIGINT) AS mean_max_cents,
+         |       $gumbelBetaSql AS beta_cents_fp,
+         |       $gumbelMuSql AS mu_cents_fp,
+         |       $gumbelZSql AS z12_cents_fp
+         |FROM m""".stripMargin,
+
     "interval_overlap_months" ->
       """WITH li AS (
         |  SELECT CAST(o_orderdate AS DATE) AS od,

@@ -106,4 +106,23 @@ class LinkPredSpec extends SparkSpec {
       assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
     }
   }
+
+  test("graph_modularity_labels: degree accounting + Q bounds + replay") {
+    val rows = run("graph_modularity_labels")
+    val m = operators.SemiStructuredOps.queries("knn_graph_topk")(
+      spark, sf()).count()
+    assert(rows.map(_.getLong(2)).sum === m, "out-degrees partition edges")
+    assert(rows.map(_.getLong(3)).sum === m, "in-degrees partition edges")
+    rows.foreach { r =>
+      val (eIn, dOut, dIn, q) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(eIn <= dOut && eIn <= dIn,
+        "intra-label edges bounded by both degree sums")
+      val expect = eIn * 1000000000L / m -
+        (BigInt(dOut) * dIn * 1000000000L / (BigInt(m) * m)).toLong
+      assert(q === expect, s"label ${r.getLong(0)}: Q contribution replay")
+    }
+    val qTot = rows.map(_.getLong(4)).sum
+    assert(qTot >= -1000000000L && qTot <= 1000000000L, "Q in [-1, 1]")
+  }
 }

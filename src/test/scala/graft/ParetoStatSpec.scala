@@ -64,4 +64,32 @@ class ParetoStatSpec extends SparkSpec {
     assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
     assert(r.getLong(0) >= 1, "at least one bigram type")
   }
+
+  test("theil_inequality_decomp: additive decomposition against exact Theil") {
+    val rows = operators.ParetoStatOps.queries("theil_inequality_decomp")(
+      spark, sf()).collect()
+    val xs = Tables.orders(spark, sf())
+      .join(Tables.customer(spark, sf())
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").as("nation")), "o_custkey")
+      .groupBy("nation", "o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(rows.map(_.getLong(2)).sum === xs.map(_._2).sum,
+      "cents conserved across nations")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, "within-group Theil is nonnegative")
+      assert(r.getLong(4) <= r.getLong(3),
+        "weighting by revenue share contracts the within term")
+    }
+    // exact total Theil in Scala vs the decomposition's sum
+    val n = xs.length.toDouble
+    val mu = xs.map(_._2).sum.toDouble / n
+    val tExact = xs.map { case (_, x) =>
+      x / mu * math.log(x / mu) }.sum / n
+    val tDecomp = (rows.map(_.getLong(4)).sum +
+      rows.map(_.getLong(5)).sum) / 1e9
+    assert(math.abs(tDecomp - tExact) < 1e-4,
+      s"T=within+between: $tDecomp vs $tExact")
+  }
 }

@@ -94,4 +94,33 @@ class TemporalSpec extends SparkSpec {
     assert(rows("unchanged")._4 === 0L)
     assert(rows("added")._2 === 0L && rows("removed")._3 === 0L)
   }
+
+  test("gumbel_return_level: fit geometry + full moment replay") {
+    val Array(r) = run("gumbel_return_level")
+    val (nb, meanMax, beta, mu, z12) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nb >= 12L, "enough monthly blocks to fit")
+    assert(beta > 0L, "positive scale")
+    assert(mu < meanMax * 1000000L, "mode sits below the block-max mean")
+    // z12 = m̄ + (c − γ)·β with c ≈ 2.4417 > γ: return level above mean
+    assert(z12 > meanMax * 1000000L, "12-period level exceeds the mean max")
+    // replay from independently computed moments
+    val mx = Tables.orders(spark, sf())
+      .select(expr("date_format(to_date(o_orderdate), 'yyyy-MM')").as("m"),
+        expr("to_date(o_orderdate)").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("m", "day").agg(sum("c").as("dc"))
+      .groupBy("m").agg(max("dc").as("mx")).collect().map(_.getLong(1))
+    assert(mx.length === nb)
+    val (nbD, sm) = (mx.length.toDouble, mx.sum)
+    val smm = mx.map(v => BigDecimal(v) * BigDecimal(v)).sum
+    val s = math.sqrt((nbD * smm.toDouble - sm.toDouble * sm.toDouble) /
+      (nbD * (mx.length - 1)))
+    val betaE = s * math.sqrt(6.0) / math.Pi
+    val muE = sm.toDouble / mx.length - 0.5772156649015329 * betaE
+    val c = -math.log(-math.log(1.0 - 1.0 / 12.0))
+    assert(beta === math.floor(betaE * 1e6).toLong, "beta replay")
+    assert(mu === math.floor(muE * 1e6).toLong, "mu replay")
+    assert(z12 === math.floor((muE + betaE * c) * 1e6).toLong, "z12 replay")
+  }
 }
