@@ -48,6 +48,45 @@ object AgreementOps extends OpGroup {
       .stripMargin.replace("\n", " ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Paired McNemar test (r12, third session): does the n-gram
+    // lang-ID classifier beat the majority-class baseline ON THE SAME
+    // DOCUMENTS? κ and accuracy compare marginals; McNemar conditions
+    // on the discordant pairs (b = ngram right / baseline wrong,
+    // c = the reverse) — the correct paired-classifier significance
+    // read (McNemar 1947, continuity-corrected). Scale: the majority
+    // label is a |langs|-bounded aggregate broadcast as one row; the
+    // 2×2 discordance grid folds map-side in ONE pass over the
+    // composed lang_id_ngram projection; the χ² numerator lifts to
+    // DECIMAL(38,0)/HUGEINT so (|b−c|−1)² stays exact at any corpus
+    // size (b, c ≤ n_docs; the square would exit int64 past ~3e9
+    // discordant docs).
+    "mcnemar_langid_pair" -> ((s, d) => {
+      val pred = TrainingDataOps.queries("lang_id_ngram")(s, d)
+        .select("lang_stored", "lang_pred")
+      val maj = pred.groupBy("lang_stored").agg(count(lit(1)).as("n_maj"))
+        .orderBy(col("n_maj").desc, col("lang_stored"))
+        .limit(1)
+        .select(col("lang_stored").as("maj_lang"))
+      pred.crossJoin(broadcast(maj))
+        .withColumn("a", (col("lang_pred") === col("lang_stored")).cast("int"))
+        .withColumn("b", (col("lang_stored") === col("maj_lang")).cast("int"))
+        .groupBy("maj_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+            .as("n_both_right"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+            .as("n_b"),
+          sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+            .as("n_c"))
+        .withColumn("chi2_cc_fp", expr(
+          """CASE WHEN n_b + n_c > 0 THEN CAST(
+            |  CAST(abs(n_b - n_c) - 1 AS DECIMAL(38,0))
+            |  * (abs(n_b - n_c) - 1) * 1000000 DIV (n_b + n_c) AS BIGINT)
+            |ELSE 0L END""".stripMargin.replace("\n", " ")))
+        .select("maj_lang", "n_docs", "n_both_right", "n_b", "n_c",
+          "chi2_cc_fp")
+    }),
+
     // Cohen's κ: chance-corrected stored-vs-predicted language
     // agreement, exact rational over confusion counts.
     "cohens_kappa_langid" -> ((s, d) => {
@@ -123,6 +162,32 @@ object AgreementOps extends OpGroup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mcnemar_langid_pair" ->
+      s"""WITH pred AS (${TrainingDataOps.oracleSql("lang_id_ngram")}),
+         |maj AS (
+         |  SELECT lang_stored AS maj_lang FROM pred
+         |  GROUP BY 1 ORDER BY count(*) DESC, lang_stored LIMIT 1),
+         |fl AS (
+         |  SELECT maj_lang,
+         |         CASE WHEN lang_pred = lang_stored THEN 1 ELSE 0 END AS a,
+         |         CASE WHEN lang_stored = maj_lang THEN 1 ELSE 0 END AS b
+         |  FROM pred CROSS JOIN maj),
+         |g AS (
+         |  SELECT maj_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_both_right,
+         |         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_b,
+         |         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_c
+         |  FROM fl GROUP BY 1)
+         |SELECT maj_lang, n_docs, n_both_right, n_b, n_c,
+         |       CASE WHEN n_b + n_c > 0 THEN CAST(
+         |         CAST(abs(n_b - n_c) - 1 AS HUGEINT)
+         |         * (abs(n_b - n_c) - 1) * 1000000 // (n_b + n_c) AS BIGINT)
+         |       ELSE 0 END AS chi2_cc_fp
+         |FROM g""".stripMargin,
+
     "cohens_kappa_langid" ->
       s"""WITH pred AS (${TrainingDataOps.oracleSql("lang_id_ngram")}),
          |cells AS (

@@ -149,6 +149,68 @@ object CommerceOps extends OpGroup {
           "decay_share_fp")
         .orderBy("nation")
     }),
+
+    // Little's law backlog audit (r12, third session): per calendar
+    // month, time-averaged WIP L = Σoverlap/days, arrival rate
+    // λ = arrivals/days, and mean residence W = Σdur/arrivals of the
+    // order-fulfillment system (order interval = [o_orderdate,
+    // max(l_shipdate)]). Little's L = λ·W identity collapses to the
+    // PURE-INTEGER ratio Σoverlap_month / Σdur_of_arrivals — the
+    // queueing-consistency read that flags months where backlog grew
+    // faster than arrivals explain (boundary-straddling load). Scale:
+    // the month axis explodes per order from order-month to
+    // ship-month (interval_overlap_months' mk pattern — bounded by
+    // the order's residence, never a grid join), everything folds
+    // map-side into a months-bounded report; fp products lift to
+    // DECIMAL(38,0)/HUGEINT so Σoverlap·1e6 stays exact past the
+    // int64 edge (~9e12 order-days). Spec pins the exact conservation
+    // law Σ_months overlap = Σ_orders duration.
+    "littles_law_backlog" -> ((s, d) => {
+      val comp = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(max(to_date(col("l_shipdate"))).as("ship"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("ship") >= col("od"))
+        .select("od", "ship")
+      comp.select(col("od"), col("ship"), explode(expr(
+          """sequence(year(od) * 12 + month(od) - 1,
+            |         year(ship) * 12 + month(ship) - 1)""".stripMargin))
+          .as("mk"))
+        .withColumn("ms", expr("make_date(mk DIV 12, mk % 12 + 1, 1)"))
+        .withColumn("me", last_day(col("ms")))
+        .withColumn("days_m", expr("CAST(datediff(me, ms) + 1 AS BIGINT)"))
+        .withColumn("overlap_days", expr(
+          "CAST(datediff(least(me, ship), greatest(ms, od)) + 1 AS BIGINT)"))
+        .withColumn("arrived",
+          when(col("mk") === expr("year(od) * 12 + month(od) - 1"), 1L)
+            .otherwise(0L))
+        .withColumn("dur", expr("CAST(datediff(ship, od) + 1 AS BIGINT)"))
+        .groupBy("ms", "days_m")
+        .agg(sum("arrived").as("arrivals"),
+          sum("overlap_days").as("sum_overlap_days"),
+          sum(expr("arrived * dur")).as("sum_duration_days"))
+        .withColumn("l_fp", expr(
+          """CAST(CAST(sum_overlap_days AS DECIMAL(38,0)) * 1000000
+            | DIV days_m AS BIGINT)""".stripMargin.replace("\n", " ")))
+        .withColumn("lambda_fp", expr(
+          "CAST(CAST(arrivals AS DECIMAL(38,0)) * 1000000 DIV days_m AS BIGINT)"))
+        .withColumn("w_fp", expr(
+          """CASE WHEN arrivals > 0 THEN
+            | CAST(CAST(sum_duration_days AS DECIMAL(38,0)) * 1000000
+            |   DIV arrivals AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .withColumn("littles_ratio_fp", expr(
+          """CASE WHEN sum_duration_days > 0 THEN
+            | CAST(CAST(sum_overlap_days AS DECIMAL(38,0)) * 1000000
+            |   DIV sum_duration_days AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .select(col("ms").as("month_start"), col("days_m"), col("arrivals"),
+          col("sum_overlap_days"), col("sum_duration_days"), col("l_fp"),
+          col("lambda_fp"), col("w_fp"), col("littles_ratio_fp"))
+        .orderBy("month_start")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -241,5 +303,53 @@ object CommerceOps extends OpGroup {
          |         AS BIGINT) AS decay_share_fp
          |FROM agg JOIN nation ON n_nationkey = nk
          |ORDER BY nation""".stripMargin,
+
+    "littles_law_backlog" ->
+      """WITH comp AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS od, s.ship
+        |  FROM orders JOIN (
+        |    SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship
+        |    FROM lineitem GROUP BY 1) s ON s.l_orderkey = o_orderkey
+        |  WHERE s.ship >= CAST(o_orderdate AS DATE)),
+        |mon AS (
+        |  SELECT od, ship, CAST(t.mk AS BIGINT) AS mk
+        |  FROM comp, UNNEST(generate_series(year(od) * 12 + month(od) - 1,
+        |                                    year(ship) * 12 + month(ship) - 1))
+        |       AS t(mk)),
+        |ov AS (
+        |  SELECT mk, od, ship,
+        |         make_date(CAST(mk // 12 AS INTEGER),
+        |                   CAST(mk % 12 + 1 AS INTEGER), 1) AS ms
+        |  FROM mon),
+        |leaf AS (
+        |  SELECT ms,
+        |         CAST(date_diff('day', ms, last_day(ms)) + 1 AS BIGINT)
+        |           AS days_m,
+        |         CAST(date_diff('day', greatest(ms, od),
+        |                        least(last_day(ms), ship)) + 1 AS BIGINT)
+        |           AS overlap_days,
+        |         CASE WHEN mk = year(od) * 12 + month(od) - 1
+        |              THEN 1 ELSE 0 END AS arrived,
+        |         CAST(date_diff('day', od, ship) + 1 AS BIGINT) AS dur
+        |  FROM ov),
+        |agg AS (
+        |  SELECT ms, days_m, CAST(sum(arrived) AS BIGINT) AS arrivals,
+        |         CAST(sum(overlap_days) AS BIGINT) AS sum_overlap_days,
+        |         CAST(sum(arrived * dur) AS BIGINT) AS sum_duration_days
+        |  FROM leaf GROUP BY 1, 2)
+        |SELECT ms AS month_start, days_m, arrivals, sum_overlap_days,
+        |       sum_duration_days,
+        |       CAST(CAST(sum_overlap_days AS HUGEINT) * 1000000 // days_m
+        |         AS BIGINT) AS l_fp,
+        |       CAST(CAST(arrivals AS HUGEINT) * 1000000 // days_m
+        |         AS BIGINT) AS lambda_fp,
+        |       CASE WHEN arrivals > 0 THEN
+        |         CAST(CAST(sum_duration_days AS HUGEINT) * 1000000
+        |           // arrivals AS BIGINT) ELSE NULL END AS w_fp,
+        |       CASE WHEN sum_duration_days > 0 THEN
+        |         CAST(CAST(sum_overlap_days AS HUGEINT) * 1000000
+        |           // sum_duration_days AS BIGINT) ELSE NULL END
+        |         AS littles_ratio_fp
+        |FROM agg ORDER BY month_start""".stripMargin,
   )
 }

@@ -215,9 +215,79 @@ object RankStatOps extends OpGroup {
             .stripMargin.replace("\n", " ")))
         .select("n_tot", "n_cells", "dof", "chi2_fp", "cramers_v")
     }),
+
+    // Cochran–Armitage trend test (r12, third session): is the 'F'
+    // (finished) rate MONOTONE in the ordered priority score s = the
+    // leading digit of o_orderpriority (1-URGENT … 5-LOW)? χ²
+    // association (cramers_v above) ignores the ordering; Armitage's
+    // z² = N·(N·Σs·k − K·Σs·n)² / (K·(N−K)·(N·Σs²·n − (Σs·n)²))
+    // weights deviations by the score and so detects the dose-response
+    // trend an ordered factor implies (Armitage 1955). Scale: five
+    // moment sums fold map-side into ONE 1-row aggregate; the z²
+    // rational lifts to DECIMAL(38,0)/HUGEINT (numerator =
+    // nn·(nn·ssk − kk·ssn)² stays inside 38 digits while orders
+    // < ~1.4e9; past that the inner term would be ratio-reduced
+    // first — Spark's non-ANSI decimal overflow nulls vs DuckDB's
+    // raise make a silent breach impossible). Both numerator and
+    // denominator are ≥ 0 (the denominator by Cauchy–Schwarz), so
+    // truncating DIV and flooring // agree without a sign CASE.
+    "armitage_trend_priority" -> ((s, d) => {
+      val g = Tables.orders(s, d)
+        .groupBy(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+          .as("sc"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("k"))
+      val z = g.agg(sum("n").as("nn"), sum("k").as("kk"),
+          sum(expr("sc * n")).as("ssn"), sum(expr("sc * k")).as("ssk"),
+          sum(expr("sc * sc * n")).as("ss2n"))
+        .withColumn("tnum", expr(
+          "CAST(nn AS DECIMAL(38,0)) * ssk - CAST(kk AS DECIMAL(38,0)) * ssn"))
+        .withColumn("tden", expr(
+          "CAST(nn AS DECIMAL(38,0)) * ss2n - CAST(ssn AS DECIMAL(38,0)) * ssn"))
+        .select(expr(
+          """CASE WHEN kk > 0 AND kk < nn AND tden > 0 THEN CAST(
+            |  CAST(nn AS DECIMAL(38,0)) * tnum * tnum * 1000000
+            |  DIV (CAST(kk AS DECIMAL(38,0)) * (nn - kk) * tden) AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .as("z2_fp"))
+      g.withColumn("rate_fp", expr("k * 1000000 DIV n"))
+        .crossJoin(broadcast(z))
+        .select("sc", "n", "k", "rate_fp", "z2_fp")
+        .orderBy("sc")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "armitage_trend_priority" ->
+      """WITH g AS (
+        |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS k
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk,
+        |         CAST(sum(sc * n) AS BIGINT) AS ssn,
+        |         CAST(sum(sc * k) AS BIGINT) AS ssk,
+        |         CAST(sum(sc * sc * n) AS BIGINT) AS ss2n
+        |  FROM g),
+        |t AS (
+        |  SELECT nn, kk,
+        |         CAST(nn AS HUGEINT) * ssk - CAST(kk AS HUGEINT) * ssn
+        |           AS tnum,
+        |         CAST(nn AS HUGEINT) * ss2n - CAST(ssn AS HUGEINT) * ssn
+        |           AS tden
+        |  FROM m),
+        |z AS (
+        |  SELECT CASE WHEN kk > 0 AND kk < nn AND tden > 0 THEN CAST(
+        |           CAST(nn AS HUGEINT) * tnum * tnum * 1000000
+        |           // (CAST(kk AS HUGEINT) * (nn - kk) * tden) AS BIGINT)
+        |         ELSE NULL END AS z2_fp
+        |  FROM t)
+        |SELECT g.sc, g.n, g.k,
+        |       CAST(g.k * 1000000 // g.n AS BIGINT) AS rate_fp, z.z2_fp
+        |FROM g CROSS JOIN z ORDER BY g.sc""".stripMargin,
+
     "spearman_rank_corr" ->
       s"""WITH q AS (
          |  SELECT l_returnflag,

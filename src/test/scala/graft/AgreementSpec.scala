@@ -59,4 +59,30 @@ class AgreementSpec extends SparkSpec {
       assert(r.getLong(4) >= 0 && r.getLong(3) <= 1000000L)
     }
   }
+
+  test("mcnemar_langid_pair: grid partitions the corpus; χ² replays") {
+    val Array(r) = run("mcnemar_langid_pair")
+    val (maj, n, both, b, c) = (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val chi2 = r.getLong(5)
+    assert(n === Tables.documents(spark, sf()).count())
+    assert(both + b + c <= n, "both-wrong cell absorbs the rest")
+    // majority label replay from the stored column directly
+    val counts = Tables.documents(spark, sf())
+      .groupBy("lang").count().collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val expectMaj = counts.sortBy { case (l, cnt) => (-cnt, l) }.head._1
+    assert(maj === expectMaj, "deterministic majority tie-break")
+    // continuity-corrected χ² replay in BigInt
+    val expect =
+      if (b + c > 0)
+        ((BigInt((b - c).abs - 1).pow(2) * 1000000) / BigInt(b + c)).toLong
+      else 0L
+    assert(chi2 === expect)
+    // direction law: more ngram-only wins than baseline-only wins
+    // exactly when ngram accuracy beats the majority baseline
+    val ngramAcc = both + b
+    val baseAcc = both + c
+    assert((ngramAcc > baseAcc) === (b > c))
+  }
 }

@@ -63,4 +63,41 @@ class CommerceSpec extends SparkSpec {
       assert(share < 1000000L, "a multi-year corpus must decay")
     }
   }
+
+  test("littles_law_backlog: overlap conserves duration exactly") {
+    val rows = run("littles_law_backlog")
+    assert(rows.nonEmpty)
+    val months = rows.map(_.getDate(0).toLocalDate)
+    assert(months.sameElements(months.sorted), "month axis ordered")
+    // exact conservation law: every order-day lands in exactly one
+    // month, so Σ_months overlap = Σ_orders duration = Σ_months
+    // (arrival-month attributed) duration — two independently
+    // computed columns agreeing on the same corpus total
+    val totOverlap = rows.map(_.getLong(3)).sum
+    val totDur = rows.map(_.getLong(4)).sum
+    assert(totOverlap === totDur, "Σ overlap = Σ duration")
+    // arrivals partition the completed-order population
+    import org.apache.spark.sql.functions._
+    val comp = Tables.lineitem(spark, sf())
+      .groupBy("l_orderkey").agg(max(to_date(col("l_shipdate"))).as("ship"))
+      .join(Tables.orders(spark, sf())
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("ship") >= col("od"))
+    assert(rows.map(_.getLong(2)).sum === comp.count())
+    rows.foreach { r =>
+      val (days, arr, ov, dur) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(days >= 28L && days <= 31L)
+      assert(r.getLong(5) === ov * 1000000L / days, "L replay")
+      assert(r.getLong(6) === arr * 1000000L / days, "λ replay")
+      if (arr > 0)
+        assert(r.getLong(7) === dur * 1000000L / arr, "W replay")
+      else assert(r.isNullAt(7))
+      if (dur > 0)
+        assert(r.getLong(8) === ov * 1000000L / dur, "ratio replay")
+      else assert(r.isNullAt(8))
+      assert(ov >= arr, "an arrival contributes >= 1 overlap day")
+    }
+  }
 }

@@ -108,4 +108,32 @@ class RankStatSpec extends SparkSpec {
     assert(chi2 >= -cells, "chi2 >= 0 up to per-cell floor slack")
     assert(v >= 0.0 && v <= 1.0)
   }
+
+  test("armitage_trend_priority: moments replay the z² rational") {
+    val rows = run("armitage_trend_priority")
+    assert(rows.length === 5, "one row per priority score 1..5")
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.orders(spark, sf()).count(), "orders partitioned by score")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "k <= n")
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1),
+        "rate replay")
+    }
+    val z2 = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) === z2), "z² is a constant column")
+    assert(z2 >= 0L, "z² is a square over a Cauchy-Schwarz denominator")
+    // BigInt replay of the Armitage rational from the group table
+    val g = rows.map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)),
+      BigInt(r.getLong(2))))
+    val nn = g.map(_._2).sum; val kk = g.map(_._3).sum
+    val ssn = g.map(x => x._1 * x._2).sum
+    val ssk = g.map(x => x._1 * x._3).sum
+    val ss2n = g.map(x => x._1 * x._1 * x._2).sum
+    val tnum = nn * ssk - kk * ssn
+    val tden = nn * ss2n - ssn * ssn
+    assert(tden > 0, "priority scores vary")
+    val expect = (nn * tnum * tnum * 1000000) / (kk * (nn - kk) * tden)
+    assert(z2 === expect.toLong)
+  }
 }
