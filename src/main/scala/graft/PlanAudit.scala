@@ -131,6 +131,13 @@ import org.apache.spark.sql.SparkSession
   *     duration-domain-bounded support ladder; the corpus pass is the
   *     per-user (first, last) map-side aggregate, and the output is
   *     ONE row.
+  *   - `kruskal_wallis_priority` (r12, third session) — many
+  *     SinglePartition: scalar-stitch — the exchanged relations are
+  *     the 1-row tie-spectrum aggregate and the 1-row H fold crossed
+  *     onto the 5-row group table; the corpus passes (value-domain
+  *     support counts, per-(group, value) counts) are map-side
+  *     combinable and the rank map is the two-phase prefix sum,
+  *     never a partition-less window.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

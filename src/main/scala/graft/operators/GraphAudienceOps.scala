@@ -43,6 +43,46 @@ object GraphAudienceOps extends OpGroup {
         .select("n_edges", "n_reciprocal", "reciprocity_fp")
     }),
 
+    // Rich-club coefficient (r12, third session): do the kNN graph's
+    // high-degree hubs preferentially link to EACH OTHER? φ(k) =
+    // 2·E_{>k} / (N_{>k}(N_{>k}−1)) over the undirected edge set for
+    // k ∈ 1..8 (Zhou & Mondragón 2004) — the hub-interconnection
+    // read that predicts whether near-dup clusters share a connected
+    // "template core" (assortativity's degree-threshold sibling).
+    // Scale: undirected dedup + degree map are edge-linear combinable
+    // aggregates; each edge carries min(deg_a, deg_b) via two
+    // |V|-bounded equi-joins; the 8-point grid reads ONE edge pass by
+    // broadcast non-equi join (order_fill_curve pattern); a k level
+    // with nodes but no qualifying edges keeps its row (left join,
+    // zero-filled) while an empty node level drops on BOTH engines.
+    "rich_club_knn" -> ((s, d) => {
+      val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val ek = e
+        .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+        .select(least(col("deg_a"), col("deg_b")).as("mindeg"))
+      val grid = e.sparkSession.range(1, 9)
+        .select(col("id").cast("long").as("k"))
+      val nodesK = grid.join(deg, col("deg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+      val edgesK = grid.join(ek, col("mindeg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_edges"))
+      nodesK.join(edgesK, Seq("k"), "left")
+        .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+        .withColumn("phi_fp", expr(
+          """CASE WHEN n_nodes >= 2
+            | THEN 2 * n_edges * 1000000 DIV (n_nodes * (n_nodes - 1))
+            |ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")))
+        .select("k", "n_nodes", "n_edges", "phi_fp")
+        .orderBy("k")
+    }),
+
     // SemDeDup τ sweep: pair + affected-doc yield at τ ∈ {0.80..0.95}
     // over within-cell cosine pairs.
     "semantic_tau_sweep" -> ((s, d) => {
@@ -114,6 +154,35 @@ object GraphAudienceOps extends OpGroup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rich_club_knn" ->
+      s"""WITH ${SemiStructuredOps.knnEdgeCtes},
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges),
+         |deg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |ek AS (
+         |  SELECT least(da.deg, db.deg) AS mindeg
+         |  FROM und JOIN deg da ON da.v = und.a
+         |           JOIN deg db ON db.v = und.b),
+         |ks AS (SELECT CAST(i AS BIGINT) AS k FROM range(1, 9) r(i)),
+         |nk AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM ks JOIN deg ON deg.deg > ks.k GROUP BY 1),
+         |ekk AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM ks JOIN ek ON ek.mindeg > ks.k GROUP BY 1)
+         |SELECT nk.k, nk.n_nodes,
+         |       CAST(COALESCE(ekk.n_edges, 0) AS BIGINT) AS n_edges,
+         |       CASE WHEN nk.n_nodes >= 2
+         |         THEN CAST(2 * COALESCE(ekk.n_edges, 0) * 1000000
+         |           // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT)
+         |       ELSE NULL END AS phi_fp
+         |FROM nk LEFT JOIN ekk ON ekk.k = nk.k
+         |ORDER BY nk.k""".stripMargin,
+
     "knn_edge_reciprocity" ->
       s"""WITH ${SemiStructuredOps.knnEdgeCtes},
          |r AS (

@@ -255,9 +255,107 @@ object RankStatOps extends OpGroup {
         .select("sc", "n", "k", "rate_fp", "z2_fp")
         .orderBy("sc")
     }),
+
+    // Kruskal–Wallis rank ANOVA (r12, third session): does the
+    // o_totalprice DISTRIBUTION differ across the 5 priority groups?
+    // The k-group generalization of mann_whitney (Kruskal & Wallis
+    // 1952), with the tie-corrected H. Ranks are the doubled
+    // tie-averaged GLOBAL ranks (r2 = 2·cum − cnt + 1 over the value
+    // domain via the two-phase prefix sum — never a partition-less
+    // window); per-group rank sums and the tie spectrum Σ(t³−t) fold
+    // map-side. H folds deterministically: per-group leaves
+    // L_g = R2_g² DIV (4·n_g) truncate UNSCALED in DECIMAL(38,0)/
+    // HUGEINT (the ·1e6 lift happens after the |groups|-bounded sum,
+    // where decimal headroom is unbounded — lifting per-leaf would
+    // push the truncated quotient itself past int64 at sf0.1), then
+    // H_fp = 12·Σ(L)·1e6 DIV (N(N+1)) − 3(N+1)·1e6. The ≤1-unit
+    // per-leaf truncation shifts H by < 12·|groups|·1e6/(N(N+1)) —
+    // under one fp unit for N > 250 — and is bit-identical on both
+    // engines. Truncation can still leave H_fp a few units below 0 at
+    // H≈0 (the cramers_v floor slack); the tie-corrected H/C division
+    // is therefore SIGNED toward-zero on both engines.
+    "kruskal_wallis_priority" -> ((s, d) => {
+      val v = Tables.orders(s, d).select(
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("sc"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+      val sup = v.groupBy("x").agg(count(lit(1)).as("c"))
+      val rm = graft.functions.GlobalRank
+        .prefixSum(sup, "cum", col("c"), Nil, Seq("x"))
+        .select(col("x"), (lit(2) * col("cum") - col("c") + 1).as("r2"))
+      val g = v.groupBy("sc", "x").agg(count(lit(1)).as("cg"))
+        .join(rm, "x")
+        .groupBy("sc").agg(sum("cg").as("n_g"),
+          sum(expr("cg * r2")).as("r2_sum"))
+        .withColumn("leaf", expr(
+          "CAST(r2_sum AS DECIMAL(38,0)) * r2_sum DIV (4 * n_g)"))
+      val ties = sup.agg(sum(expr("c * c * c - c")).as("tie3"))
+      val h = g.agg(sum("n_g").as("n_tot"),
+          sum(col("leaf").cast("decimal(38,0)")).as("sl"))
+        .crossJoin(broadcast(ties))
+        .withColumn("h_fp", expr(
+          """CAST(12 * sl * 1000000
+            | DIV (CAST(n_tot AS DECIMAL(38,0)) * (n_tot + 1))
+            | - 3 * (n_tot + 1) * 1000000 AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("c_fp", expr(
+          """CAST(1000000 - CAST(tie3 AS DECIMAL(38,0)) * 1000000
+            | DIV (CAST(n_tot AS DECIMAL(38,0)) * n_tot * n_tot - n_tot)
+            | AS BIGINT)""".stripMargin.replace("\n", " ")))
+        .withColumn("h_corr_fp", expr(
+          s"""CASE WHEN c_fp > 0
+             | THEN ${signedFpDiv("h_fp", "c_fp")}
+             |ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")))
+        .select("n_tot", "tie3", "h_fp", "c_fp", "h_corr_fp")
+      g.select("sc", "n_g", "r2_sum")
+        .crossJoin(broadcast(h))
+        .orderBy("sc")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kruskal_wallis_priority" ->
+      s"""WITH v AS (
+         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+         |  FROM orders),
+         |sup AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+         |rm AS (
+         |  SELECT x, 2 * CAST(sum(c) OVER (ORDER BY x) AS BIGINT) - c + 1
+         |           AS r2
+         |  FROM sup),
+         |g AS (
+         |  SELECT sc, CAST(sum(cg) AS BIGINT) AS n_g,
+         |         CAST(sum(cg * r2) AS BIGINT) AS r2_sum
+         |  FROM (SELECT sc, x, CAST(count(*) AS BIGINT) AS cg
+         |        FROM v GROUP BY 1, 2) gv
+         |  JOIN rm USING (x) GROUP BY 1),
+         |lv AS (
+         |  SELECT sc, n_g, r2_sum,
+         |         CAST(r2_sum AS HUGEINT) * r2_sum // (4 * n_g) AS leaf
+         |  FROM g),
+         |t AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie3 FROM sup),
+         |m AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot, sum(leaf) AS sl
+         |      FROM lv),
+         |h AS (
+         |  SELECT n_tot, tie3,
+         |         CAST(12 * sl * 1000000
+         |           // (CAST(n_tot AS HUGEINT) * (n_tot + 1))
+         |           - 3 * (n_tot + 1) * 1000000 AS BIGINT) AS h_fp,
+         |         CAST(1000000 - CAST(tie3 AS HUGEINT) * 1000000
+         |           // (CAST(n_tot AS HUGEINT) * n_tot * n_tot - n_tot)
+         |           AS BIGINT) AS c_fp
+         |  FROM m CROSS JOIN t),
+         |hh AS (
+         |  SELECT n_tot, tie3, h_fp, c_fp,
+         |         CASE WHEN c_fp > 0
+         |           THEN CAST(${signedFpDivDuck("h_fp", "c_fp")} AS BIGINT)
+         |         ELSE NULL END AS h_corr_fp
+         |  FROM h)
+         |SELECT lv.sc, lv.n_g, lv.r2_sum, hh.n_tot, hh.tie3, hh.h_fp,
+         |       hh.c_fp, hh.h_corr_fp
+         |FROM lv CROSS JOIN hh ORDER BY lv.sc""".stripMargin,
+
     "armitage_trend_priority" ->
       """WITH g AS (
         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,

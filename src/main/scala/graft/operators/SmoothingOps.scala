@@ -134,6 +134,51 @@ object SmoothingOps extends OpGroup {
         .orderBy(col("n_contexts").desc, col("w"))
     }),
 
+    // Modified Kneser-Ney discount estimation (r12, third session):
+    // the three count-specific discounts D1, D2, D3+ an MKN language
+    // model subtracts from bigram counts, estimated closed-form from
+    // the low-count spectrum (Chen & Goodman 1998): with Y =
+    // n1/(n1+2n2), D_r = r − (r+1)·Y·n_{r+1}/n_r. D1 simplifies to
+    // the EXACT same rational as Y (1 − 2Y·n2/n1 = n1/(n1+2n2)), so
+    // it is emitted from that one integer division; D2/D3+ keep their
+    // products in DECIMAL(38,0)/HUGEINT (n1·n3 exits int64 once both
+    // pass ~3e9 types). The spectrum is two stacked map-side
+    // combinable aggregates over bigram TOKEN counts (good_turing's
+    // shape on the bigram stream); the report is ONE row.
+    "mkn_discount_estimation" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
+            .stripMargin)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c2"))
+      bi.agg(count(lit(1)).as("n_bigram_types"),
+          sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c2") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("c2") === 3, 1L).otherwise(0L)).as("n3"),
+          sum(when(col("c2") === 4, 1L).otherwise(0L)).as("n4"))
+        .withColumn("d1_fp", expr(
+          """CASE WHEN n1 + 2 * n2 > 0
+            | THEN n1 * 1000000 DIV (n1 + 2 * n2)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .withColumn("d2_fp", expr(
+          """CASE WHEN n2 > 0 AND n1 + 2 * n2 > 0
+            | THEN 2000000 - CAST(3 * CAST(n1 AS DECIMAL(38,0)) * n3
+            |   * 1000000 DIV ((n1 + 2 * n2) * CAST(n2 AS DECIMAL(38,0)))
+            |   AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .withColumn("d3_fp", expr(
+          """CASE WHEN n3 > 0 AND n1 + 2 * n2 > 0
+            | THEN 3000000 - CAST(4 * CAST(n1 AS DECIMAL(38,0)) * n4
+            |   * 1000000 DIV ((n1 + 2 * n2) * CAST(n3 AS DECIMAL(38,0)))
+            |   AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .select("n_bigram_types", "n1", "n2", "n3", "n4",
+          "d1_fp", "d2_fp", "d3_fp")
+    }),
+
     // Deleted-interpolation λ estimation (the TnT/Brants recipe): for
     // every bigram type, compare the held-out bigram ML estimate
     // (c2−1)/(c1−1) against the unigram one (cw−1)/(N−1) by exact
@@ -236,6 +281,35 @@ object SmoothingOps extends OpGroup {
         |         AS pcont_fp
         |FROM cont CROSS JOIN tot
         |ORDER BY n_contexts DESC, w""".stripMargin,
+
+    "mkn_discount_estimation" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |bi AS (
+        |  SELECT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2,
+        |         CAST(count(*) AS BIGINT) AS c2
+        |  FROM (SELECT a FROM toks WHERE len(a) >= 2) t,
+        |       UNNEST(range(1, len(a))) AS r(i)
+        |  GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_bigram_types,
+        |         CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |         CAST(sum(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM bi)
+        |SELECT n_bigram_types, n1, n2, n3, n4,
+        |       CASE WHEN n1 + 2 * n2 > 0
+        |         THEN CAST(n1 * 1000000 // (n1 + 2 * n2) AS BIGINT)
+        |       ELSE NULL END AS d1_fp,
+        |       CASE WHEN n2 > 0 AND n1 + 2 * n2 > 0
+        |         THEN 2000000 - CAST(3 * CAST(n1 AS HUGEINT) * n3 * 1000000
+        |           // ((n1 + 2 * n2) * CAST(n2 AS HUGEINT)) AS BIGINT)
+        |       ELSE NULL END AS d2_fp,
+        |       CASE WHEN n3 > 0 AND n1 + 2 * n2 > 0
+        |         THEN 3000000 - CAST(4 * CAST(n1 AS HUGEINT) * n4 * 1000000
+        |           // ((n1 + 2 * n2) * CAST(n3 AS HUGEINT)) AS BIGINT)
+        |       ELSE NULL END AS d3_fp
+        |FROM sp""".stripMargin,
 
     "deleted_interpolation_lambdas" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),

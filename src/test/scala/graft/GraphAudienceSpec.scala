@@ -43,4 +43,35 @@ class GraphAudienceSpec extends SparkSpec {
       assert(j === nBoth * 1000000L / (na + nb - nBoth))
     }
   }
+
+  test("rich_club_knn: monotone threshold sets; φ replays") {
+    val rows = run("rich_club_knn")
+    assert(rows.nonEmpty && rows.length <= 8)
+    val ks = rows.map(_.getLong(0))
+    assert(ks.sameElements(ks.sorted), "k grid ordered")
+    val nodes = rows.map(_.getLong(1))
+    val edges = rows.map(_.getLong(2))
+    // raising the degree threshold can only shrink both sets
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => a >= b })
+    assert(edges.zip(edges.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val (n, e) = (r.getLong(1), r.getLong(2))
+      assert(e <= n * (n - 1) / 2, "edge count bounded by C(n,2)")
+      if (n >= 2) {
+        assert(r.getLong(3) === 2 * e * 1000000L / (n * (n - 1)),
+          "φ replay")
+        assert(r.getLong(3) <= 1000000L)
+      } else assert(r.isNullAt(3))
+    }
+    // k=1 population replay against an independent degree recount
+    val und = operators.SemiStructuredOps.queries("knn_graph_topk")(
+        spark, sf())
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = und.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    assert(rows.head.getLong(1) === deg.count(_._2 > ks.head))
+    assert(rows.head.getLong(2) === und.count(p =>
+      math.min(deg(p._1), deg(p._2)) > ks.head))
+  }
 }

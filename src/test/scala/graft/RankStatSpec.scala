@@ -136,4 +136,34 @@ class RankStatSpec extends SparkSpec {
     val expect = (nn * tnum * tnum * 1000000) / (kk * (nn - kk) * tden)
     assert(z2 === expect.toLong)
   }
+
+  test("kruskal_wallis_priority: rank-sum conservation; H replays") {
+    val rows = run("kruskal_wallis_priority")
+    assert(rows.length === 5, "one row per priority score")
+    val nTot = rows.head.getLong(3)
+    assert(rows.map(_.getLong(1)).sum === nTot)
+    assert(nTot === Tables.orders(spark, sf()).count())
+    // doubled tie-averaged ranks sum to exactly N(N+1) over the corpus
+    assert(rows.map(_.getLong(2)).sum === nTot * (nTot + 1),
+      "Σ R2_g = N(N+1) — global rank mass conserved")
+    val tie3 = rows.head.getLong(4)
+    assert(tie3 >= 0)
+    val hFp = rows.head.getLong(5)
+    val cFp = rows.head.getLong(6)
+    assert(rows.forall(r => r.getLong(5) === hFp), "constant columns")
+    // BigInt replay of the fixed-point fold from the per-group table
+    val sl = rows.map(r =>
+      BigInt(r.getLong(2)) * r.getLong(2) / (4 * r.getLong(1))).sum
+    val expectH = (BigInt(12) * sl * 1000000 /
+      (BigInt(nTot) * (nTot + 1))).toLong - 3 * (nTot + 1) * 1000000L
+    assert(hFp === expectH, "H replay")
+    assert(hFp >= -60L, "H >= 0 up to per-leaf truncation slack")
+    val expectC = 1000000L - (BigInt(tie3) * 1000000 /
+      (BigInt(nTot) * nTot * nTot - nTot)).toLong
+    assert(cFp === expectC && cFp > 0 && cFp <= 1000000L)
+    val hc = rows.head.getLong(7)
+    val expectHc =
+      if (hFp >= 0) hFp * 1000000L / cFp else -((-hFp) * 1000000L / cFp)
+    assert(hc === expectHc, "tie-corrected H replay")
+  }
 }

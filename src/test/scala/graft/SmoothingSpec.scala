@@ -88,4 +88,44 @@ class SmoothingSpec extends SparkSpec {
         f1 * (f1 - 1) * 1000000L / (2 * (f2 + 1)))
     }
   }
+
+  test("mkn_discount_estimation: spectrum accounting and CG98 replay") {
+    val Array(r) = operators.SmoothingOps
+      .queries("mkn_discount_estimation")(spark, sf()).collect()
+    val (types, n1, n2, n3, n4) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n1 + n2 + n3 + n4 <= types, "spectrum ⊆ bigram types")
+    assert(n1 > 0, "a natural corpus has singleton bigrams")
+    // D1 = Y = n1/(n1+2n2) ∈ (0, 1); discounts must stay below the
+    // count they are subtracted from (0 < D_r, D_r < r is the usable
+    // regime; CG98's estimator can exit it only on degenerate spectra)
+    val d1 = r.getLong(5)
+    assert(d1 === n1 * 1000000L / (n1 + 2 * n2), "D1 rational replay")
+    assert(d1 > 0 && d1 < 1000000L)
+    if (!r.isNullAt(6)) {
+      val d2 = r.getLong(6)
+      val expect = 2000000L -
+        (BigInt(3) * n1 * n3 * 1000000 / (BigInt(n1 + 2 * n2) * n2)).toLong
+      assert(d2 === expect, "D2 rational replay")
+    }
+    if (!r.isNullAt(7)) {
+      val d3 = r.getLong(7)
+      val expect = 3000000L -
+        (BigInt(4) * n1 * n4 * 1000000 / (BigInt(n1 + 2 * n2) * n3)).toLong
+      assert(d3 === expect, "D3+ rational replay")
+    }
+    // independent spectrum recount from the raw corpus
+    import org.apache.spark.sql.functions._
+    val bi = Tables.documents(spark, sf())
+      .select(split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(a) - 1),
+          |  i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"""
+          .stripMargin)).as("bg"))
+      .groupBy("bg").count().groupBy("count").count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(n1 === bi.getOrElse(1L, 0L) && n2 === bi.getOrElse(2L, 0L))
+    assert(n3 === bi.getOrElse(3L, 0L) && n4 === bi.getOrElse(4L, 0L))
+  }
 }
