@@ -138,6 +138,13 @@ import org.apache.spark.sql.SparkSession
   *     support counts, per-(group, value) counts) are map-side
   *     combinable and the rank map is the two-phase prefix sum,
   *     never a partition-less window.
+  *   - `rho_loss_selection` (r12, third session) — many
+  *     SinglePartition: scalar-stitch — the exchanged relations are
+  *     the 1-row vocabulary count and 1-row token total broadcast
+  *     onto the scored stream (bigram_lm_perplexity's own shape plus
+  *     one more scalar); the model tables and the per-doc fold are
+  *     map-side-combinable distributed aggregates and the top-20 is
+  *     TakeOrdered.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

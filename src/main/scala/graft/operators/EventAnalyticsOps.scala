@@ -45,8 +45,11 @@ object EventAnalyticsOps extends OpGroup {
     * recursive term, and the depth is a compile-time constant).
     */
   private lazy val markovCtes: String = {
+    // AS MATERIALIZED is load-bearing (r12s3 measurement): DuckDB's
+    // default inlining re-expands each stage's upstream tree and this
+    // 20-stage unroll costs ~60 s; materialized it is milliseconds.
     val stages = (1 to MarkovIters).map { k =>
-      s"""it$k AS (
+      s"""it$k AS MATERIALIZED (
          |  SELECT p.b AS t,
          |         CAST(sum(i.pi * p.p_fp) // 1000000 AS BIGINT) AS pi
          |  FROM it${k - 1} i JOIN pm p ON p.a = i.t GROUP BY p.b)"""
@@ -60,7 +63,7 @@ object EventAnalyticsOps extends OpGroup {
        |tc AS (SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
        |       FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
        |tt AS (SELECT event_type, sum(c) AS tot FROM tc GROUP BY event_type),
-       |pm AS (SELECT event_type AS a, nxt AS b,
+       |pm AS MATERIALIZED (SELECT event_type AS a, nxt AS b,
        |              CAST(c * 1000000 // tot AS BIGINT) AS p_fp
        |       FROM tc JOIN tt USING (event_type)),
        |types AS (SELECT DISTINCT a AS t FROM pm),
@@ -73,6 +76,129 @@ object EventAnalyticsOps extends OpGroup {
   /** Shared transition-count matrix: the one-shuffle per-user lead
     * chain folded to (event_type, nxt, c) — |types|²-bounded.
     */
+  /** Channels eligible for removal in the attribution chain — the
+    * fixture's non-converting event types, spelled as literals on BOTH
+    * engines (the mann_whitney isin precedent) because the oracle's
+    * unrolled scenario CTEs need static names; a channel absent from
+    * the data yields P_removed = P_base = removal effect 0 identically
+    * on both sides.
+    */
+  private val RemovalChannels = Seq("click", "error", "signup", "view")
+
+  /** Conversion-reach recurrence on the COLLECTED absorbing-chain ppm
+    * matrix (bounded model state driver-side — the stationaryPi
+    * precedent): r'(a) = Σ_b P(a,b)·r(b) DIV 1e6 with r(__conv)
+    * pinned at 1e6 and r(__null) at 0, MarkovIters sum-then-truncate
+    * steps, optionally with every transition INTO `drop` removed (the
+    * Anderl et al. 2016 removal semantics: paths through the channel
+    * fall to the null absorber). Pure non-negative integer ops — both
+    * engines' unrolls agree bit-for-bit.
+    */
+  private def conversionReach(pm: Array[(String, String, Long)],
+      drop: Option[String]): Long = {
+    val states = pm.map(_._1).distinct.sorted
+    var r: Map[String, Long] = states.map(_ -> 0L).toMap
+    for (_ <- 1 to MarkovIters) {
+      r = states.map { a =>
+        a -> pm.iterator.filter(e => e._1 == a && !drop.contains(e._2))
+          .map { case (_, b, p) =>
+            val rb =
+              if (b == "__conv") 1000000L
+              else if (b == "__null") 0L
+              else r.getOrElse(b, 0L)
+            p * rb
+          }.sum / 1000000L
+      }.toMap
+    }
+    r.getOrElse("__start", 0L)
+  }
+
+  /** DuckDB replay of the removal-effect recurrences: the absorbing
+    * transition build, then per scenario (base + one per channel) the
+    * [[MarkovIters]]-stage unrolled reach recurrence — the markovCtes
+    * recipe with the __conv/__null absorber CASE.
+    */
+  private lazy val removalOracle: String = {
+    // AS MATERIALIZED is load-bearing: DuckDB's default CTE inlining
+    // re-expands each stage's upstream tree and the 100-stage chain
+    // goes from 0.6 s to minutes without it (measured r12s3);
+    // markovCtes' 20-stage chain had the same latent cliff.
+    def stages(tag: String, filter: String): String = {
+      val init =
+        s"r${tag}0 AS MATERIALIZED (SELECT t, CAST(0 AS BIGINT) AS v FROM sts)"
+      val its = (1 to MarkovIters).map { k =>
+        s"""r$tag$k AS MATERIALIZED (
+           |  SELECT s.t, CAST(COALESCE(sum(p.p *
+           |      CASE WHEN p.b = '__conv' THEN 1000000
+           |           WHEN p.b = '__null' THEN 0
+           |           ELSE COALESCE(r.v, 0) END), 0) // 1000000
+           |    AS BIGINT) AS v
+           |  FROM sts s LEFT JOIN pm p ON p.a = s.t$filter
+           |  LEFT JOIN r$tag${k - 1} r ON r.t = p.b
+           |  GROUP BY s.t)""".stripMargin
+      }
+      (init +: its).mkString(",\n")
+    }
+    val scen = (stages("base", "") +: RemovalChannels.map(c =>
+      stages(c, s" AND p.b <> '$c'"))).mkString(",\n")
+    val K = MarkovIters
+    val resRows = RemovalChannels.map(c =>
+      s"""SELECT '$c' AS channel,
+         |    (SELECT v FROM r$c$K WHERE t = '__start') AS p_removed"""
+        .stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fpu AS (SELECT user_id, min(rn) AS fp_rn FROM ev
+       |        WHERE event_type = 'purchase' GROUP BY 1),
+       |kept AS (
+       |  SELECT ev.user_id, ev.rn,
+       |         CASE WHEN ev.event_type = 'purchase' THEN '__conv'
+       |              ELSE ev.event_type END AS state
+       |  FROM ev LEFT JOIN fpu USING (user_id)
+       |  WHERE fpu.fp_rn IS NULL OR ev.rn <= fpu.fp_rn),
+       |tr AS (
+       |  SELECT COALESCE(lag(state) OVER (PARTITION BY user_id
+       |           ORDER BY rn), '__start') AS a, state AS b
+       |  FROM kept),
+       |te AS (
+       |  SELECT state AS a, '__null' AS b
+       |  FROM (SELECT user_id, state, rn,
+       |          max(rn) OVER (PARTITION BY user_id) AS mx FROM kept)
+       |  WHERE rn = mx AND state <> '__conv'),
+       |tcr AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+       |        FROM (SELECT * FROM tr UNION ALL SELECT * FROM te)
+       |        GROUP BY 1, 2),
+       |ttr AS (SELECT a, CAST(sum(c) AS BIGINT) AS tot FROM tcr
+       |        GROUP BY 1),
+       |pm AS MATERIALIZED (SELECT a, b, CAST(c * 1000000 // tot AS BIGINT)
+       |         AS p
+       |       FROM tcr JOIN ttr USING (a)),
+       |sts AS MATERIALIZED (SELECT DISTINCT a AS t FROM pm),
+       |$scen,
+       |base AS (SELECT v AS p_base FROM rbase$K WHERE t = '__start'),
+       |res AS (
+       |  $resRows),
+       |sel AS (
+       |  SELECT r.channel, b.p_base, r.p_removed,
+       |         CASE WHEN b.p_base > 0
+       |           THEN 1000000 - r.p_removed * 1000000 // b.p_base
+       |         ELSE NULL END AS re
+       |  FROM res r CROSS JOIN base b),
+       |tot AS (SELECT CAST(sum(greatest(re, 0)) AS BIGINT) AS re_sum
+       |        FROM sel)
+       |SELECT sel.channel, sel.p_base AS p_base_fp,
+       |       sel.p_removed AS p_removed_fp,
+       |       CAST(sel.re AS BIGINT) AS re_fp,
+       |       CASE WHEN tot.re_sum > 0
+       |         THEN CAST(greatest(sel.re, 0) * 1000000 // tot.re_sum
+       |           AS BIGINT)
+       |       ELSE NULL END AS att_fp
+       |FROM sel CROSS JOIN tot ORDER BY sel.channel""".stripMargin
+  }
+
   private def transitionCounts(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(s, d)
@@ -505,6 +631,61 @@ object EventAnalyticsOps extends OpGroup {
         .orderBy("event_type")
     }),
 
+    // Markov removal-effect attribution (r12, third session): how much
+    // of the chain's conversion probability does each channel CARRY?
+    // Per-user paths truncate at the first purchase (→ __conv) or end
+    // at __null; removal of channel c redirects every transition into
+    // c to the null absorber, and RE(c) = 1 − P_c(conv)/P(conv)
+    // (Anderl et al. 2016) — the data-driven multi-touch attribution
+    // that first/last-touch heuristics approximate. Scale: the corpus
+    // pass is ONE per-user window chain folding to the ≤(|types|+1)²
+    // transition matrix; the 5 reach recurrences run on that COLLECTED
+    // bounded model state (stationaryPi precedent) in exact
+    // sum-then-truncate ppm integers; attribution normalizes the
+    // clamped effects in one |channels|-bounded pass.
+    "markov_removal_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(w))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("rn").as("fp_rn"))
+      val kept = ev.join(fp, Seq("user_id"), "left")
+        .filter(col("fp_rn").isNull || col("rn") <= col("fp_rn"))
+        .withColumn("state", when(col("event_type") === "purchase",
+          "__conv").otherwise(col("event_type")))
+      val w2 = Window.partitionBy("user_id").orderBy("rn")
+      val trans = kept
+        .withColumn("a", coalesce(lag("state", 1).over(w2), lit("__start")))
+        .select(col("a"), col("state").as("b"))
+      val nulls = kept
+        .withColumn("mx", max("rn").over(Window.partitionBy("user_id")))
+        .filter(col("rn") === col("mx") && col("state") =!= "__conv")
+        .select(col("state").as("a"), lit("__null").as("b"))
+      val tc = trans.union(nulls).groupBy("a", "b")
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val tots = tc.groupBy(_._1).map { case (a, cs) =>
+        a -> cs.map(_._3).sum }
+      val pm = tc.map { case (a, b, c) => (a, b, c * 1000000L / tots(a)) }
+      val pBase = conversionReach(pm, None)
+      val rows = RemovalChannels.map { ch =>
+        val pRem = conversionReach(pm, Some(ch))
+        val re = if (pBase > 0) Some(1000000L - pRem * 1000000L / pBase)
+          else None
+        (ch, pBase, pRem, re)
+      }
+      val reSum = rows.flatMap(_._4).map(math.max(_, 0L)).sum
+      import s.implicits._
+      rows.map { case (ch, pb, pr, re) =>
+        val att = re.filter(_ => reSum > 0)
+          .map(r => math.max(r, 0L) * 1000000L / reSum)
+        (ch, pb, pr, re, att)
+      }.toDF("channel", "p_base_fp", "p_removed_fp", "re_fp", "att_fp")
+        .orderBy("channel")
+    }),
+
     // DAU/MAU stickiness per month (r12): average daily actives over
     // monthly actives — THE product-engagement ratio. Distinct counts
     // are exact (per-day and per-month hash aggregates, both
@@ -899,6 +1080,8 @@ object EventAnalyticsOps extends OpGroup {
       s"""$markovCtes
          |SELECT t AS event_type, pi AS pi_fp
          |FROM it$MarkovIters ORDER BY t""".stripMargin,
+
+    "markov_removal_attribution" -> removalOracle,
 
     // same CTE chain; the per-state entropy joins the unrolled π
     "markov_entropy_rate" ->

@@ -51,6 +51,15 @@ object LangModelOps extends OpGroup {
   private val nllSql =
     "CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)) * 1000000.0) AS BIGINT)"
 
+  /** Per-occurrence unigram NLL of the bigram's TARGET token under the
+    * add-one corpus unigram model, same leaf-fixed-point discipline as
+    * [[nllSql]]: P(w2) = (cu+1)/(nn+V), inputs exact integers, ONE
+    * shared IEEE expression text on both engines. `nn >= cu` keeps the
+    * ratio >= 1 so the leaf is >= 0.
+    */
+  private val uniNllSql =
+    "CAST(round(ln(CAST(nn + v AS DOUBLE) / (cu + 1)) * 1000000.0) AS BIGINT)"
+
   /** BPE apply knobs: merge-table size, replace passes per merge (one
     * pass per adjacent-occurrence chain halving — see the operator
     * comment), and the token delimiter (U+001F unit separator — cannot
@@ -94,6 +103,55 @@ object LangModelOps extends OpGroup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RHO-loss data selection proxy (r12, third session): rank
+    // documents by REDUCIBLE loss — the gap between a weak
+    // current-model loss (add-one unigram) and a stronger
+    // holdout-model loss (add-one bigram) on the SAME token events
+    // (Mindermann et al. 2022's selection rule, with the n-gram
+    // ladder standing in for the two checkpoints). High gap = the
+    // doc's tokens are predictable FROM CONTEXT but not yet by the
+    // weak model — learnable, non-noise, not-yet-learned: the batch
+    // a loss-aware curriculum feeds next. Scale: reuses the M1 model
+    // tables (c2/c1/vocab) plus the unigram table; both NLLs are
+    // FLOOR'd leaf-fixed-point per occurrence then integer-summed;
+    // the per-doc gap divides SIGNED toward zero (a doc of pure
+    // boilerplate can be easier for the unigram); top-20 resolves by
+    // TakeOrdered on (gap, doc_id).
+    "rho_loss_selection" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val words = toks.select(col("doc_id"), explode(col("a")).as("w"))
+      val vdf = words.select("w").distinct().agg(count(lit(1)).as("v"))
+      val nnDf = words.agg(count(lit(1)).as("nn"))
+      val cw = words.groupBy("w").agg(count(lit(1)).as("cu"))
+      val bi = toks.filter(size(col("a")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
+            .stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bi.join(c2, Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .join(broadcast(cw.select(col("w").as("w2"), col("cu"))), Seq("w2"))
+        .crossJoin(broadcast(vdf)).crossJoin(broadcast(nnDf))
+        .withColumn("bi_nll", expr(nllSql))
+        .withColumn("uni_nll", expr(uniNllSql))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum("uni_nll").as("uni_nll_sum"),
+          sum("bi_nll").as("bi_nll_sum"))
+        .withColumn("reducible_fp", expr(
+          """CASE WHEN uni_nll_sum - bi_nll_sum >= 0
+            | THEN (uni_nll_sum - bi_nll_sum) DIV n_bigrams
+            |ELSE -((bi_nll_sum - uni_nll_sum) DIV n_bigrams) END"""
+            .stripMargin.replace("\n", " ")))
+        .select("doc_id", "n_bigrams", "uni_nll_sum", "bi_nll_sum",
+          "reducible_fp")
+        .orderBy(col("reducible_fp").desc, col("doc_id")).limit(20)
+    }),
+
     // T5-style span corruption (fixed-window variant): deterministic
     // ~15% of 3-token windows are replaced by numbered sentinels; the
     // masked windows, with their sentinels, become the target sequence.
@@ -583,6 +641,33 @@ object LangModelOps extends OpGroup {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "rho_loss_selection" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+         |             FROM documents),
+         |words AS (SELECT doc_id, unnest(a) AS w FROM toks),
+         |vv AS (SELECT count(DISTINCT w) AS v FROM words),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM words),
+         |cwt AS (SELECT w AS w2, CAST(count(*) AS BIGINT) AS cu
+         |        FROM words GROUP BY 1),
+         |bi AS (SELECT doc_id, a[CAST(i AS INT)] AS w1,
+         |              a[CAST(i AS INT) + 1] AS w2
+         |       FROM toks, UNNEST(range(1, len(a))) AS t(i)),
+         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1t AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |sc AS (SELECT doc_id, $nllSql AS bi_nll, $uniNllSql AS uni_nll
+         |       FROM bi JOIN c2t USING (w1, w2) JOIN c1t USING (w1)
+         |            JOIN cwt USING (w2) CROSS JOIN vv CROSS JOIN nt),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(uni_nll) AS BIGINT) AS uni_nll_sum,
+         |               CAST(sum(bi_nll) AS BIGINT) AS bi_nll_sum
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, uni_nll_sum, bi_nll_sum,
+         |       CASE WHEN uni_nll_sum - bi_nll_sum >= 0
+         |         THEN CAST((uni_nll_sum - bi_nll_sum) // n_bigrams AS BIGINT)
+         |       ELSE -CAST((bi_nll_sum - uni_nll_sum) // n_bigrams AS BIGINT)
+         |       END AS reducible_fp
+         |FROM agg ORDER BY reducible_fp DESC, doc_id LIMIT 20""".stripMargin,
+
     "span_corruption_mask" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |wins AS (

@@ -131,6 +131,58 @@ object SeriesStatOps extends OpGroup {
         .select("cohort_mi", "age", "n_users", "rev_cents", "cum_rev_cents")
         .orderBy("cohort_mi", "age")
     }),
+
+    // Seasonal Mann–Kendall trend test (r12, third session): is
+    // monthly revenue trending across YEARS, judged within each
+    // calendar month separately so seasonality can't masquerade as
+    // trend (Hirsch & Slack 1984)? S = Σ_m S_m with S_m the pairwise
+    // sign sum of month-m's year series; the variance is the exact
+    // tie-corrected integer 18·Var = Σ_m [n(n−1)(2n+5) − Σ_t t(t−1)
+    // (2t+5)] and z is ONE terminal IEEE expression over (S, 18·Var).
+    // Scale: the monthly table is CALENDAR-bounded, so per-season pair
+    // expansion is the Kendall/Theil–Sen array recipe (C(years,2)·12
+    // pairs from 12 sorted collect_lists — never a self-join and never
+    // a window on the fact stream); the corpus pass is one map-side
+    // combinable (year, month) cents aggregate.
+    "seasonal_mann_kendall" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("season"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev"))
+      val perSeason = monthly.groupBy("season")
+        .agg(sort_array(collect_list(struct(col("yr"), col("rev"))))
+          .as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("season").cast("long").as("season"),
+          size(col("a")).cast("long").as("n_years"),
+          expr(
+            """aggregate(flatten(transform(sequence(0, size(a) - 2), i ->
+              |  transform(sequence(i + 1, size(a) - 1), j ->
+              |    CAST(sign(CAST(a[j].rev - a[i].rev AS DOUBLE)) AS BIGINT)
+              |  ))), CAST(0 AS BIGINT), (acc, e) -> acc + e)"""
+              .stripMargin.replace("\n", " ")).as("s_m"))
+      val ties = monthly.groupBy("season", "rev")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("season")
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_sum"))
+      val seasons = perSeason.join(ties, "season")
+        .withColumn("var18_m", expr(
+          "n_years * (n_years - 1) * (2 * n_years + 5) - tie_sum"))
+      val tot = seasons.agg(sum("s_m").as("s_tot"),
+        sum("var18_m").as("var18_tot"))
+        .withColumn("z_val", expr(
+          """CASE WHEN var18_tot > 0 THEN round(
+            |  (CASE WHEN s_tot > 0 THEN s_tot - 1
+            |        WHEN s_tot < 0 THEN s_tot + 1 ELSE 0 END)
+            |  / sqrt(var18_tot / 18.0), 6)
+            |ELSE CAST(NULL AS DOUBLE) END""".stripMargin.replace("\n", " ")))
+      seasons.select("season", "n_years", "s_m", "var18_m")
+        .crossJoin(broadcast(tot))
+        .select("season", "n_years", "s_m", "var18_m", "s_tot",
+          "var18_tot", "z_val")
+        .orderBy("season")
+    }),
   )
 
   /** Oracle CTE chain mirroring [[acfTerms]]: daily counts → stats →
@@ -201,5 +253,55 @@ object SeriesStatOps extends OpGroup {
         |FROM cum c JOIN sizes s ON s.cohort_mi = c.cohort_mi
         |WHERE c.age <= 11
         |ORDER BY c.cohort_mi, c.age""".stripMargin,
+
+    // calendar-bounded twin: the pair expansion is a year self-join of
+    // the ≤(years × 12) monthly table — bounded, so the join the Spark
+    // side avoids on the fact stream is fine on the aggregate here
+    "seasonal_mann_kendall" ->
+      """WITH monthly AS (
+        |  SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+        |         month(CAST(o_orderdate AS DATE)) AS season,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT CAST(a.season AS BIGINT) AS season,
+        |         CAST(sum(CAST(sign(CAST(b.rev - a.rev AS DOUBLE))
+        |           AS BIGINT)) AS BIGINT) AS s_m
+        |  FROM monthly a JOIN monthly b
+        |    ON b.season = a.season AND b.yr > a.yr
+        |  GROUP BY 1),
+        |ny AS (
+        |  SELECT CAST(season AS BIGINT) AS season,
+        |         CAST(count(*) AS BIGINT) AS n_years
+        |  FROM monthly GROUP BY 1),
+        |tie AS (
+        |  SELECT CAST(season AS BIGINT) AS season,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+        |  FROM (SELECT season, rev, CAST(count(*) AS BIGINT) AS t
+        |        FROM monthly GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |seasons AS (
+        |  SELECT ny.season, ny.n_years, sm.s_m,
+        |         ny.n_years * (ny.n_years - 1) * (2 * ny.n_years + 5)
+        |           - tie.tie_sum AS var18_m
+        |  FROM ny JOIN sm USING (season) JOIN tie USING (season)
+        |  WHERE ny.n_years >= 2),
+        |tot AS (
+        |  SELECT CAST(sum(s_m) AS BIGINT) AS s_tot,
+        |         CAST(sum(var18_m) AS BIGINT) AS var18_tot
+        |  FROM seasons),
+        |z AS (
+        |  SELECT s_tot, var18_tot,
+        |         CASE WHEN var18_tot > 0 THEN round(
+        |           (CASE WHEN s_tot > 0 THEN s_tot - 1
+        |                 WHEN s_tot < 0 THEN s_tot + 1 ELSE 0 END)
+        |           / sqrt(var18_tot / 18.0), 6)
+        |         ELSE NULL END AS z_val
+        |  FROM tot)
+        |SELECT s.season, s.n_years, s.s_m, CAST(s.var18_m AS BIGINT)
+        |         AS var18_m,
+        |       z.s_tot, z.var18_tot, z.z_val
+        |FROM seasons s CROSS JOIN z ORDER BY s.season""".stripMargin,
   )
 }

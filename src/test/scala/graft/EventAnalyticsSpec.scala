@@ -442,4 +442,29 @@ class EventAnalyticsSpec extends SparkSpec {
     // branching entropy (weights sum to <= 1 after truncation)
     assert(rows.map(_.getLong(3)).sum <= rows.map(_.getLong(2)).max)
   }
+
+  test("markov_removal_attribution: removal shrinks reach; shares replay") {
+    val rows = run("markov_removal_attribution")
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("click", "error", "signup", "view"))
+    val pBase = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) === pBase), "base reach constant")
+    assert(pBase > 0 && pBase <= 1000000L)
+    rows.foreach { r =>
+      val (pRem, re) = (r.getLong(2), r.getLong(3))
+      assert(pRem >= 0 && pRem <= pBase,
+        "removing a channel never raises conversion reach")
+      assert(re === 1000000L - pRem * 1000000L / pBase, "RE replay")
+      assert(re >= 0 && re <= 1000000L)
+    }
+    val reSum = rows.map(r => math.max(r.getLong(3), 0L)).sum
+    assert(reSum > 0, "some channel carries conversion mass")
+    rows.foreach { r =>
+      assert(r.getLong(4) ===
+        math.max(r.getLong(3), 0L) * 1000000L / reSum, "share replay")
+    }
+    // shares sum to 1 up to the 4 truncations
+    val attSum = rows.map(_.getLong(4)).sum
+    assert(attSum > 1000000L - 4 && attSum <= 1000000L)
+  }
 }

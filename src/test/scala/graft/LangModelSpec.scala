@@ -476,4 +476,25 @@ class LangModelSpec extends SparkSpec {
       assert(fert >= 1000000L, "every word encodes to >= 1 token")
     }
   }
+
+  test("rho_loss_selection: top-20 by signed reducible gap; sums replay") {
+    val rows = operators.LangModelOps
+      .queries("rho_loss_selection")(spark, sf()).collect()
+    assert(rows.length === 20)
+    val gaps = rows.map(_.getLong(4))
+    assert(gaps.zip(gaps.tail).forall { case (a, b) => a >= b },
+      "descending by reducible loss")
+    rows.foreach { r =>
+      val (n, uni, bi, red) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 1 && uni >= 0 && bi >= 0,
+        "add-one NLL leaves are nonnegative")
+      val expect = if (uni - bi >= 0) (uni - bi) / n else -((bi - uni) / n)
+      assert(red === expect, "signed toward-zero division replay")
+    }
+    // the selected head must expose a genuinely positive gap: the
+    // bigram model beats the unigram on its own training corpus for
+    // at least the top doc
+    assert(gaps.head > 0, "context reduces loss on the top selection")
+  }
 }

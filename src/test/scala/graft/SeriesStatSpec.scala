@@ -70,4 +70,37 @@ class SeriesStatSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(rows.map(_._4).sum <= totalRev)
   }
+
+  test("seasonal_mann_kendall: per-season S replays; z from exact ints") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.SeriesStatOps
+      .queries("seasonal_mann_kendall")(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= 12)
+    val sTot = rows.head.getLong(4)
+    val var18 = rows.head.getLong(5)
+    assert(rows.map(_.getLong(2)).sum === sTot, "S_m folds to S")
+    assert(rows.map(_.getLong(3)).sum === var18, "var18_m folds")
+    rows.foreach { r =>
+      val (n, sm) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(sm) <= n * (n - 1) / 2, "S_m bounded by pairs")
+      assert(r.getLong(3) <= n * (n - 1) * (2 * n + 5),
+        "tie correction only subtracts")
+    }
+    // z replay from the exact integer pair
+    val adj = if (sTot > 0) sTot - 1 else if (sTot < 0) sTot + 1 else 0L
+    val expectZ = BigDecimal(adj / math.sqrt(var18 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head.getDouble(6) - expectZ) < 1e-9)
+    // brute-force replay of one season's sign sum from the raw table
+    val monthly = Tables.orders(spark, sf())
+      .groupBy(expr("year(o_orderdate)").as("yr"),
+        expr("month(o_orderdate)").as("season"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2)))
+    val m1 = monthly.filter(_._2 == rows.head.getLong(0)).sortBy(_._1)
+    var s1 = 0L
+    for (i <- m1.indices; j <- (i + 1) until m1.length)
+      s1 += (m1(j)._3 - m1(i)._3).sign
+    assert(rows.head.getLong(2) === s1, "season-1 S brute-force replay")
+  }
 }
