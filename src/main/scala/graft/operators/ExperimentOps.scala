@@ -96,6 +96,25 @@ object ExperimentOps extends OpGroup {
       |        / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE)))
       | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
 
+  /** Φ⁻¹(0.975) and Φ⁻¹(0.80) as Scala double literals (the gumbelC
+    * interpolation recipe — neither engine's SQL has an inverse normal
+    * CDF); the standard published values for α=0.05 two-sided / 80%
+    * power.
+    */
+  private val ZAlphaHalf = 1.959963984540054
+  private val ZBeta = 0.8416212335729143
+
+  /** Two-proportion MDE leaf (z_{α/2}+z_β)·√(2p̂(1−p̂)/n) in 1e-6 fp —
+    * ONE FLOOR'd IEEE tree over the exact (n_purchases, n_events,
+    * n_per_arm) integers, identical text both engines.
+    */
+  private val mdeSql =
+    s"""CAST(FLOOR(($ZAlphaHalf + $ZBeta)
+       | * sqrt(2.0 * (CAST(n_purchases AS DOUBLE) / n_events)
+       |   * (1.0 - CAST(n_purchases AS DOUBLE) / n_events)
+       |   / n_per_arm) * 1000000.0) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CUPED: per-user pre-period covariate x and post-period metric y
     // (split at the integer midpoint of the event-time span), then the
@@ -258,6 +277,38 @@ object ExperimentOps extends OpGroup {
         .select("segment", "n_h", "w_fp", "alloc")
         .orderBy("segment")
     }),
+
+    // A/B power planning grid (r12, third session): the minimum
+    // detectable effect on the purchase-event rate at α=0.05
+    // (two-sided) / 80% power across candidate per-arm sizes —
+    // MDE(n) = (z_{α/2}+z_β)·√(2p̂(1−p̂)/n) (the standard two-
+    // proportion approximation every experiment sizing sheet runs),
+    // read BEFORE launching so an underpowered test never ships.
+    // Scale: the rate is ONE map-side conditional count over the
+    // event stream; the 6-point n grid rides a broadcast cross join;
+    // each MDE is ONE terminal FLOOR'd IEEE leaf over the exact
+    // (n_purchases, n_events) pair with the normal quantiles
+    // interpolated as Scala double literals (the gumbelC recipe — SQL
+    // has no Φ⁻¹).
+    "ab_mde_power_grid" -> ((s, d) => {
+      val ev = Tables.events(s, d).agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      val grid = ev.sparkSession.range(0, 1).select(explode(expr(
+        "array(1000L, 5000L, 10000L, 50000L, 100000L, 500000L)"))
+        .as("n_per_arm"))
+      ev.crossJoin(broadcast(grid))
+        .withColumn("mde_abs_fp", expr(mdeSql))
+        .withColumn("mde_rel_fp", expr(
+          """CASE WHEN n_purchases > 0
+            | THEN CAST(CAST(mde_abs_fp AS DECIMAL(38,0)) * n_events
+            |   DIV n_purchases AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .select("n_per_arm", "n_events", "n_purchases", "mde_abs_fp",
+          "mde_rel_fp")
+        .orderBy("n_per_arm")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -400,5 +451,24 @@ object ExperimentOps extends OpGroup {
          |         + CASE WHEN n_ahead < l THEN 1 ELSE 0 END AS BIGINT)
          |         AS alloc
          |FROM rk CROSS JOIN lo ORDER BY segment""".stripMargin,
+
+    "ab_mde_power_grid" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+         |              ELSE 0 END) AS BIGINT) AS n_purchases
+         |  FROM events),
+         |grid AS (SELECT CAST(unnest([1000, 5000, 10000, 50000, 100000,
+         |                             500000]) AS BIGINT) AS n_per_arm),
+         |m AS (
+         |  SELECT g.n_per_arm, ev.n_events, ev.n_purchases,
+         |         $mdeSql AS mde_abs_fp
+         |  FROM ev CROSS JOIN grid g)
+         |SELECT n_per_arm, n_events, n_purchases, mde_abs_fp,
+         |       CASE WHEN n_purchases > 0
+         |         THEN CAST(CAST(mde_abs_fp AS HUGEINT) * n_events
+         |           // n_purchases AS BIGINT)
+         |       ELSE NULL END AS mde_rel_fp
+         |FROM m ORDER BY n_per_arm""".stripMargin,
   )
 }

@@ -116,6 +116,14 @@ object LlmOps extends OpGroup {
         expr("bloom_might_contain((SELECT bf FROM graft_bloom_idx), h)"))
   }
 
+  /** RAKE phrase-boundary stopwords: the union of the four lang-ID
+    * scoring lists (TrainingDataOps' fixed vocabulary) — deterministic
+    * literals shared verbatim with the DuckDB oracle.
+    */
+  private[operators] val RakeStops: Seq[String] = Seq(
+    "the", "a", "of", "and", "in", "der", "die", "das", "und", "ist",
+    "el", "los", "de", "y", "es", "le", "la", "et", "les", "est")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C4b — bloom-pre-filtered incremental dedup: IDENTICAL verdicts to
     // incremental_dedup_index (they share an oracle) but the index join
@@ -343,6 +351,48 @@ object LlmOps extends OpGroup {
 
     // L5 — tf-idf keywords: top-3 terms per doc; idf from exact integer
     // counts so both engines evaluate ln() on identical doubles.
+    // RAKE keyphrase extraction (r12, third session; Rose et al.
+    // 2010): candidate phrases are maximal stopword-free token runs;
+    // each word scores deg(w)/freq(w) (deg = Σ lengths of phrases
+    // containing it — co-occurrence reach; freq = its occurrence
+    // count), and a phrase scores the sum of its words — the
+    // multi-word keyphrase extractor tfidf_keywords' unigram view
+    // can't produce. Scale: phrase segmentation is a DOC-SHARDED
+    // running stopword count (day-sharded-window class, never a
+    // global window); deg/freq fold map-side into a vocab-bounded
+    // table joined back broadcast; per-word scores truncate as exact
+    // deg·1e6 DIV freq BEFORE the phrase sum, so identical phrase
+    // text ⇒ identical score on any partitioning and engine; top-15
+    // resolves by TakeOrdered on (score, phrase).
+    "rake_keyphrases" -> ((s, d) => {
+      val stops = RakeStops.map(w => s"'$w'").mkString(", ")
+      val w1 = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "w")
+        .withColumn("is_stop", expr(s"w IN ($stops)"))
+        .withColumn("pid",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(w1))
+        .filter(!col("is_stop"))
+      val phrases = toks.groupBy("doc_id", "pid")
+        .agg(count(lit(1)).as("n_words"),
+          expr("""array_join(transform(
+            |  sort_array(collect_list(struct(pos, w))), e -> e.w), ' ')"""
+            .stripMargin.replace("\n", " ")).as("phrase"))
+      val member = toks.select("doc_id", "pid", "w")
+        .join(phrases, Seq("doc_id", "pid"))
+      val wstats = member.groupBy("w")
+        .agg(sum("n_words").as("deg"), count(lit(1)).as("freq"))
+        .withColumn("wscore_fp", expr("deg * 1000000 DIV freq"))
+      member.join(broadcast(wstats.select("w", "wscore_fp")), "w")
+        .groupBy("doc_id", "pid", "phrase", "n_words")
+        .agg(sum("wscore_fp").as("score_fp"))
+        .groupBy("phrase", "n_words", "score_fp")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .select("phrase", "n_words", "n_occurrences", "score_fp")
+        .orderBy(col("score_fp").desc, col("phrase")).limit(15)
+    }),
+
     "tfidf_keywords" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -538,6 +588,46 @@ object LlmOps extends OpGroup {
          |  FROM scored)
          |SELECT id_b AS q_id, rank, id_a AS neighbor_id, round(cos, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "rake_keyphrases" -> {
+      val stops = RakeStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, a[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS a
+         |        FROM documents) t,
+         |       UNNEST(range(1, len(a) + 1)) AS r(i)),
+         |flagged AS (
+         |  SELECT doc_id, pos, w,
+         |         CASE WHEN w IN ($stops) THEN 1 ELSE 0 END AS is_stop
+         |  FROM toks0),
+         |pidt AS (
+         |  SELECT doc_id, pos, w, is_stop,
+         |         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+         |           AS pid
+         |  FROM flagged),
+         |ph AS (SELECT doc_id, pid, pos, w FROM pidt WHERE is_stop = 0),
+         |phr AS (
+         |  SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS n_words,
+         |         string_agg(w, ' ' ORDER BY pos) AS phrase
+         |  FROM ph GROUP BY 1, 2),
+         |member AS (
+         |  SELECT ph.doc_id, ph.pid, ph.w, phr.n_words, phr.phrase
+         |  FROM ph JOIN phr USING (doc_id, pid)),
+         |ws AS (SELECT w, CAST(sum(n_words) AS BIGINT) AS deg,
+         |              CAST(count(*) AS BIGINT) AS freq
+         |       FROM member GROUP BY 1),
+         |wsc AS (SELECT w, CAST(deg * 1000000 // freq AS BIGINT)
+         |          AS wscore_fp FROM ws),
+         |psc AS (
+         |  SELECT m.doc_id, m.pid, m.phrase, m.n_words,
+         |         CAST(sum(wsc.wscore_fp) AS BIGINT) AS score_fp
+         |  FROM member m JOIN wsc USING (w)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |       score_fp
+         |FROM psc GROUP BY phrase, n_words, score_fp
+         |ORDER BY score_fp DESC, phrase LIMIT 15""".stripMargin
+    },
+
     "tfidf_keywords" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -348,6 +348,51 @@ object TrainingDataOps extends OpGroup {
         .orderBy("k")
     }),
 
+    // Matryoshka prefix-dimension recall curve (r12, third session):
+    // how much ANN quality survives truncating every embedding to its
+    // first d' dims (d' ∈ {8,16,32,64})? recall@3 of the truncated
+    // cosine ranking vs the full-dimension truth — the capacity curve
+    // that decides how far a Matryoshka-style representation
+    // (Kusupati et al. 2022) can be cut for cheap pre-ranking before
+    // quality falls off. The d'=64 row is the identity anchor
+    // (recall 1.0 by construction). Scale: ONE pair pass over the
+    // bounded ≤10-query sample × corpus, exploded by the 4-point dim
+    // grid; per-dim dots are the codegen fixed_dot over SLICED arrays
+    // so every cosine derives from exact integer sums on both engines
+    // (a zero-norm prefix would NaN the cosine — impossible for the
+    // fixture's dense random embeddings, and a real corpus would
+    // pre-filter zero vectors).
+    "matryoshka_dim_recall" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val pairs = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"),
+          explode(expr("array(8, 16, 32, 64)")).as("dp"))
+        .withColumn("qs", expr("slice(q_emb, 1, dp)"))
+        .withColumn("vs", expr("slice(embedding, 1, dp)"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot("qs", "vs") /
+            (graft.functions.VectorFunctions.norm("qs") *
+              graft.functions.VectorFunctions.norm("vs")))
+      val w = Window.partitionBy("dp", "q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val top = pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select("dp", "q_id", "vec_id")
+      val truth = top.filter(col("dp") === 64)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+      top.join(broadcast(truth), Seq("q_id", "vec_id"), "left")
+        .groupBy("dp")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_fp", expr("n_hit * 1000000 DIV n_pairs"))
+        .select(col("dp").cast("long").as("dp"), col("n_pairs"),
+          col("n_hit"), col("recall_fp"))
+        .orderBy("dp")
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by coarse cell.
     "embedding_near_dup" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
@@ -883,6 +928,43 @@ object TrainingDataOps extends OpGroup {
         |         * 1000000 // sum(CASE WHEN re <= k THEN 1 ELSE 0 END)
         |         AS BIGINT) AS recall_fp
         |FROM joined CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin),
+    "matryoshka_dim_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT unnest([8, 16, 32, 64]) AS dp),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e
+        |      WHERE vec_id < 10),
+        |dots AS MATERIALIZED (
+        |  SELECT d.dp, q.q_id, e.vec_id,
+        |    sum(CAST(floor(CAST(q.q_emb[t.i] AS DOUBLE)
+        |      * CAST(e.embedding[t.i] AS DOUBLE) * 1e15) AS BIGINT)) AS dqv,
+        |    sum(CAST(floor(CAST(q.q_emb[t.i] AS DOUBLE)
+        |      * CAST(q.q_emb[t.i] AS DOUBLE) * 1e15) AS BIGINT)) AS dqq,
+        |    sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE)
+        |      * CAST(e.embedding[t.i] AS DOUBLE) * 1e15) AS BIGINT)) AS dvv
+        |  FROM e CROSS JOIN q CROSS JOIN dims d CROSS JOIN range(1, 65) t(i)
+        |  WHERE e.vec_id <> q.q_id AND t.i <= d.dp
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT dp, q_id, vec_id,
+        |         (CAST(dqv AS DOUBLE) / 1e15)
+        |           / (sqrt(CAST(dqq AS DOUBLE) / 1e15)
+        |              * sqrt(CAST(dvv AS DOUBLE) / 1e15)) AS cos
+        |  FROM dots),
+        |top AS (
+        |  SELECT dp, q_id, vec_id FROM (
+        |    SELECT dp, q_id, vec_id, row_number() OVER (
+        |        PARTITION BY dp, q_id ORDER BY cos DESC, vec_id) AS rk
+        |    FROM scored) r WHERE rk <= 3),
+        |truth AS (SELECT q_id, vec_id FROM top WHERE dp = 64)
+        |SELECT CAST(t.dp AS BIGINT) AS dp,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(tr.vec_id) AS BIGINT) AS n_hit,
+        |       CAST(count(tr.vec_id) * 1000000 // count(*) AS BIGINT)
+        |         AS recall_fp
+        |FROM top t LEFT JOIN truth tr
+        |  ON tr.q_id = t.q_id AND tr.vec_id = t.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "embedding_near_dup" -> (
       LlmOps.cosinePairsDuck("a.label = b.label AND a.vec_id < b.vec_id") +
       """

@@ -342,4 +342,22 @@ class AnnSpec extends SparkSpec {
         s"subspace $j entropy $h above ln($used)")
     }
   }
+
+  test("matryoshka_dim_recall: identity anchor; full-dim replay") {
+    val rows = operators.TrainingDataOps
+      .queries("matryoshka_dim_recall")(spark, sf()).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(8L, 16L, 32L, 64L))
+    rows.foreach { r =>
+      val (n, hit, rec) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === 30L, "10 queries x top-3 per dim level")
+      assert(hit <= n)
+      assert(rec === hit * 1000000L / n, "recall replay")
+    }
+    val full = rows.find(_.getLong(0) == 64L).get
+    assert(full.getLong(2) === 30L && full.getLong(3) === 1000000L,
+      "d'=64 is the truth itself — recall exactly 1")
+    // the truncated levels measure against the SAME truth set, so a
+    // recall above 1 is structurally impossible
+    assert(rows.forall(_.getLong(3) <= 1000000L))
+  }
 }

@@ -102,4 +102,27 @@ class ExperimentSpec extends SparkSpec {
       .first().getLong(0)
     assert(rows.head.getLong(3) === exp, s"$seg ratio replay")
   }
+
+  test("ab_mde_power_grid: MDE shrinks as 1/sqrt(n); leaves replay") {
+    val rows = operators.ExperimentOps
+      .queries("ab_mde_power_grid")(spark, sf()).collect()
+    assert(rows.map(_.getLong(0)).toSeq ===
+      Seq(1000L, 5000L, 10000L, 50000L, 100000L, 500000L))
+    val (nEv, nPur) = (rows.head.getLong(1), rows.head.getLong(2))
+    assert(rows.forall(r => r.getLong(1) === nEv && r.getLong(2) === nPur))
+    assert(nPur > 0 && nPur < nEv)
+    val p = nPur.toDouble / nEv
+    rows.foreach { r =>
+      val expect = math.floor((1.959963984540054 + 0.8416212335729143) *
+        math.sqrt(2.0 * p * (1.0 - p) / r.getLong(0)) * 1e6).toLong
+      assert(r.getLong(3) === expect, s"MDE leaf replay at n=${r.getLong(0)}")
+      assert(r.getLong(4) === r.getLong(3) * nEv / nPur, "relative replay")
+    }
+    val mdes = rows.map(_.getLong(3))
+    assert(mdes.zip(mdes.tail).forall { case (a, b) => a > b },
+      "strictly shrinking in n")
+    // 100x the sample shrinks MDE ~10x (1/sqrt scaling, +-floor slack)
+    assert(math.abs(mdes.head - 10 * mdes(4)) <= 10,
+      "inverse-sqrt scaling between n=1000 and n=100000")
+  }
 }

@@ -497,4 +497,53 @@ class LangModelSpec extends SparkSpec {
     // at least the top doc
     assert(gaps.head > 0, "context reduces loss on the top selection")
   }
+
+  test("rake_keyphrases: full brute-force RAKE replay of the top-15") {
+    val rows = operators.LlmOps
+      .queries("rake_keyphrases")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 15)
+    val stops = Set("the", "a", "of", "and", "in", "der", "die", "das",
+      "und", "ist", "el", "los", "de", "y", "es", "le", "la", "et",
+      "les", "est")
+    rows.foreach { case (phrase, nWords, nOcc, _) =>
+      val ws = phrase.split(" ")
+      assert(ws.length.toLong === nWords, "n_words matches the text")
+      assert(ws.forall(w => !stops(w)), "no stopword inside a phrase")
+      assert(nOcc >= 1)
+    }
+    val scores = rows.map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // independent full recompute in Scala from the raw corpus
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val phraseRuns = docs.flatMap { case (_, text) =>
+      val runs = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+      var cur = Vector.empty[String]
+      text.split(" ").foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs
+    }
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    phraseRuns.foreach { run =>
+      run.foreach { w =>
+        deg(w) = deg.getOrElse(w, 0L) + run.length
+        freq(w) = freq.getOrElse(w, 0L) + 1
+      }
+    }
+    val wscore = deg.keys.map(w => w -> deg(w) * 1000000L / freq(w)).toMap
+    val byPhrase = phraseRuns.groupBy(_.mkString(" ")).map {
+      case (p, occ) =>
+        (p, occ.head.length.toLong, occ.length.toLong,
+          occ.head.map(wscore).sum)
+    }
+    val expect = byPhrase.toSeq.sortBy { case (p, _, _, s) => (-s, p) }
+      .take(15)
+    assert(rows.toSeq === expect, "bit-exact top-15 replay")
+  }
 }
