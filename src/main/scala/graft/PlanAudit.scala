@@ -145,6 +145,13 @@ import org.apache.spark.sql.SparkSession
   *     one more scalar); the model tables and the per-doc fold are
   *     map-side-combinable distributed aggregates and the top-20 is
   *     TakeOrdered.
+  *   - `jonckheere_trend_value`, `did_revenue_segments` (r12, third
+  *     session) — many SinglePartition: scalar-stitch — J-T stitches
+  *     the 1-row J fold, 1-row group-moment aggregate, and the
+  *     two-phase prefix-sum offset ladders; DiD stitches the 1-row
+  *     midpoint scalar and the 4-cell design grid with its 1-row
+  *     DiD/SE fold; each corpus pass in both is one map-side
+  *     combinable conditional-moment aggregate.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

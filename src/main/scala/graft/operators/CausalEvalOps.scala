@@ -139,6 +139,100 @@ object CausalEvalOps extends OpGroup {
         .select("n_strata_total", "n_strata_matched", "n_treated_matched",
           "n_control_matched", "att_fp")
     }),
+
+    // Sharp regression discontinuity (r12, third session): does
+    // crossing the 5% discount threshold JUMP the ordered quantity,
+    // beyond what the linear trend on each side explains? Local
+    // linear fit y = a + b·(x−c) separately for x<c and x≥c (full
+    // ±5pp bandwidth), jump = a_R − a_L — the intercept gap AT the
+    // cutoff (Thistlethwaite & Campbell 1960), the causal read a
+    // naive above/below mean comparison biases. Scale: ONE map-side
+    // conditional-moment pass (5 sums per side); both OLS closed
+    // forms are exact DECIMAL(38,0)/HUGEINT rationals with SIGNED
+    // toward-zero fp division; the report is ONE row.
+    "sharp_rdd_discount" -> ((s, d) => {
+      val m = Tables.lineitem(s, d).select(
+          (expr("CAST(round(l_discount * 100) AS BIGINT)") - 5).as("xc"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+        .withColumn("r", (col("xc") >= 0).cast("int"))
+        .groupBy("r").agg(count(lit(1)).as("n"),
+          sum("xc").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(xc AS DECIMAL(38,0)) * xc")).as("sxx"),
+          sum(expr("CAST(xc AS DECIMAL(38,0)) * y")).as("sxy"))
+        .withColumn("den", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("a_fp", expr(s"""CASE WHEN den > 0 THEN ${signedFpDiv(
+            """(CAST(sy AS DECIMAL(38,0)) * sxx
+              | - CAST(sx AS DECIMAL(38,0)) * sxy) * 1000000"""
+              .stripMargin.replace("\n", " "), "den")}
+           |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .cast("long"))
+        .withColumn("b_fp", expr(s"""CASE WHEN den > 0 THEN ${signedFpDiv(
+            """(CAST(n AS DECIMAL(38,0)) * sxy
+              | - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000"""
+              .stripMargin.replace("\n", " "), "den")}
+           |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .cast("long"))
+      m.agg(
+          sum(when(col("r") === 0, col("n"))).as("n_l"),
+          sum(when(col("r") === 1, col("n"))).as("n_r"),
+          sum(when(col("r") === 0, col("a_fp"))).as("a_l_fp"),
+          sum(when(col("r") === 0, col("b_fp"))).as("b_l_fp"),
+          sum(when(col("r") === 1, col("a_fp"))).as("a_r_fp"),
+          sum(when(col("r") === 1, col("b_fp"))).as("b_r_fp"))
+        .withColumn("jump_fp", expr("a_r_fp - a_l_fp"))
+    }),
+
+    // Difference-in-differences (r12, third session): BUILDING-segment
+    // customers (treated) vs the rest, order revenue before vs after
+    // the corpus midpoint — DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −
+    // ȳ_C,pre), the two-way design that differences away both the
+    // group gap and the common time trend. The period split is the
+    // INTEGER MIDPOINT of the observed orderdate span (CUPED's
+    // deterministic split — no engine quantiles), broadcast as one
+    // row. Scale: ONE map-side 4-cell conditional-moment pass; cell
+    // means are exact fp divisions; the pooled SE folds per-cell
+    // variance-of-mean as FLOOR'd IEEE leaves over exact moments and
+    // the ±1.96 CI is terminal.
+    "did_revenue_segments" -> ((s, d) => {
+      val ords = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+        .select(
+          when(col("seg") === "BUILDING", 1).otherwise(0).as("treat"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+            .as("di"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val span = ords.agg(expr("(min(di) + max(di)) DIV 2").as("mid_di"))
+      val cells = ords.crossJoin(broadcast(span))
+        .withColumn("post", (col("di") > col("mid_di")).cast("int"))
+        .groupBy("treat", "post")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("scc"))
+        .withColumn("mean_fp", expr(
+          "CAST(CAST(sc AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
+        .withColumn("varmean_fp", expr(
+          """CAST(FLOOR((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+            | - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+            | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+            | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")))
+      val tot = cells.agg(
+        sum(expr("CASE WHEN treat = 1 AND post = 1 THEN mean_fp " +
+          "WHEN treat = 1 AND post = 0 THEN -mean_fp " +
+          "WHEN treat = 0 AND post = 1 THEN -mean_fp " +
+          "ELSE mean_fp END")).as("did_fp"),
+        sum("varmean_fp").as("var_sum_fp"))
+        .withColumn("se_fp", expr(
+          "CAST(FLOOR(sqrt(CAST(var_sum_fp AS DOUBLE) / 1000000.0) " +
+            "* 1000000.0) AS BIGINT)"))
+        .select(col("did_fp"),
+          col("se_fp"),
+          expr("did_fp - CAST(FLOOR(1.96 * se_fp) AS BIGINT)").as("lo_fp"),
+          expr("did_fp + CAST(FLOOR(1.96 * se_fp) AS BIGINT)").as("hi_fp"))
+      cells.select("treat", "post", "n", "sc", "mean_fp", "varmean_fp")
+        .crossJoin(broadcast(tot))
+        .orderBy("treat", "post")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -251,5 +345,92 @@ object CausalEvalOps extends OpGroup {
          |       CAST(${signedFpDivDuck("m.att_mass", "m.n_treated_matched")}
          |         AS BIGINT) AS att_fp
          |FROM m CROSS JOIN tot t""".stripMargin,
+
+    "sharp_rdd_discount" ->
+      s"""WITH li AS (
+         |  SELECT CAST(round(l_discount * 100) AS BIGINT) - 5 AS xc,
+         |         CAST(round(l_quantity) AS BIGINT) AS y
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT CASE WHEN xc >= 0 THEN 1 ELSE 0 END AS r,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(xc) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(CAST(xc AS HUGEINT) * xc) AS HUGEINT) AS sxx,
+         |         CAST(sum(CAST(xc AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM li GROUP BY 1),
+         |f AS (
+         |  SELECT r, n,
+         |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+         |           AS den,
+         |         (CAST(sy AS HUGEINT) * sxx
+         |           - CAST(sx AS HUGEINT) * sxy) * 1000000 AS anum,
+         |         (CAST(n AS HUGEINT) * sxy
+         |           - CAST(sx AS HUGEINT) * sy) * 1000000 AS bnum
+         |  FROM m),
+         |fits AS (
+         |  SELECT r, n,
+         |         CASE WHEN den > 0 THEN
+         |           CAST(${signedFpDivDuck("anum", "den")} AS BIGINT)
+         |         ELSE NULL END AS a_fp,
+         |         CASE WHEN den > 0 THEN
+         |           CAST(${signedFpDivDuck("bnum", "den")} AS BIGINT)
+         |         ELSE NULL END AS b_fp
+         |  FROM f)
+         |SELECT
+         |  CAST(sum(CASE WHEN r = 0 THEN n END) AS BIGINT) AS n_l,
+         |  CAST(sum(CASE WHEN r = 1 THEN n END) AS BIGINT) AS n_r,
+         |  CAST(sum(CASE WHEN r = 0 THEN a_fp END) AS BIGINT) AS a_l_fp,
+         |  CAST(sum(CASE WHEN r = 0 THEN b_fp END) AS BIGINT) AS b_l_fp,
+         |  CAST(sum(CASE WHEN r = 1 THEN a_fp END) AS BIGINT) AS a_r_fp,
+         |  CAST(sum(CASE WHEN r = 1 THEN b_fp END) AS BIGINT) AS b_r_fp,
+         |  CAST(sum(CASE WHEN r = 1 THEN a_fp END)
+         |    - sum(CASE WHEN r = 0 THEN a_fp END) AS BIGINT) AS jump_fp
+         |FROM fits""".stripMargin,
+
+    "did_revenue_segments" ->
+      """WITH ords AS (
+        |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |           AS treat,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |           AS di,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |span AS (SELECT (min(di) + max(di)) // 2 AS mid_di FROM ords),
+        |cells AS (
+        |  SELECT o.treat,
+        |         CASE WHEN o.di > s.mid_di THEN 1 ELSE 0 END AS post,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(o.cents) AS BIGINT) AS sc,
+        |         CAST(sum(CAST(o.cents AS HUGEINT) * o.cents) AS HUGEINT)
+        |           AS scc
+        |  FROM ords o CROSS JOIN span s GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT treat, post, n, sc,
+        |         CAST(CAST(sc AS HUGEINT) * 1000000 // n AS BIGINT)
+        |           AS mean_fp,
+        |         CAST(FLOOR((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+        |           - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |              * (CAST(n AS DOUBLE) - 1.0))
+        |           * 1000000.0) AS BIGINT) AS varmean_fp
+        |  FROM cells),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN mean_fp
+        |           WHEN treat = 1 AND post = 0 THEN -mean_fp
+        |           WHEN treat = 0 AND post = 1 THEN -mean_fp
+        |           ELSE mean_fp END) AS BIGINT) AS did_fp,
+        |         CAST(sum(varmean_fp) AS BIGINT) AS var_sum_fp
+        |  FROM cm),
+        |tz AS (
+        |  SELECT did_fp,
+        |         CAST(FLOOR(sqrt(CAST(var_sum_fp AS DOUBLE) / 1000000.0)
+        |           * 1000000.0) AS BIGINT) AS se_fp
+        |  FROM tot)
+        |SELECT cm.treat, cm.post, cm.n, cm.sc, cm.mean_fp, cm.varmean_fp,
+        |       tz.did_fp, tz.se_fp,
+        |       CAST(tz.did_fp - FLOOR(1.96 * tz.se_fp) AS BIGINT) AS lo_fp,
+        |       CAST(tz.did_fp + FLOOR(1.96 * tz.se_fp) AS BIGINT) AS hi_fp
+        |FROM cm CROSS JOIN tz ORDER BY cm.treat, cm.post""".stripMargin,
   )
 }

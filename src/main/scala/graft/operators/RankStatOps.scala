@@ -311,9 +311,102 @@ object RankStatOps extends OpGroup {
         .crossJoin(broadcast(h))
         .orderBy("sc")
     }),
+
+    // Jonckheere–Terpstra ordered-alternative test (r12, third
+    // session): is o_totalprice stochastically INCREASING along the
+    // ordered priority ladder 1→5? Kruskal–Wallis asks "any
+    // difference"; J-T pools the C(5,2) pairwise Mann–Whitney counts
+    // in score order (Jonckheere 1954) and so has power exactly
+    // against the ordered trend. DOUBLED exact counting: J2 =
+    // Σ_x Σ_{i<j} c_j(x)·(2·cumlt_i(x) + c_i(x)) — ties count once
+    // (half-pair doubled), every term an integer. Scale: the joint
+    // value-domain support pivots to 5 per-group count columns, then
+    // FIVE chained two-phase prefix sums (GlobalRank — never a
+    // partition-less window) give every group's cumulative at every
+    // support point; the pair fold is one map-side combinable
+    // aggregate. E2 = (N² − Σn_g²)/2 is exact; z uses the standard
+    // NO-TIE variance 72·σ² = N²(2N+3) − Σn_g²(2n_g+3) (documented
+    // approximation — cents ties are rare; the exact J2/E2 pair is
+    // what downstream recomputation needs) as ONE terminal IEEE
+    // expression. Envelope: J2 < N² fits int64 to ~3e9 rows; the
+    // ·1e6-free fold keeps every sum in int64 at fixture scales and
+    // the variance product lifts to DECIMAL(38,0)/HUGEINT.
+    "jonckheere_trend_value" -> ((s, d) => {
+      val v = Tables.orders(s, d).select(
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("sc"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+      val cCols = (1 to 5).map(k =>
+        sum(when(col("sc") === k, 1L).otherwise(0L)).as(s"c$k"))
+      val sup0 = v.groupBy("x").agg(cCols.head, cCols.tail: _*)
+      val sup = (1 to 5).foldLeft(sup0)((df, k) =>
+        graft.functions.GlobalRank
+          .prefixSum(df, s"cum$k", col(s"c$k"), Nil, Seq("x")))
+      val pairTerms = (for {
+        i <- 1 to 5; j <- (i + 1) to 5
+      } yield s"c$j * (2 * (cum$i - c$i) + c$i)").mkString(" + ")
+      val gstats = v.groupBy("sc").agg(count(lit(1)).as("n_g"))
+        .agg(sum("n_g").as("n_tot"),
+          sum(expr("n_g * n_g")).as("sum_n2"),
+          sum(expr("CAST(n_g AS DECIMAL(38,0)) * n_g * (2 * n_g + 3)"))
+            .as("sum_n23"))
+      sup.agg(sum(expr(pairTerms)).as("j2"))
+        .crossJoin(broadcast(gstats))
+        .withColumn("e2", expr(
+          "(CAST(n_tot AS DECIMAL(38,0)) * n_tot - sum_n2) DIV 2"))
+        .withColumn("var72", expr(
+          """CAST(CAST(n_tot AS DECIMAL(38,0)) * n_tot * (2 * n_tot + 3)
+            | - sum_n23 AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")))
+        .select(col("n_tot"), col("j2"),
+          col("e2").cast("long").as("e2"),
+          col("var72").cast("long").as("var72"),
+          expr("""CASE WHEN var72 > 0 THEN
+                 | round((CAST(j2 AS DOUBLE) - CAST(e2 AS DOUBLE)) / 2.0
+                 |   / sqrt(CAST(var72 AS DOUBLE) / 72.0), 6)
+                 |ELSE CAST(NULL AS DOUBLE) END"""
+            .stripMargin.replace("\n", " ")).as("z_val"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "jonckheere_trend_value" -> {
+      val pairTerms = (for {
+        i <- 1 to 5; j <- (i + 1) to 5
+      } yield s"c$j * (2 * (cum$i - c$i) + c$i)").mkString(" + ")
+      val cumCols = (1 to 5).map(k =>
+        s"CAST(sum(c$k) OVER (ORDER BY x) AS BIGINT) AS cum$k")
+        .mkString(", ")
+      val cCols = (1 to 5).map(k =>
+        s"CAST(sum(CASE WHEN sc = $k THEN 1 ELSE 0 END) AS BIGINT) AS c$k")
+        .mkString(", ")
+      s"""WITH v AS (
+         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+         |  FROM orders),
+         |sup AS (SELECT x, $cCols FROM v GROUP BY x),
+         |cums AS (SELECT x, c1, c2, c3, c4, c5, $cumCols FROM sup),
+         |jj AS (SELECT CAST(sum($pairTerms) AS BIGINT) AS j2 FROM cums),
+         |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n_g FROM v
+         |      GROUP BY 1),
+         |gs AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot,
+         |              CAST(sum(n_g * n_g) AS BIGINT) AS sum_n2,
+         |              CAST(sum(CAST(n_g AS HUGEINT) * n_g * (2 * n_g + 3))
+         |                AS HUGEINT) AS sum_n23
+         |       FROM g),
+         |m AS (
+         |  SELECT gs.n_tot, jj.j2,
+         |         CAST((CAST(gs.n_tot AS HUGEINT) * gs.n_tot - gs.sum_n2)
+         |           // 2 AS BIGINT) AS e2,
+         |         CAST(CAST(gs.n_tot AS HUGEINT) * gs.n_tot
+         |           * (2 * gs.n_tot + 3) - gs.sum_n23 AS BIGINT) AS var72
+         |  FROM gs CROSS JOIN jj)
+         |SELECT n_tot, j2, e2, var72,
+         |       CASE WHEN var72 > 0 THEN
+         |         round((CAST(j2 AS DOUBLE) - CAST(e2 AS DOUBLE)) / 2.0
+         |           / sqrt(CAST(var72 AS DOUBLE) / 72.0), 6)
+         |       ELSE NULL END AS z_val
+         |FROM m""".stripMargin
+    },
+
     "kruskal_wallis_priority" ->
       s"""WITH v AS (
          |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,

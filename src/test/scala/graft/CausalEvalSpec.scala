@@ -43,4 +43,55 @@ class CausalEvalSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(nt + nc <= nUsers, "matched units are a subset of users")
   }
+
+  test("sharp_rdd_discount: BigInt OLS replay on both sides") {
+    val Array(r) = run("sharp_rdd_discount")
+    val (nL, nR) = (r.getLong(0), r.getLong(1))
+    assert(nL + nR === Tables.lineitem(spark, sf()).count())
+    val pts = Tables.lineitem(spark, sf())
+      .selectExpr("CAST(round(l_discount * 100) AS BIGINT) - 5 AS xc",
+        "CAST(round(l_quantity) AS BIGINT) AS y")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def fit(side: Array[(Long, Long)]): (Long, Long) = {
+      val n = BigInt(side.length)
+      val sx = BigInt(side.map(_._1).sum); val sy = BigInt(side.map(_._2).sum)
+      val sxx = side.map(p => BigInt(p._1) * p._1).sum
+      val sxy = side.map(p => BigInt(p._1) * p._2).sum
+      val den = n * sxx - sx * sx
+      def sdiv(num: BigInt): Long = {
+        val v = num * 1000000
+        (if (v >= 0) v / den else -((-v) / den)).toLong
+      }
+      (sdiv(sy * sxx - sx * sxy), sdiv(n * sxy - sx * sy))
+    }
+    val (aL, bL) = fit(pts.filter(_._1 < 0))
+    val (aR, bR) = fit(pts.filter(_._1 >= 0))
+    assert(r.getLong(2) === aL && r.getLong(3) === bL, "left fit replay")
+    assert(r.getLong(4) === aR && r.getLong(5) === bR, "right fit replay")
+    assert(r.getLong(6) === aR - aL, "jump = intercept gap at the cutoff")
+  }
+
+  test("did_revenue_segments: cells partition orders; DiD replays") {
+    val rows = run("did_revenue_segments")
+    assert(rows.length === 4, "2x2 design")
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.orders(spark, sf()).count())
+    val means = rows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) ===
+        (BigInt(r.getLong(3)) * 1000000 / r.getLong(2)).toLong,
+        "cell mean replay")
+      assert(r.getLong(5) >= 0, "variance of mean nonnegative")
+    }
+    val did = rows.head.getLong(6)
+    assert(did === means((1, 1)) - means((1, 0)) -
+      (means((0, 1)) - means((0, 0))), "DiD replay from cell means")
+    val se = rows.head.getLong(7)
+    assert(se >= 0)
+    assert(rows.head.getLong(8) === did - math.floor(1.96 * se).toLong)
+    assert(rows.head.getLong(9) === did + math.floor(1.96 * se).toLong)
+  }
 }

@@ -166,4 +166,35 @@ class RankStatSpec extends SparkSpec {
       if (hFp >= 0) hFp * 1000000L / cFp else -((-hFp) * 1000000L / cFp)
     assert(hc === expectHc, "tie-corrected H replay")
   }
+
+  test("jonckheere_trend_value: brute-force pairwise-U replay") {
+    val Array(r) = run("jonckheere_trend_value")
+    val (nTot, j2, e2, var72) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nTot === Tables.orders(spark, sf()).count())
+    assert(j2 >= 0 && j2 <= 2 * e2, "0 <= J <= max pairs (doubled)")
+    // brute-force 2U over all ordered group pairs from the raw table
+    val vals = Tables.orders(spark, sf())
+      .selectExpr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT) sc",
+        "CAST(round(o_totalprice * 100) AS BIGINT) x")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byG = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var bj2 = 0L
+    for (i <- 1L to 5L; j <- (i + 1) to 5L) {
+      val (a, b) = (byG.getOrElse(i, Array[Long]()),
+        byG.getOrElse(j, Array[Long]()))
+      // doubled U: 2 per strict win, 1 per tie
+      bj2 += a.iterator.map(x =>
+        2L * b.count(_ > x) + b.count(_ == x)).sum
+    }
+    assert(j2 === bj2, "doubled J brute-force replay")
+    val ns = byG.values.map(_.length.toLong)
+    assert(e2 === (nTot * nTot - ns.map(n => n * n).sum) / 2)
+    assert(var72 === nTot * nTot * (2 * nTot + 3) -
+      ns.map(n => n * n * (2 * n + 3)).sum)
+    val expectZ = BigDecimal((j2 - e2).toDouble / 2.0 /
+        math.sqrt(var72 / 72.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(4) - expectZ) < 1e-9, "z replay")
+  }
 }
