@@ -152,6 +152,12 @@ import org.apache.spark.sql.SparkSession
   *     midpoint scalar and the 4-cell design grid with its 1-row
   *     DiD/SE fold; each corpus pass in both is one map-side
   *     combinable conditional-moment aggregate.
+  *   - `chapman_dedup_estimate` (r12, third session) — many
+  *     SinglePartition: scalar-stitch — the four capture counts
+  *     (n_A, n_B, overlap, union) are 1-row aggregates crossed into
+  *     the ONE-row Chapman report; the band/candidate machinery
+  *     upstream is signatureBandPairs' own distributed ID-only
+  *     join pipeline, never single-partition.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -233,6 +233,44 @@ object CausalEvalOps extends OpGroup {
         .crossJoin(broadcast(tot))
         .orderBy("treat", "post")
     }),
+
+    // Quantile treatment effects (r12, third session): the md5-bit
+    // arm's effect on order value at EVERY decile, not just the mean —
+    // the distributional readout that shows whether a lift is broad
+    // or concentrated in the tail (an A/A by construction here, so
+    // QTE ≈ 0 at every decile is the expected read). Deciles are
+    // RANK-DEFINED (percentile_disc semantics: the value at
+    // ⌈q·n/10⌉) via the two-phase per-arm prefix sum over the value
+    // domain — no engine quantile algorithms, no interpolation, so
+    // both engines pick the identical cents. Scale: per-(arm, value)
+    // counts fold map-side; the 9-point grid joins the cumulative
+    // support table once.
+    "quantile_treatment_effect" -> ((s, d) => {
+      val v = Tables.orders(s, d).select(
+        expr("""CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 8),
+               | 16, 10) AS BIGINT) % 2""".stripMargin.replace("\n", " "))
+          .as("arm"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cnt = v.groupBy("arm", "cents").agg(count(lit(1)).as("c"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(cnt, "cum", col("c"), Seq("arm"), Seq("cents"))
+      val na = v.groupBy("arm").agg(count(lit(1)).as("n_arm"))
+      val grid = v.sparkSession.range(1, 10)
+        .select(col("id").cast("long").as("q"))
+      val idx = na.crossJoin(broadcast(grid))
+        .withColumn("ridx", expr("(q * n_arm + 9) DIV 10"))
+      val picks = cum.join(broadcast(idx), Seq("arm"))
+        .filter(col("cum") >= col("ridx"))
+        .groupBy("arm", "q", "n_arm").agg(min("cents").as("v"))
+      val p0 = picks.filter(col("arm") === 0)
+        .select(col("q"), col("n_arm").as("n0"), col("v").as("v0_cents"))
+      val p1 = picks.filter(col("arm") === 1)
+        .select(col("q"), col("n_arm").as("n1"), col("v").as("v1_cents"))
+      p0.join(p1, "q")
+        .withColumn("qte_cents", col("v1_cents") - col("v0_cents"))
+        .select("q", "n0", "n1", "v0_cents", "v1_cents", "qte_cents")
+        .orderBy("q")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -345,6 +383,36 @@ object CausalEvalOps extends OpGroup {
          |       CAST(${signedFpDivDuck("m.att_mass", "m.n_treated_matched")}
          |         AS BIGINT) AS att_fp
          |FROM m CROSS JOIN tot t""".stripMargin,
+
+    "quantile_treatment_effect" ->
+      """WITH v AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),
+        |           1, 8)) AS BIGINT) % 2 AS arm,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cnt AS (SELECT arm, cents, CAST(count(*) AS BIGINT) AS c
+        |        FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT arm, cents,
+        |         CAST(sum(c) OVER (PARTITION BY arm ORDER BY cents)
+        |           AS BIGINT) AS cum
+        |  FROM cnt),
+        |na AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_arm
+        |       FROM v GROUP BY 1),
+        |grid AS (SELECT CAST(q AS BIGINT) AS q FROM range(1, 10) r(q)),
+        |idx AS (SELECT na.arm, g.q, na.n_arm,
+        |               (g.q * na.n_arm + 9) // 10 AS ridx
+        |        FROM na CROSS JOIN grid g),
+        |picks AS (
+        |  SELECT i.arm, i.q, i.n_arm, CAST(min(c.cents) AS BIGINT) AS v
+        |  FROM idx i JOIN cum c ON c.arm = i.arm AND c.cum >= i.ridx
+        |  GROUP BY 1, 2, 3)
+        |SELECT p0.q, p0.n_arm AS n0, p1.n_arm AS n1,
+        |       p0.v AS v0_cents, p1.v AS v1_cents,
+        |       CAST(p1.v - p0.v AS BIGINT) AS qte_cents
+        |FROM picks p0 JOIN picks p1 ON p1.q = p0.q
+        |WHERE p0.arm = 0 AND p1.arm = 1
+        |ORDER BY p0.q""".stripMargin,
 
     "sharp_rdd_discount" ->
       s"""WITH li AS (

@@ -91,6 +91,9 @@ object GovernanceOps extends OpGroup {
   private val LMin = 3L
   private val HMinFp: Long = math.floor(math.log(LMin.toDouble) * 1e9).toLong
 
+  /** t-closeness ceiling (total variation ≤ 0.2), 1e-6 fp. */
+  private val TMaxFp = 200000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // l-diversity audit (r12): the step AFTER k-anonymity — a QI class
     // can be large (k-safe) yet publish everyone's sensitive attribute
@@ -122,6 +125,51 @@ object GovernanceOps extends OpGroup {
           s"CAST(CASE WHEN h_fp >= $HMinFp THEN 1 ELSE 0 END AS BIGINT)"))
         .select("nation", "band", "n", "l_distinct", "h_fp", "l_ok",
           "entropy_ok")
+        .orderBy("nation", "band")
+    }),
+
+    // t-closeness audit (r12, third session; Li et al. 2007): the
+    // third leg of the privacy triad — k_anonymity bounds class SIZE,
+    // l_diversity bounds sensitive-value VARIETY, t-closeness bounds
+    // how far a class's sensitive DISTRIBUTION drifts from the
+    // global one (a class can be large and diverse yet still leak
+    // "this class skews AUTOMOBILE"). Nominal sensitive attribute ⇒
+    // the distance is total variation: t_g = ½ Σ_v |p_g(v) − p(v)|,
+    // kept EXACT by clearing denominators — Σ_v |N·cs_g(v) − n_g·c(v)|
+    // over the FULL segment domain (zero cells contribute their
+    // global mass — the chi2 full-grid discipline), then ONE fp
+    // division by 2·n_g·N. Products lift to DECIMAL(38,0)/HUGEINT.
+    // State is QI-domain × |segments| bounded; the corpus pass is the
+    // same one map-side cell count l_diversity runs.
+    "t_closeness_audit" -> ((s, d) => {
+      val cell = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nk"),
+          expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").as("band"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("cs"))
+      val grp = cell.groupBy("nk", "band").agg(sum("cs").as("n"))
+      val segTot = cell.groupBy("seg").agg(sum("cs").as("cv"))
+      val nTot = cell.agg(sum("cs").as("nn"))
+      val grid = grp.crossJoin(broadcast(segTot))
+        .join(cell, Seq("nk", "band", "seg"), "left")
+        .withColumn("cs", coalesce(col("cs"), lit(0L)))
+        .crossJoin(broadcast(nTot))
+        .withColumn("dev", expr(
+          """abs(CAST(nn AS DECIMAL(38,0)) * cs
+            | - CAST(n AS DECIMAL(38,0)) * cv)"""
+            .stripMargin.replace("\n", " ")))
+      grid.groupBy("nk", "band", "n", "nn")
+        .agg(sum("dev").as("devsum"))
+        .withColumn("t_fp", expr(
+          """CAST(devsum * 1000000
+            | DIV (2 * CAST(n AS DECIMAL(38,0)) * nn) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("t_ok", expr(
+          s"CAST(CASE WHEN t_fp <= $TMaxFp THEN 1 ELSE 0 END AS BIGINT)"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))),
+          "nk")
+        .select("nation", "band", "n", "t_fp", "t_ok")
         .orderBy("nation", "band")
     }),
 
@@ -406,6 +454,35 @@ object GovernanceOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t_closeness_audit" ->
+      s"""WITH cell AS (
+         |  SELECT c_nationkey AS nk,
+         |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+         |         c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cs
+         |  FROM customer GROUP BY 1, 2, 3),
+         |grp AS (SELECT nk, band, CAST(sum(cs) AS BIGINT) AS n
+         |        FROM cell GROUP BY 1, 2),
+         |segtot AS (SELECT seg, CAST(sum(cs) AS BIGINT) AS cv
+         |           FROM cell GROUP BY 1),
+         |ntot AS (SELECT CAST(sum(cs) AS BIGINT) AS nn FROM cell),
+         |grid AS (
+         |  SELECT g.nk, g.band, g.n, t.nn,
+         |         abs(CAST(t.nn AS HUGEINT) * COALESCE(c.cs, 0)
+         |           - CAST(g.n AS HUGEINT) * s.cv) AS dev
+         |  FROM grp g CROSS JOIN segtot s CROSS JOIN ntot t
+         |  LEFT JOIN cell c ON c.nk = g.nk AND c.band = g.band
+         |                  AND c.seg = s.seg),
+         |tv AS (
+         |  SELECT nk, band, n,
+         |         CAST(sum(dev) * 1000000
+         |           // (2 * CAST(n AS HUGEINT) * nn) AS BIGINT) AS t_fp
+         |  FROM grid GROUP BY 1, 2, 3, nn)
+         |SELECT n_name AS nation, band, n, t_fp,
+         |       CAST(CASE WHEN t_fp <= $TMaxFp THEN 1 ELSE 0 END
+         |         AS BIGINT) AS t_ok
+         |FROM tv JOIN nation ON n_nationkey = tv.nk
+         |ORDER BY nation, band""".stripMargin,
+
     "l_diversity_audit" ->
       s"""WITH cell AS (
          |  SELECT c_nationkey AS nk,

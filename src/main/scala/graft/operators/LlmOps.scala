@@ -227,6 +227,58 @@ object LlmOps extends OpGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Chapman capture–recapture estimate of the near-dup population
+    // (r12, third session): split the 4 minhash bands into two
+    // independent 2-band detectors; each "captures" the confirmed dup
+    // pairs its bands surface, and the bias-corrected Chapman
+    // estimator N̂ = (n_A+1)(n_B+1)/(m+1) − 1 (Chapman 1951, the
+    // Lincoln–Petersen fix) extrapolates the TOTAL dup-pair
+    // population — including pairs NEITHER detector caught — from the
+    // overlap. coverage = union/N̂ is the recall estimate a dedup
+    // deployment quotes without ever enumerating ground truth (which
+    // is exactly what's impossible at 100 TB). Law (spec-pinned):
+    // N̂ ≥ |A∪B| always, since (nA+1)(nB+1) − (m+1)(nA+nB−m+1) = xy
+    // with x = nA−m, y = nB−m. Scale: band machinery is
+    // signatureBandPairs' own (ID-only shuffles, bucket cap);
+    // confirmation joins signatures back only for candidates.
+    "chapman_dedup_estimate" -> ((s, d) => {
+      val stored = s.read.parquet(minhashLayout(s, d))
+      val bands = stored.select(col("doc_id"),
+        posexplode(array((0 until MinHashBands).map(k =>
+          slice(col("sig"), k * MinHashRowsPerBand + 1, MinHashRowsPerBand)): _*))
+          .as(Seq("bk", "bv")))
+      val small = bands.groupBy("bk", "bv").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= 1000).select("bk", "bv")
+      val kept = bands.join(small, Seq("bk", "bv"))
+      val cand = kept.select(col("bk"), col("bv"), col("doc_id").as("doc_a"))
+        .join(kept.select(col("bk"), col("bv"), col("doc_id").as("doc_b")),
+          Seq("bk", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select((col("bk") < 2).as("grp"), col("doc_a"), col("doc_b"))
+        .distinct()
+      val sa = stored.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val sb = stored.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      val dup = cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_match", expr(
+          "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
+        .filter(col("n_match") >= MinHashDupSlots)
+        .select("grp", "doc_a", "doc_b")
+      val a = dup.filter(col("grp")).select("doc_a", "doc_b").distinct()
+      val b = dup.filter(!col("grp")).select("doc_a", "doc_b").distinct()
+      val m = a.join(b, Seq("doc_a", "doc_b"), "left_semi")
+      val u = a.union(b).distinct()
+      a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(m.agg(count(lit(1)).as("n_both"))))
+        .crossJoin(broadcast(u.agg(count(lit(1)).as("n_union"))))
+        .withColumn("chapman_est",
+          expr("(n_a + 1) * (n_b + 1) DIV (n_both + 1) - 1"))
+        .withColumn("coverage_fp", expr(
+          """CASE WHEN chapman_est > 0
+            | THEN n_union * 1000000 DIV chapman_est
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+    }),
+
     // Cross-LINGUAL near-dup audit: the minhash near-dup pairs (same
     // persisted signatures, same capped band join) annotated with each
     // side's declared language and flagged where the languages differ —
@@ -527,6 +579,57 @@ object LlmOps extends OpGroup {
          |       round(CAST(n_match AS DOUBLE) / $MinHashes.0, 6) AS est_jaccard,
          |       n_match >= $MinHashDupSlots AS is_dup
          |FROM m ORDER BY doc_a, doc_b""".stripMargin,
+    "chapman_dedup_estimate" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, sig
+         |  FROM read_parquet('${minhashLayoutCache.lastPath}/*.parquet')),
+         |bands AS (
+         |  SELECT doc_id, t.k AS bk,
+         |         sig[CAST($MinHashRowsPerBand * t.k + 1 AS INTEGER)
+         |             : CAST($MinHashRowsPerBand * t.k + $MinHashRowsPerBand
+         |                 AS INTEGER)] AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $MinHashBands)) AS k)
+         |    t),
+         |small AS (
+         |  SELECT bk, bv FROM (SELECT bk, bv, count(*) AS bn
+         |                      FROM bands GROUP BY bk, bv)
+         |  WHERE bn <= 1000),
+         |kept AS (SELECT b.* FROM bands b JOIN small USING (bk, bv)),
+         |cand AS (
+         |  SELECT DISTINCT a.bk < 2 AS grp, a.doc_id AS doc_a,
+         |         b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b
+         |    ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |dup AS (
+         |  SELECT c.grp, c.doc_a, c.doc_b
+         |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+         |              JOIN sigs sb ON sb.doc_id = c.doc_b
+         |  CROSS JOIN range(1, ${MinHashes + 1}) t(i)
+         |  GROUP BY 1, 2, 3
+         |  HAVING sum(CASE WHEN sa.sig[CAST(t.i AS INTEGER)]
+         |                       = sb.sig[CAST(t.i AS INTEGER)]
+         |             THEN 1 ELSE 0 END) >= $MinHashDupSlots),
+         |aset AS (SELECT DISTINCT doc_a, doc_b FROM dup WHERE grp),
+         |bset AS (SELECT DISTINCT doc_a, doc_b FROM dup WHERE NOT grp),
+         |co AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM aset) AS n_a,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM bset) AS n_b,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM aset
+         |          WHERE EXISTS (SELECT 1 FROM bset
+         |                        WHERE bset.doc_a = aset.doc_a
+         |                          AND bset.doc_b = aset.doc_b)) AS n_both,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM
+         |            (SELECT doc_a, doc_b FROM aset
+         |             UNION SELECT doc_a, doc_b FROM bset)) AS n_union)
+         |SELECT n_a, n_b, n_both, n_union,
+         |       CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT)
+         |         AS chapman_est,
+         |       CASE WHEN (n_a + 1) * (n_b + 1) // (n_both + 1) - 1 > 0
+         |         THEN CAST(n_union * 1000000
+         |           // ((n_a + 1) * (n_b + 1) // (n_both + 1) - 1) AS BIGINT)
+         |       ELSE NULL END AS coverage_fp
+         |FROM co""".stripMargin,
+
     "crosslingual_near_dup" ->
       s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
               minhashLayoutCache.lastPath, numHashes = MinHashes,

@@ -94,4 +94,33 @@ class CausalEvalSpec extends SparkSpec {
     assert(rows.head.getLong(8) === did - math.floor(1.96 * se).toLong)
     assert(rows.head.getLong(9) === did + math.floor(1.96 * se).toLong)
   }
+
+  test("quantile_treatment_effect: rank-pick replay at every decile") {
+    val rows = run("quantile_treatment_effect")
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 9L))
+    val (n0, n1) = (rows.head.getLong(1), rows.head.getLong(2))
+    assert(n0 + n1 === Tables.orders(spark, sf()).count())
+    val v0s = rows.map(_.getLong(3)); val v1s = rows.map(_.getLong(4))
+    assert(v0s.zip(v0s.tail).forall { case (a, b) => a <= b },
+      "control deciles monotone")
+    assert(v1s.zip(v1s.tail).forall { case (a, b) => a <= b },
+      "treated deciles monotone")
+    rows.foreach(r => assert(r.getLong(5) === r.getLong(4) - r.getLong(3)))
+    // independent rank-pick replay from sorted collected arms
+    val vals = Tables.orders(spark, sf())
+      .selectExpr("""CAST(conv(substring(md5(CAST(o_custkey AS STRING)),
+          1, 8), 16, 10) AS BIGINT) % 2 AS arm""",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val a0 = vals.filter(_._1 == 0).map(_._2).sorted
+    val a1 = vals.filter(_._1 == 1).map(_._2).sorted
+    assert(a0.length.toLong === n0 && a1.length.toLong === n1)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(3) === a0(((q * n0 + 9) / 10 - 1).toInt),
+        s"control decile $q replay")
+      assert(r.getLong(4) === a1(((q * n1 + 9) / 10 - 1).toInt),
+        s"treated decile $q replay")
+    }
+  }
 }

@@ -169,4 +169,46 @@ class GovernanceSpec extends SparkSpec {
       if (l == 1) assert(h === 0L, "single sensitive value => zero entropy")
     }
   }
+
+  test("t_closeness_audit: TVD bounds, flag replay, BigInt group replay") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.GovernanceOps
+      .queries("t_closeness_audit")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val lRows = operators.GovernanceOps
+      .queries("l_diversity_audit")(spark, sf()).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet ===
+      lRows.map(r => (r.getString(0), r.getLong(1))).toSet,
+      "same QI group set as l_diversity")
+    rows.foreach { r =>
+      val t = r.getLong(3)
+      assert(t >= 0L && t <= 1000000L, "TVD lives in [0, 1]")
+      assert((r.getLong(4) == 1L) === (t <= 200000L), "flag replay")
+    }
+    // independent BigInt replay of the largest group's TVD
+    val cells = Tables.customer(spark, sf())
+      .groupBy(col("c_nationkey").cast("long").as("nk"),
+        expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").as("band"),
+        col("c_mktsegment").as("seg"))
+      .count().collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getString(2), x.getLong(3)))
+    val nn: Long = cells.map(_._3).sum
+    val segTot: Map[String, Long] =
+      cells.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
+    val nations = Tables.nation(spark, sf())
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val target = rows.maxBy(_.getLong(2))
+    val grpKey = cells.filter(c => nations(c._1._1) == target.getString(0)
+      && c._1._2 == target.getLong(1))
+    val nG = grpKey.map(_._3).sum
+    assert(nG === target.getLong(2))
+    val byKSeg: Map[String, Long] = grpKey.map(c => c._2 -> c._3).toMap
+    val dev: BigInt = segTot.keys.map { s =>
+      (BigInt(nn) * BigInt(byKSeg.getOrElse(s, 0L))
+        - BigInt(nG) * BigInt(segTot(s))).abs
+    }.sum
+    assert(target.getLong(3) ===
+      (dev * 1000000 / (2 * BigInt(nG) * nn)).toLong, "TVD replay")
+  }
 }

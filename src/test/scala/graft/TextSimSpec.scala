@@ -224,4 +224,27 @@ class TextSimSpec extends SparkSpec {
         "containment must dominate jaccard on a shared pair")
     }
   }
+
+  test("chapman_dedup_estimate: set algebra and the dominance law") {
+    val Array(r) = operators.LlmOps
+      .queries("chapman_dedup_estimate")(spark, sf()).collect()
+    val (nA, nB, m, u) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val est = r.getLong(4)
+    assert(m <= math.min(nA, nB), "overlap bounded by both captures")
+    assert(u === nA + nB - m, "inclusion-exclusion union")
+    assert(est === (nA + 1) * (nB + 1) / (m + 1) - 1, "Chapman replay")
+    // (nA+1)(nB+1) - (m+1)(union+1) = (nA-m)(nB-m) >= 0, so the
+    // estimator can never fall below the observed union (floor slack 0:
+    // the difference is an exact integer multiple argument)
+    assert(est >= u, "estimated population dominates the observed union")
+    if (est > 0)
+      assert(r.getLong(5) === u * 1000000L / est, "coverage replay")
+    // both detectors see the SAME confirmed-dup criterion, so each
+    // capture is a subset of the full 4-band candidate dup set
+    val full = operators.LlmOps.queries("minhash_near_dedup")(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("is_dup")).count()
+    assert(nA <= full && nB <= full && u <= full,
+      "2-band captures are subsets of the 4-band dup set")
+  }
 }
