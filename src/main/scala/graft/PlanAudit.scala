@@ -158,6 +158,12 @@ import org.apache.spark.sql.SparkSession
   *     the ONE-row Chapman report; the band/candidate machinery
   *     upstream is signatureBandPairs' own distributed ID-only
   *     join pipeline, never single-partition.
+  *   - `chatterjee_xi_corr` (r12, third session) — many
+  *     SinglePartition: scalar-stitch — the 1-row n, numerator, and
+  *     denominator aggregates stitch into the ONE-row ξ report; the
+  *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
+  *     two-phase prefix sum, and the consecutive scan a shifted
+  *     equi-join — the corpus never crosses a single partition.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -56,7 +56,44 @@ object ParetoStatOps extends OpGroup {
       | * ln(CAST(s_g AS DOUBLE) * n_tot / (CAST(s_tot AS DOUBLE) * n_g))
       | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
 
+  /** Atkinson(ε=1) leaf: 1 − geomean/mean in 1e-6 fp, ONE shared IEEE
+    * tree over the exact (lsum, n_g, sx) integers — the log-sum is
+    * FLOOR'd per customer at 1e-9 then integer-summed, so the only
+    * floating work is this terminal expression.
+    */
+  private val atkinsonSql =
+    """CAST(1000000 - FLOOR(
+      |  exp(CAST(lsum AS DOUBLE) / n_g / 1000000000.0)
+      |  * n_g / CAST(sx AS DOUBLE) * 1000000.0) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Atkinson inequality index (r12, third session; Atkinson 1970,
+    // ε=1): A = 1 − geomean/mean of customer revenue per nation — the
+    // welfare-theoretic inequality read with an explicit aversion
+    // parameter, completing the Gini/Theil family (at ε=1 it is the
+    // exp-of-Theil-L transform, so it ALSO decomposes in logs).
+    // Scale: per-customer ln leaves FLOOR'd at 1e-9 then
+    // integer-summed (order-free); the report is |nations|-bounded;
+    // AM ≥ GM guarantees A ∈ [0, 1) up to the leaf floor (which only
+    // lowers the geomean, never above the mean).
+    "atkinson_inequality" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nation")), "o_custkey")
+        .groupBy("nation", "o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+        .filter(col("x") > 0)
+      cust.withColumn("lx",
+          expr("CAST(FLOOR(ln(CAST(x AS DOUBLE)) * 1000000000.0) AS BIGINT)"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_g"), sum("x").as("sx"),
+          sum("lx").as("lsum"))
+        .withColumn("atkinson_fp", expr(atkinsonSql))
+        .select("nation", "n_g", "sx", "lsum", "atkinson_fp")
+        .orderBy("nation")
+    }),
+
     // Theil-T inequality decomposition of customer revenue by nation
     // (r12, second session): T = Σ_g (S_g/S)·T_g + Σ_g (S_g/S)·ln(μ_g/μ)
     // — the inequality measure that decomposes ADDITIVELY into
@@ -153,6 +190,27 @@ object ParetoStatOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "atkinson_inequality" ->
+      s"""WITH cust AS (
+         |  SELECT c_nationkey AS nation, o_custkey,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS x
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |lv AS (
+         |  SELECT nation, x,
+         |         CAST(FLOOR(ln(CAST(x AS DOUBLE)) * 1000000000.0)
+         |           AS BIGINT) AS lx
+         |  FROM cust WHERE x > 0),
+         |g AS (
+         |  SELECT CAST(nation AS BIGINT) AS nation,
+         |         CAST(count(*) AS BIGINT) AS n_g,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(lx) AS BIGINT) AS lsum
+         |  FROM lv GROUP BY 1)
+         |SELECT nation, n_g, sx, lsum, $atkinsonSql AS atkinson_fp
+         |FROM g ORDER BY nation""".stripMargin,
+
     "theil_inequality_decomp" ->
       s"""WITH cust AS (
          |  SELECT c_nationkey AS nation, o_custkey,

@@ -71,6 +71,23 @@ object RankStatOps extends OpGroup {
       | / (CAST(rt AS DOUBLE) * ct / n_tot) * 1000000.0) AS BIGINT)"""
       .stripMargin.replace("\n", " ")
 
+  /** Yuen t as ONE terminal IEEE expression over the exact moment set
+    * (ts/h trimmed means; (n·wss − ws²)/(n·h·(h−1)) the Yuen variance
+    * terms d_j = (n−1)s²_w/(h(h−1)) with s²_w the winsorized sample
+    * variance — the (n−1) cancels into the shown form). Identical
+    * text both engines; NULL-guarded on degenerate trim (h ≤ 1).
+    */
+  private val yuenTSql =
+    """CASE WHEN h1 > 1 AND h2 > 1 THEN
+      | round((CAST(ts1 AS DOUBLE) / h1 - CAST(ts2 AS DOUBLE) / h2)
+      |  / sqrt((CAST(n1 AS DOUBLE) * CAST(wss1 AS DOUBLE)
+      |          - CAST(ws1 AS DOUBLE) * CAST(ws1 AS DOUBLE))
+      |         / (CAST(n1 AS DOUBLE) * h1 * (h1 - 1.0))
+      |       + (CAST(n2 AS DOUBLE) * CAST(wss2 AS DOUBLE)
+      |          - CAST(ws2 AS DOUBLE) * CAST(ws2 AS DOUBLE))
+      |         / (CAST(n2 AS DOUBLE) * h2 * (h2 - 1.0))), 6)
+      |ELSE CAST(NULL AS DOUBLE) END""".stripMargin.replace("\n", " ")
+
   /** Doubled tie-averaged rank map for one variable over the value
     * domain: per-(group, value) counts → inclusive prefix sum over the
     * value order (two-phase beyond the GlobalRank threshold) →
@@ -312,6 +329,110 @@ object RankStatOps extends OpGroup {
         .orderBy("sc")
     }),
 
+    // Yuen's trimmed-mean t test (r12, third session; Yuen 1974):
+    // Welch's comparison made outlier-robust — 20% of each tail is
+    // TRIMMED from both samples (click vs purchase event values), the
+    // means compare on the middle 60%, and the variance uses the
+    // WINSORIZED sample (tails clamped to the rank-defined trim
+    // boundaries). welch_t_value answers "do the means differ";
+    // Yuen answers it when heavy tails would drown the signal.
+    // Scale: all from the per-group value-domain support — trim
+    // boundaries are RANK-DEFINED picks (⌊0.2n⌋+1 and n−⌊0.2n⌋ via
+    // the two-phase per-group prefix sum, both engines pick identical
+    // values); kept/winsorized masses fold per support value with
+    // clamp arithmetic (partial boundary multiplicities handled
+    // exactly); winsorized squares lift to DECIMAL(38,0)/HUGEINT; t
+    // is ONE terminal IEEE expression over the exact moment set.
+    "yuen_trimmed_t" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      val sup = ev.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(sup, "cum", col("c"), Seq("g"), Seq("v"))
+      val ns = ev.groupBy("g").agg(count(lit(1)).as("n"))
+        .withColumn("g20", expr("n DIV 5"))
+      val lo = cum.join(broadcast(ns), "g")
+        .filter(col("cum") >= col("g20") + 1)
+        .groupBy("g").agg(min("v").as("vlo"))
+      val hi = cum.join(broadcast(ns), "g")
+        .filter(col("cum") >= col("n") - col("g20"))
+        .groupBy("g").agg(min("v").as("vhi"))
+      val kept = cum.join(broadcast(ns), "g")
+        .withColumn("kb", expr("greatest(0L, least(c, g20 - (cum - c)))"))
+        .withColumn("ka", expr("greatest(0L, least(c, cum - (n - g20)))"))
+        .withColumn("k", expr("c - kb - ka"))
+        .groupBy("g").agg(sum(expr("k * v")).as("ts"),
+          sum(expr("CAST(k AS DECIMAL(38,0)) * v * v")).as("tss"))
+      val grp = kept.join(lo, "g").join(hi, "g").join(broadcast(ns), "g")
+        .withColumn("h", expr("n - 2 * g20"))
+        .withColumn("ws", expr("ts + g20 * (vlo + vhi)"))
+        .withColumn("wss", expr(
+          """tss + CAST(g20 AS DECIMAL(38,0))
+            | * (CAST(vlo AS DECIMAL(38,0)) * vlo
+            |    + CAST(vhi AS DECIMAL(38,0)) * vhi)"""
+            .stripMargin.replace("\n", " ")))
+      grp.agg(
+          sum(when(col("g") === "click", col("n"))).as("n1"),
+          sum(when(col("g") === "purchase", col("n"))).as("n2"),
+          sum(when(col("g") === "click", col("h"))).as("h1"),
+          sum(when(col("g") === "purchase", col("h"))).as("h2"),
+          sum(when(col("g") === "click", col("ts"))).as("ts1"),
+          sum(when(col("g") === "purchase", col("ts"))).as("ts2"),
+          sum(when(col("g") === "click", col("ws"))).as("ws1"),
+          sum(when(col("g") === "purchase", col("ws"))).as("ws2"),
+          sum(when(col("g") === "click", col("wss"))).as("wss1"),
+          sum(when(col("g") === "purchase", col("wss"))).as("wss2"))
+        .withColumn("tm1_fp", expr("ts1 * 1000000 DIV h1"))
+        .withColumn("tm2_fp", expr("ts2 * 1000000 DIV h2"))
+        .withColumn("t_val", expr(yuenTSql))
+        .select("n1", "n2", "h1", "h2", "tm1_fp", "tm2_fp", "t_val")
+    }),
+
+    // Chatterjee's ξ correlation (r12, third session; Chatterjee
+    // 2021): the modern rank coefficient that is ~0 iff independent
+    // and →1 iff y is a measurable FUNCTION of x — detecting the
+    // non-monotone dependence ρ and Spearman both miss. Tie-robust
+    // form: ξ = 1 − n·Σ|r_{(i+1)} − r_{(i)}| / (2·Σ l_i(n−l_i)),
+    // rows ordered by x (ties broken by the lineitem unique key — a
+    // fixed total order, replacing the paper's random tie-break with
+    // a deterministic one, documented). Scale: the x-ordering is the
+    // two-phase GlobalRank numbering; y-ranks come from the
+    // value-domain prefix sum; the consecutive-pair scan is a SHIFTED
+    // EQUI-JOIN on position (the mase lag pattern — never a global
+    // window); numerator/denominator products lift to
+    // DECIMAL(38,0)/HUGEINT (den ≤ n³/2).
+    "chatterjee_xi_corr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+      val nDf = li.agg(count(lit(1)).as("n"))
+      val sup = li.groupBy("y").agg(count(lit(1)).as("c"))
+      val rm = graft.functions.GlobalRank
+        .prefixSum(sup, "r", col("c"), Nil, Seq("y"))
+      val den = rm.crossJoin(broadcast(nDf))
+        .withColumn("l", col("n") - col("r") + col("c"))
+        .agg(sum(expr("2 * CAST(c AS DECIMAL(38,0)) * l * (n - l)"))
+          .as("den2"))
+      val pos = graft.functions.GlobalRank.rowNumber(li, "pos", Nil,
+          Seq("x", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+        .join(rm.select("y", "r"), "y")
+        .select("pos", "r")
+      val nxt = pos.select((col("pos") - 1).as("pos"), col("r").as("r_nx"))
+      pos.join(nxt, "pos")
+        .agg(sum(expr("abs(r_nx - r)")).as("sum_absdiff"))
+        .crossJoin(broadcast(den)).crossJoin(broadcast(nDf))
+        .withColumn("xi_fp", expr(
+          """CAST(1000000 - CAST(n AS DECIMAL(38,0)) * sum_absdiff
+            | * 1000000 DIV den2 AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .select(col("n"), col("sum_absdiff"),
+          col("den2").cast("long").as("den2"), col("xi_fp"))
+    }),
+
     // Jonckheere–Terpstra ordered-alternative test (r12, third
     // session): is o_totalprice stochastically INCREASING along the
     // ordered priority ladder 1→5? Kruskal–Wallis asks "any
@@ -368,6 +489,89 @@ object RankStatOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "yuen_trimmed_t" ->
+      s"""WITH ev AS (
+         |  SELECT event_type AS g, CAST(round(value * 1000) AS BIGINT) AS v
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |sup AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM ev
+         |        GROUP BY 1, 2),
+         |cum AS (SELECT g, v, c,
+         |          CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+         |            AS cum
+         |        FROM sup),
+         |ns AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(count(*) // 5 AS BIGINT) AS g20
+         |       FROM ev GROUP BY 1),
+         |lo AS (SELECT c.g, CAST(min(c.v) AS BIGINT) AS vlo
+         |       FROM cum c JOIN ns USING (g)
+         |       WHERE c.cum >= ns.g20 + 1 GROUP BY 1),
+         |hi AS (SELECT c.g, CAST(min(c.v) AS BIGINT) AS vhi
+         |       FROM cum c JOIN ns USING (g)
+         |       WHERE c.cum >= ns.n - ns.g20 GROUP BY 1),
+         |kept AS (
+         |  SELECT c.g,
+         |         CAST(sum((c.c - greatest(0, least(c.c, ns.g20 - (c.cum - c.c)))
+         |                   - greatest(0, least(c.c, c.cum - (ns.n - ns.g20))))
+         |                  * c.v) AS BIGINT) AS ts,
+         |         CAST(sum(CAST(c.c - greatest(0, least(c.c, ns.g20 - (c.cum - c.c)))
+         |                   - greatest(0, least(c.c, c.cum - (ns.n - ns.g20)))
+         |                  AS HUGEINT) * c.v * c.v) AS HUGEINT) AS tss
+         |  FROM cum c JOIN ns USING (g) GROUP BY 1),
+         |grp AS (
+         |  SELECT k.g, ns.n, ns.n - 2 * ns.g20 AS h, k.ts,
+         |         k.ts + ns.g20 * (lo.vlo + hi.vhi) AS ws,
+         |         k.tss + CAST(ns.g20 AS HUGEINT)
+         |           * (CAST(lo.vlo AS HUGEINT) * lo.vlo
+         |              + CAST(hi.vhi AS HUGEINT) * hi.vhi) AS wss
+         |  FROM kept k JOIN lo USING (g) JOIN hi USING (g)
+         |       JOIN ns USING (g)),
+         |one AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN g = 'click' THEN n END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN g = 'purchase' THEN n END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN g = 'click' THEN h END) AS BIGINT) AS h1,
+         |    CAST(sum(CASE WHEN g = 'purchase' THEN h END) AS BIGINT) AS h2,
+         |    CAST(sum(CASE WHEN g = 'click' THEN ts END) AS BIGINT) AS ts1,
+         |    CAST(sum(CASE WHEN g = 'purchase' THEN ts END) AS BIGINT) AS ts2,
+         |    sum(CASE WHEN g = 'click' THEN ws END) AS ws1,
+         |    sum(CASE WHEN g = 'purchase' THEN ws END) AS ws2,
+         |    sum(CASE WHEN g = 'click' THEN wss END) AS wss1,
+         |    sum(CASE WHEN g = 'purchase' THEN wss END) AS wss2
+         |  FROM grp)
+         |SELECT n1, n2, h1, h2,
+         |       CAST(ts1 * 1000000 // h1 AS BIGINT) AS tm1_fp,
+         |       CAST(ts2 * 1000000 // h2 AS BIGINT) AS tm2_fp,
+         |       $yuenTSql AS t_val
+         |FROM one""".stripMargin,
+
+    "chatterjee_xi_corr" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |         l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |  FROM lineitem),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li),
+        |sup AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM li
+        |        GROUP BY 1),
+        |rm AS (SELECT y, c, CAST(sum(c) OVER (ORDER BY y) AS BIGINT) AS r
+        |       FROM sup),
+        |den AS (
+        |  SELECT CAST(sum(2 * CAST(c AS HUGEINT) * (nt.n - r + c)
+        |           * (nt.n - (nt.n - r + c))) AS HUGEINT) AS den2
+        |  FROM rm CROSS JOIN nt),
+        |pos AS (
+        |  SELECT row_number() OVER (ORDER BY x, l_orderkey, l_linenumber,
+        |           l_partkey, l_suppkey) AS pos, y
+        |  FROM li),
+        |pr AS (SELECT p.pos, rm.r FROM pos p JOIN rm ON rm.y = p.y),
+        |num AS (
+        |  SELECT CAST(sum(abs(b.r - a.r)) AS BIGINT) AS sum_absdiff
+        |  FROM pr a JOIN pr b ON b.pos = a.pos + 1)
+        |SELECT nt.n, num.sum_absdiff, CAST(den.den2 AS BIGINT) AS den2,
+        |       CAST(1000000 - CAST(nt.n AS HUGEINT) * num.sum_absdiff
+        |         * 1000000 // den.den2 AS BIGINT) AS xi_fp
+        |FROM nt CROSS JOIN num CROSS JOIN den""".stripMargin,
+
     "jonckheere_trend_value" -> {
       val pairTerms = (for {
         i <- 1 to 5; j <- (i + 1) to 5

@@ -92,4 +92,36 @@ class ParetoStatSpec extends SparkSpec {
     assert(math.abs(tDecomp - tExact) < 1e-4,
       s"T=within+between: $tDecomp vs $tExact")
   }
+
+  test("atkinson_inequality: AM-GM bound and exact leaf replay") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.ParetoStatOps
+      .queries("atkinson_inequality")(spark, sf()).collect()
+    assert(rows.length === Tables.nation(spark, sf()).count())
+    rows.foreach { r =>
+      val a = r.getLong(4)
+      // geomean <= mean (AM-GM), and the leaf floors only lower the
+      // geomean, so A in [0, 1e6]; strictly > 0 with unequal incomes
+      assert(a >= 0L && a <= 1000000L)
+      // terminal-leaf replay from the exact integer triplet
+      val (n, sx, ls) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val expect = 1000000L - math.floor(
+        math.exp(ls.toDouble / n / 1e9) * n / sx.toDouble * 1e6).toLong
+      assert(a === expect, "Atkinson leaf replay")
+    }
+    // independent lsum replay for the largest nation
+    val target = rows.maxBy(_.getLong(1))
+    val xs = Tables.orders(spark, sf())
+      .join(Tables.customer(spark, sf())
+        .selectExpr("c_custkey AS o_custkey",
+          "CAST(c_nationkey AS BIGINT) AS nation"), "o_custkey")
+      .filter(col("nation") === target.getLong(0))
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .collect().map(_.getLong(1)).filter(_ > 0)
+    assert(xs.length.toLong === target.getLong(1))
+    assert(xs.sum === target.getLong(2))
+    assert(xs.map(x => math.floor(math.log(x.toDouble) * 1e9).toLong).sum
+      === target.getLong(3), "lsum leaf-exact replay")
+  }
 }

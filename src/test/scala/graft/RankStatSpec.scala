@@ -197,4 +197,77 @@ class RankStatSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(r.getDouble(4) - expectZ) < 1e-9, "z replay")
   }
+
+  test("chatterjee_xi_corr: brute-force xi replay; functional signal") {
+    val Array(r) = run("chatterjee_xi_corr")
+    val (n, adiff, den2, xi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n === Tables.lineitem(spark, sf()).count())
+    assert(xi <= 1000000L && xi >= -1000000L)
+    // the fixture's extendedprice is synthetically INDEPENDENT of
+    // quantity (corr ≈ −0.01 measured), and ξ's null distribution
+    // concentrates at 0 with sd ≈ √(2/5n) — so the correct read here
+    // is ≈0 (an A/A for the dependence detector); 0.1 is ~8σ slack
+    assert(math.abs(xi) < 100000L, "independent columns read as ξ≈0")
+    // brute-force replay from the collected rows
+    val rows = Tables.lineitem(spark, sf())
+      .selectExpr("CAST(round(l_quantity) AS BIGINT) x",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) y",
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getInt(3).toLong, x.getLong(4), x.getLong(5)))
+    val sorted = rows.sortBy(t => (t._1, t._3, t._4, t._5, t._6))
+    val yCounts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ysSorted = yCounts.keys.toArray.sorted
+    val cums = ysSorted.scanLeft(0L)((acc, y) => acc + yCounts(y)).tail
+    val rMap = ysSorted.zip(cums).toMap
+    val rs = sorted.map(t => rMap(t._2))
+    val bAdiff = rs.zip(rs.tail).map { case (a, b) => math.abs(b - a) }.sum
+    assert(adiff === bAdiff, "consecutive rank-diff replay")
+    val bDen = ysSorted.map { y =>
+      val l = n - rMap(y) + yCounts(y)
+      BigInt(2) * yCounts(y) * l * (n - l)
+    }.sum
+    assert(BigInt(den2) === bDen, "denominator replay")
+    assert(xi ===
+      (BigInt(1000000) - BigInt(n) * adiff * 1000000 / bDen).toLong)
+  }
+
+  test("yuen_trimmed_t: full trim/winsorize replay from sorted arms") {
+    val Array(r) = run("yuen_trimmed_t")
+    val vals = Tables.events(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "purchase"))
+      .selectExpr("event_type", "CAST(round(value * 1000) AS BIGINT) v")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    def arm(g: String): Array[Long] =
+      vals.filter(_._1 == g).map(_._2).sorted
+    val (a1, a2) = (arm("click"), arm("purchase"))
+    assert(r.getLong(0) === a1.length.toLong)
+    assert(r.getLong(1) === a2.length.toLong)
+    def stats(a: Array[Long]): (Long, Long, BigInt, BigInt) = {
+      val n = a.length; val g = n / 5; val h = n - 2 * g
+      val mid = a.slice(g, n - g)
+      val ts = mid.map(BigInt(_)).sum
+      val w = a.take(g).map(_ => a(g)) ++ mid ++
+        a.takeRight(g).map(_ => a(n - g - 1))
+      (h.toLong, ts.toLong, w.map(BigInt(_)).sum,
+        w.map(x => BigInt(x) * x).sum)
+    }
+    val (h1, ts1, ws1, wss1) = stats(a1)
+    val (h2, ts2, ws2, wss2) = stats(a2)
+    assert(r.getLong(2) === h1 && r.getLong(3) === h2)
+    assert(r.getLong(4) === ts1 * 1000000L / h1, "trimmed mean 1 replay")
+    assert(r.getLong(5) === ts2 * 1000000L / h2, "trimmed mean 2 replay")
+    val n1 = a1.length.toDouble; val n2 = a2.length.toDouble
+    val d1 = (n1 * wss1.toDouble - ws1.toDouble * ws1.toDouble) /
+      (n1 * h1 * (h1 - 1.0))
+    val d2 = (n2 * wss2.toDouble - ws2.toDouble * ws2.toDouble) /
+      (n2 * h2 * (h2 - 1.0))
+    val expectT = BigDecimal(
+        (ts1.toDouble / h1 - ts2.toDouble / h2) / math.sqrt(d1 + d2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(6) - expectT) < 1e-6, "Yuen t replay")
+  }
 }
