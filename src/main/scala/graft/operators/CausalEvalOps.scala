@@ -39,6 +39,21 @@ object CausalEvalOps extends OpGroup {
        |ELSE -((-CAST(($n) AS HUGEINT)) // ($d)) END"""
       .stripMargin.replace("\n", " ")
 
+  /** SMD = (m₁−m₀)/√((s₁²+s₀²)/2) as ONE terminal IEEE expression over
+    * the exact per-arm moment set, rounded 6dp; NULL-guarded on a
+    * degenerate arm.
+    */
+  private val smdSql =
+    """CASE WHEN n0 > 1 AND n1 > 1 THEN round(
+      |  (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+      |  / sqrt(((CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+      |           - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+      |          / (CAST(n1 AS DOUBLE) * (n1 - 1.0))
+      |        + (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+      |           - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE))
+      |          / (CAST(n0 AS DOUBLE) * (n0 - 1.0))) / 2.0), 6)
+      |ELSE CAST(NULL AS DOUBLE) END""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IPS value of the fixed policy π(am)=click, π(pm)=purchase under
     // the logged (empirical) behavior propensities.
@@ -234,6 +249,58 @@ object CausalEvalOps extends OpGroup {
         .orderBy("treat", "post")
     }),
 
+    // Covariate-balance SMD table (r12, third session): the
+    // randomization-check every causal readout should publish FIRST —
+    // standardized mean difference (m₁−m₀)/√((s₁²+s₀²)/2) per
+    // pre-treatment covariate between the md5 arms, with the
+    // conventional |SMD| < 0.1 balance flag (an A/A by construction,
+    // so all three covariates must flag balanced on an honest split —
+    // the tripwire that catches a broken hash assignment). Scale: the
+    // per-customer covariate build is one aggregate + one left join;
+    // stack() unpivots the 3 covariates map-side; moments fold as
+    // exact DECIMAL(38,0)/HUGEINT sums; SMD is ONE terminal IEEE
+    // expression per covariate row.
+    "covariate_balance_smd" -> ((s, d) => {
+      val ords = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("spend"))
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal"))
+        .join(ords, Seq("c_custkey"), "left")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .withColumn("spend", coalesce(col("spend"), lit(0L)))
+        .withColumn("arm", expr(
+          """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8),
+            | 16, 10) AS BIGINT) % 2""".stripMargin.replace("\n", " ")))
+      val unp = base.selectExpr("arm",
+        """stack(3, 'acctbal_cents', acctbal, 'n_orders', n_orders,
+          |'spend_cents', spend) AS (covariate, v)"""
+          .stripMargin.replace("\n", " "))
+      unp.groupBy("covariate", "arm")
+        .agg(count(lit(1)).as("n"), sum("v").as("sx"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sxx"))
+        .groupBy("covariate").agg(
+          sum(when(col("arm") === 0, col("n"))).as("n0"),
+          sum(when(col("arm") === 1, col("n"))).as("n1"),
+          sum(when(col("arm") === 0, col("sx"))).as("sx0"),
+          sum(when(col("arm") === 1, col("sx"))).as("sx1"),
+          sum(when(col("arm") === 0, col("sxx"))).as("sxx0"),
+          sum(when(col("arm") === 1, col("sxx"))).as("sxx1"))
+        .withColumn("m0_fp", expr(signedFpDiv(
+          "CAST(sx0 AS DECIMAL(38,0)) * 1000000", "n0")).cast("long"))
+        .withColumn("m1_fp", expr(signedFpDiv(
+          "CAST(sx1 AS DECIMAL(38,0)) * 1000000", "n1")).cast("long"))
+        .withColumn("smd", expr(smdSql))
+        .withColumn("balanced", expr(
+          "CASE WHEN smd IS NULL THEN NULL ELSE abs(smd) < 0.1 END"))
+        .select("covariate", "n0", "n1", "m0_fp", "m1_fp", "smd",
+          "balanced")
+        .orderBy("covariate")
+    }),
+
     // Quantile treatment effects (r12, third session): the md5-bit
     // arm's effect on order value at EVERY decile, not just the mean —
     // the distributional readout that shows whether a lift is broad
@@ -383,6 +450,51 @@ object CausalEvalOps extends OpGroup {
          |       CAST(${signedFpDivDuck("m.att_mass", "m.n_treated_matched")}
          |         AS BIGINT) AS att_fp
          |FROM m CROSS JOIN tot t""".stripMargin,
+
+    "covariate_balance_smd" ->
+      s"""WITH ords AS (
+         |  SELECT o_custkey AS c_custkey,
+         |         CAST(count(*) AS BIGINT) AS n_orders,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS spend
+         |  FROM orders GROUP BY 1),
+         |base AS (
+         |  SELECT c.c_custkey,
+         |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal,
+         |         COALESCE(o.n_orders, 0) AS n_orders,
+         |         COALESCE(o.spend, 0) AS spend,
+         |         CAST(concat('0x', substr(md5(CAST(c.c_custkey AS VARCHAR)),
+         |           1, 8)) AS BIGINT) % 2 AS arm
+         |  FROM customer c LEFT JOIN ords o USING (c_custkey)),
+         |unp AS (
+         |  SELECT arm, 'acctbal_cents' AS covariate, acctbal AS v FROM base
+         |  UNION ALL
+         |  SELECT arm, 'n_orders', n_orders FROM base
+         |  UNION ALL
+         |  SELECT arm, 'spend_cents', spend FROM base),
+         |m AS (
+         |  SELECT covariate, arm, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(v) AS BIGINT) AS sx,
+         |         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx
+         |  FROM unp GROUP BY 1, 2),
+         |one AS (
+         |  SELECT covariate,
+         |    CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN arm = 0 THEN sx END) AS BIGINT) AS sx0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN sx END) AS BIGINT) AS sx1,
+         |    sum(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+         |    sum(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+         |  FROM m GROUP BY 1)
+         |SELECT covariate, n0, n1,
+         |       CAST(${signedFpDivDuck("sx0 * 1000000", "n0")} AS BIGINT)
+         |         AS m0_fp,
+         |       CAST(${signedFpDivDuck("sx1 * 1000000", "n1")} AS BIGINT)
+         |         AS m1_fp,
+         |       $smdSql AS smd,
+         |       CASE WHEN $smdSql IS NULL THEN NULL
+         |            ELSE abs($smdSql) < 0.1 END AS balanced
+         |FROM one ORDER BY covariate""".stripMargin,
 
     "quantile_treatment_effect" ->
       """WITH v AS (

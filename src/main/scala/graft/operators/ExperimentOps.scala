@@ -104,6 +104,18 @@ object ExperimentOps extends OpGroup {
   private val ZAlphaHalf = 1.959963984540054
   private val ZBeta = 0.8416212335729143
 
+  /** Woolf CI endpoint for the odds ratio, 1e-6 fp: exp(ln(ad/bc) ∓
+    * 1.96·√(1/a+1/b+1/c+1/d)) as ONE FLOOR'd IEEE tree over the exact
+    * 2×2 cells; NULL-armed on any empty cell.
+    */
+  private def orCiSql(sign: String): String =
+    s"""CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+       | CAST(FLOOR(exp(
+       |   ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+       |   $sign 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+       |   * 1000000.0) AS BIGINT)
+       |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")
+
   /** Two-proportion MDE leaf (z_{α/2}+z_β)·√(2p̂(1−p̂)/n) in 1e-6 fp —
     * ONE FLOOR'd IEEE tree over the exact (n_purchases, n_events,
     * n_per_arm) integers, identical text both engines.
@@ -276,6 +288,35 @@ object ExperimentOps extends OpGroup {
           col("alloc_base") + when(col("n_ahead") < col("l"), 1L).otherwise(0L))
         .select("segment", "n_h", "w_fp", "alloc")
         .orderBy("segment")
+    }),
+
+    // Weekend odds ratio with Woolf CI (r12, third session): does the
+    // weekend change the odds an event is a purchase? OR = ad/bc over
+    // the 2×2 (weekend × purchase) with the Woolf log-interval
+    // ln OR ± 1.96·√(1/a+1/b+1/c+1/d) (Woolf 1955) — the
+    // epidemiology-grade effect read the raw rate difference
+    // understates/overstates at extreme base rates. Scale: ONE
+    // map-side 4-cell conditional count (dow from the epoch-day
+    // convention); OR is an exact DECIMAL(38,0)/HUGEINT rational; CI
+    // endpoints are terminal FLOOR'd IEEE leaves over the exact cell
+    // counts.
+    "odds_ratio_weekend" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(expr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5")
+          .as("we"), (col("event_type") === "purchase").as("pur"))
+        .agg(
+          sum(when(col("we") && col("pur"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("we") && !col("pur"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("we") && col("pur"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("we") && !col("pur"), 1L).otherwise(0L)).as("d"))
+        .withColumn("or_fp", expr(
+          """CASE WHEN b > 0 AND c > 0 THEN
+            | CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000
+            |   DIV (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .withColumn("lo_fp", expr(orCiSql("-")))
+        .withColumn("hi_fp", expr(orCiSql("+")))
+        .select("a", "b", "c", "d", "or_fp", "lo_fp", "hi_fp")
     }),
 
     // A/B power planning grid (r12, third session): the minimum
@@ -451,6 +492,29 @@ object ExperimentOps extends OpGroup {
          |         + CASE WHEN n_ahead < l THEN 1 ELSE 0 END AS BIGINT)
          |         AS alloc
          |FROM rk CROSS JOIN lo ORDER BY segment""".stripMargin,
+
+    "odds_ratio_weekend" ->
+      s"""WITH cells AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN we AND pur THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS a,
+         |    CAST(sum(CASE WHEN we AND NOT pur THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN NOT we AND pur THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN NOT we AND NOT pur THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d
+         |  FROM (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we,
+         |               event_type = 'purchase' AS pur
+         |        FROM events))
+         |SELECT a, b, c, d,
+         |       CASE WHEN b > 0 AND c > 0 THEN
+         |         CAST(CAST(a AS HUGEINT) * d * 1000000
+         |           // (CAST(b AS HUGEINT) * c) AS BIGINT)
+         |       ELSE NULL END AS or_fp,
+         |       ${orCiSql("-")} AS lo_fp,
+         |       ${orCiSql("+")} AS hi_fp
+         |FROM cells""".stripMargin,
 
     "ab_mde_power_grid" ->
       s"""WITH ev AS (

@@ -47,6 +47,35 @@ object InfoStatOps extends OpGroup {
       | * ln(CAST(c AS DOUBLE) * n_tot / (CAST(n_src AS DOUBLE) * cw))
       | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
 
+  /** JS shared-vocab leaves in 1e-9 fp: side-a term
+    * p·ln(2p/(p+q)) with p = ca/na, q = cb/nb spelled over exact
+    * integer counts (2p/(p+q) = 2·ca·nb/(ca·nb + cb·na)); identical
+    * text both engines. The b-side term mirrors with a/b swapped.
+    */
+  private val jsTermASql =
+    """CAST(FLOOR(CAST(ca AS DOUBLE) / na
+      | * ln(2.0 * CAST(ca AS DOUBLE) * nb
+      |      / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))
+      | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  private val jsTermBSql =
+    """CAST(FLOOR(CAST(cb AS DOUBLE) / nb
+      | * ln(2.0 * CAST(cb AS DOUBLE) * na
+      |      / (CAST(cb AS DOUBLE) * na + CAST(ca AS DOUBLE) * nb))
+      | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** JS exclusive-mass leaf: Σ_{w only in one source} p·ln2 =
+    * (n − sh)/n · ln 2, one FLOOR'd leaf per side; identifier names
+    * parameterized so the oracle can qualify them, operation tree
+    * identical.
+    */
+  private def jsExclSql(n: String, sh: String): String =
+    s"""CAST(FLOOR(CAST($n - $sh AS DOUBLE) / $n * ln(2.0)
+       | * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  private val jsExclASql = jsExclSql("na", "shca")
+  private val jsExclBSql = jsExclSql("nb", "shcb")
+
   /** Per-cell χ² contribution (O−E)²/E in 1e-6 fixed point, E spelled
     * inline as rt·ct/N so both engines build the same doubles.
     */
@@ -111,6 +140,55 @@ object InfoStatOps extends OpGroup {
     // table map-side; the word-marginal join is vocab-bounded on both
     // sides; per-source totals (20 rows) and the corpus total (1 row)
     // broadcast. KL(p_s || p_corpus) >= 0 by Gibbs — pinned in spec.
+    // Pairwise Jensen–Shannon divergence between source unigram
+    // distributions (r12, third session): the SYMMETRIC, ln2-bounded
+    // distance matrix over sources — kl_divergence_source_unigram
+    // reads each source against the corpus; JS answers "which two
+    // sources are interchangeable and which bring genuinely different
+    // text" (the mixture-design read; Lin 1991). Split exactly into
+    // shared-vocab terms (p·ln(2p/(p+q)) per side, integer args
+    // inside the ln) and EXCLUSIVE-mass terms (a word only in s
+    // contributes p·ln2 — dropping these, the classic bug, caps JS
+    // below its true value), each FLOOR'd at 1e-9 then
+    // integer-summed. The pair grid is |sources|²-bounded and LEFT
+    // joins the shared aggregate so a disjoint-vocab pair still
+    // reports (its JS = ln2 exactly). The vocab-pair join is the
+    // only data-proportional pass.
+    "js_divergence_sources" -> ((s, d) => {
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val ns = sw.groupBy("source").agg(sum("c").as("n"))
+      val a = sw.select(col("source").as("src_a"), col("w"),
+        col("c").as("ca"))
+        .join(broadcast(ns.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+      val b = sw.select(col("source").as("src_b"), col("w"),
+        col("c").as("cb"))
+        .join(broadcast(ns.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+      val shared = a.join(b, "w").filter(col("src_a") < col("src_b"))
+        .withColumn("ta", expr(jsTermASql))
+        .withColumn("tb", expr(jsTermBSql))
+        .groupBy("src_a", "src_b")
+        .agg(sum(expr("ta + tb")).as("shared_fp"),
+          sum("ca").as("shca"), sum("cb").as("shcb"),
+          count(lit(1)).as("n_shared_types"))
+      val pairs = ns.select(col("source").as("src_a"), col("n").as("na"))
+        .crossJoin(ns.select(col("source").as("src_b"), col("n").as("nb")))
+        .filter(col("src_a") < col("src_b"))
+      broadcast(pairs).join(shared, Seq("src_a", "src_b"), "left")
+        .withColumn("shared_fp", coalesce(col("shared_fp"), lit(0L)))
+        .withColumn("shca", coalesce(col("shca"), lit(0L)))
+        .withColumn("shcb", coalesce(col("shcb"), lit(0L)))
+        .withColumn("n_shared_types",
+          coalesce(col("n_shared_types"), lit(0L)))
+        .withColumn("js_fp", expr(
+          s"""(shared_fp + $jsExclASql + $jsExclBSql) DIV 2"""))
+        .select("src_a", "src_b", "na", "nb", "n_shared_types", "js_fp")
+        .orderBy("src_a", "src_b")
+    }),
+
     "kl_divergence_source_unigram" -> ((s, d) => {
       val sw = Tables.documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -299,6 +377,41 @@ object InfoStatOps extends OpGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "js_divergence_sources" ->
+      s"""WITH sw AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |swc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |        FROM sw GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM swc
+         |       GROUP BY 1),
+         |shared AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(sum($jsTermASql + $jsTermBSql) AS BIGINT)
+         |           AS shared_fp,
+         |         CAST(sum(a.ca) AS BIGINT) AS shca,
+         |         CAST(sum(b.cb) AS BIGINT) AS shcb,
+         |         CAST(count(*) AS BIGINT) AS n_shared_types
+         |  FROM (SELECT swc.source, swc.w, swc.c AS ca, ns.n AS na
+         |        FROM swc JOIN ns USING (source)) a
+         |  JOIN (SELECT swc.source, swc.w, swc.c AS cb, ns.n AS nb
+         |        FROM swc JOIN ns USING (source)) b
+         |    ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         a.n AS na, b.n AS nb
+         |  FROM ns a JOIN ns b ON a.source < b.source)
+         |SELECT p.src_a, p.src_b, p.na, p.nb,
+         |       CAST(COALESCE(s.n_shared_types, 0) AS BIGINT)
+         |         AS n_shared_types,
+         |       CAST((COALESCE(s.shared_fp, 0)
+         |         + ${jsExclSql("p.na", "COALESCE(s.shca, 0)")}
+         |         + ${jsExclSql("p.nb", "COALESCE(s.shcb, 0)")}) // 2
+         |         AS BIGINT) AS js_fp
+         |FROM pairs p LEFT JOIN shared s
+         |  ON s.src_a = p.src_a AND s.src_b = p.src_b
+         |ORDER BY p.src_a, p.src_b""".stripMargin,
     // same exact moments (HUGEINT squares), same shared IEEE formula
     "welch_t_value" ->
       s"""WITH ev AS (

@@ -123,4 +123,36 @@ class CausalEvalSpec extends SparkSpec {
         s"treated decile $q replay")
     }
   }
+
+  test("covariate_balance_smd: moment replays; A/A stays loosely flat") {
+    val rows = run("covariate_balance_smd")
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("acctbal_cents", "n_orders", "spend_cents"))
+    val nCust = Tables.customer(spark, sf()).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === nCust,
+        "arms partition customers (same split for every covariate)")
+      assert(!r.isNullAt(5))
+      val smd = r.getDouble(5)
+      // md5 A/A: SMD concentrates at 0 with sd ~ sqrt(2/n); 0.3 is
+      // far outside any honest split's range (the tripwire this op
+      // exists to pull would need a BROKEN assignment)
+      assert(math.abs(smd) < 0.3, s"A/A balance for ${r.getString(0)}")
+      assert(r.getBoolean(6) === (math.abs(smd) < 0.1), "flag replay")
+    }
+    // mean replay for the first covariate from the raw split
+    val t = rows.head
+    val vals = Tables.customer(spark, sf())
+      .selectExpr("""CAST(conv(substring(md5(CAST(c_custkey AS STRING)),
+          1, 8), 16, 10) AS BIGINT) % 2 AS arm""",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS v")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def meanFp(arm: Long): Long = {
+      val xs = vals.filter(_._1 == arm).map(_._2)
+      val s = BigInt(xs.sum) * 1000000; val n = xs.length
+      (if (s >= 0) s / n else -((-s) / n)).toLong
+    }
+    assert(t.getLong(3) === meanFp(0) && t.getLong(4) === meanFp(1),
+      "signed fixed-point mean replay both arms")
+  }
 }

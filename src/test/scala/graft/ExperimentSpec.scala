@@ -125,4 +125,25 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(mdes.head - 10 * mdes(4)) <= 10,
       "inverse-sqrt scaling between n=1000 and n=100000")
   }
+
+  test("odds_ratio_weekend: cell accounting and Woolf leaf replays") {
+    val Array(r) = operators.ExperimentOps
+      .queries("odds_ratio_weekend")(spark, sf()).collect()
+    val (a, b, c, d) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(a + b + c + d === Tables.events(spark, sf()).count(),
+      "2x2 partitions the stream")
+    assert(a > 0 && b > 0 && c > 0 && d > 0, "fixture fills every cell")
+    val orFp = r.getLong(4)
+    assert(orFp === (BigInt(a) * d * 1000000 / (BigInt(b) * c)).toLong,
+      "OR rational replay")
+    val lnOr = math.log(a.toDouble * d / (b.toDouble * c))
+    val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    assert(r.getLong(5) ===
+      math.floor(math.exp(lnOr - 1.96 * se) * 1e6).toLong, "lo replay")
+    assert(r.getLong(6) ===
+      math.floor(math.exp(lnOr + 1.96 * se) * 1e6).toLong, "hi replay")
+    assert(r.getLong(5) <= orFp + 1 && orFp <= r.getLong(6) + 1,
+      "point estimate inside the interval (floor slack)")
+  }
 }

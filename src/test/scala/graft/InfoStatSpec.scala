@@ -129,4 +129,47 @@ class InfoStatSpec extends SparkSpec {
     val meanDiff = sva.toDouble / na - svb.toDouble / nb
     if (meanDiff > 0) assert(tFp >= 0) else if (meanDiff < 0) assert(tFp < 0)
   }
+
+  test("js_divergence_sources: ln2 bound, pair grid, one-pair replay") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.InfoStatOps
+      .queries("js_divergence_sources")(spark, sf()).collect()
+    val nSrc = Tables.documents(spark, sf())
+      .select("source").distinct().count()
+    assert(rows.length.toLong === nSrc * (nSrc - 1) / 2, "C(S,2) pairs")
+    val ln2fp = math.ceil(math.log(2.0) * 1e9).toLong
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      // JS ∈ [0, ln 2]; the four floors can only shave ≤ 4 fp units
+      assert(r.getLong(5) >= -2L, "JS >= 0 up to floor slack")
+      assert(r.getLong(5) <= ln2fp, "JS bounded by ln 2")
+    }
+    // full leaf-exact replay of the first pair
+    val t = rows.head
+    val (sa, sb) = (t.getString(0), t.getString(1))
+    val wc = Tables.documents(spark, sf())
+      .filter(col("source").isin(sa, sb))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ca = wc.filter(_._1 == sa).map(x => x._2 -> x._3).toMap
+    val cb = wc.filter(_._1 == sb).map(x => x._2 -> x._3).toMap
+    val na = ca.values.sum.toDouble; val nb = cb.values.sum.toDouble
+    assert(t.getLong(2) === na.toLong && t.getLong(3) === nb.toLong)
+    val sharedWs = ca.keySet.intersect(cb.keySet)
+    assert(t.getLong(4) === sharedWs.size.toLong)
+    var acc = 0L
+    sharedWs.foreach { w =>
+      val (x, y) = (ca(w).toDouble, cb(w).toDouble)
+      acc += math.floor(x / na *
+        math.log(2.0 * x * nb / (x * nb + y * na)) * 1e9).toLong
+      acc += math.floor(y / nb *
+        math.log(2.0 * y * na / (y * na + x * nb)) * 1e9).toLong
+    }
+    val shca = sharedWs.toSeq.map(ca).sum
+    val shcb = sharedWs.toSeq.map(cb).sum
+    acc += math.floor((na - shca) / na * math.log(2.0) * 1e9).toLong
+    acc += math.floor((nb - shcb) / nb * math.log(2.0) * 1e9).toLong
+    assert(t.getLong(5) === acc / 2, "leaf-exact JS replay")
+  }
 }
