@@ -131,6 +131,12 @@ import org.apache.spark.sql.SparkSession
   *     duration-domain-bounded support ladder; the corpus pass is the
   *     per-user (first, last) map-side aggregate, and the output is
   *     ONE row.
+  *   - `rmst_survival` (r12, fourth session) — many SinglePartition:
+  *     the kaplan_meier/logrank class — the exchanged relations are
+  *     the 1-row max-date, total-deaths, and τ scalars plus the
+  *     duration-domain-bounded step ladder; the only corpus-sized
+  *     pass is the per-user (first, last) map-side aggregate, and the
+  *     output is ONE row.
   *   - `kruskal_wallis_priority` (r12, third session) — many
   *     SinglePartition: scalar-stitch — the exchanged relations are
   *     the 1-row tie-spectrum aggregate and the 1-row H fold crossed

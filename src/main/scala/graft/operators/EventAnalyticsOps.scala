@@ -228,6 +228,56 @@ object EventAnalyticsOps extends OpGroup {
     types.map(t => (t, pi(t))).toSeq
   }
 
+  /** Kleinberg 2-state burst emission cost −[c·ln p + (n−c)·ln(1−p)]
+    * in 1e-6 fp, FLOOR'd at the leaf over the exact daily (c, n) and
+    * global (ct, nt) integers — the identical parse tree evaluates on
+    * both engines (klTerm/nll precedent). `p` is a SQL double expr.
+    */
+  private def burstCostSql(p: String) =
+    s"""CAST(FLOOR(-(CAST(c AS DOUBLE) * ln($p)
+       | + CAST(n - c AS DOUBLE) * ln(1.0 - ($p)))
+       | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Base rate p0 = global target share; burst rate p1 = 2·p0 capped
+    * below 1 (Kleinberg 2002's s·p0 with s = 2).
+    */
+  private val burstP0 = "(CAST(ct AS DOUBLE) / nt)"
+  private val burstP1 = "LEAST(2.0 * CAST(ct AS DOUBLE) / nt, 0.99)"
+
+  /** Exact integer Viterbi over the COLLECTED calendar-bounded daily
+    * cost table (bounded model state driver-side — the stationaryPi
+    * precedent; the IEEE cost leaves were already fixed by Spark SQL,
+    * so this pass is pure Long arithmetic): forward min-cost per
+    * state, backward argmin pass, ties broken toward the base state on
+    * BOTH passes — the same rule the oracle's recursive CTEs spell.
+    * Rows are (day, n, c, cost0_fp, cost1_fp).
+    */
+  private def burstViterbi(rows: Array[(Long, Long, Long, Long, Long)],
+      trans: Long)
+      : Seq[(Long, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    val t = rows.length
+    val a0 = new Array[Long](t); val a1 = new Array[Long](t)
+    for (i <- 0 until t) {
+      val c0 = rows(i)._4; val c1 = rows(i)._5
+      if (i == 0) { a0(0) = c0; a1(0) = c1 + trans }
+      else {
+        a0(i) = c0 + math.min(a0(i - 1), a1(i - 1))
+        a1(i) = c1 + math.min(a0(i - 1) + trans, a1(i - 1))
+      }
+    }
+    val st = new Array[Long](t)
+    st(t - 1) = if (a0(t - 1) <= a1(t - 1)) 0L else 1L
+    for (i <- t - 1 to 1 by -1)
+      st(i - 1) =
+        if (st(i) == 0L) { if (a0(i - 1) <= a1(i - 1)) 0L else 1L }
+        else { if (a0(i - 1) + trans <= a1(i - 1)) 0L else 1L }
+    (0 until t).map { i =>
+      val (day, n, c, c0, c1) = rows(i)
+      val start = if (st(i) == 1L && (i == 0 || st(i - 1) == 0L)) 1L else 0L
+      (day, n, c, c0, c1, a0(i), a1(i), st(i), start)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V1 — gap sessionization (batch twin of T4's streaming session
     // window): boundary flag via lag, session index via running sum,
@@ -596,6 +646,52 @@ object EventAnalyticsOps extends OpGroup {
       import s.implicits._
       stationaryPi(pm).toDF("event_type", "pi_fp")
         .orderBy("event_type")
+    }),
+
+    // Kleinberg 2-state burst detection over the daily purchase share
+    // (r12, fourth session; Kleinberg 2002, the batched/binomial
+    // variant): each day emits c purchases out of n events; state q0
+    // burns cost at the global base rate p0 = Σc/Σn, state q1 at
+    // 2·p0; entering a burst costs γ·ln T (γ = 1, T = observed days).
+    // The min-cost state path marks the days where purchase intensity
+    // is STRUCTURALLY elevated — the retail-calendar read a per-day
+    // threshold can't give (one hot hour doesn't open a burst; a
+    // sustained run does, and the transition cost merges adjacent
+    // blips). Scale: ONE map-side combinable daily aggregate (the
+    // calendar-bounded axis), emission costs FLOOR'd as IEEE leaves IN
+    // SPARK SQL over exact integers, then the Viterbi runs on the
+    // COLLECTED ≤|days| table in pure Long arithmetic (bounded model
+    // state — stationaryPi precedent); the oracle replays the same
+    // integer DP as forward+backward recursive CTEs, so both engines
+    // agree bit-for-bit. Output is the full per-day DP evidence table:
+    // costs, both forward minima, the chosen state, and burst-start
+    // flags (Σ burst_start = number of distinct bursts).
+    "kleinberg_burst_days" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+          col("event_type"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c"))
+      val tot = daily.agg(sum("n").as("nt"), sum("c").as("ct"),
+        count(lit(1)).as("t_days"))
+      val costed = daily.crossJoin(broadcast(tot))
+        .withColumn("cost0_fp", expr(burstCostSql(burstP0)))
+        .withColumn("cost1_fp", expr(burstCostSql(burstP1)))
+        .withColumn("trans_fp", expr(
+          "CAST(FLOOR(ln(CAST(t_days AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+        .orderBy("day")
+        .collect()
+      val rows = costed.map(r => (r.getAs[Long]("day"), r.getAs[Long]("n"),
+        r.getAs[Long]("c"), r.getAs[Long]("cost0_fp"),
+        r.getAs[Long]("cost1_fp")))
+      val trans = costed.head.getAs[Long]("trans_fp")
+      import s.implicits._
+      burstViterbi(rows, trans)
+        .toDF("day", "n", "n_target", "cost0_fp", "cost1_fp",
+          "a0_fp", "a1_fp", "state", "burst_start")
+        .orderBy("day")
     }),
 
     // Entropy rate of the event-type Markov chain (r12, second
@@ -1082,6 +1178,60 @@ object EventAnalyticsOps extends OpGroup {
          |FROM it$MarkovIters ORDER BY t""".stripMargin,
 
     "markov_removal_attribution" -> removalOracle,
+
+    // same integer DP as the driver-side Viterbi, replayed as
+    // forward+backward recursive CTEs over the day-rank axis (each
+    // iteration carries exactly one row, so the recursion is the
+    // linear scan); LEAST/tie rules spelled identically to the Scala
+    "kleinberg_burst_days" ->
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN event_type = 'purchase'
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |         CAST(sum(c) AS BIGINT) AS ct, count(*) AS t_days
+         |  FROM daily),
+         |costed AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY day) AS rk, day, n, c,
+         |         ${burstCostSql(burstP0)} AS cost0_fp,
+         |         ${burstCostSql(burstP1)} AS cost1_fp,
+         |         CAST(FLOOR(ln(CAST(t_days AS DOUBLE)) * 1000000.0)
+         |           AS BIGINT) AS trans_fp
+         |  FROM daily CROSS JOIN tot),
+         |fwd AS (
+         |  SELECT rk, day, n, c, cost0_fp, cost1_fp, trans_fp,
+         |         cost0_fp AS a0, cost1_fp + trans_fp AS a1
+         |  FROM costed WHERE rk = 1
+         |  UNION ALL
+         |  SELECT nx.rk, nx.day, nx.n, nx.c, nx.cost0_fp, nx.cost1_fp,
+         |         nx.trans_fp,
+         |         nx.cost0_fp + LEAST(f.a0, f.a1),
+         |         nx.cost1_fp + LEAST(f.a0 + nx.trans_fp, f.a1)
+         |  FROM fwd f JOIN costed nx ON nx.rk = f.rk + 1),
+         |mxr AS (SELECT max(rk) AS t_max FROM costed),
+         |bwd AS (
+         |  SELECT f.rk, CASE WHEN f.a0 <= f.a1 THEN 0 ELSE 1 END AS st
+         |  FROM fwd f CROSS JOIN mxr WHERE f.rk = t_max
+         |  UNION ALL
+         |  SELECT p.rk,
+         |         CASE WHEN b.st = 0
+         |              THEN CASE WHEN p.a0 <= p.a1 THEN 0 ELSE 1 END
+         |              ELSE CASE WHEN p.a0 + p.trans_fp <= p.a1
+         |                        THEN 0 ELSE 1 END END
+         |  FROM bwd b JOIN fwd p ON p.rk = b.rk - 1),
+         |sel AS MATERIALIZED (
+         |  SELECT f.rk, f.day, f.n, f.c, f.cost0_fp, f.cost1_fp,
+         |         f.a0, f.a1, b.st
+         |  FROM fwd f JOIN bwd b ON b.rk = f.rk)
+         |SELECT day, n, c AS n_target, cost0_fp, cost1_fp,
+         |       a0 AS a0_fp, a1 AS a1_fp, CAST(st AS BIGINT) AS state,
+         |       CAST(CASE WHEN st = 1
+         |                 AND coalesce(lag(st) OVER (ORDER BY rk), 0) = 0
+         |            THEN 1 ELSE 0 END AS BIGINT) AS burst_start
+         |FROM sel ORDER BY day""".stripMargin,
 
     // same CTE chain; the per-state entropy joins the unrolled π
     "markov_entropy_rate" ->

@@ -41,6 +41,13 @@ object GovernanceOps extends OpGroup {
       |   * 1000000.0) AS BIGINT) ELSE 0 END"""
       .stripMargin.replace("\n", " ")
 
+  /** Survival level exp(logS/1e6)·1e6, FLOOR'd, from an ALREADY
+    * truncated integer log-cumulative — the breslowSql discipline, so
+    * both engines exponentiate the same exact int.
+    */
+  private def expFpSql(x: String) =
+    s"CAST(FLOOR(exp(CAST(($x) AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)"
+
   /** Nelson–Aalen per-death-time hazard increment d/n in 1e-9 fp. */
   private val naTermSql =
     """CAST(FLOOR(CAST(d AS DOUBLE) / n_risk * 1000000000.0)
@@ -253,6 +260,63 @@ object GovernanceOps extends OpGroup {
           expr("CASE WHEN d = n_risk THEN NULL ELSE log_s0 END")
             .as("log_s_fp"))
         .orderBy("t_hours")
+    }),
+
+    // Restricted mean survival time (r12, fourth session; Royston &
+    // Parmar 2013): the single-number summary of the Z3 curve —
+    // expected user lifetime truncated at τ = the rank-defined P75
+    // death time (the horizon where the median-obsessed reads stop
+    // but a retention budget still accrues). RMST(τ) = ∫₀^τ S(t)dt is
+    // computed WITHOUT an interval lead: each KM step's survival drop
+    // removes (τ − t_i) hours of area, so RMST·1e6 = τ·1e6 −
+    // Σ_{t_i<τ} drop_i·(τ−t_i) — a pure per-row integer sum over the
+    // duration-domain-bounded step table (no partition-less window,
+    // no successor join). Survival levels come from the SAME truncated
+    // log-cumulative the KM query emits: s_prev = exp-floor(logS −
+    // term), s_cur = exp-floor(logS) (the breslowSql discipline — exp
+    // runs on already-truncated integers, so both engines agree
+    // bit-for-bit); τ is the smallest death time with cum-deaths ≥
+    // ⌈3D/4⌉, from the same prefix-sum pass. Envelope: drop ≤ 1e6,
+    // (τ−t) is calendar-bounded ⇒ the sum stays far inside int64.
+    "rmst_survival" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .groupBy("user_id")
+        .agg(min("us").as("first_us"), max("us").as("last_us"))
+      val mx = u.agg(max("last_us").as("max_us"))
+      val uu = u.crossJoin(broadcast(mx))
+        .select(expr("(last_us - first_us) DIV 3600000000").as("t_hours"),
+          expr("max_us - last_us > 86400000000").as("churned"))
+      val perT = uu.groupBy("t_hours").agg(
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("cns"))
+      val n = uu.agg(count(lit(1)).as("n_users"))
+      val risk = graft.functions.GlobalRank
+        .prefixSum(perT, "cum_all", col("d") + col("cns"), Nil,
+          Seq("t_hours"))
+        .crossJoin(broadcast(n))
+        .withColumn("n_risk", expr("n_users - (cum_all - d - cns)"))
+        .withColumn("term", expr(kmTermSql))
+      val sv = graft.functions.GlobalRank
+        .prefixSum(risk, "log_s0", col("term"), Nil, Seq("t_hours"))
+        .filter(col("d") > 0)
+        .withColumn("s_prev_fp", expr(expFpSql("log_s0 - term")))
+        .withColumn("s_cur_fp",
+          expr(s"CASE WHEN d = n_risk THEN 0 ELSE ${expFpSql("log_s0")} END"))
+        .withColumn("drop_fp", col("s_prev_fp") - col("s_cur_fp"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(sv, "cum_d", col("d"), Nil, Seq("t_hours"))
+      val dt = sv.agg(sum("d").as("d_total"))
+      val tau = cum.crossJoin(broadcast(dt))
+        .filter(expr("cum_d * 4 >= d_total * 3"))
+        .agg(min("t_hours").as("tau_hours"))
+      cum.crossJoin(broadcast(tau)).crossJoin(broadcast(dt))
+        .withColumn("loss_fp", expr(
+          "CASE WHEN t_hours < tau_hours THEN drop_fp * (tau_hours - t_hours) ELSE 0 END"))
+        .groupBy("tau_hours", "d_total")
+        .agg(count(lit(1)).as("n_steps"), sum("loss_fp").as("lf"))
+        .select(col("tau_hours"), col("d_total"), col("n_steps"),
+          expr("tau_hours * 1000000 - lf").as("rmst_fp"))
     }),
 
     // Nelson–Aalen cumulative hazard (r12, second session): the
@@ -569,6 +633,56 @@ object GovernanceOps extends OpGroup {
          |       CAST(CASE WHEN d = n_risk THEN NULL ELSE log_s0 END
          |         AS BIGINT) AS log_s_fp
          |FROM logs WHERE d > 0 ORDER BY t_hours""".stripMargin,
+
+    "rmst_survival" ->
+      s"""WITH u AS MATERIALIZED (
+         |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         |         max(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY user_id),
+         |mx AS (SELECT max(last_us) AS max_us FROM u),
+         |uu AS MATERIALIZED (
+         |  SELECT (last_us - first_us) // 3600000000 AS t_hours,
+         |         max_us - last_us > 86400000000 AS churned
+         |  FROM u CROSS JOIN mx),
+         |pert AS (
+         |  SELECT t_hours,
+         |         sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+         |         sum(CASE WHEN churned THEN 0 ELSE 1 END) AS cns
+         |  FROM uu GROUP BY t_hours),
+         |n AS (SELECT count(*) AS n_users FROM uu),
+         |cum0 AS (
+         |  SELECT t_hours, d, cns,
+         |         sum(d + cns) OVER (ORDER BY t_hours) AS cum_all
+         |  FROM pert),
+         |risk AS MATERIALIZED (
+         |  SELECT t_hours, d, cns, n_users - (cum_all - d - cns) AS n_risk
+         |  FROM cum0 CROSS JOIN n),
+         |terms AS (SELECT *, $kmTermSql AS term FROM risk),
+         |logs AS MATERIALIZED (
+         |  SELECT *, sum(term) OVER (ORDER BY t_hours) AS log_s0
+         |  FROM terms),
+         |sv AS MATERIALIZED (
+         |  SELECT t_hours, d, n_risk,
+         |         ${expFpSql("log_s0 - term")} AS s_prev_fp,
+         |         CASE WHEN d = n_risk THEN 0
+         |              ELSE ${expFpSql("log_s0")} END AS s_cur_fp
+         |  FROM logs WHERE d > 0),
+         |cum AS MATERIALIZED (
+         |  SELECT *, s_prev_fp - s_cur_fp AS drop_fp,
+         |         sum(d) OVER (ORDER BY t_hours) AS cum_d
+         |  FROM sv),
+         |dt AS (SELECT sum(d) AS d_total FROM sv),
+         |tau AS (
+         |  SELECT min(t_hours) AS tau_hours
+         |  FROM cum CROSS JOIN dt WHERE cum_d * 4 >= d_total * 3)
+         |SELECT tau_hours, CAST(d_total AS BIGINT) AS d_total,
+         |       CAST(count(*) AS BIGINT) AS n_steps,
+         |       CAST(tau_hours * 1000000
+         |         - sum(CASE WHEN t_hours < tau_hours
+         |                    THEN drop_fp * (tau_hours - t_hours)
+         |                    ELSE 0 END) AS BIGINT) AS rmst_fp
+         |FROM cum CROSS JOIN tau CROSS JOIN dt
+         |GROUP BY tau_hours, d_total""".stripMargin,
 
     "nelson_aalen_hazard" ->
       s"""WITH u AS (

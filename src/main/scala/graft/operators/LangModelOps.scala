@@ -557,6 +557,41 @@ object LangModelOps extends OpGroup {
         .orderBy("source")
     }),
 
+    // MATTR moving-average type-token ratio per source (r12, fourth
+    // session; Covington & McFall 2010): plain TTR falls with document
+    // length (exactly the bias lexical_diversity_by_source carries),
+    // so MATTR averages distinct/W over every sliding W-token window —
+    // the length-invariant lexical-diversity read. W = 25, scaled to
+    // the 10–99-token fixture docs (the paper's 50/100 presume running
+    // prose); docs shorter than W fall back to plain TTR and are
+    // counted in n_short_docs. Per-doc work is ONE higher-order
+    // expression (sequence → slice → array_distinct → integer
+    // aggregate) — token-linear × W, no explode, no shuffle before the
+    // per-source rollup; the per-doc ratio truncates BEFORE the source
+    // mean (two stacked exact integer divisions, order-free).
+    "mattr_lexical_diversity" -> ((s, d) => {
+      val W = 25
+      Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("a"))
+        .withColumn("len", expr("CAST(size(a) AS BIGINT)"))
+        .withColumn("short_doc",
+          expr(s"CAST(CASE WHEN len < $W THEN 1 ELSE 0 END AS BIGINT)"))
+        .withColumn("mattr_fp", expr(
+          s"""CASE WHEN len < $W
+             | THEN CAST(size(array_distinct(a)) AS BIGINT) * 1000000 DIV len
+             | ELSE aggregate(transform(sequence(1, CAST(len AS INT) - ${W - 1}),
+             |     i -> size(array_distinct(slice(a, i, $W)))),
+             |   CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000000
+             |   DIV ($W * (len - ${W - 1})) END"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("short_doc").as("n_short_docs"),
+          sum("mattr_fp").as("sum_mattr_fp"))
+        .withColumn("mean_mattr_fp", expr("sum_mattr_fp DIV n_docs"))
+        .orderBy("source")
+    }),
+
     // M9 — Zipf rank–frequency fit over the token unigram table: OLS
     // slope of ln(freq) on ln(rank) for the top-1000 tokens — the
     // one-number "is this corpus natural language?" check (Zipfian text
@@ -933,6 +968,29 @@ object LangModelOps extends OpGroup {
         |       CAST(count(*) FILTER (WHERE c = 1) * 1000000 // count(*)
         |         AS BIGINT) AS hapax_share_fp
         |FROM sw GROUP BY source ORDER BY source""".stripMargin,
+
+    // same W=25 sliding windows via list_transform/list_slice; the
+    // per-doc ratio truncates before the per-source mean on both sides
+    "mattr_lexical_diversity" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT source, string_split(text, ' ') AS a,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        |m AS MATERIALIZED (
+        |  SELECT source,
+        |    CASE WHEN l < 25 THEN 1 ELSE 0 END AS short_doc,
+        |    CASE WHEN l < 25
+        |      THEN CAST(len(list_distinct(a)) AS BIGINT) * 1000000 // l
+        |      ELSE CAST(list_sum(list_transform(range(1, CAST(l AS INT) - 23),
+        |             i -> len(list_distinct(list_slice(a, i, i + 24)))))
+        |           AS BIGINT) * 1000000 // (25 * (l - 24))
+        |    END AS mattr_fp
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(short_doc) AS BIGINT) AS n_short_docs,
+        |       CAST(sum(mattr_fp) AS BIGINT) AS sum_mattr_fp,
+        |       CAST(sum(mattr_fp) // count(*) AS BIGINT) AS mean_mattr_fp
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // identical (freq DESC, w) rank, identical FLOOR(ln·1e6) regressors,
     // HUGEINT normal equations, negated positive quotient

@@ -467,4 +467,39 @@ class EventAnalyticsSpec extends SparkSpec {
     val attSum = rows.map(_.getLong(4)).sum
     assert(attSum > 1000000L - 4 && attSum <= 1000000L)
   }
+
+  test("kleinberg_burst_days: DP replay, path optimality, burst accounting") {
+    val rows = run("kleinberg_burst_days").map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val t = rows.length
+    assert(t === Tables.events(spark, sf())
+      .select(org.apache.spark.sql.functions.expr(
+        "unix_micros(ts) DIV 86400000000")).distinct().count().toInt,
+      "one row per observed day")
+    val trans = math.floor(math.log(t.toDouble) * 1e6).toLong
+    // forward DP replay from the emitted cost columns
+    var p0 = 0L; var p1 = 0L
+    rows.zipWithIndex.foreach { case ((_, _, _, c0, c1, a0, a1, _, _), i) =>
+      if (i == 0) { assert(a0 === c0 && a1 === c1 + trans) }
+      else {
+        assert(a0 === c0 + math.min(p0, p1))
+        assert(a1 === c1 + math.min(p0 + trans, p1))
+      }
+      p0 = a0; p1 = a1
+    }
+    // the reported path's total cost equals the DP optimum
+    val states = rows.map(_._8)
+    val nStarts = rows.map(_._9).sum
+    val pathCost = rows.map { case (_, _, _, c0, c1, _, _, st, _) =>
+      if (st == 0L) c0 else c1 }.sum + nStarts * trans
+    assert(pathCost === math.min(p0, p1), "Viterbi path achieves the optimum")
+    // burst accounting: starts mark exactly the 0->1 boundaries
+    val expStarts = states.zipWithIndex.count { case (s, i) =>
+      s == 1L && (i == 0 || states(i - 1) == 0L) }.toLong
+    assert(nStarts === expStarts)
+    // any all-one-state path is never cheaper than the optimum
+    assert(math.min(p0, p1) <= rows.map(_._4).sum, "beats all-q0")
+    assert(math.min(p0, p1) <= rows.map(_._5).sum + trans, "beats all-q1")
+  }
 }

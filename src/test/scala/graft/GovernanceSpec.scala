@@ -211,4 +211,50 @@ class GovernanceSpec extends SparkSpec {
     assert(target.getLong(3) ===
       (dev * 1000000 / (2 * BigInt(nG) * nn)).toLong, "TVD replay")
   }
+
+  test("rmst_survival: full Scala replay of the step-curve integral; bounds") {
+    val Seq(row) = run("rmst_survival").toSeq
+    val (tau, dTotal, nSteps, rmst) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nSteps >= 1 && dTotal >= nSteps, "each step has >= 1 death")
+    assert(rmst > 0 && rmst <= tau * 1000000L,
+      "RMST inside (0, tau] — survival is a sub-distribution")
+
+    // independent replay: rebuild the KM ladder from raw events with
+    // the same FLOOR'd leaves (Java libm == Spark's codegen math)
+    import org.apache.spark.sql.functions._
+    val u = Tables.events(spark, sf())
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts)")).as("f"),
+        max(expr("unix_micros(ts)")).as("l"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val maxUs = u.map(_._2).max
+    val durs = u.map { case (f, l) =>
+      ((l - f) / 3600000000L, maxUs - l > 86400000000L) }
+    val perT = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val nUsers = durs.length.toLong
+    var cumAll = 0L; var logS = 0L
+    case class Step(t: Long, d: Long, sPrev: Long, sCur: Long)
+    val steps = perT.flatMap { case (t, d, cns) =>
+      cumAll += d + cns
+      val nRisk = nUsers - (cumAll - d - cns)
+      val term = if (d > 0 && d < nRisk)
+        math.floor(math.log((nRisk - d).toDouble / nRisk) * 1e6).toLong
+      else 0L
+      val prev = logS; logS += term
+      if (d > 0) {
+        def ef(x: Long) = math.floor(math.exp(x / 1e6) * 1e6).toLong
+        Some(Step(t, d, ef(prev), if (d == nRisk) 0L else ef(logS)))
+      } else None
+    }
+    val dTot = steps.map(_.d).sum
+    assert(dTotal === dTot && nSteps === steps.length.toLong)
+    var cumD = 0L
+    val tauExp = steps.find { st => cumD += st.d; cumD * 4 >= dTot * 3 }.get.t
+    assert(tau === tauExp, "rank-defined P75 death time")
+    val loss = steps.filter(_.t < tauExp)
+      .map(st => (st.sPrev - st.sCur) * (tauExp - st.t)).sum
+    assert(rmst === tauExp * 1000000L - loss, "exact integral replay")
+  }
 }

@@ -546,4 +546,31 @@ class LangModelSpec extends SparkSpec {
       .take(15)
     assert(rows.toSeq === expect, "bit-exact top-15 replay")
   }
+
+  test("mattr_lexical_diversity: brute per-doc replay; window accounting") {
+    val rows = runL("mattr_lexical_diversity").map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val W = 25
+    val docs = Tables.documents(spark, sf())
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val fps = ds.map { case (_, a) =>
+        if (a.length < W) a.distinct.length.toLong * 1000000L / a.length
+        else {
+          val nw = a.length - W + 1
+          val sumD = (0 until nw)
+            .map(i => a.slice(i, i + W).distinct.length.toLong).sum
+          sumD * 1000000L / (W.toLong * nw)
+        }
+      }
+      val nShort = ds.count(_._2.length < W).toLong
+      (src, ds.length.toLong, nShort, fps.sum, fps.sum / ds.length)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === expect, "bit-exact per-source replay")
+    rows.foreach { case (_, nDocs, nShort, _, mean) =>
+      assert(nShort <= nDocs && mean > 0 && mean <= 1000000L,
+        "MATTR is a ratio in (0, 1]")
+    }
+  }
 }
