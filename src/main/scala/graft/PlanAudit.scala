@@ -170,6 +170,19 @@ import org.apache.spark.sql.SparkSession
   *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
   *     two-phase prefix sum, and the consecutive scan a shifted
   *     equi-join — the corpus never crosses a single partition.
+  *   - `friedman_test_priority` (r12, fifth session) — many
+  *     SinglePartition: the scalar-stitch class — the only
+  *     corpus-sized pass is the ONE map-side month×priority cells
+  *     aggregate; the exchanged relations are the calendar-bounded
+  *     cells cube, the 5-row rank-sum table, and the two 1-row
+  *     scalars (dropped-block count, Q) stitched back by broadcast.
+  *   - `pettitt_changepoint` (r12, fourth session) — many
+  *     SinglePartition: the collected-array series class (theil_sen/
+  *     ACF precedent) — the daily series is calendar-bounded, so the
+  *     |days|³ U-statistic fold runs as nested HOFs on the ONE-row
+  *     collected array; the exchanged relations are that 1-row array,
+  *     the 1-row max-|U| scalar, and the 1-row argmax-day scalar; the
+  *     only corpus-sized pass is the map-side daily aggregate.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -196,6 +196,58 @@ object DriftOps extends OpGroup {
         .select("day", "n", "k", "llr_fp", "cum_llr_fp", "decision")
         .orderBy("day")
     }),
+
+    // Exact 1-D Wasserstein (earth mover's) distance between each
+    // source's document token-length distribution and the pooled
+    // corpus (r12, fifth session; Vallender 1974: W₁ = ∫|F−G|). PSI
+    // and KL read drift through bins and explode on empty cells; W₁
+    // is the binless, metric-aware read (how many token-positions of
+    // mass must move) a mixture monitor uses to rank sources by
+    // length-profile deviation. Discrete exact form: over the sorted
+    // pooled support v₁<…<v_m, W₁ = Σ|F_src(vᵢ)−F_all(vᵢ)|·(vᵢ₊₁−vᵢ)
+    // with the CDFs as cross-multiplied integer rationals — the sum
+    // folds |cum_src·N − cum_all·n_src|·gap exactly in
+    // DECIMAL(38,0)/HUGEINT and divides ONCE at the boundary
+    // (BIGINT fp out). Scale: per-(source,len) counts fold map-side
+    // off the corpus; everything downstream is value-domain-bounded
+    // (|distinct lens| × |sources| grid); cumulatives are the
+    // two-phase GlobalRank prefix sums, support gaps a rank-shifted
+    // equi-join — no partition-less window anywhere.
+    "wasserstein_doclen_drift" -> ((s, d) => {
+      val lens = Tables.documents(s, d).select(col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("len"))
+      val bySrcLen = lens.groupBy("source", "len")
+        .agg(count(lit(1)).as("c"))
+      val byLen = bySrcLen.groupBy("len").agg(sum("c").as("c_all"))
+      val srcTot = bySrcLen.groupBy("source").agg(sum("c").as("n_src"))
+      val nAll = byLen.agg(sum("c_all").as("n_all"))
+      val cumAll = graft.functions.GlobalRank
+        .prefixSum(byLen, "cum_all", col("c_all"), Nil, Seq("len"))
+      val rn = graft.functions.GlobalRank
+        .rowNumber(cumAll, "rn", Nil, Seq("len"))
+      val gaps = rn.join(
+          rn.select((col("rn") - 1).as("rn"), col("len").as("nxt")),
+          Seq("rn"), "left")
+        .select("len", "cum_all", "nxt")
+      val grid = srcTot.crossJoin(gaps)
+        .join(bySrcLen, Seq("source", "len"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(grid, "cum_src", col("c"), Seq("source"), Seq("len"))
+      cum.crossJoin(broadcast(nAll))
+        .groupBy("source", "n_src", "n_all")
+        .agg(sum(expr(
+          """CASE WHEN nxt IS NULL THEN CAST(0 AS DECIMAL(38,0))
+            | ELSE abs(CAST(cum_src AS DECIMAL(38,0)) * n_all
+            |        - CAST(cum_all AS DECIMAL(38,0)) * n_src)
+            |      * (nxt - len) END""".stripMargin.replace("\n", " ")))
+          .as("num"))
+        .select(col("source"), col("n_src"), col("n_all"),
+          expr("""CAST(num * 1000000
+                 | DIV (CAST(n_src AS DECIMAL(38,0)) * n_all) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("w1_fp"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -331,5 +383,43 @@ object DriftOps extends OpGroup {
         |       CAST(sum(cents) AS BIGINT) AS value_cents
         |FROM banded GROUP BY age_band, o_orderpriority
         |ORDER BY age_band, o_orderpriority""".stripMargin,
+
+    // same pooled-support grid / cross-multiplied CDF integral; the
+    // fold lifts to HUGEINT and divides once at the BIGINT boundary
+    "wasserstein_doclen_drift" ->
+      """WITH lens AS MATERIALIZED (
+        |  SELECT source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        |sl AS MATERIALIZED (
+        |  SELECT source, l, CAST(count(*) AS BIGINT) AS c
+        |  FROM lens GROUP BY 1, 2),
+        |al AS MATERIALIZED (
+        |  SELECT l, CAST(sum(c) AS BIGINT) AS c_all FROM sl GROUP BY 1),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+        |       FROM sl GROUP BY 1),
+        |na AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM al),
+        |gaps AS MATERIALIZED (
+        |  SELECT l, lead(l) OVER (ORDER BY l) AS nxt,
+        |         CAST(sum(c_all) OVER (ORDER BY l) AS BIGINT) AS cum_all
+        |  FROM al),
+        |grid AS MATERIALIZED (
+        |  SELECT st.source, st.n_src, g.l, g.nxt, g.cum_all,
+        |         coalesce(sl.c, 0) AS c
+        |  FROM st CROSS JOIN gaps g
+        |  LEFT JOIN sl ON sl.source = st.source AND sl.l = g.l),
+        |cum AS (
+        |  SELECT source, n_src, l, nxt, cum_all,
+        |         CAST(sum(c) OVER (PARTITION BY source ORDER BY l)
+        |           AS BIGINT) AS cum_src
+        |  FROM grid)
+        |SELECT source, n_src, n_all,
+        |       CAST(sum(CASE WHEN nxt IS NULL THEN CAST(0 AS HUGEINT)
+        |              ELSE abs(CAST(cum_src AS HUGEINT) * n_all
+        |                     - CAST(cum_all AS HUGEINT) * n_src)
+        |                   * (nxt - l) END) * 1000000
+        |         // (CAST(n_src AS HUGEINT) * n_all) AS BIGINT) AS w1_fp
+        |FROM cum CROSS JOIN na
+        |GROUP BY source, n_src, n_all ORDER BY source""".stripMargin,
   )
 }

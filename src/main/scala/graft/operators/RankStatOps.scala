@@ -486,6 +486,55 @@ object RankStatOps extends OpGroup {
                  |ELSE CAST(NULL AS DOUBLE) END"""
             .stripMargin.replace("\n", " ")).as("z_val"))
     }),
+
+    // Friedman rank test (r12, fifth session; Friedman 1937): do the
+    // 5 priority classes differ in monthly revenue once the MONTH
+    // effect is blocked out? kruskal_wallis pools all orders into one
+    // ranking and so confounds seasonality with the priority effect;
+    // Friedman ranks the k=5 priority cells WITHIN each month block
+    // and asks whether the rank profile is stable across blocks — the
+    // repeated-measures ANOVA of the rank world. Blocks are order
+    // months (year·12+month, the kendall_tau_monthly axis); the cell
+    // value is the month×priority revenue sum in exact cents; only
+    // COMPLETE blocks (all 5 priorities present) enter, dropped
+    // blocks counted. Scale: cells are a calendar×5-bounded cube from
+    // ONE map-side-combinable aggregate of orders; within-block
+    // doubled tie-averaged ranks come from the block-keyed 25-pair
+    // self-join (r2 = Σ_o [2·(o<v) + (o=v)] + 1 — bounded comma-join,
+    // no windows); Q = (3·ΣR2² − 3·n²·k(k+1)²) / (n·k·(k+1)) is an
+    // exact non-negative integer rational (Cauchy–Schwarz on the
+    // fixed rank-sum total), floored at 1e-6 — ΣR2² ≤ (2kn)²·k stays
+    // int64 for any calendar. No tie correction (cents-sum ties are
+    // measure-zero; the exact rank sums are emitted for downstream
+    // recomputation).
+    "friedman_test_priority" -> ((s, d) => {
+      val cells = Tables.orders(s, d).groupBy(
+          expr("year(o_orderdate) * 12 + month(o_orderdate)").as("blk"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("sc"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+      val blocks = cells.groupBy("blk").agg(count(lit(1)).as("k_present"))
+      val nDrop = blocks.agg(
+        sum(when(col("k_present") < 5, 1L).otherwise(0L)).as("n_dropped"))
+      val kept = cells.join(
+        blocks.filter(col("k_present") === 5).select("blk"), "blk")
+      val other = kept.select(col("blk"), col("v").as("ov"))
+      val ranked = kept.join(other, "blk")
+        .groupBy("blk", "sc", "v")
+        .agg((sum(when(col("ov") < col("v"), 2L)
+          .when(col("ov") === col("v"), 1L).otherwise(0L)) + 1).as("r2"))
+      val rs = ranked.groupBy("sc")
+        .agg(count(lit(1)).as("n_blocks"), sum("r2").as("r2_sum"))
+      val q = rs.agg(max("n_blocks").as("n_b"),
+          sum(expr("r2_sum * r2_sum")).as("sr2"))
+        .crossJoin(broadcast(nDrop))
+        .select(col("n_dropped"), expr(
+          """CAST((3 * sr2 * 1000000 - 3000000 * n_b * n_b * 5 * 36)
+            | DIV (n_b * 5 * 6) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("q_fp"))
+      rs.crossJoin(broadcast(q))
+        .select("sc", "n_blocks", "r2_sum", "n_dropped", "q_fp")
+        .orderBy("sc")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -803,5 +852,40 @@ object RankStatOps extends OpGroup {
          |         / (n_tot * least(n_rows_dim - 1, n_cols_dim - 1))), 6)
          |         AS cramers_v
          |FROM agg""".stripMargin,
+
+    // same cells / 25-pair block join / doubled tie-averaged ranks;
+    // the Q numerator is non-negative (Cauchy-Schwarz), so // floors
+    "friedman_test_priority" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS blk,
+        |         CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |blocks AS (SELECT blk, count(*) AS k_present
+        |           FROM cells GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) FILTER (WHERE k_present < 5)
+        |         AS BIGINT) AS n_dropped FROM blocks),
+        |kept AS MATERIALIZED (
+        |  SELECT c.* FROM cells c
+        |  JOIN blocks b ON b.blk = c.blk AND b.k_present = 5),
+        |ranked AS (
+        |  SELECT k.blk, k.sc,
+        |         CAST(sum(CASE WHEN o.v < k.v THEN 2
+        |                       WHEN o.v = k.v THEN 1 ELSE 0 END) + 1
+        |           AS BIGINT) AS r2
+        |  FROM kept k JOIN kept o ON o.blk = k.blk
+        |  GROUP BY k.blk, k.sc, k.v),
+        |rs AS (SELECT sc, CAST(count(*) AS BIGINT) AS n_blocks,
+        |              CAST(sum(r2) AS BIGINT) AS r2_sum
+        |       FROM ranked GROUP BY 1),
+        |q AS (SELECT n_dropped,
+        |        CAST((3 * CAST(sum(r2_sum * r2_sum) AS HUGEINT) * 1000000
+        |          - CAST(3000000 AS HUGEINT) * max(n_blocks) * max(n_blocks)
+        |            * 5 * 36)
+        |          // (max(n_blocks) * 5 * 6) AS BIGINT) AS q_fp
+        |      FROM rs CROSS JOIN nd GROUP BY n_dropped)
+        |SELECT rs.sc, rs.n_blocks, rs.r2_sum, q.n_dropped, q.q_fp
+        |FROM rs CROSS JOIN q ORDER BY rs.sc""".stripMargin,
   )
 }

@@ -49,6 +49,21 @@ object SeriesStatOps extends OpGroup {
        |ELSE -((-CAST(($n) AS HUGEINT)) * 1000000 // ($d)) END"""
       .stripMargin.replace("\n", " ")
 
+  /** Runs-test z over exact counts (runs R, m kept days, n_above,
+    * n_below): (R − μ)/σ with μ = 2·n₁n₀/m + 1 and
+    * σ² = 2n₁n₀(2n₁n₀−m)/(m²(m−1)) — ONE IEEE expression, identical
+    * text both engines, NULL-armed when one side is empty or the
+    * variance degenerates (n₁ = n₀ = 1 ⇒ 2n₁n₀ = m).
+    */
+  private val runsZSql: String =
+    """CASE WHEN n_above = 0 OR n_below = 0
+      |  OR 2 * n_above * n_below = m THEN CAST(NULL AS DOUBLE)
+      |ELSE round((CAST(runs AS DOUBLE)
+      |    - (2.0 * n_above * n_below / m + 1.0))
+      |  / sqrt(2.0 * n_above * n_below * (2.0 * n_above * n_below - m)
+      |    / (CAST(m AS DOUBLE) * m * (m - 1))), 6) END"""
+      .stripMargin.replace("\n", " ")
+
   /** The daily series as one array row: a = sorted [(di, x)], with
     * n_days and s_tot alongside. di is days since epoch.
     */
@@ -86,6 +101,36 @@ object SeriesStatOps extends OpGroup {
       .agg(count(lit(1)).as("n_terms"), sum("p.prod").as("num"))
   }
 
+  /** The Holt–Winters integer recurrence on the collected daily
+    * series (day, n): 1e-6 fixed point, plain Long `/`
+    * (toward-zero) throughout — MEASURED to match DuckDB's `//`,
+    * which also truncates toward zero on negatives (-7//2 = -3).
+    * Returns (day, n, level, trend, season, fitted, resid) for each
+    * day from the 8th observed on; empty below 14 observed days.
+    */
+  private def holtWinters(xs: Array[(Long, Long)])
+      : Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+    if (xs.length < 14) return Seq.empty
+    val xfp = xs.map(_._2 * 1000000L)
+    val mean1 = xfp.slice(0, 7).sum / 7L
+    val mean2 = xfp.slice(7, 14).sum / 7L
+    var l = mean1
+    var b = (mean2 - mean1) / 7L
+    val ring = scala.collection.mutable.Queue(
+      xfp.slice(0, 7).map(_ - mean1).toSeq: _*)
+    (7 until xs.length).map { t =>
+      val sOld = ring.dequeue()
+      val lPrev = l; val bPrev = b
+      val fitted = lPrev + bPrev + sOld
+      val resid = xfp(t) - fitted
+      l = (3L * (xfp(t) - sOld) + 7L * (lPrev + bPrev)) / 10L
+      b = ((l - lPrev) + 9L * bPrev) / 10L
+      val sNew = (2L * (xfp(t) - lPrev - bPrev) + 8L * sOld) / 10L
+      ring.enqueue(sNew)
+      (xs(t)._1, xs(t)._2, l, b, sNew, fitted, resid)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ACF at lags 1..7 of the daily event-count series.
     "autocorrelation_profile" -> ((s, d) => {
@@ -108,6 +153,119 @@ object SeriesStatOps extends OpGroup {
         .groupBy("n_days")
         .agg(count(lit(1)).as("n_lags"), sum("term_fp").as("q_fp"))
         .select("n_days", "n_lags", "q_fp")
+    }),
+
+    // Pettitt changepoint test (r12, fourth session; Pettitt 1979):
+    // the rank-based single-changepoint locator over the daily
+    // event-value series — U_t = Σ_{i≤t}Σ_{j>t} sgn(v_i − v_j), the
+    // cut maximizing |U| is where the level shifted (no distributional
+    // assumption, outlier-robust — the read a mean-split CUSUM
+    // distorts). Scale: the series is CALENDAR-bounded, so the whole
+    // test runs as nested higher-order folds over ONE collected-array
+    // row (the Theil–Sen/ACF expansion precedent — |days|³ integer
+    // ops inside one expression, no self-join, no window); sgn
+    // arithmetic is exact int64, ties broken to the SMALLEST day.
+    "pettitt_changepoint" -> ((s, d) => {
+      val dailyV = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("v"))
+      val arr = dailyV
+        .agg(expr("sort_array(collect_list(named_struct('di', di, 'v', v)))")
+          .as("a"))
+        .withColumn("n", size(col("a")))
+      val u = arr.select(explode(expr(
+        """transform(sequence(0, n - 2), t ->
+          |  named_struct('day', CAST(a[t].di AS BIGINT),
+          |    'u', aggregate(sequence(0, t), CAST(0 AS BIGINT), (acc, i) ->
+          |      acc + aggregate(sequence(t + 1, n - 1), CAST(0 AS BIGINT),
+          |        (acc2, j) -> acc2 + CASE WHEN a[i].v > a[j].v THEN 1
+          |          WHEN a[i].v < a[j].v THEN -1 ELSE 0 END))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+        .select(col("p.day").as("day"), col("p.u").as("u_stat"))
+        .withColumn("abs_u", abs(col("u_stat")))
+      val k = u.agg(max("abs_u").as("k_stat"))
+      val cp = u.crossJoin(broadcast(k))
+        .filter(col("abs_u") === col("k_stat"))
+        .agg(min("day").as("cp_day"))
+      u.crossJoin(broadcast(k)).crossJoin(broadcast(cp))
+        .select(col("day"), col("u_stat"), col("abs_u"),
+          expr("""CAST(CASE WHEN abs_u = k_stat AND day = cp_day
+                 | THEN 1 ELSE 0 END AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("is_cp"))
+        .orderBy("day")
+    }),
+
+    // Additive Holt–Winters triple exponential smoothing over the
+    // daily event-count series (r12, fourth session; Holt 1957 /
+    // Winters 1960), weekly season m=7, α=3/10 β=1/10 γ=2/10 as EXACT
+    // rational sum-then-floor-divide updates: l ← (3(x−s₋₇)+7(l+b))/10
+    // etc., all in 1e-6 integer fixed point (signed
+    // divisions truncate toward zero — Scala `/` and DuckDB `//`
+    // agree, measured) — the in-sample one-step-ahead fit/residual
+    // table a volume forecaster reads.
+    // Scale: ONE map-side daily aggregate (calendar-bounded axis);
+    // the 9-value recurrence state (l, b, 7-slot season ring) runs on
+    // COLLECTED bounded model state (stationaryPi precedent) in pure
+    // Long arithmetic — Scala's toward-zero `/` matches DuckDB's `//`
+    // (measured: -7 // 2 = -3, truncation, NOT floor) on the signed
+    // season/trend values, and the oracle replays the SAME
+    // integer recurrence as a recursive CTE carrying the ring as a
+    // LIST column. Init: l = mean(week 1), b = (mean(week 2) −
+    // mean(week 1))/7, s = week-1 deviations; < 14 observed days ⇒
+    // empty result on both engines.
+    "holt_winters_daily" -> ((s, d) => {
+      val xs = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+        .orderBy("di").collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1)))
+      import s.implicits._
+      holtWinters(xs).toDF("day", "n", "level_fp", "trend_fp",
+        "season_fp", "fitted_fp", "resid_fp").orderBy("day")
+    }),
+
+    // Wald–Wolfowitz runs test (r12, fifth session; Wald & Wolfowitz
+    // 1940): is the daily event volume RANDOM around its median, or
+    // does it cluster (trends/regimes ⇒ too few runs; oscillation ⇒
+    // too many)? The distribution-free randomness gate a forecaster
+    // runs before trusting an i.i.d. assumption — the complement of
+    // the ACF/Ljung–Box panel above (those measure LINEAR lag
+    // correlation; runs sees any sign-pattern structure). Median is
+    // the RANK-DEFINED lower median of the daily counts (sorted-array
+    // pick, no engine quantiles); equal-to-median days are EXCLUDED
+    // (the standard convention); runs count over the surviving
+    // day-ordered ±1 sequence; z is ONE shared-text IEEE expression
+    // over the exact counts (NULL-armed at one-sided or
+    // zero-variance sequences). Scale: the series is calendar-bounded
+    // — one map-side daily aggregate, then every step (median pick,
+    // sign sequence, adjacent-flip fold) runs as HOFs on the ONE
+    // collected-array row (theil_sen/ACF class); nothing downstream
+    // of the daily rollup is data-proportional.
+    "runs_test_daily" -> ((s, d) => {
+      dailyArray(s, d)
+        .filter(size(col("a")) >= 2)
+        .withColumn("median_x", expr(
+          "sort_array(transform(a, e -> e.x))[CAST((n_days - 1) DIV 2 AS INT)]"))
+        .withColumn("sgn", expr(
+          """transform(filter(a, e -> e.x != median_x),
+            |  e -> CASE WHEN e.x > median_x THEN 1 ELSE 0 END)"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("m", expr("CAST(size(sgn) AS BIGINT)"))
+        .withColumn("n_above", expr(
+          "CAST(aggregate(sgn, 0, (acc, v) -> acc + v) AS BIGINT)"))
+        .withColumn("n_below", expr("m - n_above"))
+        .withColumn("runs", expr(
+          """CASE WHEN size(sgn) = 0 THEN CAST(0 AS BIGINT)
+            | WHEN size(sgn) = 1 THEN CAST(1 AS BIGINT)
+            | ELSE 1 + CAST(aggregate(sequence(1, size(sgn) - 1), 0,
+            |   (acc, i) -> acc + CASE WHEN sgn[i] != sgn[i - 1]
+            |     THEN 1 ELSE 0 END) AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")))
+        .select(col("n_days"), col("median_x").cast("long").as("median_x"),
+          col("n_above"), col("n_below"), col("runs"),
+          expr(runsZSql).as("z_val"))
     }),
 
     // Cohort LTV: cumulative revenue by acquisition-month cohort and
@@ -227,6 +385,109 @@ object SeriesStatOps extends OpGroup {
          |         * (CAST(num AS DOUBLE) / den) * (CAST(num AS DOUBLE) / den)
          |         / (n_days - lag) * 1000000.0) AS BIGINT)) AS BIGINT) AS q_fp
          |FROM terms GROUP BY n_days""".stripMargin,
+
+    // same sgn pair counts via the bounded |days|³ comma-join; the
+    // cut table, max-|U|, and smallest-day tie-break mirror the HOFs
+    "pettitt_changepoint" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |idx AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY di) AS rk,
+        |         CAST(di AS BIGINT) AS day, v
+        |  FROM daily),
+        |mx AS (SELECT max(rk) AS t_max FROM idx),
+        |u AS MATERIALIZED (
+        |  SELECT c.rk AS crk, c.day,
+        |         CAST(sum(CASE WHEN a.v > b.v THEN 1
+        |                       WHEN a.v < b.v THEN -1 ELSE 0 END)
+        |           AS BIGINT) AS u_stat
+        |  FROM idx c, mx, idx a, idx b
+        |  WHERE a.rk <= c.rk AND b.rk > c.rk AND c.rk < t_max
+        |  GROUP BY c.rk, c.day),
+        |k AS (SELECT max(abs(u_stat)) AS k_stat FROM u),
+        |cp AS (SELECT min(day) AS cp_day
+        |       FROM u CROSS JOIN k WHERE abs(u_stat) = k_stat)
+        |SELECT day, u_stat, abs(u_stat) AS abs_u,
+        |       CAST(CASE WHEN abs(u_stat) = k_stat AND day = cp_day
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_cp
+        |FROM u CROSS JOIN k CROSS JOIN cp ORDER BY day""".stripMargin,
+
+    // the SAME integer recurrence as a recursive CTE: the season ring
+    // rides as a LIST column; `//` truncates toward zero = Scala `/`
+    "holt_winters_daily" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |idx AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY di) AS rk,
+        |         CAST(di AS BIGINT) AS day, n, n * 1000000 AS xfp
+        |  FROM daily),
+        |m1 AS (SELECT CAST(sum(xfp) AS BIGINT) // 7 AS mean1
+        |       FROM idx WHERE rk <= 7),
+        |m2 AS (SELECT CAST(sum(xfp) AS BIGINT) // 7 AS mean2
+        |       FROM idx WHERE rk BETWEEN 8 AND 14),
+        |cnt AS (SELECT max(rk) AS t_max FROM idx),
+        |seed AS (
+        |  SELECT CAST(7 AS BIGINT) AS rk, CAST(NULL AS BIGINT) AS day,
+        |         CAST(NULL AS BIGINT) AS n,
+        |         mean1 AS l, (mean2 - mean1) // 7 AS b,
+        |         (SELECT list(xfp - mean1 ORDER BY rk)
+        |          FROM idx WHERE rk <= 7) AS ring,
+        |         CAST(NULL AS BIGINT) AS season,
+        |         CAST(NULL AS BIGINT) AS fitted,
+        |         CAST(NULL AS BIGINT) AS resid
+        |  FROM m1 CROSS JOIN m2 CROSS JOIN cnt WHERE t_max >= 14),
+        |hw AS (
+        |  SELECT * FROM seed
+        |  UNION ALL
+        |  SELECT i.rk, i.day, i.n,
+        |    (3 * (i.xfp - h.ring[1]) + 7 * (h.l + h.b)) // 10,
+        |    (((3 * (i.xfp - h.ring[1]) + 7 * (h.l + h.b)) // 10)
+        |      - h.l + 9 * h.b) // 10,
+        |    list_append(h.ring[2:7],
+        |      (2 * (i.xfp - h.l - h.b) + 8 * h.ring[1]) // 10),
+        |    (2 * (i.xfp - h.l - h.b) + 8 * h.ring[1]) // 10,
+        |    h.l + h.b + h.ring[1],
+        |    i.xfp - (h.l + h.b + h.ring[1])
+        |  FROM hw h JOIN idx i ON i.rk = h.rk + 1)
+        |SELECT day, n, l AS level_fp, b AS trend_fp, season AS season_fp,
+        |       fitted AS fitted_fp, resid AS resid_fp
+        |FROM hw WHERE rk >= 8 ORDER BY day""".stripMargin,
+
+    // same daily series / rank-defined lower median / excluded-median
+    // convention; the sign sequence walks day order via lag
+    "runs_test_daily" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |           AS di,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         |med AS (
+         |  SELECT CAST(x AS BIGINT) AS median_x
+         |  FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn
+         |        FROM daily) q CROSS JOIN nn
+         |  WHERE rn = (n_days - 1) // 2 + 1),
+         |sg AS (
+         |  SELECT di, CASE WHEN x > median_x THEN 1 ELSE 0 END AS s,
+         |         lag(CASE WHEN x > median_x THEN 1 ELSE 0 END)
+         |           OVER (ORDER BY di) AS prev
+         |  FROM daily CROSS JOIN med WHERE x != median_x),
+         |agg AS (
+         |  SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS n_above,
+         |         CAST(count(*) AS BIGINT) AS m,
+         |         CAST(CASE WHEN count(*) = 0 THEN 0 ELSE 1 +
+         |           coalesce(sum(CASE WHEN prev IS NOT NULL AND s != prev
+         |             THEN 1 ELSE 0 END), 0) END AS BIGINT) AS runs
+         |  FROM sg),
+         |st AS (SELECT n_above, m, m - n_above AS n_below, runs FROM agg)
+         |SELECT n_days, median_x, n_above, n_below, runs,
+         |       $runsZSql AS z_val
+         |FROM nn CROSS JOIN med CROSS JOIN st
+         |WHERE n_days >= 2""".stripMargin,
 
     "cohort_ltv_curve" ->
       """WITH ords AS (

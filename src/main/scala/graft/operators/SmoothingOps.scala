@@ -108,6 +108,43 @@ object SmoothingOps extends OpGroup {
         .orderBy("source")
     }),
 
+    // Yule's K / Sichel's S / Honoré's R vocabulary-richness panel per
+    // source (r12, fourth session; Yule 1944, Sichel 1975, Honoré
+    // 1979): the three classic spectrum-based constants — K (repeat-
+    // rate concentration, length-invariant where raw TTR is not), S =
+    // f2/V (doubleton share), R = 100·ln N/(1−f1/V) (hapax-weighted) —
+    // the stylometry/quality panel chao1's unseen-mass estimate sits
+    // beside. K = 10⁴·(Σr²N_r − N)/N² is an EXACT integer rational:
+    // Σr² lifts to DECIMAL(38,0)/HUGEINT internally (r² passes int64
+    // only past ~3e9 occurrences of one word per source) and the
+    // numerator ×1e10 needs the same lift; output is BIGINT only.
+    // Honoré degenerates at f1 = V (all hapax) — NULL-armed the same
+    // on both engines. Same two stacked map-side aggregates as chao1.
+    "yule_k_richness" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("r"))
+      wc.groupBy("source").agg(
+          sum("r").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"),
+          sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("s2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("f1"), col("f2"),
+          expr("""CAST((CAST(10000 AS DECIMAL(38,0)) * (s2 - n_tokens)
+                 | * 1000000) DIV (CAST(n_tokens AS DECIMAL(38,0))
+                 | * n_tokens) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("yule_k_fp"),
+          expr("f2 * 1000000 DIV n_types").as("sichel_fp"),
+          expr("""CASE WHEN f1 = n_types THEN NULL
+                 | ELSE CAST(FLOOR(100.0 * ln(CAST(n_tokens AS DOUBLE))
+                 |   / (1.0 - CAST(f1 AS DOUBLE) / n_types)
+                 |   * 1000000.0) AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("honore_fp"))
+        .orderBy("source")
+    }),
+
     // Kneser-Ney continuation counts: for each word w, the number of
     // DISTINCT left contexts it follows (N1+(·w)) and the continuation
     // probability p_cont(w) = N1+(·w) / |distinct bigram types| — the
@@ -266,6 +303,31 @@ object SmoothingOps extends OpGroup {
         |           // (2 * (sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1))
         |         AS BIGINT) AS chao1_fp
         |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+
+    // same spectrum; Σr² and the K numerator in HUGEINT, BIGINT out
+    "yule_k_richness" ->
+      """WITH words AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS r
+        |       FROM words GROUP BY source, w),
+        |agg AS (
+        |  SELECT source, CAST(sum(r) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(count(*) FILTER (WHERE r = 1) AS BIGINT) AS f1,
+        |         CAST(count(*) FILTER (WHERE r = 2) AS BIGINT) AS f2,
+        |         sum(CAST(r AS HUGEINT) * r) AS s2
+        |  FROM wc GROUP BY source)
+        |SELECT source, n_tokens, n_types, f1, f2,
+        |       CAST((CAST(10000 AS HUGEINT) * (s2 - n_tokens) * 1000000)
+        |         // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+        |         AS yule_k_fp,
+        |       CAST(f2 * 1000000 // n_types AS BIGINT) AS sichel_fp,
+        |       CASE WHEN f1 = n_types THEN NULL
+        |            ELSE CAST(FLOOR(100.0 * ln(CAST(n_tokens AS DOUBLE))
+        |              / (1.0 - CAST(f1 AS DOUBLE) / n_types)
+        |              * 1000000.0) AS BIGINT) END AS honore_fp
+        |FROM agg ORDER BY source""".stripMargin,
 
     "kneser_ney_continuation" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents

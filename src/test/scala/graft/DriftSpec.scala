@@ -112,4 +112,38 @@ class DriftSpec extends SparkSpec {
       assert(llr === exp2, s"day ${r.get(0)}: LLR leaf replay")
     }
   }
+
+  test("wasserstein_doclen_drift: brute CDF-integral replay; bounds") {
+    val rows = run("wasserstein_doclen_drift").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf())
+      .selectExpr("source", "CAST(size(split(text, ' ')) AS BIGINT) AS l")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nAll = docs.length.toLong
+    val allByLen = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val support = allByLen.keys.toSeq.sorted
+    val expect = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, ds) =>
+        val nSrc = ds.length.toLong
+        val srcByLen = ds.groupBy(_._2).view.mapValues(_.length.toLong)
+          .toMap.withDefaultValue(0L)
+        var cumS = 0L; var cumA = 0L; var num = BigInt(0)
+        support.zipWithIndex.foreach { case (v, i) =>
+          cumS += srcByLen(v); cumA += allByLen(v)
+          if (i < support.length - 1) {
+            num += (BigInt(cumS) * nAll - BigInt(cumA) * nSrc).abs *
+              (support(i + 1) - v)
+          }
+        }
+        (src, nSrc, nAll, (num * 1000000 / (BigInt(nSrc) * nAll)).toLong)
+    }
+    assert(rows.toSeq === expect, "exact CDF-integral replay")
+    // laws: W1 is bounded by the support range; mass totals add up
+    val range = (support.max - support.min) * 1000000L
+    rows.foreach { case (_, nSrc, na, w1) =>
+      assert(w1 >= 0L && w1 <= range, "0 <= W1 <= support range")
+      assert(na === nAll && nSrc <= na)
+    }
+    assert(rows.map(_._2).sum === nAll, "per-source masses partition")
+  }
 }

@@ -270,4 +270,43 @@ class RankStatSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(r.getDouble(6) - expectT) < 1e-6, "Yuen t replay")
   }
+
+  test("friedman_test_priority: brute within-block rank replay; Q >= 0") {
+    val rows = run("friedman_test_priority").map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cells = Tables.orders(spark, sf())
+      .selectExpr("year(o_orderdate) * 12 + month(o_orderdate) AS blk",
+        "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case ((blk, sc), ts) =>
+        (blk, sc, ts.map(_._2).sum) }.toSeq
+    val byBlock = cells.groupBy(_._1)
+    val complete = byBlock.filter(_._2.size == 5)
+    val dropped = (byBlock.size - complete.size).toLong
+    val r2sums = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    complete.values.foreach { cs =>
+      val vs = cs.map(_._3)
+      cs.foreach { case (_, sc, v) =>
+        r2sums(sc) += 2L * vs.count(_ < v) + vs.count(_ == v) + 1L
+      }
+    }
+    if (complete.isEmpty) assert(rows.isEmpty)
+    else {
+      val n = complete.size.toLong
+      val sr2 = r2sums.values.map(x => BigInt(x) * x).sum
+      val qfp = ((BigInt(3) * sr2 * 1000000 -
+        BigInt(3000000) * n * n * 5 * 36) / (n * 5 * 6)).toLong
+      assert(rows.map(_._1) === (1L to 5L).toSeq, "all 5 treatments")
+      rows.foreach { case (sc, nb, r2s, nd, q) =>
+        assert(nb === n, "complete-block count")
+        assert(r2s === r2sums(sc), "exact doubled rank sum")
+        assert(nd === dropped)
+        assert(q === qfp && q >= 0L, "exact non-negative Q")
+      }
+      // conservation: doubled rank sums total n·k(k+1) regardless of ties
+      assert(rows.map(_._3).sum === n * 5 * 6)
+    }
+  }
 }

@@ -103,4 +103,95 @@ class SeriesStatSpec extends SparkSpec {
       s1 += (m1(j)._3 - m1(i)._3).sign
     assert(rows.head.getLong(2) === s1, "season-1 S brute-force replay")
   }
+
+  test("pettitt_changepoint: brute-force U replay; argmax/tie-break pin") {
+    val rows = run("pettitt_changepoint").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf())
+      .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"))
+      .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("v"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+    val n = daily.length
+    assert(rows.length === n - 1, "one cut per day except the last")
+    val expU = (0 until n - 1).map { t =>
+      var u = 0L
+      for (i <- 0 to t; j <- (t + 1) until n)
+        u += (daily(i)._2 - daily(j)._2).sign
+      (daily(t)._1, u)
+    }
+    assert(rows.map(r => (r._1, r._2)).toSeq === expU, "exact U_t replay")
+    val k = expU.map(_._2.abs).max
+    val cpDay = expU.filter(_._2.abs == k).map(_._1).min
+    rows.foreach { case (day, _, absU, isCp) =>
+      assert(absU <= k)
+      assert(isCp === (if (day == cpDay) 1L else 0L), "argmax, smallest day")
+    }
+  }
+
+  test("holt_winters_daily: independent recurrence replay; fit identity") {
+    val rows = run("holt_winters_daily").map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)))
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf())
+      .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+    assert(rows.length === daily.length - 7, "one fit per day from the 8th")
+    // identity: fitted + resid reconstructs the observation exactly
+    rows.foreach { case (_, x, _, _, _, fitted, resid) =>
+      assert(fitted + resid === x * 1000000L) }
+    // independent recurrence replay (toward-zero Long division)
+    val xfp = daily.map(_._2 * 1000000L)
+    val mean1 = xfp.take(7).sum / 7L
+    var l = mean1; var b = (xfp.slice(7, 14).sum / 7L - mean1) / 7L
+    var ring = xfp.take(7).map(_ - mean1).toVector
+    val exp = (7 until daily.length).map { t =>
+      val sOld = ring.head
+      val fitted = l + b + sOld
+      val lN = (3L * (xfp(t) - sOld) + 7L * (l + b)) / 10L
+      val bN = ((lN - l) + 9L * b) / 10L
+      val sN = (2L * (xfp(t) - l - b) + 8L * sOld) / 10L
+      ring = ring.tail :+ sN; l = lN; b = bN
+      (daily(t)._1, daily(t)._2, lN, bN, sN, fitted, xfp(t) - fitted)
+    }
+    assert(rows.toSeq === exp, "bit-exact recurrence replay")
+  }
+
+  test("runs_test_daily: brute-force runs replay; z-arm pins") {
+    val rows = run("runs_test_daily")
+    val daily = Tables.events(spark, sf())
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("x"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (daily.length < 2) assert(rows.isEmpty)
+    else {
+      assert(rows.length === 1)
+      val r = rows.head
+      val med = daily.map(_._2).sorted.apply((daily.length - 1) / 2)
+      val sgn = daily.filter(_._2 != med).map(t => if (t._2 > med) 1 else 0)
+      val runs =
+        if (sgn.isEmpty) 0L
+        else 1L + sgn.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val nAbove = sgn.count(_ == 1).toLong
+      val nBelow = sgn.count(_ == 0).toLong
+      assert(r.getLong(0) === daily.length.toLong)
+      assert(r.getLong(1) === med, "rank-defined lower median")
+      assert(r.getLong(2) === nAbove && r.getLong(3) === nBelow)
+      assert(r.getLong(4) === runs, "exact run count")
+      assert(runs <= nAbove + nBelow, "runs bounded by kept days")
+      val m = nAbove + nBelow
+      if (nAbove > 0 && nBelow > 0 && 2 * nAbove * nBelow != m) {
+        val mu = 2.0 * nAbove * nBelow / m + 1.0
+        val vr = 2.0 * nAbove * nBelow * (2.0 * nAbove * nBelow - m) /
+          (m.toDouble * m * (m - 1))
+        val z = BigDecimal((runs - mu) / math.sqrt(vr))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(5) - z) < 1e-6, "z replay")
+      } else assert(r.isNullAt(5), "degenerate sequences NULL-armed")
+    }
+  }
 }

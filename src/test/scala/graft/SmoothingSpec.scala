@@ -128,4 +128,31 @@ class SmoothingSpec extends SparkSpec {
     assert(n1 === bi.getOrElse(1L, 0L) && n2 === bi.getOrElse(2L, 0L))
     assert(n3 === bi.getOrElse(3L, 0L) && n4 === bi.getOrElse(4L, 0L))
   }
+
+  test("yule_k_richness: BigInt spectrum replay; K >= 0") {
+    val rows = run("yule_k_richness").map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6),
+      if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    val docs = Tables.documents(spark, sf())
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum; val v = counts.size.toLong
+      val f1 = counts.count(_ == 1L).toLong
+      val f2 = counts.count(_ == 2L).toLong
+      val s2 = counts.map(c => BigInt(c) * c).sum
+      val k = (BigInt(10000) * (s2 - n) * 1000000 /
+        (BigInt(n) * n)).toLong
+      val honore = if (f1 == v) None else Some(math.floor(
+        100.0 * math.log(n.toDouble) / (1.0 - f1.toDouble / v) * 1e6).toLong)
+      (src, n, v, f1, f2, k, f2 * 1000000L / v, honore)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === expect, "exact spectrum-panel replay")
+    rows.foreach { case (_, n, v, f1, _, k, s, _) =>
+      assert(k >= 0L, "Sum r^2*N_r >= N always")
+      assert(s >= 0L && s <= 1000000L && f1 <= v && v <= n)
+    }
+  }
 }
