@@ -170,6 +170,11 @@ import org.apache.spark.sql.SparkSession
   *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
   *     two-phase prefix sum, and the consecutive scan a shifted
   *     equi-join — the corpus never crosses a single partition.
+  *   - `cliff_delta_weekend` (r12, fifth session) — many
+  *     SinglePartition: the scalar-stitch class — the corpus passes
+  *     are the map-side support aggregate and the two-phase prefix
+  *     sum; the exchanged relations are the 1-row group-size scalar
+  *     and the 1-row pair-count fold stitched by broadcast.
   *   - `friedman_test_priority` (r12, fifth session) — many
   *     SinglePartition: the scalar-stitch class — the only
   *     corpus-sized pass is the ONE map-side month×priority cells

@@ -535,6 +535,48 @@ object RankStatOps extends OpGroup {
         .select("sc", "n_blocks", "r2_sum", "n_dropped", "q_fp")
         .orderBy("sc")
     }),
+
+    // Cliff's δ effect size (r12, fifth session; Cliff 1993): the
+    // weekend-vs-weekday dominance of event value — δ = (#(x>y) −
+    // #(x<y))/(n₁n₂), the ordinal effect-size companion to
+    // mann_whitney_u_value's significance (same machinery, the
+    // interpretable [-1,1] magnitude a dashboard reports instead of a
+    // p-value). EXACT pair counting without pairs: over the joint
+    // value-domain support, #gt folds Σ c_w(v)·cum<_e(v) and #lt
+    // folds Σ c_w(v)·(n_e − cum≤_e(v)) off ONE two-phase prefix sum
+    // of the weekday counts — products lift to DECIMAL(38,0)/HUGEINT
+    // (≤ n₁n₂); δ is one signed toward-zero fixed-point division.
+    // Conservation #gt+#lt+#eq = n₁·n₂ is the spec law. Weekend =
+    // the epoch-day dow convention shared with odds_ratio_weekend.
+    "cliff_delta_weekend" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        expr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5").as("we"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      val sup = ev.groupBy("v").agg(
+        sum(when(col("we"), 1L).otherwise(0L)).as("cw"),
+        sum(when(!col("we"), 1L).otherwise(0L)).as("ce"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(sup, "cum_e", col("ce"), Nil, Seq("v"))
+      val ns = ev.agg(
+        sum(when(col("we"), 1L).otherwise(0L)).as("n_we"),
+        sum(when(!col("we"), 1L).otherwise(0L)).as("n_wd"))
+      cum.crossJoin(broadcast(ns))
+        .agg(
+          sum(expr("CAST(cw AS DECIMAL(38,0)) * (cum_e - ce)")).as("gt"),
+          sum(expr("CAST(cw AS DECIMAL(38,0)) * (n_wd - cum_e)")).as("lt"),
+          sum(expr("CAST(cw AS DECIMAL(38,0)) * ce")).as("eq"))
+        .crossJoin(broadcast(ns))
+        .select(col("n_we"), col("n_wd"),
+          col("gt").cast("long").as("n_gt"),
+          col("lt").cast("long").as("n_lt"),
+          col("eq").cast("long").as("n_eq"),
+          expr("""CASE WHEN n_we = 0 OR n_wd = 0 THEN CAST(NULL AS BIGINT)
+                 | WHEN gt >= lt THEN CAST((gt - lt) * 1000000
+                 |   DIV (CAST(n_we AS DECIMAL(38,0)) * n_wd) AS BIGINT)
+                 | ELSE -CAST((lt - gt) * 1000000
+                 |   DIV (CAST(n_we AS DECIMAL(38,0)) * n_wd) AS BIGINT)
+                 | END""".stripMargin.replace("\n", " ")).as("delta_fp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -887,5 +929,36 @@ object RankStatOps extends OpGroup {
         |      FROM rs CROSS JOIN nd GROUP BY n_dropped)
         |SELECT rs.sc, rs.n_blocks, rs.r2_sum, q.n_dropped, q.q_fp
         |FROM rs CROSS JOIN q ORDER BY rs.sc""".stripMargin,
+
+    // same support-fold pair counting; signed toward-zero division
+    "cliff_delta_weekend" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we,
+        |         CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |sup AS MATERIALIZED (
+        |  SELECT v,
+        |         CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS cw,
+        |         CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS ce
+        |  FROM ev GROUP BY 1),
+        |cum AS (SELECT v, cw, ce,
+        |               CAST(sum(ce) OVER (ORDER BY v) AS BIGINT) AS cum_e
+        |        FROM sup),
+        |ns AS (SELECT CAST(sum(cw) AS BIGINT) AS n_we,
+        |              CAST(sum(ce) AS BIGINT) AS n_wd FROM sup),
+        |f AS (SELECT sum(CAST(cw AS HUGEINT) * (cum_e - ce)) AS gt,
+        |             sum(CAST(cw AS HUGEINT) * (n_wd - cum_e)) AS lt,
+        |             sum(CAST(cw AS HUGEINT) * ce) AS eq
+        |      FROM cum CROSS JOIN ns)
+        |SELECT n_we, n_wd, CAST(gt AS BIGINT) AS n_gt,
+        |       CAST(lt AS BIGINT) AS n_lt, CAST(eq AS BIGINT) AS n_eq,
+        |       CASE WHEN n_we = 0 OR n_wd = 0 THEN NULL
+        |            WHEN gt >= lt THEN CAST((gt - lt) * 1000000
+        |              // (CAST(n_we AS HUGEINT) * n_wd) AS BIGINT)
+        |            ELSE -CAST((lt - gt) * 1000000
+        |              // (CAST(n_we AS HUGEINT) * n_wd) AS BIGINT)
+        |       END AS delta_fp
+        |FROM f CROSS JOIN ns""".stripMargin,
   )
 }

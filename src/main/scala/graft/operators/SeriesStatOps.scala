@@ -131,6 +131,37 @@ object SeriesStatOps extends OpGroup {
     }
   }
 
+  /** The generalized-ESD rounds on the collected daily series: exact
+    * BigInt moments per round, R = md/√(nqss·n/(n−1)) as the SAME
+    * IEEE op sequence the DuckDB oracle runs, argmax ties to the
+    * smallest day. Stops at n < 4 or zero variance (constant set).
+    */
+  private def gesdRounds(xs: Array[(Long, Long)], rounds: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val kept = scala.collection.mutable.ArrayBuffer(xs: _*)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    var it = 1
+    var go = true
+    while (go && it <= rounds) {
+      val n = kept.length.toLong
+      val s = kept.iterator.map(t => BigInt(t._2)).sum
+      val q = kept.iterator.map(t => BigInt(t._2) * t._2).sum
+      val nqss = BigInt(n) * q - s * s
+      if (n < 4 || nqss <= 0) go = false
+      else {
+        val best = kept.minBy(t => ((BigInt(n) * t._2 - s).abs * -1, t._1))
+        val md = (BigInt(n) * best._2 - s).abs
+        val rFp = math.floor(md.toDouble
+          / math.sqrt(nqss.toDouble * n / (n - 1.0)) * 1000000.0).toLong
+        out += ((it.toLong, best._1, best._2, n, rFp))
+        kept -= best
+        it += 1
+      }
+    }
+    out.toSeq
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ACF at lags 1..7 of the daily event-count series.
     "autocorrelation_profile" -> ((s, d) => {
@@ -266,6 +297,80 @@ object SeriesStatOps extends OpGroup {
         .select(col("n_days"), col("median_x").cast("long").as("median_x"),
           col("n_above"), col("n_below"), col("runs"),
           expr(runsZSql).as("z_val"))
+    }),
+
+    // Durbin–Watson statistic (r12, fifth session; Durbin & Watson
+    // 1950): first-order autocorrelation of the residuals around the
+    // daily-volume OLS TREND line — runs_test_daily sees sign
+    // clustering around a LEVEL; DW answers the sharper forecasting
+    // question "after detrending, are the errors still serially
+    // dependent" (DW≈2 independent, →0 positive, →4 negative).
+    // EXACT residuals: e_t scaled by n·D (D = n·Σt² − (Σt)², t the
+    // day offset) is the integer E_t = n·D·y_t − (D·Σy − B·Σt) −
+    // n·B·t with B = n·Σty − Σt·Σy — the scale cancels in DW =
+    // Σ(E_t−E_{t−1})²/ΣE_t², so the statistic is ONE exact rational,
+    // floored at 1e-6. Scale: the series is calendar-bounded — one
+    // map-side daily aggregate; E_t folds in DECIMAL(38,0) (≤512
+    // days × ≤1e8 events/day stays inside 38 digits through E²); the
+    // adjacent diff is a rank-shifted equi-join (mase pattern), DW
+    // uses consecutive OBSERVED days (gaps documented as adjacency).
+    "durbin_watson_ols" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("y"))
+      val m0 = daily.agg(min("di").as("di0"))
+      val td = daily.crossJoin(broadcast(m0))
+        .withColumn("t", col("di") - col("di0"))
+      val m = td.agg(count(lit(1)).as("n"), sum("t").as("st"),
+          sum("y").as("sy"), sum(expr("t * y")).as("sty"),
+          sum(expr("t * t")).as("stt"))
+        .withColumn("dd", expr(
+          "CAST(n AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * st"))
+        .withColumn("bb", expr(
+          "CAST(n AS DECIMAL(38,0)) * sty - CAST(st AS DECIMAL(38,0)) * sy"))
+        .withColumn("cc", expr(
+          "dd * sy - bb * st"))
+      val e = td.crossJoin(broadcast(m))
+        .filter(col("n") >= 3 && expr("dd > 0"))
+        .withColumn("e_t", expr(
+          "CAST(n AS DECIMAL(38,0)) * dd * y - cc - CAST(n AS DECIMAL(38,0)) * bb * t"))
+        .select("di", "n", "e_t")
+      val rn = graft.functions.GlobalRank
+        .rowNumber(e, "rn", Nil, Seq("di"))
+      val prev = rn.select((col("rn") + 1).as("rn"), col("e_t").as("e_prev"))
+      val diffs = rn.join(prev, "rn")
+        .agg(sum(expr("(e_t - e_prev) * (e_t - e_prev)")).as("sum_d2"))
+      rn.groupBy("n").agg(sum(expr("e_t * e_t")).as("sum_e2"))
+        .crossJoin(broadcast(diffs))
+        .filter(expr("sum_e2 > 0"))
+        .select(col("n").as("n_days"),
+          expr("CAST(sum_d2 * 1000000 DIV sum_e2 AS BIGINT)").as("dw_fp"))
+    }),
+
+    // Generalized ESD outlier sweep (r12, fifth session; Rosner
+    // 1983): three unrolled Grubbs rounds over the daily volume —
+    // each round reports the farthest-from-mean day, its test
+    // statistic R = |x−x̄|/s over the CURRENTLY-kept set, then
+    // removes it, so masked outliers (which a single Grubbs pass
+    // misses because the outlier inflates s) surface on later
+    // rounds. Scale: calendar-bounded daily rollup map-side; the 3
+    // rounds run on COLLECTED bounded model state (stationaryPi
+    // precedent) in exact BigInt moments; R is ONE shared-text IEEE
+    // leaf R = md/√(nqss·n/(n−1)) over the exact integers (md =
+    // max|n·x−S|, nqss = n·Q−S²), FLOOR'd at 1e-6; ties break to the
+    // smallest day; rounds stop at n<4 or zero variance on BOTH
+    // engines (the oracle unrolls the same three stages as CTEs).
+    "gesd_outlier_daily" -> ((s, d) => {
+      val xs = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+        .orderBy("di").collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1)))
+      import s.implicits._
+      gesdRounds(xs, 3).toDF("iter", "removed_day", "removed_x",
+        "n_kept", "r_fp").orderBy("iter")
     }),
 
     // Cohort LTV: cumulative revenue by acquisition-month cohort and
@@ -488,6 +593,85 @@ object SeriesStatOps extends OpGroup {
          |       $runsZSql AS z_val
          |FROM nn CROSS JOIN med CROSS JOIN st
          |WHERE n_days >= 2""".stripMargin,
+
+    // same n·D-scaled integer residuals; lag window is the adjacency
+    "durbin_watson_ols" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |           AS di,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m0 AS (SELECT min(di) AS di0 FROM daily),
+        |td AS MATERIALIZED (
+        |  SELECT CAST(di AS BIGINT) AS di, CAST(di - di0 AS BIGINT) AS t, y
+        |  FROM daily CROSS JOIN m0),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(t) AS BIGINT) AS st,
+        |             CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(t * y) AS BIGINT) AS sty,
+        |             CAST(sum(t * t) AS BIGINT) AS stt
+        |      FROM td),
+        |md AS (SELECT n, st, sy,
+        |              CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st
+        |                AS dd,
+        |              CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy
+        |                AS bb
+        |       FROM m),
+        |mc AS (SELECT n, dd, bb, dd * sy - bb * st AS cc FROM md),
+        |e AS (SELECT td.di, mc.n,
+        |             CAST(mc.n AS HUGEINT) * mc.dd * td.y - mc.cc
+        |               - CAST(mc.n AS HUGEINT) * mc.bb * td.t AS e_t
+        |      FROM td CROSS JOIN mc WHERE mc.n >= 3 AND mc.dd > 0),
+        |l AS (SELECT n, e_t, lag(e_t) OVER (ORDER BY di) AS e_prev
+        |      FROM e),
+        |agg AS (SELECT n, sum(e_t * e_t) AS sum_e2,
+        |               sum(CASE WHEN e_prev IS NULL THEN 0
+        |                   ELSE (e_t - e_prev) * (e_t - e_prev) END)
+        |                 AS sum_d2
+        |        FROM l GROUP BY n)
+        |SELECT n AS n_days,
+        |       CAST(sum_d2 * 1000000 // sum_e2 AS BIGINT) AS dw_fp
+        |FROM agg WHERE sum_e2 > 0""".stripMargin,
+
+    // the SAME three rounds unrolled as CTE stages; argmax via
+    // ORDER BY dev DESC, di LIMIT 1; shared-text IEEE R leaf
+    "gesd_outlier_daily" -> {
+      def stage(i: Int, src: String): String =
+        s"""m$i AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |             CAST(sum(x) AS BIGINT) AS s,
+           |             sum(CAST(x AS HUGEINT) * x) AS q FROM $src),
+           |g$i AS (SELECT n, s,
+           |              CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+           |                AS nqss
+           |       FROM m$i),
+           |c$i AS (SELECT di, x FROM $src CROSS JOIN g$i
+           |       WHERE n >= 4 AND nqss > 0
+           |       ORDER BY abs(CAST(n AS HUGEINT) * x - s) DESC, di
+           |       LIMIT 1),
+           |r$i AS (SELECT CAST($i AS BIGINT) AS iter,
+           |              c$i.di AS removed_day, c$i.x AS removed_x,
+           |              g$i.n AS n_kept,
+           |              CAST(FLOOR(CAST(abs(CAST(g$i.n AS HUGEINT) * c$i.x
+           |                  - g$i.s) AS DOUBLE)
+           |                / sqrt(CAST(g$i.nqss AS DOUBLE) * g$i.n
+           |                  / (g$i.n - 1.0)) * 1000000.0) AS BIGINT)
+           |                AS r_fp
+           |       FROM c$i CROSS JOIN g$i)""".stripMargin
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT CAST(datediff('day', DATE '1970-01-01',
+         |           CAST(ts AS DATE)) AS BIGINT) AS di,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |${stage(1, "daily")},
+         |d2 AS MATERIALIZED (SELECT * FROM daily
+         |  WHERE di NOT IN (SELECT di FROM c1)),
+         |${stage(2, "d2")},
+         |d3 AS MATERIALIZED (SELECT * FROM d2
+         |  WHERE di NOT IN (SELECT di FROM c2)),
+         |${stage(3, "d3")}
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |UNION ALL SELECT * FROM r3 ORDER BY iter""".stripMargin
+    },
 
     "cohort_ltv_curve" ->
       """WITH ords AS (

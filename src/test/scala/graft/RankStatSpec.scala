@@ -309,4 +309,39 @@ class RankStatSpec extends SparkSpec {
       assert(rows.map(_._3).sum === n * 5 * 6)
     }
   }
+
+  test("cliff_delta_weekend: brute pair-count replay; conservation") {
+    val rows = run("cliff_delta_weekend")
+    assert(rows.length === 1)
+    val r = rows.head
+    val ev = Tables.events(spark, sf())
+      .selectExpr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5 AS we",
+        "CAST(round(value * 1000) AS BIGINT) AS v")
+      .collect().map(x => (x.getBoolean(0), x.getLong(1)))
+    val wc = ev.filter(_._1).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val dc = ev.filterNot(_._1).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val nWe = wc.values.sum; val nWd = dc.values.sum
+    val dSorted = dc.toSeq.sortBy(_._1)
+    var (gt, lt, eq) = (BigInt(0), BigInt(0), BigInt(0))
+    wc.foreach { case (v, c) =>
+      val less = dSorted.iterator.takeWhile(_._1 < v).map(_._2).sum
+      val equal = dc.getOrElse(v, 0L)
+      gt += BigInt(c) * less
+      eq += BigInt(c) * equal
+      lt += BigInt(c) * (nWd - less - equal)
+    }
+    assert(r.getLong(0) === nWe && r.getLong(1) === nWd)
+    assert(BigInt(r.getLong(2)) === gt && BigInt(r.getLong(3)) === lt)
+    assert(BigInt(r.getLong(4)) === eq)
+    assert(gt + lt + eq === BigInt(nWe) * nWd, "pair conservation")
+    if (nWe > 0 && nWd > 0) {
+      val num = (gt - lt) * 1000000
+      val den = BigInt(nWe) * nWd
+      val expect = (if (num >= 0) num / den else -((-num) / den)).toLong
+      assert(r.getLong(5) === expect, "signed toward-zero delta")
+      assert(math.abs(r.getLong(5)) <= 1000000L, "|delta| <= 1")
+    } else assert(r.isNullAt(5))
+  }
 }

@@ -194,4 +194,80 @@ class SeriesStatSpec extends SparkSpec {
       } else assert(r.isNullAt(5), "degenerate sequences NULL-armed")
     }
   }
+
+  test("durbin_watson_ols: exact scaled-residual replay; 0 <= DW <= 4") {
+    val rows = run("durbin_watson_ols")
+    val daily = Tables.events(spark, sf())
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("y"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val t0 = daily.head._1
+    val ts = daily.map(_._1 - t0)
+    val ys = daily.map(_._2)
+    val (st, sy) = (ts.sum, ys.sum)
+    val sty = ts.zip(ys).map { case (a, b) => a * b }.sum
+    val stt = ts.map(t => t * t).sum
+    val dd = BigInt(n) * stt - BigInt(st) * st
+    if (n < 3 || dd <= 0) assert(rows.isEmpty)
+    else {
+      val bb = BigInt(n) * sty - BigInt(st) * sy
+      val cc = dd * sy - bb * st
+      val e = ts.zip(ys).map { case (t, y) =>
+        BigInt(n) * dd * y - cc - BigInt(n) * bb * t }
+      val sumE2 = e.map(x => x * x).sum
+      if (sumE2 == 0) assert(rows.isEmpty)
+      else {
+        val sumD2 = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+        val dw = (sumD2 * 1000000 / sumE2).toLong
+        assert(rows.length === 1)
+        assert(rows.head.getLong(0) === n)
+        assert(rows.head.getLong(1) === dw, "exact DW rational")
+        assert(dw >= 0L && dw <= 4000000L, "DW in [0, 4]")
+        // residual identity: scaled residuals sum to zero exactly
+        assert(e.sum === BigInt(0), "OLS residuals orthogonal to 1")
+      }
+    }
+  }
+
+  test("gesd_outlier_daily: independent round replay; removal laws") {
+    val rows = run("gesd_outlier_daily").map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val daily = Tables.events(spark, sf())
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("x"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+    var kept = daily.toVector
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    var it = 1L
+    var go = true
+    while (go && it <= 3) {
+      val n = kept.length.toLong
+      val s = kept.map(t => BigInt(t._2)).sum
+      val q = kept.map(t => BigInt(t._2) * t._2).sum
+      val nqss = BigInt(n) * q - s * s
+      if (n < 4 || nqss <= 0) go = false
+      else {
+        val best = kept.minBy(t => ((BigInt(n) * t._2 - s).abs * -1, t._1))
+        val md = (BigInt(n) * best._2 - s).abs
+        val rFp = math.floor(md.toDouble
+          / math.sqrt(nqss.toDouble * n / (n - 1.0)) * 1000000.0).toLong
+        expect += ((it, best._1, best._2, n, rFp))
+        kept = kept.filterNot(_ == best)
+        it += 1
+      }
+    }
+    assert(rows.toSeq === expect.toSeq, "independent round replay")
+    // laws: removed days distinct; n_kept strictly decreasing by 1
+    assert(rows.map(_._2).distinct.length === rows.length)
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(1)._4 === p(0)._4 - 1)
+    }
+    rows.foreach { case (_, _, _, _, rFp) => assert(rFp >= 0L) }
+  }
 }
