@@ -170,6 +170,11 @@ import org.apache.spark.sql.SparkSession
   *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
   *     two-phase prefix sum, and the consecutive scan a shifted
   *     equi-join — the corpus never crosses a single partition.
+  *   - `embedding_anisotropy` (r12, fifth session) — many
+  *     SinglePartition: the scalar-stitch class — the corpus passes
+  *     are the two map-side folds (per-row squared norms, per-dim
+  *     sums); the exchanged relations are the 1-row moment scalar,
+  *     the d-row dim table's 1-row ‖Σv‖² fold, and the 1-row report.
   *   - `cliff_delta_weekend` (r12, fifth session) — many
   *     SinglePartition: the scalar-stitch class — the corpus passes
   *     are the map-side support aggregate and the two-phase prefix

@@ -135,6 +135,42 @@ object EmbeddingAlgebraOps extends OpGroup {
           expr(truncDivSpark("v2raw * 1000000", "m2")).as("v2s"))
         .orderBy("pos")
     }),
+
+    // Corpus anisotropy via the sum-vector identity (r12, fifth
+    // session; Ethayarajh 2019 observed contextual embedding spaces
+    // are anisotropic — random pairs have large expected similarity,
+    // which silently inflates every cosine-threshold dedup/retrieval
+    // gate in this suite): the mean pairwise RAW dot product over all
+    // n(n−1) ordered pairs equals (‖Σv‖² − Σ‖v‖²)/(n(n−1)) — so the
+    // all-pairs read costs ONE d-bounded pass, no pair join at any
+    // scale. Dots are in exact fx² units (fx = trunc(x·1e6));
+    // ‖Σv‖² and Σ‖v‖² fold in DECIMAL(38,0)/HUGEINT; the numerator
+    // is emitted as a canonical digit STRING (decimal ban) beside
+    // two truncating fixed-point ratios: the mean pairwise dot and
+    // the mean squared norm (both ×1e-6 in raw-unit² terms).
+    "embedding_anisotropy" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).withColumn("fxs", fxArr)
+      val perRow = emb.select(
+        expr("""aggregate(fxs, CAST(0 AS DECIMAL(38,0)),
+               | (acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"""
+          .stripMargin.replace("\n", " ")).as("sq"),
+        col("fxs"))
+      val q = perRow.agg(count(lit(1)).as("n"),
+        sum("sq").as("sum_sq_norm"))
+      val dims = emb.select(posexplode(col("fxs")).as(Seq("pos", "fx")))
+        .groupBy("pos").agg(sum(col("fx").cast("decimal(38,0)")).as("sx"))
+      val s2 = dims.agg(sum(expr("sx * sx")).as("norm_sum_sq"))
+      q.crossJoin(broadcast(s2))
+        .withColumn("num", expr("norm_sum_sq - sum_sq_norm"))
+        .filter(col("n") >= 2)
+        .select(col("n"),
+          col("num").cast("string").as("pair_dot_num"),
+          expr(truncDivSpark("num",
+            "CAST(n AS DECIMAL(38,0)) * (n - 1) * 1000000"))
+            .as("mean_pair_dot_fp"),
+          expr("CAST(sum_sq_norm DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+            .as("mean_sq_norm_fp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -191,5 +227,31 @@ object EmbeddingAlgebraOps extends OpGroup {
          |FROM v2 CROSS JOIN m2
          |JOIN v1s ON v1s.j = v2.i
          |ORDER BY pos""".stripMargin,
+
+    // same sum-vector identity; HUGEINT folds, string numerator out
+    "embedding_anisotropy" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+         |         CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+         |           * 1000000) AS BIGINT) AS fx
+         |  FROM embeddings, UNNEST(range(1, 4097)) t(i)
+         |  WHERE i <= len(embedding)),
+         |q AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+         |             sum(CAST(fx AS HUGEINT) * fx) AS sum_sq_norm
+         |      FROM ex),
+         |dims AS (SELECT pos, CAST(sum(CAST(fx AS HUGEINT)) AS HUGEINT)
+         |                 AS sx
+         |         FROM ex GROUP BY pos),
+         |s2 AS (SELECT sum(sx * sx) AS norm_sum_sq FROM dims),
+         |f AS (SELECT n, sum_sq_norm,
+         |             norm_sum_sq - sum_sq_norm AS num
+         |      FROM q CROSS JOIN s2 WHERE n >= 2)
+         |SELECT n, CAST(num AS VARCHAR) AS pair_dot_num,
+         |       ${truncDivDuck("num",
+                  "CAST(n AS HUGEINT) * (n - 1) * 1000000")}
+         |         AS mean_pair_dot_fp,
+         |       CAST(sum_sq_norm // (CAST(n AS HUGEINT) * 1000000)
+         |         AS BIGINT) AS mean_sq_norm_fp
+         |FROM f""".stripMargin,
   )
 }

@@ -627,6 +627,49 @@ object LangModelOps extends OpGroup {
                    - CAST(sx AS DECIMAL(38,0)) * sx)
                  AS BIGINT)""").as("zipf_slope_neg_fp"))
     }),
+
+    // Token-level conditional entropy rate per source (r12, fifth
+    // session): H(w₂|w₁) = Σ (c₁₂/N)·ln(c₁/c₁₂) over each source's
+    // OWN bigram table — the text-domain sibling of the event-stream
+    // markov_entropy_rate and the sharpest single-number repetition
+    // read: templated/boilerplate sources have near-deterministic
+    // next-token distributions (H→0) while natural prose sits high;
+    // the Gopher-style quality gate reads exactly this (Rae et al.
+    // 2021 use the repetition family; conditional entropy is its
+    // information-theoretic summary). Scale: token-linear bigram
+    // explode map-side; counts keyed (source,w₁,w₂) then (source,w₁)
+    // — both combinable; the context join is bigram-type-bounded;
+    // each term is ONE FLOOR'd IEEE leaf over exact counts (≥0 since
+    // c₁ ≥ c₁₂), integer-summed, ONE division per source.
+    "token_bigram_cond_entropy" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("a"))
+      val bi = toks.filter(size(col("a")) >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> named_struct('w1', element_at(a, i),
+            |                    'w2', element_at(a, i + 1)))"""
+            .stripMargin)).as("b"))
+        .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bi.groupBy("source", "w1", "w2")
+        .agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("source", "w1").agg(sum("c12").as("c1"))
+      c12.join(c1, Seq("source", "w1"))
+        .withColumn("term_fp", expr(
+          """CAST(FLOOR(CAST(c12 AS DOUBLE)
+            | * ln(CAST(c1 AS DOUBLE) / c12) * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("source")
+        .agg(sum("c12").as("n_bigrams"),
+          count(lit(1)).as("n_bigram_types"),
+          sum(when(col("c1") === col("c12"), col("c12")).otherwise(0L))
+            .as("n_deterministic"),
+          sum("term_fp").as("sum_fp"))
+        .select(col("source"), col("n_bigrams"), col("n_bigram_types"),
+          col("n_deterministic"),
+          expr("sum_fp DIV n_bigrams").as("h_cond_fp"))
+        .orderBy("source")
+    }),
   )
 
   /** Shared DuckDB CTE prefix for the BPE pipeline oracles: re-mine the
@@ -1014,5 +1057,34 @@ object LangModelOps extends OpGroup {
         |         // (count(*) * sum(CAST(x AS HUGEINT) * x)
         |              - sum(x) * sum(x)) AS BIGINT) AS zipf_slope_neg_fp
         |FROM pts""".stripMargin,
+
+    // same per-source bigram tables; identical FLOOR'd entropy leaf
+    "token_bigram_cond_entropy" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT source, string_split(text, ' ') AS a FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS MATERIALIZED (
+        |  SELECT source, a[CAST(i AS INT)] AS w1,
+        |         a[CAST(i AS INT) + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(a))) AS t(i)),
+        |c12t AS MATERIALIZED (
+        |  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bi GROUP BY 1, 2, 3),
+        |c1t AS MATERIALIZED (
+        |  SELECT source, w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM c12t GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT c12t.source, c12, c1,
+        |         CAST(FLOOR(CAST(c12 AS DOUBLE)
+        |           * ln(CAST(c1 AS DOUBLE) / c12) * 1000000.0) AS BIGINT)
+        |           AS term_fp
+        |  FROM c12t JOIN c1t USING (source, w1))
+        |SELECT source, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+        |       CAST(count(*) AS BIGINT) AS n_bigram_types,
+        |       CAST(sum(CASE WHEN c1 = c12 THEN c12 ELSE 0 END) AS BIGINT)
+        |         AS n_deterministic,
+        |       CAST(CAST(sum(term_fp) AS BIGINT) // sum(c12) AS BIGINT)
+        |         AS h_cond_fp
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
   )
 }

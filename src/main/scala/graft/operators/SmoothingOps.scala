@@ -145,6 +145,36 @@ object SmoothingOps extends OpGroup {
         .orderBy("source")
     }),
 
+    // Power-law exponent MLE per source (r12, fifth session; Clauset,
+    // Shalizi & Newman 2009 eq. 3.7, the continuous approximation at
+    // xmin = 1): α̂ = 1 + n/Σln(xᵢ/(xmin−½)) = 1 + n/Σln(2xᵢ) over
+    // the word-frequency spectrum — the single-number heavy-tail
+    // summary beside zipf_rank_frequency's top-1000 REGRESSION slope
+    // (the regression estimator is biased; MLE is the estimator the
+    // paper shows consistent) and hill_tail_index's order-statistics
+    // read of a different column. A corpus whose α̂ drifts low grew a
+    // heavier repeated-phrase tail — the pre-train mixture monitor
+    // reads it per source. Scale: the spectrum folds map-side
+    // ((source, word) counts); each type contributes ONE FLOOR'd
+    // ln(2c) IEEE leaf over the exact count, integer-summed; the
+    // α ratio lifts to DECIMAL(38,0)/HUGEINT (n_types·1e12 passes
+    // int64 at ~9e6 types) and truncates once at the boundary.
+    "powerlaw_alpha_mle" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      wc.withColumn("lnl_fp", expr(
+          "CAST(FLOOR(ln(2.0 * c) * 1000000.0) AS BIGINT)"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+          sum("lnl_fp").as("sum_ln_fp"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          expr("""CAST(1000000 + CAST(n_types AS DECIMAL(38,0))
+                 | * 1000000000000 DIV sum_ln_fp AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("alpha_fp"))
+        .orderBy("source")
+    }),
+
     // Kneser-Ney continuation counts: for each word w, the number of
     // DISTINCT left contexts it follows (N1+(·w)) and the continuation
     // probability p_cont(w) = N1+(·w) / |distinct bigram types| — the
@@ -328,6 +358,23 @@ object SmoothingOps extends OpGroup {
         |              / (1.0 - CAST(f1 AS DOUBLE) / n_types)
         |              * 1000000.0) AS BIGINT) END AS honore_fp
         |FROM agg ORDER BY source""".stripMargin,
+
+    // same spectrum; identical FLOOR'd ln(2c) leaf, HUGEINT ratio
+    "powerlaw_alpha_mle" ->
+      """WITH words AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM words GROUP BY source, w),
+        |leaves AS (
+        |  SELECT source, c,
+        |         CAST(FLOOR(ln(2.0 * c) * 1000000.0) AS BIGINT) AS lnl_fp
+        |  FROM wc)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(1000000 + CAST(count(*) AS HUGEINT) * 1000000000000
+        |         // CAST(sum(lnl_fp) AS HUGEINT) AS BIGINT) AS alpha_fp
+        |FROM leaves GROUP BY source ORDER BY source""".stripMargin,
 
     "kneser_ney_continuation" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents

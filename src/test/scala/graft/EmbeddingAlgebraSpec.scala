@@ -85,4 +85,36 @@ class EmbeddingAlgebraSpec extends SparkSpec {
     val dot = v1.zip(v2).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
     assert(dot >= 0, s"iterates anti-aligned: dot=$dot")
   }
+
+  test("embedding_anisotropy: sum-vector identity equals the brute all-pairs fold") {
+    val rows = operators.EmbeddingAlgebraOps.queries(
+      "embedding_anisotropy")(spark, sf()).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val vs = Tables.embeddings(spark, sf())
+      .selectExpr(
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT)) AS fxs")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vs.length
+    // brute all-pairs ordered dot sum (the thing the identity avoids)
+    var brute = BigInt(0)
+    for (i <- vs.indices; j <- vs.indices if i != j) {
+      var dot = BigInt(0)
+      val d = math.min(vs(i).length, vs(j).length)
+      var k = 0
+      while (k < d) { dot += BigInt(vs(i)(k)) * vs(j)(k); k += 1 }
+      brute += dot
+    }
+    assert(r.getLong(0) === n.toLong)
+    assert(BigInt(r.getString(1)) === brute, "identity == brute all-pairs")
+    val den = BigInt(n) * (n - 1) * 1000000
+    val expectMean =
+      (if (brute >= 0) brute / den else -((-brute) / den)).toLong
+    assert(r.getLong(2) === expectMean, "truncating mean-dot ratio")
+    val sq = vs.map(v => v.map(x => BigInt(x) * x).sum).sum
+    assert(r.getLong(3) === (sq / (BigInt(n) * 1000000)).toLong)
+    // Cauchy-Schwarz: |mean pair dot| <= max pair |dot| <= max sq norm
+    assert(BigInt(r.getLong(2)).abs <= BigInt(r.getLong(3)) * n,
+      "mean dot bounded by norms")
+  }
 }

@@ -573,4 +573,31 @@ class LangModelSpec extends SparkSpec {
         "MATTR is a ratio in (0, 1]")
     }
   }
+
+  test("token_bigram_cond_entropy: bit-exact per-source replay; H bounds") {
+    val rows = runL("token_bigram_cond_entropy").map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf())
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val bigrams = ds.flatMap(d => d._2.sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))))
+      val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+      val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val n = bigrams.length.toLong
+      val sumFp = c12.map { case ((w1, _), c) =>
+        math.floor(c.toDouble * math.log(c1(w1).toDouble / c) * 1e6).toLong
+      }.sum
+      val det = c12.collect { case ((w1, _), c) if c1(w1) == c => c }.sum
+      (src, n, c12.size.toLong, det, sumFp / n)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === expect, "bit-exact replay")
+    rows.foreach { case (_, n, types, det, h) =>
+      assert(h >= 0L, "conditional entropy is non-negative")
+      assert(types <= n && det <= n)
+      // H <= ln(max branching) <= ln(n)
+      assert(h <= math.ceil(math.log(n.toDouble) * 1e6).toLong)
+    }
+  }
 }

@@ -155,4 +155,29 @@ class SmoothingSpec extends SparkSpec {
       assert(s >= 0L && s <= 1000000L && f1 <= v && v <= n)
     }
   }
+
+  test("powerlaw_alpha_mle: FLOOR'd-leaf replay; alpha > 1") {
+    val rows = run("powerlaw_alpha_mle").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf())
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(identity)
+        .map(_._2.length.toLong)
+      val sumFp = counts.map(c =>
+        math.floor(math.log(2.0 * c) * 1e6).toLong).sum
+      val alpha = 1000000L +
+        (BigInt(counts.size) * BigInt(1000000000000L) / sumFp).toLong
+      (src, counts.size.toLong, counts.sum, alpha)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === expect, "exact leaf-sum replay")
+    rows.foreach { case (_, v, n, a) =>
+      assert(a > 1000000L, "alpha > 1 by construction")
+      assert(v <= n)
+      // all-hapax floor: alpha <= 1 + 1/ln2 (every extra count only
+      // raises the denominator)
+      assert(a <= 1000000L + (BigInt(1000000000000L) / 693147L).toLong + 1)
+    }
+  }
 }
