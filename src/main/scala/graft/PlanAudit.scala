@@ -170,6 +170,11 @@ import org.apache.spark.sql.SparkSession
   *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
   *     two-phase prefix sum, and the consecutive scan a shifted
   *     equi-join — the corpus never crosses a single partition.
+  *   - `hurst_rs_daily` (r12, fifth session) — many SinglePartition:
+  *     the collected-series class — every relation past the map-side
+  *     daily aggregate is calendar-bounded (≤4·|days| sized rows, ≤
+  *     |sizes| report rows, 1-row slope scalar); the exchanges move
+  *     those tiny relations, never the corpus.
   *   - `embedding_anisotropy` (r12, fifth session) — many
   *     SinglePartition: the scalar-stitch class — the corpus passes
   *     are the two map-side folds (per-row squared norms, per-dim

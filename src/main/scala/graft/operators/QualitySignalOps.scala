@@ -90,7 +90,56 @@ object QualitySignalOps extends OpGroup {
             .as("sumsq_fp"))
         .orderBy("j")
     }),
+
+    // Flesch–Kincaid grade level per source (r12, fifth session;
+    // Kincaid et al. 1975): 0.39·(words/sentences) +
+    // 11.8·(syllables/word) − 15.59 — the readability gate real
+    // pre-train curation stacks run beside the repetition signals
+    // (C4/Gopher-class pipelines filter on exactly this family of
+    // surface statistics). Counting conventions (documented, crude by
+    // design): sentences = terminal-punctuation matches floored at 1;
+    // syllables = vowel-group runs [aeiouy]+ of the lowercased text
+    // floored at one per word. Scale: three regexp counts per doc —
+    // pure map-side, token-linear; the per-doc grade is ONE shared-
+    // text FLOOR'd IEEE leaf over the three exact counts; the source
+    // rollup is a combinable integer aggregate with ONE signed
+    // toward-zero mean division.
+    "flesch_kincaid_by_source" -> ((s, d) => {
+      Tables.documents(s, d).select(col("source"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("w"),
+          expr("""CAST(greatest(1, size(regexp_extract_all(text,
+                 | '[.!?]', 0))) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("sents"),
+          expr("""greatest(CAST(size(split(text, ' ')) AS BIGINT),
+                 | CAST(size(regexp_extract_all(lower(text),
+                 | '[aeiouy]+', 0)) AS BIGINT))"""
+            .stripMargin.replace("\n", " ")).as("syl"))
+        .withColumn("fk_fp", expr(fkLeafSql))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+          sum("sents").as("n_sents"), sum("syl").as("n_syllables"),
+          sum("fk_fp").as("sum_fk"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_sents"), col("n_syllables"),
+          expr("""CASE WHEN sum_fk >= 0 THEN sum_fk DIV n_docs
+                 | ELSE -((-sum_fk) DIV n_docs) END"""
+            .stripMargin.replace("\n", " ")).as("fk_mean_fp"))
+        .orderBy("source")
+    }),
   )
+
+  /** The per-doc Flesch–Kincaid grade as ONE FLOOR'd IEEE leaf over
+    * the exact (w, sents, syl) counts — identical text both engines.
+    * The counts are CAST AS DOUBLE before the constants touch them:
+    * a bare `0.39 * w` parses as a DECIMAL literal times an integer
+    * on BOTH engines, and their decimal precision/scale rules differ
+    * (measured: one fp unit off at sf0.01) — doubles are the shared
+    * IEEE arithmetic, decimals are not.
+    */
+  private val fkLeafSql =
+    """CAST(FLOOR((0.39 * CAST(w AS DOUBLE) / sents
+      | + 11.8 * CAST(syl AS DOUBLE) / w - 15.59)
+      | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     "top_bigram_mass" ->
@@ -131,5 +180,31 @@ object QualitySignalOps extends OpGroup {
          |       CAST(sum(CAST(pj AS HUGEINT)) AS VARCHAR) AS sum_fp,
          |       CAST(sum(CAST(pj AS HUGEINT) * pj) AS VARCHAR) AS sumsq_fp
          |FROM proj GROUP BY j ORDER BY j""".stripMargin,
+
+    // same counting conventions; identical FK leaf text
+    "flesch_kincaid_by_source" ->
+      s"""WITH c AS (
+         |  SELECT source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |         CAST(greatest(1, len(regexp_extract_all(text,
+         |           '[.!?]'))) AS BIGINT) AS sents,
+         |         greatest(CAST(len(string_split(text, ' ')) AS BIGINT),
+         |           CAST(len(regexp_extract_all(lower(text),
+         |             '[aeiouy]+')) AS BIGINT)) AS syl
+         |  FROM documents),
+         |leaf AS (SELECT source, w, sents, syl, $fkLeafSql AS fk_fp
+         |         FROM c),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(w) AS BIGINT) AS n_words,
+         |         CAST(sum(sents) AS BIGINT) AS n_sents,
+         |         CAST(sum(syl) AS BIGINT) AS n_syllables,
+         |         CAST(sum(fk_fp) AS BIGINT) AS sum_fk
+         |  FROM leaf GROUP BY source)
+         |SELECT source, n_docs, n_words, n_sents, n_syllables,
+         |       CAST(CASE WHEN sum_fk >= 0 THEN sum_fk // n_docs
+         |            ELSE -((-sum_fk) // n_docs) END AS BIGINT)
+         |         AS fk_mean_fp
+         |FROM agg ORDER BY source""".stripMargin,
   )
 }

@@ -299,6 +299,129 @@ object SeriesStatOps extends OpGroup {
           expr(runsZSql).as("z_val"))
     }),
 
+    // Sample entropy of the daily series (r12, fifth session; Richman
+    // & Moorman 2000), m=2, r=0.2σ: the regularity read — do 2-day
+    // volume patterns that match keep matching on the 3rd day?
+    // SampEn = ln(B/A) where B counts template pairs matching at
+    // length 2 and A at length 3 (A ⊆ B ⇒ SampEn ≥ 0); low = the
+    // series repeats itself (forecastable regimes), high = pattern-
+    // free. EXACT matching: the tolerance test |xᵢ−xⱼ| ≤ 0.2σ squares
+    // to the INTEGER predicate 25·(xᵢ−xⱼ)²·n(n−1) ≤ nQ−S² (population
+    // σ cleared of both the division and the sqrt), so pair counts
+    // are exact on both engines; only the final ln(B/A) is an IEEE
+    // leaf. Scale: calendar-bounded — the |days|² template scan runs
+    // as nested HOFs on the ONE collected-array row (pettitt class);
+    // envelope: exact to ~1e6 events/day in int64. Template starts
+    // [0, n−3] (the shared m/m+1 start set), n ≥ 4.
+    "sample_entropy_daily" -> ((s, d) => {
+      def p(i: String, j: String) =
+        s"""25 * (xs[$i] - xs[$j]) * (xs[$i] - xs[$j])
+           | * n_days * (n_days - 1) <= nqss""".stripMargin
+          .replace("\n", " ")
+      dailyArray(s, d).filter(size(col("a")) >= 4)
+        .withColumn("xs", expr("transform(a, e -> e.x)"))
+        .withColumn("nqss", expr(
+          """n_days * aggregate(xs, CAST(0 AS BIGINT),
+            | (acc, v) -> acc + v * v) - s_tot * s_tot"""
+            .stripMargin.replace("\n", " ")))
+        .filter(col("nqss") > 0)
+        .withColumn("b_cnt", expr(
+          s"""aggregate(sequence(0, CAST(n_days AS INT) - 4),
+             | CAST(0 AS BIGINT), (acc, i) ->
+             | acc + aggregate(sequence(i + 1, CAST(n_days AS INT) - 3),
+             |   CAST(0 AS BIGINT), (a2, j) ->
+             |   a2 + CASE WHEN ${p("i", "j")} AND ${p("i + 1", "j + 1")}
+             |     THEN 1 ELSE 0 END))""".stripMargin.replace("\n", " ")))
+        .withColumn("a_cnt", expr(
+          s"""aggregate(sequence(0, CAST(n_days AS INT) - 4),
+             | CAST(0 AS BIGINT), (acc, i) ->
+             | acc + aggregate(sequence(i + 1, CAST(n_days AS INT) - 3),
+             |   CAST(0 AS BIGINT), (a2, j) ->
+             |   a2 + CASE WHEN ${p("i", "j")} AND ${p("i + 1", "j + 1")}
+             |     AND ${p("i + 2", "j + 2")}
+             |     THEN 1 ELSE 0 END))""".stripMargin.replace("\n", " ")))
+        .select(col("n_days"), col("b_cnt"), col("a_cnt"),
+          expr("""CASE WHEN a_cnt > 0 AND b_cnt > 0
+                 | THEN CAST(FLOOR(ln(CAST(b_cnt AS DOUBLE) / a_cnt)
+                 |   * 1000000.0) AS BIGINT)
+                 | ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("sampen_fp"))
+    }),
+
+    // Hurst exponent by rescaled-range analysis (r12, fifth session;
+    // Hurst 1951; Mandelbrot & Wallis 1969): long-range dependence of
+    // the daily volume — H≈0.5 memoryless, H>0.5 persistent trends
+    // (the property that breaks √n error scaling for any sampler over
+    // the stream), H<0.5 mean-reverting. R/S per block = range of the
+    // s-scaled cumulative deviations over √(s·Q_b−S_b²) — the s-
+    // scaling clears the rational block mean, so the range and the
+    // variance argument are EXACT integers and each block contributes
+    // ONE FLOOR'd IEEE leaf; H is the log-log OLS slope over block
+    // sizes {8,16,32,64} with the closed-form integer-moment slope
+    // (zipf precedent). Scale: calendar-bounded — the sized/blocked
+    // relation is ≤4·|days| rows; windows partition by (size, block);
+    // everything downstream is ≤|sizes| rows. Full blocks only;
+    // zero-variance blocks skipped and counted.
+    "hurst_rs_daily" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+      val rn = graft.functions.GlobalRank
+        .rowNumber(daily, "rn", Nil, Seq("di"))
+      val nDf = daily.agg(count(lit(1)).as("n"))
+      val sized = rn.crossJoin(broadcast(nDf))
+        .select(col("rn"), col("x"), col("n"),
+          explode(expr("array(8L, 16L, 32L, 64L)")).as("s"))
+        .filter(col("rn") <= expr("(n DIV s) * s"))
+        .withColumn("blk", expr("(rn - 1) DIV s"))
+      val bt = sized.groupBy("s", "blk")
+        .agg(sum("x").as("sb"), sum(expr("x * x")).as("qb"))
+      val w = Window.partitionBy("s", "blk").orderBy("rn")
+      val blocks = sized.join(bt, Seq("s", "blk"))
+        .withColumn("z", sum(expr("s * x - sb")).over(w))
+        .groupBy("s", "blk", "sb", "qb")
+        .agg(max("z").as("zmax"), min("z").as("zmin"))
+        .withColumn("nqss_b", expr("s * qb - sb * sb"))
+      val perSize = blocks.groupBy("s").agg(
+          sum(when(col("nqss_b") > 0, 1L).otherwise(0L)).as("n_blocks"),
+          sum(when(col("nqss_b") <= 0, 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(col("nqss_b") > 0, expr(
+            """CAST(FLOOR(CAST(zmax - zmin AS DOUBLE)
+              | / sqrt(CAST(nqss_b AS DOUBLE)) * 1000000.0) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).otherwise(0L)).as("sum_rs"))
+        .filter(col("n_blocks") >= 1)
+        .withColumn("mean_rs_fp", expr("sum_rs DIV n_blocks"))
+      val pts = perSize.filter(col("mean_rs_fp") > 0)
+        .select(
+          expr("CAST(FLOOR(ln(CAST(s AS DOUBLE)) * 1000000.0) AS BIGINT)")
+            .as("px"),
+          expr("""CAST(FLOOR(ln(CAST(mean_rs_fp AS DOUBLE) / 1000000.0)
+                 | * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("py"))
+      val hurst = pts.agg(count(lit(1)).as("p"), sum("px").as("sx"),
+          sum("py").as("sy"), sum(expr("px * py")).as("sxy"),
+          sum(expr("px * px")).as("sxx"))
+        .withColumn("num", expr(
+          """CAST(p AS DECIMAL(38,0)) * sxy
+            | - CAST(sx AS DECIMAL(38,0)) * sy"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("den", expr(
+          """CAST(p AS DECIMAL(38,0)) * sxx
+            | - CAST(sx AS DECIMAL(38,0)) * sx"""
+            .stripMargin.replace("\n", " ")))
+        .select(expr(
+          """CASE WHEN p >= 2 AND den > 0 THEN
+            |   CASE WHEN num >= 0
+            |     THEN CAST(num * 1000000 DIV den AS BIGINT)
+            |     ELSE -CAST((-num) * 1000000 DIV den AS BIGINT) END
+            | ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("hurst_fp"))
+      perSize.select("s", "n_blocks", "n_skipped", "mean_rs_fp")
+        .crossJoin(broadcast(hurst))
+        .orderBy("s")
+    }),
+
     // Durbin–Watson statistic (r12, fifth session; Durbin & Watson
     // 1950): first-order autocorrelation of the residuals around the
     // daily-volume OLS TREND line — runs_test_daily sees sign
@@ -593,6 +716,116 @@ object SeriesStatOps extends OpGroup {
          |       $runsZSql AS z_val
          |FROM nn CROSS JOIN med CROSS JOIN st
          |WHERE n_days >= 2""".stripMargin,
+
+    // same integer match predicate over lead-shifted template rows
+    "sample_entropy_daily" -> {
+      def p(u: String, v: String) =
+        s"25 * ($u - $v) * ($u - $v) * n * (n - 1) <= nqss"
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |           AS di,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |idx AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY di) AS rk, x FROM daily),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(x) AS BIGINT) AS s,
+         |              CAST(sum(x * x) AS BIGINT) AS q FROM idx),
+         |g AS (SELECT n, n * q - s * s AS nqss FROM st),
+         |w3 AS MATERIALIZED (
+         |  SELECT rk, x, lead(x, 1) OVER (ORDER BY rk) AS x1,
+         |         lead(x, 2) OVER (ORDER BY rk) AS x2
+         |  FROM idx),
+         |f AS (
+         |  SELECT CAST(sum(CASE WHEN ${p("a.x", "b.x")}
+         |           AND ${p("a.x1", "b.x1")} THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS b_cnt,
+         |         CAST(sum(CASE WHEN ${p("a.x", "b.x")}
+         |           AND ${p("a.x1", "b.x1")} AND ${p("a.x2", "b.x2")}
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt
+         |  FROM w3 a, w3 b, g
+         |  WHERE a.rk < b.rk AND b.rk <= n - 2)
+         |SELECT n AS n_days, b_cnt, a_cnt,
+         |       CASE WHEN a_cnt > 0 AND b_cnt > 0
+         |         THEN CAST(FLOOR(ln(CAST(b_cnt AS DOUBLE) / a_cnt)
+         |           * 1000000.0) AS BIGINT)
+         |         ELSE NULL END AS sampen_fp
+         |FROM f CROSS JOIN g
+         |WHERE n >= 4 AND nqss > 0""".stripMargin
+    },
+
+    // same s-scaled block deviations / FLOOR'd R-S leaves / closed-
+    // form log-log slope
+    "hurst_rs_daily" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |           AS di,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |rnk AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY di) AS rn, x FROM daily),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rnk),
+        |sized AS MATERIALIZED (
+        |  SELECT r.rn, r.x, s.s, (r.rn - 1) // s.s AS blk
+        |  FROM rnk r CROSS JOIN nn
+        |  CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS s) s
+        |  WHERE r.rn <= (n // s.s) * s.s),
+        |bt AS (SELECT s, blk, CAST(sum(x) AS BIGINT) AS sb,
+        |              CAST(sum(x * x) AS BIGINT) AS qb
+        |       FROM sized GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT z.s, z.blk, bt.sb, bt.qb,
+        |         CAST(sum(z.s * z.x - bt.sb) OVER (
+        |           PARTITION BY z.s, z.blk ORDER BY z.rn) AS BIGINT) AS z
+        |  FROM sized z JOIN bt ON bt.s = z.s AND bt.blk = z.blk),
+        |blocks AS (
+        |  SELECT s, blk, sb, qb, max(z) AS zmax, min(z) AS zmin,
+        |         s * qb - sb * sb AS nqss_b
+        |  FROM cum GROUP BY s, blk, sb, qb),
+        |persize AS (
+        |  SELECT s,
+        |         CAST(count(*) FILTER (WHERE nqss_b > 0) AS BIGINT)
+        |           AS n_blocks,
+        |         CAST(count(*) FILTER (WHERE nqss_b <= 0) AS BIGINT)
+        |           AS n_skipped,
+        |         CAST(coalesce(sum(CASE WHEN nqss_b > 0
+        |           THEN CAST(FLOOR(CAST(zmax - zmin AS DOUBLE)
+        |             / sqrt(CAST(nqss_b AS DOUBLE)) * 1000000.0)
+        |             AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS sum_rs
+        |  FROM blocks GROUP BY s),
+        |ps AS (SELECT s, n_blocks, n_skipped,
+        |              CAST(sum_rs // n_blocks AS BIGINT) AS mean_rs_fp
+        |       FROM persize WHERE n_blocks >= 1),
+        |pts AS (
+        |  SELECT CAST(FLOOR(ln(CAST(s AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |           AS px,
+        |         CAST(FLOOR(ln(CAST(mean_rs_fp AS DOUBLE) / 1000000.0)
+        |           * 1000000.0) AS BIGINT) AS py
+        |  FROM ps WHERE mean_rs_fp > 0),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS p,
+        |              CAST(sum(px) AS BIGINT) AS sx,
+        |              CAST(sum(py) AS BIGINT) AS sy,
+        |              CAST(sum(px * py) AS BIGINT) AS sxy,
+        |              CAST(sum(px * px) AS BIGINT) AS sxx
+        |       FROM pts),
+        |h AS (
+        |  SELECT CASE WHEN p >= 2 AND
+        |           CAST(p AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+        |         THEN CASE WHEN
+        |             CAST(p AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               >= 0
+        |           THEN CAST((CAST(p AS HUGEINT) * sxy
+        |               - CAST(sx AS HUGEINT) * sy) * 1000000
+        |             // (CAST(p AS HUGEINT) * sxx
+        |               - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+        |           ELSE -CAST((-(CAST(p AS HUGEINT) * sxy
+        |               - CAST(sx AS HUGEINT) * sy)) * 1000000
+        |             // (CAST(p AS HUGEINT) * sxx
+        |               - CAST(sx AS HUGEINT) * sx) AS BIGINT) END
+        |         ELSE NULL END AS hurst_fp
+        |  FROM mo)
+        |SELECT ps.s, ps.n_blocks, ps.n_skipped, ps.mean_rs_fp, h.hurst_fp
+        |FROM ps CROSS JOIN h ORDER BY ps.s""".stripMargin,
 
     // same n·D-scaled integer residuals; lag window is the adjacency
     "durbin_watson_ols" ->

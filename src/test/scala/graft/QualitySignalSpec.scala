@@ -119,4 +119,36 @@ class QualitySignalSpec extends SparkSpec {
       assert(BigDecimal(s) >= 0 && m >= 0)
     }
   }
+
+  test("flesch_kincaid_by_source: per-doc leaf replay; count laws") {
+    val rows = operators.QualitySignalOps.queries(
+      "flesch_kincaid_by_source")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = Tables.documents(spark, sf())
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val leaves = ds.map { case (_, text) =>
+        val w = text.split(" ", -1).length.toLong
+        val sents = math.max(1L, "[.!?]".r.findAllIn(text).length.toLong)
+        val syl = math.max(w,
+          "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong)
+        val fk = math.floor(
+          (0.39 * w / sents + 11.8 * syl / w - 15.59) * 1e6).toLong
+        (w, sents, syl, fk)
+      }
+      val sumFk = leaves.map(_._4).sum
+      val mean = if (sumFk >= 0) sumFk / ds.length
+        else -((-sumFk) / ds.length)
+      (src, ds.length.toLong, leaves.map(_._1).sum, leaves.map(_._2).sum,
+        leaves.map(_._3).sum, mean)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === expect, "bit-exact per-source replay")
+    rows.foreach { case (_, nDocs, w, sents, syl, _) =>
+      assert(syl >= w, "syllables floored at one per word")
+      assert(sents >= nDocs, "sentences floored at one per doc")
+      assert(w >= nDocs, "split never yields zero tokens")
+    }
+  }
 }

@@ -270,4 +270,98 @@ class SeriesStatSpec extends SparkSpec {
     }
     rows.foreach { case (_, _, _, _, rFp) => assert(rFp >= 0L) }
   }
+
+  private def dailyCounts(): Array[(Long, Long)] =
+    Tables.events(spark, sf())
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("x"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+
+  test("sample_entropy_daily: brute template-pair replay; A subset B") {
+    val rows = run("sample_entropy_daily")
+    val xs = dailyCounts().map(_._2)
+    val n = xs.length.toLong
+    val s = xs.sum
+    val q = xs.map(x => x * x).sum
+    val nqss = n * q - s * s
+    if (n < 4 || nqss <= 0) assert(rows.isEmpty)
+    else {
+      def m(i: Int, j: Int): Boolean =
+        25L * (xs(i) - xs(j)) * (xs(i) - xs(j)) * n * (n - 1) <= nqss
+      var (b, a) = (0L, 0L)
+      for (i <- 0 to xs.length - 4; j <- (i + 1) to xs.length - 3) {
+        if (m(i, j) && m(i + 1, j + 1)) {
+          b += 1
+          if (m(i + 2, j + 2)) a += 1
+        }
+      }
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getLong(0) === n && r.getLong(1) === b && r.getLong(2) === a,
+        "exact template-pair counts")
+      assert(a <= b, "length-3 matches are a subset of length-2 matches")
+      if (a > 0 && b > 0) {
+        val exp = math.floor(math.log(b.toDouble / a) * 1e6).toLong
+        assert(r.getLong(3) === exp && r.getLong(3) >= 0L, "SampEn >= 0")
+      } else assert(r.isNullAt(3))
+    }
+  }
+
+  test("hurst_rs_daily: independent block R/S replay; slope replay") {
+    val rows = run("hurst_rs_daily").map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val xs = dailyCounts().map(_._2)
+    val n = xs.length
+    val expect = Seq(8, 16, 32, 64).flatMap { s =>
+      val full = (n / s) * s
+      if (full == 0) None
+      else {
+        val stats = (0 until n / s).map { b =>
+          val blk = xs.slice(b * s, (b + 1) * s)
+          val sb = blk.sum; val qb = blk.map(x => x * x).sum
+          val nqss = s * qb - sb * sb
+          var z = 0L; var zmax = Long.MinValue; var zmin = Long.MaxValue
+          blk.foreach { x =>
+            z += s * x - sb; zmax = math.max(zmax, z); zmin = math.min(zmin, z)
+          }
+          (nqss, zmax, zmin)
+        }
+        val used = stats.filter(_._1 > 0)
+        if (used.isEmpty) None
+        else {
+          val sumRs = used.map { case (nq, zx, zn) =>
+            math.floor((zx - zn).toDouble / math.sqrt(nq.toDouble) * 1e6)
+              .toLong
+          }.sum
+          Some((s.toLong, used.length.toLong,
+            (stats.length - used.length).toLong, sumRs / used.length))
+        }
+      }
+    }
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)) === expect,
+      "per-size block R/S replay")
+    val pts = expect.filter(_._4 > 0).map { case (s, _, _, mrs) =>
+      (math.floor(math.log(s.toDouble) * 1e6).toLong,
+        math.floor(math.log(mrs.toDouble / 1000000.0) * 1e6).toLong)
+    }
+    val hExp =
+      if (pts.length < 2) None
+      else {
+        val p = pts.length.toLong
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxy = pts.map(t => BigInt(t._1) * t._2).sum
+        val sxx = pts.map(t => BigInt(t._1) * t._1).sum
+        val den = p * sxx - BigInt(sx) * sx
+        if (den <= 0) None
+        else {
+          val num = p * sxy - BigInt(sx) * sy
+          Some((if (num >= 0) num * 1000000 / den
+                else -((-num) * 1000000 / den)).toLong)
+        }
+      }
+    rows.foreach { r => assert(r._5 === hExp, "closed-form slope replay") }
+  }
 }
