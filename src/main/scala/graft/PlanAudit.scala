@@ -170,6 +170,12 @@ import org.apache.spark.sql.SparkSession
   *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
   *     two-phase prefix sum, and the consecutive scan a shifted
   *     equi-join — the corpus never crosses a single partition.
+  *   - `energy_distance_value` / `page_trend_test` (r12, fifth
+  *     session) — many SinglePartition: the scalar-stitch class — the
+  *     corpus passes are the map-side support/cells aggregates and
+  *     (for energy) the two-phase prefix sums; the exchanged
+  *     relations are 1-row totals, the 1-row pairwise-sum fold, and
+  *     the calendar-bounded rank table.
   *   - `hurst_rs_daily` (r12, fifth session) — many SinglePartition:
   *     the collected-series class — every relation past the map-side
   *     daily aggregate is calendar-bounded (≤4·|days| sized rows, ≤

@@ -374,6 +374,62 @@ object InfoStatOps extends OpGroup {
         .agg(max("n_docs").as("n_docs"), count(lit(1)).as("n_cells"),
           sum("term_fp").as("mi_fp"))
     }),
+
+    // Energy distance between the click and purchase value
+    // distributions (r12, fifth session; Székely & Rizzo 2004):
+    // D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| — the metric-aware two-sample
+    // read completing the panel: KS takes the sup of the CDF gap,
+    // Wasserstein its L1, energy its (weighted) L2; unlike the t/U
+    // tests it is consistent against ANY distributional alternative.
+    // ALL THREE pairwise-|difference| sums are EXACT without pairs:
+    // over the sorted value support, Σ_x|x−v| = v·F(v) − S(v) +
+    // (S_tot−S(v)) − v·(n−F(v)) from the (count, value·count) prefix
+    // sums — so Sxy/Sxx/Syy fold off FOUR chained two-phase prefix
+    // sums (jonckheere precedent) with DECIMAL(38,0)/HUGEINT lifts;
+    // the V-statistic combination (nonneg by Székely's theorem) does
+    // ONE floored division. Support-bounded everywhere; envelope:
+    // sums ≤ n·m·range ≈ 2e16 at sf0.1, int64 output boundary
+    // documented to ~1e9 events/side.
+    "energy_distance_value" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      val sup0 = ev.groupBy("v").agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("cx"),
+        sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("cy"))
+      val gr = graft.functions.GlobalRank
+      val sup = gr.prefixSum(
+        gr.prefixSum(
+          gr.prefixSum(
+            gr.prefixSum(sup0, "cum_x", col("cx"), Nil, Seq("v")),
+            "cum_sx", expr("cx * v"), Nil, Seq("v")),
+          "cum_y", col("cy"), Nil, Seq("v")),
+        "cum_sy", expr("cy * v"), Nil, Seq("v"))
+      val tot = sup0.agg(sum("cx").as("n1"), sum("cy").as("n2"),
+        sum(expr("cx * v")).as("tsx"), sum(expr("cy * v")).as("tsy"))
+      val f = sup.crossJoin(broadcast(tot))
+        .withColumn("abs_x", expr(
+          "v * cum_x - cum_sx + (tsx - cum_sx) - v * (n1 - cum_x)"))
+        .withColumn("abs_y", expr(
+          "v * cum_y - cum_sy + (tsy - cum_sy) - v * (n2 - cum_y)"))
+        .agg(
+          sum(expr("CAST(cy AS DECIMAL(38,0)) * abs_x")).as("sxy"),
+          sum(expr("CAST(cx AS DECIMAL(38,0)) * abs_x")).as("sxx"),
+          sum(expr("CAST(cy AS DECIMAL(38,0)) * abs_y")).as("syy"))
+      f.crossJoin(broadcast(tot))
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .select(col("n1"), col("n2"),
+          col("sxy").cast("long").as("sxy"),
+          col("sxx").cast("long").as("sxx"),
+          col("syy").cast("long").as("syy"),
+          expr("""CAST((2 * sxy * n1 * n2
+                 |  - sxx * (CAST(n2 AS DECIMAL(38,0)) * n2)
+                 |  - syy * (CAST(n1 AS DECIMAL(38,0)) * n1)) * 1000000
+                 | DIV (CAST(n1 AS DECIMAL(38,0)) * n1 * n2 * n2)
+                 | AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("e_dist_fp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -564,5 +620,47 @@ object InfoStatOps extends OpGroup {
          |       CAST(sum($miTermSql) AS BIGINT) AS mi_fp
          |FROM c JOIN rl USING (lang) JOIN rs USING (source)
          |CROSS JOIN n""".stripMargin,
+
+    // same prefix-sum |difference| folds; HUGEINT lifts, one division
+    "energy_distance_value" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_type AS g, CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |sup AS MATERIALIZED (
+        |  SELECT v,
+        |         CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cx,
+        |         CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cy
+        |  FROM ev GROUP BY 1),
+        |cum AS (
+        |  SELECT v, cx, cy,
+        |         CAST(sum(cx) OVER w AS BIGINT) AS cum_x,
+        |         CAST(sum(cx * v) OVER w AS BIGINT) AS cum_sx,
+        |         CAST(sum(cy) OVER w AS BIGINT) AS cum_y,
+        |         CAST(sum(cy * v) OVER w AS BIGINT) AS cum_sy
+        |  FROM sup WINDOW w AS (ORDER BY v)),
+        |tot AS (SELECT CAST(sum(cx) AS BIGINT) AS n1,
+        |               CAST(sum(cy) AS BIGINT) AS n2,
+        |               CAST(sum(cx * v) AS BIGINT) AS tsx,
+        |               CAST(sum(cy * v) AS BIGINT) AS tsy
+        |        FROM sup),
+        |f AS (
+        |  SELECT
+        |    sum(CAST(cy AS HUGEINT) * (v * cum_x - cum_sx
+        |      + (tsx - cum_sx) - v * (n1 - cum_x))) AS sxy,
+        |    sum(CAST(cx AS HUGEINT) * (v * cum_x - cum_sx
+        |      + (tsx - cum_sx) - v * (n1 - cum_x))) AS sxx,
+        |    sum(CAST(cy AS HUGEINT) * (v * cum_y - cum_sy
+        |      + (tsy - cum_sy) - v * (n2 - cum_y))) AS syy
+        |  FROM cum CROSS JOIN tot)
+        |SELECT n1, n2, CAST(sxy AS BIGINT) AS sxy,
+        |       CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+        |       CAST((2 * sxy * n1 * n2
+        |          - sxx * (CAST(n2 AS HUGEINT) * n2)
+        |          - syy * (CAST(n1 AS HUGEINT) * n1)) * 1000000
+        |         // (CAST(n1 AS HUGEINT) * n1 * n2 * n2) AS BIGINT)
+        |         AS e_dist_fp
+        |FROM f CROSS JOIN tot WHERE n1 > 0 AND n2 > 0""".stripMargin,
   )
 }

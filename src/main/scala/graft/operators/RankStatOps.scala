@@ -57,6 +57,54 @@ object RankStatOps extends OpGroup {
        |ELSE -((-($n)) * 1000000 DIV ($d)) END""".stripMargin
       .replace("\n", " ")
 
+  /** Month×priority revenue cells over COMPLETE blocks (all 5
+    * priorities present), with within-block doubled tie-averaged
+    * ranks from the block-keyed 25-pair self-join, plus the 1-row
+    * dropped-block count — shared by friedman_test_priority and
+    * page_trend_test.
+    */
+  private def monthPriorityRanked(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val cells = Tables.orders(s, d).groupBy(
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("blk"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("sc"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+    val blocks = cells.groupBy("blk").agg(count(lit(1)).as("k_present"))
+    val nDrop = blocks.agg(
+      sum(when(col("k_present") < 5, 1L).otherwise(0L)).as("n_dropped"))
+    val kept = cells.join(
+      blocks.filter(col("k_present") === 5).select("blk"), "blk")
+    val other = kept.select(col("blk"), col("v").as("ov"))
+    val ranked = kept.join(other, "blk")
+      .groupBy("blk", "sc", "v")
+      .agg((sum(when(col("ov") < col("v"), 2L)
+        .when(col("ov") === col("v"), 1L).otherwise(0L)) + 1).as("r2"))
+    (ranked, nDrop)
+  }
+
+  /** The shared Friedman/Page block-rank CTE prefix (DuckDB). */
+  private val monthRankedCte =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS blk,
+      |         CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |           AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |blocks AS (SELECT blk, count(*) AS k_present
+      |           FROM cells GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) FILTER (WHERE k_present < 5)
+      |         AS BIGINT) AS n_dropped FROM blocks),
+      |kept AS MATERIALIZED (
+      |  SELECT c.* FROM cells c
+      |  JOIN blocks b ON b.blk = c.blk AND b.k_present = 5),
+      |ranked AS (
+      |  SELECT k.blk, k.sc,
+      |         CAST(sum(CASE WHEN o.v < k.v THEN 2
+      |                       WHEN o.v = k.v THEN 1 ELSE 0 END) + 1
+      |           AS BIGINT) AS r2
+      |  FROM kept k JOIN kept o ON o.blk = k.blk
+      |  GROUP BY k.blk, k.sc, k.v)""".stripMargin
+
   private def signedFpDivDuck(n: String, d: String): String =
     s"""CASE WHEN ($n) >= 0 THEN CAST(($n) AS HUGEINT) * 1000000 // ($d)
        |ELSE -((-CAST(($n) AS HUGEINT)) * 1000000 // ($d)) END"""
@@ -508,20 +556,7 @@ object RankStatOps extends OpGroup {
     // measure-zero; the exact rank sums are emitted for downstream
     // recomputation).
     "friedman_test_priority" -> ((s, d) => {
-      val cells = Tables.orders(s, d).groupBy(
-          expr("year(o_orderdate) * 12 + month(o_orderdate)").as("blk"),
-          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("sc"))
-        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
-      val blocks = cells.groupBy("blk").agg(count(lit(1)).as("k_present"))
-      val nDrop = blocks.agg(
-        sum(when(col("k_present") < 5, 1L).otherwise(0L)).as("n_dropped"))
-      val kept = cells.join(
-        blocks.filter(col("k_present") === 5).select("blk"), "blk")
-      val other = kept.select(col("blk"), col("v").as("ov"))
-      val ranked = kept.join(other, "blk")
-        .groupBy("blk", "sc", "v")
-        .agg((sum(when(col("ov") < col("v"), 2L)
-          .when(col("ov") === col("v"), 1L).otherwise(0L)) + 1).as("r2"))
+      val (ranked, nDrop) = monthPriorityRanked(s, d)
       val rs = ranked.groupBy("sc")
         .agg(count(lit(1)).as("n_blocks"), sum("r2").as("r2_sum"))
       val q = rs.agg(max("n_blocks").as("n_b"),
@@ -534,6 +569,30 @@ object RankStatOps extends OpGroup {
       rs.crossJoin(broadcast(q))
         .select("sc", "n_blocks", "r2_sum", "n_dropped", "q_fp")
         .orderBy("sc")
+    }),
+
+    // Page's trend test (r12, fifth session; Page 1963): the ORDERED
+    // alternative to Friedman over the same month-blocked priority
+    // ranks — L = Σ_j j·R_j has power specifically against a
+    // monotone rank trend along the priority ladder 1→5, which
+    // Friedman's omnibus Q dilutes across all alternatives (the
+    // jonckheere:kruskal relationship, repeated in the blocked
+    // design). Doubled ranks keep L2 = Σ sc·R2 exact int64; with
+    // k=5, μ_L = 45n and σ_L = 5√n (k²(k−1)(k+1)²/144 = 25), so z is
+    // ONE shared-text IEEE leaf over (L2, n). Scale: identical to
+    // friedman — the shared calendar×5-bounded rank pipeline.
+    "page_trend_test" -> ((s, d) => {
+      val (ranked, nDrop) = monthPriorityRanked(s, d)
+      ranked.groupBy("sc")
+        .agg(count(lit(1)).as("nb"), sum(expr("sc * r2")).as("l2_part"))
+        .agg(max("nb").as("n_blocks"), sum("l2_part").as("l2_sum"))
+        .crossJoin(broadcast(nDrop))
+        .filter(col("n_blocks") >= 1)
+        .select(col("n_blocks"), col("n_dropped"), col("l2_sum"),
+          expr("""round((CAST(l2_sum AS DOUBLE) / 2.0
+                 | - 45.0 * n_blocks)
+                 | / (5.0 * sqrt(CAST(n_blocks AS DOUBLE))), 6)"""
+            .stripMargin.replace("\n", " ")).as("z_val"))
     }),
 
     // Cliff's δ effect size (r12, fifth session; Cliff 1993): the
@@ -898,26 +957,7 @@ object RankStatOps extends OpGroup {
     // same cells / 25-pair block join / doubled tie-averaged ranks;
     // the Q numerator is non-negative (Cauchy-Schwarz), so // floors
     "friedman_test_priority" ->
-      """WITH cells AS MATERIALIZED (
-        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS blk,
-        |         CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
-        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |           AS BIGINT) AS v
-        |  FROM orders GROUP BY 1, 2),
-        |blocks AS (SELECT blk, count(*) AS k_present
-        |           FROM cells GROUP BY 1),
-        |nd AS (SELECT CAST(count(*) FILTER (WHERE k_present < 5)
-        |         AS BIGINT) AS n_dropped FROM blocks),
-        |kept AS MATERIALIZED (
-        |  SELECT c.* FROM cells c
-        |  JOIN blocks b ON b.blk = c.blk AND b.k_present = 5),
-        |ranked AS (
-        |  SELECT k.blk, k.sc,
-        |         CAST(sum(CASE WHEN o.v < k.v THEN 2
-        |                       WHEN o.v = k.v THEN 1 ELSE 0 END) + 1
-        |           AS BIGINT) AS r2
-        |  FROM kept k JOIN kept o ON o.blk = k.blk
-        |  GROUP BY k.blk, k.sc, k.v),
+      s"""$monthRankedCte,
         |rs AS (SELECT sc, CAST(count(*) AS BIGINT) AS n_blocks,
         |              CAST(sum(r2) AS BIGINT) AS r2_sum
         |       FROM ranked GROUP BY 1),
@@ -929,6 +969,19 @@ object RankStatOps extends OpGroup {
         |      FROM rs CROSS JOIN nd GROUP BY n_dropped)
         |SELECT rs.sc, rs.n_blocks, rs.r2_sum, q.n_dropped, q.q_fp
         |FROM rs CROSS JOIN q ORDER BY rs.sc""".stripMargin,
+
+    // same rank pipeline; identical z leaf over (L2, n)
+    "page_trend_test" ->
+      s"""$monthRankedCte,
+        |rs AS (SELECT sc, CAST(count(*) AS BIGINT) AS nb,
+        |              CAST(sum(sc * r2) AS BIGINT) AS l2_part
+        |       FROM ranked GROUP BY 1),
+        |m AS (SELECT CAST(max(nb) AS BIGINT) AS n_blocks,
+        |             CAST(sum(l2_part) AS BIGINT) AS l2_sum FROM rs)
+        |SELECT n_blocks, n_dropped, l2_sum,
+        |       round((CAST(l2_sum AS DOUBLE) / 2.0 - 45.0 * n_blocks)
+        |         / (5.0 * sqrt(CAST(n_blocks AS DOUBLE))), 6) AS z_val
+        |FROM m CROSS JOIN nd WHERE n_blocks >= 1""".stripMargin,
 
     // same support-fold pair counting; signed toward-zero division
     "cliff_delta_weekend" ->

@@ -175,6 +175,48 @@ object SmoothingOps extends OpGroup {
         .orderBy("source")
     }),
 
+    // Rényi entropy spectrum per source (r12, fifth session; Rényi
+    // 1961): the four classic orders over each source's unigram
+    // distribution — H₀ = ln V (Hartley/richness), H₁ = Shannon,
+    // H₂ = −ln Σp² (collision entropy — the near-dup collision rate
+    // read), H∞ = −ln p_max (min-entropy — the worst-case
+    // predictability a boilerplate gate cares about). The spectrum is
+    // non-increasing in the order (Jensen), so the four numbers
+    // bracket how much of a source's diversity lives in its head vs
+    // tail — one templated mega-phrase collapses H∞ long before it
+    // dents H₀. Scale: everything from the map-side (source, word)
+    // counts; H₁ sums per-type FLOOR'd c·ln(N/c) leaves; Σp² folds as
+    // exact Σc² in DECIMAL(38,0)/HUGEINT; H₀/H₂/H∞ are single leaves
+    // over the |sources|-bounded totals.
+    "renyi_entropy_spectrum" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val agg0 = wc.groupBy("source").agg(
+        sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        max("c").as("c_max"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      val h1 = wc.join(broadcast(agg0.select("source", "n_tokens")), "source")
+        .withColumn("t_fp", expr(
+          """CAST(FLOOR(CAST(c AS DOUBLE)
+            | * ln(CAST(n_tokens AS DOUBLE) / c) * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("source").agg(sum("t_fp").as("h1_num"))
+      agg0.join(h1, "source")
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("c_max"),
+          expr("CAST(FLOOR(ln(CAST(n_types AS DOUBLE)) * 1000000.0) AS BIGINT)")
+            .as("h0_fp"),
+          expr("h1_num DIV n_tokens").as("h1_fp"),
+          expr("""CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE) * n_tokens
+                 | / CAST(s2 AS DOUBLE)) * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("h2_fp"),
+          expr("""CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE) / c_max)
+                 | * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("hinf_fp"))
+        .orderBy("source")
+    }),
+
     // Kneser-Ney continuation counts: for each word w, the number of
     // DISTINCT left contexts it follows (N1+(·w)) and the continuation
     // probability p_cont(w) = N1+(·w) / |distinct bigram types| — the
@@ -358,6 +400,36 @@ object SmoothingOps extends OpGroup {
         |              / (1.0 - CAST(f1 AS DOUBLE) / n_types)
         |              * 1000000.0) AS BIGINT) END AS honore_fp
         |FROM agg ORDER BY source""".stripMargin,
+
+    // same spectrum; identical leaves over exact (c, N, V, Σc²)
+    "renyi_entropy_spectrum" ->
+      """WITH words AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS MATERIALIZED (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM words GROUP BY source, w),
+        |agg0 AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(max(c) AS BIGINT) AS c_max,
+        |         sum(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM wc GROUP BY source),
+        |h1 AS (
+        |  SELECT wc.source,
+        |         CAST(sum(CAST(FLOOR(CAST(c AS DOUBLE)
+        |           * ln(CAST(n_tokens AS DOUBLE) / c) * 1000000.0)
+        |           AS BIGINT)) AS BIGINT) AS h1_num
+        |  FROM wc JOIN agg0 USING (source) GROUP BY wc.source)
+        |SELECT source, n_tokens, n_types, c_max,
+        |       CAST(FLOOR(ln(CAST(n_types AS DOUBLE)) * 1000000.0)
+        |         AS BIGINT) AS h0_fp,
+        |       CAST(h1_num // n_tokens AS BIGINT) AS h1_fp,
+        |       CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE) * n_tokens
+        |         / CAST(s2 AS DOUBLE)) * 1000000.0) AS BIGINT) AS h2_fp,
+        |       CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE) / c_max)
+        |         * 1000000.0) AS BIGINT) AS hinf_fp
+        |FROM agg0 JOIN h1 USING (source) ORDER BY source""".stripMargin,
 
     // same spectrum; identical FLOOR'd ln(2c) leaf, HUGEINT ratio
     "powerlaw_alpha_mle" ->

@@ -172,4 +172,42 @@ class InfoStatSpec extends SparkSpec {
     acc += math.floor((nb - shcb) / nb * math.log(2.0) * 1e9).toLong
     assert(t.getLong(5) === acc / 2, "leaf-exact JS replay")
   }
+
+  test("energy_distance_value: brute pairwise-|diff| replay; D2 >= 0") {
+    val rows = run("energy_distance_value")
+    val ev = Tables.events(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "purchase"))
+      .selectExpr("event_type", "CAST(round(value * 1000) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val xs = ev.filter(_._1 == "click").map(_._2)
+    val ys = ev.filter(_._1 == "purchase").map(_._2)
+    if (xs.isEmpty || ys.isEmpty) assert(rows.isEmpty)
+    else {
+      // brute sums via sorted-merge per value (support-sized, honest)
+      def absSum(as: Array[Long], bs: Array[Long]): BigInt = {
+        val sorted = as.sorted
+        val prefix = sorted.scanLeft(BigInt(0))(_ + _)
+        val tot = prefix.last
+        bs.map { v =>
+          val k = sorted.count(_ <= v)
+          BigInt(v) * k - prefix(k) + (tot - prefix(k)) -
+            BigInt(v) * (sorted.length - k)
+        }.sum
+      }
+      val sxy = absSum(xs, ys)
+      val sxx = absSum(xs, xs)
+      val syy = absSum(ys, ys)
+      assert(rows.length === 1)
+      val r = rows.head
+      val (n1, n2) = (xs.length.toLong, ys.length.toLong)
+      assert(r.getLong(0) === n1 && r.getLong(1) === n2)
+      assert(BigInt(r.getLong(2)) === sxy && BigInt(r.getLong(3)) === sxx
+        && BigInt(r.getLong(4)) === syy, "exact pairwise-|diff| sums")
+      val num = 2 * sxy * n1 * n2 - sxx * n2 * n2 - syy * n1 * n1
+      assert(num >= 0, "energy distance is non-negative (Szekely)")
+      val den = BigInt(n1) * n1 * n2 * n2
+      assert(r.getLong(5) === (num * 1000000 / den).toLong, "D2 ratio")
+    }
+  }
 }

@@ -344,4 +344,38 @@ class RankStatSpec extends SparkSpec {
       assert(math.abs(r.getLong(5)) <= 1000000L, "|delta| <= 1")
     } else assert(r.isNullAt(5))
   }
+
+  test("page_trend_test: brute L replay against the friedman ranks") {
+    val rows = run("page_trend_test")
+    val cells = Tables.orders(spark, sf())
+      .selectExpr("year(o_orderdate) * 12 + month(o_orderdate) AS blk",
+        "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case ((blk, sc), ts) =>
+        (blk, sc, ts.map(_._2).sum) }.toSeq
+    val complete = cells.groupBy(_._1).filter(_._2.size == 5)
+    if (complete.isEmpty) assert(rows.isEmpty)
+    else {
+      val n = complete.size.toLong
+      var l2 = 0L
+      complete.values.foreach { cs =>
+        val vs = cs.map(_._3)
+        cs.foreach { case (_, sc, v) =>
+          l2 += sc * (2L * vs.count(_ < v) + vs.count(_ == v) + 1L)
+        }
+      }
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getLong(0) === n && r.getLong(2) === l2, "exact L2")
+      val z = BigDecimal((l2.toDouble / 2.0 - 45.0 * n)
+        / (5.0 * math.sqrt(n.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - z) < 1e-6, "z leaf replay")
+      // untied-rank bound: L is between the reverse and forward
+      // monotone extremes n*Σj*(2(k-j)+...) — coarse sanity: μ ± kσ·√n
+      assert(l2 >= 2 * 35 * n && l2 <= 2 * 55 * n,
+        "L within the permutation extremes")
+    }
+  }
 }

@@ -180,4 +180,33 @@ class SmoothingSpec extends SparkSpec {
       assert(a <= 1000000L + (BigInt(1000000000000L) / 693147L).toLong + 1)
     }
   }
+
+  test("renyi_entropy_spectrum: leaf replay; spectrum non-increasing") {
+    val rows = run("renyi_entropy_spectrum").map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7)))
+    val docs = Tables.documents(spark, sf())
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(identity)
+        .map(_._2.length.toLong)
+      val n = counts.sum; val v = counts.size.toLong
+      val cmax = counts.max
+      val s2 = counts.map(c => BigInt(c) * c).sum
+      val h1 = counts.map(c => math.floor(
+        c.toDouble * math.log(n.toDouble / c) * 1e6).toLong).sum / n
+      (src, n, v, cmax,
+        math.floor(math.log(v.toDouble) * 1e6).toLong, h1,
+        math.floor(math.log(n.toDouble * n / s2.toDouble) * 1e6).toLong,
+        math.floor(math.log(n.toDouble / cmax) * 1e6).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === expect, "bit-exact spectrum replay")
+    rows.foreach { case (_, n, v, cmax, h0, h1, h2, hinf) =>
+      // Rényi order monotonicity (within 1 fp unit of floor slack)
+      assert(h0 >= h1 - 1 && h1 >= h2 - 1 && h2 >= hinf - 1,
+        "H0 >= H1 >= H2 >= Hinf")
+      assert(hinf >= 0 && cmax <= n && v <= n)
+    }
+  }
 }
