@@ -170,6 +170,11 @@ import org.apache.spark.sql.SparkSession
   *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
   *     two-phase prefix sum, and the consecutive scan a shifted
   *     equi-join — the corpus never crosses a single partition.
+  *   - `mcc_langid` (r12, fifth session) — many SinglePartition: the
+  *     scalar-stitch class — the corpus pass is lang_id_ngram's
+  *     map-side scoring; the exchanged relations are the
+  *     |langs|²-bounded cell grid, the |langs| margins, and two
+  *     1-row moment scalars stitched by broadcast.
   *   - `energy_distance_value` / `page_trend_test` (r12, fifth
   *     session) — many SinglePartition: the scalar-stitch class — the
   *     corpus passes are the map-side support/cells aggregates and

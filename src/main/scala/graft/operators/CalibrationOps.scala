@@ -241,7 +241,49 @@ object CalibrationOps extends OpGroup {
         .select("bin", "n", "mean_conf_fp", "acc_fp", "gap_fp", "ece_fp")
         .orderBy("bin")
     }),
+
+    // Multi-class Matthews correlation coefficient (r12, fifth
+    // session; Gorodkin 2004 R_K generalization) over the SAME
+    // lang_id_ngram confusion cells — the single chance-corrected
+    // accuracy number the per-cell matrix and Cohen's κ sit beside
+    // (MCC stays honest under class imbalance where raw accuracy and
+    // even κ mislead; the standard model-acceptance scalar).
+    // MCC = (c·s − Σₖpₖtₖ)/√((s²−Σpₖ²)(s²−Σtₖ²)) over exact integer
+    // class counts — everything from the |langs|²-bounded cell grid;
+    // the only IEEE op is the terminal guarded sqrt ratio (round 6).
+    "mcc_langid" -> ((s, d) => {
+      val pred = TrainingDataOps.queries("lang_id_ngram")(s, d)
+        .select("lang_stored", "lang_pred")
+      val cells = pred.groupBy("lang_stored", "lang_pred")
+        .agg(count(lit(1)).as("o"))
+      val tk = cells.groupBy("lang_stored").agg(sum("o").as("t"))
+      val pk = cells.groupBy("lang_pred").agg(sum("o").as("p"))
+      val cross = tk.select(col("lang_stored").as("lg"), col("t"))
+        .join(pk.select(col("lang_pred").as("lg"), col("p")), Seq("lg"),
+          "full_outer")
+        .agg(sum(expr("coalesce(t, 0L) * coalesce(p, 0L)")).as("sum_pt"),
+          sum(expr("coalesce(t, 0L) * coalesce(t, 0L)")).as("sum_t2"),
+          sum(expr("coalesce(p, 0L) * coalesce(p, 0L)")).as("sum_p2"))
+      val base = cells.agg(sum("o").as("s_tot"),
+        sum(when(col("lang_stored") === col("lang_pred"), col("o"))
+          .otherwise(0L)).as("c_correct"))
+      base.crossJoin(broadcast(cross))
+        .select(col("s_tot"), col("c_correct"), col("sum_pt"),
+          col("sum_t2"), col("sum_p2"),
+          expr(mccSql).as("mcc"))
+    }),
   )
+
+  /** Gorodkin R_K as ONE guarded IEEE expression over the exact
+    * integer aggregates — identical text both engines.
+    */
+  private val mccSql =
+    """CASE WHEN s_tot * s_tot - sum_t2 <= 0
+      |  OR s_tot * s_tot - sum_p2 <= 0 THEN CAST(NULL AS DOUBLE)
+      |ELSE round((CAST(c_correct AS DOUBLE) * s_tot - CAST(sum_pt AS DOUBLE))
+      |  / (sqrt(CAST(s_tot AS DOUBLE) * s_tot - CAST(sum_p2 AS DOUBLE))
+      |     * sqrt(CAST(s_tot AS DOUBLE) * s_tot - CAST(sum_t2 AS DOUBLE))),
+      |  6) END""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     "eb_shrinkage_rates" ->
@@ -393,5 +435,31 @@ object CalibrationOps extends OpGroup {
          |SELECT bin, n, mean_conf_fp, acc_fp, CAST(gap_fp AS BIGINT) AS gap_fp,
          |       ece_fp
          |FROM g CROSS JOIN e ORDER BY bin""".stripMargin,
+
+    // same cells / margins; identical guarded R_K leaf
+    "mcc_langid" ->
+      s"""WITH pred AS (${TrainingDataOps.oracleSql("lang_id_ngram")}),
+         |cells AS (
+         |  SELECT lang_stored, lang_pred, CAST(count(*) AS BIGINT) AS o
+         |  FROM pred GROUP BY 1, 2),
+         |tk AS (SELECT lang_stored AS lg, CAST(sum(o) AS BIGINT) AS t
+         |       FROM cells GROUP BY 1),
+         |pk AS (SELECT lang_pred AS lg, CAST(sum(o) AS BIGINT) AS p
+         |       FROM cells GROUP BY 1),
+         |cr AS (
+         |  SELECT CAST(sum(coalesce(t, 0) * coalesce(p, 0)) AS BIGINT)
+         |           AS sum_pt,
+         |         CAST(sum(coalesce(t, 0) * coalesce(t, 0)) AS BIGINT)
+         |           AS sum_t2,
+         |         CAST(sum(coalesce(p, 0) * coalesce(p, 0)) AS BIGINT)
+         |           AS sum_p2
+         |  FROM tk FULL OUTER JOIN pk USING (lg)),
+         |base AS (
+         |  SELECT CAST(sum(o) AS BIGINT) AS s_tot,
+         |         CAST(sum(CASE WHEN lang_stored = lang_pred THEN o
+         |                  ELSE 0 END) AS BIGINT) AS c_correct
+         |  FROM cells)
+         |SELECT s_tot, c_correct, sum_pt, sum_t2, sum_p2, $mccSql AS mcc
+         |FROM base CROSS JOIN cr""".stripMargin,
   )
 }

@@ -211,6 +211,42 @@ object CommerceOps extends OpGroup {
           col("lambda_fp"), col("w_fp"), col("littles_ratio_fp"))
         .orderBy("month_start")
     }),
+
+    // Historical VaR / expected shortfall of the daily revenue change
+    // (r12, fifth session; the RiskMetrics-convention tail read): over
+    // the day-over-day deltas of observed daily revenue, the 95%
+    // value-at-risk is the RANK-DEFINED k-th worst delta (k = ⌈0.05·m⌉
+    // — no engine quantile interpolation) and the expected shortfall
+    // is the exact mean of those k worst — the number a revenue-ops
+    // review reads as "a bad day costs at least X; the average bad
+    // day costs Y". Scale: daily revenue is ONE map-side aggregate of
+    // orders (calendar-bounded); deltas are a rank-shifted equi-join
+    // over observed-day adjacency (mase pattern); the tail pick is a
+    // two-phase GlobalRank numbering over the ≤|days| delta relation;
+    // ES is a signed toward-zero mean over exact cents.
+    "var_es_daily_revenue" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(expr("datediff(o_orderdate, DATE '1992-01-01')").as("di"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev"))
+      val rn = graft.functions.GlobalRank
+        .rowNumber(daily, "rn", Nil, Seq("di"))
+      val prev = rn.select((col("rn") + 1).as("rn"), col("rev").as("rev_p"))
+      val diffs = rn.join(prev, "rn")
+        .select(col("di"), (col("rev") - col("rev_p")).as("delta"))
+      val m = diffs.agg(count(lit(1)).as("m"))
+        .withColumn("k", expr("greatest(1L, CAST(ceil(0.05 * m) AS BIGINT))"))
+      val ranked = graft.functions.GlobalRank
+        .rowNumber(diffs, "rk", Nil, Seq("delta", "di"))
+      val tail = ranked.crossJoin(broadcast(m))
+        .filter(col("rk") <= col("k"))
+      tail.groupBy("m", "k")
+        .agg(max("delta").as("var_cents"), sum("delta").as("tail_sum"))
+        .select(col("m").as("n_deltas"), col("k"), col("var_cents"),
+          expr("""CASE WHEN tail_sum >= 0 THEN tail_sum * 1000000 DIV k
+                 | ELSE -((-tail_sum) * 1000000 DIV k) END"""
+            .stripMargin.replace("\n", " ")).as("es_cents_fp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -351,5 +387,33 @@ object CommerceOps extends OpGroup {
         |           // sum_duration_days AS BIGINT) ELSE NULL END
         |         AS littles_ratio_fp
         |FROM agg ORDER BY month_start""".stripMargin,
+
+    // same rank-defined tail pick over observed-day deltas
+    "var_es_daily_revenue" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1992-01-01', o_orderdate) AS di,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |rn AS (SELECT row_number() OVER (ORDER BY di) AS rn, di, rev
+        |       FROM daily),
+        |diffs AS MATERIALIZED (
+        |  SELECT a.di, a.rev - b.rev AS delta
+        |  FROM rn a JOIN rn b ON b.rn = a.rn - 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |             greatest(1, CAST(ceil(0.05 * count(*)) AS BIGINT))
+        |               AS k
+        |      FROM diffs),
+        |ranked AS (
+        |  SELECT delta, row_number() OVER (ORDER BY delta, di) AS rk
+        |  FROM diffs),
+        |tail AS (SELECT delta FROM ranked CROSS JOIN m WHERE rk <= k)
+        |SELECT m.m AS n_deltas, m.k,
+        |       CAST(max(delta) AS BIGINT) AS var_cents,
+        |       CAST(CASE WHEN sum(delta) >= 0
+        |            THEN CAST(sum(delta) AS HUGEINT) * 1000000 // m.k
+        |            ELSE -((-CAST(sum(delta) AS HUGEINT)) * 1000000 // m.k)
+        |            END AS BIGINT) AS es_cents_fp
+        |FROM tail CROSS JOIN m GROUP BY m.m, m.k""".stripMargin,
   )
 }

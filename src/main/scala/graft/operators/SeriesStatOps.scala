@@ -299,6 +299,56 @@ object SeriesStatOps extends OpGroup {
           expr(runsZSql).as("z_val"))
     }),
 
+    // Partial autocorrelation function (r12, fifth session; Durbin
+    // 1960; Levinson 1947): PACF at lags 1..7 from the EXACT ACF via
+    // the Durbin–Levinson recursion — the AR-order identification
+    // read (an AR(p) series has PACF ≈ 0 past lag p) the raw ACF
+    // panel above can't give, since AR(1) alone makes every ACF lag
+    // non-zero. Determinism: the recursion runs entirely in 1e-6
+    // fixed point with toward-zero division at every product and
+    // ratio (Scala Long `/` = DuckDB `//`, the measured holt_winters
+    // convention), seeded from the SAME signedFpDiv ACF values the
+    // autocorrelation_profile query emits; the oracle replays the
+    // identical integer recursion as a recursive CTE carrying the
+    // φ-triangle row as a LIST. Lags restricted to the CONTIGUOUS
+    // prefix present in the calendar (a gapped lag would shift the
+    // recursion); degenerate denominator (≤0) stops both engines.
+    // Scale: the ACF pass is the calendar-bounded HOF fold above;
+    // the recursion is ≤7-step bounded model state (stationaryPi
+    // precedent).
+    "pacf_durbin_levinson" -> ((s, d) => {
+      val acf = acfTerms(s, d)
+        .select(col("lag"), expr(signedFpDiv("num", "den")).as("r_fp"))
+        .orderBy("lag").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val maxL = (1 to MaxLag).takeWhile(k => acf.contains(k.toLong)).size
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      if (maxL >= 1) {
+        var phi = Vector(acf(1L))
+        out += ((1L, phi(0)))
+        var k = 1
+        var go = true
+        while (go && k < maxL) {
+          val num = acf((k + 1).toLong) -
+            (1 to k).map(j => phi(j - 1) * acf((k + 1 - j).toLong)
+              / 1000000L).sum
+          val den = 1000000L -
+            (1 to k).map(j => phi(j - 1) * acf(j.toLong) / 1000000L).sum
+          if (den <= 0) go = false
+          else {
+            val pn = if (num >= 0) num * 1000000L / den
+              else -((-num) * 1000000L / den)
+            phi = (1 to k).map(j =>
+              phi(j - 1) - pn * phi(k - j) / 1000000L).toVector :+ pn
+            k += 1
+            out += ((k.toLong, pn))
+          }
+        }
+      }
+      import s.implicits._
+      out.toSeq.toDF("lag", "pacf_fp").orderBy("lag")
+    }),
+
     // Sample entropy of the daily series (r12, fifth session; Richman
     // & Moorman 2000), m=2, r=0.2σ: the regularity read — do 2-day
     // volume patterns that match keep matching on the 3rd day?
@@ -716,6 +766,48 @@ object SeriesStatOps extends OpGroup {
          |       $runsZSql AS z_val
          |FROM nn CROSS JOIN med CROSS JOIN st
          |WHERE n_days >= 2""".stripMargin,
+
+    // the SAME integer Durbin–Levinson recursion as a recursive CTE
+    // carrying the φ row as a LIST; // truncates toward zero on both
+    // engines (measured) so every product/ratio matches Scala `/`
+    "pacf_durbin_levinson" ->
+      s"""WITH RECURSIVE $acfTermsDuck,
+         |acf AS (
+         |  SELECT CAST(lag AS BIGINT) AS lag,
+         |         CAST(${signedFpDivDuck("num", "den")} AS BIGINT) AS r_fp
+         |  FROM terms),
+         |ml AS (SELECT CAST(coalesce(max(a.lag), 0) AS BIGINT) AS max_l
+         |       FROM acf a
+         |       WHERE (SELECT count(*) FROM acf b WHERE b.lag <= a.lag)
+         |             = a.lag),
+         |rl AS (SELECT list(r_fp ORDER BY lag) AS r
+         |       FROM acf CROSS JOIN ml WHERE lag <= max_l),
+         |dl AS (
+         |  SELECT CAST(1 AS BIGINT) AS k, [r[1]] AS phi, r[1] AS pacf, r
+         |  FROM rl CROSS JOIN ml WHERE max_l >= 1
+         |  UNION ALL
+         |  SELECT k + 1,
+         |    list_append([phi[j] - (pn * phi[CAST(k AS INT) + 1 - j])
+         |        // 1000000
+         |      FOR j IN generate_series(1, CAST(k AS INT))], pn),
+         |    pn, r
+         |  FROM (
+         |    SELECT k, phi, r,
+         |           CASE WHEN num >= 0 THEN num * 1000000 // den
+         |                ELSE -((-num) * 1000000 // den) END AS pn
+         |    FROM (
+         |      SELECT k, phi, r,
+         |        r[CAST(k AS INT) + 1]
+         |          - list_sum([(phi[j] * r[CAST(k AS INT) + 1 - j])
+         |              // 1000000
+         |            FOR j IN generate_series(1, CAST(k AS INT))]) AS num,
+         |        1000000
+         |          - list_sum([(phi[j] * r[j]) // 1000000
+         |            FOR j IN generate_series(1, CAST(k AS INT))]) AS den
+         |      FROM dl CROSS JOIN ml WHERE k < max_l) t
+         |    WHERE den > 0) t2)
+         |SELECT k AS lag, CAST(pacf AS BIGINT) AS pacf_fp
+         |FROM dl ORDER BY lag""".stripMargin,
 
     // same integer match predicate over lead-shifted template rows
     "sample_entropy_daily" -> {

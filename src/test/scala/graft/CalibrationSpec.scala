@@ -153,4 +153,34 @@ class CalibrationSpec extends SparkSpec {
           s"${r.getString(0)}: no contraction")
     }
   }
+
+  test("mcc_langid: moments reconcile with the confusion matrix; |MCC| <= 1") {
+    val rows = run("mcc_langid")
+    assert(rows.length === 1)
+    val r = rows.head
+    val cm = run("lang_confusion_matrix").map(m =>
+      (m.getString(0), m.getString(1), m.getLong(2)))
+    val sTot = cm.map(_._3).sum
+    val c = cm.filter(t => t._1 == t._2).map(_._3).sum
+    val tk = cm.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pk = cm.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val langs = (tk.keySet ++ pk.keySet).toSeq
+    val sumPt = langs.map(l =>
+      tk.getOrElse(l, 0L) * pk.getOrElse(l, 0L)).sum
+    val sumT2 = langs.map(l => math.pow(tk.getOrElse(l, 0L).toDouble, 2))
+      .sum.toLong
+    val sumP2 = langs.map(l => math.pow(pk.getOrElse(l, 0L).toDouble, 2))
+      .sum.toLong
+    assert(r.getLong(0) === sTot && r.getLong(1) === c)
+    assert(r.getLong(2) === sumPt && r.getLong(3) === sumT2
+      && r.getLong(4) === sumP2, "margins reconcile")
+    if (sTot * sTot - sumT2 > 0 && sTot * sTot - sumP2 > 0) {
+      val exp = BigDecimal((c.toDouble * sTot - sumPt.toDouble) /
+        (math.sqrt(sTot.toDouble * sTot - sumP2.toDouble) *
+         math.sqrt(sTot.toDouble * sTot - sumT2.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - exp) < 1e-6, "R_K leaf replay")
+      assert(math.abs(r.getDouble(5)) <= 1.0 + 1e-9, "|MCC| <= 1")
+    } else assert(r.isNullAt(5))
+  }
 }

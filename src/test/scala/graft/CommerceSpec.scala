@@ -100,4 +100,34 @@ class CommerceSpec extends SparkSpec {
       assert(ov >= arr, "an arrival contributes >= 1 overlap day")
     }
   }
+
+  test("var_es_daily_revenue: brute tail replay; ES <= VaR") {
+    val rows = run("var_es_daily_revenue")
+    val daily = Tables.orders(spark, sf())
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "datediff(o_orderdate, DATE '1992-01-01')").as("di"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (daily.length < 2) assert(rows.isEmpty)
+    else {
+      val deltas = daily.sliding(2).map(p => (p(1)._1, p(1)._2 - p(0)._2))
+        .toArray
+      val m = deltas.length.toLong
+      val k = math.max(1L, math.ceil(0.05 * m).toLong)
+      val sorted = deltas.sortBy(t => (t._2, t._1)).take(k.toInt)
+      val varC = sorted.map(_._2).max
+      val tailSum = sorted.map(_._2).sum
+      val es = if (tailSum >= 0) tailSum * 1000000L / k
+        else -((-tailSum) * 1000000L / k)
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getLong(0) === m && r.getLong(1) === k)
+      assert(r.getLong(2) === varC, "rank-defined VaR pick")
+      assert(r.getLong(3) === es, "exact tail mean")
+      assert(r.getLong(3) <= r.getLong(2) * 1000000L,
+        "ES is at most the VaR boundary")
+    }
+  }
 }

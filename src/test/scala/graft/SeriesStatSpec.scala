@@ -364,4 +364,37 @@ class SeriesStatSpec extends SparkSpec {
       }
     rows.foreach { r => assert(r._5 === hExp, "closed-form slope replay") }
   }
+
+  test("pacf_durbin_levinson: independent DL replay; lag-1 = ACF(1)") {
+    val rows = run("pacf_durbin_levinson")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val acf = run("autocorrelation_profile")
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    val maxL = (1 to 7).takeWhile(k => acf.contains(k.toLong)).size
+    if (maxL == 0) assert(rows.isEmpty)
+    else {
+      // independent recursion replay (toward-zero Long division)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var phi = Vector(acf(1L))
+      out += ((1L, phi(0)))
+      var k = 1; var go = true
+      while (go && k < maxL) {
+        val num = acf((k + 1).toLong) - (1 to k).map(j =>
+          phi(j - 1) * acf((k + 1 - j).toLong) / 1000000L).sum
+        val den = 1000000L - (1 to k).map(j =>
+          phi(j - 1) * acf(j.toLong) / 1000000L).sum
+        if (den <= 0) go = false
+        else {
+          val pn = if (num >= 0) num * 1000000L / den
+            else -((-num) * 1000000L / den)
+          phi = (1 to k).map(j =>
+            phi(j - 1) - pn * phi(k - j) / 1000000L).toVector :+ pn
+          k += 1; out += ((k.toLong, pn))
+        }
+      }
+      assert(rows.toSeq === out.toSeq, "bit-exact DL replay")
+      assert(rows.head === ((1L, acf(1L))), "PACF(1) = ACF(1) identity")
+      assert(rows.map(_._1) === (1L to rows.length.toLong), "contiguous lags")
+    }
+  }
 }
