@@ -170,6 +170,17 @@ import org.apache.spark.sql.SparkSession
   *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
   *     two-phase prefix sum, and the consecutive scan a shifted
   *     equi-join — the corpus never crosses a single partition.
+  *   - `gamma_somers_priority_qty` (r12, fifth session) —
+  *     CartesianProduct: the INTENTIONAL bounded comma join — the
+  *     crossed relation is the 5×50-bounded (priority, quantity)
+  *     cell grid (≤250 rows per side, ≤62.5k pairs), the
+  *     theil_sen/pettitt bounded-pair class; the corpus itself folds
+  *     map-side into that grid first.
+  *   - `weibull_latency_fit` (r12, fifth session) — many
+  *     SinglePartition: the scalar-stitch class — corpus passes are
+  *     the latency support aggregate and its two-phase prefix sum;
+  *     the exchanges move the value-domain-bounded support, the
+  *     1-row total, and the 1-row OLS moment fold.
   *   - `mcc_langid` (r12, fifth session) — many SinglePartition: the
   *     scalar-stitch class — the corpus pass is lang_id_ngram's
   *     map-side scoring; the exchanged relations are the

@@ -212,6 +212,67 @@ object CommerceOps extends OpGroup {
         .orderBy("month_start")
     }),
 
+    // Weibull fit of the ship-latency distribution by plotting-
+    // position regression (r12, fifth session; Weibull 1951; the
+    // median-rank-paper method every reliability handbook runs before
+    // trusting an exponential assumption): regress
+    // ln(−ln(1−F(t))) on ln t — Weibull data is linear there with
+    // slope = the shape k (k≈1 memoryless, k>1 wear-out/aging, k<1
+    // infant-mortality), which tells the fulfilment team whether
+    // late orders get MORE likely to ship each extra day or less.
+    // F is the mean-rank plotting position cum/(n+1) over the
+    // day-quantized latency support — rank-defined, no engine
+    // quantiles. Scale: latency support is value-domain-bounded
+    // (≤ ~122 distinct days); cum is the two-phase prefix sum; each
+    // support point contributes ONE shared-text FLOOR'd IEEE (x, y)
+    // leaf; the shape/intercept resolve by the closed-form integer-
+    // moment OLS (zipf precedent) with sign-explicit divisions.
+    "weibull_latency_fit" -> ((s, d) => {
+      val lat = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(expr(
+          """datediff(CAST(l_shipdate AS DATE),
+            | CAST(o_orderdate AS DATE))""".stripMargin.replace("\n", " "))
+          .as("t"))
+        .filter(col("t") >= 1)
+      val sup = lat.groupBy("t").agg(count(lit(1)).as("c"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(sup, "cum", col("c"), Nil, Seq("t"))
+      val tot = sup.agg(sum("c").as("n"))
+      val pts = cum.crossJoin(broadcast(tot))
+        .select(col("t"), col("cum"), col("n"),
+          expr("CAST(FLOOR(ln(CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT)")
+            .as("px"),
+          expr("""CAST(FLOOR(ln(-ln(1.0 - CAST(cum AS DOUBLE) / (n + 1)))
+                 | * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("py"))
+      pts.agg(max("n").as("n"), count(lit(1)).as("p"),
+          sum("px").as("sx"), sum("py").as("sy"),
+          sum(expr("px * py")).as("sxy"), sum(expr("px * px")).as("sxx"))
+        .withColumn("num", expr(
+          """CAST(p AS DECIMAL(38,0)) * sxy
+            | - CAST(sx AS DECIMAL(38,0)) * sy"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("den", expr(
+          """CAST(p AS DECIMAL(38,0)) * sxx
+            | - CAST(sx AS DECIMAL(38,0)) * sx"""
+            .stripMargin.replace("\n", " ")))
+        .filter(col("p") >= 2 && expr("den > 0"))
+        .select(col("n"), col("p").as("n_points"),
+          expr("""CASE WHEN num >= 0
+                 | THEN CAST(num * 1000000 DIV den AS BIGINT)
+                 | ELSE -CAST((-num) * 1000000 DIV den AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("shape_fp"),
+          expr("""CASE WHEN CAST(sy AS DECIMAL(38,0)) * den - num * sx >= 0
+                 | THEN CAST((CAST(sy AS DECIMAL(38,0)) * den - num * sx)
+                 |   DIV (CAST(p AS DECIMAL(38,0)) * den) AS BIGINT)
+                 | ELSE -CAST((-(CAST(sy AS DECIMAL(38,0)) * den
+                 |     - num * sx))
+                 |   DIV (CAST(p AS DECIMAL(38,0)) * den) AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("intercept_fp"))
+    }),
+
     // Historical VaR / expected shortfall of the daily revenue change
     // (r12, fifth session; the RiskMetrics-convention tail read): over
     // the day-over-day deltas of observed daily revenue, the 95%
@@ -387,6 +448,55 @@ object CommerceOps extends OpGroup {
         |           // sum_duration_days AS BIGINT) ELSE NULL END
         |         AS littles_ratio_fp
         |FROM agg ORDER BY month_start""".stripMargin,
+
+    // same plotting positions; identical leaves, HUGEINT OLS
+    "weibull_latency_fit" ->
+      """WITH lat AS MATERIALIZED (
+        |  SELECT datediff('day', CAST(o.o_orderdate AS DATE),
+        |           CAST(l.l_shipdate AS DATE)) AS t
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE datediff('day', CAST(o.o_orderdate AS DATE),
+        |          CAST(l.l_shipdate AS DATE)) >= 1),
+        |sup AS MATERIALIZED (
+        |  SELECT CAST(t AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS c
+        |  FROM lat GROUP BY 1),
+        |cum AS (SELECT t, c, CAST(sum(c) OVER (ORDER BY t) AS BIGINT)
+        |               AS cum
+        |        FROM sup),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sup),
+        |pts AS (
+        |  SELECT CAST(FLOOR(ln(CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |           AS px,
+        |         CAST(FLOOR(ln(-ln(1.0 - CAST(cum AS DOUBLE) / (n + 1)))
+        |           * 1000000.0) AS BIGINT) AS py
+        |  FROM cum CROSS JOIN tot),
+        |mo AS (
+        |  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS p,
+        |         CAST(sum(px) AS BIGINT) AS sx,
+        |         CAST(sum(py) AS BIGINT) AS sy,
+        |         CAST(sum(CAST(px AS HUGEINT) * py) AS HUGEINT) AS sxy,
+        |         CAST(sum(CAST(px AS HUGEINT) * px) AS HUGEINT) AS sxx
+        |  FROM pts CROSS JOIN tot),
+        |nd AS (
+        |  SELECT n, p,
+        |         CAST(p AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |           AS num,
+        |         CAST(p AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |           AS den,
+        |         sx, sy
+        |  FROM mo WHERE p >= 2)
+        |SELECT n, p AS n_points,
+        |       CASE WHEN num >= 0
+        |         THEN CAST(num * 1000000 // den AS BIGINT)
+        |         ELSE -CAST((-num) * 1000000 // den AS BIGINT) END
+        |         AS shape_fp,
+        |       CASE WHEN CAST(sy AS HUGEINT) * den - num * sx >= 0
+        |         THEN CAST((CAST(sy AS HUGEINT) * den - num * sx)
+        |           // (CAST(p AS HUGEINT) * den) AS BIGINT)
+        |         ELSE -CAST((-(CAST(sy AS HUGEINT) * den - num * sx))
+        |           // (CAST(p AS HUGEINT) * den) AS BIGINT) END
+        |         AS intercept_fp
+        |FROM nd WHERE den > 0""".stripMargin,
 
     // same rank-defined tail pick over observed-day deltas
     "var_es_daily_revenue" ->

@@ -375,6 +375,41 @@ object InfoStatOps extends OpGroup {
           sum("term_fp").as("mi_fp"))
     }),
 
+    // Quantile–quantile decile table (r12, fifth session): the nine
+    // rank-defined lower deciles of the click and purchase value
+    // distributions side by side with their gaps — the DIAGNOSTIC
+    // companion to the scalar two-sample panel (KS/energy/Wasserstein
+    // say "they differ"; the QQ table says WHERE — head, body, or
+    // tail). Deciles are the psi_value_drift convention (value at
+    // rank ⌊i·n/10⌋ via the per-group two-phase prefix sum — no
+    // engine quantile interpolation anywhere); everything downstream
+    // of the support aggregate is ≤ 9·2 rows.
+    "qq_deciles_value" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      val sup = ev.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(sup, "cum", col("c"), Seq("g"), Seq("v"))
+      val targets = ev.groupBy("g").agg(count(lit(1)).as("n"))
+        .select(col("g"), explode(expr("sequence(1, 9)")).as("i"),
+          col("n"))
+        .withColumn("target", expr("(i * n) DIV 10"))
+        .filter(col("target") >= 1)
+        .select("g", "i", "target")
+      cum.join(broadcast(targets), Seq("g"))
+        .filter(col("cum") >= col("target"))
+        .groupBy("g", "i").agg(min("v").as("qv"))
+        .groupBy("i")
+        .agg(max(when(col("g") === "click", col("qv"))).as("q_click"),
+          max(when(col("g") === "purchase", col("qv"))).as("q_purchase"))
+        .withColumn("gap", col("q_purchase") - col("q_click"))
+        .select(col("i").cast("long").as("decile"), col("q_click"),
+          col("q_purchase"), col("gap"))
+        .orderBy("decile")
+    }),
+
     // Energy distance between the click and purchase value
     // distributions (r12, fifth session; Székely & Rizzo 2004):
     // D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| — the metric-aware two-sample
@@ -620,6 +655,34 @@ object InfoStatOps extends OpGroup {
          |       CAST(sum($miTermSql) AS BIGINT) AS mi_fp
          |FROM c JOIN rl USING (lang) JOIN rs USING (source)
          |CROSS JOIN n""".stripMargin,
+
+    // same per-group rank-defined decile picks
+    "qq_deciles_value" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_type AS g, CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |sup AS MATERIALIZED (
+        |  SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |               CAST(sum(c) OVER (PARTITION BY g ORDER BY v)
+        |                 AS BIGINT) AS cum
+        |        FROM sup),
+        |ns AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM sup GROUP BY 1),
+        |targets AS (
+        |  SELECT g, CAST(i AS BIGINT) AS i, (i * n) // 10 AS target
+        |  FROM ns CROSS JOIN UNNEST(range(1, 10)) t(i)
+        |  WHERE (i * n) // 10 >= 1),
+        |qs AS (
+        |  SELECT c.g, t.i, min(c.v) AS qv
+        |  FROM cum c JOIN targets t ON t.g = c.g AND c.cum >= t.target
+        |  GROUP BY c.g, t.i)
+        |SELECT i AS decile,
+        |       max(CASE WHEN g = 'click' THEN qv END) AS q_click,
+        |       max(CASE WHEN g = 'purchase' THEN qv END) AS q_purchase,
+        |       max(CASE WHEN g = 'purchase' THEN qv END)
+        |         - max(CASE WHEN g = 'click' THEN qv END) AS gap
+        |FROM qs GROUP BY i ORDER BY decile""".stripMargin,
 
     // same prefix-sum |difference| folds; HUGEINT lifts, one division
     "energy_distance_value" ->

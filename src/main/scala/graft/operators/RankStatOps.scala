@@ -595,6 +595,63 @@ object RankStatOps extends OpGroup {
             .stripMargin.replace("\n", " ")).as("z_val"))
     }),
 
+    // Goodman–Kruskal γ and Somers' D (r12, fifth session; Goodman &
+    // Kruskal 1954; Somers 1962): ordinal association between order
+    // priority (1..5) and line quantity (1..50) — γ reads the
+    // concordance among UNTIED pairs, D_qty|prio keeps
+    // quantity-tied-only pairs in the denominator and so is the
+    // asymmetric "how well does priority predict quantity" number
+    // (the 2·AUC−1 generalization). EXACT pair counting off the
+    // 5×50-bounded cell grid: the C(grid,2) double sum runs on the
+    // ≤250-row cell table (bounded comma join — the corpus never
+    // pairs); Σnₐ·n_b products lift to DECIMAL(38,0)/HUGEINT; both
+    // ratios are signed toward-zero fixed-point divisions.
+    "gamma_somers_priority_qty" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("sc"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("q")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("sc", "q").agg(count(lit(1)).as("n"))
+      val other = cells.select(col("sc").as("sc2"), col("q").as("q2"),
+        col("n").as("n2"))
+      val pairs = cells.crossJoin(other)
+        .agg(
+          sum(when(expr("sc < sc2 AND q < q2"),
+            expr("CAST(n AS DECIMAL(38,0)) * n2")).otherwise(lit(0)))
+            .as("c_pairs"),
+          sum(when(expr("sc < sc2 AND q > q2"),
+            expr("CAST(n AS DECIMAL(38,0)) * n2")).otherwise(lit(0)))
+            .as("d_pairs"),
+          sum(when(expr("sc = sc2 AND q < q2"),
+            expr("CAST(n AS DECIMAL(38,0)) * n2")).otherwise(lit(0)))
+            .as("tx"),
+          sum(when(expr("sc < sc2 AND q = q2"),
+            expr("CAST(n AS DECIMAL(38,0)) * n2")).otherwise(lit(0)))
+            .as("ty"))
+      pairs.select(
+        col("c_pairs").cast("long").as("c_pairs"),
+        col("d_pairs").cast("long").as("d_pairs"),
+        col("tx").cast("long").as("tx"),
+        col("ty").cast("long").as("ty"),
+        expr("""CASE WHEN c_pairs + d_pairs = 0 THEN CAST(NULL AS BIGINT)
+               | WHEN c_pairs >= d_pairs
+               |   THEN CAST((c_pairs - d_pairs) * 1000000
+               |     DIV (c_pairs + d_pairs) AS BIGINT)
+               | ELSE -CAST((d_pairs - c_pairs) * 1000000
+               |     DIV (c_pairs + d_pairs) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("gamma_fp"),
+        expr("""CASE WHEN c_pairs + d_pairs + ty = 0
+               |   THEN CAST(NULL AS BIGINT)
+               | WHEN c_pairs >= d_pairs
+               |   THEN CAST((c_pairs - d_pairs) * 1000000
+               |     DIV (c_pairs + d_pairs + ty) AS BIGINT)
+               | ELSE -CAST((d_pairs - c_pairs) * 1000000
+               |     DIV (c_pairs + d_pairs + ty) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("somers_dqp_fp"))
+    }),
+
     // Cliff's δ effect size (r12, fifth session; Cliff 1993): the
     // weekend-vs-weekday dominance of event value — δ = (#(x>y) −
     // #(x<y))/(n₁n₂), the ordinal effect-size companion to
@@ -982,6 +1039,43 @@ object RankStatOps extends OpGroup {
         |       round((CAST(l2_sum AS DOUBLE) / 2.0 - 45.0 * n_blocks)
         |         / (5.0 * sqrt(CAST(n_blocks AS DOUBLE))), 6) AS z_val
         |FROM m CROSS JOIN nd WHERE n_blocks >= 1""".stripMargin,
+
+    // same bounded cell-grid double sum; HUGEINT products
+    "gamma_somers_priority_qty" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS sc,
+        |         CAST(round(l.l_quantity) AS BIGINT) AS q,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT
+        |    sum(CASE WHEN a.sc < b.sc AND a.q < b.q
+        |        THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS c_pairs,
+        |    sum(CASE WHEN a.sc < b.sc AND a.q > b.q
+        |        THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS d_pairs,
+        |    sum(CASE WHEN a.sc = b.sc AND a.q < b.q
+        |        THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS tx,
+        |    sum(CASE WHEN a.sc < b.sc AND a.q = b.q
+        |        THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS ty
+        |  FROM cells a CROSS JOIN cells b)
+        |SELECT CAST(c_pairs AS BIGINT) AS c_pairs,
+        |       CAST(d_pairs AS BIGINT) AS d_pairs,
+        |       CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+        |       CASE WHEN c_pairs + d_pairs = 0 THEN NULL
+        |            WHEN c_pairs >= d_pairs
+        |              THEN CAST((c_pairs - d_pairs) * 1000000
+        |                // (c_pairs + d_pairs) AS BIGINT)
+        |            ELSE -CAST((d_pairs - c_pairs) * 1000000
+        |                // (c_pairs + d_pairs) AS BIGINT) END AS gamma_fp,
+        |       CASE WHEN c_pairs + d_pairs + ty = 0 THEN NULL
+        |            WHEN c_pairs >= d_pairs
+        |              THEN CAST((c_pairs - d_pairs) * 1000000
+        |                // (c_pairs + d_pairs + ty) AS BIGINT)
+        |            ELSE -CAST((d_pairs - c_pairs) * 1000000
+        |                // (c_pairs + d_pairs + ty) AS BIGINT) END
+        |         AS somers_dqp_fp
+        |FROM p""".stripMargin,
 
     // same support-fold pair counting; signed toward-zero division
     "cliff_delta_weekend" ->

@@ -130,4 +130,47 @@ class CommerceSpec extends SparkSpec {
         "ES is at most the VaR boundary")
     }
   }
+
+  test("weibull_latency_fit: plotting-position OLS replay") {
+    val rows = run("weibull_latency_fit")
+    val lat = Tables.lineitem(spark, sf())
+      .join(Tables.orders(spark, sf()).select("o_orderkey", "o_orderdate"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr(
+        "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS t")
+      .collect().map(_.getInt(0).toLong).filter(_ >= 1)
+    val n = lat.length.toLong
+    val sup = lat.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    val pts = sup.map { case (t, cnt) =>
+      cum += cnt
+      (math.floor(math.log(t.toDouble) * 1e6).toLong,
+        math.floor(math.log(-math.log(1.0 - cum.toDouble / (n + 1)))
+          * 1e6).toLong)
+    }
+    val p = pts.length.toLong
+    if (p < 2) assert(rows.isEmpty)
+    else {
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(q => BigInt(q._1) * q._2).sum
+      val sxx = pts.map(q => BigInt(q._1) * q._1).sum
+      val num = p * sxy - BigInt(sx) * sy
+      val den = p * sxx - BigInt(sx) * sx
+      if (den <= 0) assert(rows.isEmpty)
+      else {
+        def sdiv(a: BigInt, b: BigInt): Long =
+          (if (a >= 0) a / b else -((-a) / b)).toLong
+        assert(rows.length === 1)
+        val r = rows.head
+        assert(r.getLong(0) === n && r.getLong(1) === p)
+        assert(r.getLong(2) === sdiv(num * 1000000, den), "shape replay")
+        assert(r.getLong(3) ===
+          sdiv(BigInt(sy) * den - num * sx, BigInt(p) * den),
+          "intercept replay")
+        assert(r.getLong(2) > 0, "latency CDF is increasing => shape > 0")
+      }
+    }
+  }
 }

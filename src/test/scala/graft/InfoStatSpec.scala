@@ -173,6 +173,34 @@ class InfoStatSpec extends SparkSpec {
     assert(t.getLong(5) === acc / 2, "leaf-exact JS replay")
   }
 
+  test("qq_deciles_value: rank-defined decile replay; monotone columns") {
+    val rows = run("qq_deciles_value").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "purchase"))
+      .selectExpr("event_type", "CAST(round(value * 1000) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def deciles(g: String): Map[Long, Long] = {
+      val vs = ev.filter(_._1 == g).map(_._2).sorted
+      (1 to 9).flatMap { i =>
+        val t = (i.toLong * vs.length) / 10
+        if (t >= 1) Some(i.toLong -> vs((t - 1).toInt)) else None
+      }.toMap
+    }
+    val (qc, qp) = (deciles("click"), deciles("purchase"))
+    rows.foreach { case (i, c, p, gap) =>
+      assert(c === qc(i) && p === qp(i), s"decile $i rank-defined pick")
+      assert(gap === p - c)
+    }
+    // each column is non-decreasing in the decile index
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        assert(w(1)._2 >= w(0)._2 && w(1)._3 >= w(0)._3, "monotone CDFs")
+      }
+    }
+  }
+
   test("energy_distance_value: brute pairwise-|diff| replay; D2 >= 0") {
     val rows = run("energy_distance_value")
     val ev = Tables.events(spark, sf())

@@ -345,6 +345,44 @@ class RankStatSpec extends SparkSpec {
     } else assert(r.isNullAt(5))
   }
 
+  test("gamma_somers_priority_qty: grid pair-count replay; |gamma| >= |D|") {
+    val rows = run("gamma_somers_priority_qty")
+    assert(rows.length === 1)
+    val r = rows.head
+    val cells = Tables.orders(spark, sf())
+      .select("o_orderkey", "o_orderpriority")
+      .join(Tables.lineitem(spark, sf()).select("l_orderkey", "l_quantity"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .selectExpr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc",
+        "CAST(round(l_quantity) AS BIGINT) AS q")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(identity).map { case ((sc, q), xs) =>
+        (sc, q, xs.length.toLong) }.toSeq
+    var (c, dd, tx, ty) = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    for (a <- cells; b <- cells) {
+      val p = BigInt(a._3) * b._3
+      if (a._1 < b._1 && a._2 < b._2) c += p
+      else if (a._1 < b._1 && a._2 > b._2) dd += p
+      else if (a._1 == b._1 && a._2 < b._2) tx += p
+      else if (a._1 < b._1 && a._2 == b._2) ty += p
+    }
+    assert(BigInt(r.getLong(0)) === c && BigInt(r.getLong(1)) === dd)
+    assert(BigInt(r.getLong(2)) === tx && BigInt(r.getLong(3)) === ty,
+      "exact grid pair counts")
+    def sdiv(num: BigInt, den: BigInt): Long =
+      (if (num >= 0) num * 1000000 / den else -((-num) * 1000000 / den))
+        .toLong
+    if (c + dd > 0) {
+      assert(r.getLong(4) === sdiv(c - dd, c + dd), "gamma replay")
+      if (c + dd + ty > 0) {
+        assert(r.getLong(5) === sdiv(c - dd, c + dd + ty), "Somers replay")
+        assert(math.abs(r.getLong(5)) <= math.abs(r.getLong(4)) + 1,
+          "|D| <= |gamma| (larger denominator)")
+      }
+    } else assert(r.isNullAt(4))
+  }
+
   test("page_trend_test: brute L replay against the friedman ranks") {
     val rows = run("page_trend_test")
     val cells = Tables.orders(spark, sf())
