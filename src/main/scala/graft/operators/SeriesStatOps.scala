@@ -299,6 +299,79 @@ object SeriesStatOps extends OpGroup {
           expr(runsZSql).as("z_val"))
     }),
 
+    // LZ78 complexity of the daily volume sign sequence (r12, fifth
+    // session; Ziv & Lempel 1978): parse the above/below-median
+    // binary string into its incremental phrase dictionary — the
+    // compression-based structure read that catches REGIME repetition
+    // (few long phrases ⇒ compressible ⇒ structured) where SampEn
+    // sees only fixed-length templates and runs only sign flips. The
+    // parse is deterministic and integer (dictionary membership);
+    // only the ln(n)/n normalization is an IEEE leaf. Scale:
+    // calendar-bounded — the daily rollup is map-side; the ≤|days|-
+    // step parse runs on COLLECTED bounded state (stationaryPi
+    // precedent), and the oracle replays the SAME parse as a
+    // recursive CTE over the string. Median is the runs_test lower-
+    // median convention; equal-to-median days read '0' (documented).
+    "lz78_complexity_daily" -> ((s, d) => {
+      val xs = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+        .orderBy("di").collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1)))
+      import s.implicits._
+      if (xs.length < 2) Seq.empty[(Long, Long, Long)]
+        .toDF("n_days", "n_phrases", "c_norm_fp")
+      else {
+        val med = xs.map(_._2).sorted.apply((xs.length - 1) / 2)
+        val seq0 = xs.map(t => if (t._2 > med) '1' else '0')
+        var dict = Set.empty[String]
+        var cur = ""
+        var phrases = 0L
+        seq0.foreach { ch =>
+          val cand = cur + ch
+          if (dict.contains(cand)) cur = cand
+          else { dict += cand; phrases += 1; cur = "" }
+        }
+        if (cur.nonEmpty) phrases += 1
+        val n = xs.length.toLong
+        val cFp = math.floor(
+          phrases * math.log(n.toDouble) / n * 1000000.0).toLong
+        Seq((n, phrases, cFp)).toDF("n_days", "n_phrases", "c_norm_fp")
+      }
+    }),
+
+    // Poisson dispersion test of the daily volume (r12, fifth
+    // session; Fisher 1950 §"index of dispersion"): the χ² statistic
+    // D = Σ(x−x̄)²/x̄ = (nQ−S²)/S and the variance-to-mean ratio —
+    // the FIRST question about any count series (VMR≈1 Poisson,
+    // >1 clustered/bursty, <1 regularized), read before any model
+    // that assumes Poisson arrivals. Everything is an exact integer
+    // rational off the ONE map-side (n, S, Q) moment pass —
+    // DECIMAL(38,0)/HUGEINT lifts, non-negative floored divisions.
+    "poisson_dispersion_daily" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+        .filter(col("n") >= 2 && col("s") > 0)
+        .withColumn("nqss", expr(
+          "CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s"))
+        .select(col("n").as("n_days"), col("s").as("n_events"),
+          expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)")
+            .as("mean_fp"),
+          expr("""CAST(nqss * 1000000
+                 | DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("var_fp"),
+          expr("CAST(nqss * 1000000 DIV CAST(s AS DECIMAL(38,0)) AS BIGINT)")
+            .as("dispersion_fp"),
+          expr("""CAST(nqss * 1000000
+                 | DIV (CAST(s AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("vmr_fp"))
+    }),
+
     // Partial autocorrelation function (r12, fifth session; Durbin
     // 1960; Levinson 1947): PACF at lags 1..7 from the EXACT ACF via
     // the Durbin–Levinson recursion — the AR-order identification
@@ -766,6 +839,73 @@ object SeriesStatOps extends OpGroup {
          |       $runsZSql AS z_val
          |FROM nn CROSS JOIN med CROSS JOIN st
          |WHERE n_days >= 2""".stripMargin,
+
+    // the SAME LZ78 parse as a recursive CTE over the sign string
+    "lz78_complexity_daily" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |           AS di,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |med AS (
+        |  SELECT x AS median_x FROM (
+        |    SELECT x, row_number() OVER (ORDER BY x) AS rn FROM daily) q
+        |  CROSS JOIN nn WHERE rn = (n - 1) // 2 + 1),
+        |sq AS (
+        |  SELECT string_agg(CASE WHEN x > median_x THEN '1' ELSE '0' END,
+        |           '' ORDER BY di) AS s, n
+        |  FROM daily CROSS JOIN med CROSS JOIN nn
+        |  GROUP BY n HAVING n >= 2),
+        |lz AS (
+        |  SELECT CAST(1 AS BIGINT) AS i, '' AS cur,
+        |         CAST([] AS VARCHAR[]) AS dict,
+        |         CAST(0 AS BIGINT) AS phrases, s, n
+        |  FROM sq
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    CASE WHEN list_contains(dict, cur || s[CAST(i AS INT)])
+        |         THEN cur || s[CAST(i AS INT)] ELSE '' END,
+        |    CASE WHEN list_contains(dict, cur || s[CAST(i AS INT)])
+        |         THEN dict
+        |         ELSE list_append(dict, cur || s[CAST(i AS INT)]) END,
+        |    CASE WHEN list_contains(dict, cur || s[CAST(i AS INT)])
+        |         THEN phrases ELSE phrases + 1 END,
+        |    s, n
+        |  FROM lz WHERE i <= len(s))
+        |SELECT n AS n_days,
+        |       phrases + CASE WHEN cur != '' THEN 1 ELSE 0 END
+        |         AS n_phrases,
+        |       CAST(FLOOR((phrases + CASE WHEN cur != '' THEN 1 ELSE 0
+        |           END) * ln(CAST(n AS DOUBLE)) / n * 1000000.0)
+        |         AS BIGINT) AS c_norm_fp
+        |FROM lz WHERE i = len(s) + 1""".stripMargin,
+
+    // same exact integer dispersion rationals
+    "poisson_dispersion_daily" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |           AS di,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS s,
+        |             sum(CAST(x AS HUGEINT) * x) AS q
+        |      FROM daily),
+        |g AS (SELECT n, s,
+        |             CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+        |               AS nqss
+        |      FROM m WHERE n >= 2 AND s > 0)
+        |SELECT n AS n_days, s AS n_events,
+        |       CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT)
+        |         AS mean_fp,
+        |       CAST(nqss * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+        |         AS BIGINT) AS var_fp,
+        |       CAST(nqss * 1000000 // CAST(s AS HUGEINT) AS BIGINT)
+        |         AS dispersion_fp,
+        |       CAST(nqss * 1000000 // (CAST(s AS HUGEINT) * (n - 1))
+        |         AS BIGINT) AS vmr_fp
+        |FROM g""".stripMargin,
 
     // the SAME integer Durbin–Levinson recursion as a recursive CTE
     // carrying the φ row as a LIST; // truncates toward zero on both

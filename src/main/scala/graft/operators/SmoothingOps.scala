@@ -145,6 +145,44 @@ object SmoothingOps extends OpGroup {
         .orderBy("source")
     }),
 
+    // Vocabulary rank churn between the corpus halves (r12, fifth
+    // session; Spearman's footrule over top-k, the rank-distance
+    // drift read): split documents by doc_id parity, take each
+    // half's top-100 words by frequency, and measure how far the
+    // head vocabulary MOVED — Σ|rank_a − rank_b| over the union with
+    // absentees at rank 101, plus the top-10 movers. KL/JS see mass
+    // shift; rank churn sees head REORDERING even when masses barely
+    // move (the signal a trending-vocabulary monitor wants). Ranks
+    // are deterministic (freq desc, word asc — GlobalRank two-phase
+    // per half, never a partition-less window); everything past the
+    // (half, word) count aggregate is ≤200 rows.
+    "vocab_rank_churn" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(expr("doc_id % 2").as("h"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("h", "w").agg(count(lit(1)).as("c"))
+      val ranked = graft.functions.GlobalRank
+        .rowNumber(counts.withColumn("negc", -col("c")), "rk",
+          Seq("h"), Seq("negc", "w"))
+        .filter(col("rk") <= 100)
+      val a = ranked.filter(col("h") === 0)
+        .select(col("w"), col("rk").as("rank_a"))
+      val b = ranked.filter(col("h") === 1)
+        .select(col("w"), col("rk").as("rank_b"))
+      val j = a.join(b, Seq("w"), "full_outer")
+        .withColumn("ra", coalesce(col("rank_a"), lit(101L)))
+        .withColumn("rb", coalesce(col("rank_b"), lit(101L)))
+        .withColumn("drank", abs(col("ra") - col("rb")))
+      val summary = j.agg(sum("drank").as("footrule"),
+        sum(when(col("rank_a").isNotNull && col("rank_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_shared"),
+        count(lit(1)).as("n_union"))
+      j.select("w", "ra", "rb", "drank")
+        .orderBy(col("drank").desc, col("w")).limit(10)
+        .crossJoin(broadcast(summary))
+        .orderBy(col("drank").desc, col("w"))
+    }),
+
     // Power-law exponent MLE per source (r12, fifth session; Clauset,
     // Shalizi & Newman 2009 eq. 3.7, the continuous approximation at
     // xmin = 1): α̂ = 1 + n/Σln(xᵢ/(xmin−½)) = 1 + n/Σln(2xᵢ) over
@@ -400,6 +438,43 @@ object SmoothingOps extends OpGroup {
         |              / (1.0 - CAST(f1 AS DOUBLE) / n_types)
         |              * 1000000.0) AS BIGINT) END AS honore_fp
         |FROM agg ORDER BY source""".stripMargin,
+
+    // same parity halves / deterministic ranks / footrule fold
+    "vocab_rank_churn" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT doc_id % 2 AS h, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT h, w, rk FROM (
+        |    SELECT h, w,
+        |           row_number() OVER (PARTITION BY h ORDER BY c DESC, w)
+        |             AS rk
+        |    FROM counts) r WHERE rk <= 100),
+        |a AS (SELECT w, CAST(rk AS BIGINT) AS rank_a
+        |      FROM ranked WHERE h = 0),
+        |b AS (SELECT w, CAST(rk AS BIGINT) AS rank_b
+        |      FROM ranked WHERE h = 1),
+        |j AS (
+        |  SELECT coalesce(a.w, b.w) AS w,
+        |         coalesce(rank_a, 101) AS ra,
+        |         coalesce(rank_b, 101) AS rb,
+        |         abs(coalesce(rank_a, 101) - coalesce(rank_b, 101))
+        |           AS drank,
+        |         rank_a IS NOT NULL AND rank_b IS NOT NULL AS shared
+        |  FROM a FULL OUTER JOIN b ON b.w = a.w),
+        |summary AS (
+        |  SELECT CAST(sum(drank) AS BIGINT) AS footrule,
+        |         CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_shared,
+        |         CAST(count(*) AS BIGINT) AS n_union
+        |  FROM j),
+        |top AS (SELECT w, ra, rb, drank FROM j
+        |        ORDER BY drank DESC, w LIMIT 10)
+        |SELECT t.w, t.ra, t.rb, t.drank, s.footrule, s.n_shared, s.n_union
+        |FROM top t CROSS JOIN summary s
+        |ORDER BY t.drank DESC, t.w""".stripMargin,
 
     // same spectrum; identical leaves over exact (c, N, V, Σc²)
     "renyi_entropy_spectrum" ->

@@ -365,6 +365,51 @@ class SeriesStatSpec extends SparkSpec {
     rows.foreach { r => assert(r._5 === hExp, "closed-form slope replay") }
   }
 
+  test("lz78_complexity_daily: independent parse replay; phrase bounds") {
+    val rows = run("lz78_complexity_daily")
+    val daily = dailyCounts()
+    if (daily.length < 2) assert(rows.isEmpty)
+    else {
+      val med = daily.map(_._2).sorted.apply((daily.length - 1) / 2)
+      val seq0 = daily.map(t => if (t._2 > med) '1' else '0')
+      var dict = Set.empty[String]; var cur = ""; var ph = 0L
+      seq0.foreach { ch =>
+        val cand = cur + ch
+        if (dict.contains(cand)) cur = cand
+        else { dict += cand; ph += 1; cur = "" }
+      }
+      if (cur.nonEmpty) ph += 1
+      val n = daily.length.toLong
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getLong(0) === n && r.getLong(1) === ph, "exact parse")
+      assert(r.getLong(2) === math.floor(
+        ph * math.log(n.toDouble) / n * 1000000.0).toLong)
+      assert(ph >= 1 && ph <= n, "phrase count bounded by length")
+    }
+  }
+
+  test("poisson_dispersion_daily: exact moment rationals; VMR law") {
+    val rows = run("poisson_dispersion_daily")
+    val xs = dailyCounts().map(_._2)
+    if (xs.length < 2 || xs.sum == 0) assert(rows.isEmpty)
+    else {
+      val n = xs.length.toLong; val s = xs.sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      val nqss = BigInt(n) * q - BigInt(s) * s
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getLong(0) === n && r.getLong(1) === s)
+      assert(r.getLong(2) === (BigInt(s) * 1000000 / n).toLong)
+      assert(r.getLong(3) === (nqss * 1000000 / (BigInt(n) * (n - 1))).toLong)
+      assert(r.getLong(4) === (nqss * 1000000 / s).toLong)
+      assert(r.getLong(5) === (nqss * 1000000 / (BigInt(s) * (n - 1))).toLong)
+      // identity: dispersion = vmr * (n-1) up to floor slack
+      assert(math.abs(r.getLong(4) - r.getLong(5) * (n - 1)) <= n,
+        "D = VMR * (n-1) within truncation slack")
+    }
+  }
+
   test("pacf_durbin_levinson: independent DL replay; lag-1 = ACF(1)") {
     val rows = run("pacf_durbin_levinson")
       .map(r => (r.getLong(0), r.getLong(1)))

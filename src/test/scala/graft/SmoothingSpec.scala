@@ -181,6 +181,40 @@ class SmoothingSpec extends SparkSpec {
     }
   }
 
+  test("vocab_rank_churn: brute top-100 replay; footrule bounds") {
+    val rows = run("vocab_rank_churn").map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)))
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0) % 2, r.getString(1).split(" ", -1)))
+    def top100(h: Long): Map[String, Long] = {
+      val c = docs.filter(_._1 == h).flatMap(_._2)
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      c.sortBy(t => (-t._2, t._1)).take(100).zipWithIndex
+        .map { case ((w, _), i) => w -> (i + 1L) }.toMap
+    }
+    val (ta, tb) = (top100(0L), top100(1L))
+    val union = (ta.keySet ++ tb.keySet).toSeq
+    val ranksJ = union.map { w =>
+      val ra = ta.getOrElse(w, 101L); val rb = tb.getOrElse(w, 101L)
+      (w, ra, rb, math.abs(ra - rb))
+    }
+    val footrule = ranksJ.map(_._4).sum
+    val nShared = union.count(w => ta.contains(w) && tb.contains(w)).toLong
+    val expTop = ranksJ.sortBy(t => (-t._4, t._1)).take(10)
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)) === expTop,
+      "top-10 movers replay")
+    rows.foreach { case (_, _, _, _, fr, ns, nu) =>
+      assert(fr === footrule && ns === nShared
+        && nu === union.length.toLong)
+      assert(fr <= 100L * nu, "each union word moves at most 100 ranks")
+      assert(ns <= 100L && nu <= 200L
+        && nu === ta.size.toLong + tb.size.toLong - ns,
+        "union/shared accounting")
+    }
+  }
+
   test("renyi_entropy_spectrum: leaf replay; spectrum non-increasing") {
     val rows = run("renyi_entropy_spectrum").map(r => (r.getString(0),
       r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
