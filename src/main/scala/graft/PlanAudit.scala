@@ -170,6 +170,12 @@ import org.apache.spark.sql.SparkSession
   *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
   *     two-phase prefix sum, and the consecutive scan a shifted
   *     equi-join — the corpus never crosses a single partition.
+  *   - `cochran_q_weekday` (r12, fifth session) — many
+  *     SinglePartition: the scalar-stitch class — the corpus passes
+  *     are the distinct-presence projection and the user-keyed row
+  *     fold (both combinable); the exchanges move the 1-row user
+  *     moments, the 7-row column totals' 1-row fold, and the 1-row
+  *     report.
   *   - `gamma_somers_priority_qty` (r12, fifth session) —
   *     CartesianProduct: the INTENTIONAL bounded comma join — the
   *     crossed relation is the 5×50-bounded (priority, quantity)

@@ -242,6 +242,33 @@ object CalibrationOps extends OpGroup {
         .orderBy("bin")
     }),
 
+    // Bowker's symmetry test over the lang-ID confusion matrix (r12,
+    // fifth session; Bowker 1948, the k×k McNemar): are the OFF-
+    // diagonal confusions symmetric — is en→de as common as de→en?
+    // Asymmetry means the classifier has a directional bias toward
+    // some language (usually the stopword-list prior), which recall
+    // shares and MCC both average away. χ² = Σ_{i<j}(n_ij−n_ji)²/
+    // (n_ij+n_ji) over discordant pairs — each term an exact integer
+    // rational (floored at 1e-6), dof = pairs with any mass. Scale:
+    // the |langs|²-bounded cell grid pairs with its own transpose —
+    // a bounded self-join; the corpus pass is lang_id_ngram's scoring.
+    "bowker_symmetry_langid" -> ((s, d) => {
+      val cells = TrainingDataOps.queries("lang_id_ngram")(s, d)
+        .groupBy("lang_stored", "lang_pred").agg(count(lit(1)).as("o"))
+      val mirror = cells.select(col("lang_stored").as("lang_pred"),
+        col("lang_pred").as("lang_stored"), col("o").as("o_rev"))
+      val pairs = cells.join(mirror, Seq("lang_stored", "lang_pred"),
+          "full_outer")
+        .withColumn("a", coalesce(col("o"), lit(0L)))
+        .withColumn("b", coalesce(col("o_rev"), lit(0L)))
+        .filter(col("lang_stored") < col("lang_pred"))
+        .filter(col("a") + col("b") > 0)
+      pairs.agg(count(lit(1)).as("dof"),
+          sum(expr("(a - b) * (a - b) * 1000000 DIV (a + b)"))
+            .as("bowker_fp"))
+        .select(col("dof"), col("bowker_fp"))
+    }),
+
     // Multi-class Matthews correlation coefficient (r12, fifth
     // session; Gorodkin 2004 R_K generalization) over the SAME
     // lang_id_ngram confusion cells — the single chance-corrected
@@ -435,6 +462,28 @@ object CalibrationOps extends OpGroup {
          |SELECT bin, n, mean_conf_fp, acc_fp, CAST(gap_fp AS BIGINT) AS gap_fp,
          |       ece_fp
          |FROM g CROSS JOIN e ORDER BY bin""".stripMargin,
+
+    // same transpose pairing / exact per-pair rationals
+    "bowker_symmetry_langid" ->
+      s"""WITH pred AS (${TrainingDataOps.oracleSql("lang_id_ngram")}),
+         |cells AS (
+         |  SELECT lang_stored, lang_pred, CAST(count(*) AS BIGINT) AS o
+         |  FROM pred GROUP BY 1, 2),
+         |p AS (
+         |  SELECT coalesce(c.lang_stored, m.lang_stored) AS ls,
+         |         coalesce(c.lang_pred, m.lang_pred) AS lp,
+         |         coalesce(c.o, 0) AS a, coalesce(m.o_rev, 0) AS b
+         |  FROM cells c
+         |  FULL OUTER JOIN (SELECT lang_pred AS lang_stored,
+         |                          lang_stored AS lang_pred, o AS o_rev
+         |                   FROM cells) m
+         |    ON m.lang_stored = c.lang_stored
+         |   AND m.lang_pred = c.lang_pred),
+         |d AS (SELECT a, b FROM p WHERE ls < lp AND a + b > 0)
+         |SELECT CAST(count(*) AS BIGINT) AS dof,
+         |       CAST(sum((a - b) * (a - b) * 1000000 // (a + b))
+         |         AS BIGINT) AS bowker_fp
+         |FROM d""".stripMargin,
 
     // same cells / margins; identical guarded R_K leaf
     "mcc_langid" ->

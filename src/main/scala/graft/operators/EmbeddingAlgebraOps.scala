@@ -136,6 +136,46 @@ object EmbeddingAlgebraOps extends OpGroup {
         .orderBy("pos")
     }),
 
+    // Per-dimension clip calibration (r12, fifth session): the
+    // rank-defined P1/P99 thresholds of every embedding dimension and
+    // the mass they would clip — the calibration table an int8/fp8
+    // quantizer reads BEFORE embedding_quantize_int8 runs (clip too
+    // tight and recon error explodes on the tails; too loose and the
+    // integer grid wastes range on outliers). Percentile picks are
+    // the psi convention (value at rank ⌈q·n⌉ off the per-dimension
+    // two-phase prefix sum — no engine quantiles); clipped mass is an
+    // exact support-fold count against the broadcast threshold table.
+    // Scale: the (pos, fx) support folds map-side; everything after
+    // is d-bounded.
+    "embedding_clip_calibration" -> ((s, d) => {
+      val ex = Tables.embeddings(s, d).withColumn("fxs", fxArr)
+        .select(posexplode(col("fxs")).as(Seq("pos", "fx")))
+      val sup = ex.groupBy("pos", "fx").agg(count(lit(1)).as("c"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(sup, "cum", col("c"), Seq("pos"), Seq("fx"))
+      val ns = sup.groupBy("pos").agg(sum("c").as("n"))
+        .withColumn("lo_t", expr("(n + 99) DIV 100"))
+        .withColumn("hi_t", expr("(99 * n + 99) DIV 100"))
+      val lo = cum.join(broadcast(ns), "pos")
+        .filter(col("cum") >= col("lo_t"))
+        .groupBy("pos").agg(min("fx").as("lo_fp"))
+      val hi = cum.join(broadcast(ns), "pos")
+        .filter(col("cum") >= col("hi_t"))
+        .groupBy("pos").agg(min("fx").as("hi_fp"))
+      val th = ns.join(lo, "pos").join(hi, "pos")
+      sup.join(broadcast(th), "pos")
+        .groupBy("pos", "n", "lo_fp", "hi_fp")
+        .agg(sum(when(col("fx") < col("lo_fp"), col("c")).otherwise(0L))
+          .as("below"),
+          sum(when(col("fx") > col("hi_fp"), col("c")).otherwise(0L))
+            .as("above"))
+        .select(col("pos").cast("long").as("pos"), col("n"),
+          col("lo_fp"), col("hi_fp"),
+          (col("hi_fp") - col("lo_fp")).as("range_fp"),
+          (col("below") + col("above")).as("clipped_n"))
+        .orderBy("pos")
+    }),
+
     // Corpus anisotropy via the sum-vector identity (r12, fifth
     // session; Ethayarajh 2019 observed contextual embedding spaces
     // are anisotropic — random pairs have large expected similarity,
@@ -227,6 +267,43 @@ object EmbeddingAlgebraOps extends OpGroup {
          |FROM v2 CROSS JOIN m2
          |JOIN v1s ON v1s.j = v2.i
          |ORDER BY pos""".stripMargin,
+
+    // same rank-defined picks / support-fold clip counts
+    "embedding_clip_calibration" ->
+      s"""WITH ex AS MATERIALIZED (
+         |  SELECT CAST(i - 1 AS BIGINT) AS pos,
+         |         CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+         |           * 1000000) AS BIGINT) AS fx
+         |  FROM embeddings, UNNEST(range(1, 4097)) t(i)
+         |  WHERE i <= len(embedding)),
+         |sup AS MATERIALIZED (
+         |  SELECT pos, fx, CAST(count(*) AS BIGINT) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |cum AS (SELECT pos, fx, c,
+         |               CAST(sum(c) OVER (PARTITION BY pos ORDER BY fx)
+         |                 AS BIGINT) AS cum
+         |        FROM sup),
+         |ns AS (SELECT pos, CAST(sum(c) AS BIGINT) AS n,
+         |              (CAST(sum(c) AS BIGINT) + 99) // 100 AS lo_t,
+         |              (99 * CAST(sum(c) AS BIGINT) + 99) // 100 AS hi_t
+         |       FROM sup GROUP BY 1),
+         |lo AS (SELECT c.pos, min(c.fx) AS lo_fp
+         |       FROM cum c JOIN ns ON ns.pos = c.pos
+         |       WHERE c.cum >= ns.lo_t GROUP BY 1),
+         |hi AS (SELECT c.pos, min(c.fx) AS hi_fp
+         |       FROM cum c JOIN ns ON ns.pos = c.pos
+         |       WHERE c.cum >= ns.hi_t GROUP BY 1),
+         |th AS (SELECT ns.pos, ns.n, lo.lo_fp, hi.hi_fp
+         |       FROM ns JOIN lo ON lo.pos = ns.pos
+         |       JOIN hi ON hi.pos = ns.pos)
+         |SELECT th.pos, th.n, th.lo_fp, th.hi_fp,
+         |       th.hi_fp - th.lo_fp AS range_fp,
+         |       CAST(sum(CASE WHEN s.fx < th.lo_fp THEN s.c ELSE 0 END)
+         |         + sum(CASE WHEN s.fx > th.hi_fp THEN s.c ELSE 0 END)
+         |         AS BIGINT) AS clipped_n
+         |FROM sup s JOIN th ON th.pos = s.pos
+         |GROUP BY th.pos, th.n, th.lo_fp, th.hi_fp
+         |ORDER BY th.pos""".stripMargin,
 
     // same sum-vector identity; HUGEINT folds, string numerator out
     "embedding_anisotropy" ->

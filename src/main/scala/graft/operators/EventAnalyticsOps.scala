@@ -885,6 +885,42 @@ object EventAnalyticsOps extends OpGroup {
             .as("chi2_over_n_fp"))
         .orderBy("event_type")
     }),
+
+    // Cochran's Q over the user × weekday activity grid (r12, fifth
+    // session; Cochran 1950): do the 7 weekdays differ in the SHARE
+    // of users active on them, with every user serving as their own
+    // block? The binary-outcome sibling of friedman_test_priority —
+    // weekday_seasonality_profile reads raw volume, which one heavy
+    // user can tilt; Q asks the per-user question. Exact integers
+    // throughout: Q = (k−1)·(k·ΣC² − S²)/(k·ΣR − ΣR²) over the
+    // per-weekday column totals C_j and per-user row totals R_i
+    // (rows with R = 0 or k cancel in the denominator — the
+    // textbook degeneracy, handled by construction). Scale: presence
+    // collapses map-side to DISTINCT (user, dow) pairs (user-keyed
+    // combinable); the user-moment fold is one combinable aggregate;
+    // columns are 7-bounded. One floored division (numerator ≥ 0 by
+    // Cauchy–Schwarz on the fixed column-total sum).
+    "cochran_q_weekday" -> ((s, d) => {
+      val pres = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(unix_micros(ts) DIV 86400000000 + 4) % 7").as("dow"))
+        .distinct()
+      val rowAgg = pres.groupBy("user_id").agg(count(lit(1)).as("r"))
+        .agg(count(lit(1)).as("n_users"), sum("r").as("sum_r"),
+          sum(expr("r * r")).as("sum_r2"))
+      val colAgg = pres.groupBy("dow").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("sum_c"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sum_c2"))
+      rowAgg.crossJoin(broadcast(colAgg))
+        .filter(expr("7 * sum_r - sum_r2 > 0"))
+        .select(col("n_users"), col("sum_r").as("n_active_cells"),
+          expr("""CAST(6 * (7 * sum_c2 - CAST(sum_c AS DECIMAL(38,0))
+                 |   * sum_c) * 1000000
+                 | DIV (CAST(7 AS DECIMAL(38,0)) * sum_r - sum_r2)
+                 | AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("q_fp"),
+          lit(6L).as("dof"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1326,5 +1362,31 @@ object EventAnalyticsOps extends OpGroup {
         |         // (7 * max(t.n) * max(t.n)) AS BIGINT) AS chi2_over_n_fp
         |FROM c JOIN t USING (event_type)
         |GROUP BY c.event_type ORDER BY event_type""".stripMargin,
+
+    // same presence grid / exact Q rational
+    "cochran_q_weekday" ->
+      """WITH pres AS MATERIALIZED (
+        |  SELECT DISTINCT user_id,
+        |         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+        |  FROM events),
+        |ra AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(sum(r) AS BIGINT) AS sum_r,
+        |         CAST(sum(r * r) AS BIGINT) AS sum_r2
+        |  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS r
+        |        FROM pres GROUP BY 1) t),
+        |ca AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS sum_c,
+        |         sum(CAST(c AS HUGEINT) * c) AS sum_c2
+        |  FROM (SELECT dow, CAST(count(*) AS BIGINT) AS c
+        |        FROM pres GROUP BY 1) t)
+        |SELECT n_users, sum_r AS n_active_cells,
+        |       CAST(6 * (7 * sum_c2 - CAST(sum_c AS HUGEINT) * sum_c)
+        |           * 1000000
+        |         // (CAST(7 AS HUGEINT) * sum_r - sum_r2) AS BIGINT)
+        |         AS q_fp,
+        |       CAST(6 AS BIGINT) AS dof
+        |FROM ra CROSS JOIN ca
+        |WHERE 7 * sum_r - sum_r2 > 0""".stripMargin,
   )
 }

@@ -154,6 +154,25 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("bowker_symmetry_langid: transpose-pair replay; chi2 >= 0") {
+    val rows = run("bowker_symmetry_langid")
+    assert(rows.length === 1)
+    val r = rows.head
+    val cm = run("lang_confusion_matrix").map(m =>
+      ((m.getString(0), m.getString(1)), m.getLong(2))).toMap
+    val langs = cm.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
+    val terms = for {
+      i <- langs; j <- langs if i < j
+      a = cm.getOrElse((i, j), 0L); b = cm.getOrElse((j, i), 0L)
+      if a + b > 0
+    } yield (a - b) * (a - b) * 1000000L / (a + b)
+    assert(r.getLong(0) === terms.length.toLong, "dof = discordant pairs")
+    if (terms.nonEmpty) {
+      assert(r.getLong(1) === terms.sum, "exact per-pair rationals")
+      assert(r.getLong(1) >= 0L)
+    } else assert(r.isNullAt(1))
+  }
+
   test("mcc_langid: moments reconcile with the confusion matrix; |MCC| <= 1") {
     val rows = run("mcc_langid")
     assert(rows.length === 1)

@@ -86,6 +86,32 @@ class EmbeddingAlgebraSpec extends SparkSpec {
     assert(dot >= 0, s"iterates anti-aligned: dot=$dot")
   }
 
+  test("embedding_clip_calibration: rank-defined pick replay; clip mass bounds") {
+    val rows = operators.EmbeddingAlgebraOps.queries(
+      "embedding_clip_calibration")(spark, sf()).collect()
+    val byDim = Tables.embeddings(spark, sf())
+      .selectExpr(
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT)) AS fxs")
+      .collect().map(_.getSeq[Long](0).toArray)
+      .flatMap(a => a.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .groupBy(_._1)
+    assert(rows.length === byDim.size)
+    rows.foreach { r =>
+      val (pos, n, lo, hi, rng, clipped) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val vs = byDim(pos).map(_._2).sorted
+      assert(n === vs.length.toLong)
+      val loT = (n + 99) / 100; val hiT = (99 * n + 99) / 100
+      assert(lo === vs((loT - 1).toInt), "rank-defined P1 pick")
+      assert(hi === vs((hiT - 1).toInt), "rank-defined P99 pick")
+      assert(rng === hi - lo && rng >= 0)
+      val expClip = vs.count(_ < lo) + vs.count(_ > hi)
+      assert(clipped === expClip.toLong, "exact clip mass")
+      // rank construction caps the clipped mass on both sides
+      assert(clipped <= (loT - 1) + (n - hiT), "clip mass <= rank slack")
+    }
+  }
+
   test("embedding_anisotropy: sum-vector identity equals the brute all-pairs fold") {
     val rows = operators.EmbeddingAlgebraOps.queries(
       "embedding_anisotropy")(spark, sf()).collect()

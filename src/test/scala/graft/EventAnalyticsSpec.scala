@@ -502,4 +502,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.min(p0, p1) <= rows.map(_._4).sum, "beats all-q0")
     assert(math.min(p0, p1) <= rows.map(_._5).sum + trans, "beats all-q1")
   }
+
+  test("cochran_q_weekday: brute grid replay; Q >= 0") {
+    val rows = run("cochran_q_weekday")
+    val pres = Tables.events(spark, sf())
+      .selectExpr("user_id",
+        "(unix_micros(ts) DIV 86400000000 + 4) % 7 AS dow")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rSums = pres.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cSums = pres.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sumR = rSums.values.sum; val sumR2 = rSums.values.map(r => r * r).sum
+    val sumC = cSums.values.sum
+    val sumC2 = cSums.values.map(c => BigInt(c) * c).sum
+    val den = 7L * sumR - sumR2
+    if (den <= 0) assert(rows.isEmpty)
+    else {
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getLong(0) === rSums.size.toLong)
+      assert(r.getLong(1) === sumR)
+      val num = BigInt(6) * (7 * sumC2 - BigInt(sumC) * sumC) * 1000000
+      assert(num >= 0, "Cauchy-Schwarz on the fixed column total")
+      assert(r.getLong(2) === (num / den).toLong, "exact Q rational")
+      assert(r.getLong(3) === 6L)
+    }
+  }
 }
