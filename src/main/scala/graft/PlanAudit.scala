@@ -170,6 +170,12 @@ import org.apache.spark.sql.SparkSession
   *     x-ordering is the two-phase GlobalRank numbering, y-ranks the
   *     two-phase prefix sum, and the consecutive scan a shifted
   *     equi-join — the corpus never crosses a single partition.
+  *   - `neardup_transitivity_audit` (r12, fifth session) — many
+  *     SinglePartition: the scalar-stitch class — the corpus passes
+  *     are the df-capped inverted-index candidate join and the
+  *     edge-keyed wedge/closure joins; the exchanges move the three
+  *     1-row count scalars (edges, wedges, triangles) stitched by
+  *     broadcast into the 1-row report.
   *   - `cochran_q_weekday` (r12, fifth session) — many
   *     SinglePartition: the scalar-stitch class — the corpus passes
   *     are the distinct-presence projection and the user-keyed row

@@ -355,6 +355,51 @@ object LlmOps extends OpGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Near-dup transitivity audit (r12, fifth session): over the SAME
+    // df-capped Jaccard candidate edges as ngram_jaccard_pairs (the
+    // ≥0.3 threshold applied as the EXACT integer predicate
+    // 10·inter ≥ 3·(|A|+|B|−inter)), count open vs closed wedges —
+    // the global clustering coefficient of the near-dup graph. The
+    // read a dedup pipeline needs before trusting connected-component
+    // clusters: high transitivity means "a~b, b~c ⇒ a~c" mostly
+    // holds and CC components are coherent duplicate groups; low
+    // transitivity means CC is chaining unrelated docs through hub
+    // boilerplate. Scale: edges are the df-capped blocked candidate
+    // set (never all-pairs); wedges join edge-to-edge on the shared
+    // middle vertex (degree-bounded by the df cap); closure is one
+    // equi-join back against the edge set; wedge totals fold from
+    // per-vertex degree counts.
+    "neardup_transitivity_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("ws"))
+      val edges = graft.functions.TextSim
+        .jaccardPairs(docs, "doc_id", "source", "ws", JaccardDfCap)
+        .filter(expr("10 * inter >= 3 * (na + nb - inter)"))
+        .select(col("doc_a").as("u"), col("doc_b").as("w"))
+      val deg = edges.select(col("u").as("vx"))
+        .union(edges.select(col("w").as("vx")))
+        .groupBy("vx").agg(count(lit(1)).as("dg"))
+      val wedges = deg.agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"),
+        count(lit(1)).as("n_vertices"))
+      val e1 = edges.select(col("u").as("x"), col("w").as("y"))
+      val e2 = edges.select(col("u").as("y"), col("w").as("z"))
+      val tri = e1.join(e2, "y")
+        .join(edges.select(col("u").as("x"), col("w").as("z")),
+          Seq("x", "z"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      ne.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+        .select(col("n_edges"), col("n_vertices"), col("n_wedges"),
+          col("n_triangles"),
+          expr("""CASE WHEN n_wedges > 0
+                 | THEN 3 * n_triangles * 1000000 DIV n_wedges
+                 | ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("transitivity_fp"),
+          expr("n_wedges - 3 * n_triangles").as("open_wedges"))
+    }),
+
     // containment twin of ngram_jaccard_pairs: |A∩B| / min(|A|,|B|) —
     // the asymmetric-size near-dup measure (a short doc fully embedded
     // in a long one scores ~1.0 where Jaccard dilutes toward 0; the
@@ -675,6 +720,35 @@ object LlmOps extends OpGroup {
          |FROM pairs
          |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same candidate edges (exact integer threshold) / wedge joins
+    "neardup_transitivity_audit" ->
+      s"""WITH $jaccardCtesDuck,
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS u, doc_b AS w FROM pairs
+         |  WHERE 10 * inter >= 3 * (na + nb - inter)),
+         |deg AS (
+         |  SELECT vx, CAST(count(*) AS BIGINT) AS dg
+         |  FROM (SELECT u AS vx FROM edges
+         |        UNION ALL SELECT w AS vx FROM edges) t
+         |  GROUP BY 1),
+         |wg AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT)
+         |           AS n_wedges,
+         |         CAST(count(*) AS BIGINT) AS n_vertices
+         |       FROM deg),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.u = e1.w
+         |  JOIN edges e3 ON e3.u = e1.u AND e3.w = e2.w),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+         |SELECT ne.n_edges, wg.n_vertices, wg.n_wedges, tri.n_triangles,
+         |       CASE WHEN wg.n_wedges > 0
+         |         THEN CAST(3 * tri.n_triangles * 1000000 // wg.n_wedges
+         |           AS BIGINT)
+         |         ELSE NULL END AS transitivity_fp,
+         |       wg.n_wedges - 3 * tri.n_triangles AS open_wedges
+         |FROM ne CROSS JOIN wg CROSS JOIN tri""".stripMargin,
     "containment_near_dup" ->
       s"""WITH $jaccardCtesDuck
          |SELECT doc_a, doc_b, inter,

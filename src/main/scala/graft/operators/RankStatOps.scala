@@ -82,6 +82,24 @@ object RankStatOps extends OpGroup {
     (ranked, nDrop)
   }
 
+  /** Ansari–Bradley z over exact (ab2, n_x, n_y, n_tot): classical
+    * no-tie null moments with the even/odd-N split — ONE IEEE
+    * expression, identical text both engines.
+    */
+  private val abZSql: String =
+    """round((CAST(ab2 AS DOUBLE) / 2.0
+      |  - CASE WHEN n_tot % 2 = 0
+      |      THEN CAST(n_x AS DOUBLE) * (n_tot + 2) / 4.0
+      |      ELSE CAST(n_x AS DOUBLE) * (n_tot + 1) * (n_tot + 1)
+      |        / (4.0 * n_tot) END)
+      |  / sqrt(CASE WHEN n_tot % 2 = 0
+      |      THEN CAST(n_x AS DOUBLE) * n_y * (n_tot + 2) * (n_tot - 2)
+      |        / (48.0 * (n_tot - 1))
+      |      ELSE CAST(n_x AS DOUBLE) * n_y * (n_tot + 1)
+      |        * (3.0 + CAST(n_tot AS DOUBLE) * n_tot)
+      |        / (48.0 * n_tot * n_tot) END), 6)"""
+      .stripMargin.replace("\n", " ")
+
   /** The shared Friedman/Page block-rank CTE prefix (DuckDB). */
   private val monthRankedCte =
     """WITH cells AS MATERIALIZED (
@@ -595,6 +613,103 @@ object RankStatOps extends OpGroup {
             .stripMargin.replace("\n", " ")).as("z_val"))
     }),
 
+    // Brown–Forsythe robust one-way ANOVA (r12, fifth session; Brown
+    // & Forsythe 1974): does o_totalprice SPREAD differ across the 5
+    // priorities? — the Levene variant on |x − median| that stays
+    // honest under the heavy tails that wreck Bartlett (and that
+    // kruskal_wallis, a LOCATION test, can't see). Fully integer: z =
+    // |x − med_g| with med_g the rank-defined per-group median
+    // (mad_robust convention); SSB/SSW fold from per-group moment
+    // leaves Sz_g² DIV n_g truncated UNSCALED in DECIMAL(38,0) (the
+    // kruskal precedent — ≤1-unit-per-group slack, documented; the
+    // slack can leave SSB a few units negative at SSB≈0, so the F
+    // division is sign-guarded). SS values can pass int64 (z² ≤
+    // 2.5e15 × rows) — they cross the boundary as digit STRINGS.
+    "brown_forsythe_priority" -> ((s, d) => {
+      val v = Tables.orders(s, d).select(
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("sc"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+      val cnts = v.groupBy("sc").agg(count(lit(1)).as("cnt"))
+      val r1 = graft.functions.GlobalRank
+        .rowNumber(v, "rn", Seq("sc"), Seq("x"))
+      val med = r1.join(broadcast(cnts), "sc").groupBy("sc")
+        .agg(min(when(col("rn") === ceil(col("cnt") * 0.5), col("x")))
+          .as("med"))
+      val z = v.join(broadcast(med), "sc")
+        .withColumn("z", abs(col("x") - col("med")))
+      // leaf = ⌊Sz²/n⌋ computed entirely in DECIMAL (Spark's DIV
+      // returns BIGINT, which Sz² quotients overflow past sf0.01):
+      // subtract the exact remainder, then the true division is an
+      // exact integer that the scale-6 decimal represents losslessly
+      val g = z.groupBy("sc").agg(count(lit(1)).as("n_g"),
+          sum("z").as("sz"),
+          sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("qz"))
+        .withColumn("leaf", expr(
+          """CAST((CAST(sz AS DECIMAL(38,0)) * sz
+            | - (CAST(sz AS DECIMAL(38,0)) * sz) % n_g) / n_g
+            | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")))
+      val m = g.agg(sum("n_g").as("n_tot"), sum("sz").as("t_sum"),
+          sum(col("leaf")).as("sum_leaf"),
+          sum(col("qz")).as("sum_qz"), count(lit(1)).as("k"))
+        .withColumn("t2", expr(
+          "CAST(t_sum AS DECIMAL(38,0)) * t_sum"))
+        .withColumn("ssb", expr(
+          "sum_leaf - CAST((t2 - t2 % n_tot) / n_tot AS DECIMAL(38,0))"))
+        .withColumn("ssw", expr("sum_qz - sum_leaf"))
+        .filter(col("k") >= 2 && expr("ssw > 0") &&
+          expr("n_tot > k"))
+        .select(col("n_tot"), col("k"),
+          col("ssb").cast("string").as("ssb"),
+          col("ssw").cast("string").as("ssw"),
+          expr("""CASE WHEN ssb >= 0
+                 | THEN CAST(CAST(n_tot - k AS DECIMAL(38,0)) * ssb
+                 |   * 1000000 DIV ((k - 1) * ssw) AS BIGINT)
+                 | ELSE -CAST(CAST(n_tot - k AS DECIMAL(38,0)) * (-ssb)
+                 |   * 1000000 DIV ((k - 1) * ssw) AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("f_fp"))
+      g.select(col("sc"), col("n_g"), col("sz").as("sum_absdev"))
+        .join(broadcast(med), "sc")
+        .crossJoin(broadcast(m))
+        .select("sc", "n_g", "med", "sum_absdev", "n_tot", "ssb",
+          "ssw", "f_fp")
+        .orderBy("sc")
+    }),
+
+    // Ansari–Bradley scale test (r12, fifth session; Ansari &
+    // Bradley 1960): do click and purchase values differ in SPREAD
+    // around a common center? — the rank test of DISPERSION
+    // completing mann_whitney's location read (AB scores rank from
+    // both ends inward: extreme values score low, central values
+    // high, so a diffuse sample collects a LOW sum). Doubled
+    // tie-averaged pooled ranks off the value-domain prefix sum
+    // (r2 = 2·cum − c + 1); doubled score s2 = min(r2, 2(N+1) − r2);
+    // AB2 = Σ c_click·s2 exact int64. z uses the classical no-tie
+    // null moments with the even/odd-N split (documented
+    // approximation under cents ties — the exact AB2 is what
+    // downstream recomputation needs), ONE shared-text IEEE leaf.
+    "ansari_bradley_value" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      val sup = ev.groupBy("v").agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("cx"),
+        sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("cy"))
+        .withColumn("c", col("cx") + col("cy"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(sup, "cum", col("c"), Nil, Seq("v"))
+      val ns = sup.agg(sum("cx").as("n_x"), sum("cy").as("n_y"),
+        sum("c").as("n_tot"))
+      cum.crossJoin(broadcast(ns))
+        .withColumn("r2", expr("2 * cum - c + 1"))
+        .withColumn("s2", expr("least(r2, 2 * (n_tot + 1) - r2)"))
+        .groupBy("n_x", "n_y", "n_tot")
+        .agg(sum(expr("cx * s2")).as("ab2"))
+        .filter(col("n_x") > 0 && col("n_y") > 0 && col("n_tot") >= 3)
+        .select(col("n_x"), col("n_y"), col("ab2"),
+          expr(abZSql).as("z_val"))
+    }),
+
     // Goodman–Kruskal γ and Somers' D (r12, fifth session; Goodman &
     // Kruskal 1954; Somers 1962): ordinal association between order
     // priority (1..5) and line quantity (1..50) — γ reads the
@@ -1039,6 +1154,89 @@ object RankStatOps extends OpGroup {
         |       round((CAST(l2_sum AS DOUBLE) / 2.0 - 45.0 * n_blocks)
         |         / (5.0 * sqrt(CAST(n_blocks AS DOUBLE))), 6) AS z_val
         |FROM m CROSS JOIN nd WHERE n_blocks >= 1""".stripMargin,
+
+    // same rank-defined medians / truncated leaves / sign-guarded F
+    "brown_forsythe_priority" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders),
+        |cnts AS (SELECT sc, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM v GROUP BY 1),
+        |r1 AS (SELECT sc, x,
+        |              row_number() OVER (PARTITION BY sc ORDER BY x)
+        |                AS rn
+        |       FROM v),
+        |med AS (
+        |  SELECT r1.sc, min(CASE WHEN r1.rn = ceil(cnts.cnt * 0.5)
+        |                    THEN r1.x END) AS med
+        |  FROM r1 JOIN cnts ON cnts.sc = r1.sc GROUP BY r1.sc),
+        |z AS (SELECT v.sc, abs(v.x - med.med) AS z
+        |      FROM v JOIN med ON med.sc = v.sc),
+        |g AS (
+        |  SELECT sc, CAST(count(*) AS BIGINT) AS n_g,
+        |         CAST(sum(z) AS BIGINT) AS sz,
+        |         sum(CAST(z AS HUGEINT) * z) AS qz
+        |  FROM z GROUP BY 1),
+        |lf AS (SELECT sc, n_g, sz, qz,
+        |              CAST(sz AS HUGEINT) * sz // n_g AS leaf
+        |       FROM g),
+        |m AS (
+        |  SELECT CAST(sum(n_g) AS BIGINT) AS n_tot,
+        |         CAST(sum(sz) AS BIGINT) AS t_sum,
+        |         sum(leaf) AS sum_leaf, sum(qz) AS sum_qz,
+        |         CAST(count(*) AS BIGINT) AS k
+        |  FROM lf),
+        |f AS (
+        |  SELECT n_tot, k,
+        |         sum_leaf - CAST(t_sum AS HUGEINT) * t_sum // n_tot
+        |           AS ssb,
+        |         sum_qz - sum_leaf AS ssw
+        |  FROM m WHERE k >= 2 AND n_tot > k),
+        |ff AS (
+        |  SELECT n_tot, k, ssb, ssw,
+        |         CASE WHEN ssb >= 0
+        |           THEN CAST((n_tot - k) * ssb * 1000000
+        |             // ((k - 1) * ssw) AS BIGINT)
+        |           ELSE -CAST((n_tot - k) * (-ssb) * 1000000
+        |             // ((k - 1) * ssw) AS BIGINT) END AS f_fp
+        |  FROM f WHERE ssw > 0)
+        |SELECT lf.sc, lf.n_g, med.med, lf.sz AS sum_absdev, ff.n_tot,
+        |       CAST(ff.ssb AS VARCHAR) AS ssb,
+        |       CAST(ff.ssw AS VARCHAR) AS ssw, ff.f_fp
+        |FROM lf JOIN med ON med.sc = lf.sc CROSS JOIN ff
+        |ORDER BY lf.sc""".stripMargin,
+
+    // same pooled doubled ranks / end-inward scores / parity z leaf
+    "ansari_bradley_value" ->
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT event_type AS g, CAST(round(value * 1000) AS BIGINT)
+         |           AS v
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |sup AS MATERIALIZED (
+         |  SELECT v,
+         |         CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS cx,
+         |         CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS cy
+         |  FROM ev GROUP BY 1),
+         |cum AS (SELECT v, cx, cy, cx + cy AS c,
+         |               CAST(sum(cx + cy) OVER (ORDER BY v) AS BIGINT)
+         |                 AS cum
+         |        FROM sup),
+         |ns AS (SELECT CAST(sum(cx) AS BIGINT) AS n_x,
+         |              CAST(sum(cy) AS BIGINT) AS n_y,
+         |              CAST(sum(cx + cy) AS BIGINT) AS n_tot
+         |       FROM sup),
+         |ab AS (
+         |  SELECT n_x, n_y, n_tot,
+         |         CAST(sum(cx * least(2 * cum - c + 1,
+         |           2 * (n_tot + 1) - (2 * cum - c + 1))) AS BIGINT)
+         |           AS ab2
+         |  FROM cum CROSS JOIN ns
+         |  GROUP BY n_x, n_y, n_tot)
+         |SELECT n_x, n_y, ab2, $abZSql AS z_val
+         |FROM ab WHERE n_x > 0 AND n_y > 0 AND n_tot >= 3""".stripMargin,
 
     // same bounded cell-grid double sum; HUGEINT products
     "gamma_somers_priority_qty" ->

@@ -345,6 +345,79 @@ class RankStatSpec extends SparkSpec {
     } else assert(r.isNullAt(5))
   }
 
+  test("brown_forsythe_priority: brute |x-med| moment replay") {
+    val rows = run("brown_forsythe_priority").map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getString(5), r.getString(6), r.getLong(7)))
+    val v = Tables.orders(spark, sf())
+      .selectExpr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val groups = v.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val meds = groups.map { case (sc, xs) =>
+      val sorted = xs.sorted
+      sc -> sorted((math.ceil(xs.length * 0.5) - 1).toInt)
+    }
+    val moments = groups.map { case (sc, xs) =>
+      val zs = xs.map(x => math.abs(x - meds(sc)))
+      (sc, xs.length.toLong, zs.sum, zs.map(z => BigInt(z) * z).sum)
+    }.toSeq.sortBy(_._1)
+    val leaves = moments.map(m => BigInt(m._3) * m._3 / m._2)
+    val nTot = moments.map(_._2).sum
+    val tSum = moments.map(_._3).sum
+    val ssb = leaves.sum - BigInt(tSum) * tSum / nTot
+    val ssw = moments.map(_._4).sum - leaves.sum
+    val k = moments.length.toLong
+    if (k < 2 || ssw <= 0 || nTot <= k) assert(rows.isEmpty)
+    else {
+      assert(rows.map(t => (t._1, t._2, t._3, t._4)) ===
+        moments.map(m => (m._1, m._2, meds(m._1), m._3)),
+        "per-group medians and |dev| sums")
+      rows.foreach { t =>
+        assert(t._5 === nTot && BigInt(t._6) === ssb
+          && BigInt(t._7) === ssw, "SS replay")
+        val num = (nTot - k) * ssb * 1000000
+        val den = (k - 1) * ssw
+        val f = if (num >= 0) num / den else -((-num) / den)
+        assert(t._8 === f.toLong, "sign-guarded F replay")
+      }
+    }
+  }
+
+  test("ansari_bradley_value: brute end-inward score replay") {
+    val rows = run("ansari_bradley_value")
+    val ev = Tables.events(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "purchase"))
+      .selectExpr("event_type", "CAST(round(value * 1000) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = ev.map(_._2).sorted
+    val n = all.length.toLong
+    val nX = ev.count(_._1 == "click").toLong
+    val nY = n - nX
+    if (nX == 0 || nY == 0 || n < 3) assert(rows.isEmpty)
+    else {
+      val r2 = avgRank2(all.toIndexedSeq)
+      def s2(v: Long): Long = math.min(r2(v), 2 * (n + 1) - r2(v))
+      val ab2 = ev.filter(_._1 == "click").map(t => s2(t._2)).sum
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getLong(0) === nX && r.getLong(1) === nY)
+      assert(r.getLong(2) === ab2, "exact doubled AB statistic")
+      val (e, vr) =
+        if (n % 2 == 0)
+          (nX.toDouble * (n + 2) / 4.0,
+            nX.toDouble * nY * (n + 2) * (n - 2) / (48.0 * (n - 1)))
+        else
+          (nX.toDouble * (n + 1) * (n + 1) / (4.0 * n),
+            nX.toDouble * nY * (n + 1) * (3.0 + n.toDouble * n)
+              / (48.0 * n * n))
+      val z = BigDecimal((ab2 / 2.0 - e) / math.sqrt(vr))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - z) < 1e-6, "parity z replay")
+    }
+  }
+
   test("gamma_somers_priority_qty: grid pair-count replay; |gamma| >= |D|") {
     val rows = run("gamma_somers_priority_qty")
     assert(rows.length === 1)

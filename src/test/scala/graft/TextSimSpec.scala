@@ -247,4 +247,52 @@ class TextSimSpec extends SparkSpec {
     assert(nA <= full && nB <= full && u <= full,
       "2-band captures are subsets of the 4-band dup set")
   }
+
+  test("neardup_transitivity_audit: brute wedge/triangle replay") {
+    val rows = operators.LlmOps
+      .queries("neardup_transitivity_audit")(spark, sf()).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    // rebuild the exact edge set from the jaccard candidates
+    val cand = operators.LlmOps.queries("ngram_jaccard_pairs")(spark, sf())
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    // ngram_jaccard_pairs already applies the >= 0.3 cut (rounded); the
+    // audit uses the exact integer form of the same threshold, so the
+    // edge COUNT may differ only on exact-boundary pairs — recompute
+    // independently from the raw documents instead
+    val docs = Tables.documents(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .select("doc_id", "source", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1),
+        x.getString(2).split(" ", -1).distinct.toSet))
+    val df = docs.flatMap(d => d._3.map(w => w))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val kept = docs.map(d => (d._1, d._2, d._3.filter(w => df(w) <= 50)))
+    val edges = (for {
+      a <- kept; b <- kept
+      if a._2 == b._2 && a._1 < b._1
+      inter = (a._3 & b._3).size
+      if inter > 0 && 10 * inter >= 3 * (a._3.size + b._3.size - inter)
+    } yield (a._1, b._1)).toSet
+    assert(r.getLong(0) === edges.size.toLong, "exact edge count")
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(dg => dg * (dg - 1) / 2).sum
+    val verts = deg.size.toLong
+    val edgeSeq = edges.toSeq
+    val tri = (for {
+      e1 <- edgeSeq; e2 <- edgeSeq if e1._2 == e2._1
+      if edges.contains((e1._1, e2._2))
+    } yield 1).size.toLong
+    assert(r.getLong(1) === verts && r.getLong(2) === wedges)
+    assert(r.getLong(3) === tri, "exact triangle count")
+    if (wedges > 0) {
+      assert(r.getLong(4) === 3 * tri * 1000000L / wedges)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L,
+        "transitivity in [0, 1]")
+    } else assert(r.isNullAt(4))
+    assert(r.getLong(5) === wedges - 3 * tri && r.getLong(5) >= 0L,
+      "open wedges accounting")
+    assert(cand.nonEmpty || edges.isEmpty, "candidate family consistent")
+  }
 }
