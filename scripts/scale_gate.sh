@@ -20,12 +20,20 @@ QUERIES=${SCALE_GATE_QUERIES:-dup_span_detect,ngram_novelty_score,cross_source_c
 CPUS=${SPARK_GRAFT_CPUS:-8}
 THRESHOLD=${SCALE_GATE_THRESHOLD:-15.0}
 
+# SCALE_GATE_QUERIES=ALL (r13, VERDICT r12 ask #6): sweep EVERY declared
+# query — constant-state queries (streaming state floors, sink
+# roundtrips, enum-bounded scalars) trivially pass the ratio test via
+# the 0.15 s denominator floor, and the artifact alone then answers
+# "is anything super-linear" with no curated-list archaeology. The
+# sf0.1 full pass is ordered LAST so the bench_full.json it writes is
+# the same full-suite sf0.1 artifact the round commits.
 for sf in sf0.01 sf0.1; do
   echo "== Bench at $sf (cpus=$CPUS): $QUERIES =="
+  if [ "$QUERIES" = "ALL" ]; then ONLY=""; else ONLY=$QUERIES; fi
   # grep to a file first, THEN head: `head -1` inside the pipeline
   # closes the pipe while Bench is still printing its duplicate JSON
   # line, and pipefail turns that SIGPIPE into exit 141
-  SPARK_GRAFT_SF_DIR=/root/testdata/$sf SPARK_GRAFT_ONLY=$QUERIES \
+  SPARK_GRAFT_SF_DIR=/root/testdata/$sf SPARK_GRAFT_ONLY=$ONLY \
     SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep '{"metric"' > /tmp/scale_gate_all_$sf.json
   head -1 /tmp/scale_gate_all_$sf.json > /tmp/scale_gate_$sf.json

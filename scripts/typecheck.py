@@ -70,11 +70,23 @@ def main(sf_dir, out_dir):
         otypes = {f.name: f.type for f in oschema}
         # r12 decimal ban: presence on either side is a failure, even
         # when the sides agree (alignment did not green decimals).
+        # ONE violation per (query, column) however many sides/checks
+        # trip (ADVICE r13: a both-sides decimal column previously
+        # counted up to 3×, inflating the summary line).
+        flagged = set()
         for side, types in (("spark", stypes), ("oracle", otypes)):
             for c, t in sorted(types.items()):
-                if pa.types.is_decimal(t):
-                    bad.append((name, c, f"DECIMAL-OUTPUT[{side}]", str(t)))
+                if pa.types.is_decimal(t) and (name, c) not in flagged:
+                    flagged.add((name, c))
+                    sides = [sd for sd, ty in (("spark", stypes),
+                                               ("oracle", otypes))
+                             if c in ty and pa.types.is_decimal(ty[c])]
+                    bad.append((name, c,
+                                f"DECIMAL-OUTPUT[{'+'.join(sides)}]",
+                                str(t)))
         for c in sorted(set(stypes) & set(otypes)):
+            if (name, c) in flagged:
+                continue
             st, ot = stypes[c], otypes[c]
             if st == ot:
                 continue

@@ -32,12 +32,16 @@ case class GramBuf(d: Int, cnt: Array[Long], hi: Array[Long], lo: Array[Long])
   * Exactness/overflow: per-pair products |fx_i·fx_j| ≤ 1e12 at the
   * documented ×1e6 fixed-point leaf envelope; the lo limb flushes into
   * hi (base 10^18, truncating div/mod — an exact decomposition for
-  * either sign) whenever |lo| ≥ 4·10^18, so int64 never overflows at
-  * ANY row count; `finish` re-splits each value canonically from the
-  * exact BigInt so the emitted (hi, lo) is independent of flush
-  * history (the partition-invariance property the sweep asserts).
-  * Downstream reconstructs DECIMAL(38,0) as sHi·10^18 + sLo — exact to
-  * ~10^38, i.e. ~10^26 rows.
+  * either sign) whenever |lo| ≥ 4·10^18, so the LO limb never
+  * overflows at any row count. The HI limb is itself int64, so the
+  * representable envelope is |Σ| ≤ ~9.2·10^36 — ~10^24 rows at the
+  * 1e12 per-product bound (ADVICE r12 corrected the earlier ~10^38
+  * claim). Exceeding it fails LOUDLY: every hi-limb addition goes
+  * through `Math.addExact`, so an out-of-envelope fold throws instead
+  * of silently wrapping the gram. `finish` re-splits each value
+  * canonically from the exact BigInt so the emitted (hi, lo) is
+  * independent of flush history (the partition-invariance property
+  * the sweep asserts).
   */
 class GramUpperSum extends Aggregator[Array[Long], GramBuf, Seq[GramCell]] {
 
@@ -69,7 +73,7 @@ class GramUpperSum extends Aggregator[Array[Long], GramBuf, Seq[GramCell]] {
   @inline private def add(b: GramBuf, idx: Int, p: Long): Unit = {
     var l = b.lo(idx) + p
     if (l >= Flush || l <= -Flush) {
-      b.hi(idx) += l / Base
+      b.hi(idx) = Math.addExact(b.hi(idx), l / Base)
       l = l % Base
     }
     b.lo(idx) = l
@@ -109,7 +113,7 @@ class GramUpperSum extends Aggregator[Array[Long], GramBuf, Seq[GramCell]] {
       var o = 0
       while (o < c.d - i) {
         a.cnt(dstRow + o) += c.cnt(srcRow + o)
-        a.hi(dstRow + o) += c.hi(srcRow + o)
+        a.hi(dstRow + o) = Math.addExact(a.hi(dstRow + o), c.hi(srcRow + o))
         add(a, dstRow + o, c.lo(srcRow + o))
         o += 1
       }
@@ -125,9 +129,14 @@ class GramUpperSum extends Aggregator[Array[Long], GramBuf, Seq[GramCell]] {
       var j = i
       while (j < b.d) {
         val k = i * b.d - i * (i - 1) / 2 + (j - i)
-        // canonical toward-zero re-split from the exact value
+        // canonical toward-zero re-split from the exact value; the
+        // isValidLong guard makes a value past the int64-limb envelope
+        // fail loudly (same contract as the addExact folds)
         val v = BigInt(b.hi(k)) * Base + b.lo(k)
-        val hi = (v / Base).toLong
+        val hiBig = v / Base
+        require(hiBig.isValidLong,
+          s"gram cell ($i,$j) exceeds the int64 hi-limb envelope")
+        val hi = hiBig.toLong
         val lo = (v - BigInt(hi) * Base).toLong
         out += GramCell(i, j, b.cnt(k), hi, lo)
         j += 1

@@ -189,13 +189,19 @@ object EmbeddingAlgebraOps extends OpGroup {
     // two truncating fixed-point ratios: the mean pairwise dot and
     // the mean squared norm (both ×1e-6 in raw-unit² terms).
     "embedding_anisotropy" -> ((s, d) => {
+      // n is count(DISTINCT vec_id) over non-null/non-empty vectors on
+      // BOTH engines (ADVICE r12): the oracle's n comes from the
+      // exploded rows (UNNEST drops NULL/empty arrays), so a raw
+      // count(*) here would diverge the identity's n if the fixture
+      // ever gained a NULL embedding or a duplicate vec_id.
       val emb = Tables.embeddings(s, d).withColumn("fxs", fxArr)
+        .filter(col("fxs").isNotNull && size(col("fxs")) > 0)
       val perRow = emb.select(
         expr("""aggregate(fxs, CAST(0 AS DECIMAL(38,0)),
                | (acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"""
           .stripMargin.replace("\n", " ")).as("sq"),
-        col("fxs"))
-      val q = perRow.agg(count(lit(1)).as("n"),
+        col("vec_id"), col("fxs"))
+      val q = perRow.agg(countDistinct("vec_id").cast("long").as("n"),
         sum("sq").as("sum_sq_norm"))
       val dims = emb.select(posexplode(col("fxs")).as(Seq("pos", "fx")))
         .groupBy("pos").agg(sum(col("fx").cast("decimal(38,0)")).as("sx"))

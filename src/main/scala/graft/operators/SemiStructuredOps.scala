@@ -117,19 +117,34 @@ object SemiStructuredOps extends OpGroup {
   private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Array[Double]]]]()
 
+  /** Fixed fit-sample size for the PQ codebook: 64 training vectors per
+    * centroid (k=16 codes × m=8 subspaces × 64). A fixed COUNT — not a
+    * fixed RATE — is what makes the driver-side k-means fit 100 TB-safe:
+    * the pre-r13 `xxhash64 % 2 == 0` filter collected 50% of the corpus,
+    * which at 10⁹ vectors is a driver OOM inside the layout build. The
+    * md5-ordered `limit` keeps the sample deterministic under any
+    * partitioning (TakeOrderedAndProject: each partition ships only its
+    * local top-N keys), and codebook quality needs sample COUNT, not
+    * sample fraction. AnnSpec pins that the fit input is
+    * min(|corpus|, PQ_FIT_SAMPLE) rows at two scale factors.
+    */
+  private[graft] val PQ_FIT_SAMPLE = 8192
+
+  /** The codebook fit input, exposed for AnnSpec's constancy pin. */
+  private[graft] def pqFitSample(s: SparkSession, d: String): Array[Array[Float]] = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.embeddings(s, d)
+      .withColumn("__n", graft.functions.VectorFunctions.norm("embedding"))
+      .select(md5(col("vec_id").cast("string")).as("h"),
+        graft.functions.VectorFunctions
+          .unitNormalized("embedding", "__n").as("ne"))
+      .orderBy("h").limit(PQ_FIT_SAMPLE).collect()
+      .map(_.getSeq[Float](1).toArray)
+  }
+
   private def pqCodebook(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    pqCodebooks.computeIfAbsent(d, _ => {
-      graft.functions.VectorFunctions.register(s)
-      val sample = Tables.embeddings(s, d)
-        .withColumn("__n", graft.functions.VectorFunctions.norm("embedding"))
-        .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
-        .select(md5(col("vec_id").cast("string")).as("h"),
-          graft.functions.VectorFunctions
-            .unitNormalized("embedding", "__n").as("ne"))
-        .orderBy("h").collect()
-        .map(_.getSeq[Float](1).toArray)
-      graft.functions.AnnPq.fitCodebooks(sample, m = 8, k = 16)
-    })
+    pqCodebooks.computeIfAbsent(d, _ =>
+      graft.functions.AnnPq.fitCodebooks(pqFitSample(s, d), m = 8, k = 16))
 
   /** PQ serving layout, written once per (session, dataset): the
     * normalized vectors + their codes as one parquet, the codebook

@@ -109,6 +109,35 @@ class AnnSpec extends SparkSpec {
     assert(cb.flatten.flatten.toSeq === cb2.flatten.flatten.toSeq)
   }
 
+  test("PQ codebook fit input is min(|corpus|, PQ_FIT_SAMPLE) — a fixed count, not a rate") {
+    // Fixture side: the cap does not bind (500 < 8192) and the fit sees
+    // the WHOLE corpus, deterministically md5-ordered.
+    val n001 = Tables.embeddings(spark, sf()).count()
+    val s001 = graft.operators.SemiStructuredOps.pqFitSample(spark, sf())
+    assert(s001.length ==
+      math.min(n001, graft.operators.SemiStructuredOps.PQ_FIT_SAMPLE.toLong))
+    // Scale side: a corpus LARGER than the cap yields exactly
+    // PQ_FIT_SAMPLE rows — the driver collect is constant in corpus
+    // size (the r12 verdict's 100 TB flag: the old xxhash64%2 filter
+    // collected a 50% *fraction*).
+    val dir = tmpDir("graft_pqfit")
+    val big = spark.range(0, graft.operators.SemiStructuredOps.PQ_FIT_SAMPLE * 2L)
+      .selectExpr("id AS vec_id",
+        // unit-scale components (the embeddings fixture's envelope):
+        // fixed_dot's 1e15 fixed point overflows int64 past |x| ≈ 3
+        "transform(sequence(1, 8), i -> CAST((pmod(id * i, 97) + 1) / 98.0 AS FLOAT)) AS embedding",
+        "CAST(id % 4 AS INT) AS label")
+    big.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sBig = graft.operators.SemiStructuredOps.pqFitSample(spark, dir)
+    assert(sBig.length == graft.operators.SemiStructuredOps.PQ_FIT_SAMPLE)
+    // determinism of the capped sample under a different partitioning
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val sBig2 = graft.operators.SemiStructuredOps.pqFitSample(spark, dir)
+      assert(sBig.map(_.toSeq).toSeq == sBig2.map(_.toSeq).toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
   test("knn graph: per-node top-3 within the node's own cell, exact on cell-mates") {
     val edges = SparkEntry.queries("knn_graph_topk")(spark, sf())
       .as[(Long, Int, Long, Double)].collect()
