@@ -232,6 +232,13 @@ import org.apache.spark.sql.SparkSession
   *     collected array; the exchanged relations are that 1-row array,
   *     the 1-row max-|U| scalar, and the 1-row argmax-day scalar; the
   *     only corpus-sized pass is the map-side daily aggregate.
+  *   - `mood_median_test`, `cramer_von_mises_value` (r13) — many
+  *     SinglePartition: the ks_two_sample scalar-stitch class — the
+  *     only corpus-sized pass is the map-side value-SUPPORT aggregate;
+  *     the exchanged relations are the 1-row group totals, the 1-row
+  *     pooled-median scalar (Mood), and the 1-row χ²/T fold, each
+  *     stitched back by broadcast; the prefix sums ride GlobalRank's
+  *     measured two-phase path, never a partition-less window.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

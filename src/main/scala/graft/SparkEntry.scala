@@ -71,6 +71,8 @@ object SparkEntry {
     operators.QualitySignalOps,
     operators.CorpusHygieneOps,
     operators.PlanEvalOps,
+    operators.LexRichnessOps,
+    operators.DistShapeOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

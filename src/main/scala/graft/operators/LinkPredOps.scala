@@ -98,6 +98,56 @@ object LinkPredOps extends OpGroup {
         .limit(20)
     }),
 
+    // Jaccard link prediction (r13): |Γa ∩ Γb| / |Γa ∪ Γb| over the
+    // same capped two-hop non-adjacent candidates — the set-overlap
+    // companion to common-neighbors (which favors hubs; Jaccard
+    // normalizes by the union so small tight neighborhoods win).
+    // Union via inclusion–exclusion deg_a + deg_b − n_common (b ∉ Γa
+    // by the non-adjacency filter, so no correction term); pure
+    // integer 1e6 fixed point — denominator ≥ 1 since deg ≥ n_common.
+    "jaccard_linkpred" -> ((s, d) => {
+      val (_, deg) = undirected(s, d)
+      twoHop(s, d)
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+        .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+        .withColumn("jaccard_fp",
+          expr("n_common * 1000000 DIV (deg_a + deg_b - n_common)"))
+        .select("a", "b", "n_common", "deg_a", "deg_b", "jaccard_fp")
+        .orderBy(col("jaccard_fp").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Preferential attachment (r13): deg(a)·deg(b) over the candidate
+    // pairs — the "rich get richer" baseline every link-pred eval
+    // (Liben-Nowell & Kleinberg 2007) compares against; here the
+    // null-model score a near-dup candidate must beat before its
+    // neighborhood overlap means anything. Pure integers.
+    "preferential_attachment_linkpred" -> ((s, d) => {
+      val (_, deg) = undirected(s, d)
+      twoHop(s, d).select("a", "b").distinct()
+        .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+        .withColumn("pa_score", expr("deg_a * deg_b"))
+        .select("a", "b", "deg_a", "deg_b", "pa_score")
+        .orderBy(col("pa_score").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Resource allocation index (r13, Zhou/Lü/Zhang 2009): Σ 1/deg(z)
+    // over shared neighbors — Adamic–Adar's harder hub discount (1/d
+    // vs 1/ln d), consistently the strongest local link predictor in
+    // the published benchmarks. ENTIRELY integer: 1e9 DIV deg_z needs
+    // no IEEE ln, so the whole score is exact on both engines.
+    "resource_allocation_linkpred" -> ((s, d) => {
+      twoHop(s, d)
+        .withColumn("w_fp", expr("1000000000 DIV deg_z"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"), sum("w_fp").as("ra_fp"))
+        .orderBy(col("ra_fp").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // Local clustering coefficient per node: closed wedges over
     // possible wedges, 2T/(deg·(deg−1)). Wedge generation fans out
     // deg² per CENTER node, so centers carry the same hub cap as the
@@ -230,6 +280,35 @@ object LinkPredOps extends OpGroup {
          |         AS BIGINT) AS aa_fp
          |FROM cand GROUP BY a, b
          |ORDER BY aa_fp DESC, a, b LIMIT 20""".stripMargin,
+
+    "jaccard_linkpred" ->
+      s"""WITH $twoHopDuck,
+         |cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+         |       FROM cand GROUP BY a, b)
+         |SELECT cn.a, cn.b, cn.n_common,
+         |       da.deg AS deg_a, db.deg AS deg_b,
+         |       CAST(cn.n_common * 1000000
+         |         // (da.deg + db.deg - cn.n_common) AS BIGINT)
+         |         AS jaccard_fp
+         |FROM cn JOIN deg da ON da.node = cn.a
+         |        JOIN deg db ON db.node = cn.b
+         |ORDER BY jaccard_fp DESC, a, b LIMIT 20""".stripMargin,
+
+    "preferential_attachment_linkpred" ->
+      s"""WITH $twoHopDuck,
+         |cd AS (SELECT DISTINCT a, b FROM cand)
+         |SELECT cd.a, cd.b, da.deg AS deg_a, db.deg AS deg_b,
+         |       CAST(da.deg * db.deg AS BIGINT) AS pa_score
+         |FROM cd JOIN deg da ON da.node = cd.a
+         |        JOIN deg db ON db.node = cd.b
+         |ORDER BY pa_score DESC, a, b LIMIT 20""".stripMargin,
+
+    "resource_allocation_linkpred" ->
+      s"""WITH $twoHopDuck
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+         |       CAST(sum(1000000000 // deg_z) AS BIGINT) AS ra_fp
+         |FROM cand GROUP BY a, b
+         |ORDER BY ra_fp DESC, a, b LIMIT 20""".stripMargin,
 
     "local_clustering_coefficient" ->
       s"""WITH ${SemiStructuredOps.knnEdgeCtes},

@@ -72,6 +72,63 @@ class LinkPredSpec extends SparkSpec {
     }
   }
 
+  test("jaccard_linkpred: replay from brute CN + degrees; bounded by 1e6") {
+    val rows = run("jaccard_linkpred")
+    assert(rows.nonEmpty && rows.length <= 20)
+    val (_, deg) = graph
+    rows.foreach { r =>
+      val (a, b, n, da, db, j) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n === bruteScores((a, b))._1, s"CN($a,$b) replay")
+      assert(da === deg(a) && db === deg(b))
+      assert(n <= math.min(da, db), "intersection bounded by degrees")
+      assert(j === n * 1000000L / (da + db - n), "fixed-point replay")
+      assert(j >= 0 && j <= 1000000L)
+    }
+    val scores = rows.map(_.getLong(5))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending by score")
+  }
+
+  test("preferential_attachment_linkpred: degree-product replay over the candidate set") {
+    val rows = run("preferential_attachment_linkpred")
+    assert(rows.nonEmpty && rows.length <= 20)
+    val (_, deg) = graph
+    rows.foreach { r =>
+      val (a, b, da, db, pa) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bruteScores.contains((a, b)), "pair from the brute candidate set")
+      assert(da === deg(a) && db === deg(b))
+      assert(pa === da * db, "PA is the degree product")
+    }
+    val scores = rows.map(_.getLong(4))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending by score")
+  }
+
+  test("resource_allocation_linkpred: pure-integer replay; hub discount bounds") {
+    val (und, deg) = graph
+    val nbrs = und.groupBy(_._1).map { case (n, s) => n -> s.map(_._2) }
+    val brute = scala.collection.mutable.HashMap[(Long, Long), (Long, Long)]()
+    for {
+      (z, dz) <- deg if dz <= operators.LinkPredOps.MaxHubDegree
+      a <- nbrs(z); b <- nbrs(z) if a < b
+      if !und.contains((a, b))
+    } {
+      val (c, s) = brute.getOrElse((a, b), (0L, 0L))
+      brute((a, b)) = (c + 1, s + 1000000000L / dz)
+    }
+    val rows = run("resource_allocation_linkpred")
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (a, b, n, ra) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (bc, bs) = brute((a, b))
+      assert(n === bc && ra === bs, s"RA($a,$b) replay")
+      // intermediates have deg in [2, cap]: weight in [1e9/cap, 5e8]
+      assert(ra >= n * (1000000000L / operators.LinkPredOps.MaxHubDegree)
+        && ra <= n * 500000000L)
+    }
+  }
+
   test("local_clustering_coefficient: triangles replay brute-force") {
     val rows = run("local_clustering_coefficient")
     assert(rows.nonEmpty)
