@@ -232,6 +232,16 @@ import org.apache.spark.sql.SparkSession
   *     collected array; the exchanged relations are that 1-row array,
   *     the 1-row max-|U| scalar, and the 1-row argmax-day scalar; the
   *     only corpus-sized pass is the map-side daily aggregate.
+  *   - `kpss_level_daily`, `cooks_distance_topk` (r13) — many
+  *     SinglePartition: the scalar-stitch class — the only
+  *     corpus-sized pass is the map-side daily aggregate
+  *     (localCheckpoint-pinned); the exchanged relations are the
+  *     1-row moment scalars (and min-day / SSE scalars), stitched by
+  *     broadcast; rank/prefix ride GlobalRank's measured path.
+  *   - `abc_inventory_classification` (r13) — many SinglePartition:
+  *     scalar-stitch — the corpus pass is the part-keyed revenue
+  *     aggregate; the exchanged relations are the 1-row total and the
+  *     3-row class census.
   *   - `mood_median_test`, `cramer_von_mises_value` (r13) — many
   *     SinglePartition: the ks_two_sample scalar-stitch class — the
   *     only corpus-sized pass is the map-side value-SUPPORT aggregate;

@@ -308,6 +308,101 @@ object CommerceOps extends OpGroup {
                  | ELSE -((-tail_sum) * 1000000 DIV k) END"""
             .stripMargin.replace("\n", " ")).as("es_cents_fp"))
     }),
+
+    // ABC inventory classification (r13): parts ranked by revenue,
+    // classed by cumulative share — A carries the first 80% of
+    // revenue, B to 95%, C the tail (the classical Pareto cut
+    // inventory policy runs on; pareto_revenue_concentration reads
+    // the same curve at fixed population fractions, this reads it at
+    // fixed MASS fractions and reports the class census). The
+    // crossing item belongs to the class its INCLUSIVE cumulative
+    // lands in (pinned rule, pure integer predicates cum·k ≤ m·tot).
+    // Scale: one part-keyed revenue aggregate; rank + prefix via
+    // GlobalRank's measured two-phase path ordered by (−rev, key);
+    // the census is a 3-row aggregate.
+    "abc_inventory_classification" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("rev"))
+        .withColumn("negrev", -col("rev"))
+        .localCheckpoint()
+      val tot = rev.agg(sum("rev").as("tot"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(rev, "cum", col("rev"), Nil, Seq("negrev", "l_partkey"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("abc_class", expr(
+          """CASE WHEN cum * 10 <= 8 * tot THEN 'A'
+            |     WHEN cum * 100 <= 95 * tot THEN 'B'
+            |     ELSE 'C' END""".stripMargin.replace("\n", " ")))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("abc_class"), col("n_parts"), col("rev_cents"),
+          expr("rev_cents * 1000000 DIV tot").as("share_fp"))
+        .orderBy("abc_class")
+    }),
+
+    // Laspeyres / Paasche / Fisher price indices by ship month (r13;
+    // the index-number triple every price-drift monitor reports):
+    // unit values p = Σcents·1e6 DIV Σqty per (part, month)
+    // (truncating — deterministic both engines), basket = parts
+    // present in BOTH the base month and the report month; L fixes
+    // base-month quantities, P current-month, Fisher = √(L·P). Index
+    // folds are DECIMAL(38,0)/HUGEINT; L and P are exact truncating
+    // ratios; only Fisher's √ is an IEEE leaf (shared text). Scale:
+    // one (part, month) aggregate, base month a broadcast 1-row min,
+    // the basket join part-keyed.
+    "laspeyres_paasche_index" -> ((s, d) => {
+      val pm = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"),
+          expr("year(l_shipdate) * 12 + month(l_shipdate)").as("mi"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("ec"), sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+        .withColumn("p_fp", expr("ec * 1000000 DIV q"))
+        .localCheckpoint()
+      val m0 = pm.agg(min("mi").as("mi0"))
+      val base = pm.crossJoin(broadcast(m0)).filter(col("mi") === col("mi0"))
+        .select(col("l_partkey"), col("p_fp").as("p0"), col("q").as("q0"))
+      pm.join(base, "l_partkey")
+        .groupBy("mi")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(expr("CAST(p_fp AS DECIMAL(38,0)) * q0")).as("lnum"),
+          sum(expr("CAST(p0 AS DECIMAL(38,0)) * q0")).as("lden"),
+          sum(expr("CAST(p_fp AS DECIMAL(38,0)) * q")).as("pnum"),
+          sum(expr("CAST(p0 AS DECIMAL(38,0)) * q")).as("pden"))
+        .select(col("mi"), col("n_parts"),
+          expr("CAST(lnum * 1000000 DIV lden AS BIGINT)").as("laspeyres_fp"),
+          expr("CAST(pnum * 1000000 DIV pden AS BIGINT)").as("paasche_fp"),
+          expr(
+            """CAST(FLOOR(sqrt((CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE))
+              | * (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE)))
+              | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("fisher_fp"))
+        .orderBy("mi")
+    }),
+
+    // New-vs-returning revenue split by order month (r13): each
+    // month's revenue attributed to first-ever customers vs repeats —
+    // the growth-quality read (a flat topline can hide collapsing
+    // acquisition). Pure integer: cohort month = min month per
+    // customer (one aggregate), the split two conditional sums.
+    "new_returning_revenue_split" -> ((s, d) => {
+      val ords = Tables.orders(s, d).select(col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("mi"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cohort = ords.groupBy("o_custkey").agg(min("mi").as("mi0"))
+      ords.join(cohort, "o_custkey")
+        .groupBy("mi")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("mi") === col("mi0"), col("cents"))
+            .otherwise(0L)).as("new_rev_cents"),
+          sum(when(col("mi") =!= col("mi0"), col("cents"))
+            .otherwise(0L)).as("ret_rev_cents"))
+        .withColumn("new_share_fp", expr(
+          "new_rev_cents * 1000000 DIV (new_rev_cents + ret_rev_cents)"))
+        .orderBy("mi")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -525,5 +620,85 @@ object CommerceOps extends OpGroup {
         |            ELSE -((-CAST(sum(delta) AS HUGEINT)) * 1000000 // m.k)
         |            END AS BIGINT) AS es_cents_fp
         |FROM tail CROSS JOIN m GROUP BY m.m, m.k""".stripMargin,
+
+    // same (−rev, key) ordering + inclusive-cumulative class rule
+    "abc_inventory_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+        |cum AS (
+        |  SELECT rev, CAST(sum(rev) OVER (ORDER BY -rev, l_partkey)
+        |           AS BIGINT) AS cum
+        |  FROM rev),
+        |classed AS (
+        |  SELECT CASE WHEN cum * 10 <= 8 * tot THEN 'A'
+        |              WHEN cum * 100 <= 95 * tot THEN 'B'
+        |              ELSE 'C' END AS abc_class, rev
+        |  FROM cum CROSS JOIN tot)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev) AS BIGINT) AS rev_cents,
+        |       CAST(CAST(sum(rev) AS HUGEINT) * 1000000 // tot AS BIGINT)
+        |         AS share_fp
+        |FROM classed CROSS JOIN tot
+        |GROUP BY abc_class, tot ORDER BY abc_class""".stripMargin,
+
+    // same truncating unit values + both-months basket
+    "laspeyres_paasche_index" ->
+      """WITH pm AS (
+        |  SELECT l_partkey,
+        |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+        |           AS mi,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS ec,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |pmv AS (SELECT l_partkey, mi, q, ec * 1000000 // q AS p_fp
+        |        FROM pm),
+        |m0 AS (SELECT min(mi) AS mi0 FROM pmv),
+        |base AS (SELECT l_partkey, p_fp AS p0, q AS q0
+        |         FROM pmv CROSS JOIN m0 WHERE mi = mi0),
+        |agg AS (
+        |  SELECT pmv.mi, CAST(count(*) AS BIGINT) AS n_parts,
+        |         sum(CAST(pmv.p_fp AS HUGEINT) * base.q0) AS lnum,
+        |         sum(CAST(base.p0 AS HUGEINT) * base.q0) AS lden,
+        |         sum(CAST(pmv.p_fp AS HUGEINT) * pmv.q) AS pnum,
+        |         sum(CAST(base.p0 AS HUGEINT) * pmv.q) AS pden
+        |  FROM pmv JOIN base ON pmv.l_partkey = base.l_partkey
+        |  GROUP BY pmv.mi)
+        |SELECT mi, n_parts,
+        |       CAST(lnum * 1000000 // lden AS BIGINT) AS laspeyres_fp,
+        |       CAST(pnum * 1000000 // pden AS BIGINT) AS paasche_fp,
+        |       CAST(FLOOR(sqrt((CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE))
+        |         * (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE)))
+        |         * 1000000.0) AS BIGINT) AS fisher_fp
+        |FROM agg ORDER BY mi""".stripMargin,
+
+    // same cohort-month split, pure integer
+    "new_returning_revenue_split" ->
+      """WITH ords AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |           AS mi,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cohort AS (SELECT o_custkey, min(mi) AS mi0
+        |           FROM ords GROUP BY o_custkey),
+        |j AS (SELECT o.mi, o.cents, c.mi0
+        |      FROM ords o JOIN cohort c ON o.o_custkey = c.o_custkey),
+        |agg AS (
+        |  SELECT mi, CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CASE WHEN mi = mi0 THEN cents ELSE 0 END)
+        |           AS BIGINT) AS new_rev_cents,
+        |         CAST(sum(CASE WHEN mi <> mi0 THEN cents ELSE 0 END)
+        |           AS BIGINT) AS ret_rev_cents
+        |  FROM j GROUP BY mi)
+        |SELECT mi, n_orders, new_rev_cents, ret_rev_cents,
+        |       CAST(CAST(new_rev_cents AS HUGEINT) * 1000000
+        |         // (new_rev_cents + ret_rev_cents) AS BIGINT)
+        |         AS new_share_fp
+        |FROM agg ORDER BY mi""".stripMargin,
   )
 }

@@ -58,6 +58,18 @@ object LinkPredOps extends OpGroup {
       |  / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
       |END""".stripMargin.replace("\n", " ")
 
+  /** Shared-text skewness leaf over exact (n, s1, s2, s3) integer
+    * moments — m3/m2^1.5, every operand cast to DOUBLE first.
+    */
+  private val skewFpSql = {
+    val mu = "(CAST(s1 AS DOUBLE) / n)"
+    val r2 = "(CAST(s2 AS DOUBLE) / n)"
+    val r3 = "(CAST(s3 AS DOUBLE) / n)"
+    val m2 = s"($r2 - $mu * $mu)"
+    val m3 = s"($r3 - 3.0 * $mu * $r2 + 2.0 * $mu * $mu * $mu)"
+    s"CAST(FLOOR(($m3 / pow($m2, 1.5)) * 1000000.0) AS BIGINT)"
+  }
+
   /** Two-hop non-adjacent candidate pairs (a < b) through capped-degree
     * intermediates, one row per (a, b, z) path.
     */
@@ -174,6 +186,34 @@ object LinkPredOps extends OpGroup {
           expr("2 * n_tri * 1000000 DIV (deg * (deg - 1))"))
         .select("v", "deg", "n_tri", "cc_fp")
         .orderBy("v")
+    }),
+
+    // kNN hubness audit (r13; Radovanović, Nanopoulos & Ivanović
+    // 2010): the k-occurrence (in-degree) distribution of the top-3
+    // kNN graph — positive skew means hub points appear in "everyone
+    // else's" neighbor lists while antihubs (in-degree 0) vanish, the
+    // high-dimensional pathology that silently biases every
+    // kNN-derived signal (label propagation, near-dup clustering,
+    // recall evals) toward hubs. Exact integer moments over the
+    // node-keyed in-degree rollup (zero-in-degree nodes kept via the
+    // left join); skewness is ONE shared-text IEEE leaf.
+    "knn_hubness_skew" -> ((s, d) => {
+      val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
+        .groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("k0"))
+      graft.Tables.embeddings(s, d).select(col("vec_id"))
+        .join(e, Seq("vec_id"), "left")
+        .withColumn("k", coalesce(col("k0"), lit(0L)))
+        .agg(count(lit(1)).as("n"), sum("k").as("s1"),
+          sum(expr("CAST(k AS DECIMAL(38,0)) * k")).as("s2"),
+          sum(expr("CAST(k AS DECIMAL(38,0)) * k * k")).as("s3"),
+          max("k").as("max_indeg"),
+          sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_zero_indeg"))
+        .withColumn("vn",
+          expr("CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+        .select(col("n").as("n_nodes"), col("s1").as("n_edges"),
+          col("max_indeg"), col("n_zero_indeg"),
+          expr(s"CASE WHEN n >= 2 AND vn > 0 THEN $skewFpSql " +
+            "ELSE CAST(NULL AS BIGINT) END").as("skew_fp"))
     }),
 
     // Degree assortativity: Pearson correlation of endpoint degrees
@@ -338,6 +378,31 @@ object LinkPredOps extends OpGroup {
          |         // (c.deg * (c.deg - 1)) AS BIGINT) AS cc_fp
          |FROM capped c LEFT JOIN tri t ON t.v = c.node
          |ORDER BY v""".stripMargin,
+
+    "knn_hubness_skew" ->
+      s"""WITH ${SemiStructuredOps.knnEdgeCtes},
+         |ind AS (
+         |  SELECT c.vec_id,
+         |         CAST(coalesce(g.cnt, 0) AS BIGINT) AS k
+         |  FROM corpus c
+         |  LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS cnt
+         |             FROM edges GROUP BY dst) g
+         |    ON g.dst = c.vec_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(k) AS BIGINT) AS s1,
+         |             sum(CAST(k AS HUGEINT) * k) AS s2,
+         |             sum(CAST(k AS HUGEINT) * k * k) AS s3,
+         |             CAST(max(k) AS BIGINT) AS max_indeg,
+         |             CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_zero_indeg
+         |      FROM ind),
+         |g AS (SELECT *, CAST(n AS HUGEINT) * s2
+         |               - CAST(s1 AS HUGEINT) * s1 AS vn
+         |      FROM m)
+         |SELECT n AS n_nodes, s1 AS n_edges, max_indeg, n_zero_indeg,
+         |       CASE WHEN n >= 2 AND vn > 0 THEN $skewFpSql
+         |       ELSE NULL END AS skew_fp
+         |FROM g""".stripMargin,
 
     "degree_assortativity" ->
       s"""WITH ${SemiStructuredOps.knnEdgeCtes},

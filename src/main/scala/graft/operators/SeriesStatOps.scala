@@ -49,6 +49,33 @@ object SeriesStatOps extends OpGroup {
        |ELSE -((-CAST(($n) AS HUGEINT)) * 1000000 // ($d)) END"""
       .stripMargin.replace("\n", " ")
 
+  private[operators] def fp6(e: String): String =
+    s"CAST(FLOOR(($e) * 1000000.0) AS BIGINT)"
+
+  /** Shared-text Dickey–Fuller leaves over the exact regression
+    * moments (n, sx, sy, sxx, sxy, syy, den) — β̂ and its t-ratio,
+    * every operand cast to DOUBLE before a literal touches it.
+    */
+  private[operators] val adfBetaS =
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / CAST(den AS DOUBLE))"
+  private[operators] val adfSseS =
+    s"((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)" +
+      s" - $adfBetaS * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n))"
+  private[operators] val adfTS =
+    s"($adfBetaS / sqrt(($adfSseS / (n - 2))" +
+      s" / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)))"
+  private[operators] val adfGuard = s"n >= 4 AND den > 0 AND $adfSseS > 0.0"
+
+  /** Shared-text Cook's D leaf over the exact per-day residual/leverage
+    * integers (ei, g2) and moments (n, bden, sse) — the (n·bden)²
+    * scale cancels between e², s² and SSE.
+    */
+  private val cooksHS =
+    "(1.0 / n + CAST(g2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(bden AS DOUBLE)))"
+  private[operators] val cooksDS =
+    s"(CAST(ei AS DOUBLE) * CAST(ei AS DOUBLE) * $cooksHS * (n - 2)" +
+      s" / (2.0 * CAST(sse AS DOUBLE) * (1.0 - $cooksHS) * (1.0 - $cooksHS)))"
+
   /** Runs-test z over exact counts (runs R, m kept days, n_above,
     * n_below): (R − μ)/σ with μ = 2·n₁n₀/m + 1 and
     * σ² = 2n₁n₀(2n₁n₀−m)/(m²(m−1)) — ONE IEEE expression, identical
@@ -704,6 +731,127 @@ object SeriesStatOps extends OpGroup {
           "var18_tot", "z_val")
         .orderBy("season")
     }),
+
+    // KPSS level-stationarity statistic (r13; Kwiatkowski, Phillips,
+    // Schmidt & Shin 1992, short-run l=0 variant): η = Σ S_t²/(n²σ̂²)
+    // over partial sums of the demeaned daily volume — the
+    // stationarity NULL complementing ADF's unit-root null (KPSS
+    // rejects ⟺ a trend/random-walk component exists; together they
+    // bracket the series class before any ARMA-style read). ENTIRELY
+    // integer: the n-scaled partial sum n·S_t = n·C_t − t·S1 is exact
+    // int64, its square sum folds in DECIMAL(38,0)/HUGEINT, and
+    // η = Q/(n²·(nS2−S1²)) is one truncating fixed-point division
+    // (envelope: ≤~1e3 days × ≤1e6 events/day inside 38 digits at Q).
+    // Scale: ONE map-side daily aggregate; rank/prefix via GlobalRank's
+    // measured two-phase path; everything downstream ≤|days| rows.
+    "kpss_level_daily" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val rn = graft.functions.GlobalRank
+        .rowNumber(daily, "rn", Nil, Seq("di"))
+      val cx = graft.functions.GlobalRank
+        .prefixSum(rn, "cx", col("x"), Nil, Seq("di"))
+      val m = daily.agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+      cx.crossJoin(broadcast(m))
+        .agg(sum(expr(
+          """(CAST(cx AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * s1)
+            | * (CAST(cx AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * s1)"""
+            .stripMargin.replace("\n", " "))).as("qsum"),
+          max("n").as("n"), max("s1").as("s1"), max("s2").as("s2"))
+        .withColumn("vn",
+          expr("CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+        .select(col("n").as("n_days"), expr(
+          """CASE WHEN n >= 2 AND vn > 0 THEN
+            |CAST(qsum * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n * vn)
+            |  AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .as("kpss_eta_fp"))
+    }),
+
+    // (Augmented) Dickey–Fuller unit-root t (r13; Dickey & Fuller
+    // 1979, lag-0 with drift): Δx_t on x_{t−1} — β near 0 means
+    // shocks persist (random walk), β ≪ 0 means mean reversion; THE
+    // stationarity read paired with KPSS above. Adjacent pairs are
+    // consecutive OBSERVED days (the mase/durbin_watson adjacency
+    // convention, gaps documented); the regression is closed-form off
+    // ONE exact integer moment pass (Σx, ΣΔ, Σx², ΣxΔ, ΣΔ² with
+    // DECIMAL(38,0)/HUGEINT lifts, den = nΣx²−(Σx)² exact); β and its
+    // t-ratio are ONE shared-text IEEE leaf each.
+    "adf_dickey_fuller_daily" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val rn = graft.functions.GlobalRank
+        .rowNumber(daily, "rn", Nil, Seq("di"))
+      val prev = rn.select((col("rn") + 1).as("rn"), col("x").as("xl"))
+      val pairs = rn.join(prev, "rn")
+        .select(col("xl"), (col("x") - col("xl")).as("dy"))
+      pairs.agg(count(lit(1)).as("n"), sum("xl").as("sx"),
+          sum("dy").as("sy"),
+          sum(expr("CAST(xl AS DECIMAL(38,0)) * xl")).as("sxx"),
+          sum(expr("CAST(xl AS DECIMAL(38,0)) * dy")).as("sxy"),
+          sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("syy"))
+        .withColumn("den",
+          expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .select(col("n").as("n_pairs"),
+          expr(s"CASE WHEN $adfGuard THEN ${SeriesStatOps.fp6(adfBetaS)} " +
+            "ELSE CAST(NULL AS BIGINT) END").as("beta_fp"),
+          expr(s"CASE WHEN $adfGuard THEN ${SeriesStatOps.fp6(adfTS)} " +
+            "ELSE CAST(NULL AS BIGINT) END").as("df_t_fp"))
+    }),
+
+    // Cook's distance top-10 (r13; Cook 1977) against the daily-volume
+    // OLS trend: which single days, if deleted, would move the fitted
+    // trend the most — the influence audit run before trusting
+    // ols_trend/durbin_watson on a series with outages or backfill
+    // spikes. The (n·b_den)-scaled integer residual E_t (the
+    // durbin_watson scaling; envelope ≤~1e3 days × ≤1e6/day inside 38
+    // digits through E²) and the leverage numerator (n·t−Σt)² are
+    // exact; D_i = E_i²·h·(n−2)/(2·ΣE²·(1−h)²) — the common (n·b_den)²
+    // clears — is ONE shared-text IEEE leaf per day; top-10 via
+    // TakeOrdered. Scale: ONE map-side daily aggregate; everything
+    // downstream is ≤|days| rows against broadcast 1-row moments.
+    "cooks_distance_topk" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint()
+      val m0 = daily.agg(min("di").as("di0"))
+      val td = daily.crossJoin(broadcast(m0))
+        .withColumn("t", col("di") - col("di0"))
+      val m = td.agg(count(lit(1)).as("n"), sum("t").as("st"),
+          sum("y").as("sy"),
+          sum(expr("CAST(t AS DECIMAL(38,0)) * t")).as("stt"),
+          sum(expr("CAST(t AS DECIMAL(38,0)) * y")).as("sty"))
+        .withColumn("bnum",
+          expr("CAST(n AS DECIMAL(38,0)) * sty - CAST(st AS DECIMAL(38,0)) * sy"))
+        .withColumn("bden",
+          expr("CAST(n AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * st"))
+        .withColumn("cc", expr("bden * sy - bnum * st"))
+      val e = td.crossJoin(broadcast(m))
+        .filter(col("n") >= 4 && expr("bden > 0"))
+        .withColumn("ei", expr(
+          "CAST(n AS DECIMAL(38,0)) * bden * y - cc - CAST(n AS DECIMAL(38,0)) * bnum * t"))
+        .withColumn("g2", expr(
+          """(CAST(n AS DECIMAL(38,0)) * t - st)
+            | * (CAST(n AS DECIMAL(38,0)) * t - st)"""
+            .stripMargin.replace("\n", " ")))
+      val sse = e.agg(sum(expr("ei * ei")).as("sse"))
+      e.crossJoin(broadcast(sse))
+        .filter(expr("sse > 0"))
+        .select(col("di"), col("y"),
+          expr(s"CAST(FLOOR(($cooksDS) * 1000000000.0) AS BIGINT)")
+            .as("cooks_d_fp"))
+        .orderBy(col("cooks_d_fp").desc, col("di"))
+        .limit(10)
+    }),
   )
 
   /** Oracle CTE chain mirroring [[acfTerms]]: daily counts → stats →
@@ -1225,5 +1373,94 @@ object SeriesStatOps extends OpGroup {
         |         AS var18_m,
         |       z.s_tot, z.var18_tot, z.z_val
         |FROM seasons s CROSS JOIN z ORDER BY s.season""".stripMargin,
+
+    // same n-scaled partial-sum integers; window prefix as the twin
+    "kpss_level_daily" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT di, x,
+        |        CAST(row_number() OVER (ORDER BY di) AS BIGINT) AS rn,
+        |        CAST(sum(x) OVER (ORDER BY di) AS BIGINT) AS cx
+        |      FROM daily),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS s1,
+        |             sum(CAST(x AS HUGEINT) * x) AS s2
+        |      FROM daily),
+        |q AS (SELECT sum((CAST(cx AS HUGEINT) * n - CAST(rn AS HUGEINT) * s1)
+        |             * (CAST(cx AS HUGEINT) * n - CAST(rn AS HUGEINT) * s1))
+        |             AS qsum,
+        |             max(n) AS n, max(s1) AS s1, max(s2) AS s2
+        |      FROM r CROSS JOIN m),
+        |g AS (SELECT qsum, n,
+        |             CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS vn
+        |      FROM q)
+        |SELECT n AS n_days,
+        |  CASE WHEN n >= 2 AND vn > 0 THEN
+        |    CAST(qsum * 1000000 // (CAST(n AS HUGEINT) * n * vn) AS BIGINT)
+        |  ELSE NULL END AS kpss_eta_fp
+        |FROM g""".stripMargin,
+
+    // same exact moments off the rank-shifted adjacent pairs; the β/t
+    // leaves are the identical shared text
+    "adf_dickey_fuller_daily" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |r AS (SELECT x, row_number() OVER (ORDER BY di) AS rn FROM daily),
+         |p AS (SELECT a.x AS xl, b.x - a.x AS dy
+         |      FROM r a JOIN r b ON b.rn = a.rn + 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(xl) AS BIGINT) AS sx,
+         |             CAST(sum(dy) AS BIGINT) AS sy,
+         |             sum(CAST(xl AS HUGEINT) * xl) AS sxx,
+         |             sum(CAST(xl AS HUGEINT) * dy) AS sxy,
+         |             sum(CAST(dy AS HUGEINT) * dy) AS syy
+         |      FROM p),
+         |g AS (SELECT *, CAST(n AS HUGEINT) * sxx
+         |               - CAST(sx AS HUGEINT) * sx AS den
+         |      FROM m)
+         |SELECT n AS n_pairs,
+         |  CASE WHEN $adfGuard THEN ${fp6(adfBetaS)} ELSE NULL END
+         |    AS beta_fp,
+         |  CASE WHEN $adfGuard THEN ${fp6(adfTS)} ELSE NULL END
+         |    AS df_t_fp
+         |FROM g""".stripMargin,
+
+    // same scaled residual/leverage integers; identical D leaf
+    "cooks_distance_topk" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         |         CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |m0 AS (SELECT min(di) AS di0 FROM daily),
+         |td AS (SELECT CAST(di AS BIGINT) AS di, di - di0 AS t, y
+         |       FROM daily CROSS JOIN m0),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(t) AS BIGINT) AS st,
+         |             CAST(sum(y) AS BIGINT) AS sy,
+         |             sum(CAST(t AS HUGEINT) * t) AS stt,
+         |             sum(CAST(t AS HUGEINT) * y) AS sty
+         |      FROM td),
+         |g AS (SELECT *,
+         |        CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy AS bnum,
+         |        CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS bden
+         |      FROM m),
+         |g2t AS (SELECT g.*, bden * sy - bnum * st AS cc FROM g),
+         |e AS (SELECT td.di, td.y, g2t.n, g2t.bden,
+         |        CAST(g2t.n AS HUGEINT) * g2t.bden * td.y - g2t.cc
+         |          - CAST(g2t.n AS HUGEINT) * g2t.bnum * td.t AS ei,
+         |        (CAST(g2t.n AS HUGEINT) * td.t - g2t.st)
+         |          * (CAST(g2t.n AS HUGEINT) * td.t - g2t.st) AS g2
+         |      FROM td CROSS JOIN g2t
+         |      WHERE g2t.n >= 4 AND g2t.bden > 0),
+         |se AS (SELECT sum(ei * ei) AS sse FROM e)
+         |SELECT e.di, e.y,
+         |       CAST(FLOOR(($cooksDS) * 1000000000.0) AS BIGINT)
+         |         AS cooks_d_fp
+         |FROM e CROSS JOIN se WHERE sse > 0
+         |ORDER BY cooks_d_fp DESC, e.di LIMIT 10""".stripMargin,
   )
 }

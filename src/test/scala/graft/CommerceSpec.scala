@@ -173,4 +173,89 @@ class CommerceSpec extends SparkSpec {
       }
     }
   }
+
+  test("abc_inventory_classification: brute replay; classes partition parts and revenue") {
+    val rows = run("abc_inventory_classification")
+    val revs = Tables.lineitem(spark, sf())
+      .groupBy("l_partkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tot = revs.map(_._2).sum
+    var cum = 0L
+    val classes = revs.sortBy(p => (-p._2, p._1)).map { case (_, rev) =>
+      cum += rev
+      if (cum * 10 <= 8 * tot) ("A", rev)
+      else if (cum * 100 <= 95 * tot) ("B", rev) else ("C", rev)
+    }
+    val brute = classes.groupBy(_._1).map { case (c, g) =>
+      c -> (g.length.toLong, g.map(_._2).sum) }
+    assert(rows.map(_.getString(0)).toSeq === brute.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (c, n, rev, share) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))
+      assert((n, rev) === brute(c), s"class $c census replay")
+      assert(share === rev * 1000000L / tot)
+    }
+    assert(rows.map(_.getLong(1)).sum === revs.length.toLong,
+      "classes partition the parts")
+    assert(rows.map(_.getLong(2)).sum === tot,
+      "classes partition the revenue")
+    // sorted-order law (distribution-free, unlike a Pareto-shape pin —
+    // the synthetic fixture's part revenues are near-uniform): mean
+    // revenue per part is non-increasing A → B → C
+    val byC = rows.map(r => r.getString(0) -> r).toMap
+    def meanRev(c: String) =
+      byC(c).getLong(2).toDouble / byC(c).getLong(1)
+    assert(meanRev("A") >= meanRev("B") && meanRev("B") >= meanRev("C"),
+      "class mean revenue non-increasing")
+  }
+
+  test("laspeyres_paasche_index: base month indexes at exactly 1; Fisher between L and P") {
+    val rows = run("laspeyres_paasche_index")
+    assert(rows.nonEmpty)
+    val mis = rows.map(_.getInt(0))
+    assert(mis.sameElements(mis.sorted))
+    // the base month is its own basket: L = P = F = 1.000000
+    val base = rows.head
+    assert(base.getLong(2) === 1000000L && base.getLong(3) === 1000000L,
+      "base month L = P = 1")
+    assert(base.getLong(4) === 1000000L, "base month Fisher = 1")
+    rows.foreach { r =>
+      val (l, p, f) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(l > 0 && p > 0 && f > 0)
+      // Fisher is the geometric mean: between min and max of L and P
+      // (1 fp unit of slack for the two truncations)
+      assert(f >= math.min(l, p) - 1 && f <= math.max(l, p) + 1,
+        s"Fisher $f outside [$l, $p]")
+      assert(r.getLong(1) > 0, "non-empty basket")
+    }
+  }
+
+  test("new_returning_revenue_split: cohort replay; first month is all-new") {
+    val rows = run("new_returning_revenue_split")
+    assert(rows.nonEmpty)
+    val ords = Tables.orders(spark, sf())
+      .selectExpr("o_custkey",
+        "year(o_orderdate) * 12 + month(o_orderdate)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    val cohort = ords.groupBy(_._1).map { case (c, g) =>
+      c -> g.map(_._2).min }
+    val brute = ords.groupBy(_._2).map { case (mi, g) =>
+      mi -> (g.length.toLong,
+        g.filter(o => cohort(o._1) == mi).map(_._3).sum,
+        g.filter(o => cohort(o._1) != mi).map(_._3).sum)
+    }
+    rows.foreach { r =>
+      val (mi, n, nw, rt) = (r.getInt(0).toLong, r.getLong(1),
+        r.getLong(2), r.getLong(3))
+      assert((n, nw, rt) === brute(mi), s"month $mi split replay")
+      assert(r.getLong(4) === nw * 1000000L / (nw + rt))
+    }
+    // every first-month customer is by definition new
+    assert(rows.head.getLong(3) === 0L, "first month has no returners")
+    assert(rows.map(_.getInt(0).toLong).toSet === brute.keySet)
+  }
 }

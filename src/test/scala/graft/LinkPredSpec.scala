@@ -164,6 +164,32 @@ class LinkPredSpec extends SparkSpec {
     }
   }
 
+  test("knn_hubness_skew: in-degree accounting + skew leaf replay") {
+    val Array(r) = run("knn_hubness_skew")
+    val edges = operators.SemiStructuredOps.queries("knn_graph_topk")(
+      spark, sf()).collect().map(x => (x.getLong(0), x.getLong(2)))
+    val nodes = Tables.embeddings(spark, sf())
+      .select("vec_id").collect().map(_.getLong(0))
+    val indeg = edges.groupBy(_._2).map { case (n, g) => n -> g.length.toLong }
+    val ks = nodes.map(n => indeg.getOrElse(n, 0L))
+    assert(r.getLong(0) === nodes.length.toLong, "node census")
+    assert(r.getLong(1) === edges.length.toLong, "Σ in-degree = |edges|")
+    assert(r.getLong(2) === ks.max, "max in-degree")
+    assert(r.getLong(3) === ks.count(_ == 0L).toLong, "antihub count")
+    val n = ks.length.toLong
+    val s1 = ks.map(BigInt(_)).sum
+    val s2 = ks.map(k => BigInt(k) * k).sum
+    val s3 = ks.map(k => BigInt(k) * k * k).sum
+    assert(n * s2 - s1 * s1 > 0, "fixture in-degrees vary")
+    val mu = s1.toDouble / n
+    val r2 = s2.toDouble / n
+    val r3 = s3.toDouble / n
+    val m2 = r2 - mu * mu
+    val m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+    val skew = math.floor(m3 / math.pow(m2, 1.5) * 1e6).toLong
+    assert(r.getLong(4) === skew, "skew leaf replay")
+  }
+
   test("graph_modularity_labels: degree accounting + Q bounds + replay") {
     val rows = run("graph_modularity_labels")
     val m = operators.SemiStructuredOps.queries("knn_graph_topk")(

@@ -442,4 +442,92 @@ class SeriesStatSpec extends SparkSpec {
       assert(rows.map(_._1) === (1L to rows.length.toLong), "contiguous lags")
     }
   }
+
+  test("kpss_level_daily: BigInt partial-sum replay; eta >= 0") {
+    val Array(r) = run("kpss_level_daily")
+    val xs = dailyCounts().map(_._2)
+    val n = xs.length.toLong
+    assert(r.getLong(0) === n)
+    val s1 = xs.map(BigInt(_)).sum
+    val s2 = xs.map(v => BigInt(v) * v).sum
+    var c = BigInt(0)
+    var q = BigInt(0)
+    xs.zipWithIndex.foreach { case (x, i) =>
+      c += x
+      val t = c * n - BigInt(i + 1) * s1
+      q += t * t
+    }
+    val vn = n * s2 - s1 * s1
+    assert(vn > 0, "fixture has variance")
+    assert(BigInt(r.getLong(1)) === q * 1000000 / (BigInt(n) * n * vn),
+      "eta exact rational replay")
+    assert(r.getLong(1) >= 0)
+    // final partial sum is exactly zero by construction (demeaned)
+    assert(c * n - BigInt(n) * s1 === BigInt(0))
+  }
+
+  test("adf_dickey_fuller_daily: moment + leaf replay on observed-adjacent pairs") {
+    val Array(r) = run("adf_dickey_fuller_daily")
+    val xs = dailyCounts().map(_._2)
+    val pairs = xs.sliding(2).map(p => (p(0), p(1) - p(0))).toArray
+    val n = pairs.length.toLong
+    assert(r.getLong(0) === n)
+    val sx = pairs.map(p => BigInt(p._1)).sum
+    val sy = pairs.map(p => BigInt(p._2)).sum
+    val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+    val den = n * sxx - sx * sx
+    assert(n >= 4 && den > 0)
+    // identical operation order to the shared SQL leaves
+    val b = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      den.toDouble
+    val sse = (syy.toDouble - sy.toDouble * sy.toDouble / n) -
+      b * (sxy.toDouble - sx.toDouble * sy.toDouble / n)
+    val t = b / math.sqrt((sse / (n - 2)) /
+      (sxx.toDouble - sx.toDouble * sx.toDouble / n))
+    assert(r.getLong(1) === math.floor(b * 1e6).toLong, "beta replay")
+    assert(r.getLong(2) === math.floor(t * 1e6).toLong, "t replay")
+    // a mean-reverting count series estimates beta < 0
+    assert(r.getLong(1) < 0, "daily counts are not a unit root")
+  }
+
+  test("cooks_distance_topk: per-day D replay; true top-10 cut; D >= 0") {
+    val rows = run("cooks_distance_topk")
+    assert(rows.length === 10)
+    val ds = dailyCounts()
+    val di0 = ds.map(_._1).min
+    val ty = ds.map { case (di, y) => (di - di0, y) }
+    val n = ty.length.toLong
+    val st = ty.map(p => BigInt(p._1)).sum
+    val sy = ty.map(p => BigInt(p._2)).sum
+    val stt = ty.map(p => BigInt(p._1) * p._1).sum
+    val sty = ty.map(p => BigInt(p._1) * p._2).sum
+    val bnum = n * sty - st * sy
+    val bden = n * stt - st * st
+    val cc = bden * sy - bnum * st
+    val es = ty.map { case (t, y) =>
+      (t, y, n * bden * y - cc - n * bnum * t) }
+    val sse = es.map(e => e._3 * e._3).sum
+    def dOf(t: Long, ei: BigInt): Double = {
+      val g2 = (n * t - st) * (n * t - st)
+      val h = 1.0 / n + g2.toDouble / (n.toDouble * bden.toDouble)
+      ei.toDouble * ei.toDouble * h * (n - 2) /
+        (2.0 * sse.toDouble * (1.0 - h) * (1.0 - h))
+    }
+    val brute = es.map { case (t, y, ei) =>
+      (t + di0, y, math.floor(dOf(t, ei) * 1e9).toLong) }
+    val byDay = brute.map(b => b._1 -> b).toMap
+    rows.foreach { r =>
+      val (di, y, d) = (r.getInt(0).toLong, r.getLong(1), r.getLong(2))
+      val (_, by, bd) = byDay(di)
+      assert(y === by && d === bd, s"day $di D replay")
+      assert(d >= 0)
+    }
+    val cut = rows.map(_.getLong(2)).last
+    val returned = rows.map(_.getInt(0).toLong).toSet
+    brute.foreach { case (di, _, d) =>
+      if (!returned(di)) assert(d <= cut, s"missed day $di with D $d > $cut")
+    }
+  }
 }
