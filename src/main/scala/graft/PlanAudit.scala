@@ -242,6 +242,17 @@ import org.apache.spark.sql.SparkSession
   *     scalar-stitch — the corpus pass is the part-keyed revenue
   *     aggregate; the exchanged relations are the 1-row total and the
   *     3-row class census.
+  *   - `embedding_participation_ratio` (r13) — many SinglePartition:
+  *     the gram-fold scalar-stitch class (covariance_topk precedent) —
+  *     the only corpus-sized pass is the GramUpperSum map-side fold;
+  *     the exchanged relations are the d²-bounded cell table, the
+  *     d-bounded dimension sums (broadcast), and the 1-row
+  *     trace/Frobenius fold.
+  *   - `theil_u2_forecast` (r13) — many SinglePartition: the daily
+  *     scalar-stitch class (mase/DW precedent) — the only corpus-sized
+  *     pass is the map-side daily aggregate (localCheckpoint-pinned);
+  *     the exchanged relations are the ≤|days|-row rank table and the
+  *     two 1-row error-sum scalars stitched by broadcast.
   *   - `mood_median_test`, `cramer_von_mises_value` (r13) — many
   *     SinglePartition: the ks_two_sample scalar-stitch class — the
   *     only corpus-sized pass is the map-side value-SUPPORT aggregate;

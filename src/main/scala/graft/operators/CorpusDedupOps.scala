@@ -198,6 +198,28 @@ object CorpusDedupOps extends OpGroup {
         .select("doc_id", "n_shingles", "n_novel", "novelty_fp")
         .orderBy("doc_id")
     }),
+
+    // Prefix-duplicate groups (r13): documents sharing their first 8
+    // tokens — the crawl-boilerplate signature (mirrored templates,
+    // syndicated articles, SEO spam families) that whole-document
+    // hashing misses once the tail diverges and shingle near-dup only
+    // finds pairwise. ONE groupBy on the prefix string (map-side
+    // combinable); the report is the ≥2-member groups with their
+    // source spread. Top-20 by size; first_doc is the keep-first
+    // representative.
+    "prefix_dup_groups" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("array_join(slice(split(text, ' '), 1, 8), ' ')")
+            .as("prefix"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"),
+          countDistinct("source").cast("long").as("n_sources"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix"))
+        .limit(20)
+    }),
+
   )
 
   // Oracles unnest positions through a range envelope: chunk_dedup's
@@ -272,5 +294,19 @@ object CorpusDedupOps extends OpGroup {
         |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
         |         * 1000000 // count(*) AS BIGINT) AS novelty_fp
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "prefix_dup_groups" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |         array_to_string(string_split(text, ' ')[1:8], ' ')
+        |           AS prefix
+        |  FROM documents),
+        |g AS (
+        |  SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM p GROUP BY prefix HAVING count(*) >= 2)
+        |SELECT prefix, n_docs, first_doc, n_sources
+        |FROM g ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin,
   )
 }

@@ -96,6 +96,51 @@ object EmbeddingAlgebraOps extends OpGroup {
           col("cov_dec").cast("string").as("cov_num"))
     }),
 
+    // Participation-ratio dimensionality (r13; Gao et al. 2017's
+    // neural-dimensionality convention): PR = (Σλ)²/Σλ² = tr(C)²/‖C‖²_F
+    // — the effective dimension of the embedding cloud WITHOUT any
+    // eigendecomposition, because trace and Frobenius norm read
+    // directly off the covariance cells (PR = d ⟺ isotropic, PR ≪ d ⟺
+    // the anisotropic collapse embedding_anisotropy flags). Scale
+    // invariance of PR lets the whole read stay integer: covariance
+    // NUMERATORS n·Σxy − ΣxΣy fold through the SAME GramUpperSum
+    // map-side buffer as covariance_topk, each cell truncates by n
+    // (signed toward-zero, pinned), and PR is one DECIMAL(38,0)
+    // division of exact integers — envelope ~1e3 rows × d=64 inside
+    // 38 digits at the Frobenius fold.
+    "embedding_participation_ratio" -> ((s, d) => {
+      val gram = udaf(new graft.functions.GramUpperSum)
+      val emb = Tables.embeddings(s, d).withColumn("fxs", fxArr)
+      val cells = emb.agg(gram(col("fxs")).as("g"))
+        .select(explode(col("g")).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"),
+          col("c.n").as("n"), expr(cellSum).as("sxy"))
+      val dims = emb.select(posexplode(col("fxs")).as(Seq("pos", "fx")))
+        .groupBy("pos").agg(sum(col("fx").cast("decimal(38,0)")).as("sx"))
+      val nd = dims.agg(count(lit(1)).as("n_dims"))
+      cells
+        .join(broadcast(dims.select(col("pos").as("i"),
+          col("sx").as("sx_i"))), "i")
+        .join(broadcast(dims.select(col("pos").as("j"),
+          col("sx").as("sx_j"))), "j")
+        .withColumn("cov_dec",
+          expr("CAST(n AS DECIMAL(38,0)) * sxy - sx_i * sx_j"))
+        .withColumn("cbar", expr(truncDivSpark("cov_dec", "n")))
+        .agg(max("n").as("n"),
+          sum(when(col("i") === col("j"), col("cbar")).otherwise(0L)
+            .cast("decimal(38,0)")).as("tr"),
+          sum(expr(
+            """CASE WHEN i = j THEN 1 ELSE 2 END
+              | * (CAST(cbar AS DECIMAL(38,0)) * cbar)"""
+              .stripMargin.replace("\n", " "))).as("fro2"))
+        .crossJoin(broadcast(nd))
+        .select(col("n"), col("n_dims"), expr(
+          """CASE WHEN fro2 > 0 THEN
+            |CAST(tr * tr * 1000000 DIV fro2 AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .as("pr_fp"))
+    }),
+
     // Leading principal component by two normalized power-iteration
     // steps over the (uncentered) gram matrix: G folds through the
     // SAME GramUpperSum map-side buffer (r12 — upper triangle only;
@@ -245,6 +290,45 @@ object EmbeddingAlgebraOps extends OpGroup {
          |ORDER BY abs(CAST(n AS HUGEINT) * sxy - dx.sx * dy.sx) DESC,
          |         pa.i, pa.j
          |LIMIT 20""".stripMargin,
+
+    // same GramUpperSum-equivalent pair sums (all i ≤ j), same
+    // truncate-by-n cells, same pure-integer PR division
+    "embedding_participation_ratio" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+         |         CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+         |           * 1000000) AS BIGINT) AS fx
+         |  FROM embeddings, UNNEST(range(1, 4097)) t(i)
+         |  WHERE i <= len(embedding)),
+         |pr AS (
+         |  SELECT a.pos AS i, b.pos AS j, a.fx * b.fx AS p
+         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos),
+         |pa AS (
+         |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sxy
+         |  FROM pr GROUP BY i, j),
+         |dims AS (
+         |  SELECT pos, CAST(sum(CAST(fx AS HUGEINT)) AS HUGEINT) AS sx
+         |  FROM ex GROUP BY pos),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dims FROM dims),
+         |cb AS (
+         |  SELECT pa.i, pa.j, pa.n,
+         |         ${truncDivDuck(
+                     "CAST(pa.n AS HUGEINT) * pa.sxy - dx.sx * dy.sx",
+                     "pa.n")} AS cbar
+         |  FROM pa JOIN dims dx ON dx.pos = pa.i
+         |          JOIN dims dy ON dy.pos = pa.j),
+         |agg AS (
+         |  SELECT max(n) AS n,
+         |         sum(CASE WHEN i = j THEN cbar ELSE 0 END) AS tr,
+         |         sum((CASE WHEN i = j THEN 1 ELSE 2 END)
+         |             * (CAST(cbar AS HUGEINT) * cbar)) AS fro2
+         |  FROM cb)
+         |SELECT n, n_dims,
+         |  CASE WHEN fro2 > 0 THEN
+         |    CAST(CAST(tr AS HUGEINT) * tr * 1000000 // fro2 AS BIGINT)
+         |  ELSE NULL END AS pr_fp
+         |FROM agg CROSS JOIN nd""".stripMargin,
 
     "embedding_pca_power_iter" ->
       s"""WITH ex AS (

@@ -319,6 +319,41 @@ object ExperimentOps extends OpGroup {
         .select("a", "b", "c", "d", "or_fp", "lo_fp", "hi_fp")
     }),
 
+    // Mantel–Haenszel pooled odds ratio (r13; Mantel & Haenszel 1959)
+    // of weekend × purchase STRATIFIED BY MONTH — the
+    // confounder-adjusted companion to odds_ratio_weekend above: if
+    // purchase propensity and weekend mix both drift seasonally, the
+    // crude OR mixes the strata (Simpson's direction) while OR_MH =
+    // Σaᵢdᵢ/nᵢ ÷ Σbᵢcᵢ/nᵢ weights each month by its information.
+    // Exactness: the per-stratum fractions truncate at 1e6 fixed
+    // point BEFORE the integer sums (pinned convention, deterministic
+    // on both engines); the final ratio is one DECIMAL(38,0)/HUGEINT
+    // division. Scale: ONE map-side month×4-cell conditional count;
+    // everything downstream is |months|-bounded.
+    "mantel_haenszel_or" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(expr("year(ts) * 12 + month(ts)").as("mi"),
+          expr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5").as("we"),
+          (col("event_type") === "purchase").as("pur"))
+        .groupBy("mi")
+        .agg(
+          sum(when(col("we") && col("pur"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("we") && !col("pur"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("we") && col("pur"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("we") && !col("pur"), 1L).otherwise(0L)).as("dd"))
+        .select(col("mi"),
+          expr("a * dd * 1000000 DIV (a + b + c + dd)").as("num_i"),
+          expr("b * c * 1000000 DIV (a + b + c + dd)").as("den_i"))
+        .agg(count(lit(1)).as("n_strata"),
+          sum("num_i").as("mh_num_fp"), sum("den_i").as("mh_den_fp"))
+        .withColumn("or_mh_fp", expr(
+          """CASE WHEN mh_den_fp > 0 THEN
+            |CAST(CAST(mh_num_fp AS DECIMAL(38,0)) * 1000000
+            |  DIV mh_den_fp AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .select("n_strata", "mh_num_fp", "mh_den_fp", "or_mh_fp")
+    }),
+
     // A/B power planning grid (r12, third session): the minimum
     // detectable effect on the purchase-event rate at α=0.05
     // (two-sided) / 80% power across candidate per-arm sizes —
@@ -515,6 +550,39 @@ object ExperimentOps extends OpGroup {
          |       ${orCiSql("-")} AS lo_fp,
          |       ${orCiSql("+")} AS hi_fp
          |FROM cells""".stripMargin,
+
+    // same truncate-then-sum stratum fractions, same final division
+    "mantel_haenszel_or" ->
+      """WITH cells AS (
+        |  SELECT year(ts) * 12 + month(ts) AS mi,
+        |    CAST(sum(CASE WHEN we AND pur THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN we AND NOT pur THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT we AND pur THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT we AND NOT pur THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dd
+        |  FROM (SELECT ts,
+        |               (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we,
+        |               event_type = 'purchase' AS pur
+        |        FROM events)
+        |  GROUP BY 1),
+        |terms AS (
+        |  SELECT a * dd * 1000000 // (a + b + c + dd) AS num_i,
+        |         b * c * 1000000 // (a + b + c + dd) AS den_i
+        |  FROM cells),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |         CAST(sum(num_i) AS BIGINT) AS mh_num_fp,
+        |         CAST(sum(den_i) AS BIGINT) AS mh_den_fp
+        |  FROM terms)
+        |SELECT n_strata, mh_num_fp, mh_den_fp,
+        |  CASE WHEN mh_den_fp > 0 THEN
+        |    CAST(CAST(mh_num_fp AS HUGEINT) * 1000000 // mh_den_fp
+        |      AS BIGINT)
+        |  ELSE NULL END AS or_mh_fp
+        |FROM agg""".stripMargin,
 
     "ab_mde_power_grid" ->
       s"""WITH ev AS (

@@ -302,6 +302,26 @@ object SemiStructuredOps extends OpGroup {
         col("vec_id") < 10, topK = 3, nprobe = 2)
     }),
 
+    // IVF cell-balance audit (r13): per-cell population + the
+    // imbalance factor max/mean — the serving-layout health read
+    // behind every Σ|cell|² bound in this file: one runaway cell
+    // re-quadratizes knn_graph/semantic_dedup and becomes the probe
+    // tail latency at serving time (the standard IVF ops dashboard
+    // number; re-train the quantizer when it drifts). Pure integer
+    // over the cell-partitioned layout's counts.
+    "ivf_cell_balance" -> ((s, d) => {
+      val cells = s.read.parquet(ivfLayout(s, d))
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum("n_vecs").as("n"), max("n_vecs").as("mx"),
+        count(lit(1)).as("n_cells"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          expr("n_vecs * 1000000 DIV n").as("share_fp"),
+          expr("mx * n_cells * 1000000 DIV n").as("imbalance_fp"))
+        .orderBy("cell")
+    }),
+
     // Corpus-wide kNN GRAPH over the IVF serving layout: every vector's
     // top-3 same-cell neighbors by exact fixed-point cosine — the
     // embedding-graph build that feeds graph-based dedup, clustering,
@@ -670,6 +690,20 @@ object SemiStructuredOps extends OpGroup {
         |       CAST(NULL AS BIGINT) AS absent
         |FROM events ORDER BY event_id""".stripMargin,
     "ann_ivf_partition_pruned" -> ivfProbeSql,
+
+    "ivf_cell_balance" ->
+      s"""WITH $ivfCorpusCtes,
+         |cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+         |          FROM corpus GROUP BY cell),
+         |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n,
+         |               CAST(max(n_vecs) AS BIGINT) AS mx,
+         |               CAST(count(*) AS BIGINT) AS n_cells
+         |        FROM cells)
+         |SELECT cells.cell, cells.n_vecs,
+         |       CAST(n_vecs * 1000000 // n AS BIGINT) AS share_fp,
+         |       CAST(mx * n_cells * 1000000 // n AS BIGINT)
+         |         AS imbalance_fp
+         |FROM cells CROSS JOIN tot ORDER BY cells.cell""".stripMargin,
     // outlier flags re-derived from the persisted `.dist2` sidecar: the
     // per-vector distance is INTEGER index state written once by Spark
     // at layout-build time (rounds 6-7 proved float re-derivation is

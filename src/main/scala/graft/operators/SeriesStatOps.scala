@@ -806,6 +806,37 @@ object SeriesStatOps extends OpGroup {
             "ELSE CAST(NULL AS BIGINT) END").as("df_t_fp"))
     }),
 
+    // Theil's U₂ (r13; Theil 1966): RMSE of the lag-7 seasonal-naive
+    // forecast relative to the lag-1 naive, per-pair-normalized —
+    // U₂ < 1 means weekly seasonality genuinely forecasts better than
+    // persistence (the skill read mase_seasonal_naive scales per-step;
+    // this is the classical ratio form against the OTHER baseline).
+    // Lags are OBSERVED-step (rank-shifted equi-joins, the mase/DW
+    // adjacency convention). Both squared-error sums are exact
+    // DECIMAL(38,0) integers; U₂ is ONE shared-text √ leaf.
+    "theil_u2_forecast" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val rn = graft.functions.GlobalRank
+        .rowNumber(daily, "rn", Nil, Seq("di"))
+      def lagged(k: Int) = rn.select((col("rn") + k).as("rn"),
+        col("x").as(s"xl$k"))
+      val j1 = rn.join(lagged(1), "rn").agg(count(lit(1)).as("m1"),
+        sum(expr("CAST(x - xl1 AS DECIMAL(38,0)) * (x - xl1)")).as("s1"))
+      val j7 = rn.join(lagged(7), "rn").agg(count(lit(1)).as("m7"),
+        sum(expr("CAST(x - xl7 AS DECIMAL(38,0)) * (x - xl7)")).as("s7"))
+      j1.crossJoin(broadcast(j7))
+        .select(col("m1"), col("m7"), expr(
+          """CASE WHEN m1 > 0 AND m7 > 0 AND s1 > 0 THEN
+            |CAST(FLOOR(sqrt((CAST(s7 AS DOUBLE) / m7)
+            |  / (CAST(s1 AS DOUBLE) / m1)) * 1000000.0) AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .as("u2_fp"))
+    }),
+
     // Cook's distance top-10 (r13; Cook 1977) against the daily-volume
     // OLS trend: which single days, if deleted, would move the fitted
     // trend the most — the influence audit run before trusting
@@ -1428,6 +1459,26 @@ object SeriesStatOps extends OpGroup {
          |  CASE WHEN $adfGuard THEN ${fp6(adfTS)} ELSE NULL END
          |    AS df_t_fp
          |FROM g""".stripMargin,
+
+    // same rank-shifted lags, same exact error sums, identical √ leaf
+    "theil_u2_forecast" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY di) AS rn FROM daily),
+        |j1 AS (SELECT CAST(count(*) AS BIGINT) AS m1,
+        |              sum(CAST(b.x - a.x AS HUGEINT) * (b.x - a.x)) AS s1
+        |       FROM r a JOIN r b ON b.rn = a.rn + 1),
+        |j7 AS (SELECT CAST(count(*) AS BIGINT) AS m7,
+        |              sum(CAST(b.x - a.x AS HUGEINT) * (b.x - a.x)) AS s7
+        |       FROM r a JOIN r b ON b.rn = a.rn + 7)
+        |SELECT m1, m7,
+        |  CASE WHEN m1 > 0 AND m7 > 0 AND s1 > 0 THEN
+        |    CAST(FLOOR(sqrt((CAST(s7 AS DOUBLE) / m7)
+        |      / (CAST(s1 AS DOUBLE) / m1)) * 1000000.0) AS BIGINT)
+        |  ELSE NULL END AS u2_fp
+        |FROM j1 CROSS JOIN j7""".stripMargin,
 
     // same scaled residual/leverage integers; identical D leaf
     "cooks_distance_topk" ->

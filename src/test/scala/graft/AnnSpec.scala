@@ -138,6 +138,20 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
+  test("ivf_cell_balance: cells partition the corpus; imbalance >= 1") {
+    val rows = SparkEntry.queries("ivf_cell_balance")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sf()).count()
+    assert(rows.map(_.getLong(1)).sum === total, "cells partition the corpus")
+    val mx = rows.map(_.getLong(1)).max
+    val n = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1) * 1000000L / total, "share replay")
+      assert(r.getLong(3) === mx * n * 1000000L / total, "imbalance replay")
+    }
+    assert(rows.head.getLong(3) >= 1000000L, "max/mean >= 1 by definition")
+  }
+
   test("knn graph: per-node top-3 within the node's own cell, exact on cell-mates") {
     val edges = SparkEntry.queries("knn_graph_topk")(spark, sf())
       .as[(Long, Int, Long, Double)].collect()

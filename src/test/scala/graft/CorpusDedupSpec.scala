@@ -375,4 +375,29 @@ class CorpusDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("prefix_dup_groups: brute 8-token-prefix replay; true top-20 cut") {
+    val rows = run("prefix_dup_groups")
+    assert(rows.nonEmpty, "fixture plants prefix duplicates")
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).take(8).mkString(" ")))
+    val brute = docs.groupBy(_._3).collect {
+      case (p, g) if g.length >= 2 =>
+        p -> (g.length.toLong, g.map(_._1).min,
+          g.map(_._2).distinct.length.toLong)
+    }
+    rows.foreach { r =>
+      val (p, n, fd, ns) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))
+      assert(brute(p) === ((n, fd, ns)), s"group '$p' replay")
+      assert(n >= 2)
+    }
+    val cut = rows.map(_.getLong(1)).last
+    val returned = rows.map(_.getString(0)).toSet
+    brute.foreach { case (p, (n, _, _)) =>
+      if (!returned(p)) assert(n <= cut, s"missed group '$p' size $n > $cut")
+    }
+  }
 }

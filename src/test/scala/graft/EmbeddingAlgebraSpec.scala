@@ -143,4 +143,40 @@ class EmbeddingAlgebraSpec extends SparkSpec {
     assert(BigInt(r.getLong(2)).abs <= BigInt(r.getLong(3)) * n,
       "mean dot bounded by norms")
   }
+
+  test("embedding_participation_ratio: brute covariance replay; 1 <= PR <= d") {
+    val Array(r) = operators.EmbeddingAlgebraOps.queries(
+      "embedding_participation_ratio")(spark, sf()).collect()
+    val vs = Tables.embeddings(spark, sf())
+      .select(expr(
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vs.length.toLong
+    val dDim = vs.map(_.length).max
+    assert(r.getLong(0) === n && r.getLong(1) === dDim.toLong)
+    // brute covariance numerators + the pinned truncate-by-n cells
+    val sx = Array.tabulate(dDim)(i =>
+      vs.map(v => if (i < v.length) BigInt(v(i)) else BigInt(0)).sum)
+    def cell(i: Int, j: Int): (Long, BigInt) = {
+      val both = vs.filter(v => i < v.length && j < v.length)
+      (both.length.toLong,
+        both.map(v => BigInt(v(i)) * v(j)).sum)
+    }
+    def truncDiv(a: BigInt, b: BigInt): BigInt =
+      if (a < 0) -((-a) / b) else a / b
+    var tr = BigInt(0)
+    var fro2 = BigInt(0)
+    for (i <- 0 until dDim; j <- i until dDim) {
+      val (cn, sxy) = cell(i, j)
+      val cov = BigInt(cn) * sxy - sx(i) * sx(j)
+      val cbar = truncDiv(cov, BigInt(cn))
+      if (i == j) tr += cbar
+      fro2 += (if (i == j) BigInt(1) else BigInt(2)) * cbar * cbar
+    }
+    assert(fro2 > 0)
+    assert(BigInt(r.getLong(2)) === tr * tr * 1000000 / fro2, "PR replay")
+    // PR is the participation ratio of a PSD spectrum: 1 <= PR <= d
+    assert(r.getLong(2) >= 1000000L - 1 &&
+      r.getLong(2) <= dDim * 1000000L + 1, "PR in [1, d]")
+  }
 }

@@ -146,4 +146,39 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getLong(5) <= orFp + 1 && orFp <= r.getLong(6) + 1,
       "point estimate inside the interval (floor slack)")
   }
+
+  test("mantel_haenszel_or: per-stratum cell replay; truncate-then-sum convention") {
+    val Array(r) = operators.ExperimentOps.queries("mantel_haenszel_or")(
+      spark, sf()).collect()
+    val ev = Tables.events(spark, sf())
+      .selectExpr("year(ts) * 12 + month(ts)",
+        "(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5",
+        "event_type = 'purchase'")
+      .collect().map(x => (x.getInt(0), x.getBoolean(1), x.getBoolean(2)))
+    val strata = ev.groupBy(_._1).values.map { g =>
+      val a = g.count(e => e._2 && e._3).toLong
+      val b = g.count(e => e._2 && !e._3).toLong
+      val c = g.count(e => !e._2 && e._3).toLong
+      val dd = g.count(e => !e._2 && !e._3).toLong
+      (a, b, c, dd)
+    }.toSeq
+    assert(r.getLong(0) === strata.length.toLong, "stratum census")
+    // exact truncate-then-sum replay
+    val numT = strata.map { case (a, b, c, dd) =>
+      a * dd * 1000000L / (a + b + c + dd) }.sum
+    val denT = strata.map { case (a, b, c, dd) =>
+      b * c * 1000000L / (a + b + c + dd) }.sum
+    assert(r.getLong(1) === numT && r.getLong(2) === denT,
+      "MH numerator/denominator replay")
+    assert(r.getLong(3) === numT * 1000000L / denT, "OR_MH replay")
+    // the pooled OR is a convex-ish mix of stratum ORs: between the
+    // extreme per-stratum odds ratios (strata with b·c = 0 excluded)
+    val ors = strata.collect { case (a, b, c, dd) if b * c > 0 =>
+      a.toDouble * dd / (b.toDouble * c) }
+    if (ors.nonEmpty) {
+      val v = r.getLong(3) / 1e6
+      assert(v >= ors.min - 1e-2 && v <= ors.max + 1e-2,
+        "OR_MH within the stratum OR envelope (truncation slack)")
+    }
+  }
 }

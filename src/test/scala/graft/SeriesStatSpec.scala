@@ -492,6 +492,23 @@ class SeriesStatSpec extends SparkSpec {
     assert(r.getLong(1) < 0, "daily counts are not a unit root")
   }
 
+  test("theil_u2_forecast: lag-1/lag-7 error-sum replay") {
+    val Array(r) = run("theil_u2_forecast")
+    val xs = dailyCounts().map(_._2)
+    def errSum(k: Int): (Long, BigInt) = {
+      val pairs = xs.indices.drop(k).map(i => xs(i) - xs(i - k))
+      (pairs.length.toLong, pairs.map(d => BigInt(d) * d).sum)
+    }
+    val (m1, s1) = errSum(1)
+    val (m7, s7) = errSum(7)
+    assert(r.getLong(0) === m1 && r.getLong(1) === m7)
+    assert(s1 > 0)
+    val u2 = math.floor(math.sqrt((s7.toDouble / m7) / (s1.toDouble / m1))
+      * 1e6).toLong
+    assert(r.getLong(2) === u2, "U2 leaf replay")
+    assert(r.getLong(2) > 0)
+  }
+
   test("cooks_distance_topk: per-day D replay; true top-10 cut; D >= 0") {
     val rows = run("cooks_distance_topk")
     assert(rows.length === 10)
