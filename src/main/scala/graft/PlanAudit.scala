@@ -248,6 +248,12 @@ import org.apache.spark.sql.SparkSession
   *     the exchanged relations are the d²-bounded cell table, the
   *     d-bounded dimension sums (broadcast), and the 1-row
   *     trace/Frobenius fold.
+  *   - `periodogram_power_share` (r13) — many SinglePartition: the
+  *     daily scalar-stitch class — the only corpus-sized pass is the
+  *     map-side daily aggregate (localCheckpoint-pinned); the
+  *     exchanged relations are the |Periods|-bounded per-period sums,
+  *     the 1-row (min-day, n, total) scalar, and the 1-row power
+  *     total, stitched by broadcast.
   *   - `theil_u2_forecast` (r13) — many SinglePartition: the daily
   *     scalar-stitch class (mase/DW precedent) — the only corpus-sized
   *     pass is the map-side daily aggregate (localCheckpoint-pinned);

@@ -403,6 +403,45 @@ object CommerceOps extends OpGroup {
           "new_rev_cents * 1000000 DIV (new_rev_cents + ret_rev_cents)"))
         .orderBy("mi")
     }),
+
+    // EOQ / reorder-point policy per brand (r13; Harris 1913 —
+    // the square-root economic order quantity): Q* = √(2DS/H) with
+    // S = $100/order and H = 20% of the truncating unit value per
+    // period, plus the 7-day-lead reorder point D·L/span — the
+    // stocking policy sheet an inventory planner derives straight
+    // from the demand ledger. Exactness: demand and unit value are
+    // exact integers (the laspeyres ec·1e6 DIV q convention); EOQ is
+    // ONE FLOOR'd shared-text IEEE leaf over them (all operands CAST
+    // AS DOUBLE before the 0.2/100.0 literals touch them); the
+    // reorder point is a pure truncating division. Scale: one
+    // lineitem⋈part equi-join into a |brands|-bounded aggregate; the
+    // observed-span scalar rides ONE broadcast row.
+    "eoq_reorder_policy" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ec"),
+        col("l_shipdate"))
+      val span = li.agg(
+        expr("CAST(datediff(max(l_shipdate), min(l_shipdate)) + 1 AS BIGINT)")
+          .as("span_days"))
+      val part = Tables.part(s, d).select("p_partkey", "p_brand")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum("q").as("demand_qty"), sum("ec").as("rev_cents"))
+        .withColumn("unit_fp", expr(
+          "CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000"
+            + " DIV demand_qty AS BIGINT)"))
+        .crossJoin(broadcast(span))
+        .select(col("p_brand"), col("demand_qty"), col("unit_fp"),
+          expr("""CAST(FLOOR(sqrt(2.0 * CAST(demand_qty AS DOUBLE) * 10000.0
+                 | / (0.2 * (CAST(unit_fp AS DOUBLE) / 1000000.0)))
+                 | * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("eoq_fp"),
+          expr("""CAST(CAST(demand_qty AS DECIMAL(38,0)) * 7 * 1000000
+                 | DIV span_days AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("reorder_fp"))
+        .orderBy("p_brand")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -700,5 +739,35 @@ object CommerceOps extends OpGroup {
         |         // (new_rev_cents + ret_rev_cents) AS BIGINT)
         |         AS new_share_fp
         |FROM agg ORDER BY mi""".stripMargin,
+
+    // same truncating unit value, identical EOQ leaf text, same
+    // broadcast span scalar
+    "eoq_reorder_policy" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+        |         l_shipdate
+        |  FROM lineitem),
+        |span AS (
+        |  SELECT CAST(datediff('day', min(l_shipdate), max(l_shipdate))
+        |    + 1 AS BIGINT) AS span_days
+        |  FROM li),
+        |b AS (
+        |  SELECT p.p_brand, CAST(sum(li.q) AS BIGINT) AS demand_qty,
+        |         CAST(sum(li.ec) AS BIGINT) AS rev_cents
+        |  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand),
+        |u AS (
+        |  SELECT p_brand, demand_qty,
+        |         CAST(CAST(rev_cents AS HUGEINT) * 1000000 // demand_qty
+        |           AS BIGINT) AS unit_fp
+        |  FROM b)
+        |SELECT p_brand, demand_qty, unit_fp,
+        |  CAST(FLOOR(sqrt(2.0 * CAST(demand_qty AS DOUBLE) * 10000.0
+        |    / (0.2 * (CAST(unit_fp AS DOUBLE) / 1000000.0)))
+        |    * 1000000.0) AS BIGINT) AS eoq_fp,
+        |  CAST(CAST(demand_qty AS HUGEINT) * 7 * 1000000 // span_days
+        |    AS BIGINT) AS reorder_fp
+        |FROM u CROSS JOIN span ORDER BY p_brand""".stripMargin,
   )
 }

@@ -220,6 +220,54 @@ object CorpusDedupOps extends OpGroup {
         .limit(20)
     }),
 
+    // Content-defined chunking dedup stats (r13): the rolling-hash
+    // chunking of LBFS/restic/borg (Muthitacharoen et al., SOSP 2001)
+    // at WORD granularity — a chunk ENDS at any word whose md5-derived
+    // int is ≡ 0 (mod 8), so boundaries are content-anchored and an
+    // insertion reshuffles only the chunk it lands in (fixed-width
+    // windows shift EVERY downstream chunk — the failure mode
+    // dup_chunk_fraction's fixed windows inherit). Per source: chunk
+    // census, cross-doc duplicate-chunk share, mean chunk width.
+    // Chunks are keyed by (n_words, position-weighted md5
+    // fingerprint) — the winnowing-precedent fingerprint convention
+    // (collisions astronomically unlikely, identical on both
+    // engines).
+    // Scale: word explode is token-linear; chunk numbering is ONE
+    // doc-keyed running sum (never partition-less); the multiplicity
+    // join is hash-keyed on the (n_words, fkey) pair — the corpus
+    // text itself never shuffles past the explode. Fingerprint sums
+    // fold in DECIMAL(38,0) (mdint ≤ 2³², ·pos envelope ~1e24
+    // word-positions/doc).
+    "cdc_chunk_stats" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("mdint",
+          expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("b", (col("mdint") % 8 === 0).cast("long"))
+      val chunked = words.withColumn("chunk_no",
+        sum("b").over(Window.partitionBy("doc_id").orderBy("pos"))
+          - col("b"))
+      val chunks = chunked.groupBy("doc_id", "source", "chunk_no")
+        .agg(count(lit(1)).as("n_words"), min("pos").as("min_pos"),
+          sum(col("mdint").cast("decimal(38,0)")).as("smd"),
+          sum(expr("CAST(mdint AS DECIMAL(38,0)) * (pos + 1)")).as("smdp"))
+        .withColumn("fkey",
+          expr("smdp - CAST(min_pos AS DECIMAL(38,0)) * smd"))
+      val mult = chunks.groupBy("n_words", "fkey")
+        .agg(count(lit(1)).as("m"))
+      chunks.join(mult, Seq("n_words", "fkey"))
+        .groupBy("source")
+        .agg(countDistinct("doc_id").cast("long").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("m") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+          sum("n_words").as("tot_words"))
+        .select(col("source"), col("n_docs"), col("n_chunks"),
+          col("dup_chunks"),
+          expr("dup_chunks * 1000000 DIV n_chunks").as("dup_ppm"),
+          expr("tot_words * 1000000 DIV n_chunks").as("avg_words_fp"))
+        .orderBy("source")
+    }),
   )
 
   // Oracles unnest positions through a range envelope: chunk_dedup's
@@ -308,5 +356,53 @@ object CorpusDedupOps extends OpGroup {
         |  FROM p GROUP BY prefix HAVING count(*) >= 2)
         |SELECT prefix, n_docs, first_doc, n_sources
         |FROM g ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin,
+
+    // same md5-int boundary rule, same position-weighted fingerprint,
+    // same two-level (chunk -> multiplicity -> source) rollup; word
+    // positions unnest through the standing 8192 range envelope
+    "cdc_chunk_stats" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |w0 AS (
+        |  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+        |         t[CAST(i + 1 AS INT)] AS w
+        |  FROM toks CROSS JOIN range(0, 8192) r(i) WHERE i < len(t)),
+        |wb AS MATERIALIZED (
+        |  SELECT doc_id, source, pos,
+        |         CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+        |           AS mdint
+        |  FROM w0),
+        |wc AS MATERIALIZED (
+        |  SELECT *, sum(CASE WHEN mdint % 8 = 0 THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS UNBOUNDED PRECEDING)
+        |       - CASE WHEN mdint % 8 = 0 THEN 1 ELSE 0 END AS chunk_no
+        |  FROM wb),
+        |ch AS MATERIALIZED (
+        |  SELECT doc_id, source, chunk_no,
+        |         CAST(count(*) AS BIGINT) AS n_words,
+        |         min(pos) AS min_pos,
+        |         sum(CAST(mdint AS HUGEINT)) AS smd,
+        |         sum(CAST(mdint AS HUGEINT) * (pos + 1)) AS smdp
+        |  FROM wc GROUP BY 1, 2, 3),
+        |ck AS MATERIALIZED (
+        |  SELECT doc_id, source, n_words,
+        |         smdp - CAST(min_pos AS HUGEINT) * smd AS fkey
+        |  FROM ch),
+        |mu AS MATERIALIZED (
+        |  SELECT n_words, fkey, CAST(count(*) AS BIGINT) AS m
+        |  FROM ck GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_chunks,
+        |  CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS dup_ppm,
+        |  CAST(sum(n_words) * 1000000 // count(*) AS BIGINT)
+        |    AS avg_words_fp
+        |FROM ck JOIN mu USING (n_words, fkey)
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

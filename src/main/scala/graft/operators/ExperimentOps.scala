@@ -320,28 +320,31 @@ object ExperimentOps extends OpGroup {
     }),
 
     // Mantel–Haenszel pooled odds ratio (r13; Mantel & Haenszel 1959)
-    // of weekend × purchase STRATIFIED BY MONTH — the
-    // confounder-adjusted companion to odds_ratio_weekend above: if
-    // purchase propensity and weekend mix both drift seasonally, the
-    // crude OR mixes the strata (Simpson's direction) while OR_MH =
-    // Σaᵢdᵢ/nᵢ ÷ Σbᵢcᵢ/nᵢ weights each month by its information.
+    // of weekend × purchase STRATIFIED BY EPOCH WEEK (the fixture
+    // spans one calendar month, so weeks are the finest stratum that
+    // still contains both weekend and weekday rows by construction) —
+    // the confounder-adjusted companion to odds_ratio_weekend above:
+    // if purchase propensity and weekend mix both drift over time,
+    // the crude OR mixes the strata (Simpson's direction) while
+    // OR_MH = Σaᵢdᵢ/nᵢ ÷ Σbᵢcᵢ/nᵢ weights each week by its
+    // information.
     // Exactness: the per-stratum fractions truncate at 1e6 fixed
     // point BEFORE the integer sums (pinned convention, deterministic
     // on both engines); the final ratio is one DECIMAL(38,0)/HUGEINT
-    // division. Scale: ONE map-side month×4-cell conditional count;
-    // everything downstream is |months|-bounded.
+    // division. Scale: ONE map-side week×4-cell conditional count;
+    // everything downstream is |weeks|-bounded.
     "mantel_haenszel_or" -> ((s, d) => {
       Tables.events(s, d)
-        .select(expr("year(ts) * 12 + month(ts)").as("mi"),
+        .select(expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("wk"),
           expr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5").as("we"),
           (col("event_type") === "purchase").as("pur"))
-        .groupBy("mi")
+        .groupBy("wk")
         .agg(
           sum(when(col("we") && col("pur"), 1L).otherwise(0L)).as("a"),
           sum(when(col("we") && !col("pur"), 1L).otherwise(0L)).as("b"),
           sum(when(!col("we") && col("pur"), 1L).otherwise(0L)).as("c"),
           sum(when(!col("we") && !col("pur"), 1L).otherwise(0L)).as("dd"))
-        .select(col("mi"),
+        .select(col("wk"),
           expr("a * dd * 1000000 DIV (a + b + c + dd)").as("num_i"),
           expr("b * c * 1000000 DIV (a + b + c + dd)").as("den_i"))
         .agg(count(lit(1)).as("n_strata"),
@@ -352,6 +355,48 @@ object ExperimentOps extends OpGroup {
             |  DIV mh_den_fp AS BIGINT)
             |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
         .select("n_strata", "mh_num_fp", "mh_den_fp", "or_mh_fp")
+    }),
+
+    // Cochran–Mantel–Haenszel χ² (r13; Cochran 1954, Mantel &
+    // Haenszel 1959, no continuity correction) for the SAME
+    // week-stratified weekend×purchase table as mantel_haenszel_or:
+    // that op sizes the pooled effect, this one tests it —
+    // χ² = (Σaᵢ − ΣE[aᵢ])²/ΣVar(aᵢ) with E = r1c1/n and
+    // Var = r1·r2·c1·c2/(n²(n−1)) under the margins-fixed null.
+    // Exactness: E and Var truncate at 1e6 fixed point PER STRATUM
+    // before the integer sums (the or_mh pinned convention); the
+    // quadratic form is one DECIMAL(38,0) product + one truncating
+    // division. Strata need n ≥ 2 (Var undefined at n=1; pinned
+    // filter on both engines). Scale: ONE map-side week×4-cell
+    // conditional count; everything downstream |weeks|-bounded.
+    "cmh_chi2_weekend" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("wk"),
+          expr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5").as("we"),
+          (col("event_type") === "purchase").as("pur"))
+        .groupBy("wk")
+        .agg(
+          sum(when(col("we") && col("pur"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("we") && !col("pur"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("we") && col("pur"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("we") && !col("pur"), 1L).otherwise(0L)).as("dd"))
+        .withColumn("n", expr("a + b + c + dd"))
+        .filter(col("n") >= 2)
+        .select(col("a"),
+          expr("CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000"
+            + " DIV n AS BIGINT)").as("e_i"),
+          expr("""CAST(CAST(a + b AS DECIMAL(38,0)) * (c + dd) * (a + c)
+                 | * (b + dd) * 1000000
+                 | DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("v_i"))
+        .agg(count(lit(1)).as("n_strata"), sum("a").as("t_sum"),
+          sum("e_i").as("e_fp"), sum("v_i").as("v_fp"))
+        .withColumn("chi2_fp", expr(
+          """CASE WHEN v_fp > 0 THEN
+            |CAST(CAST(t_sum * 1000000 - e_fp AS DECIMAL(38,0))
+            |  * (t_sum * 1000000 - e_fp) DIV v_fp AS BIGINT)
+            |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
+        .select("n_strata", "t_sum", "e_fp", "v_fp", "chi2_fp")
     }),
 
     // A/B power planning grid (r12, third session): the minimum
@@ -554,7 +599,7 @@ object ExperimentOps extends OpGroup {
     // same truncate-then-sum stratum fractions, same final division
     "mantel_haenszel_or" ->
       """WITH cells AS (
-        |  SELECT year(ts) * 12 + month(ts) AS mi,
+        |  SELECT (epoch_us(ts) // 86400000000) // 7 AS wk,
         |    CAST(sum(CASE WHEN we AND pur THEN 1 ELSE 0 END) AS BIGINT)
         |      AS a,
         |    CAST(sum(CASE WHEN we AND NOT pur THEN 1 ELSE 0 END)
@@ -582,6 +627,47 @@ object ExperimentOps extends OpGroup {
         |    CAST(CAST(mh_num_fp AS HUGEINT) * 1000000 // mh_den_fp
         |      AS BIGINT)
         |  ELSE NULL END AS or_mh_fp
+        |FROM agg""".stripMargin,
+
+    // same truncate-then-sum E/Var strata, same n >= 2 filter, same
+    // quadratic-form division
+    "cmh_chi2_weekend" ->
+      """WITH cells AS (
+        |  SELECT (epoch_us(ts) // 86400000000) // 7 AS wk,
+        |    CAST(sum(CASE WHEN we AND pur THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN we AND NOT pur THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT we AND pur THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT we AND NOT pur THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dd
+        |  FROM (SELECT ts,
+        |               (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we,
+        |               event_type = 'purchase' AS pur
+        |        FROM events)
+        |  GROUP BY 1),
+        |terms AS (
+        |  SELECT a,
+        |         CAST(CAST(a + b AS HUGEINT) * (a + c) * 1000000
+        |           // (a + b + c + dd) AS BIGINT) AS e_i,
+        |         CAST(CAST(a + b AS HUGEINT) * (c + dd) * (a + c)
+        |           * (b + dd) * 1000000
+        |           // (CAST(a + b + c + dd AS HUGEINT)
+        |              * (a + b + c + dd) * (a + b + c + dd - 1))
+        |           AS BIGINT) AS v_i
+        |  FROM cells WHERE a + b + c + dd >= 2),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |         CAST(sum(a) AS BIGINT) AS t_sum,
+        |         CAST(sum(e_i) AS BIGINT) AS e_fp,
+        |         CAST(sum(v_i) AS BIGINT) AS v_fp
+        |  FROM terms)
+        |SELECT n_strata, t_sum, e_fp, v_fp,
+        |  CASE WHEN v_fp > 0 THEN
+        |    CAST(CAST(t_sum * 1000000 - e_fp AS HUGEINT)
+        |      * (t_sum * 1000000 - e_fp) // v_fp AS BIGINT)
+        |  ELSE NULL END AS chi2_fp
         |FROM agg""".stripMargin,
 
     "ab_mde_power_grid" ->

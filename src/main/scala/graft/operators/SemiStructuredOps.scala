@@ -322,6 +322,70 @@ object SemiStructuredOps extends OpGroup {
         .orderBy("cell")
     }),
 
+    // IVF recall-vs-nprobe curve (r13): recall@3 of the persisted-
+    // layout probe at nprobe ∈ {1,2,3,4} against the exact brute-force
+    // top-3 — THE serving trade-off curve (latency grows with nprobe,
+    // recall saturates; pick the knee). The nprobe=4 row probes every
+    // cell (k=4 quantizer) and is the recall=1.0 anchor by
+    // construction, the matryoshka identity-row pattern. ONE scored
+    // set over the ≤10-query sample × corpus feeds the exact truth AND
+    // all four probe depths (candidates filter by their cell's
+    // per-query centroid rank — the AnnIvf probe rule); recall is an
+    // exact 1e-6 integer division. Ground truth only ever exists for
+    // the bounded query sample — never a corpus×corpus pass.
+    "ivf_nprobe_recall_curve" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val stored = s.read.parquet(ivfLayout(s, d))
+        .select(col("vec_id"), col("embedding"),
+          col("cell").cast("int").as("cell"),
+          graft.functions.VectorFunctions.norm("embedding").as("norm"))
+      val cents = s.read.parquet(s"${ivfLayout(s, d)}.centroids")
+        .select(col("cand_cell").cast("int").as("cand_cell"),
+          col("centroid"))
+      val q = stored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("dist2"), col("cand_cell"))
+      val cellRank = q.crossJoin(broadcast(cents))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(q_emb, centroid,
+            |  (x, y) -> (CAST(x AS DOUBLE) / q_norm - y)
+            |          * (CAST(x AS DOUBLE) / q_norm - y)),
+            |  0D, (acc, v) -> acc + v)""".stripMargin))
+        .select(col("q_id").as("cr_q"), col("cand_cell"),
+          row_number().over(wq).as("cr"))
+      val scored = stored.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot("q_emb", "embedding")
+            / (col("q_norm") * col("norm")))
+        .select("q_id", "vec_id", "cell", "cos")
+      val wAll = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val exact = scored.withColumn("re", row_number().over(wAll))
+        .filter(col("re") <= 3).select("q_id", "vec_id")
+        .withColumn("hit", lit(1L))
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      val wNp = Window.partitionBy("np", "q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.join(broadcast(cellRank),
+          col("q_id") === col("cr_q") && col("cell") === col("cand_cell"))
+        .select(col("q_id"), col("vec_id"), col("cos"), col("cr"),
+          explode(typedLit((1 to 4).toList)).as("np"))
+        .filter(col("cr") <= col("np"))
+        .withColumn("ri", row_number().over(wNp))
+        .filter(col("ri") <= 3)
+        .join(broadcast(exact), Seq("q_id", "vec_id"), "left")
+        .groupBy("np")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .crossJoin(broadcast(nEx))
+        .select(col("np"), col("n_returned"), col("n_hit"),
+          expr("n_hit * 1000000 DIV n_exact").as("recall_fp"))
+        .orderBy("np")
+    }),
+
     // Corpus-wide kNN GRAPH over the IVF serving layout: every vector's
     // top-3 same-cell neighbors by exact fixed-point cosine — the
     // embedding-graph build that feeds graph-based dedup, clustering,
@@ -704,6 +768,66 @@ object SemiStructuredOps extends OpGroup {
          |       CAST(mx * n_cells * 1000000 // n AS BIGINT)
          |         AS imbalance_fp
          |FROM cells CROSS JOIN tot ORDER BY cells.cell""".stripMargin,
+
+    // same persisted layout + centroids, same probe rule and exact
+    // top-3 truth, all four probe depths off the one scored set
+    "ivf_nprobe_recall_curve" -> {
+      import graft.functions.VectorFunctions.dotFpDuck
+      s"""WITH $ivfCorpusCtes,
+         |cent AS (
+         |  SELECT CAST(cand_cell AS INTEGER) AS cand_cell, centroid
+         |  FROM read_parquet('${ivfLayoutCache.lastPath}.centroids/*.parquet')),
+         |q AS (
+         |  SELECT c.vec_id AS q_id, c.embedding AS q_emb, n.norm AS q_norm
+         |  FROM corpus c JOIN norms n ON c.vec_id = n.vec_id
+         |  WHERE c.vec_id < 10),
+         |dist AS (
+         |  SELECT q.q_id, ct.cand_cell,
+         |         sum((CAST(q.q_emb[t.i] AS DOUBLE) / q.q_norm - ct.centroid[t.i])
+         |           * (CAST(q.q_emb[t.i] AS DOUBLE) / q.q_norm - ct.centroid[t.i])) AS dist2
+         |  FROM q CROSS JOIN cent ct CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= least(len(q.q_emb), len(ct.centroid))
+         |  GROUP BY q.q_id, ct.cand_cell),
+         |cellr AS (
+         |  SELECT q_id, cand_cell, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dist2, cand_cell) AS cr
+         |  FROM dist),
+         |dots AS (
+         |  SELECT q.q_id, c.vec_id, c.cell,
+         |         ${dotFpDuck("q.q_emb", "c.embedding")} AS dot
+         |  FROM q JOIN corpus c ON c.vec_id <> q.q_id
+         |  CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= least(len(q.q_emb), len(c.embedding))
+         |  GROUP BY q.q_id, c.vec_id, c.cell),
+         |scored AS MATERIALIZED (
+         |  SELECT d.q_id, d.vec_id, d.cell,
+         |         (CAST(d.dot AS DOUBLE) / 1e15) / (nq.norm * nc.norm) AS cos
+         |  FROM dots d JOIN norms nq ON d.q_id = nq.vec_id
+         |              JOIN norms nc ON d.vec_id = nc.vec_id),
+         |exact AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS re FROM scored)
+         |  WHERE re <= 3),
+         |nex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+         |grid(np) AS (VALUES (1), (2), (3), (4)),
+         |byp AS (
+         |  SELECT np, q_id, vec_id FROM (
+         |    SELECT g.np, s.q_id, s.vec_id,
+         |           row_number() OVER (PARTITION BY g.np, s.q_id
+         |             ORDER BY s.cos DESC, s.vec_id) AS ri
+         |    FROM scored s
+         |    JOIN cellr r ON r.q_id = s.q_id AND r.cand_cell = s.cell
+         |    JOIN grid g ON r.cr <= g.np)
+         |  WHERE ri <= 3)
+         |SELECT np, CAST(count(*) AS BIGINT) AS n_returned,
+         |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hit,
+         |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         * 1000000 // n_exact AS BIGINT) AS recall_fp
+         |FROM byp LEFT JOIN exact e USING (q_id, vec_id) CROSS JOIN nex
+         |GROUP BY np, n_exact ORDER BY np""".stripMargin
+    },
     // outlier flags re-derived from the persisted `.dist2` sidecar: the
     // per-vector distance is INTEGER index state written once by Spark
     // at layout-build time (rounds 6-7 proved float re-derivation is

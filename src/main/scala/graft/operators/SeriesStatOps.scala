@@ -158,6 +158,59 @@ object SeriesStatOps extends OpGroup {
     }
   }
 
+  /** Croston's integer recurrence (1972) on the collected demand
+    * series (day, z>0): α=1/5 SES on both the demand size and the
+    * calendar-day interval, 1e-6 fixed point, plain Long `/`
+    * (toward-zero — matches DuckDB `//`, measured). Seed: ẑ = z₁,
+    * p̂ = 1.0 at the first demand point; updates (and output rows)
+    * start at the second. Returns (day, z, q, ẑ_fp, p̂_fp,
+    * croston_fp = ẑ/p̂, sba_fp = (1−α/2)·ẑ/p̂); empty below 2
+    * demand points.
+    */
+  private def croston(xs: Array[(Long, Long)])
+      : Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+    if (xs.length < 2) return Seq.empty
+    var zhat = xs(0)._2 * 1000000L
+    var phat = 1000000L
+    (1 until xs.length).map { i =>
+      val q = xs(i)._1 - xs(i - 1)._1
+      zhat = (xs(i)._2 * 1000000L + 4L * zhat) / 5L
+      phat = (q * 1000000L + 4L * phat) / 5L
+      val cr = (BigInt(zhat) * 1000000 / phat).toLong
+      val sba = (BigInt(zhat) * 900000 / phat).toLong
+      (xs(i)._1, xs(i)._2, q, zhat, phat, cr, sba)
+    }
+  }
+
+  /** Big-ticket demand threshold for the Croston series: purchases
+    * with value above this are "demand events"; the daily count is
+    * the intermittent series (4 demand days at sf0.001, 21 at
+    * sf0.01 — genuinely sparse at the fixture scales).
+    */
+  private val CrostonValueMin = 200.0
+
+  /** Periodogram period grid (days). Weekly structure ⇒ the p=7 cell
+    * should carry the peak share on the event fixture.
+    */
+  private val Periods = 2 to 10
+
+  /** cos/sin(2πk/p) as 1e-6 fixed-point Long CONSTANTS, truncated
+    * toward zero — generated HERE and injected verbatim into both the
+    * Spark plan and the DuckDB oracle text (the gumbelC shared-
+    * constant recipe), so no engine ever evaluates a trig function
+    * and the whole periodogram stays pure integer.
+    */
+  private val trigFp: Seq[(Int, Int, Long, Long)] =
+    Periods.flatMap { p =>
+      (0 until p).map { k =>
+        val a = 2.0 * math.Pi * k / p
+        (p, k, (math.cos(a) * 1e6).toLong, (math.sin(a) * 1e6).toLong)
+      }
+    }
+
+  private def trigValuesSql: String =
+    trigFp.map { case (p, k, c, s) => s"($p, $k, $c, $s)" }.mkString(", ")
+
   /** The generalized-ESD rounds on the collected daily series: exact
     * BigInt moments per round, R = md/√(nqss·n/(n−1)) as the SAME
     * IEEE op sequence the DuckDB oracle runs, argmax ties to the
@@ -397,6 +450,42 @@ object SeriesStatOps extends OpGroup {
           expr("""CAST(nqss * 1000000
                  | DIV (CAST(s AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""
             .stripMargin.replace("\n", " ")).as("vmr_fp"))
+    }),
+
+    // Negative-binomial method-of-moments fit (r13) of the daily
+    // volume: poisson_dispersion_daily FLAGS overdispersion, this
+    // SIZES it — r = m²/(v−m) (shape) and p = m/v (success prob), the
+    // NB(r,p) that matches the observed mean/variance (the count
+    // model a capacity planner actually simulates from once Poisson
+    // is rejected). ENTIRELY integer: both parameters reduce to
+    // rationals of the exact moment sums — r = s²(n−1)/(n·(nqss −
+    // s(n−1))), p = s(n−1)/nqss — one truncating DECIMAL(38,0)
+    // division each; NULL-armed when v ≤ m (no NB fit exists).
+    // Scale: the SAME one map-side daily aggregate; everything
+    // downstream is one row.
+    "negbin_fit_daily" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+        .filter(col("n") >= 2 && col("s") > 0)
+        .withColumn("nqss", expr(
+          "CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s"))
+        .withColumn("over", expr(
+          "nqss - CAST(s AS DECIMAL(38,0)) * (n - 1)"))
+        .select(col("n").as("n_days"), col("s").as("n_events"),
+          expr("""CASE WHEN over > 0 THEN
+                 |CAST(CAST(s AS DECIMAL(38,0)) * s * (n - 1) * 1000000
+                 |  DIV (CAST(n AS DECIMAL(38,0)) * over) AS BIGINT)
+                 |ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("r_fp"),
+          expr("""CASE WHEN over > 0 THEN
+                 |CAST(CAST(s AS DECIMAL(38,0)) * (n - 1) * 1000000
+                 |  DIV nqss AS BIGINT)
+                 |ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("p_fp"))
     }),
 
     // Partial autocorrelation function (r12, fifth session; Durbin
@@ -837,6 +926,85 @@ object SeriesStatOps extends OpGroup {
           .as("u2_fp"))
     }),
 
+    // Croston's method (r13; Croston 1972) on the intermittent
+    // big-ticket purchase series (daily count of purchases with
+    // value > CrostonValueMin — most days have NO demand at small
+    // scales): separate α=1/5 exponential smoothing of the nonzero
+    // demand SIZE and the inter-demand INTERVAL, forecast = ẑ/p̂,
+    // plus the Syntetos–Boylan (2005) (1−α/2) bias correction — the
+    // standard slow-mover forecast where plain SES is biased high
+    // right after each demand. Pure Long 1e-6 fixed point (holt_
+    // winters recurrence class); the oracle replays the identical
+    // integer recurrence as a recursive CTE.
+    // Scale: ONE map-side conditional daily aggregate; the recurrence
+    // runs on COLLECTED calendar-bounded model state (≤|days| rows).
+    "croston_intermittent_demand" -> ((s, d) => {
+      val xs = Tables.events(s, d)
+        .filter(col("event_type") === "purchase"
+          && col("value") > CrostonValueMin)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("z"))
+        .orderBy("di").collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1)))
+      import s.implicits._
+      croston(xs).toDF("day", "z", "q", "z_hat_fp", "p_hat_fp",
+        "croston_fp", "sba_fp").orderBy("day")
+    }),
+
+    // Daily-volume periodogram (r13; Schuster 1898): spectral power
+    // share at candidate periods 2..10 days over the mean-centered
+    // daily counts — the "which cycle dominates" read behind
+    // weekday_seasonality_profile (that op ASSUMES p=7; this one
+    // finds it). ENTIRELY integer: cos/sin enter as shared 1e-6
+    // fixed-point constants (trigFp — no trig evaluated by either
+    // engine); per-period A = (n·Σx·c − S·Σc) DIV n (truncation
+    // pinned), power = A² + B² in DECIMAL(38,0), share one floored
+    // division of exact integers.
+    // Scale: ONE map-side daily aggregate (localCheckpoint-pinned,
+    // it feeds the scalar branch + the term build); the period
+    // explode is a bounded ×|Periods| fan; constants join broadcast;
+    // A ≤ ~1e15 at 1000× fixture volume — int64-safe, squares inside
+    // DECIMAL(38,0).
+    "periodogram_power_share" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val d0 = daily.agg(min("di").as("di0"),
+        count(lit(1)).as("n"), sum("x").as("s_tot"))
+      val trigDf = trigFp.toDF("p", "k", "cfp", "sfp")
+      val perP = daily.crossJoin(broadcast(d0))
+        .withColumn("t", col("di") - col("di0"))
+        .select(col("x"), col("t"),
+          explode(typedLit(Periods.toList)).as("p"))
+        .withColumn("k", expr("CAST(t % p AS INT)"))
+        .join(broadcast(trigDf), Seq("p", "k"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * cfp")).as("sxc"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * sfp")).as("sxs"),
+          sum(col("cfp").cast("decimal(38,0)")).as("sc"),
+          sum(col("sfp").cast("decimal(38,0)")).as("ss"))
+      val pw = perP.crossJoin(broadcast(d0))
+        .withColumn("abar", expr(
+          "(CAST(n AS DECIMAL(38,0)) * sxc - CAST(s_tot AS DECIMAL(38,0)) * sc) DIV n"))
+        .withColumn("bbar", expr(
+          "(CAST(n AS DECIMAL(38,0)) * sxs - CAST(s_tot AS DECIMAL(38,0)) * ss) DIV n"))
+        .withColumn("pow", expr(
+          "CAST(abar AS DECIMAL(38,0)) * abar + CAST(bbar AS DECIMAL(38,0)) * bbar"))
+      val tot = pw.agg(sum("pow").as("pow_tot"))
+      pw.crossJoin(broadcast(tot))
+        .select(col("p"), col("n_terms"), col("abar"), col("bbar"),
+          expr("""CASE WHEN pow_tot > 0
+                 | THEN CAST(pow * 1000000 DIV pow_tot AS BIGINT)
+                 | ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("power_share_fp"))
+        .orderBy("p")
+    }),
+
     // Cook's distance top-10 (r13; Cook 1977) against the daily-volume
     // OLS trend: which single days, if deleted, would move the fitted
     // trend the most — the influence audit run before trusting
@@ -1097,6 +1265,34 @@ object SeriesStatOps extends OpGroup {
         |       CAST(nqss * 1000000 // (CAST(s AS HUGEINT) * (n - 1))
         |         AS BIGINT) AS vmr_fp
         |FROM g""".stripMargin,
+
+    // same exact moment rationals, same NULL arm at v <= m
+    "negbin_fit_daily" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |           AS di,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS s,
+        |             sum(CAST(x AS HUGEINT) * x) AS q
+        |      FROM daily),
+        |g AS (SELECT n, s,
+        |             CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+        |               AS nqss
+        |      FROM m WHERE n >= 2 AND s > 0),
+        |h AS (SELECT n, s, nqss,
+        |             nqss - CAST(s AS HUGEINT) * (n - 1) AS over
+        |      FROM g)
+        |SELECT n AS n_days, s AS n_events,
+        |  CASE WHEN over > 0 THEN
+        |    CAST(CAST(s AS HUGEINT) * s * (n - 1) * 1000000
+        |      // (CAST(n AS HUGEINT) * over) AS BIGINT)
+        |  ELSE NULL END AS r_fp,
+        |  CASE WHEN over > 0 THEN
+        |    CAST(CAST(s AS HUGEINT) * (n - 1) * 1000000 // nqss AS BIGINT)
+        |  ELSE NULL END AS p_fp
+        |FROM h""".stripMargin,
 
     // the SAME integer Durbin–Levinson recursion as a recursive CTE
     // carrying the φ row as a LIST; // truncates toward zero on both
@@ -1479,6 +1675,76 @@ object SeriesStatOps extends OpGroup {
         |      / (CAST(s1 AS DOUBLE) / m1)) * 1000000.0) AS BIGINT)
         |  ELSE NULL END AS u2_fp
         |FROM j1 CROSS JOIN j7""".stripMargin,
+
+    // identical integer recurrence replayed as a recursive CTE
+    // (holt_winters precedent); same seed/update conventions
+    "croston_intermittent_demand" ->
+      s"""WITH RECURSIVE demand AS MATERIALIZED (
+         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |           AS di,
+         |         CAST(count(*) AS BIGINT) AS z
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND value > $CrostonValueMin
+         |  GROUP BY 1),
+         |idx AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY di) AS rk,
+         |         CAST(di AS BIGINT) AS di, z
+         |  FROM demand),
+         |cr AS (
+         |  SELECT CAST(1 AS BIGINT) AS rk, di, z,
+         |         CAST(NULL AS BIGINT) AS q,
+         |         z * 1000000 AS zhat, CAST(1000000 AS BIGINT) AS phat
+         |  FROM idx WHERE rk = 1
+         |  UNION ALL
+         |  SELECT i.rk, i.di, i.z, i.di - h.di,
+         |         (i.z * 1000000 + 4 * h.zhat) // 5,
+         |         ((i.di - h.di) * 1000000 + 4 * h.phat) // 5
+         |  FROM cr h JOIN idx i ON i.rk = h.rk + 1)
+         |SELECT di AS day, z, q, zhat AS z_hat_fp, phat AS p_hat_fp,
+         |       CAST(CAST(zhat AS HUGEINT) * 1000000 // phat AS BIGINT)
+         |         AS croston_fp,
+         |       CAST(CAST(zhat AS HUGEINT) * 900000 // phat AS BIGINT)
+         |         AS sba_fp
+         |FROM cr WHERE rk >= 2 ORDER BY day""".stripMargin,
+
+    // same shared fixed-point trig constants (trigFp, injected
+    // verbatim), same DIV-by-n centering, same integer power share
+    "periodogram_power_share" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |           AS di,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |d0 AS (SELECT min(di) AS di0, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(x) AS BIGINT) AS s_tot FROM daily),
+         |trig(p, k, cfp, sfp) AS (VALUES $trigValuesSql),
+         |terms AS (
+         |  SELECT t.p, t.cfp, t.sfp, dy.x
+         |  FROM daily dy CROSS JOIN d0
+         |  JOIN trig t ON t.k = (dy.di - d0.di0) % t.p),
+         |perp AS MATERIALIZED (
+         |  SELECT p, CAST(count(*) AS BIGINT) AS n_terms,
+         |         sum(CAST(x AS HUGEINT) * cfp) AS sxc,
+         |         sum(CAST(x AS HUGEINT) * sfp) AS sxs,
+         |         sum(CAST(cfp AS HUGEINT)) AS sc,
+         |         sum(CAST(sfp AS HUGEINT)) AS ss
+         |  FROM terms GROUP BY p),
+         |ab AS MATERIALIZED (
+         |  SELECT p, n_terms,
+         |         CAST((n * sxc - s_tot * sc) // n AS BIGINT) AS abar,
+         |         CAST((n * sxs - s_tot * ss) // n AS BIGINT) AS bbar
+         |  FROM perp CROSS JOIN d0),
+         |pw AS MATERIALIZED (
+         |  SELECT p, n_terms, abar, bbar,
+         |         CAST(abar AS HUGEINT) * abar
+         |           + CAST(bbar AS HUGEINT) * bbar AS pow
+         |  FROM ab),
+         |tot AS (SELECT sum(pow) AS pow_tot FROM pw)
+         |SELECT p, n_terms, abar, bbar,
+         |  CASE WHEN pow_tot > 0
+         |    THEN CAST(pow * 1000000 // pow_tot AS BIGINT)
+         |    ELSE NULL END AS power_share_fp
+         |FROM pw CROSS JOIN tot ORDER BY p""".stripMargin,
 
     // same scaled residual/leverage integers; identical D leaf
     "cooks_distance_topk" ->

@@ -403,4 +403,29 @@ class AnnSpec extends SparkSpec {
     // recall above 1 is structurally impossible
     assert(rows.forall(_.getLong(3) <= 1000000L))
   }
+
+  test("ivf_nprobe_recall_curve: monotone in nprobe; all-cells anchor = 1") {
+    val rows = SparkEntry.queries("ivf_nprobe_recall_curve")(spark, sf())
+      .collect()
+    assert(rows.length === 4, "nprobe grid 1..4")
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    val nQ = Tables.embeddings(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 10).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 3L * nQ, "at most top-3 per query returned")
+      assert(r.getLong(2) <= r.getLong(1), "hits bounded by returned")
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / (3L * nQ),
+        "recall replay against the exact-truth denominator")
+    }
+    // widening the probe set can only add candidates: recall and the
+    // returned count are monotone non-decreasing in nprobe
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(3), "recall monotone in nprobe")
+      assert(a.getLong(1) <= b.getLong(1), "returned monotone in nprobe")
+    }
+    // nprobe = k probes every cell: the probe IS the exact search
+    val all = rows.last
+    assert(all.getLong(1) === 3L * nQ && all.getLong(2) === 3L * nQ
+      && all.getLong(3) === 1000000L, "all-cells probe recalls exactly 1")
+  }
 }

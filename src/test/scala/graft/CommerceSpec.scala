@@ -258,4 +258,36 @@ class CommerceSpec extends SparkSpec {
     assert(rows.head.getLong(3) === 0L, "first month has no returners")
     assert(rows.map(_.getInt(0).toLong).toSet === brute.keySet)
   }
+
+  test("eoq_reorder_policy: per-brand demand/unit/EOQ/reorder replay") {
+    val rows = run("eoq_reorder_policy")
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf())
+      .selectExpr("l_partkey", "CAST(l_quantity AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong))
+    val brandOf = Tables.part(spark, sf())
+      .selectExpr("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val span = li.map(_._4).max - li.map(_._4).min + 1
+    val brute = li.groupBy(x => brandOf(x._1)).map { case (b, g) =>
+      val dem = g.map(_._2).sum
+      val rev = g.map(_._3).sum
+      val unit = (BigInt(rev) * 1000000 / dem).toLong
+      val eoq = math.floor(math.sqrt(
+        2.0 * dem.toDouble * 10000.0 / (0.2 * (unit.toDouble / 1000000.0)))
+        * 1000000.0).toLong
+      val rp = (BigInt(dem) * 7 * 1000000 / span).toLong
+      b -> (dem, unit, eoq, rp)
+    }
+    assert(rows.length === brute.size, "one row per brand")
+    rows.foreach { r =>
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(got === brute(r.getString(0)), s"brand ${r.getString(0)}")
+      assert(r.getLong(3) > 0L && r.getLong(4) > 0L)
+    }
+  }
 }

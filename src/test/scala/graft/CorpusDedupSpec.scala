@@ -400,4 +400,54 @@ class CorpusDedupSpec extends SparkSpec {
       if (!returned(p)) assert(n <= cut, s"missed group '$p' size $n > $cut")
     }
   }
+
+  test("cdc_chunk_stats: brute CDC segmentation replay per source") {
+    val rows = run("cdc_chunk_stats")
+    assert(rows.nonEmpty)
+    def mdint(w: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        h.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    // brute: per doc, chunk at words whose mdint % 8 == 0 (boundary
+    // word CLOSES its chunk), fingerprint = sum mdint * (localpos+1)
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val chunkInstances = docs.flatMap { case (docId, source, text) =>
+      val ws = text.split(" ", -1)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Int, BigInt)]
+      var fp = BigInt(0); var nW = 0
+      ws.foreach { w =>
+        nW += 1
+        fp += BigInt(mdint(w)) * nW
+        if (mdint(w) % 8 == 0) {
+          buf += ((docId, source, nW, fp)); fp = BigInt(0); nW = 0
+        }
+      }
+      if (nW > 0) buf += ((docId, source, nW, fp))
+      buf
+    }
+    val mult = chunkInstances.groupBy(c => (c._3, c._4))
+      .map { case (k, g) => k -> g.length }
+    val bySource = chunkInstances.groupBy(_._2).map { case (src, g) =>
+      val nDocs = g.map(_._1).distinct.length.toLong
+      val nChunks = g.length.toLong
+      val dups = g.count(c => mult((c._3, c._4)) >= 2).toLong
+      val totW = g.map(_._3.toLong).sum
+      src -> (nDocs, nChunks, dups,
+        dups * 1000000L / nChunks, totW * 1000000L / nChunks)
+    }
+    assert(rows.length === bySource.size, "one row per source")
+    rows.foreach { r =>
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(got === bySource(r.getString(0)),
+        s"source ${r.getString(0)} replay")
+    }
+    // the fixture's planted duplicates surface as shared chunks
+    assert(rows.map(_.getLong(3)).sum > 0, "some cross-doc dup chunks")
+  }
 }

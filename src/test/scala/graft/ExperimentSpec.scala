@@ -151,10 +151,10 @@ class ExperimentSpec extends SparkSpec {
     val Array(r) = operators.ExperimentOps.queries("mantel_haenszel_or")(
       spark, sf()).collect()
     val ev = Tables.events(spark, sf())
-      .selectExpr("year(ts) * 12 + month(ts)",
+      .selectExpr("(unix_micros(ts) DIV 86400000000) DIV 7",
         "(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5",
         "event_type = 'purchase'")
-      .collect().map(x => (x.getInt(0), x.getBoolean(1), x.getBoolean(2)))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2)))
     val strata = ev.groupBy(_._1).values.map { g =>
       val a = g.count(e => e._2 && e._3).toLong
       val b = g.count(e => e._2 && !e._3).toLong
@@ -162,6 +162,7 @@ class ExperimentSpec extends SparkSpec {
       val dd = g.count(e => !e._2 && !e._3).toLong
       (a, b, c, dd)
     }.toSeq
+    assert(strata.length >= 2, "week strata are non-degenerate")
     assert(r.getLong(0) === strata.length.toLong, "stratum census")
     // exact truncate-then-sum replay
     val numT = strata.map { case (a, b, c, dd) =>
@@ -180,5 +181,35 @@ class ExperimentSpec extends SparkSpec {
       assert(v >= ors.min - 1e-2 && v <= ors.max + 1e-2,
         "OR_MH within the stratum OR envelope (truncation slack)")
     }
+  }
+
+  test("cmh_chi2_weekend: per-stratum E/Var replay; chi2 >= 0") {
+    val Array(r) = operators.ExperimentOps.queries("cmh_chi2_weekend")(
+      spark, sf()).collect()
+    val ev = Tables.events(spark, sf())
+      .selectExpr("(unix_micros(ts) DIV 86400000000) DIV 7",
+        "(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5",
+        "event_type = 'purchase'")
+      .collect().map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2)))
+    val strata = ev.groupBy(_._1).values.map { g =>
+      (g.count(e => e._2 && e._3).toLong,
+        g.count(e => e._2 && !e._3).toLong,
+        g.count(e => !e._2 && e._3).toLong,
+        g.count(e => !e._2 && !e._3).toLong)
+    }.toSeq.filter { case (a, b, c, dd) => a + b + c + dd >= 2 }
+    assert(strata.length >= 2, "week strata are non-degenerate")
+    assert(r.getLong(0) === strata.length.toLong, "stratum census")
+    val tSum = strata.map(_._1).sum
+    val eFp = strata.map { case (a, b, c, dd) =>
+      (BigInt(a + b) * (a + c) * 1000000 / (a + b + c + dd)).toLong }.sum
+    val vFp = strata.map { case (a, b, c, dd) =>
+      val n = BigInt(a + b + c + dd)
+      (BigInt(a + b) * (c + dd) * (a + c) * (b + dd) * 1000000
+        / (n * n * (n - 1))).toLong }.sum
+    assert(r.getLong(1) === tSum && r.getLong(2) === eFp
+      && r.getLong(3) === vFp, "T/E/Var replay")
+    val d = BigInt(tSum) * 1000000 - eFp
+    assert(r.getLong(4) === (d * d / vFp).toLong, "chi2 replay")
+    assert(r.getLong(4) >= 0L, "quadratic form is non-negative")
   }
 }

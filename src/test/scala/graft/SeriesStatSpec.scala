@@ -547,4 +547,96 @@ class SeriesStatSpec extends SparkSpec {
       if (!returned(di)) assert(d <= cut, s"missed day $di with D $d > $cut")
     }
   }
+
+  test("croston_intermittent_demand: exact recurrence replay") {
+    val rows = run("croston_intermittent_demand")
+    val xs = Tables.events(spark, sf())
+      .filter(org.apache.spark.sql.functions.expr(
+        "event_type = 'purchase' AND value > 200.0"))
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("di"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("z"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+    assert(xs.length >= 2, "fixture has at least two demand days")
+    assert(rows.length === xs.length - 1, "one output row per update")
+    var zhat = xs(0)._2 * 1000000L
+    var phat = 1000000L
+    rows.zipWithIndex.foreach { case (r, j) =>
+      val i = j + 1
+      val q = xs(i)._1 - xs(i - 1)._1
+      zhat = (xs(i)._2 * 1000000L + 4L * zhat) / 5L
+      phat = (q * 1000000L + 4L * phat) / 5L
+      assert(r.getLong(0) === xs(i)._1 && r.getLong(1) === xs(i)._2)
+      assert(r.getLong(2) === q, s"interval at demand $i")
+      assert(r.getLong(3) === zhat && r.getLong(4) === phat,
+        s"smoothed state at demand $i")
+      assert(r.getLong(5) === (BigInt(zhat) * 1000000 / phat).toLong)
+      assert(r.getLong(6) === (BigInt(zhat) * 900000 / phat).toLong)
+      // SBA bias correction shaves exactly the (1 - alpha/2) factor
+      assert(r.getLong(6) <= r.getLong(5))
+      assert(r.getLong(4) >= 1000000L, "mean interval >= 1 day")
+    }
+  }
+
+  test("periodogram_power_share: brute trig-fold replay; shares partition") {
+    val rows = run("periodogram_power_share")
+    assert(rows.length === 9, "periods 2..10")
+    val ds = dailyCounts()
+    val di0 = ds.map(_._1).min
+    val n = ds.length.toLong
+    val sTot = ds.map(_._2).sum
+    var powTot = BigInt(0)
+    val brute = (2 to 10).map { p =>
+      val cs = (0 until p).map { k =>
+        val a = 2.0 * math.Pi * k / p
+        ((math.cos(a) * 1e6).toLong, (math.sin(a) * 1e6).toLong)
+      }
+      var sxc = BigInt(0); var sxs = BigInt(0)
+      var sc = BigInt(0); var ss = BigInt(0)
+      ds.foreach { case (di, x) =>
+        val (c, s2) = cs(((di - di0) % p).toInt)
+        sxc += BigInt(x) * c; sxs += BigInt(x) * s2
+        sc += c; ss += s2
+      }
+      def tdiv(a: BigInt, b: BigInt) =
+        if (a < 0) -((-a) / b) else a / b
+      val abar = tdiv(BigInt(n) * sxc - BigInt(sTot) * sc, BigInt(n))
+      val bbar = tdiv(BigInt(n) * sxs - BigInt(sTot) * ss, BigInt(n))
+      val pow = abar * abar + bbar * bbar
+      powTot += pow
+      (p, abar.toLong, bbar.toLong, pow)
+    }
+    assert(powTot > 0)
+    var shareSum = 0L
+    rows.zip(brute).foreach { case (r, (p, abar, bbar, pow)) =>
+      assert(r.getInt(0) === p && r.getLong(1) === ds.length.toLong)
+      assert(r.getLong(2) === abar && r.getLong(3) === bbar,
+        s"A/B replay at p=$p")
+      val share = (pow * 1000000 / powTot).toLong
+      assert(r.getLong(4) === share, s"share replay at p=$p")
+      assert(share >= 0L && share <= 1000000L)
+      shareSum += share
+    }
+    // floored shares under-partition by at most one ulp per period
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - 9L)
+  }
+
+  test("negbin_fit_daily: exact moment-rational replay; params in range") {
+    val Array(r) = run("negbin_fit_daily")
+    val xs = dailyCounts().map(_._2)
+    val n = BigInt(xs.length)
+    val s = BigInt(xs.sum)
+    val q = xs.map(x => BigInt(x) * x).sum
+    val nqss = n * q - s * s
+    val over = nqss - s * (n - 1)
+    assert(r.getLong(0) === xs.length.toLong && r.getLong(1) === xs.sum)
+    assert(over > 0, "fixture daily volume is overdispersed")
+    assert(r.getLong(2) === (s * s * (n - 1) * 1000000 / (n * over)).toLong,
+      "shape r replay")
+    assert(r.getLong(3) === (s * (n - 1) * 1000000 / nqss).toLong,
+      "success prob p replay")
+    assert(r.getLong(2) > 0L, "r > 0")
+    assert(r.getLong(3) > 0L && r.getLong(3) <= 1000000L, "p in (0, 1]")
+  }
 }
