@@ -442,6 +442,45 @@ object CommerceOps extends OpGroup {
             .stripMargin.replace("\n", " ")).as("reorder_fp"))
         .orderBy("p_brand")
     }),
+
+    // Safety stock at 90/95/99% cycle service per brand (r13; the
+    // textbook z·σ_d·√L policy, L = 7-day lead) — EOQ above sizes the
+    // ORDER, this sizes the BUFFER against daily-demand variance (the
+    // pair is the complete reorder policy). σ_d is the sample std of
+    // OBSERVED-day demand (pinned convention); z enters as Φ⁻¹ Scala
+    // double literals (gumbelC recipe); each level's stock is ONE
+    // FLOOR'd shared-text IEEE leaf over the exact per-brand moment
+    // integers. Scale: one lineitem⋈part join into a |brands|-bounded
+    // (day-keyed first, then brand) moment ladder; the 3-level grid
+    // rides a broadcast explode.
+    "safety_stock_plan" -> ((s, d) => {
+      import s.implicits._
+      val zs = Seq((90L, 1.2815515655446004), (95L, 1.6448536269514722),
+        (99L, 2.3263478740408408)).toDF("level", "z")
+      val part = Tables.part(s, d).select("p_partkey", "p_brand")
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+            .as("di"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "di").agg(sum("q").as("dq"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("dq").cast("decimal(38,0)")).as("sd"),
+          sum(expr("CAST(dq AS DECIMAL(38,0)) * dq")).as("sq"))
+        .filter(col("n_days") >= 2)
+        .withColumn("varnum", expr(
+          "CAST(n_days AS DECIMAL(38,0)) * sq - sd * sd"))
+        .crossJoin(broadcast(zs))
+        .select(col("p_brand"), col("level"), col("n_days"),
+          expr("""CAST(FLOOR(CAST(z AS DOUBLE)
+                 | * sqrt(CAST(varnum AS DOUBLE)
+                 |   / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+                 | * sqrt(7.0) * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("safety_stock_fp"))
+        .orderBy("p_brand", "level")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -769,5 +808,34 @@ object CommerceOps extends OpGroup {
         |  CAST(CAST(demand_qty AS HUGEINT) * 7 * 1000000 // span_days
         |    AS BIGINT) AS reorder_fp
         |FROM u CROSS JOIN span ORDER BY p_brand""".stripMargin,
+
+    // same observed-day moment ladder, identical z literals and leaf
+    "safety_stock_plan" ->
+      """WITH zs(level, z) AS (VALUES
+        |  (CAST(90 AS BIGINT), 1.2815515655446004),
+        |  (CAST(95 AS BIGINT), 1.6448536269514722),
+        |  (CAST(99 AS BIGINT), 2.3263478740408408)),
+        |daily AS (
+        |  SELECT p.p_brand,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(li.l_shipdate AS DATE)) AS di,
+        |         CAST(sum(CAST(li.l_quantity AS BIGINT)) AS BIGINT) AS dq
+        |  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(dq) AS HUGEINT) AS sd,
+        |         sum(CAST(dq AS HUGEINT) * dq) AS sq
+        |  FROM daily GROUP BY 1),
+        |v AS (
+        |  SELECT p_brand, n_days,
+        |         CAST(n_days AS HUGEINT) * sq - sd * sd AS varnum
+        |  FROM m WHERE n_days >= 2)
+        |SELECT v.p_brand, zs.level, v.n_days,
+        |  CAST(FLOOR(CAST(z AS DOUBLE)
+        |    * sqrt(CAST(varnum AS DOUBLE)
+        |      / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+        |    * sqrt(7.0) * 1000000.0) AS BIGINT) AS safety_stock_fp
+        |FROM v CROSS JOIN zs ORDER BY v.p_brand, zs.level""".stripMargin,
   )
 }

@@ -211,6 +211,19 @@ object SeriesStatOps extends OpGroup {
   private def trigValuesSql: String =
     trigFp.map { case (p, k, c, s) => s"($p, $k, $c, $s)" }.mkString(", ")
 
+  /** cos/sin(2πh/24) for h = 0..23 as 1e-6 fixed-point Long constants
+    * (trigFp convention) — the hour-of-day circle for the circular
+    * statistics below; injected verbatim into both engines.
+    */
+  private val hourFp: Seq[(Int, Long, Long)] =
+    (0 until 24).map { h =>
+      val a = 2.0 * math.Pi * h / 24.0
+      (h, (math.cos(a) * 1e6).toLong, (math.sin(a) * 1e6).toLong)
+    }
+
+  private def hourValuesSql: String =
+    hourFp.map { case (h, c, s) => s"($h, $c, $s)" }.mkString(", ")
+
   /** The generalized-ESD rounds on the collected daily series: exact
     * BigInt moments per round, R = md/√(nqss·n/(n−1)) as the SAME
     * IEEE op sequence the DuckDB oracle runs, argmax ties to the
@@ -486,6 +499,89 @@ object SeriesStatOps extends OpGroup {
                  |  DIV nqss AS BIGINT)
                  |ELSE CAST(NULL AS BIGINT) END"""
             .stripMargin.replace("\n", " ")).as("p_fp"))
+    }),
+
+    // Circular hour-of-day statistics per event type (r13; Mardia &
+    // Jupp 2000): resultant length R̄ (0 = uniform around the clock,
+    // 1 = a single spike) and the Rayleigh uniformity statistic
+    // z = n·R̄², plus the peak hour — the diurnal-concentration read
+    // behind batching/cron decisions that a LINEAR hour histogram
+    // distorts (23:00 and 01:00 are 2 h apart on the circle, 22 on
+    // the line). cos/sin enter as the shared 1e-6 fixed-point hourFp
+    // constants (periodogram recipe — neither engine evaluates trig):
+    // the vector sums are exact integers, z is an EXACT rational
+    // (c²+s²)/(n·1e6), and R̄ is the lone shared-text √ leaf.
+    // Scale: ONE map-side (type, hour)-keyed count (|types|×24
+    // bounded), constants join broadcast; nothing downstream is
+    // data-proportional.
+    "circular_hour_stats" -> ((s, d) => {
+      import s.implicits._
+      val hourDf = hourFp.toDF("h", "cfp", "sfp")
+      val byHour = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("hour(ts)").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(hourDf), Seq("h"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("h"))
+      val peak = byHour
+        .withColumn("pr", row_number().over(w))
+        .filter(col("pr") === 1)
+        .select(col("event_type"), col("h").as("peak_hour"),
+          col("cnt").as("peak_cnt"))
+      byHour.groupBy("event_type")
+        .agg(sum("cnt").as("n"),
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * cfp")).as("c"),
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * sfp")).as("s"))
+        .join(peak, "event_type")
+        .select(col("event_type"), col("n"),
+          col("peak_hour").cast("long").as("peak_hour"),
+          expr("peak_cnt * 1000000 DIV n").as("peak_share_fp"),
+          expr("""CAST(FLOOR(sqrt(CAST(c * c + s * s AS DOUBLE))
+                 | / (CAST(n AS DOUBLE) * 1000000.0)
+                 | * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("rbar_fp"),
+          expr("CAST((c * c + s * s) DIV (CAST(n AS DECIMAL(38,0))"
+            + " * 1000000) AS BIGINT)").as("rayleigh_z_fp"))
+        .orderBy("event_type")
+    }),
+
+    // Kendall's coefficient of concordance W (r13; Kendall & Babington
+    // Smith 1939) — do the event types AGREE on the weekday ordering?
+    // Each type ranks the 7 weekdays by volume; W = 12S/(k²n(n²−1))
+    // ∈ [0,1] (1 = identical rankings) is the agreement read behind
+    // trusting ONE pooled weekday profile (weekday_seasonality_
+    // profile) for all event types. Ranks are DISTINCT by the pinned
+    // (count, dow) tie-break on both engines, so S and W are EXACT
+    // integer rationals; Friedman's χ²_r = k(n−1)W rides the same
+    // integers. Scale: ONE map-side (type × dow) count into a
+    // 5×7-bounded rank/agg ladder; the weekday window partitions by
+    // event_type (never partition-less).
+    "kendall_w_concordance" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(unix_micros(ts) DIV 86400000000 + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt"), col("dow"))
+      val rsums = cells.withColumn("rk", row_number().over(w))
+        .groupBy("dow").agg(count(lit(1)).as("k"), sum("rk").as("rj"))
+      rsums.agg(max("k").as("k"), count(lit(1)).as("n"),
+          sum(expr("CAST(rj AS DECIMAL(38,0)) * rj")).as("rj2"),
+          sum(col("rj").cast("decimal(38,0)")).as("rjs"))
+        .select(col("k"), col("n"),
+          // S = Σ(R_j − k(n+1)/2)² = ΣR_j² − (ΣR_j)²/n exactly
+          // (ΣR_j = kn(n+1)/2 is divisible by n when ranks partition)
+          expr("rj2 - (rjs * rjs) DIV n").as("s_dec"))
+        .select(col("k"), col("n"),
+          col("s_dec").cast("long").as("s_stat"),
+          expr("""CAST(CAST(s_dec AS DECIMAL(38,0)) * 12 * 1000000
+                 | DIV (CAST(k AS DECIMAL(38,0)) * k * n * (n * n - 1))
+                 | AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("w_fp"),
+          expr("""CAST(CAST(s_dec AS DECIMAL(38,0)) * 12 * (n - 1) * 1000000
+                 | DIV (CAST(k AS DECIMAL(38,0)) * n * (n * n - 1))
+                 | AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("friedman_chi2_fp"))
     }),
 
     // Partial autocorrelation function (r12, fifth session; Durbin
@@ -1293,6 +1389,70 @@ object SeriesStatOps extends OpGroup {
         |    CAST(CAST(s AS HUGEINT) * (n - 1) * 1000000 // nqss AS BIGINT)
         |  ELSE NULL END AS p_fp
         |FROM h""".stripMargin,
+
+    // same shared hour constants (hourFp, injected verbatim), same
+    // exact z rational, identical R̄ leaf
+    "circular_hour_stats" ->
+      s"""WITH hrs(h, cfp, sfp) AS (VALUES $hourValuesSql),
+         |byh AS MATERIALIZED (
+         |  SELECT e.event_type, hour(e.ts) AS h,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events e GROUP BY 1, 2),
+         |pk AS (
+         |  SELECT event_type, h AS peak_hour, cnt AS peak_cnt FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY cnt DESC, h) AS pr FROM byh)
+         |  WHERE pr = 1),
+         |agg AS (
+         |  SELECT b.event_type, CAST(sum(b.cnt) AS BIGINT) AS n,
+         |         sum(CAST(b.cnt AS HUGEINT) * t.cfp) AS c,
+         |         sum(CAST(b.cnt AS HUGEINT) * t.sfp) AS s
+         |  FROM byh b JOIN hrs t ON t.h = b.h
+         |  GROUP BY b.event_type)
+         |SELECT a.event_type, a.n,
+         |  CAST(p.peak_hour AS BIGINT) AS peak_hour,
+         |  CAST(p.peak_cnt * 1000000 // a.n AS BIGINT) AS peak_share_fp,
+         |  CAST(FLOOR(sqrt(CAST(c * c + s * s AS DOUBLE))
+         |    / (CAST(a.n AS DOUBLE) * 1000000.0)
+         |    * 1000000.0) AS BIGINT) AS rbar_fp,
+         |  CAST((c * c + s * s) // (CAST(a.n AS HUGEINT) * 1000000)
+         |    AS BIGINT) AS rayleigh_z_fp
+         |FROM agg a JOIN pk p ON p.event_type = a.event_type
+         |ORDER BY a.event_type""".stripMargin,
+
+    // same pinned distinct-rank tie-break, same exact S identity and
+    // W / Friedman rationals
+    "kendall_w_concordance" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, dow,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY cnt, dow) AS rk
+        |  FROM cells),
+        |rs AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(rk) AS BIGINT) AS rj
+        |  FROM rk GROUP BY dow),
+        |m AS (
+        |  SELECT CAST(max(k) AS BIGINT) AS k,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(rj AS HUGEINT) * rj) AS rj2,
+        |         sum(CAST(rj AS HUGEINT)) AS rjs
+        |  FROM rs),
+        |sstat AS (
+        |  SELECT k, n, rj2 - (rjs * rjs) // n AS s_dec FROM m)
+        |SELECT k, n, CAST(s_dec AS BIGINT) AS s_stat,
+        |  CAST(CAST(s_dec AS HUGEINT) * 12 * 1000000
+        |    // (CAST(k AS HUGEINT) * k * n * (n * n - 1)) AS BIGINT)
+        |    AS w_fp,
+        |  CAST(CAST(s_dec AS HUGEINT) * 12 * (n - 1) * 1000000
+        |    // (CAST(k AS HUGEINT) * n * (n * n - 1)) AS BIGINT)
+        |    AS friedman_chi2_fp
+        |FROM sstat""".stripMargin,
 
     // the SAME integer Durbin–Levinson recursion as a recursive CTE
     // carrying the φ row as a LIST; // truncates toward zero on both

@@ -290,4 +290,42 @@ class CommerceSpec extends SparkSpec {
       assert(r.getLong(3) > 0L && r.getLong(4) > 0L)
     }
   }
+
+  test("safety_stock_plan: per-brand moment replay; monotone in level") {
+    val rows = run("safety_stock_plan")
+    assert(rows.nonEmpty && rows.length % 3 === 0, "3 levels per brand")
+    val li = Tables.lineitem(spark, sf())
+      .selectExpr("l_partkey",
+        "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')",
+        "CAST(l_quantity AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val brandOf = Tables.part(spark, sf())
+      .selectExpr("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val zOf = Map(90L -> 1.2815515655446004, 95L -> 1.6448536269514722,
+      99L -> 2.3263478740408408)
+    val brute = li.groupBy(x => brandOf(x._1)).collect {
+      case (b, g) if g.map(_._2).distinct.length >= 2 =>
+        val daily = g.groupBy(_._2).values.map(_.map(_._3).sum).toSeq
+        val n = daily.length.toLong
+        val sd = daily.map(BigInt(_)).sum
+        val sq = daily.map(v => BigInt(v) * v).sum
+        b -> (n, BigInt(n) * sq - sd * sd)
+    }
+    rows.foreach { r =>
+      val (n, varnum) = brute(r.getString(0))
+      assert(r.getLong(2) === n, s"brand ${r.getString(0)} day census")
+      val want = math.floor(zOf(r.getLong(1))
+        * math.sqrt(varnum.toDouble / (n.toDouble * (n.toDouble - 1.0)))
+        * math.sqrt(7.0) * 1000000.0).toLong
+      assert(r.getLong(3) === want,
+        s"brand ${r.getString(0)} level ${r.getLong(1)} leaf replay")
+      assert(r.getLong(3) >= 0L)
+    }
+    // higher service level => larger buffer, per brand
+    rows.grouped(3).foreach { g =>
+      assert(g(0).getLong(3) <= g(1).getLong(3)
+        && g(1).getLong(3) <= g(2).getLong(3), "monotone in z")
+    }
+  }
 }

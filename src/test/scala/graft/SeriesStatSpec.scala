@@ -639,4 +639,65 @@ class SeriesStatSpec extends SparkSpec {
     assert(r.getLong(2) > 0L, "r > 0")
     assert(r.getLong(3) > 0L && r.getLong(3) <= 1000000L, "p in (0, 1]")
   }
+
+  test("circular_hour_stats: brute vector-sum replay; R in [0,1]; z exact") {
+    val rows = run("circular_hour_stats")
+    assert(rows.length === 5, "one row per event type")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("event_type", "hour(ts)").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val cs = (0 until 24).map { h =>
+      val a = 2.0 * math.Pi * h / 24.0
+      ((math.cos(a) * 1e6).toLong, (math.sin(a) * 1e6).toLong)
+    }
+    rows.foreach { r =>
+      val g = ev.filter(_._1 == r.getString(0)).map(_._2)
+      val n = g.length.toLong
+      assert(r.getLong(1) === n)
+      val byH = g.groupBy(identity).map { case (h, xs) => h -> xs.length.toLong }
+      val peak = byH.toSeq.minBy { case (h, c) => (-c, h) }
+      assert(r.getLong(2) === peak._1.toLong && r.getLong(3) ===
+        peak._2 * 1000000L / n, "peak hour/share replay")
+      val c = byH.map { case (h, cnt) => BigInt(cnt) * cs(h)._1 }.sum
+      val s2 = byH.map { case (h, cnt) => BigInt(cnt) * cs(h)._2 }.sum
+      val rbar = math.floor(math.sqrt((c * c + s2 * s2).toDouble)
+        / (n.toDouble * 1000000.0) * 1000000.0).toLong
+      assert(r.getLong(4) === rbar, "resultant-length leaf replay")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, "R in [0,1]")
+      assert(r.getLong(5) === ((c * c + s2 * s2) / (BigInt(n) * 1000000)).toLong,
+        "Rayleigh z exact rational replay")
+      assert(r.getLong(5) >= 0L)
+    }
+  }
+
+  test("kendall_w_concordance: brute rank replay; W in [0,1]") {
+    val Array(r) = run("kendall_w_concordance")
+    val ev = Tables.events(spark, sf())
+      .selectExpr("event_type", "(unix_micros(ts) DIV 86400000000 + 4) % 7")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val cells = ev.groupBy(identity).map { case ((t, dw), g) =>
+      (t, dw, g.length.toLong) }.toSeq
+    val types = cells.map(_._1).distinct
+    val k = types.length.toLong
+    val n = cells.map(_._2).distinct.length.toLong
+    assert(r.getLong(0) === k && r.getLong(1) === n)
+    // pinned distinct ranks: per type, order weekdays by (count, dow)
+    val rj = scala.collection.mutable.Map.empty[Long, Long]
+    types.foreach { t =>
+      cells.filter(_._1 == t).sortBy(c => (c._3, c._2)).zipWithIndex
+        .foreach { case ((_, dw, _), i) =>
+          rj(dw) = rj.getOrElse(dw, 0L) + (i + 1) }
+    }
+    val rjs = rj.values.map(BigInt(_)).sum
+    val rj2 = rj.values.map(v => BigInt(v) * v).sum
+    val sStat = rj2 - rjs * rjs / n
+    assert(r.getLong(2) === sStat.toLong, "S replay")
+    assert(r.getLong(3) ===
+      (sStat * 12 * 1000000 / (BigInt(k) * k * n * (n * n - 1))).toLong,
+      "W replay")
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L, "W in [0,1]")
+    assert(r.getLong(4) ===
+      (sStat * 12 * (n - 1) * 1000000 / (BigInt(k) * n * (n * n - 1))).toLong,
+      "Friedman chi2_r replay")
+  }
 }
