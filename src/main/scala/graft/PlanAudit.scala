@@ -238,10 +238,12 @@ import org.apache.spark.sql.SparkSession
   *     (localCheckpoint-pinned); the exchanged relations are the
   *     1-row moment scalars (and min-day / SSE scalars), stitched by
   *     broadcast; rank/prefix ride GlobalRank's measured path.
-  *   - `abc_inventory_classification` (r13) — many SinglePartition:
-  *     scalar-stitch — the corpus pass is the part-keyed revenue
-  *     aggregate; the exchanged relations are the 1-row total and the
-  *     3-row class census.
+  *   - `abc_inventory_classification`, `abc_xyz_matrix` (r13) — many
+  *     SinglePartition: scalar-stitch — the corpus pass is the
+  *     part-keyed revenue (and part×week demand) aggregate; the
+  *     exchanged relations are the 1-row total and the ≤3/≤9-row
+  *     class census; the ABC prefix rides GlobalRank's measured
+  *     two-phase path.
   *   - `embedding_participation_ratio` (r13) — many SinglePartition:
   *     the gram-fold scalar-stitch class (covariance_topk precedent) —
   *     the only corpus-sized pass is the GramUpperSum map-side fold;

@@ -481,6 +481,58 @@ object CommerceOps extends OpGroup {
             .stripMargin.replace("\n", " ")).as("safety_stock_fp"))
         .orderBy("p_brand", "level")
     }),
+
+    // ABC × XYZ classification matrix (r13; the standard inventory
+    // segmentation grid): ABC = cumulative revenue class (the V32
+    // 80/95 rule per part), XYZ = weekly-demand variability class
+    // (X: CV ≤ 0.5 steady, Y: CV ≤ 1.0, Z: erratic or single-week) —
+    // the 9-cell census behind differentiated stocking policy (AX =
+    // automate, CZ = make-to-order). ENTIRELY integer: the CV
+    // thresholds become cross-multiplied predicates on the exact
+    // weekly moments (CV² ≤ t² ⟺ t_den·n·varnum ≤ t_num·(n−1)·s²),
+    // so no square root is ever taken; the ABC rule is the V32
+    // integer predicate verbatim. Scale: one (part, week) aggregate →
+    // part-keyed moments; the ABC prefix is the V32 GlobalRank pass;
+    // the final census is 9-bounded.
+    "abc_xyz_matrix" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ec"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') DIV 7")
+          .as("wk"))
+      val rev = li.groupBy("l_partkey").agg(sum("ec").as("rev"))
+        .withColumn("negrev", -col("rev"))
+        .localCheckpoint()
+      val tot = rev.agg(sum("rev").as("tot"))
+      val abc = graft.functions.GlobalRank
+        .prefixSum(rev, "cum", col("rev"), Nil, Seq("negrev", "l_partkey"))
+        .crossJoin(broadcast(tot))
+        .withColumn("abc_class", expr(
+          """CASE WHEN cum * 10 <= 8 * tot THEN 'A'
+            |     WHEN cum * 100 <= 95 * tot THEN 'B'
+            |     ELSE 'C' END""".stripMargin.replace("\n", " ")))
+        .select("l_partkey", "rev", "abc_class")
+      val xyz = li.groupBy("l_partkey", "wk").agg(sum("q").as("wq"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("nw"),
+          sum(col("wq").cast("decimal(38,0)")).as("sw"),
+          sum(expr("CAST(wq AS DECIMAL(38,0)) * wq")).as("qw"))
+        .withColumn("varnum", expr(
+          "CAST(nw AS DECIMAL(38,0)) * qw - sw * sw"))
+        .withColumn("xyz_class", expr(
+          """CASE WHEN nw < 2 THEN 'Z'
+            |     WHEN 4 * varnum * nw <= (nw - 1) * sw * sw THEN 'X'
+            |     WHEN varnum * nw <= (nw - 1) * sw * sw THEN 'Y'
+            |     ELSE 'Z' END""".stripMargin.replace("\n", " ")))
+        .select("l_partkey", "xyz_class")
+      abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+          expr("rev_cents * 1000000 DIV tot").as("rev_share_fp"))
+        .orderBy("abc_class", "xyz_class")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -837,5 +889,51 @@ object CommerceOps extends OpGroup {
         |      / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
         |    * sqrt(7.0) * 1000000.0) AS BIGINT) AS safety_stock_fp
         |FROM v CROSS JOIN zs ORDER BY v.p_brand, zs.level""".stripMargin,
+
+    // same V32 ABC predicate, same cross-multiplied CV classes
+    "abc_xyz_matrix" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+        |         CAST(l_quantity AS BIGINT) AS q,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(l_shipdate AS DATE)) // 7 AS wk
+        |  FROM lineitem),
+        |rev AS (SELECT l_partkey, CAST(sum(ec) AS BIGINT) AS rev
+        |        FROM li GROUP BY l_partkey),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+        |abc AS (
+        |  SELECT l_partkey, rev,
+        |         CASE WHEN cum * 10 <= 8 * tot THEN 'A'
+        |              WHEN cum * 100 <= 95 * tot THEN 'B'
+        |              ELSE 'C' END AS abc_class
+        |  FROM (SELECT l_partkey, rev,
+        |               CAST(sum(rev) OVER (ORDER BY -rev, l_partkey)
+        |                 AS BIGINT) AS cum
+        |        FROM rev) c CROSS JOIN tot),
+        |wkq AS (SELECT l_partkey, wk, CAST(sum(q) AS BIGINT) AS wq
+        |        FROM li GROUP BY 1, 2),
+        |mo AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS nw,
+        |         CAST(sum(wq) AS HUGEINT) AS sw,
+        |         sum(CAST(wq AS HUGEINT) * wq) AS qw
+        |  FROM wkq GROUP BY 1),
+        |xyz AS (
+        |  SELECT l_partkey,
+        |         CASE WHEN nw < 2 THEN 'Z'
+        |              WHEN 4 * (nw * qw - sw * sw) * nw
+        |                   <= (nw - 1) * sw * sw THEN 'X'
+        |              WHEN (nw * qw - sw * sw) * nw
+        |                   <= (nw - 1) * sw * sw THEN 'Y'
+        |              ELSE 'Z' END AS xyz_class
+        |  FROM mo)
+        |SELECT a.abc_class, x.xyz_class,
+        |       CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(CAST(sum(a.rev) AS HUGEINT) * 1000000 // tot
+        |         AS BIGINT) AS rev_share_fp
+        |FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+        |CROSS JOIN tot
+        |GROUP BY a.abc_class, x.xyz_class, tot
+        |ORDER BY a.abc_class, x.xyz_class""".stripMargin,
   )
 }

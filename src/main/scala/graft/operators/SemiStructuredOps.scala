@@ -386,6 +386,63 @@ object SemiStructuredOps extends OpGroup {
         .orderBy("np")
     }),
 
+    // IVF probe COST curve (r13): the expected scanned-candidate
+    // fraction at nprobe ∈ {1..4} — the latency side of the
+    // recall-vs-nprobe trade (read the two curves together and pick
+    // the knee: recall saturates while cost keeps climbing toward
+    // 1.0 at nprobe=k). PURE integer off the persisted layout: per
+    // (query, np) the scan size is the sum of probed-cell populations
+    // minus the self-exclusion when the query's own cell is probed;
+    // the fraction is one truncating division by n_q·(N−1). Probe
+    // selection is the SAME centroid ranking as the recall curve.
+    // Scale: |q|×k cell ranks join the k-row cell-count table
+    // broadcast; nothing touches the corpus vectors beyond the
+    // layout's cell-count aggregate.
+    "ivf_probe_cost_curve" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val stored = s.read.parquet(ivfLayout(s, d))
+        .select(col("vec_id"), col("embedding"),
+          col("cell").cast("int").as("cell"),
+          graft.functions.VectorFunctions.norm("embedding").as("norm"))
+      val cellCnt = stored.groupBy("cell").agg(count(lit(1)).as("csz"))
+      val nTot = stored.agg(count(lit(1)).as("n_corpus"))
+      val cents = s.read.parquet(s"${ivfLayout(s, d)}.centroids")
+        .select(col("cand_cell").cast("int").as("cand_cell"),
+          col("centroid"))
+      val q = stored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"), col("cell").as("q_cell"))
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("dist2"), col("cand_cell"))
+      val cellRank = q.crossJoin(broadcast(cents))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(q_emb, centroid,
+            |  (x, y) -> (CAST(x AS DOUBLE) / q_norm - y)
+            |          * (CAST(x AS DOUBLE) / q_norm - y)),
+            |  0D, (acc, v) -> acc + v)""".stripMargin))
+        .select(col("q_id"), col("q_cell"), col("cand_cell"),
+          row_number().over(wq).as("cr"))
+      cellRank
+        .join(broadcast(cellCnt), col("cand_cell") === col("cell"))
+        .select(col("q_id"), col("q_cell"), col("cand_cell"), col("cr"),
+          col("csz"), explode(typedLit((1 to 4).toList)).as("np"))
+        .filter(col("cr") <= col("np"))
+        .groupBy("np", "q_id")
+        .agg(sum("csz").as("raw"),
+          max(when(col("cand_cell") === col("q_cell"), 1L)
+            .otherwise(0L)).as("own"))
+        .withColumn("scanned", col("raw") - col("own"))
+        .groupBy("np")
+        .agg(count(lit(1)).as("n_queries"),
+          sum("scanned").as("scanned_total"))
+        .crossJoin(broadcast(nTot))
+        .select(col("np"), col("n_queries"), col("scanned_total"),
+          expr("""CAST(CAST(scanned_total AS DECIMAL(38,0)) * 1000000
+                 | DIV (n_queries * (n_corpus - 1)) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("scan_frac_fp"))
+        .orderBy("np")
+    }),
+
     // Corpus-wide kNN GRAPH over the IVF serving layout: every vector's
     // top-3 same-cell neighbors by exact fixed-point cosine — the
     // embedding-graph build that feeds graph-based dedup, clustering,
@@ -828,6 +885,50 @@ object SemiStructuredOps extends OpGroup {
          |FROM byp LEFT JOIN exact e USING (q_id, vec_id) CROSS JOIN nex
          |GROUP BY np, n_exact ORDER BY np""".stripMargin
     },
+
+    // same persisted layout, same centroid ranking, same
+    // self-exclusion convention and truncating fraction
+    "ivf_probe_cost_curve" ->
+      s"""WITH $ivfCorpusCtes,
+         |cent AS (
+         |  SELECT CAST(cand_cell AS INTEGER) AS cand_cell, centroid
+         |  FROM read_parquet('${ivfLayoutCache.lastPath}.centroids/*.parquet')),
+         |q AS (
+         |  SELECT c.vec_id AS q_id, c.embedding AS q_emb, n.norm AS q_norm,
+         |         c.cell AS q_cell
+         |  FROM corpus c JOIN norms n ON c.vec_id = n.vec_id
+         |  WHERE c.vec_id < 10),
+         |dist AS (
+         |  SELECT q.q_id, ct.cand_cell,
+         |         sum((CAST(q.q_emb[t.i] AS DOUBLE) / q.q_norm - ct.centroid[t.i])
+         |           * (CAST(q.q_emb[t.i] AS DOUBLE) / q.q_norm - ct.centroid[t.i])) AS dist2
+         |  FROM q CROSS JOIN cent ct CROSS JOIN range(1, 2049) t(i)
+         |  WHERE t.i <= least(len(q.q_emb), len(ct.centroid))
+         |  GROUP BY q.q_id, ct.cand_cell),
+         |cellr AS (
+         |  SELECT q_id, cand_cell, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dist2, cand_cell) AS cr
+         |  FROM dist),
+         |cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS csz
+         |       FROM corpus GROUP BY cell),
+         |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM corpus),
+         |grid(np) AS (VALUES (1), (2), (3), (4)),
+         |perq AS (
+         |  SELECT g.np, r.q_id,
+         |         CAST(sum(cc.csz) AS BIGINT)
+         |           - CAST(max(CASE WHEN r.cand_cell = q.q_cell
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS scanned
+         |  FROM cellr r JOIN cc ON cc.cell = r.cand_cell
+         |  JOIN q ON q.q_id = r.q_id
+         |  JOIN grid g ON r.cr <= g.np
+         |  GROUP BY g.np, r.q_id)
+         |SELECT np, CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(scanned) AS BIGINT) AS scanned_total,
+         |       CAST(CAST(sum(scanned) AS HUGEINT) * 1000000
+         |         // (count(*) * (n_corpus - 1)) AS BIGINT)
+         |         AS scan_frac_fp
+         |FROM perq CROSS JOIN ntot GROUP BY np, n_corpus
+         |ORDER BY np""".stripMargin,
     // outlier flags re-derived from the persisted `.dist2` sidecar: the
     // per-vector distance is INTEGER index state written once by Spark
     // at layout-build time (rounds 6-7 proved float re-derivation is

@@ -428,4 +428,50 @@ class AnnSpec extends SparkSpec {
     assert(all.getLong(1) === 3L * nQ && all.getLong(2) === 3L * nQ
       && all.getLong(3) === 1000000L, "all-cells probe recalls exactly 1")
   }
+
+  test("ivf_probe_cost_curve: layout replay; monotone; full probe = 1") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("ivf_probe_cost_curve")(spark, sf())
+      .collect()
+    assert(rows.length === 4)
+    val layout = operators.SemiStructuredOps.ivfLayout(spark, sf())
+    val stored = spark.read.parquet(layout)
+      .selectExpr("vec_id", "CAST(cell AS INT)",
+        "transform(embedding, x -> CAST(x AS DOUBLE))").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cents = spark.read.parquet(s"$layout.centroids")
+      .selectExpr("CAST(cand_cell AS INT)", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val cellSz = stored.groupBy(_._2).map { case (c, g) =>
+      c -> g.length.toLong }
+    val nCorpus = stored.length.toLong
+    // replay the probe ranking exactly as the query defines it
+    val perQ = stored.filter(_._1 < 10).map { case (qid, qCell, emb) =>
+      val norm = math.sqrt(emb.map(x =>
+        math.floor(x * x * 1e15)).sum / 1e15)
+      val ranked = cents.map { case (c, cen) =>
+        val d2 = emb.zip(cen).map { case (x, y) =>
+          val dd = x / norm - y; dd * dd }.sum
+        (d2, c)
+      }.sortBy(identity).map(_._2)
+      (qid, qCell, ranked)
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val np = i + 1
+      assert(r.getInt(0) === np)
+      val scanned = perQ.map { case (_, qCell, ranked) =>
+        val probed = ranked.take(np)
+        probed.map(cellSz).sum - (if (probed.contains(qCell)) 1L else 0L)
+      }.sum
+      assert(r.getLong(1) === perQ.length.toLong)
+      assert(r.getLong(2) === scanned, s"scanned census at np=$np")
+      assert(r.getLong(3) === (BigInt(scanned) * 1000000
+        / (perQ.length.toLong * (nCorpus - 1))).toLong, "fraction replay")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(2), "scan cost monotone in nprobe")
+    }
+    assert(rows.last.getLong(3) === 1000000L,
+      "probing every cell scans the whole corpus minus self")
+  }
 }

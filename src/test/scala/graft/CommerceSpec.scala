@@ -328,4 +328,47 @@ class CommerceSpec extends SparkSpec {
         && g(1).getLong(3) <= g(2).getLong(3), "monotone in z")
     }
   }
+
+  test("abc_xyz_matrix: brute per-part class replay; census partitions") {
+    val rows = run("abc_xyz_matrix")
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf())
+      .selectExpr("l_partkey",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "CAST(l_quantity AS BIGINT)",
+        "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') DIV 7")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rev = li.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val tot = rev.values.sum
+    // ABC: inclusive cumulative rule over (-rev, partkey) order
+    val sorted = rev.toSeq.sortBy { case (p, r) => (-r, p) }
+    var cum = 0L
+    val abcOf = sorted.map { case (p, r) =>
+      cum += r
+      p -> (if (cum * 10 <= 8 * tot) "A"
+            else if (cum * 100 <= 95 * tot) "B" else "C")
+    }.toMap
+    val xyzOf = li.groupBy(_._1).map { case (p, g) =>
+      val wq = g.groupBy(_._4).values.map(_.map(_._3).sum).toSeq
+      val n = wq.length.toLong
+      val sw = wq.map(BigInt(_)).sum
+      val varnum = BigInt(n) * wq.map(v => BigInt(v) * v).sum - sw * sw
+      p -> (if (n < 2) "Z"
+            else if (4 * varnum * n <= (n - 1) * sw * sw) "X"
+            else if (varnum * n <= (n - 1) * sw * sw) "Y" else "Z")
+    }
+    val brute = rev.keys.toSeq.groupBy(p => (abcOf(p), xyzOf(p)))
+      .map { case (k, ps) =>
+        k -> (ps.length.toLong,
+          (BigInt(ps.map(rev).sum) * 1000000 / tot).toLong) }
+    assert(rows.length === brute.size, "one row per occupied cell")
+    rows.foreach { r =>
+      assert((r.getLong(2), r.getLong(3)) ===
+        brute((r.getString(0), r.getString(1))),
+        s"cell ${r.getString(0)}${r.getString(1)} replay")
+    }
+    assert(rows.map(_.getLong(2)).sum === rev.size.toLong,
+      "every part lands in exactly one cell")
+  }
 }
