@@ -81,9 +81,17 @@ def main(sf_dir, out_dir):
                     sides = [sd for sd, ty in (("spark", stypes),
                                                ("oracle", otypes))
                              if c in ty and pa.types.is_decimal(ty[c])]
+                    # both sides' actual types in the detail (ADVICE
+                    # r13): a spark-decimal vs oracle-non-decimal column
+                    # skips the mismatch check below, so the cross-engine
+                    # detail must survive in THIS record
+                    both = " vs ".join(
+                        f"{sd}={ty[c]}" for sd, ty in (("spark", stypes),
+                                                       ("oracle", otypes))
+                        if c in ty)
                     bad.append((name, c,
                                 f"DECIMAL-OUTPUT[{'+'.join(sides)}]",
-                                str(t)))
+                                both))
         for c in sorted(set(stypes) & set(otypes)):
             if (name, c) in flagged:
                 continue

@@ -345,8 +345,14 @@ object ExperimentOps extends OpGroup {
           sum(when(!col("we") && col("pur"), 1L).otherwise(0L)).as("c"),
           sum(when(!col("we") && !col("pur"), 1L).otherwise(0L)).as("dd"))
         .select(col("wk"),
-          expr("a * dd * 1000000 DIV (a + b + c + dd)").as("num_i"),
-          expr("b * c * 1000000 DIV (a + b + c + dd)").as("den_i"))
+          // DECIMAL(38,0) lift on the per-stratum products (ADVICE
+          // r13): plain int64 a·d·1e6 wraps silently past ~9e18 (≈3e6
+          // events per cell) while DuckDB BIGINT errors — the lift
+          // makes both engines exact; DIV lands back on BIGINT
+          expr("CAST(a AS DECIMAL(38,0)) * dd * 1000000" +
+            " DIV (a + b + c + dd)").as("num_i"),
+          expr("CAST(b AS DECIMAL(38,0)) * c * 1000000" +
+            " DIV (a + b + c + dd)").as("den_i"))
         .agg(count(lit(1)).as("n_strata"),
           sum("num_i").as("mh_num_fp"), sum("den_i").as("mh_den_fp"))
         .withColumn("or_mh_fp", expr(
@@ -392,9 +398,13 @@ object ExperimentOps extends OpGroup {
         .agg(count(lit(1)).as("n_strata"), sum("a").as("t_sum"),
           sum("e_i").as("e_fp"), sum("v_i").as("v_fp"))
         .withColumn("chi2_fp", expr(
+          // t_sum·1e6 lifted BEFORE the subtraction (ADVICE r13): the
+          // int64 product wraps past ~9e12 purchases, a 100 TB-plausible
+          // count
           """CASE WHEN v_fp > 0 THEN
-            |CAST(CAST(t_sum * 1000000 - e_fp AS DECIMAL(38,0))
-            |  * (t_sum * 1000000 - e_fp) DIV v_fp AS BIGINT)
+            |CAST((CAST(t_sum AS DECIMAL(38,0)) * 1000000 - e_fp)
+            |  * (CAST(t_sum AS DECIMAL(38,0)) * 1000000 - e_fp)
+            |  DIV v_fp AS BIGINT)
             |ELSE CAST(NULL AS BIGINT) END""".stripMargin.replace("\n", " ")))
         .select("n_strata", "t_sum", "e_fp", "v_fp", "chi2_fp")
     }),
@@ -614,8 +624,10 @@ object ExperimentOps extends OpGroup {
         |        FROM events)
         |  GROUP BY 1),
         |terms AS (
-        |  SELECT a * dd * 1000000 // (a + b + c + dd) AS num_i,
-        |         b * c * 1000000 // (a + b + c + dd) AS den_i
+        |  SELECT CAST(CAST(a AS HUGEINT) * dd * 1000000
+        |           // (a + b + c + dd) AS BIGINT) AS num_i,
+        |         CAST(CAST(b AS HUGEINT) * c * 1000000
+        |           // (a + b + c + dd) AS BIGINT) AS den_i
         |  FROM cells),
         |agg AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
@@ -665,8 +677,9 @@ object ExperimentOps extends OpGroup {
         |  FROM terms)
         |SELECT n_strata, t_sum, e_fp, v_fp,
         |  CASE WHEN v_fp > 0 THEN
-        |    CAST(CAST(t_sum * 1000000 - e_fp AS HUGEINT)
-        |      * (t_sum * 1000000 - e_fp) // v_fp AS BIGINT)
+        |    CAST((CAST(t_sum AS HUGEINT) * 1000000 - e_fp)
+        |      * (CAST(t_sum AS HUGEINT) * 1000000 - e_fp)
+        |      // v_fp AS BIGINT)
         |  ELSE NULL END AS chi2_fp
         |FROM agg""".stripMargin,
 

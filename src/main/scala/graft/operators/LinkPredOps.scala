@@ -200,7 +200,13 @@ object LinkPredOps extends OpGroup {
     "knn_hubness_skew" -> ((s, d) => {
       val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
         .groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("k0"))
-      graft.Tables.embeddings(s, d).select(col("vec_id"))
+      // node base = the persisted IVF layout's corpus, NOT raw
+      // embeddings: the oracle's `corpus` CTE and the sibling graph ops
+      // (label_propagation_knn, kcore_graph_prune) all read the layout,
+      // which excludes NULL/empty-embedding rows — reading the raw
+      // table here would diverge n/n_zero_indeg on any such row
+      // (ADVICE r13)
+      s.read.parquet(SemiStructuredOps.ivfLayout(s, d)).select(col("vec_id"))
         .join(e, Seq("vec_id"), "left")
         .withColumn("k", coalesce(col("k0"), lit(0L)))
         .agg(count(lit(1)).as("n"), sum("k").as("s1"),

@@ -775,10 +775,15 @@ object SeriesStatOps extends OpGroup {
     // n·B·t with B = n·Σty − Σt·Σy — the scale cancels in DW =
     // Σ(E_t−E_{t−1})²/ΣE_t², so the statistic is ONE exact rational,
     // floored at 1e-6. Scale: the series is calendar-bounded — one
-    // map-side daily aggregate; E_t folds in DECIMAL(38,0) (≤512
-    // days × ≤1e8 events/day stays inside 38 digits through E²); the
-    // adjacent diff is a rank-shifted equi-join (mase pattern), DW
-    // uses consecutive OBSERVED days (gaps documented as adjacency).
+    // map-side daily aggregate; E_t folds in DECIMAL(38,0). E_t ≈
+    // n⁵·y/12, so the exact envelope |E_t| < 1e17 (keeping ΣE² < 1e38
+    // for any series ≤ 1e4 days) holds through ~400 days × 1e6/day
+    // (ADVICE r13 corrected the earlier ≤512-days × 1e8/day claim —
+    // that point is ~1e3× past the true envelope); past it both
+    // engines fail loudly and identically via the cooks_distance
+    // guard idiom below. The adjacent diff is a rank-shifted
+    // equi-join (mase pattern), DW uses consecutive OBSERVED days
+    // (gaps documented as adjacency).
     "durbin_watson_ols" -> ((s, d) => {
       // localCheckpoint (the batch_chunks idiom, r12 verdict #3):
       // `daily` fans out into min-day, moments, and the residual
@@ -803,8 +808,15 @@ object SeriesStatOps extends OpGroup {
           "dd * sy - bb * st"))
       val e = td.crossJoin(broadcast(m))
         .filter(col("n") >= 3 && expr("dd > 0"))
-        .withColumn("e_t", expr(
+        .withColumn("e0", expr(
           "CAST(n AS DECIMAL(38,0)) * dd * y - cc - CAST(n AS DECIMAL(38,0)) * bb * t"))
+        // loud envelope guard (ADVICE r13, cooks_distance idiom): NULL
+        // (overflowed) or ≥1e17 residuals abort instead of silently
+        // dropping from ΣE² / Σ(ΔE)²
+        .withColumn("e_t", expr(
+          "CASE WHEN abs(e0) < CAST(100000000000000000 AS DECIMAL(38,0)) THEN e0 " +
+            "ELSE CAST(raise_error('durbin_watson_ols: |E_t| >= 1e17 " +
+            "exceeds the exact-decimal envelope') AS DECIMAL(38,0)) END"))
         .select("di", "n", "e_t")
       val rn = graft.functions.GlobalRank
         .rowNumber(e, "rn", Nil, Seq("di"))
@@ -1106,12 +1118,18 @@ object SeriesStatOps extends OpGroup {
     // trend the most — the influence audit run before trusting
     // ols_trend/durbin_watson on a series with outages or backfill
     // spikes. The (n·b_den)-scaled integer residual E_t (the
-    // durbin_watson scaling; envelope ≤~1e3 days × ≤1e6/day inside 38
-    // digits through E²) and the leverage numerator (n·t−Σt)² are
-    // exact; D_i = E_i²·h·(n−2)/(2·ΣE²·(1−h)²) — the common (n·b_den)²
-    // clears — is ONE shared-text IEEE leaf per day; top-10 via
-    // TakeOrdered. Scale: ONE map-side daily aggregate; everything
-    // downstream is ≤|days| rows against broadcast 1-row moments.
+    // durbin_watson scaling; E_t ≈ n⁵·y/12, so the exact-decimal
+    // envelope |E_t| < 1e17 — which keeps ΣE² < 1e38 for any series
+    // ≤ 1e4 days — holds through ~400 days × 1e6/day or ~30 days ×
+    // 1e10/day; ADVICE r13 corrected the earlier ~1e3-days claim,
+    // which overstated it ~1e2×) and the leverage numerator (n·t−Σt)²
+    // are exact; D_i = E_i²·h·(n−2)/(2·ΣE²·(1−h)²) — the common
+    // (n·b_den)² clears — is ONE shared-text IEEE leaf per day; top-10
+    // via TakeOrdered. Past the envelope both engines now fail LOUDLY
+    // and identically (raise_error / error() below) instead of Spark's
+    // silent non-ANSI NULL vs DuckDB's HUGEINT throw. Scale: ONE
+    // map-side daily aggregate; everything downstream is ≤|days| rows
+    // against broadcast 1-row moments.
     "cooks_distance_topk" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
@@ -1132,8 +1150,16 @@ object SeriesStatOps extends OpGroup {
         .withColumn("cc", expr("bden * sy - bnum * st"))
       val e = td.crossJoin(broadcast(m))
         .filter(col("n") >= 4 && expr("bden > 0"))
-        .withColumn("ei", expr(
+        .withColumn("ei0", expr(
           "CAST(n AS DECIMAL(38,0)) * bden * y - cc - CAST(n AS DECIMAL(38,0)) * bnum * t"))
+        // loud envelope guard (ADVICE r13): a NULL ei0 (non-ANSI
+        // decimal overflow) or |ei0| ≥ 1e17 (ei² would push ΣE² past
+        // DECIMAL(38,0), where per-row NULLs silently DROP from the
+        // sum) must abort, not corrupt — CASE sends both to raise_error
+        .withColumn("ei", expr(
+          "CASE WHEN abs(ei0) < CAST(100000000000000000 AS DECIMAL(38,0)) THEN ei0 " +
+            "ELSE CAST(raise_error('cooks_distance_topk: |E_i| >= 1e17 " +
+            "exceeds the exact-decimal envelope') AS DECIMAL(38,0)) END"))
         .withColumn("g2", expr(
           """(CAST(n AS DECIMAL(38,0)) * t - st)
             | * (CAST(n AS DECIMAL(38,0)) * t - st)"""
@@ -1630,10 +1656,16 @@ object SeriesStatOps extends OpGroup {
         |                AS bb
         |       FROM m),
         |mc AS (SELECT n, dd, bb, dd * sy - bb * st AS cc FROM md),
-        |e AS (SELECT td.di, mc.n,
+        |e0 AS (SELECT td.di, mc.n,
         |             CAST(mc.n AS HUGEINT) * mc.dd * td.y - mc.cc
-        |               - CAST(mc.n AS HUGEINT) * mc.bb * td.t AS e_t
+        |               - CAST(mc.n AS HUGEINT) * mc.bb * td.t AS e0
         |      FROM td CROSS JOIN mc WHERE mc.n >= 3 AND mc.dd > 0),
+        |e AS (SELECT di, n,
+        |        CASE WHEN abs(e0) < 100000000000000000 THEN e0
+        |        ELSE CAST(error('durbin_watson_ols: |E_t| >= 1e17 '
+        |          || 'exceeds the exact-decimal envelope') AS HUGEINT)
+        |        END AS e_t
+        |      FROM e0),
         |l AS (SELECT n, e_t, lag(e_t) OVER (ORDER BY di) AS e_prev
         |      FROM e),
         |agg AS (SELECT n, sum(e_t * e_t) AS sum_e2,
@@ -1926,13 +1958,19 @@ object SeriesStatOps extends OpGroup {
          |        CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS bden
          |      FROM m),
          |g2t AS (SELECT g.*, bden * sy - bnum * st AS cc FROM g),
-         |e AS (SELECT td.di, td.y, g2t.n, g2t.bden,
+         |e0 AS (SELECT td.di, td.y, g2t.n, g2t.bden,
          |        CAST(g2t.n AS HUGEINT) * g2t.bden * td.y - g2t.cc
-         |          - CAST(g2t.n AS HUGEINT) * g2t.bnum * td.t AS ei,
+         |          - CAST(g2t.n AS HUGEINT) * g2t.bnum * td.t AS ei0,
          |        (CAST(g2t.n AS HUGEINT) * td.t - g2t.st)
          |          * (CAST(g2t.n AS HUGEINT) * td.t - g2t.st) AS g2
          |      FROM td CROSS JOIN g2t
          |      WHERE g2t.n >= 4 AND g2t.bden > 0),
+         |e AS (SELECT di, y, n, bden, g2,
+         |        CASE WHEN abs(ei0) < 100000000000000000 THEN ei0
+         |        ELSE CAST(error('cooks_distance_topk: |E_i| >= 1e17 '
+         |          || 'exceeds the exact-decimal envelope') AS HUGEINT)
+         |        END AS ei
+         |      FROM e0),
          |se AS (SELECT sum(ei * ei) AS sse FROM e)
          |SELECT e.di, e.y,
          |       CAST(FLOOR(($cooksDS) * 1000000000.0) AS BIGINT)
