@@ -268,6 +268,12 @@ import org.apache.spark.sql.SparkSession
   *     pooled-median scalar (Mood), and the 1-row χ²/T fold, each
   *     stitched back by broadcast; the prefix sums ride GlobalRank's
   *     measured two-phase path, never a partition-less window.
+  *   - `incremental_neardup_maintain` (r14) — many SinglePartition:
+  *     scalar-stitch — the key_parity row cross-joins three 1-row
+  *     counts (|inc|, |rebuild|, |sig-equal inner join|) and the
+  *     retired_delete row is one 1-row aggregate over the ≤batch-sized
+  *     delete key set; the per-class rollup (the only corpus-sized
+  *     pass) is a map-side-combinable groupBy, never single-partition.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

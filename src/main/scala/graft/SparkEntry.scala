@@ -73,6 +73,7 @@ object SparkEntry {
     operators.PlanEvalOps,
     operators.LexRichnessOps,
     operators.DistShapeOps,
+    operators.IncrementalMaintainOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
