@@ -276,8 +276,71 @@ import org.apache.spark.sql.SparkSession
   *     pass) is a map-side-combinable groupBy, never single-partition.
   */
 object PlanAudit {
+
+  /** Machine-readable form of the standing benign list above (VERDICT
+    * r13 ask #5): every flagged query maps to its adjudication class so
+    * the sweep can be emitted as a committed, CI-diffable artifact
+    * instead of prose. The full rationale for each entry stays in the
+    * scaladoc bullets; the classes:
+    *
+    *   - scalar-stitch: every single-partition exchange carries a
+    *     1-row / enum-bounded / domain-bounded relation stitched back
+    *     by broadcast; the corpus passes are map-side-combinable.
+    *   - bounded-model-state: the exchanged relations are fixed-size
+    *     model state (d-vector, 128-cell histogram, 64-row resample
+    *     set), not data.
+    *   - bounded-window: the partition-less window runs AFTER a
+    *     TakeOrdered / groupBy has reduced the stream to a ≤k-row
+    *     candidate/cell grid by construction.
+    *   - bounded-pair-grid: the cartesian is an intentional comma join
+    *     of enum×value-bounded cell grids (≤62.5k pairs).
+    *   - bloom-bitset: the single-row bloom bitset scalar subquery
+    *     (the InjectRuntimeFilter shape).
+    *
+    * A flagged query ABSENT from this map is unadjudicated — the sweep
+    * exits nonzero so a new scale-killer can't ride in silently.
+    */
+  private val Adjudications: Map[String, String] = {
+    def cls(c: String)(qs: String*): Seq[(String, String)] = qs.map(_ -> c)
+    (cls("scalar-stitch")(
+      "abc_inventory_classification", "abc_xyz_matrix", "bh_fdr_ks_nations",
+      "bloom_filter_sizing_plan", "chapman_dedup_estimate",
+      "chatterjee_xi_corr", "chi2_event_weekday_independence",
+      "cliff_delta_weekend", "coarsened_exact_matching_att",
+      "cochran_q_weekday", "cohens_kappa_langid", "consistent_hash_rebalance",
+      "cooc_triangle_count", "cooks_distance_topk", "count_summary",
+      "cramer_von_mises_value", "cuped_variance_reduction",
+      "cusum_drift_alarm", "decile_lift_table",
+      "deleted_interpolation_lambdas", "did_revenue_segments",
+      "doremi_excess_loss_reweight", "dq_rule_scorecard",
+      "embedding_anisotropy", "embedding_participation_ratio",
+      "energy_distance_value", "fellegi_sunter_weights",
+      "friedman_test_priority", "half_sample_ci", "hurst_rs_daily",
+      "incremental_neardup_maintain", "ips_policy_value",
+      "jackknife_loo_nation", "join_cardinality_estimate",
+      "jonckheere_trend_value", "knn_edge_reciprocity", "kpss_level_daily",
+      "kruskal_wallis_priority", "logrank_test_arms", "mcc_langid",
+      "minhash_candidate_quality", "mood_median_test",
+      "mutual_information_lang_source", "neardup_transitivity_audit",
+      "neyman_allocation_plan", "page_trend_test", "periodogram_power_share",
+      "pettitt_changepoint", "rho_loss_selection", "rmst_survival",
+      "supplier_share_shift", "table_checksum_rollup", "theil_u2_forecast",
+      "weibull_latency_fit") ++
+      cls("bounded-model-state")(
+        "embedding_pca_power_iter", "quantile_sketch_merge",
+        "psi_value_drift", "kneedle_cell_elbow", "split_conformal_interval") ++
+      cls("bounded-window")(
+        "bm25_topk", "heaps_law_vocab_growth", "rrf_rank_fusion") ++
+      cls("bounded-window + scalar-stitch")(
+        "hybrid_retrieval_rerank", "gini_split_stump",
+        "proportional_quota_fill") ++
+      cls("bounded-pair-grid")("gamma_somers_priority_qty") ++
+      cls("bloom-bitset")("bloom_prefilter_dedup")).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outJson = args.drop(1).headOption
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -293,7 +356,8 @@ object PlanAudit {
     spark.conf.set("graft.globalrank.smallThreshold", "0")
     spark.conf.set("graft.pagerank.smallThreshold", "0")
     spark.conf.set("graft.labelprop.smallThreshold", "0")
-    var flagged = 0
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    var buildFailed = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -311,16 +375,49 @@ object PlanAudit {
             ("Exchange SinglePartition".r.findAllIn(phys).size > 1)
         ).collect { case (label, true) => label }
         if (issues.nonEmpty) {
-          flagged += 1
+          results(name) = issues
           println(s"[audit] $name: ${issues.mkString(", ")}")
         }
       } catch {
         case e: Throwable =>
+          results(name) = Seq(s"BUILD FAILED ${e.getMessage.take(120)}")
+          buildFailed += 1
           println(s"[audit] $name: BUILD FAILED ${e.getMessage.take(120)}")
-          flagged += 1
       }
     }
-    println(s"[audit] done: $flagged flagged of ${SparkEntry.queries.size}")
+    val unadjudicated = results.keys.filterNot(Adjudications.contains).toSeq
+    println(s"[audit] done: ${results.size} flagged of " +
+      s"${SparkEntry.queries.size}, ${unadjudicated.size} unadjudicated" +
+      (if (unadjudicated.isEmpty) "" else s": ${unadjudicated.mkString(", ")}"))
+    // committed artifact (VERDICT r13 ask #5): query → flags →
+    // adjudication class, greppable + CI-diffable
+    outJson.foreach { path =>
+      def js(s: String) = "\"" + s.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\""
+      val rows = results.map { case (name, issues) =>
+        s"""  ${js(name)}: {"flags": [${issues.map(js).mkString(", ")}], """ +
+          s""""adjudication": ${js(Adjudications.getOrElse(name,
+            "UNADJUDICATED"))}}"""
+      }.mkString(",\n")
+      val body =
+        s"""{
+           | "metric": "plan_audit",
+           | "n_queries": ${SparkEntry.queries.size},
+           | "n_flagged": ${results.size},
+           | "n_unadjudicated": ${unadjudicated.size},
+           | "n_build_failed": $buildFailed,
+           | "classes": "see PlanAudit.scala scaladoc for per-class rationale",
+           | "flagged": {
+           |$rows
+           | }
+           |}""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        body + "\n")
+      println(s"[audit] artifact -> $path")
+    }
     spark.stop()
+    // a flagged-but-unadjudicated query (or a build failure) is a gate
+    // failure: new scale-killers must not ride in silently
+    if (unadjudicated.nonEmpty || buildFailed > 0) sys.exit(1)
   }
 }
