@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Isolated re-bench (r14, VERDICT r13 ask #4): run the N most expensive
+# queries of a full bench artifact EACH IN ITS OWN JVM (SPARK_GRAFT_ONLY
+# to one key, Bench's own untimed-warm + min-of-3 protocol) and write
+# BENCH_ISOLATED_<out>.json. This is the artifact that settles every
+# future "regression or noise?" dispute in one command: a query whose
+# full-suite number exceeds its isolated number by far was measured
+# under shared-JVM/shared-VM load, not a plan change.
+#
+# Each JVM is launched directly (java -cp, the build.sbt JDK-17
+# add-opens), not through sbt — no build-tool startup inside the
+# measurement, and truly nothing survives between queries.
+#
+# Usage: scripts/bench_isolated.sh [fullBench.json] [out.json] [topN]
+# Defaults: bench_full.json BENCH_ISOLATED_r14.json 20
+set -euo pipefail
+cd "$(dirname "$0")/.."
+IN=${1:-bench_full.json}
+OUT=${2:-BENCH_ISOLATED_r14.json}
+TOPN=${3:-20}
+SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+CPUS=${SPARK_GRAFT_CPUS:-8}
+
+sbt -batch compile >/dev/null 2>&1
+
+KEYS=$(python3 - "$IN" "$TOPN" <<'EOF'
+import json, sys
+j = json.load(open(sys.argv[1]))
+top = sorted(j["queries"].items(), key=lambda kv: -kv[1])[:int(sys.argv[2])]
+print("\n".join(k for k, _ in top))
+EOF
+)
+
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+: > /tmp/bench_isolated_lines.txt
+for k in $KEYS; do
+  echo "== isolated bench: $k ==" >&2
+  SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ONLY=$k SPARK_GRAFT_CPUS=$CPUS \
+    java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+      -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+      graft.Bench 2>/dev/null | grep '{"metric"' | head -1 \
+    >> /tmp/bench_isolated_lines.txt
+done
+
+python3 - "$IN" "$OUT" "$SF" "$CPUS" <<'EOF'
+import json, sys
+full = json.load(open(sys.argv[1]))
+rows = {}
+for line in open("/tmp/bench_isolated_lines.txt"):
+    j = json.loads(line)
+    for q, t in j["queries"].items():
+        rows[q] = {"isolated": t, "full_suite": full["queries"].get(q),
+                   "ratio_full_over_isolated":
+                       round(full["queries"].get(q, t) / max(t, 1e-9), 2)}
+art = {"metric": "bench_isolated", "sf": sys.argv[3], "cpus": int(sys.argv[4]),
+       "method": "one JVM per query, untimed warm + min of 3 timed runs",
+       "source_artifact": sys.argv[1], "n_queries": len(rows),
+       "queries": rows}
+json.dump(art, open(sys.argv[2], "w"), indent=1)
+for q, r in sorted(rows.items(), key=lambda kv: -kv[1]["isolated"]):
+    print(f"{q}: isolated {r['isolated']}s, full {r['full_suite']}s "
+          f"(x{r['ratio_full_over_isolated']})")
+print(f"\n{len(rows)} queries -> {sys.argv[2]}")
+EOF
