@@ -74,6 +74,7 @@ object SparkEntry {
     operators.LexRichnessOps,
     operators.DistShapeOps,
     operators.IncrementalMaintainOps,
+    operators.SeriesTestOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
