@@ -443,6 +443,41 @@ object CommerceOps extends OpGroup {
         .orderBy("p_brand")
     }),
 
+    // V38 (r14) — newsvendor order-up-to policy (Arrow, Harris &
+    // Marschak 1951): the profit-optimal single-period stock level is
+    // the critical-fractile quantile of daily demand, F⁻¹(cu/(cu+co))
+    // — with pinned unit economics cu = 40 (margin lost per unit
+    // short), co = 50 (cost sunk per unit over), so q = 4/9. The
+    // missing piece between eoq_reorder_policy (how much per order)
+    // and safety_stock_plan (how much buffer): what level a perishable
+    // /single-season SKU stocks to. Exactness: the quantile is
+    // RANK-DEFINED — the value at row ⌈n·4/9⌉ = (4n+8) DIV 9 of the
+    // (demand, day) total order (percentile_disc semantics, no engine
+    // quantile algorithm); coverage is an exact 1e6 ratio. Scale: ONE
+    // map-side daily order count; the rank rides GlobalRank's measured
+    // two-phase numbering; the output is one row.
+    "newsvendor_order_level" -> ((s, d) => {
+      val dd = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val rn = graft.functions.GlobalRank
+        .rowNumber(dd, "rn", Nil, Seq("x", "day"))
+      val n = dd.agg(count(lit(1)).as("n_days"))
+      val lvl = rn.crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(4 * n_days + 8) DIV 9"))
+        .select(col("n_days"), col("rn").as("target_rank"),
+          col("x").as("order_up_to"))
+      dd.crossJoin(broadcast(lvl))
+        .agg(max("n_days").as("n_days"), max("target_rank").as("target_rank"),
+          max("order_up_to").as("order_up_to"),
+          sum(when(col("x") <= col("order_up_to"), 1L).otherwise(0L))
+            .as("n_days_covered"))
+        .select(col("n_days"), col("target_rank"), col("order_up_to"),
+          col("n_days_covered"),
+          expr("n_days_covered * 1000000 DIV n_days").as("coverage_fp"))
+    }),
+
     // Safety stock at 90/95/99% cycle service per brand (r13; the
     // textbook z·σ_d·√L policy, L = 7-day lead) — EOQ above sizes the
     // ORDER, this sizes the BUFFER against daily-demand variance (the
@@ -860,6 +895,29 @@ object CommerceOps extends OpGroup {
         |  CAST(CAST(demand_qty AS HUGEINT) * 7 * 1000000 // span_days
         |    AS BIGINT) AS reorder_fp
         |FROM u CROSS JOIN span ORDER BY p_brand""".stripMargin,
+
+    "newsvendor_order_level" ->
+      """WITH dd AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |rn AS (SELECT x,
+        |         CAST(row_number() OVER (ORDER BY x, day) AS BIGINT) AS rn
+        |       FROM dd),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dd),
+        |lvl AS (
+        |  SELECT nn.n_days, rn.rn AS target_rank, rn.x AS order_up_to
+        |  FROM rn CROSS JOIN nn
+        |  WHERE rn.rn = (4 * nn.n_days + 8) // 9)
+        |SELECT max(lvl.n_days) AS n_days,
+        |       max(lvl.target_rank) AS target_rank,
+        |       max(lvl.order_up_to) AS order_up_to,
+        |       CAST(sum(CASE WHEN dd.x <= lvl.order_up_to THEN 1 ELSE 0
+        |         END) AS BIGINT) AS n_days_covered,
+        |       CAST(sum(CASE WHEN dd.x <= lvl.order_up_to THEN 1 ELSE 0
+        |         END) * 1000000 // max(lvl.n_days) AS BIGINT)
+        |         AS coverage_fp
+        |FROM dd CROSS JOIN lvl""".stripMargin,
 
     // same observed-day moment ladder, identical z literals and leaf
     "safety_stock_plan" ->

@@ -222,6 +222,41 @@ object LinkPredOps extends OpGroup {
             "ELSE CAST(NULL AS BIGINT) END").as("skew_fp"))
     }),
 
+    // L53 (r14) — truncated Katz index (Katz 1953) over the top-3 kNN
+    // graph: katz(u,v) = Σ_ℓ β^ℓ · walks_ℓ(u,v) cut at ℓ ≤ 3 with
+    // β = 1/2 — the path-ensemble link predictor that sees BEYOND the
+    // shared-neighbor horizon (common_neighbors/adamic_adar score 0
+    // for any pair at distance 3; Katz ranks them). Exactness: walk
+    // counts are exact integers (walks, not simple paths — revisits
+    // count, the standard definition); the score is the exact 1e6
+    // fixed-point integer 500000·w₁ + 250000·w₂ + 125000·w₃; top-20
+    // by (katz_fp, src, dst) total order. Scale: out-degree is capped
+    // at 3 by the kNN construction, so |walks_2| ≤ 9·n and
+    // |walks_3| ≤ 27·n — two bounded-fanout equi-joins, never a
+    // matrix power.
+    "katz_index_bounded" -> ((s, d) => {
+      val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
+        .select(col("src"), col("dst")).localCheckpoint()
+      val w2 = e.select(col("src").as("a"), col("dst").as("m"))
+        .join(e.select(col("src").as("m"), col("dst").as("b")), "m")
+        .groupBy("a", "b").agg(count(lit(1)).as("w2"))
+      val w3 = w2.select(col("a"), col("b").as("m"), col("w2").as("c"))
+        .join(e.select(col("src").as("m"), col("dst").as("b")), "m")
+        .groupBy("a", "b").agg(sum("c").as("w3"))
+      e.select(col("src").as("a"), col("dst").as("b"), lit(1L).as("w1"))
+        .join(w2, Seq("a", "b"), "full_outer")
+        .join(w3, Seq("a", "b"), "full_outer")
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("src"), col("b").as("dst"),
+          coalesce(col("w1"), lit(0L)).as("w1"),
+          coalesce(col("w2"), lit(0L)).as("w2"),
+          coalesce(col("w3"), lit(0L)).as("w3"))
+        .withColumn("katz_fp",
+          expr("500000 * w1 + 250000 * w2 + 125000 * w3"))
+        .orderBy(col("katz_fp").desc, col("src"), col("dst"))
+        .limit(20)
+    }),
+
     // Degree assortativity: Pearson correlation of endpoint degrees
     // over the directed edge list (the symmetric form) — one number
     // summarizing hub-to-hub vs hub-to-leaf wiring.
@@ -409,6 +444,34 @@ object LinkPredOps extends OpGroup {
          |       CASE WHEN n >= 2 AND vn > 0 THEN $skewFpSql
          |       ELSE NULL END AS skew_fp
          |FROM g""".stripMargin,
+
+    "katz_index_bounded" ->
+      s"""WITH ${SemiStructuredOps.knnEdgeCtes},
+         |e AS (SELECT src, dst FROM edges),
+         |w2 AS (
+         |  SELECT x.src AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS w2
+         |  FROM e x JOIN e y ON y.src = x.dst
+         |  GROUP BY 1, 2),
+         |w3 AS (
+         |  SELECT p.a, y.dst AS b, CAST(sum(p.w2) AS BIGINT) AS w3
+         |  FROM w2 p JOIN e y ON y.src = p.b
+         |  GROUP BY 1, 2),
+         |w1 AS (SELECT src AS a, dst AS b, CAST(1 AS BIGINT) AS w1 FROM e),
+         |u AS (
+         |  SELECT coalesce(w1.a, w2.a, w3.a) AS a,
+         |         coalesce(w1.b, w2.b, w3.b) AS b,
+         |         coalesce(w1.w1, 0) AS w1,
+         |         coalesce(w2.w2, 0) AS w2,
+         |         coalesce(w3.w3, 0) AS w3
+         |  FROM w1
+         |  FULL OUTER JOIN w2 ON w2.a = w1.a AND w2.b = w1.b
+         |  FULL OUTER JOIN w3 ON w3.a = coalesce(w1.a, w2.a)
+         |                    AND w3.b = coalesce(w1.b, w2.b))
+         |SELECT a AS src, b AS dst, w1, w2, w3,
+         |       CAST(500000 * w1 + 250000 * w2 + 125000 * w3 AS BIGINT)
+         |         AS katz_fp
+         |FROM u WHERE a <> b
+         |ORDER BY katz_fp DESC, src, dst LIMIT 20""".stripMargin,
 
     "degree_assortativity" ->
       s"""WITH ${SemiStructuredOps.knnEdgeCtes},

@@ -128,6 +128,43 @@ object ParetoStatOps extends OpGroup {
         .orderBy("nation")
     }),
 
+    // X67 (r14) — Lorenz asymmetry coefficient per nation (Damgaard &
+    // Weiner 2000): S = F(μ) + L(μ) — the share of customers below the
+    // mean plus the share of revenue they hold. Gini says HOW unequal;
+    // LAC says WHERE the inequality lives (S < 1: driven by many small
+    // customers; S > 1: by few giants) — the read that decides whether
+    // a concentration risk is a long tail or a whale. Exactness: fully
+    // integer — "below mean" is the denominator-cleared n·x < Σx
+    // DECIMAL compare (no division), both shares are 1e6 fixed-point
+    // truncating divisions; no IEEE anywhere. Convention pinned: the
+    // step-function Lorenz definition (no interpolation term; ties at
+    // the mean count as not-below) on BOTH engines. Scale: the same
+    // two combinable aggregate levels as theil_inequality_decomp;
+    // the report is |nations|-bounded.
+    "lorenz_asymmetry_nation" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nation")), "o_custkey")
+        .groupBy("nation", "o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val g = cust.groupBy("nation")
+        .agg(count(lit(1)).as("n_cust"), sum("x").as("total_cents"))
+      cust.join(broadcast(g), "nation")
+        .withColumn("below", expr(
+          "CAST(n_cust AS DECIMAL(38,0)) * x < CAST(total_cents AS DECIMAL(38,0))"))
+        .groupBy("nation", "n_cust", "total_cents")
+        .agg(sum(when(col("below"), 1L).otherwise(0L)).as("m_below"),
+          sum(when(col("below"), col("x")).otherwise(0L)).as("lm_cents"))
+        .filter(col("total_cents") > 0)
+        .select(col("nation"), col("n_cust"), col("total_cents"),
+          col("m_below"), col("lm_cents"),
+          expr("""m_below * 1000000 DIV n_cust
+                 | + CAST(CAST(lm_cents AS DECIMAL(38,0)) * 1000000
+                 |     DIV total_cents AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("lac_fp"))
+        .orderBy("nation")
+    }),
+
     // 2D skyline: parts minimizing retail price while maximizing size.
     // A part is ON the frontier iff no other part is both ≤ price and
     // ≥ size with one strict. Equal (price, size) ties all survive.
@@ -234,6 +271,32 @@ object ParetoStatOps extends OpGroup {
          |         AS BIGINT) AS w_within_fp,
          |       $theilBetweenSql AS between_fp
          |FROM tw CROSS JOIN tot ORDER BY nation""".stripMargin,
+
+    "lorenz_asymmetry_nation" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey AS nation, o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_cust,
+        |             CAST(sum(x) AS BIGINT) AS total_cents
+        |      FROM cust GROUP BY 1),
+        |b AS (
+        |  SELECT cust.nation, n_cust, total_cents,
+        |    CAST(sum(CASE WHEN CAST(n_cust AS HUGEINT) * x
+        |                       < CAST(total_cents AS HUGEINT)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS m_below,
+        |    CAST(sum(CASE WHEN CAST(n_cust AS HUGEINT) * x
+        |                       < CAST(total_cents AS HUGEINT)
+        |             THEN x ELSE 0 END) AS BIGINT) AS lm_cents
+        |  FROM cust JOIN g USING (nation) GROUP BY 1, 2, 3)
+        |SELECT CAST(nation AS BIGINT) AS nation, n_cust, total_cents,
+        |       m_below, lm_cents,
+        |       m_below * 1000000 // n_cust
+        |         + CAST(CAST(lm_cents AS HUGEINT) * 1000000
+        |             // total_cents AS BIGINT) AS lac_fp
+        |FROM b WHERE total_cents > 0 ORDER BY nation""".stripMargin,
 
     "skyline_2d_pareto" ->
       """WITH pts AS (

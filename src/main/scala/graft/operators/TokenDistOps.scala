@@ -111,6 +111,40 @@ object TokenDistOps extends OpGroup {
             .as("evenness_fp"))
         .orderBy("source")
     }),
+
+    // M38 (r14) — Pielou's evenness J = H/ln(S) (Pielou 1966): the
+    // Shannon-based companion to simpson_diversity's evenness — Simpson
+    // weights the head of the distribution, Shannon the whole of it, so
+    // the PAIR localizes where a source's vocabulary concentration
+    // lives (boilerplate head vs thin tail). Exactness: the −p·ln p
+    // terms FLOOR at 1e-9 per type then integer-sum (the char_entropy
+    // recipe), ln S is one FLOOR'd leaf over the exact type count, and
+    // J is a 1e6 fixed-point integer division of the two. Scale: the
+    // corpus collapses to the (source × type) domain map-side and
+    // never rejoins; the report is |sources|-bounded.
+    "pielou_evenness_by_source" -> ((s, d) => {
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val tot = sw.groupBy("source").agg(sum("c").as("n_tokens"))
+      sw.join(broadcast(tot), "source")
+        .withColumn("term_fp", expr(
+          """CAST(FLOOR(-(CAST(c AS DOUBLE) / n_tokens)
+            | * ln(CAST(c AS DOUBLE) / n_tokens)
+            | * 1000000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("source", "n_tokens")
+        .agg(count(lit(1)).as("n_types"), sum("term_fp").as("entropy_fp"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("entropy_fp"),
+          expr("""CASE WHEN n_types >= 2 THEN
+                 | CAST(CAST(entropy_fp AS DECIMAL(38,0)) * 1000000
+                 |   DIV CAST(FLOOR(ln(CAST(n_types AS DOUBLE))
+                 |     * 1000000000.0) AS BIGINT) AS BIGINT)
+                 |ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("pielou_fp"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -183,6 +217,32 @@ object TokenDistOps extends OpGroup {
         |         AS BIGINT) AS eff_types,
         |       CAST(CAST(n_tokens AS HUGEINT) * n_tokens * 1000000
         |         // (scc * n_types) AS BIGINT) AS evenness_fp
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "pielou_evenness_by_source" ->
+      """WITH sw AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |        FROM sw GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+        |        FROM cnt GROUP BY 1),
+        |terms AS (
+        |  SELECT cnt.source, tot.n_tokens,
+        |    CAST(FLOOR(-(CAST(c AS DOUBLE) / n_tokens)
+        |      * ln(CAST(c AS DOUBLE) / n_tokens)
+        |      * 1000000000.0) AS BIGINT) AS term_fp
+        |  FROM cnt JOIN tot ON tot.source = cnt.source),
+        |agg AS (
+        |  SELECT source, n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(term_fp) AS BIGINT) AS entropy_fp
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT source, n_tokens, n_types, entropy_fp,
+        |  CASE WHEN n_types >= 2 THEN
+        |    CAST(CAST(entropy_fp AS HUGEINT) * 1000000
+        |      // CAST(FLOOR(ln(CAST(n_types AS DOUBLE))
+        |        * 1000000000.0) AS BIGINT) AS BIGINT)
+        |  ELSE NULL END AS pielou_fp
         |FROM agg ORDER BY source""".stripMargin,
   )
 }

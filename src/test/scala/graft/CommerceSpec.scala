@@ -371,4 +371,26 @@ class CommerceSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === rev.size.toLong,
       "every part lands in exactly one cell")
   }
+
+  test("newsvendor_order_level: rank-pick replay + critical-fractile law") {
+    import org.apache.spark.sql.functions.{count, expr, lit}
+    val daily = Tables.orders(spark, sf())
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(t => t).map(_._2)
+    val sorted = daily.sorted
+    val n = sorted.length
+    val rank = (4 * n + 8) / 9
+    val level = sorted(rank - 1)
+    val covered = daily.count(_ <= level)
+    val Array(r) = run("newsvendor_order_level")
+    assert(r.getLong(0) === n.toLong && r.getLong(1) === rank.toLong)
+    assert(r.getLong(2) === level, "order-up-to = value at rank ⌈4n/9⌉")
+    assert(r.getLong(3) === covered.toLong)
+    assert(r.getLong(4) === covered.toLong * 1000000L / n)
+    // the rank-defined quantile covers at least the critical fractile
+    assert(r.getLong(4) * 9 >= 4 * 1000000L - 9 * 1000000L / n,
+      "empirical coverage >= 4/9 up to one day's mass")
+  }
 }

@@ -208,4 +208,35 @@ class LinkPredSpec extends SparkSpec {
     val qTot = rows.map(_.getLong(4)).sum
     assert(qTot >= -1000000000L && qTot <= 1000000000L, "Q in [-1, 1]")
   }
+
+  test("katz_index_bounded: brute-force walk-count replay of the top-20") {
+    val edges = operators.SemiStructuredOps.queries("knn_graph_topk")(
+      spark, sf()).select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] =
+      edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val katz = scala.collection.mutable.Map[(Long, Long), Long]()
+    edges.foreach { case (a, b) => // walks of length 1..3, revisits count
+      katz((a, b)) = katz.getOrElse((a, b), 0L) + 500000L }
+    for ((a, ms) <- adj; m <- ms; b <- adj.getOrElse(m, Seq.empty))
+      katz((a, b)) = katz.getOrElse((a, b), 0L) + 250000L
+    for ((a, ms) <- adj; m <- ms; m2 <- adj.getOrElse(m, Seq.empty);
+         b <- adj.getOrElse(m2, Seq.empty))
+      katz((a, b)) = katz.getOrElse((a, b), 0L) + 125000L
+    val expect = katz.toSeq.filter { case ((a, b), _) => a != b }
+      .sortBy { case ((a, b), k) => (-k, a, b) }.take(20)
+    val rows = run("katz_index_bounded")
+    assert(rows.length === expect.length)
+    rows.zip(expect).foreach { case (r, ((a, b), k)) =>
+      assert((r.getLong(0), r.getLong(1)) === ((a, b)), "pair order")
+      assert(r.getLong(5) === k, s"katz($a,$b) replay")
+      // score decomposition is consistent
+      assert(r.getLong(5) === 500000L * r.getLong(2)
+        + 250000L * r.getLong(3) + 125000L * r.getLong(4))
+    }
+    // out-degree <= 3 bounds every walk count: w2 <= 9, w3 <= 27 per pair
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 1 && r.getLong(3) <= 9 && r.getLong(4) <= 27)
+    }
+  }
 }

@@ -124,4 +124,33 @@ class ParetoStatSpec extends SparkSpec {
     assert(xs.map(x => math.floor(math.log(x.toDouble) * 1e9).toLong).sum
       === target.getLong(3), "lsum leaf-exact replay")
   }
+
+  test("lorenz_asymmetry_nation: exact replay + share bounds") {
+    val cust = Tables.orders(spark, sf())
+      .join(Tables.customer(spark, sf())
+        .selectExpr("c_custkey AS o_custkey",
+          "CAST(c_nationkey AS BIGINT) AS nation"), "o_custkey")
+      .groupBy("nation", "o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => BigInt(t._2))).toMap
+    val rows = operators.ParetoStatOps.queries(
+      "lorenz_asymmetry_nation")(spark, sf()).collect()
+    assert(rows.length === cust.size, "one row per nation")
+    rows.foreach { r =>
+      val (nat, n, tot, m, lm, lac) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val xs = cust(nat)
+      val total = xs.sum
+      val below = xs.filter(x => x * xs.length < total)
+      assert(n === xs.length.toLong && tot === total.toLong)
+      assert(m === below.length.toLong && lm === below.sum.toLong)
+      assert(lac === m * 1000000L / n + (BigInt(lm) * 1000000 / total).toLong,
+        s"nation $nat LAC replay")
+      // below-mean customers hold a SMALLER revenue share than their
+      // count share (each is below average by definition)
+      assert(BigInt(lm) * n <= BigInt(m) * tot, s"nation $nat share order")
+      assert(lac >= 0 && lac < 2000000L, "F + L each a fraction")
+    }
+  }
 }

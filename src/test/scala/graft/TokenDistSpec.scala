@@ -65,4 +65,29 @@ class TokenDistSpec extends SparkSpec {
       if (types == n) assert(eff === types, "all-hapax source is even")
     }
   }
+
+  test("pielou_evenness_by_source: exact replay + H <= ln S bound") {
+    val counts = Tables.documents(spark, sf())
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = run("pielou_evenness_by_source")
+    assert(rows.length === counts.size, "one row per source")
+    rows.foreach { r =>
+      val (src, n, types, h, j) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val cs = counts(src)
+      assert(n === cs.sum && types === cs.length.toLong)
+      val hExp = cs.map { c =>
+        val p = c.toDouble / n
+        math.floor(-p * math.log(p) * 1e9).toLong
+      }.sum
+      assert(h === hExp, s"$src entropy leaf-sum replay")
+      val lnS = math.floor(math.log(types.toDouble) * 1e9).toLong
+      assert(j === (BigInt(h) * 1000000 / lnS).toLong, s"$src J replay")
+      // H <= ln S (Jensen); floors only lower H, so J stays <= 1e6
+      assert(j >= 0 && j <= 1000000L, s"$src evenness is a fraction")
+    }
+  }
 }
