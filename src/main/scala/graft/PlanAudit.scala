@@ -274,8 +274,9 @@ import org.apache.spark.sql.SparkSession
   *     retired_delete row is one 1-row aggregate over the ≤batch-sized
   *     delete key set; the per-class rollup (the only corpus-sized
   *     pass) is a map-side-combinable groupBy, never single-partition.
-  *   - `cox_stuart_trend`, `dixon_q_outlier`, `newsvendor_order_level`
-  *     (r14) — many SinglePartition: the daily scalar-stitch class —
+  *   - `cox_stuart_trend`, `dixon_q_outlier`, `newsvendor_order_level`,
+  *     `page_hinkley_drift` (r14) — many SinglePartition: the daily
+  *     scalar-stitch class —
   *     the only corpus-sized pass is the map-side daily aggregate
   *     (localCheckpoint-pinned); the exchanged relations are the 1-row
   *     day-count scalar, the ≤|days|-row rank table (GlobalRank's
@@ -332,7 +333,7 @@ object PlanAudit {
       "pettitt_changepoint", "rho_loss_selection", "rmst_survival",
       "supplier_share_shift", "table_checksum_rollup", "theil_u2_forecast",
       "weibull_latency_fit", "cox_stuart_trend", "dixon_q_outlier",
-      "newsvendor_order_level") ++
+      "newsvendor_order_level", "page_hinkley_drift") ++
       cls("bounded-model-state")(
         "embedding_pca_power_iter", "quantile_sketch_merge",
         "psi_value_drift", "kneedle_cell_elbow", "split_conformal_interval") ++

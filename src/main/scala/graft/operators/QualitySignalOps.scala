@@ -126,6 +126,30 @@ object QualitySignalOps extends OpGroup {
             .stripMargin.replace("\n", " ")).as("fk_mean_fp"))
         .orderBy("source")
     }),
+
+    // Q14 (r14) — stopword-density gate (the Gopher/C4 rule family):
+    // natural text carries a steady mass of function words; a document
+    // whose stopword ratio collapses is keyword spam, a log dump, or
+    // MT gibberish. Fixed 20-word English function-word list (pinned
+    // literal on both engines — the curation config, not learned);
+    // keep ⇔ ratio ≥ 2% (pinned 1e6-fixed threshold 20000). Exact
+    // integer counts + one truncating 1e6 division. Scale: fully
+    // map-side per document; no shuffle at all before the report
+    // ordering.
+    "stopword_density_gate" -> ((s, d) => {
+      val sw = "'the','a','an','and','or','of','to','in','is','it'," +
+        "'for','on','as','at','by','be','this','that','with','from'"
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(ws) AS BIGINT)").as("n_tokens"),
+          expr(s"CAST(size(filter(ws, w -> w IN ($sw))) AS BIGINT)")
+            .as("n_stop"))
+        .withColumn("stop_ratio_fp",
+          expr("n_stop * 1000000 DIV n_tokens"))
+        .withColumn("keep", col("stop_ratio_fp") >= 20000)
+        .orderBy("doc_id")
+    }),
   )
 
   /** The per-doc Flesch–Kincaid grade as ONE FLOOR'd IEEE leaf over
@@ -206,5 +230,22 @@ object QualitySignalOps extends OpGroup {
          |            ELSE -((-sum_fk) // n_docs) END AS BIGINT)
          |         AS fk_mean_fp
          |FROM agg ORDER BY source""".stripMargin,
+
+    "stopword_density_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(ws, w -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it',
+        |       'for','on','as','at','by','be','this','that','with',
+        |       'from'], w))) AS BIGINT) AS n_stop
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, n_stop,
+        |       n_stop * 1000000 // n_tokens AS stop_ratio_fp,
+        |       n_stop * 1000000 // n_tokens >= 20000 AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

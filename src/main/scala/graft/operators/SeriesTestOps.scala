@@ -192,6 +192,86 @@ object SeriesTestOps extends OpGroup {
         .crossJoin(broadcast(m))
         .orderBy("sc")
     }),
+
+    // X68 — Wilcoxon signed-rank on day-over-day volume changes
+    // (Wilcoxon 1945): is the median daily CHANGE zero, rank-robustly —
+    // the one-sample location sibling of mann_whitney (two-sample) and
+    // cox_stuart (signs only: Wilcoxon also weighs magnitudes). Zero
+    // diffs drop (standard); |d| ranks are DOUBLED midranks over the
+    // |d| value support (the ansari doubling — integers, never .5),
+    // derived from one two-phase prefix sum; the tie-corrected z is
+    // ONE FLOOR'd IEEE leaf over the exact (n, W2⁺, Σ(t³−t)) integers.
+    // Scale: diffs via the rank-shifted equi-join; support-bounded
+    // downstream.
+    "wilcoxon_signed_rank_daily" -> ((s, d) => {
+      val rn = graft.functions.GlobalRank
+        .rowNumber(daily(s, d), "rn", Nil, Seq("di"))
+      val prev = rn.select((col("rn") + 1).as("rn"), col("x").as("xp"))
+      val sup = rn.join(prev, "rn")
+        .select((col("x") - col("xp")).as("dv"))
+        .filter(col("dv") =!= 0)
+        .groupBy(abs(col("dv")).as("ad"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("dv") > 0, 1L).otherwise(0L)).as("cpos"))
+      val cum = graft.functions.GlobalRank
+        .prefixSum(sup, "cum", col("c"), Nil, Seq("ad"))
+      cum.agg(sum("c").as("n_diffs"),
+          sum(expr("cpos * (2 * (cum - c) + c + 1)")).as("w2_plus"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("tt"))
+        .select(col("n_diffs"), col("w2_plus"),
+          col("tt").cast("long").as("tie_term"),
+          expr("""CASE WHEN 2.0 * n_diffs * (n_diffs + 1)
+                 |   * (2 * n_diffs + 1) - CAST(tt AS DOUBLE) > 0 THEN
+                 | CAST(FLOOR((CAST(w2_plus AS DOUBLE)
+                 |     - CAST(n_diffs AS DOUBLE) * (n_diffs + 1) / 2.0)
+                 |   / sqrt((2.0 * n_diffs * (n_diffs + 1)
+                 |       * (2 * n_diffs + 1) - CAST(tt AS DOUBLE)) / 12.0)
+                 |   * 1000000.0) AS BIGINT)
+                 |ELSE CAST(NULL AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("z_fp"))
+    }),
+
+    // X69 — Page–Hinkley drift alarm (Page 1954): PH_t = M_t − min_{s≤t}
+    // M_s over the mean-centered cumulative sum — the sequential
+    // upward-drift detector (cusum_drift_alarm watches a z-scored
+    // level; PH watches the CUMULATIVE excursion, the shape that fires
+    // on slow drifts too small for any single-day z). Exact: M_t is
+    // n-scaled to clear the mean (M_t = n·Σ_{s≤t}x_s − t·S — integers,
+    // envelope n²·x̄ ≲ 1e16 for a 1e4-day calendar), the prefix-min is
+    // an array scan, and the reported statistic is the exact 1e6
+    // fixed-point PH_max/n. Scale: the O(n²) array pass runs on the
+    // CALENDAR-BOUNDED daily rollup (pettitt/sample_entropy precedent);
+    // the streaming formulation (one running min) is the production
+    // path at unbounded horizons.
+    "page_hinkley_drift" -> ((s, d) => {
+      val arr = daily(s, d)
+        .agg(expr("sort_array(collect_list(named_struct('di', di, 'x', x)))")
+          .as("a"))
+        .withColumn("n", size(col("a")).cast("long"))
+        .filter(col("n") >= 2)
+        .withColumn("s_tot", expr(
+          "aggregate(a, CAST(0 AS BIGINT), (acc, e) -> acc + e.x)"))
+        .withColumn("m", expr(
+          """transform(sequence(1, CAST(n AS INT)), t ->
+            |  n * aggregate(slice(a, 1, t), CAST(0 AS BIGINT),
+            |    (acc, e) -> acc + e.x) - t * s_tot)"""
+            .stripMargin.replace("\n", " ")))
+      val ex = arr.select(col("n").as("n_days"), explode(expr(
+          """transform(sequence(1, CAST(n AS INT)), t ->
+            |  named_struct('day', CAST(a[t - 1].di AS BIGINT),
+            |    'ph', m[t - 1] - array_min(slice(m, 1, t))))"""
+            .stripMargin.replace("\n", " "))).as("p"))
+        .select(col("n_days"), col("p.day").as("day"), col("p.ph").as("ph"))
+      val mx = ex.agg(max("ph").as("ph_max"))
+      ex.crossJoin(broadcast(mx))
+        .filter(col("ph") === col("ph_max"))
+        .groupBy("n_days", "ph_max")
+        .agg(min("day").as("alarm_day"))
+        .select(col("n_days"), col("ph_max"), col("alarm_day"),
+          expr("""CAST(CAST(ph_max AS DECIMAL(38,0)) * 1000000
+                 | DIV n_days AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("ph_fp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -312,5 +392,65 @@ object SeriesTestOps extends OpGroup {
         |    ELSE -CAST((-m.t_fp) * 1000000 // m.c_fp AS BIGINT) END
         |    AS chi2_fp
         |FROM gk CROSS JOIN m ORDER BY gk.sc""".stripMargin,
+
+    "wilcoxon_signed_rank_daily" ->
+      s"""WITH $dailyDuck,
+         |rn AS (SELECT di, x,
+         |         CAST(row_number() OVER (ORDER BY di) AS BIGINT) AS rn
+         |       FROM daily),
+         |dif AS (
+         |  SELECT b.x - a.x AS dv
+         |  FROM rn a JOIN rn b ON b.rn = a.rn + 1
+         |  WHERE b.x <> a.x),
+         |sup AS (
+         |  SELECT abs(dv) AS ad, CAST(count(*) AS BIGINT) AS c,
+         |         CAST(sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS cpos
+         |  FROM dif GROUP BY 1),
+         |cum AS (
+         |  SELECT *, CAST(sum(c) OVER (ORDER BY ad ROWS UNBOUNDED
+         |    PRECEDING) AS BIGINT) AS cum
+         |  FROM sup),
+         |agg AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n_diffs,
+         |         CAST(sum(cpos * (2 * (cum - c) + c + 1)) AS BIGINT)
+         |           AS w2_plus,
+         |         CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS BIGINT)
+         |           AS tt
+         |  FROM cum)
+         |SELECT n_diffs, w2_plus, tt AS tie_term,
+         |  CASE WHEN 2.0 * n_diffs * (n_diffs + 1) * (2 * n_diffs + 1)
+         |            - CAST(tt AS DOUBLE) > 0 THEN
+         |    CAST(FLOOR((CAST(w2_plus AS DOUBLE)
+         |        - CAST(n_diffs AS DOUBLE) * (n_diffs + 1) / 2.0)
+         |      / sqrt((2.0 * n_diffs * (n_diffs + 1) * (2 * n_diffs + 1)
+         |          - CAST(tt AS DOUBLE)) / 12.0) * 1000000.0) AS BIGINT)
+         |  ELSE NULL END AS z_fp
+         |FROM agg""".stripMargin,
+
+    "page_hinkley_drift" ->
+      s"""WITH $dailyDuck,
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(x) AS BIGINT) AS s_tot FROM daily),
+         |mm AS (
+         |  SELECT d.di, nn.n,
+         |    nn.n * CAST(sum(d.x) OVER (ORDER BY d.di
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      - CAST(row_number() OVER (ORDER BY d.di) AS BIGINT)
+         |        * nn.s_tot AS m
+         |  FROM daily d CROSS JOIN nn),
+         |ph AS (
+         |  SELECT di AS day, n,
+         |         m - min(m) OVER (ORDER BY di ROWS UNBOUNDED PRECEDING)
+         |           AS ph
+         |  FROM mm),
+         |mx AS (SELECT max(ph) AS ph_max FROM ph)
+         |SELECT max(ph.n) AS n_days, CAST(mx.ph_max AS BIGINT) AS ph_max,
+         |       CAST(min(ph.day) AS BIGINT) AS alarm_day,
+         |       CAST(CAST(mx.ph_max AS HUGEINT) * 1000000 // max(ph.n)
+         |         AS BIGINT) AS ph_fp
+         |FROM ph JOIN mx ON ph.ph = mx.ph_max
+         |WHERE ph.n >= 2
+         |GROUP BY mx.ph_max""".stripMargin,
   )
 }

@@ -151,4 +151,28 @@ class QualitySignalSpec extends SparkSpec {
       assert(w >= nDocs, "split never yields zero tokens")
     }
   }
+
+  test("stopword_density_gate: exact replay + gate threshold law") {
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "for", "on", "as", "at", "by", "be", "this", "that",
+      "with", "from")
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.QualitySignalOps.queries(
+      "stopword_density_gate")(spark, sf()).collect()
+    assert(rows.length === docs.size, "one row per document")
+    rows.foreach { r =>
+      val (id, n, ns, ratio, keep) = (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))
+      val ws = docs(id).split(" ")
+      assert(n === ws.length.toLong)
+      assert(ns === ws.count(stop).toLong, s"doc $id stopword count")
+      assert(ratio === ns * 1000000L / n)
+      assert(keep === (ratio >= 20000L), s"doc $id gate replay")
+    }
+    // the synthetic corpus carries function words: the gate passes some
+    // and (with a 2% bar) the flag is not vacuously constant-true
+    assert(rows.exists(_.getBoolean(5)), "some docs pass the gate")
+  }
 }

@@ -108,4 +108,50 @@ class SeriesTestSpec extends SparkSpec {
     // Bartlett ≥ 0 up to the documented 1e-9 ln-floor noise
     assert(chi2 >= -10L, "statistic non-negative within floor tolerance")
   }
+
+  test("wilcoxon_signed_rank_daily replays exactly with midranks") {
+    val xs = daily.map(_._2)
+    val diffs = xs.sliding(2).map(p => p(1) - p(0)).filter(_ != 0).toVector
+    val byAbs = diffs.groupBy(math.abs)
+    val sortedAbs = byAbs.keys.toVector.sorted
+    var cum = 0L
+    var w2 = 0L
+    var tt = BigInt(0)
+    sortedAbs.foreach { ad =>
+      val g = byAbs(ad)
+      val c = g.length.toLong
+      val mid2 = 2 * cum + c + 1 // doubled midrank of this tie group
+      w2 += g.count(_ > 0) * mid2
+      tt += BigInt(c) * c * c - c
+      cum += c
+    }
+    val n = diffs.length.toLong
+    val Array(row) = run("wilcoxon_signed_rank_daily")
+    assert(row.getLong(0) === n && row.getLong(1) === w2)
+    assert(row.getLong(2) === tt.toLong)
+    val v12 = 2.0 * n * (n + 1) * (2 * n + 1) - tt.toDouble
+    if (v12 > 0)
+      assert(row.getLong(3) === math.floor(
+        (w2 - n.toDouble * (n + 1) / 2.0) / math.sqrt(v12 / 12.0) * 1e6)
+        .toLong)
+    // W2+ bounded by the total doubled rank mass n(n+1)
+    assert(w2 >= 0 && w2 <= n * (n + 1), "doubled rank-sum bounds")
+  }
+
+  test("page_hinkley_drift replays exactly; PH nonnegative and peak-dated") {
+    val xs = daily.map(_._2)
+    val n = xs.length.toLong
+    val s = xs.sum
+    val m = xs.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (pre, i) => n * pre - (i + 1) * s }
+    val ph = m.zipWithIndex.map { case (mt, t) =>
+      mt - m.take(t + 1).min }
+    val phMax = ph.max
+    val alarmDay = daily(ph.indexOf(phMax))._1
+    val Array(row) = run("page_hinkley_drift")
+    assert(row.getLong(0) === n && row.getLong(1) === phMax)
+    assert(row.getLong(2) === alarmDay, "first day attaining the max")
+    assert(row.getLong(3) === (BigInt(phMax) * 1000000 / n).toLong)
+    assert(ph.forall(_ >= 0), "PH is a nonnegative excursion")
+  }
 }
