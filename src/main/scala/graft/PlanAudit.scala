@@ -274,9 +274,14 @@ import org.apache.spark.sql.SparkSession
   *     retired_delete row is one 1-row aggregate over the ≤batch-sized
   *     delete key set; the per-class rollup (the only corpus-sized
   *     pass) is a map-side-combinable groupBy, never single-partition.
+  *   - `dedup_cascade_audit` (r14) — many SinglePartition: scalar-
+  *     stitch — the three stage rows are built from the 1-row
+  *     (n_total, n1, n2) census cross-joined by broadcast; the corpus
+  *     passes (sha keep-first, component keep-one over the persisted
+  *     labels) are map-side-combinable aggregates.
   *   - `cox_stuart_trend`, `dixon_q_outlier`, `newsvendor_order_level`,
-  *     `page_hinkley_drift` (r14) — many SinglePartition: the daily
-  *     scalar-stitch class —
+  *     `page_hinkley_drift`, `variance_ratio_weekly` (r14) — many
+  *     SinglePartition: the daily scalar-stitch class —
   *     the only corpus-sized pass is the map-side daily aggregate
   *     (localCheckpoint-pinned); the exchanged relations are the 1-row
   *     day-count scalar, the ≤|days|-row rank table (GlobalRank's
@@ -333,7 +338,8 @@ object PlanAudit {
       "pettitt_changepoint", "rho_loss_selection", "rmst_survival",
       "supplier_share_shift", "table_checksum_rollup", "theil_u2_forecast",
       "weibull_latency_fit", "cox_stuart_trend", "dixon_q_outlier",
-      "newsvendor_order_level", "page_hinkley_drift") ++
+      "newsvendor_order_level", "page_hinkley_drift",
+      "variance_ratio_weekly", "dedup_cascade_audit") ++
       cls("bounded-model-state")(
         "embedding_pca_power_iter", "quantile_sketch_merge",
         "psi_value_drift", "kneedle_cell_elbow", "split_conformal_interval") ++

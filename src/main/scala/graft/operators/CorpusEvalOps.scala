@@ -305,6 +305,93 @@ object CorpusEvalOps extends OpGroup {
         .select("source", "n_chars", "n_distinct_chars", "entropy_fp")
         .orderBy("source")
     }),
+
+    // C21 (r14) — LSH band-layout planner: score every (bands b, rows
+    // r) factorization of the 16-hash signature against the OBSERVED
+    // candidate-pair similarity sample — expected false-positive mass
+    // Σ P(s; b,r) over non-dup pairs plus false-negative mass
+    // Σ (1 − P(s)) over dup pairs, P(s) = 1 − (1 − s^r)^b, dup ⇔
+    // est_jaccard ≥ 1/2 (the MinHashDupSlots convention) — and pick the
+    // argmin. lsh_s_curve_calibration VALIDATES the current 4×4 layout;
+    // this op answers the next question: is a different factorization
+    // BETTER for this corpus's similarity profile. Exactness: s =
+    // n_match/16 exact rational; each P is ONE FLOOR'd shared-text IEEE
+    // leaf; masses integer-sum. Scale: pairs come from the persisted
+    // signature machinery (ID-only, bucket-capped); the 5-layout grid
+    // is a broadcast constant; the argmin a 1-row stitch.
+    "lsh_band_planner" -> ((s, d) => {
+      val pairs = graft.functions.TextSim
+        .signatureBandPairs(s.read.parquet(LlmOps.minhashLayout(s, d)),
+          numBands = LlmOps.MinHashBands,
+          rowsPerBand = LlmOps.MinHashRowsPerBand)
+        .select(col("n_match"))
+      val layouts = s.range(0, 1)
+        .select(explode(typedLit(Seq((16L, 1L), (8L, 2L), (4L, 4L),
+          (2L, 8L), (1L, 16L)))).as("br"))
+        .select(col("br._1").as("b"), col("br._2").as("r"))
+      val scored = pairs.crossJoin(broadcast(layouts))
+        .withColumn("p_fp", expr(
+          """CAST(FLOOR((1.0 - power(1.0 - power(
+            |  CAST(n_match AS DOUBLE) / 16.0, CAST(r AS DOUBLE)),
+            |  CAST(b AS DOUBLE))) * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy("b", "r")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("n_match") >= LlmOps.MinHashDupSlots, 1L)
+            .otherwise(0L)).as("n_dup_pairs"),
+          sum(when(col("n_match") < LlmOps.MinHashDupSlots, col("p_fp"))
+            .otherwise(0L)).as("fp_mass_fp"),
+          sum(when(col("n_match") >= LlmOps.MinHashDupSlots,
+            lit(1000000L) - col("p_fp")).otherwise(0L)).as("fn_mass_fp"))
+        .withColumn("err_fp", col("fp_mass_fp") + col("fn_mass_fp"))
+      val best = scored.agg(min(struct(col("err_fp"), col("b")))
+        .as("bs")).select(col("bs.err_fp").as("best_err"),
+        col("bs.b").as("best_b"))
+      scored.crossJoin(broadcast(best))
+        .select(col("b"), col("r"), col("n_pairs"), col("n_dup_pairs"),
+          col("fp_mass_fp"), col("fn_mass_fp"), col("err_fp"),
+          (col("err_fp") === col("best_err") && col("b") === col("best_b"))
+            .as("is_best"))
+        .orderBy(col("b").desc)
+    }),
+
+    // C22 (r14) — dedup cascade audit: the marginal benefit of each
+    // dedup stage on ONE corpus — exact sha256 keep-first removes the
+    // verbatim copies, then MinHash connected-component keep-one (over
+    // the persisted base dup graph) removes the near-dups the hash
+    // can't see. The table every curation deployment reads before
+    // paying for the next stage: if near_dup's marginal removal rate
+    // is ~0, the cheap exact pass suffices. Counting convention
+    // (pinned): stage-2 keeps the MINIMUM surviving doc_id per
+    // component among exact survivors. Scale: one sha-keyed exchange +
+    // one component-keyed aggregate over the persisted labels; the
+    // report is 3 rows.
+    "dedup_cascade_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val keep1 = docs.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val labels = s.read.parquet(IncrementalMaintainOps.mhccBase(s, d))
+      val keep2 = keep1.join(labels, "doc_id")
+        .groupBy("component").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val nTot = docs.agg(count(lit(1)).as("n_total"))
+      val n1 = keep1.agg(count(lit(1)).as("n1"))
+      val n2 = keep2.agg(count(lit(1)).as("n2"))
+      val m = nTot.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      m.select(lit("1_exact").as("stage"),
+          (col("n_total") - col("n1")).as("n_removed"),
+          col("n1").as("n_remaining"),
+          expr("(n_total - n1) * 1000000 DIV n_total").as("removed_rate_fp"))
+        .unionByName(m.select(lit("2_near_dup").as("stage"),
+          (col("n1") - col("n2")).as("n_removed"),
+          col("n2").as("n_remaining"),
+          expr("(n1 - n2) * 1000000 DIV n_total").as("removed_rate_fp")))
+        .unionByName(m.select(lit("3_kept").as("stage"),
+          lit(0L).as("n_removed"), col("n2").as("n_remaining"),
+          expr("n2 * 1000000 DIV n_total").as("removed_rate_fp")))
+        .orderBy("stage")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -557,5 +644,81 @@ object CorpusEvalOps extends OpGroup {
         |         * 1000000000.0) AS BIGINT)) AS BIGINT) AS entropy_fp
         |FROM cnt c JOIN tot t ON t.source = c.source
         |GROUP BY c.source, t.n_chars ORDER BY c.source""".stripMargin,
+
+    "lsh_band_planner" ->
+      s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
+              LlmOps.minhashLayoutCache.lastPath,
+              numHashes = LlmOps.MinHashes,
+              numBands = LlmOps.MinHashBands,
+              rowsPerBand = LlmOps.MinHashRowsPerBand)},
+         |layouts(b, r) AS (VALUES
+         |  (CAST(16 AS BIGINT), CAST(1 AS BIGINT)), (8, 2), (4, 4),
+         |  (2, 8), (1, 16)),
+         |scored AS (
+         |  SELECT l.b, l.r, m.n_match,
+         |    CAST(FLOOR((1.0 - power(1.0 - power(
+         |      CAST(m.n_match AS DOUBLE) / 16.0, CAST(l.r AS DOUBLE)),
+         |      CAST(l.b AS DOUBLE))) * 1000000.0) AS BIGINT) AS p_fp
+         |  FROM m CROSS JOIN layouts l),
+         |agg AS (
+         |  SELECT b, r, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN n_match >= ${LlmOps.MinHashDupSlots}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+         |    CAST(sum(CASE WHEN n_match < ${LlmOps.MinHashDupSlots}
+         |      THEN p_fp ELSE 0 END) AS BIGINT) AS fp_mass_fp,
+         |    CAST(sum(CASE WHEN n_match >= ${LlmOps.MinHashDupSlots}
+         |      THEN 1000000 - p_fp ELSE 0 END) AS BIGINT) AS fn_mass_fp
+         |  FROM scored GROUP BY 1, 2),
+         |e AS (SELECT *, fp_mass_fp + fn_mass_fp AS err_fp FROM agg),
+         |best AS (SELECT err_fp AS best_err, b AS best_b FROM e
+         |         ORDER BY err_fp, b LIMIT 1)
+         |SELECT e.b, e.r, e.n_pairs, e.n_dup_pairs, e.fp_mass_fp,
+         |       e.fn_mass_fp, e.err_fp,
+         |       (e.err_fp = best.best_err AND e.b = best.best_b)
+         |         AS is_best
+         |FROM e CROSS JOIN best ORDER BY e.b DESC""".stripMargin,
+
+    "dedup_cascade_audit" ->
+      s"""WITH RECURSIVE ${graft.functions.TextSim.signatureBandPairsDuck(
+              LlmOps.minhashLayoutCache.lastPath,
+              numHashes = LlmOps.MinHashes,
+              numBands = LlmOps.MinHashBands,
+              rowsPerBand = LlmOps.MinHashRowsPerBand)},
+         |dup AS (SELECT doc_a, doc_b FROM m
+         |        WHERE n_match >= ${LlmOps.MinHashDupSlots}),
+         |nodes AS (SELECT doc_id
+         |          FROM read_parquet(
+         |            '${LlmOps.minhashLayoutCache.lastPath}/*.parquet')),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+         |          UNION ALL SELECT doc_b, doc_a FROM dup),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT x.src, e.b FROM reach x JOIN edges e ON x.dst = e.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component
+         |         FROM reach GROUP BY src),
+         |keep1 AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |keep2 AS (
+         |  SELECT min(k.doc_id) AS doc_id
+         |  FROM keep1 k JOIN comp c ON c.doc_id = k.doc_id
+         |  GROUP BY c.component),
+         |mm AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         |           AS n_total,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM keep1) AS n1,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM keep2) AS n2)
+         |SELECT * FROM (
+         |  SELECT '1_exact' AS stage, n_total - n1 AS n_removed,
+         |         n1 AS n_remaining,
+         |         (n_total - n1) * 1000000 // n_total AS removed_rate_fp
+         |  FROM mm
+         |  UNION ALL
+         |  SELECT '2_near_dup', n1 - n2, n2,
+         |         (n1 - n2) * 1000000 // n_total FROM mm
+         |  UNION ALL
+         |  SELECT '3_kept', CAST(0 AS BIGINT), n2,
+         |         n2 * 1000000 // n_total FROM mm)
+         |ORDER BY stage""".stripMargin,
   )
 }

@@ -443,6 +443,37 @@ object SemiStructuredOps extends OpGroup {
         .orderBy("np")
     }),
 
+    // L54 (r14) — the recall/cost PARETO frontier: join the two nprobe
+    // curves and flag each operating point efficient iff no other point
+    // has ≥ recall at strictly lower scan cost — the one-table answer
+    // to "which nprobe do we serve at", with the marginal recall of
+    // each extra probe alongside (the knee is where marginal recall
+    // collapses while cost keeps climbing). Composes the two audited
+    // curves (ONE source of truth); the dominance check is a k-row ×
+    // k-row broadcast comparison (k = 4 operating points, the
+    // bounded-pair-grid class).
+    "ann_pareto_frontier" -> ((s, d) => {
+      val pts = queries("ivf_nprobe_recall_curve")(s, d)
+        .select("np", "recall_fp")
+        .join(queries("ivf_probe_cost_curve")(s, d)
+          .select("np", "scan_frac_fp"), "np")
+        .localCheckpoint()
+      val other = pts.select(col("recall_fp").as("rec2"),
+        col("scan_frac_fp").as("cost2"))
+      val dominated = pts.join(broadcast(other),
+          col("rec2") >= col("recall_fp") &&
+            col("cost2") < col("scan_frac_fp"), "left_semi")
+        .select(col("np"), lit(false).as("efficient"))
+      val prev = pts.select((col("np") + 1).as("np"),
+        col("recall_fp").as("rec_prev"))
+      pts.join(broadcast(prev), Seq("np"), "left")
+        .join(broadcast(dominated), Seq("np"), "left")
+        .select(col("np"), col("recall_fp"), col("scan_frac_fp"),
+          (col("recall_fp") - col("rec_prev")).as("marginal_recall_fp"),
+          coalesce(col("efficient"), lit(true)).as("efficient"))
+        .orderBy("np")
+    }),
+
     // Corpus-wide kNN GRAPH over the IVF serving layout: every vector's
     // top-3 same-cell neighbors by exact fixed-point cosine — the
     // embedding-graph build that feeds graph-based dedup, clustering,
@@ -723,7 +754,25 @@ object SemiStructuredOps extends OpGroup {
     * it agrees whenever no two centroid distances are within an ulp —
     * guaranteed here by well-separated centroids (AnnSpec measures them).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // ann_pareto_frontier composes the two curve oracles verbatim as
+    // derived tables (one source of truth — a curve-oracle fix flows
+    // into the frontier automatically)
+    baseOracles + ("ann_pareto_frontier" ->
+      s"""WITH pts AS (
+         |  SELECT r.np, r.recall_fp, c.scan_frac_fp
+         |  FROM (${baseOracles("ivf_nprobe_recall_curve")}) r
+         |  JOIN (${baseOracles("ivf_probe_cost_curve")}) c USING (np)),
+         |prev AS (SELECT np + 1 AS np, recall_fp AS rec_prev FROM pts)
+         |SELECT p.np, p.recall_fp, p.scan_frac_fp,
+         |  CAST(p.recall_fp - pr.rec_prev AS BIGINT) AS marginal_recall_fp,
+         |  NOT EXISTS (SELECT 1 FROM pts q
+         |              WHERE q.recall_fp >= p.recall_fp
+         |                AND q.scan_frac_fp < p.scan_frac_fp) AS efficient
+         |FROM pts p LEFT JOIN prev pr ON pr.np = p.np
+         |ORDER BY p.np""".stripMargin)
+
+  private def baseOracles: Map[String, String] = Map(
     // fixed-point ADC re-derived from the persisted codes + codebook:
     // Σ floor(q[idx]·val·1e15) as BIGINT is order-independent, so the
     // ranking is bit-identical to PqAdcScore's long sum

@@ -272,6 +272,52 @@ object SeriesTestOps extends OpGroup {
                  | DIV n_days AS BIGINT)"""
             .stripMargin.replace("\n", " ")).as("ph_fp"))
     }),
+
+    // X70 — Lo–MacKinlay variance ratio at q = 7 (1988): the variance
+    // of overlapping 7-slot sums over 7× the 1-slot variance — VR ≈ 1
+    // under a random walk, > 1 under momentum, < 1 under mean
+    // reversion; the aggregation-consistency read run on the daily
+    // volume before trusting weekly rollups to have the same noise
+    // character as daily ones. Windows are 7 consecutive OBSERVED days
+    // (rank-adjacency, the DW gap convention). Exact per-window sums
+    // via the two-phase prefix sum + a rank-shifted join; both
+    // variance numerators fold in DECIMAL(38,0); VR is ONE FLOOR'd
+    // shared-text IEEE leaf over the six exact integers. Scale:
+    // ≤|days| rows after the map-side daily aggregate.
+    "variance_ratio_weekly" -> ((s, d) => {
+      val dd = daily(s, d)
+      val rn = graft.functions.GlobalRank
+        .rowNumber(dd, "rn", Nil, Seq("di"))
+      val pre = graft.functions.GlobalRank
+        .prefixSum(rn, "pre", col("x"), Nil, Seq("di"))
+      // the first full window (t = 7) subtracts the EMPTY prefix: a
+      // virtual rank-0 row with pre = 0 keeps it (n−6 windows total,
+      // matching the textbook overlapping count)
+      val lag7 = pre.select((col("rn") + 7).as("rn"),
+          col("pre").as("pre7"))
+        .unionByName(s.range(0, 1)
+          .select(lit(7L).as("rn"), lit(0L).as("pre7")))
+      val w = pre.join(lag7, "rn")
+        .select((col("pre") - col("pre7")).as("w"))
+      val mw = w.agg(count(lit(1)).as("nw"),
+        sum("w").as("sw"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("qw"))
+      dd.agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("qx"))
+        .crossJoin(broadcast(mw))
+        .withColumn("v1", expr(
+          "CAST(n_days AS DECIMAL(38,0)) * qx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("vw", expr(
+          "CAST(nw AS DECIMAL(38,0)) * qw - CAST(sw AS DECIMAL(38,0)) * sw"))
+        .filter(col("n_days") >= 9 && col("nw") >= 2 && expr("v1 > 0"))
+        .select(col("n_days"), col("nw").as("n_windows"),
+          expr("""CAST(FLOOR((CAST(vw AS DOUBLE)
+                 |   / (CAST(nw AS DOUBLE) * (nw - 1)))
+                 | / (7.0 * CAST(v1 AS DOUBLE)
+                 |   / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+                 | * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("vr_fp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -452,5 +498,37 @@ object SeriesTestOps extends OpGroup {
          |FROM ph JOIN mx ON ph.ph = mx.ph_max
          |WHERE ph.n >= 2
          |GROUP BY mx.ph_max""".stripMargin,
+
+    "variance_ratio_weekly" ->
+      s"""WITH $dailyDuck,
+         |pre AS (
+         |  SELECT di, x,
+         |    CAST(row_number() OVER (ORDER BY di) AS BIGINT) AS rn,
+         |    CAST(sum(x) OVER (ORDER BY di ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS pre
+         |  FROM daily),
+         |w AS (
+         |  SELECT a.pre - COALESCE(b.pre, 0) AS w
+         |  FROM pre a LEFT JOIN pre b ON b.rn = a.rn - 7
+         |  WHERE a.rn >= 7),
+         |mw AS (SELECT CAST(count(*) AS BIGINT) AS nw,
+         |              CAST(sum(w) AS BIGINT) AS sw,
+         |              sum(CAST(w AS HUGEINT) * w) AS qw FROM w),
+         |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |              CAST(sum(x) AS BIGINT) AS sx,
+         |              sum(CAST(x AS HUGEINT) * x) AS qx FROM daily),
+         |v AS (
+         |  SELECT n_days, sx, qx, nw, sw, qw,
+         |    CAST(n_days AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx
+         |      AS v1,
+         |    CAST(nw AS HUGEINT) * qw - CAST(sw AS HUGEINT) * sw AS vw
+         |  FROM m1 CROSS JOIN mw)
+         |SELECT n_days, nw AS n_windows,
+         |  CAST(FLOOR((CAST(vw AS DOUBLE)
+         |      / (CAST(nw AS DOUBLE) * (nw - 1)))
+         |    / (7.0 * CAST(v1 AS DOUBLE)
+         |      / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+         |    * 1000000.0) AS BIGINT) AS vr_fp
+         |FROM v WHERE n_days >= 9 AND nw >= 2 AND v1 > 0""".stripMargin,
   )
 }

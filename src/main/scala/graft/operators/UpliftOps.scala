@@ -102,7 +102,55 @@ object UpliftOps extends OpGroup {
         .select("label", "freq", "inv_fp", "weight_fp")
         .orderBy("label")
     }),
+
+    // Y30 (r14) — Cohen's d / Hedges' g effect size between click and
+    // purchase event values: welch_t_value answers "is the gap real";
+    // this answers "is it BIG" — the number that decides whether a
+    // significant result matters (at 100 TB everything is significant;
+    // only effect sizes rank findings). d = (μ₁−μ₂)/s_pooled with the
+    // exact DECIMAL/HUGEINT (n, Σx, Σx²) moments per arm; Hedges' g
+    // applies the small-sample factor 1 − 3/(4(n₁+n₂)−9). Each
+    // statistic is ONE FLOOR'd shared-text IEEE leaf (sign via the
+    // signed-floor convention). Scale: ONE map-side two-arm conditional
+    // moment pass; output one row.
+    "cohens_d_value" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "click").as("a1"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+        .agg(
+          sum(when(col("a1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("a1"), col("x")).otherwise(0L)).as("s1"),
+          sum(when(col("a1"), expr("CAST(x AS DECIMAL(38,0)) * x"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q1"),
+          sum(when(!col("a1"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("a1"), col("x")).otherwise(0L)).as("s2"),
+          sum(when(!col("a1"), expr("CAST(x AS DECIMAL(38,0)) * x"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q2"))
+        .withColumn("v1", expr(
+          "CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+        .withColumn("v2", expr(
+          "CAST(n2 AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0)) * s2"))
+        .filter(col("n1") >= 2 && col("n2") >= 2 &&
+          expr("v1 + v2 > 0") && expr("n1 + n2 > 2"))
+        .select(col("n1"), col("n2"),
+          expr(s"CAST(FLOOR(($dLeaf) * 1000000.0) AS BIGINT)").as("d_fp"),
+          expr(s"""CAST(FLOOR(($dLeaf)
+                 | * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+                 | * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("g_fp"))
+    }),
   )
+
+  /** Cohen's d as one shared-text IEEE leaf over the exact per-arm
+    * moment integers: (μ₁−μ₂)/√(((v1/n1)+(v2/n2))/(n1+n2−2)) with
+    * vᵢ = nᵢΣx² − (Σx)² (so vᵢ/nᵢ = (nᵢ−1)sᵢ²).
+    */
+  private val dLeaf: String =
+    """(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      | / sqrt((CAST(v1 AS DOUBLE) / n1 + CAST(v2 AS DOUBLE) / n2)
+      |        / (CAST(n1 AS DOUBLE) + n2 - 2.0))"""
+      .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     "ab_srm_check" ->
@@ -171,5 +219,47 @@ object UpliftOps extends OpGroup {
         |SELECT label, freq, inv_fp,
         |       CAST(inv_fp * k * 1000000 // si AS BIGINT) AS weight_fp
         |FROM iv CROSS JOIN tot ORDER BY label""".stripMargin,
+
+    "cohens_d_value" -> {
+      val leaf =
+        """(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+          | / sqrt((CAST(v1 AS DOUBLE) / n1 + CAST(v2 AS DOUBLE) / n2)
+          |        / (CAST(n1 AS DOUBLE) + n2 - 2.0))"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = 'click'
+         |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS s1,
+         |    sum(CASE WHEN event_type = 'click'
+         |      THEN CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+         |        * CAST(round(value * 100) AS BIGINT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS q1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS s2,
+         |    sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+         |        * CAST(round(value * 100) AS BIGINT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS q2
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |v AS (SELECT *,
+         |        CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1
+         |          AS v1,
+         |        CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2
+         |          AS v2
+         |      FROM m)
+         |SELECT n1, n2,
+         |  CAST(FLOOR(($leaf) * 1000000.0) AS BIGINT) AS d_fp,
+         |  CAST(FLOOR(($leaf) * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+         |    * 1000000.0) AS BIGINT) AS g_fp
+         |FROM v
+         |WHERE n1 >= 2 AND n2 >= 2 AND v1 + v2 > 0 AND n1 + n2 > 2"""
+        .stripMargin
+    },
   )
 }

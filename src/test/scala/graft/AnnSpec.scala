@@ -474,4 +474,25 @@ class AnnSpec extends SparkSpec {
     assert(rows.last.getLong(3) === 1000000L,
       "probing every cell scans the whole corpus minus self")
   }
+  test("ann_pareto_frontier: dominance + composition replay of the two curves") {
+    val rec = operators.SemiStructuredOps.queries("ivf_nprobe_recall_curve")(
+      spark, sf()).collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val cost = operators.SemiStructuredOps.queries("ivf_probe_cost_curve")(
+      spark, sf()).collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val rows = operators.SemiStructuredOps.queries("ann_pareto_frontier")(
+      spark, sf()).collect()
+    assert(rows.length === rec.size)
+    val pts = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val np = r.getInt(0)
+      assert(r.getLong(1) === rec(np) && r.getLong(2) === cost(np),
+        s"np=$np composes the two curves verbatim")
+      if (np > 1 && rec.contains(np - 1))
+        assert(r.getLong(3) === rec(np) - rec(np - 1), "marginal recall")
+      else assert(r.isNullAt(3))
+      val expectEff = !pts.exists(q => q._2 >= rec(np) && q._3 < cost(np))
+      assert(r.getBoolean(4) === expectEff, s"np=$np dominance flag")
+    }
+    assert(rows.exists(_.getBoolean(4)), "frontier is nonempty")
+  }
 }

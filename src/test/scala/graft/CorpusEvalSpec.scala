@@ -131,4 +131,50 @@ class CorpusEvalSpec extends SparkSpec {
       assert(rows((a, b)) === expect, s"Delta($a, $b) replay")
     }
   }
+  test("lsh_band_planner: P(s) leaf replay + best-layout argmin") {
+    val rows = run("lsh_band_planner")
+    assert(rows.length === 5, "five factorizations of 16")
+    val nm = operators.LlmOps.queries("minhash_near_dedup")(spark, sf())
+      .collect().map(r => r.getInt(2).toLong) // n_match per pair
+    rows.foreach { r =>
+      val (b, rr, nPairs, nDup, fp, fn, err, best) = (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getBoolean(7))
+      assert(b * rr === 16L, "layout factorizes the signature")
+      assert(nPairs === nm.length.toLong)
+      assert(nDup === nm.count(_ >= 8).toLong)
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, rr.toDouble), b.toDouble)
+      val fpExp = nm.filter(_ < 8)
+        .map(m => math.floor(p(m / 16.0) * 1e6).toLong).sum
+      val fnExp = nm.filter(_ >= 8)
+        .map(m => 1000000L - math.floor(p(m / 16.0) * 1e6).toLong).sum
+      assert(fp === fpExp && fn === fnExp, s"($b,$rr) mass replay")
+      assert(err === fp + fn)
+      assert(!best || rows.forall(o => o.getLong(6) > err ||
+        (o.getLong(6) == err && o.getLong(0) >= b)), "argmin with min-b tie")
+    }
+    assert(rows.count(_.getBoolean(7)) === 1, "exactly one winner")
+  }
+
+  test("dedup_cascade_audit: stage counts replay + conservation") {
+    val rows = run("dedup_cascade_audit").map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf())
+      .selectExpr("doc_id", "sha2(text, 256) AS h").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toLong
+    val keep1 = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val labels = spark.read.parquet(
+      operators.IncrementalMaintainOps.mhccBase(spark, sf())).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep2 = keep1.groupBy(labels).values.map(_.min).toSet
+    assert(rows("1_exact") === ((n - keep1.size, keep1.size.toLong,
+      (n - keep1.size) * 1000000L / n)), "exact stage replay")
+    assert(rows("2_near_dup") === ((keep1.size.toLong - keep2.size,
+      keep2.size.toLong, (keep1.size - keep2.size) * 1000000L / n)),
+      "near-dup stage replay")
+    assert(rows("3_kept")._2 === keep2.size.toLong)
+    assert(rows("1_exact")._1 + rows("2_near_dup")._1 +
+      rows("3_kept")._2 === n, "stages partition the corpus")
+  }
 }

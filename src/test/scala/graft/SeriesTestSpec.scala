@@ -154,4 +154,23 @@ class SeriesTestSpec extends SparkSpec {
     assert(row.getLong(3) === (BigInt(phMax) * 1000000 / n).toLong)
     assert(ph.forall(_ >= 0), "PH is a nonnegative excursion")
   }
+
+  test("variance_ratio_weekly replays exactly in BigInt") {
+    val xs = daily.map(t => BigInt(t._2))
+    val n = xs.length
+    val ws = xs.sliding(7).map(_.sum).toVector
+    def mom(v: Vector[BigInt]) = (v.length.toLong, v.sum,
+      v.map(x => x * x).sum)
+    val (nd, sx, qx) = mom(xs)
+    val (nw, sw, qw) = mom(ws)
+    val v1 = nd * qx - sx * sx
+    val vw = nw * qw - sw * sw
+    val vr = (vw.toDouble / (nw.toDouble * (nw - 1))) /
+      (7.0 * v1.toDouble / (nd.toDouble * (nd - 1)))
+    val Array(row) = run("variance_ratio_weekly")
+    assert(row.getLong(0) === nd && row.getLong(1) === nw)
+    assert(row.getLong(1) === (n - 6).toLong, "overlapping window count")
+    assert(row.getLong(2) === math.floor(vr * 1e6).toLong, "VR leaf replay")
+    assert(row.getLong(2) > 0, "VR is a positive ratio")
+  }
 }

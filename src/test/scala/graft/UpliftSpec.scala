@@ -52,4 +52,26 @@ class UpliftSpec extends SparkSpec {
     assert(sw <= k * 1000000L && sw > k * 1000000L - 2L * k,
       s"normalization drift: $sw vs ${k * 1000000L}")
   }
+  test("cohens_d_value: exact-moment replay + Hedges shrinkage law") {
+    val vals = Tables.events(spark, sf())
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("event_type = 'click' AS a1",
+        "CAST(round(value * 100) AS BIGINT) AS x")
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val (c, p) = (vals.filter(_._1).map(t => BigInt(t._2)),
+      vals.filterNot(_._1).map(t => BigInt(t._2)))
+    def mom(xs: Array[BigInt]) =
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    val (n1, s1, q1) = mom(c); val (n2, s2, q2) = mom(p)
+    val v1 = n1 * q1 - s1 * s1; val v2 = n2 * q2 - s2 * s2
+    val dv = (s1.toDouble / n1 - s2.toDouble / n2) /
+      math.sqrt((v1.toDouble / n1 + v2.toDouble / n2) / (n1 + n2 - 2.0))
+    val corr = 1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)
+    val Array(r) = run("cohens_d_value")
+    assert(r.getLong(0) === n1 && r.getLong(1) === n2)
+    assert(r.getLong(2) === math.floor(dv * 1e6).toLong, "d leaf replay")
+    assert(r.getLong(3) === math.floor(dv * corr * 1e6).toLong, "g leaf")
+    assert(math.abs(r.getLong(3)) <= math.abs(r.getLong(2)) + 1,
+      "Hedges correction shrinks |d|")
+  }
 }
