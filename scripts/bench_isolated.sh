@@ -38,14 +38,24 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
+# A failed java run (or one that prints no {"metric"} line) must land in
+# the artifact as an explicit failure, never vanish silently — a dropped
+# key would under-report coverage with exit 0 (ADVICE r14: set -e can't
+# trip because grep sits mid-pipeline feeding head).
 : > /tmp/bench_isolated_lines.txt
+: > /tmp/bench_isolated_failed.txt
 for k in $KEYS; do
   echo "== isolated bench: $k ==" >&2
-  SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ONLY=$k SPARK_GRAFT_CPUS=$CPUS \
+  LINE=$(SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ONLY=$k SPARK_GRAFT_CPUS=$CPUS \
     java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-      graft.Bench 2>/dev/null | grep '{"metric"' | head -1 \
-    >> /tmp/bench_isolated_lines.txt
+      graft.Bench 2>/dev/null | grep '{"metric"' | head -1 || true)
+  if [ -n "$LINE" ]; then
+    echo "$LINE" >> /tmp/bench_isolated_lines.txt
+  else
+    echo "$k" >> /tmp/bench_isolated_failed.txt
+    echo "== isolated bench: $k PRODUCED NO METRIC LINE ==" >&2
+  fi
 done
 
 python3 - "$IN" "$OUT" "$SF" "$CPUS" <<'EOF'
@@ -58,13 +68,18 @@ for line in open("/tmp/bench_isolated_lines.txt"):
         rows[q] = {"isolated": t, "full_suite": full["queries"].get(q),
                    "ratio_full_over_isolated":
                        round(full["queries"].get(q, t) / max(t, 1e-9), 2)}
+failed = [l.strip() for l in open("/tmp/bench_isolated_failed.txt")
+          if l.strip()]
 art = {"metric": "bench_isolated", "sf": sys.argv[3], "cpus": int(sys.argv[4]),
        "method": "one JVM per query, untimed warm + min of 3 timed runs",
        "source_artifact": sys.argv[1], "n_queries": len(rows),
+       "n_failed": len(failed), "failed": failed,
        "queries": rows}
 json.dump(art, open(sys.argv[2], "w"), indent=1)
 for q, r in sorted(rows.items(), key=lambda kv: -kv[1]["isolated"]):
     print(f"{q}: isolated {r['isolated']}s, full {r['full_suite']}s "
           f"(x{r['ratio_full_over_isolated']})")
-print(f"\n{len(rows)} queries -> {sys.argv[2]}")
+print(f"\n{len(rows)} queries ({len(failed)} failed: {failed}) "
+      f"-> {sys.argv[2]}")
+sys.exit(1 if failed else 0)
 EOF

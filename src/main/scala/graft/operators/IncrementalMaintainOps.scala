@@ -5,12 +5,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental near-dup layout maintenance under CDC (round 14, VERDICT
-  * r13 ask #6) — the missing lifecycle piece of the near-dup family: a
-  * 100 TB corpus is not re-indexed per crawl; a CDC batch (inserts /
-  * updates / deletes, the `merge_upsert_cdc` shape from the reference's
-  * re-ingest path, app.py:167-207) is applied to the PERSISTED MinHash
-  * signature layout and its connected-component labels without a full
-  * rebuild:
+  * r13 ask #6) — the missing lifecycle piece of the near-dup family.
+  * The reference's refresh model is full-replace: each run re-stages
+  * every entity object (`albums/{id}.json` overwritten, app.py:204-208)
+  * and `bq load --replace` rebuilds the warehouse tables (README.md:
+  * 186-205). That is exactly what does NOT survive 100 TB — a corpus
+  * that size is not re-indexed per crawl — so this operator implements
+  * the at-scale alternative: a CDC batch (inserts / updates / deletes,
+  * the J8 `merge_upsert_cdc` key discipline) is applied to the
+  * PERSISTED MinHash signature layout and its connected-component
+  * labels without a full rebuild:
   *
   *   - new/updated docs hash into their band buckets (batch-sized
   *     signature recompute — the only text ever re-shingled);
@@ -92,13 +96,28 @@ object IncrementalMaintainOps extends OpGroup {
 
   /** The fresh (to-be-hashed) side of the batch: updated texts + the
     * inserted verbatim copies. Batch-sized by construction.
+    *
+    * The minted insert key `doc_id + InsertShift` is fresh ONLY when
+    * every base key sits below the shift; a base corpus with doc_ids ≥
+    * 1e9 would silently collide insert keys AND misclassify carried
+    * docs in the audit's `op_class` — on both engines, so the oracle
+    * could not catch it (ADVICE r14). Guard loudly at mint time, in
+    * the value path so neither optimizer can prune it: minting runs
+    * before any layout is persisted, so a violating fixture aborts the
+    * whole maintain/rebuild pipeline instead of corrupting it.
     */
   private def freshBatchDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val m = col("doc_id") % 10
+    val mintedKey = expr(
+      s"CASE WHEN doc_id >= 0 AND doc_id < ${InsertShift}L " +
+        s"THEN doc_id + ${InsertShift}L " +
+        "ELSE CAST(raise_error('incremental_maintain: doc_id outside " +
+        "[0, InsertShift) — minted insert keys would collide') AS BIGINT) " +
+        "END")
     docs.filter(m === 3).select(col("doc_id"), updatedText.as("text"))
       .unionByName(docs.filter(m === 1)
-        .select((col("doc_id") + InsertShift).as("doc_id"), col("text")))
+        .select(mintedKey.as("doc_id"), col("text")))
   }
 
   /** Post-merge corpus — what a from-scratch rebuild indexes. */

@@ -239,10 +239,16 @@ object SeriesTestOps extends OpGroup {
     // n-scaled to clear the mean (M_t = n·Σ_{s≤t}x_s − t·S — integers,
     // envelope n²·x̄ ≲ 1e16 for a 1e4-day calendar), the prefix-min is
     // an array scan, and the reported statistic is the exact 1e6
-    // fixed-point PH_max/n. Scale: the O(n²) array pass runs on the
-    // CALENDAR-BOUNDED daily rollup (pettitt/sample_entropy precedent);
-    // the streaming formulation (one running min) is the production
-    // path at unbounded horizons.
+    // fixed-point PH_max/n. Past the envelope Spark's non-ANSI BIGINT
+    // would wrap silently while DuckDB throws (divergent failure
+    // modes) — so each m leaf carries the durbin_watson/cooks loud
+    // guard: x ≥ 1 per day makes 0 ≤ prefix_t ≤ S, hence |M_t| ≤ n·S
+    // and PH_t ≤ 2·n·S; a CASE in the VALUE path (unprunable) sends
+    // 2·n·S ≥ 9.2e18 to raise_error/error on BOTH engines (ADVICE
+    // r14). Scale: the O(n²) array pass runs on the CALENDAR-BOUNDED
+    // daily rollup (pettitt/sample_entropy precedent); the streaming
+    // formulation (one running min) is the production path at
+    // unbounded horizons.
     "page_hinkley_drift" -> ((s, d) => {
       val arr = daily(s, d)
         .agg(expr("sort_array(collect_list(named_struct('di', di, 'x', x)))")
@@ -253,8 +259,12 @@ object SeriesTestOps extends OpGroup {
           "aggregate(a, CAST(0 AS BIGINT), (acc, e) -> acc + e.x)"))
         .withColumn("m", expr(
           """transform(sequence(1, CAST(n AS INT)), t ->
-            |  n * aggregate(slice(a, 1, t), CAST(0 AS BIGINT),
-            |    (acc, e) -> acc + e.x) - t * s_tot)"""
+            |  CASE WHEN CAST(n AS DECIMAL(38,0)) * s_tot * 2
+            |      < 9200000000000000000 THEN
+            |    n * aggregate(slice(a, 1, t), CAST(0 AS BIGINT),
+            |      (acc, e) -> acc + e.x) - t * s_tot
+            |  ELSE CAST(raise_error('page_hinkley_drift: 2*n*S >= 9.2e18
+            | exceeds the BIGINT envelope') AS BIGINT) END)"""
             .stripMargin.replace("\n", " ")))
       val ex = arr.select(col("n").as("n_days"), explode(expr(
           """transform(sequence(1, CAST(n AS INT)), t ->
@@ -480,10 +490,14 @@ object SeriesTestOps extends OpGroup {
          |              CAST(sum(x) AS BIGINT) AS s_tot FROM daily),
          |mm AS (
          |  SELECT d.di, nn.n,
-         |    nn.n * CAST(sum(d.x) OVER (ORDER BY d.di
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT)
-         |      - CAST(row_number() OVER (ORDER BY d.di) AS BIGINT)
-         |        * nn.s_tot AS m
+         |    CASE WHEN 2 * CAST(nn.n AS HUGEINT) * nn.s_tot
+         |        < 9200000000000000000 THEN
+         |      nn.n * CAST(sum(d.x) OVER (ORDER BY d.di
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |        - CAST(row_number() OVER (ORDER BY d.di) AS BIGINT)
+         |          * nn.s_tot
+         |    ELSE CAST(error('page_hinkley_drift: 2*n*S >= 9.2e18 '
+         |      || 'exceeds the BIGINT envelope') AS BIGINT) END AS m
          |  FROM daily d CROSS JOIN nn),
          |ph AS (
          |  SELECT di AS day, n,
