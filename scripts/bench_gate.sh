@@ -49,6 +49,11 @@ for q, runs in j.get("runs", {}).items():
         bad.append(f"RISING {q}: runs {runs}")
 if j.get("n_failed", 0) > 0:
     bad.append(f"FAILED QUERIES: {j.get('failed', j['n_failed'])}")
+# r15: Bench self-gates at run time and stamps its own verdict; an
+# artifact that declares itself unquotable is rejected here too, even
+# if the accepted triples would pass the re-check above.
+if j.get("gate") == "reject":
+    bad.append(f"SELF-GATE REJECT: {j.get('gate_violations', [])}")
 for b in bad:
     print(f"BENCH GATE FAIL: {b}")
 print(f"bench gate: {len(qs)} queries, total {j['value']}s, "
