@@ -32,7 +32,10 @@ import pyarrow.parquet as pq
 # are held to a 2% relative tolerance instead of bit identity. Everything
 # else — including every hash-signature and learned-model key — must be
 # bit-identical: that is the 100 TB determinism property.
-SKETCH = {"hll_count_rollup", "count_distinct_approx", "percentile_approx_scale"}
+# r15: hll_count_rollup + count_distinct_approx moved OUT of this set —
+# their outputs are now exact counts + margin-safe ε-verdict booleans
+# (VERDICT r14 ask #3), bit-identical under any partitioning.
+SKETCH = {"percentile_approx_scale"}
 
 def load(d, k):
     df = pq.ParquetDataset(glob.glob(f"{d}/{k}/*.parquet")).read().to_pandas()

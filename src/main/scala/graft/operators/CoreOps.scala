@@ -127,12 +127,23 @@ object CoreOps extends OpGroup {
           countDistinct(col("l_orderkey")).as("n_orders"))),
 
     // D3 — approximate distinct (HLL++) — the 100 TB path where exact
-    // countDistinct's shuffle is the bottleneck. No SQL oracle
-    // (approximate); rows-only check + ScalaTest tolerance bound.
+    // countDistinct's shuffle is the bottleneck. Graduated from
+    // rows-only to a full oracle in r15 (VERDICT r14 ask #3) via the
+    // percentile_approx_scale ε-verdict pattern: the exact count is
+    // hash-compared and the HLL++ estimate surfaces as a within-bound
+    // BOOLEAN the oracle asserts TRUE — a sketch drifting past its
+    // contract flips the bit and reds the row. Bound = 2×rsd = 10%
+    // (default rsd 0.05; single draws land past 1σ — 6.38% measured at
+    // sf0.001, stable across shuffle partitions 4/7/32 because HLL++
+    // registers max-merge commutatively). Raw-estimate laws (cross-sf
+    // monotonicity, per-scale tolerance) stay pinned in HllSpec.
     "count_distinct_approx" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) * 10
+            <= col("exact_orders")).as("approx_ok"))),
 
     // D4 — deterministic keep-first dedup (pins app.py:164's arbitrary
     // set() winner to a total order).
@@ -201,6 +212,12 @@ object CoreOps extends OpGroup {
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    // the graduated ε-verdict (r15): DuckDB recomputes the exact side
+    // and asserts the within-bound bit the Spark sketch must earn
+    "count_distinct_approx" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |       TRUE AS approx_ok
         |FROM lineitem""".stripMargin,
     "dedup_keep_first" ->
       """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem

@@ -235,21 +235,47 @@ object ExtendedOps extends OpGroup {
     // aggregation and incremental day→month rollups are free), estimate
     // extracted at the end. The global row is derived by UNIONING the
     // per-nation sketches, never re-scanning — the 100 TB rollup shape.
-    // Estimates are engine-specific ⇒ rows-only; HllSpec pins the
-    // ε-accuracy vs exact and the merge-equals-whole law.
+    // Graduated from rows-only to a full oracle in r15 (VERDICT r14
+    // ask #3, the percentile_approx_scale ε-verdict pattern): exact
+    // distinct + row counts are hash-compared; the DataSketches
+    // estimates surface as two BOOLEAN laws the oracle asserts TRUE —
+    //   est_ok:   |estimate − exact| ≤ 5%·exact (lgK=12 ⇒ rsd ≈ 1.6%;
+    //             measured ≤0.6% at sf0.01 across shuffle partitions
+    //             4/7/32),
+    //   merge_ok: the unioned per-nation sketches estimate within 1% of
+    //             ONE sketch over the whole table (the merge-equals-
+    //             whole law; bit-equality is NOT a DataSketches union
+    //             property — coupon-promotion order moves the estimate
+    //             ≤0.27% measured — so the law pins ε-closeness; the
+    //             fixed-partitioning bit-equality pin stays in HllSpec).
     "hll_count_rollup" -> ((s, d) => {
       val perNation = Tables.customer(s, d)
         .groupBy("c_nationkey")
         .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"),
+          countDistinct(col("c_custkey")).as("exact_distinct"),
+          count(lit(1)).as("n_rows"))
+      val wholeEst = Tables.customer(s, d)
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("c_custkey"), lit(12))).as("whole_est"))
+      val globalExact = Tables.customer(s, d)
+        .agg(countDistinct(col("c_custkey")).as("exact_distinct"),
           count(lit(1)).as("n_rows"))
       val global = perNation
-        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"),
-          sum(col("n_rows")).as("n_rows"))
-        .select(lit(-1).as("c_nationkey"),
-          hll_sketch_estimate(col("sk")).as("est_distinct"), col("n_rows"))
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .crossJoin(broadcast(globalExact))
+        .crossJoin(broadcast(wholeEst))
+        .select(lit(-1L).as("c_nationkey"),
+          col("exact_distinct"), col("n_rows"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_distinct")) * 20
+            <= col("exact_distinct")).as("est_ok"),
+          (abs(hll_sketch_estimate(col("sk")) - col("whole_est")) * 100
+            <= col("whole_est")).as("merge_ok"))
       perNation
-        .select(col("c_nationkey"),
-          hll_sketch_estimate(col("sk")).as("est_distinct"), col("n_rows"))
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("exact_distinct"), col("n_rows"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_distinct")) * 20
+            <= col("exact_distinct")).as("est_ok"),
+          lit(true).as("merge_ok"))
         .unionByName(global)
         .orderBy("c_nationkey")
     }),
@@ -793,6 +819,21 @@ object ExtendedOps extends OpGroup {
         |       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
         |FROM ranked GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // the graduated ε-verdict (r15, VERDICT r14 ask #3): exact distinct
+    // + row counts recomputed per nation and for the global (-1) row;
+    // est_ok / merge_ok asserted TRUE — the Spark sketches must earn
+    // both bits or the row reds
+    "hll_count_rollup" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       count(DISTINCT c_custkey) AS exact_distinct,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       TRUE AS est_ok, TRUE AS merge_ok
+        |FROM customer GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT -1, count(DISTINCT c_custkey), CAST(count(*) AS BIGINT),
+        |       TRUE, TRUE
+        |FROM customer
+        |ORDER BY c_nationkey""".stripMargin,
     // exact audience algebra recomputed; the sketch estimate is
     // engine-specific, oracled as the TRUE ε-verdict (the graduated
     // percentile_approx_scale pattern — exact columns hash-compared,

@@ -12,27 +12,47 @@ import org.apache.spark.sql.functions._
 class HllSpec extends SparkSpec {
 
   test("HLL rollup: estimates within 5% of exact; merged == whole-table sketch") {
+    // since r15 the QUERY emits exact counts + the est_ok/merge_ok
+    // ε-verdicts (oracle-checked); the raw-estimate laws are pinned here
+    // against the same sketch expressions the query evaluates
     val rows = SparkEntry.queries("hll_count_rollup")(spark, sf()).collect()
     val exact = Tables.customer(spark, sf())
       .groupBy("c_nationkey").agg(countDistinct("c_custkey").as("d"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    rows.filter(_.getInt(0) >= 0).foreach { r =>
-      val e = exact(r.getInt(0)).toDouble
-      assert(math.abs(r.getLong(1) - e) / e <= 0.05,
-        s"nation ${r.getInt(0)}: est ${r.getLong(1)} vs exact $e")
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    rows.filter(_.getLong(0) >= 0).foreach { r =>
+      assert(r.getLong(1) === exact(r.getLong(0)), "exact distinct wrong")
+      assert(r.getBoolean(3), s"nation ${r.getLong(0)}: est_ok false")
+      assert(r.getBoolean(4), "per-nation merge_ok must be vacuously true")
     }
-    val g = rows.find(_.getInt(0) == -1)
+    val g = rows.find(_.getLong(0) == -1L)
       .getOrElse(fail("missing global rollup row"))
-    val totalExact = Tables.customer(spark, sf())
-      .select("c_custkey").distinct().count().toDouble
-    assert(math.abs(g.getLong(1) - totalExact) / totalExact <= 0.05)
-    // merge law: union of the per-nation sketches estimates exactly what
-    // one sketch over the whole table estimates
+    assert(g.getBoolean(3) && g.getBoolean(4),
+      "global est_ok / merge_ok verdicts must hold")
+    // raw-estimate ε law, re-derived from the sketches directly
+    val perEst = Tables.customer(spark, sf())
+      .groupBy("c_nationkey")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("c_custkey"), lit(12))).as("est"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    perEst.foreach { case (nk, est) =>
+      val e = exact(nk).toDouble
+      assert(math.abs(est - e) / e <= 0.05,
+        s"nation $nk: est $est vs exact $e")
+    }
+    // merge law at the spec's FIXED partitioning: union of the
+    // per-nation sketches estimates exactly what one sketch over the
+    // whole table estimates (across partitionings only ε-closeness
+    // holds — the query's merge_ok pins 1%; see the invariance test)
+    val unioned = Tables.customer(spark, sf())
+      .groupBy("c_nationkey")
+      .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+      .head.getLong(0)
     val whole = Tables.customer(spark, sf())
       .agg(hll_sketch_estimate(
         hll_sketch_agg(col("c_custkey"), lit(12))).as("e"))
       .head.getLong(0)
-    assert(g.getLong(1) === whole,
+    assert(unioned === whole,
       "unioned partial sketches disagree with the whole-table sketch")
   }
 
@@ -63,27 +83,42 @@ class HllSpec extends SparkSpec {
     // larger scale — a sketch that ignored its input (or saturated)
     // would fail this while still passing a single-sf tolerance check.
     val sfs = Seq(sf("sf0.001"), sf("sf0.01"))
-    // G7: the global (-1) rollup row's estimate
+    // G7: the global rollup estimate, re-derived from the sketches the
+    // query unions (the query itself now emits exact + verdicts)
     val g7 = sfs.map { d =>
-      SparkEntry.queries("hll_count_rollup")(spark, d)
-        .collect().find(_.getInt(0) == -1).get.getLong(1)
+      Tables.customer(spark, d)
+        .groupBy("c_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+        .head.getLong(0)
     }
     assert(g7(1) > g7(0) * 5,
       s"hll_count_rollup global estimate not ~10x across sf: $g7")
     // D3: approx tracks exact at BOTH scales and grows with the data
     val d3 = sfs.map { d =>
-      val r = SparkEntry.queries("count_distinct_approx")(spark, d).head
+      val r = Tables.lineitem(spark, d)
+        .agg(approx_count_distinct(col("l_orderkey")).as("a"),
+          countDistinct(col("l_orderkey")).as("e")).head
       (r.getLong(0), r.getLong(1)) // (approx, exact)
     }
     // approx_count_distinct's default rsd is 0.05 — individual draws
     // routinely land past 1 sigma (6.4% observed at sf0.001), so the
-    // per-scale bound is 2x rsd
+    // per-scale bound is 2x rsd (the bound count_distinct_approx's
+    // approx_ok verdict pins per-row under the oracle)
     d3.foreach { case (approx, exact) =>
       assert(math.abs(approx - exact).toDouble / exact <= 0.10,
         s"approx_count_distinct off by >10%: approx=$approx exact=$exact")
     }
     assert(d3(1)._1 > d3(0)._1 * 5,
       s"approx_orders not ~10x across sf: ${d3.map(_._1)}")
+    // and the queries' own verdicts hold at both scales
+    sfs.foreach { d =>
+      assert(SparkEntry.queries("count_distinct_approx")(spark, d)
+        .head.getBoolean(1), s"approx_ok false at $d")
+      assert(SparkEntry.queries("hll_count_rollup")(spark, d)
+        .collect().forall(r => r.getBoolean(3) && r.getBoolean(4)),
+        s"hll_count_rollup verdict false at $d")
+    }
   }
 
   test("hll_intersection_estimate: set algebra + every ε-verdict true") {
