@@ -153,6 +153,59 @@ object LlmOps extends OpGroup {
             .as("canonical_id"))
         .orderBy("doc_id")
     }),
+    // C23 (r15, VERDICT r14 ask #7) — the bloom-vs-index CROSSOVER
+    // quantified: C4b's claim ("a few-MB bitset replaces a TB-scale
+    // index shuffle for fresh-crawl keys") as a planner row per
+    // fresh-key ratio, derived from METADATA COUNTS alone (two
+    // count(*)s — parquet footer reads — plus C4b's own sizing
+    // constants: items = max(64, n_docs·4/5), 10 bits/item ⇒ k = 7 =
+    // round(10·ln2) hashes). Per ratio r ∈ {1, 25, 50, 90}%:
+    //   n_fresh   = r% of the batch (keys not in the index),
+    //   fpp_ppm   = floor((1 − e^(−k·n_index/m))^k · 1e6) — the one
+    //               IEEE leaf (exp + a 7-fold multiplication chain,
+    //               no pow), FLOOR'd at ppm so both engines agree,
+    //   n_probe   = seen keys + false-positive fresh keys — the rows
+    //               that still pay the exact join,
+    //   bytes_saved      = (n_batch − n_probe) · 16 B/row (h +
+    //                      canonical_id, the join-key exchange width),
+    //   bitset_ship_bytes = bitset · 1000 executors (the broadcast
+    //                      cost the bitset must amortize),
+    //   use_bloom = ship < saved — the crossover verdict. At fixture
+    // scale it is honestly FALSE (a 1 MB broadcast beats nothing at
+    // 200-row batches); the 100 TB reading: n_batch·16 B grows with
+    // the corpus while bitset_ship_bytes is fixed, so the verdict
+    // flips exactly where the formula says. DuckDB replays every
+    // integer and the one FLOOR'd leaf from the same two counts.
+    "bloom_dedup_crossover_plan" -> ((s, d) => {
+      val nIdx = s.read.parquet(dedupIndex(s, d))
+        .agg(count(lit(1)).as("n_index"))
+      val nDocs = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") % 5 === 4, 1L).otherwise(0L))
+            .as("n_batch"))
+      nIdx.crossJoin(broadcast(nDocs))
+        .crossJoin(broadcast(s.range(0, 1).select(explode(array(
+          lit(1L), lit(25L), lit(50L), lit(90L))).as("fresh_pct"))))
+        .withColumn("m_bits",
+          expr("greatest(64L, n_docs * 4 DIV 5) * 10"))
+        .withColumn("bitset_bytes", expr("(m_bits + 7) DIV 8"))
+        .withColumn("y", expr(
+          "1.0 - exp(-(7.0 * CAST(n_index AS DOUBLE)) / CAST(m_bits AS DOUBLE))"))
+        .withColumn("fpp_ppm", expr(
+          "CAST(FLOOR(y * y * y * y * y * y * y * 1000000.0) AS BIGINT)"))
+        .withColumn("n_fresh", expr("n_batch * fresh_pct DIV 100"))
+        .withColumn("n_probe", expr(
+          "(n_batch - n_fresh) + n_fresh * fpp_ppm DIV 1000000"))
+        .withColumn("bytes_saved", expr("(n_batch - n_probe) * 16"))
+        .withColumn("bitset_ship_bytes", expr("bitset_bytes * 1000"))
+        .select(col("fresh_pct"), col("n_index"), col("n_batch"),
+          col("m_bits"), col("bitset_bytes"), col("fpp_ppm"),
+          col("n_fresh"), col("n_probe"), col("bytes_saved"),
+          col("bitset_ship_bytes"),
+          (col("bitset_ship_bytes") < col("bytes_saved")).as("use_bloom"))
+        .orderBy("fresh_pct")
+    }),
+
     // Incremental dedup: today's batch (doc_id % 5 = 4) against the
     // persisted historical index — accepted ⇔ content hash unseen; a
     // seen hash reports the historical canonical id it collides with.
@@ -616,6 +669,47 @@ object LlmOps extends OpGroup {
     // historical slice), so the oracle recomputes index AND batch join
     // from the base table — nothing structural to trust
     "incremental_dedup_index" -> incrementalDedupOracle,
+    // the crossover plan is pure integer algebra + one FLOOR'd IEEE
+    // leaf over two metadata counts; DuckDB recounts the index from
+    // the persisted parquet and replays every formula
+    "bloom_dedup_crossover_plan" ->
+      s"""WITH ni AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_index
+         |  FROM read_parquet('${dedupIndexCache.lastPath}/*.parquet')),
+         |nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_batch
+         |  FROM documents),
+         |grid AS (SELECT CAST(unnest([1, 25, 50, 90]) AS BIGINT)
+         |           AS fresh_pct),
+         |base AS (
+         |  SELECT g.fresh_pct, ni.n_index, nd.n_batch,
+         |         greatest(64, (nd.n_docs * 4) // 5) * 10 AS m_bits
+         |  FROM ni CROSS JOIN nd CROSS JOIN grid g),
+         |f AS (
+         |  SELECT *, (m_bits + 7) // 8 AS bitset_bytes,
+         |         1.0 - exp(-(7.0 * CAST(n_index AS DOUBLE))
+         |           / CAST(m_bits AS DOUBLE)) AS y,
+         |         (n_batch * fresh_pct) // 100 AS n_fresh
+         |  FROM base),
+         |p AS (
+         |  SELECT fresh_pct, n_index, n_batch, m_bits, bitset_bytes,
+         |         CAST(FLOOR(y * y * y * y * y * y * y * 1000000.0)
+         |           AS BIGINT) AS fpp_ppm,
+         |         n_fresh
+         |  FROM f),
+         |q AS (
+         |  SELECT *, (n_batch - n_fresh)
+         |           + (n_fresh * fpp_ppm) // 1000000 AS n_probe
+         |  FROM p)
+         |SELECT fresh_pct, n_index, n_batch, m_bits, bitset_bytes,
+         |       fpp_ppm, n_fresh, n_probe,
+         |       (n_batch - n_probe) * 16 AS bytes_saved,
+         |       bitset_bytes * 1000 AS bitset_ship_bytes,
+         |       bitset_bytes * 1000 < (n_batch - n_probe) * 16
+         |         AS use_bloom
+         |FROM q ORDER BY fresh_pct""".stripMargin,
     "minhash_near_dedup" ->
       s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
               minhashLayoutCache.lastPath, numHashes = MinHashes,

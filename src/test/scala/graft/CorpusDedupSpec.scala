@@ -100,6 +100,41 @@ class CorpusDedupSpec extends SparkSpec {
     }
   }
 
+  test("bloom_dedup_crossover_plan: driver-side formula replay + crossover laws") {
+    val rows = operators.LlmOps.queries("bloom_dedup_crossover_plan")(
+      spark, sf()).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 25L, 50L, 90L))
+    // independent replay of every column from the two base counts
+    val nDocs = Tables.documents(spark, sf()).count()
+    val nBatch = Tables.documents(spark, sf())
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 5 = 4")).count()
+    val nIndex = Tables.documents(spark, sf())
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 5 < 4"))
+      .select("text").collect()
+      .map(_.getString(0).split(" ").take(30).mkString(" ")).distinct.length
+      .toLong
+    val mBits = math.max(64L, nDocs * 4 / 5) * 10
+    val y = 1.0 - math.exp(-(7.0 * nIndex) / mBits)
+    val fppPpm = math.floor(y * y * y * y * y * y * y * 1e6).toLong
+    rows.foreach { r =>
+      val pct = r.getLong(0)
+      assert(r.getLong(1) === nIndex && r.getLong(2) === nBatch)
+      assert(r.getLong(3) === mBits && r.getLong(4) === (mBits + 7) / 8)
+      assert(r.getLong(5) === fppPpm, "fpp leaf replay")
+      val nFresh = nBatch * pct / 100
+      val nProbe = (nBatch - nFresh) + nFresh * fppPpm / 1000000
+      assert(r.getLong(6) === nFresh && r.getLong(7) === nProbe)
+      assert(r.getLong(8) === (nBatch - nProbe) * 16, "bytes_saved")
+      assert(r.getBoolean(10) === (r.getLong(9) < r.getLong(8)),
+        "use_bloom is exactly the ship<saved crossover")
+    }
+    // monotone laws: more fresh keys -> fewer probes, more bytes saved
+    val probes = rows.map(_.getLong(7)).toSeq
+    val saved = rows.map(_.getLong(8)).toSeq
+    assert(probes === probes.sorted.reverse, "n_probe non-increasing")
+    assert(saved === saved.sorted, "bytes_saved non-decreasing")
+  }
+
   test("incremental_dedup_index: accepted iff key unseen historically AND first in batch") {
     val rows = operators.LlmOps.queries("incremental_dedup_index")(spark, sf())
       .collect()
