@@ -75,6 +75,7 @@ object SparkEntry {
     operators.DistShapeOps,
     operators.IncrementalMaintainOps,
     operators.SeriesTestOps,
+    operators.IncrementalIvfOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

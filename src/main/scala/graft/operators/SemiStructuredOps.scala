@@ -38,6 +38,19 @@ object SemiStructuredOps extends OpGroup {
     quantizers.computeIfAbsent(d, _ =>
       graft.functions.AnnIvf.fitQuantizer(s, Tables.embeddings(s, d), k = 4))
 
+  /** The FROZEN coarse quantizer, exposed for the CDC-incremental IVF
+    * maintenance path (IncrementalIvfOps): fresh vectors must quantize
+    * against the model the serving layout was built with — never a
+    * refit — or carried cell assignments and batch assignments would
+    * come from different models (the serving-layout contract).
+    */
+  private[graft] def frozenQuantizer(s: SparkSession, d: String)
+      : org.apache.spark.ml.clustering.KMeansModel = quantizer(s, d)
+
+  /** The FROZEN PQ codebooks, same contract as [[frozenQuantizer]]. */
+  private[graft] def frozenPqCodebook(s: SparkSession, d: String)
+      : Array[Array[Array[Double]]] = pqCodebook(s, d)
+
   /** Write-time-indexed serving layout: the corpus persisted as parquet
     * PARTITIONED BY its quantizer cell, once per (session, dataset) —
     * "assign cells at write time" made literal. Probing this layout can

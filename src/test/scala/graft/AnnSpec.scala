@@ -495,4 +495,56 @@ class AnnSpec extends SparkSpec {
     }
     assert(rows.exists(_.getBoolean(4)), "frontier is nonempty")
   }
+
+  test("incremental IVF maintenance locality: a 1-vector batch touches only its cell") {
+    // the r15 CDC law (VERDICT r14 ask #2): insert ONE vector through
+    // the maintenance fold and pin that (a) every pre-existing serving
+    // row is carried bit-identically, (b) exactly one row was added, in
+    // the cell the frozen quantizer assigns, and (c) the additively-
+    // maintained cell stats change at that cell ALONE.
+    val d = sf()
+    val baseP = operators.IncrementalIvfOps.baseServing(spark, d)
+    val base = spark.read.parquet(baseP)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("dist2_fp"), col("codes"))
+    // one insert: copy the smallest vec_id under a fresh key
+    val src = Tables.embeddings(spark, d)
+      .orderBy("vec_id").limit(1)
+      .select((col("vec_id") + 2000000000L).as("vec_id"), col("embedding"))
+    val fresh = operators.IncrementalIvfOps.encodeOnFrozen(spark, d, src)
+    val freshRow = fresh.collect() match {
+      case Array(r) => r
+      case other => fail(s"expected 1 encoded row, got ${other.length}")
+    }
+    val maintained = operators.IncrementalIvfOps.maintainServing(
+      base, spark.emptyDataFrame.sparkSession
+        .createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType)))),
+      fresh)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getSeq[Any](3).mkString(","))
+    val baseSet = base.collect().map(key).toSet
+    val maintSet = maintained.collect().map(key).toSet
+    assert(maintSet.size === baseSet.size + 1, "exactly one row added")
+    assert(baseSet.subsetOf(maintSet), "every carried row bit-identical")
+    assert((maintSet -- baseSet).head._1 === freshRow.getLong(0))
+    // cell stats: one cell +1, every other cell untouched
+    val baseStats = spark.read.parquet(s"$baseP.cellstats")
+    val delta = fresh.groupBy("cell")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("dn"))
+    val newStats = operators.IncrementalIvfOps
+      .maintainCellStats(baseStats, delta)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oldStats = baseStats.collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val touched = freshRow.getInt(1)
+    assert(newStats(touched) === oldStats.getOrElse(touched, 0L) + 1)
+    (newStats.keySet ++ oldStats.keySet).filterNot(_ == touched)
+      .foreach(c => assert(newStats.get(c) === oldStats.get(c),
+        s"cell $c stats must not move for a foreign-cell batch"))
+  }
 }
