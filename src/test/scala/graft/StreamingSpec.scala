@@ -149,6 +149,144 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("T6 replay: >=3 out-of-order micro-batches; equals batch; state dropped after watermark") {
+    // The 100 TB bounded-state claim, MEASURED (VERDICT r14 ask #4):
+    // replay the T6 dedup across 4 AvailableNow micro-batches
+    // (maxFilesPerTrigger=1, one staged file per batch), with each
+    // batch carrying out-of-order rows WITHIN the 1 h watermark delay,
+    // and pin (a) the appended result equals the batch distinct, and
+    // (b) StreamingQueryProgress.stateOperators shows rows REMOVED once
+    // the watermark passes (numRowsRemoved > 0) with final state
+    // strictly below peak — state does not grow with the stream.
+    val dir = tmpDir("graft_t6r"); val ckpt = tmpDir("graft_t6r_ckpt")
+    val sink = tmpDir("graft_t6r_sink")
+    def row(id: Long, totHour: Int, min: Int) =
+      s"""{"event_id":$id,"ts":"2024-01-${"%02d".format(1 + totHour / 24)} ${"%02d".format(totHour % 24)}:${"%02d".format(min)}:00"}"""
+    // the file source orders same-mtime files arbitrarily — pin the
+    // arrival order with strictly increasing mtimes so batch k really
+    // is the k-th micro-batch
+    def writeFile(n: Int, rows: Seq[String]): Unit = {
+      val p = java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"b$n.json"),
+        rows.mkString("\n").getBytes)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 10000L))
+    }
+    // 6 files, 6 h apart (rolling over midnight); in-file disorder (the
+    // :50 row precedes the :00 row in event time by 50 min < the 1 h
+    // delay); dup of the batch's own first id planted in each file
+    for (k <- 0 to 5) {
+      val h = 10 + 6 * k
+      writeFile(k, Seq(row(2L * k + 1, h, 50), row(2L * k + 2, h, 0),
+        row(2L * k + 1, h, 50)))
+    }
+    val stream = StreamingOps.fileJsonStream(spark,
+        StructType.fromDDL("event_id LONG, ts TIMESTAMP"), dir,
+        maxFilesPerTrigger = Some(1))
+    val q = StreamingOps.dedupWithinWatermark(stream, "1 hour")
+      .select("event_id")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 3, s"expected >=3 micro-batches, " +
+      s"got ${progress.length}")
+    // (a) result equality with batch dedup
+    val ids = spark.read.parquet(sink).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === (1L to 12L), s"stream dedup != batch distinct: $ids")
+    // (b) bounded state: eviction observed; state PLATEAUS at the
+    // watermark-window population instead of growing with the stream
+    val stateRows = progress.map(_.stateOperators.head.numRowsTotal).toSeq
+    val removed = progress.map(_.stateOperators.head.numRowsRemoved).sum
+    val totalIn = progress.map(_.numInputRows).sum
+    info(s"per-batch state rows: ${stateRows.mkString(", ")}; " +
+      s"total removed: $removed of $totalIn input rows")
+    assert(removed > 0, "watermark passage must evict dedup state")
+    assert(stateRows.last < totalIn,
+      s"final state ${stateRows.last} must sit below the " +
+        s"$totalIn-row stream — bounded by the window, not the stream")
+    assert(stateRows.last <= stateRows(stateRows.length - 2),
+      s"state must not grow at the tail: $stateRows")
+  }
+
+  test("T8 replay: >=3 out-of-order micro-batches; equals batch join; state dropped") {
+    // same law for the stream-stream interval join: 4 coordinated
+    // micro-batches per side, per-batch user keys (so every match is
+    // in-horizon by construction), disorder within the 2 h watermark;
+    // the appended join must equal the batch join over the SAME staged
+    // rows, and join state must shrink once the watermark clears a
+    // batch's 6 h interval envelope.
+    val dirC = tmpDir("graft_t8r_c"); val dirP = tmpDir("graft_t8r_p")
+    val ckpt = tmpDir("graft_t8r_ckpt"); val sink = tmpDir("graft_t8r_sink")
+    def jrow(id: Long, user: Long, totHour: Int, min: Int) =
+      s"""{"id":$id,"user":$user,"ts":"2024-01-${"%02d".format(1 + totHour / 24)} ${"%02d".format(totHour % 24)}:${"%02d".format(min)}:00"}"""
+    def writeFile(dir: String, n: Int, rows: Seq[String]): Unit = {
+      val p = java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"b$n.json"),
+        rows.mkString("\n").getBytes)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 10000L))
+    }
+    // batch k at hour 6k: clicks at :00 and an out-of-order sibling 90
+    // min earlier (< the 2 h watermark); purchases at :30 — every
+    // (user, batch) pair joins within the 6 h interval; users are
+    // batch-unique so no cross-batch match
+    for (k <- 0 to 5) {
+      val h = 6 * k
+      val late = if (h >= 2) Seq(jrow(100L * k + 2, 100L + k, h - 2, 30))
+                 else Seq.empty
+      writeFile(dirC, k, Seq(jrow(100L * k + 1, 100L + k, h, 0)) ++ late)
+      writeFile(dirP, k, Seq(jrow(100L * k + 9, 100L + k, h, 30)))
+    }
+    val ddl = "id LONG, user LONG, ts TIMESTAMP"
+    def side(dir: String, pre: String) =
+      StreamingOps.fileJsonStream(spark, StructType.fromDDL(ddl), dir,
+          maxFilesPerTrigger = Some(1))
+        .select(col("id").as(s"${pre}_id"), col("ts").as(s"${pre}_ts"),
+          col("user").as(s"${pre}_user"))
+        .withWatermark(s"${pre}_ts", "2 hours")
+    val joinCond = expr(
+      """click_user = purch_user AND
+        |click_ts BETWEEN purch_ts - INTERVAL 6 HOUR AND purch_ts"""
+        .stripMargin)
+    val q = side(dirC, "click").join(side(dirP, "purch"), joinCond)
+      .select("click_id", "purch_id")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 3, s"expected >=3 micro-batches, " +
+      s"got ${progress.length}")
+    // (a) equality with the batch join over the same staged files
+    val streamed = spark.read.parquet(sink)
+      .select("click_id", "purch_id").as[(Long, Long)].collect().sorted
+    def batchSide(dir: String, pre: String) =
+      spark.read.schema(StructType.fromDDL(ddl)).json(dir)
+        .select(col("id").as(s"${pre}_id"), col("ts").as(s"${pre}_ts"),
+          col("user").as(s"${pre}_user"))
+    val batch = batchSide(dirC, "click")
+      .join(batchSide(dirP, "purch"), joinCond)
+      .select("click_id", "purch_id").as[(Long, Long)].collect().sorted
+    assert(streamed.toSeq === batch.toSeq,
+      "stream-stream join must equal the batch join")
+    // (b) bounded state across batches: eviction observed; state
+    // plateaus at the interval-envelope population, below the stream
+    val stateRows = progress.map(_.stateOperators.head.numRowsTotal).toSeq
+    val removed = progress.map(_.stateOperators.head.numRowsRemoved).sum
+    val totalIn = progress.map(_.numInputRows).sum
+    info(s"per-batch join state rows: ${stateRows.mkString(", ")}; " +
+      s"total removed: $removed of $totalIn input rows")
+    assert(removed > 0, "watermark passage must evict join state")
+    assert(stateRows.last < totalIn,
+      s"final state ${stateRows.last} must sit below the " +
+        s"$totalIn-row stream — bounded by the window, not the stream")
+    assert(stateRows.last <= stateRows(stateRows.length - 2),
+      s"state must not grow at the tail: $stateRows")
+  }
+
   test("T6/T8 bench floor is config, not plan: one state store per shuffle partition") {
     // The stream demos pin shuffle.partitions=4 — that number IS the
     // state-store-instance count of every stateful operator, so the
