@@ -159,6 +159,49 @@ object AgreementOps extends OpGroup {
           "cum_consumed_fp")
         .orderBy("di")
     }),
+
+    // K10 — Lin's concordance correlation coefficient (Lin 1989)
+    // between the daily click and purchase volume series: agreement
+    // THROUGH THE ORIGIN LINE, not just co-movement — Pearson's r
+    // rewards any linear relation, CCC additionally penalizes scale
+    // and location shift ((x̄−ȳ)² and the variance mismatch sit in
+    // the denominator), so it answers "can purchase volume PROXY
+    // click volume 1:1 in downsampled monitoring", the question
+    // dashboard substitutions actually ask. PURE integer: with
+    // n-denominator moments, ρc = 2(n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²
+    // + n·Σy² − (Σy)² + (Σx−Σy)²) — every term folds in
+    // DECIMAL(38,0)/HUGEINT from one map-side daily conditional
+    // aggregate, and the 1e6 fixed point is one signed toward-zero
+    // integer division (no IEEE leaf). Envelope: 1e8 events/day ×
+    // 1e4 days keeps n·Σxy·1e6 ≤ 1e30 inside DECIMAL(38,0).
+    "lin_ccc_daily" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .as("di"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .agg(count(lit(1)).as("n_days"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("qx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("qy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("qxy"))
+        .withColumn("num", expr(
+          """2 * (CAST(n_days AS DECIMAL(38,0)) * qxy
+            | - CAST(sx AS DECIMAL(38,0)) * sy)"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("den", expr(
+          """(CAST(n_days AS DECIMAL(38,0)) * qx
+            |  - CAST(sx AS DECIMAL(38,0)) * sx)
+            | + (CAST(n_days AS DECIMAL(38,0)) * qy
+            |  - CAST(sy AS DECIMAL(38,0)) * sy)
+            | + CAST(sx - sy AS DECIMAL(38,0)) * (sx - sy)"""
+            .stripMargin.replace("\n", " ")))
+        .filter(col("n_days") >= 2 && expr("den > 0"))
+        .select(col("n_days"), col("sx"), col("sy"),
+          expr(signedFpDiv("num", "den")).as("ccc_fp"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -256,5 +299,31 @@ object AgreementOps extends OpGroup {
          |       CAST(c.cum_errors * 1000000 * 1000000
          |         // (t.tot_events * $BudgetPpm) AS BIGINT) AS cum_consumed_fp
          |FROM cum c CROSS JOIN tot t ORDER BY c.di""".stripMargin,
+
+    "lin_ccc_daily" ->
+      s"""WITH daily AS (
+         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        sum(CAST(x AS HUGEINT) * x) AS qx,
+         |        sum(CAST(y AS HUGEINT) * y) AS qy,
+         |        sum(CAST(x AS HUGEINT) * y) AS qxy
+         |      FROM daily),
+         |v AS (SELECT n_days, sx, sy,
+         |        2 * (CAST(n_days AS HUGEINT) * qxy
+         |          - CAST(sx AS HUGEINT) * sy) AS num,
+         |        (CAST(n_days AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx)
+         |          + (CAST(n_days AS HUGEINT) * qy
+         |            - CAST(sy AS HUGEINT) * sy)
+         |          + CAST(sx - sy AS HUGEINT) * (sx - sy) AS den
+         |      FROM m)
+         |SELECT n_days, sx, sy,
+         |       CAST(${signedFpDivDuck("num", "den")} AS BIGINT) AS ccc_fp
+         |FROM v WHERE n_days >= 2 AND den > 0""".stripMargin,
   )
 }

@@ -248,6 +248,38 @@ object DriftOps extends OpGroup {
             .stripMargin.replace("\n", " ")).as("w1_fp"))
         .orderBy("source")
     }),
+
+    // Y31 — total-variation distance between the weekend and weekday
+    // event-type mixes: TV = ½·Σ_t |p_t − q_t| — the L1 companion to
+    // psi_value_drift (PSI needs a bin floor and blows up on empty
+    // cells; TV is bounded [0,1], defined for every mix, and IS the
+    // maximum probability gap any event-type set can show between the
+    // two regimes — the tightest "how different can a downstream
+    // consumer's view get" bound). PURE integer: per-type counts fold
+    // map-side; |c1_t·n2 − c2_t·n1| sums in DECIMAL(38,0)/HUGEINT over
+    // the enum-bounded type set; TV_fp = Σ·1e6 DIV (2·n1·n2) is one
+    // exact floor division. Single-row output, zero IEEE leaves.
+    "total_variation_event_drift" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5").as("we"))
+        .groupBy("event_type")
+        .agg(sum(when(col("we"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("we"), 1L).otherwise(0L)).as("c2"))
+      val tot = cells.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        count(lit(1)).as("n_types"))
+      cells.crossJoin(broadcast(tot))
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .groupBy("n_types", "n1", "n2")
+        .agg(sum(expr(
+          """abs(CAST(c1 AS DECIMAL(38,0)) * n2
+            | - CAST(c2 AS DECIMAL(38,0)) * n1)"""
+            .stripMargin.replace("\n", " "))).as("num"))
+        .select(col("n_types"), col("n1"), col("n2"),
+          expr("""CAST(num * 1000000
+                 | DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("tv_fp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -421,5 +453,24 @@ object DriftOps extends OpGroup {
         |         // (CAST(n_src AS HUGEINT) * n_all) AS BIGINT) AS w1_fp
         |FROM cum CROSS JOIN na
         |GROUP BY source, n_src, n_all ORDER BY source""".stripMargin,
+
+    "total_variation_event_drift" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+        |             THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |               CAST(sum(c2) AS BIGINT) AS n2,
+        |               CAST(count(*) AS BIGINT) AS n_types FROM cells)
+        |SELECT n_types, n1, n2,
+        |       CAST(sum(abs(CAST(c1 AS HUGEINT) * n2
+        |                  - CAST(c2 AS HUGEINT) * n1)) * 1000000
+        |         // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS tv_fp
+        |FROM cells CROSS JOIN tot
+        |WHERE n1 > 0 AND n2 > 0
+        |GROUP BY n_types, n1, n2""".stripMargin,
   )
 }

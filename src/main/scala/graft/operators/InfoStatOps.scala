@@ -132,6 +132,25 @@ object InfoStatOps extends OpGroup {
   private val tsSlopeSql =
     "CAST(FLOOR(CAST(r2 - r1 AS DOUBLE) / (m2 - m1) * 1000000.0) AS BIGINT)"
 
+  /** Per-shared-type Bhattacharyya term √(p·q) in 1e-12 fixed point:
+    * the per-term ratio form √((ca/na)·(cb/nb)) keeps every term ≤ 1,
+    * so the vocab sum stays ≤ 1e12 + truncation slack in int64 at ANY
+    * corpus size (the √(ca·cb)·scale form would overflow at ~1e12
+    * tokens per type). All four operands are exact integers cast to
+    * DOUBLE in identical text — both engines build the same doubles.
+    */
+  private val bcTermSql =
+    """CAST(FLOOR(sqrt((CAST(ca AS DOUBLE) / na) * (CAST(cb AS DOUBLE) / nb))
+      | * 1000000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Hellinger distance √(1 − BC) in 1e-6 fixed point over the summed
+    * 1e-12 BC; greatest() guards the BC ≈ 1 truncation edge.
+    */
+  private def hellSql(sumFp: String) =
+    s"""CAST(FLOOR(sqrt(greatest(0.0,
+       | 1.0 - CAST($sumFp AS DOUBLE) / 1000000000000.0))
+       | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Y1 — per-source unigram KL divergence vs the corpus distribution:
     // THE mixture-drift gauge (a source whose KL explodes is templated /
@@ -186,6 +205,49 @@ object InfoStatOps extends OpGroup {
         .withColumn("js_fp", expr(
           s"""(shared_fp + $jsExclASql + $jsExclBSql) DIV 2"""))
         .select("src_a", "src_b", "na", "nb", "n_shared_types", "js_fp")
+        .orderBy("src_a", "src_b")
+    }),
+
+    // Y32 — pairwise Bhattacharyya coefficient + Hellinger distance
+    // between source unigram distributions: the METRIC companion to
+    // js_divergence_sources (Hellinger satisfies the triangle
+    // inequality, so it supports clustering sources / nearest-mixture
+    // queries where JS's square root is only a metric up to √·), and
+    // BC is the direct overlap mass retrieval re-rankers consume.
+    // Only SHARED types contribute (√(p·0) = 0), so unlike JS there
+    // is no exclusive-mass term — a disjoint pair reads BC = 0,
+    // Hellinger = 1 exactly via the LEFT-join default. Per-term
+    // √((ca/na)(cb/nb)) FLOOR'd at 1e-12 and integer-summed (term ≤ 1
+    // ⇒ vocab sum ≤ 1e12, int64-safe at any corpus); Hellinger is one
+    // shared-text IEEE leaf over the exact sum. The vocab-pair join
+    // is the only data-proportional pass (the JS shape).
+    "bhattacharyya_hellinger_sources" -> ((s, d) => {
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val ns = sw.groupBy("source").agg(sum("c").as("n"))
+      val a = sw.select(col("source").as("src_a"), col("w"),
+        col("c").as("ca"))
+        .join(broadcast(ns.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+      val b = sw.select(col("source").as("src_b"), col("w"),
+        col("c").as("cb"))
+        .join(broadcast(ns.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+      val shared = a.join(b, "w").filter(col("src_a") < col("src_b"))
+        .withColumn("t_fp", expr(bcTermSql))
+        .groupBy("src_a", "src_b")
+        .agg(sum("t_fp").as("bc_fp"), count(lit(1)).as("n_shared_types"))
+      val pairs = ns.select(col("source").as("src_a"), col("n").as("na"))
+        .crossJoin(ns.select(col("source").as("src_b"), col("n").as("nb")))
+        .filter(col("src_a") < col("src_b"))
+      broadcast(pairs).join(shared, Seq("src_a", "src_b"), "left")
+        .withColumn("bc_fp", coalesce(col("bc_fp"), lit(0L)))
+        .withColumn("n_shared_types",
+          coalesce(col("n_shared_types"), lit(0L)))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          col("n_shared_types"), col("bc_fp"),
+          expr(hellSql("bc_fp")).as("hellinger_fp"))
         .orderBy("src_a", "src_b")
     }),
 
@@ -503,6 +565,38 @@ object InfoStatOps extends OpGroup {
          |FROM pairs p LEFT JOIN shared s
          |  ON s.src_a = p.src_a AND s.src_b = p.src_b
          |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    "bhattacharyya_hellinger_sources" ->
+      s"""WITH sw AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |swc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |        FROM sw GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM swc
+         |       GROUP BY 1),
+         |shared AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(sum($bcTermSql) AS BIGINT) AS bc_fp,
+         |         CAST(count(*) AS BIGINT) AS n_shared_types
+         |  FROM (SELECT swc.source, swc.w, swc.c AS ca, ns.n AS na
+         |        FROM swc JOIN ns USING (source)) a
+         |  JOIN (SELECT swc.source, swc.w, swc.c AS cb, ns.n AS nb
+         |        FROM swc JOIN ns USING (source)) b
+         |    ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         a.n AS na, b.n AS nb
+         |  FROM ns a JOIN ns b ON a.source < b.source)
+         |SELECT p.src_a, p.src_b, p.na, p.nb,
+         |       CAST(COALESCE(s.n_shared_types, 0) AS BIGINT)
+         |         AS n_shared_types,
+         |       CAST(COALESCE(s.bc_fp, 0) AS BIGINT) AS bc_fp,
+         |       ${hellSql("COALESCE(s.bc_fp, 0)")} AS hellinger_fp
+         |FROM pairs p LEFT JOIN shared s
+         |  ON s.src_a = p.src_a AND s.src_b = p.src_b
+         |ORDER BY p.src_a, p.src_b""".stripMargin,
+
     // same exact moments (HUGEINT squares), same shared IEEE formula
     "welch_t_value" ->
       s"""WITH ev AS (

@@ -328,6 +328,38 @@ object SeriesTestOps extends OpGroup {
                  | * 1000000.0) AS BIGINT)"""
             .stripMargin.replace("\n", " ")).as("vr_fp"))
     }),
+
+    // X71 — von Neumann ratio (von Neumann 1941): mean square
+    // successive difference over variance, η = (Σd²/(n−1)) /
+    // (Σ(x−x̄)²/n) on the daily volume series — the one-number
+    // serial-independence read (η ≈ 2 ⇒ white noise, η < 2 ⇒ positive
+    // autocorrelation / trend, η > 2 ⇒ oscillation) that costs two
+    // integer folds where the ACF costs a lag sweep. PURE integer end
+    // to end: d² and the variance numerator vn = n·Σx² − (Σx)² fold
+    // in DECIMAL(38,0)/HUGEINT, and the 1e6 fixed-point ratio is one
+    // exact integer floor-division — no IEEE leaf at all. Scale: the
+    // successor lookup is a rank-shifted equi-join over the ≤|days|
+    // rollup (turning_points pattern); envelope: x ≤ 1e8/day ×
+    // n ≤ 1e4 days keeps sd2·n²·1e6 ≤ 1e34 inside DECIMAL(38,0).
+    "von_neumann_ratio_daily" -> ((s, d) => {
+      val dd = daily(s, d)
+      val rn = graft.functions.GlobalRank
+        .rowNumber(dd, "rn", Nil, Seq("di"))
+      val nxt = rn.select((col("rn") - 1).as("rn"), col("x").as("xn"))
+      val diffs = rn.join(nxt, "rn")
+        .agg(sum(expr("CAST(x - xn AS DECIMAL(38,0)) * (x - xn)"))
+          .as("sd2"))
+      dd.agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("qx"))
+        .crossJoin(broadcast(diffs))
+        .withColumn("vn", expr(
+          "CAST(n_days AS DECIMAL(38,0)) * qx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .filter(col("n_days") >= 3 && expr("vn > 0"))
+        .select(col("n_days"),
+          expr("""CAST(sd2 * n_days * n_days * 1000000
+                 | DIV ((n_days - 1) * vn) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("eta_fp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -544,5 +576,25 @@ object SeriesTestOps extends OpGroup {
          |      / (CAST(n_days AS DOUBLE) * (n_days - 1)))
          |    * 1000000.0) AS BIGINT) AS vr_fp
          |FROM v WHERE n_days >= 9 AND nw >= 2 AND v1 > 0""".stripMargin,
+
+    "von_neumann_ratio_daily" ->
+      s"""WITH $dailyDuck,
+         |rn AS (SELECT di, x,
+         |         CAST(row_number() OVER (ORDER BY di) AS BIGINT) AS rn
+         |       FROM daily),
+         |d2 AS (
+         |  SELECT sum(CAST(b.x - a.x AS HUGEINT) * (b.x - a.x)) AS sd2
+         |  FROM rn a JOIN rn b ON b.rn = a.rn + 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |             CAST(sum(x) AS BIGINT) AS sx,
+         |             sum(CAST(x AS HUGEINT) * x) AS qx FROM daily),
+         |v AS (SELECT n_days, sd2,
+         |        CAST(n_days AS HUGEINT) * qx
+         |          - CAST(sx AS HUGEINT) * sx AS vn
+         |      FROM m CROSS JOIN d2)
+         |SELECT n_days,
+         |  CAST(sd2 * n_days * n_days * 1000000
+         |    // ((n_days - 1) * vn) AS BIGINT) AS eta_fp
+         |FROM v WHERE n_days >= 3 AND vn > 0""".stripMargin,
   )
 }

@@ -85,4 +85,32 @@ class AgreementSpec extends SparkSpec {
     val baseAcc = both + c
     assert((ngramAcc > baseAcc) === (b > c))
   }
+
+  test("lin_ccc_daily: exact moment replay; |CCC| <= Pearson bound <= 1") {
+    import org.apache.spark.sql.functions._
+    val xy = Tables.events(spark, sf())
+      .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+        .as("di"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .collect().map(r => (BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val n = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val qx = xy.map(t => t._1 * t._1).sum
+    val qy = xy.map(t => t._2 * t._2).sum
+    val qxy = xy.map(t => t._1 * t._2).sum
+    val num = 2 * (n * qxy - sx * sy)
+    val den = (n * qx - sx * sx) + (n * qy - sy * sy) + (sx - sy) * (sx - sy)
+    def sdiv(a: BigInt, b: BigInt): BigInt =
+      if (a >= 0) a * 1000000 / b else -((-a) * 1000000 / b)
+    val Array(row) = operators.AgreementOps
+      .queries("lin_ccc_daily")(spark, sf()).collect()
+    assert(row.getLong(0) === xy.length.toLong)
+    assert(BigInt(row.getLong(1)) === sx && BigInt(row.getLong(2)) === sy)
+    assert(BigInt(row.getLong(3)) === sdiv(num, den), "signed CCC replay")
+    // |ρc| ≤ 1 always (den ≥ |num| by AM-GM on the variance terms)
+    assert(math.abs(row.getLong(3)) <= 1000000L)
+  }
 }

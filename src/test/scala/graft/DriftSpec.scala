@@ -146,4 +146,27 @@ class DriftSpec extends SparkSpec {
     }
     assert(rows.map(_._2).sum === nAll, "per-source masses partition")
   }
+
+  test("total_variation_event_drift: exact L1 replay; TV in [0, 1e6]") {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.events(spark, sf())
+      .select(col("event_type"),
+        expr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5").as("we"))
+      .groupBy("event_type")
+      .agg(sum(when(col("we"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("we"), 1L).otherwise(0L)).as("c2"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n1 = BigInt(cells.map(_._1).sum)
+    val n2 = BigInt(cells.map(_._2).sum)
+    val num = cells.map { case (c1, c2) =>
+      (BigInt(c1) * n2 - BigInt(c2) * n1).abs }.sum
+    val Array(row) = operators.DriftOps
+      .queries("total_variation_event_drift")(spark, sf()).collect()
+    assert(row.getLong(0) === cells.length.toLong)
+    assert(BigInt(row.getLong(1)) === n1 && BigInt(row.getLong(2)) === n2)
+    assert(BigInt(row.getLong(3)) === num * 1000000 / (2 * n1 * n2),
+      "exact integer L1 replay")
+    assert(row.getLong(3) >= 0L && row.getLong(3) <= 1000000L,
+      "TV is a probability distance")
+  }
 }

@@ -238,4 +238,39 @@ class InfoStatSpec extends SparkSpec {
       assert(r.getLong(5) === (num * 1000000 / den).toLong, "D2 ratio")
     }
   }
+
+  test("bhattacharyya_hellinger_sources: bounds, H-from-BC leaf, one-pair replay") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.InfoStatOps
+      .queries("bhattacharyya_hellinger_sources")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bc = r.getLong(5); val h = r.getLong(6)
+      assert(bc >= 0L && bc <= 1000000000000L, "BC in [0, 1]")
+      assert(h >= 0L && h <= 1000000L, "Hellinger in [0, 1]")
+      assert(h === math.floor(
+        math.sqrt(math.max(0.0, 1.0 - bc.toDouble / 1e12)) * 1e6).toLong,
+        "H is the pinned leaf over the exact BC sum")
+    }
+    // one-pair replay from raw token counts (the JS spec recipe)
+    val (sa, sb) = (rows.head.getString(0), rows.head.getString(1))
+    val cnt = Tables.documents(spark, sf())
+      .filter(col("source").isin(sa, sb))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val na = cnt.collect { case ((s, _), c) if s == sa => c }.sum
+    val nb = cnt.collect { case ((s, _), c) if s == sb => c }.sum
+    // toSeq: Map.keys is a Set — mapping a Set would DEDUPE equal
+    // per-term floor values before the sum
+    val shared = cnt.keys.toSeq.collect { case (s, w) if s == sa &&
+      cnt.contains((sb, w)) => w }
+    val bcExp = shared.map { w =>
+      math.floor(math.sqrt((cnt((sa, w)).toDouble / na) *
+        (cnt((sb, w)).toDouble / nb)) * 1e12).toLong
+    }.sum
+    assert(rows.head.getLong(2) === na && rows.head.getLong(3) === nb)
+    assert(rows.head.getLong(5) === bcExp, "per-term BC replay")
+  }
 }

@@ -173,4 +173,17 @@ class SeriesTestSpec extends SparkSpec {
     assert(row.getLong(2) === math.floor(vr * 1e6).toLong, "VR leaf replay")
     assert(row.getLong(2) > 0, "VR is a positive ratio")
   }
+
+  test("von_neumann_ratio_daily replays exactly in BigInt; eta in (0, 4e6]") {
+    val xs = daily.map(t => BigInt(t._2))
+    val n = BigInt(xs.length)
+    val sd2 = xs.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+    val vn = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+    val Array(row) = run("von_neumann_ratio_daily")
+    assert(row.getLong(0) === xs.length.toLong)
+    assert(BigInt(row.getLong(1)) ===
+      sd2 * n * n * 1000000 / ((n - 1) * vn), "pure-integer eta replay")
+    // η ∈ (0, 4] hard bounds: Σd² ≤ 4·max-spread·variance mass
+    assert(row.getLong(1) > 0L && row.getLong(1) <= 4000000L)
+  }
 }
