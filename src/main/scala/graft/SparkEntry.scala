@@ -76,6 +76,7 @@ object SparkEntry {
     operators.IncrementalMaintainOps,
     operators.SeriesTestOps,
     operators.IncrementalIvfOps,
+    operators.IncrementalBm25Ops,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

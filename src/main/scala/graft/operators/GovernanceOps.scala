@@ -515,6 +515,51 @@ object GovernanceOps extends OpGroup {
           col("consequent"))
         .limit(15)
     }),
+
+    // Z16 (r15) — ε-differentially-private count release (Dwork,
+    // McSherry, Nissim & Smith 2006): per-source document counts with
+    // Laplace(1/ε) noise at ε ∈ {0.1, 1} — the publish-boundary
+    // mechanism for releasing corpus composition stats without
+    // revealing any single document's membership (count sensitivity
+    // = 1 ⇒ scale b = 1/ε). The "noise" is DETERMINISTIC inverse-CDF
+    // sampling from a content-derived md5 uniform (the
+    // mixture_weighted_resample discipline) so both engines — and any
+    // retry on any cluster — release the SAME number: u = (h+½)/2²⁴
+    // from the first 6 md5 nibbles of 'dp|source|eps', then
+    // x = −b·sgn(u−½)·ln(1−2|u−½|), with 1−2|u−½| the exact rational
+    // (2²⁴−|2h+1−2²⁴|)/2²⁴ so the single ln leaf sees identical
+    // doubles. released_fp = n·1e6 + noise_fp is pure integer once
+    // the leaf lands. within_995 pins the Laplace tail bound
+    // |x| ≤ b·ln 200 (P = 0.5%) — the utility contract a consumer
+    // checks. Scale: ONE map-side count; the release grid is
+    // |sources|×2 rows.
+    "dp_laplace_count_release" -> ((s, d) => {
+      val n = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_true"))
+      val grid = n.sparkSession.range(0, 1).selectExpr(
+        """stack(2, 'eps_0.1', CAST(10 AS BIGINT),
+          |         'eps_1.0', CAST(1 AS BIGINT))
+          | AS (eps_label, b)""".stripMargin.replace("\n", " "))
+      n.crossJoin(broadcast(grid))
+        .withColumn("h", expr(
+          """CAST(conv(substring(md5(concat('dp|', source, '|',
+            | eps_label)), 1, 6), 16, 10) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("x2", expr("2 * h + 1 - 16777216"))
+        .withColumn("a", abs(col("x2")))
+        .withColumn("noise_fp", expr(
+          """CAST(FLOOR(-CAST(b AS DOUBLE)
+            | * (CASE WHEN x2 >= 0 THEN 1.0 ELSE -1.0 END)
+            | * ln((16777216.0 - a) / 16777216.0)
+            | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")))
+        .select(col("source"), col("eps_label"), col("b"), col("n_true"),
+          col("noise_fp"),
+          expr("n_true * 1000000 + noise_fp").as("released_fp"),
+          expr("""abs(noise_fp) <= CAST(FLOOR(CAST(b AS DOUBLE)
+                 | * ln(200.0) * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("within_995"))
+        .orderBy("source", "eps_label")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -864,5 +909,35 @@ object GovernanceOps extends OpGroup {
          |FROM pairs JOIN antes USING (antecedent) CROSS JOIN nsess
          |ORDER BY pair_sessions DESC, antecedent, consequent
          |LIMIT 15""".stripMargin,
+
+    "dp_laplace_count_release" ->
+      """WITH n AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM documents GROUP BY 1),
+        |grid(eps_label, b) AS (
+        |  VALUES ('eps_0.1', CAST(10 AS BIGINT)),
+        |         ('eps_1.0', CAST(1 AS BIGINT))),
+        |g AS (
+        |  SELECT source, eps_label, b, n_true,
+        |         CAST(concat('0x', substr(md5('dp|' || source || '|' ||
+        |           eps_label), 1, 6)) AS BIGINT) AS h
+        |  FROM n CROSS JOIN grid),
+        |leaf AS (
+        |  SELECT source, eps_label, b, n_true,
+        |         2 * h + 1 - 16777216 AS x2,
+        |         abs(2 * h + 1 - 16777216) AS a
+        |  FROM g),
+        |rel AS (
+        |  SELECT source, eps_label, b, n_true,
+        |         CAST(FLOOR(-CAST(b AS DOUBLE)
+        |           * (CASE WHEN x2 >= 0 THEN 1.0 ELSE -1.0 END)
+        |           * ln((16777216.0 - a) / 16777216.0)
+        |           * 1000000.0) AS BIGINT) AS noise_fp
+        |  FROM leaf)
+        |SELECT source, eps_label, b, n_true, noise_fp,
+        |       n_true * 1000000 + noise_fp AS released_fp,
+        |       abs(noise_fp) <= CAST(FLOOR(CAST(b AS DOUBLE)
+        |         * ln(200.0) * 1000000.0) AS BIGINT) AS within_995
+        |FROM rel ORDER BY source, eps_label""".stripMargin,
   )
 }

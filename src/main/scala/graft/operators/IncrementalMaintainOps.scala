@@ -106,7 +106,7 @@ object IncrementalMaintainOps extends OpGroup {
     * before any layout is persisted, so a violating fixture aborts the
     * whole maintain/rebuild pipeline instead of corrupting it.
     */
-  private def freshBatchDocs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def freshBatchDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val m = col("doc_id") % 10
     val mintedKey = expr(

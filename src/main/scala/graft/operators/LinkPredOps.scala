@@ -322,6 +322,105 @@ object LinkPredOps extends OpGroup {
         .select("lab", "e_in", "d_out", "d_in", "q_fp")
         .orderBy("lab")
     }),
+
+    // L55 (r15) — average-neighbor-degree curve knn(k) (Pastor-Satorras,
+    // Vázquez & Vespignani 2001): for each degree class k, the mean
+    // degree of the neighbors of degree-k nodes — the FUNCTIONAL form
+    // behind degree_assortativity's single ρ (rising knn(k) =
+    // assortative core, falling = hub-periphery mixing), read before
+    // trusting any "hubs cluster together" conclusion. Edge-based exact
+    // form: each directed undirected-pair edge contributes deg(dst)
+    // grouped by deg(src); knn_fp = Σdeg(dst)·1e6 DIV n_edges(k) is an
+    // exact rational. Law: n_edges(k) = k·n_nodes(k) by construction
+    // (pinned in spec). Scale: two degree lookups joined onto the
+    // out-degree-≤3-derived edge list; output ≤ max-degree rows.
+    "average_neighbor_degree" -> ((s, d) => {
+      val (und, deg) = undirected(s, d)
+      val classes = deg.groupBy(col("deg").as("k"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val nbr = und
+        .join(deg.select(col("node").as("src"), col("deg").as("k")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("deg_dst")),
+          "dst")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_edges"), sum("deg_dst").as("s_nbr"))
+      classes.join(nbr, "k")
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          expr("s_nbr * 1000000 DIV n_edges").as("knn_fp"))
+        .orderBy("k")
+    }),
+
+    // L56 (r15) — triangle participation rate: the share of graph nodes
+    // that sit in ≥ 1 triangle — the one-number cohesion read (a near-dup
+    // graph whose participation collapses is mostly chains/stars =
+    // threshold too loose; one that saturates is clique-dominated =
+    // candidates redundant). Triangles enumerate once as a < b < c via
+    // one bounded wedge join + one closure semi-join; the MIDDLE vertex
+    // carries the standing MaxHubDegree cap (wedge fan-out at b is
+    // deg(b)² — the local_clustering/cooc df-cap discipline, mirrored
+    // verbatim in the oracle), so a celebrity node cannot explode the
+    // wedge set at corpus scale. All counts exact; rate one floor
+    // division. Single-row output.
+    "triangle_participation_rate" -> ((s, d) => {
+      val (und, deg) = undirected(s, d)
+      val e = und.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+      val okMid = deg.filter(col("deg") <= MaxHubDegree)
+        .select(col("node").as("b"))
+      val tri = e.join(okMid, "b")
+        .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+        .join(und.select(col("src").as("a"), col("dst").as("c")),
+          Seq("a", "c"), "left_semi")
+      val corners = tri.select(col("a").as("v"))
+        .unionByName(tri.select(col("b").as("v")))
+        .unionByName(tri.select(col("c").as("v")))
+        .distinct().agg(count(lit(1)).as("n_tri_nodes"))
+      val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(nTri))
+        .crossJoin(broadcast(corners))
+        .select(col("n_nodes"), col("n_triangles"), col("n_tri_nodes"),
+          expr("n_tri_nodes * 1000000 DIV n_nodes").as("rate_fp"))
+    }),
+
+    // L57 (r15) — kNN label-consistency audit: for each node, the
+    // majority label among its top-3 neighbors (ties → smallest label,
+    // pinned) vs its OWN label — the standard label-noise screen run
+    // before training on weak labels (a label class whose consistency
+    // collapses is mislabeled or genuinely entangled in embedding
+    // space; cleanlab-style pruning consumes exactly this per-class
+    // rate). Majority is a ≤3-row-per-node window (out-degree bounded
+    // by the kNN construction, so the partition-by-src window is
+    // skew-free at any scale); per-class rollup exact; global row at
+    // label −1. Scale: one edge-label join + one bounded vote window.
+    "knn_label_consistency" -> ((s, d) => {
+      val lab = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("lab"))
+      val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
+        .select(col("src"), col("dst"))
+        .join(lab.select(col("vec_id").as("src"), col("lab").as("own")),
+          "src")
+        .join(lab.select(col("vec_id").as("dst"), col("lab").as("nbr")),
+          "dst")
+      val votes = e.groupBy("src", "own", "nbr")
+        .agg(count(lit(1)).as("c"))
+      val maj = votes.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(col("c").desc, col("nbr"))))
+        .filter(col("rn") === 1)
+        .withColumn("ok", when(col("nbr") === col("own"), 1L)
+          .otherwise(0L))
+      val perClass = maj.groupBy(col("own").as("label"))
+        .agg(count(lit(1)).as("n_nodes"), sum("ok").as("n_consistent"))
+      perClass.unionByName(
+          maj.agg(count(lit(1)).as("n_nodes"),
+            sum("ok").as("n_consistent"))
+            .select(lit(-1L).as("label"), col("n_nodes"),
+              col("n_consistent")))
+        .select(col("label"), col("n_nodes"), col("n_consistent"),
+          expr("n_consistent * 1000000 DIV n_nodes").as("rate_fp"))
+        .orderBy("label")
+    }),
   )
 
   /** Shared oracle CTE chain: knn edges → undirected pairs → degrees →
@@ -532,5 +631,82 @@ object LinkPredOps extends OpGroup {
          |LEFT JOIN ein ON ein.lab = labs.lab
          |CROSS JOIN mm
          |ORDER BY labs.lab""".stripMargin,
+
+    "average_neighbor_degree" ->
+      s"""WITH ${SemiStructuredOps.knnEdgeCtes},
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges
+         |    UNION ALL SELECT dst, src FROM edges) u),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |classes AS (SELECT deg AS k, CAST(count(*) AS BIGINT) AS n_nodes
+         |            FROM deg GROUP BY 1),
+         |nbr AS (
+         |  SELECT ds.deg AS k, CAST(count(*) AS BIGINT) AS n_edges,
+         |         CAST(sum(dd.deg) AS BIGINT) AS s_nbr
+         |  FROM und u
+         |  JOIN deg ds ON ds.node = u.src
+         |  JOIN deg dd ON dd.node = u.dst
+         |  GROUP BY 1)
+         |SELECT c.k, c.n_nodes, n.n_edges,
+         |       CAST(n.s_nbr * 1000000 // n.n_edges AS BIGINT) AS knn_fp
+         |FROM classes c JOIN nbr n ON n.k = c.k
+         |ORDER BY c.k""".stripMargin,
+
+    "triangle_participation_rate" ->
+      s"""WITH ${SemiStructuredOps.knnEdgeCtes},
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges
+         |    UNION ALL SELECT dst, src FROM edges) u),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |e AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+         |tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1
+         |  JOIN deg dm ON dm.node = e1.b AND dm.deg <= $MaxHubDegree
+         |  JOIN e e2 ON e2.a = e1.b
+         |  WHERE EXISTS (SELECT 1 FROM und x
+         |                WHERE x.src = e1.a AND x.dst = e2.b)),
+         |corners AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_tri_nodes FROM (
+         |    SELECT DISTINCT v FROM (
+         |      SELECT a AS v FROM tri
+         |      UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri) q) w),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         |SELECT n_nodes, n_triangles, n_tri_nodes,
+         |       CAST(n_tri_nodes * 1000000 // n_nodes AS BIGINT) AS rate_fp
+         |FROM nn CROSS JOIN nt CROSS JOIN corners""".stripMargin,
+
+    "knn_label_consistency" ->
+      s"""WITH ${SemiStructuredOps.knnEdgeCtes},
+         |el AS (
+         |  SELECT e.src, CAST(la.label AS BIGINT) AS own,
+         |         CAST(lb.label AS BIGINT) AS nbr
+         |  FROM edges e
+         |  JOIN embeddings la ON la.vec_id = e.src
+         |  JOIN embeddings lb ON lb.vec_id = e.dst),
+         |votes AS (SELECT src, own, nbr, CAST(count(*) AS BIGINT) AS c
+         |          FROM el GROUP BY 1, 2, 3),
+         |maj AS (
+         |  SELECT src, own, nbr,
+         |         CASE WHEN nbr = own THEN 1 ELSE 0 END AS ok
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY src
+         |          ORDER BY c DESC, nbr) AS rn FROM votes)
+         |  WHERE rn = 1),
+         |per AS (
+         |  SELECT own AS label, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(ok) AS BIGINT) AS n_consistent
+         |  FROM maj GROUP BY 1
+         |  UNION ALL
+         |  SELECT -1, CAST(count(*) AS BIGINT), CAST(sum(ok) AS BIGINT)
+         |  FROM maj)
+         |SELECT label, n_nodes, n_consistent,
+         |       CAST(n_consistent * 1000000 // n_nodes AS BIGINT) AS rate_fp
+         |FROM per ORDER BY label""".stripMargin,
   )
 }

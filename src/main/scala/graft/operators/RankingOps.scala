@@ -39,8 +39,8 @@ object RankingOps extends OpGroup {
   /** Fixed query-term set for the BM25 exhibit (present in the synthetic
     * corpus vocabulary; a real caller passes their own).
     */
-  private val Bm25Terms = Seq("spark", "join", "window", "vector")
-  private val Bm25InList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+  private[operators] val Bm25Terms = Seq("spark", "join", "window", "vector")
+  private[operators] val Bm25InList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
 
   /** Okapi BM25 (k1=1.2, b=0.75) with the Lucene non-negative idf
     * `ln(1 + (N-df+0.5)/(df+0.5))`, scaled to 1e-6 fixed-point. The SAME
@@ -49,7 +49,7 @@ object RankingOps extends OpGroup {
     * both engines see bit-identical doubles (the tfidf_keywords
     * precedent, SURVEY §5).
     */
-  private val bm25ContribSql =
+  private[operators] val bm25ContribSql =
     """CAST(round(
       |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
       |  ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *

@@ -257,4 +257,36 @@ class GovernanceSpec extends SparkSpec {
       .map(st => (st.sPrev - st.sCur) * (tauExp - st.t)).sum
     assert(rmst === tauExp * 1000000L - loss, "exact integral replay")
   }
+
+  test("dp_laplace_count_release: deterministic inverse-CDF replay; release = n + noise") {
+    val rows = operators.GovernanceOps
+      .queries("dp_laplace_count_release")(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length % 2 === 0, "two eps rows per source")
+    rows.foreach { r =>
+      val (src, eps, b, n, noise, released, within) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6))
+      // driver-side inverse-CDF replay from the same md5 uniform
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp|$src|$eps".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val x2 = 2 * h + 1 - 16777216L
+      val sgn = if (x2 >= 0) 1.0 else -1.0
+      val exp = math.floor(-b.toDouble * sgn *
+        math.log((16777216.0 - math.abs(x2)) / 16777216.0) * 1e6).toLong
+      assert(noise === exp, s"$src/$eps noise replay")
+      assert(released === n * 1000000L + noise, "release is exact once noised")
+      assert(within === (math.abs(noise) <=
+        math.floor(b.toDouble * math.log(200.0) * 1e6).toLong),
+        "Laplace 99.5% tail verdict replays")
+    }
+    // scale law: eps=0.1 noise magnitudes are 10x the eps=1.0 QUANTILE
+    // family (b=10 vs b=1); pointwise hashes differ, so check the mean
+    val m01 = rows.filter(_.getString(1) == "eps_0.1")
+      .map(r => math.abs(r.getLong(4))).sum
+    val m10 = rows.filter(_.getString(1) == "eps_1.0")
+      .map(r => math.abs(r.getLong(4))).sum
+    assert(m01 > m10, "weaker privacy budget => more total noise")
+  }
 }

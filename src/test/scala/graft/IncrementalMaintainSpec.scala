@@ -140,4 +140,41 @@ class IncrementalMaintainSpec extends SparkSpec {
       assert(labels(id) === baseLabels(id), s"untouched doc $id relabeled")
     }
   }
+
+  test("incremental_bm25_maintain: carried postings untouched; additive df replays") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val incP = operators.IncrementalBm25Ops.incIndex(s, sf())
+    val baseP = operators.IncrementalBm25Ops.baseIndex(s, sf())
+    // locality: every carried doc's postings are BIT-IDENTICAL to the
+    // base index — maintenance never rewrites rows it did not retire
+    val batchKeys = Tables.documents(s, sf())
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select("doc_id")
+    val carriedBase = s.read.parquet(baseP)
+      .join(batchKeys, Seq("doc_id"), "left_anti")
+    val carriedInc = s.read.parquet(incP)
+      .filter(col("doc_id") < 1000000000L && col("doc_id") % 10 =!= 3)
+    assert(carriedBase.count() === carriedInc.count())
+    assert(carriedBase.join(carriedInc, Seq("doc_id", "w", "tf"))
+      .count() === carriedBase.count(), "carried postings bit-identical")
+    // additive df law: maintained df == recount over maintained postings
+    val recount = s.read.parquet(incP).groupBy("w")
+      .agg(count(lit(1)).as("df2"))
+    val dfI = s.read.parquet(s"$incP.df")
+    assert(dfI.count() === recount.count())
+    assert(dfI.join(recount, "w").filter(col("df") === col("df2"))
+      .count() === dfI.count(), "additive df equals full recount")
+    // the audit's own laws, replayed off the query output
+    val rows = operators.IncrementalBm25Ops
+      .queries("incremental_bm25_maintain")(s, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    rows.foreach { case (cls, (n, nr, ne)) =>
+      if (cls == "retired_delete") assert(nr === 0L && ne === 0L, cls)
+      else assert(n === nr && nr === ne, s"$cls parity broken: $n/$nr/$ne")
+    }
+    assert(rows("topk_parity") === ((10L, 10L, 10L)),
+      "consumer-visible BM25 top-10 identical on maintained vs rebuild")
+  }
 }

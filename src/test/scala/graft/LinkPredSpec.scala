@@ -239,4 +239,46 @@ class LinkPredSpec extends SparkSpec {
       assert(r.getLong(2) <= 1 && r.getLong(3) <= 9 && r.getLong(4) <= 27)
     }
   }
+
+  test("average_neighbor_degree: n_edges(k) = k·n_nodes(k); knn bounded by max degree") {
+    val rows = operators.LinkPredOps
+      .queries("average_neighbor_degree")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val maxK = rows.map(_.getLong(0)).max
+    rows.foreach { r =>
+      val (k, nNodes, nEdges, knn) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nEdges === k * nNodes,
+        "every degree-k node contributes exactly k directed edges")
+      assert(knn >= 1000000L && knn <= maxK * 1000000L,
+        "mean neighbor degree lives in [1, max degree]")
+    }
+  }
+
+  test("triangle_participation_rate: corner count bounded by 3·triangles and node count") {
+    val Array(r) = operators.LinkPredOps
+      .queries("triangle_participation_rate")(spark, sf()).collect()
+    val (n, tri, corners, rate) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(corners <= n && corners <= 3 * tri,
+      "each triangle contributes at most 3 distinct corners")
+    assert((tri > 0) === (corners >= 3), "triangles imply >= 3 corners")
+    assert(rate === corners * 1000000L / n, "rate is the exact ratio")
+  }
+
+  test("knn_label_consistency: classes partition the node set; global row folds them") {
+    val rows = operators.LinkPredOps
+      .queries("knn_label_consistency")(spark, sf()).collect()
+    val global = rows.filter(_.getLong(0) == -1L)
+    assert(global.length === 1)
+    val per = rows.filter(_.getLong(0) >= 0L)
+    assert(per.map(_.getLong(1)).sum === global.head.getLong(1),
+      "per-class node counts partition the voted node set")
+    assert(per.map(_.getLong(2)).sum === global.head.getLong(2),
+      "per-class consistent counts fold into the global row")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "consistent <= nodes")
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
 }
