@@ -119,11 +119,81 @@ object AuditOps extends OpGroup {
         .withColumn("is_cross_split", col("split_1") =!= col("split_2"))
         .orderBy("split_1", "split_2")
     }),
+
+    // A4 (r15) — hash-uniformity audit: χ² goodness-of-fit of the first
+    // md5 byte of doc_id against uniform over the full 0..255 spine —
+    // the audit UNDER every content-derived decision this repo makes
+    // (hash_sample_stratified's nibble thresholds, train_val_test_split,
+    // mixture_weighted_resample, dp_laplace's uniform, shard keys): all
+    // of them assume md5 output is uniform on the fixture's key space;
+    // this query MEASURES it. Empty cells contribute their full
+    // (0−E)²/E mass via the spine left-join (the chi2 grid rule). PURE
+    // integer χ²: with E = n/256, Σ(O−E)²/E = Σ(256·O − n)²/(256·n) —
+    // exact DECIMAL(38,0) folds, one 1e6 floor division; the normal
+    // z-approximation (χ²−dof)/√(2·dof) is ONE shared-text IEEE leaf,
+    // with the |z| ≤ 3 verdict a consumer-visible boolean. Scale: one
+    // map-side 256-cell count; the spine is a literal sequence.
+    "hash_uniformity_audit" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+          .as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("o"))
+      val spine = s.range(0, 256).select(col("id").as("cell"))
+      val grid = spine.join(cells, Seq("cell"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      grid.crossJoin(broadcast(grid.agg(sum("o").as("n"))))
+        .agg(max("n").as("n"),
+          sum(when(col("o") > 0, 1L).otherwise(0L)).as("n_cells_hit"),
+          sum(expr(
+            """CAST(256 * o - n AS DECIMAL(38,0)) * (256 * o - n)"""))
+            .as("q"))
+        .filter(col("n") > 0)
+        .withColumn("chi2_fp",
+          expr("CAST(q * 1000000 DIV (256 * CAST(n AS DECIMAL(38,0)))" +
+            " AS BIGINT)"))
+        .select(col("n"), col("n_cells_hit"), col("chi2_fp"),
+          lit(255L).as("dof"),
+          expr("""CAST(FLOOR((CAST(chi2_fp AS DOUBLE) / 1000000.0 - 255.0)
+                 | / sqrt(510.0) * 1000000.0) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("z_fp"))
+        .withColumn("uniform_ok", abs(col("z_fp")) <= lit(3000000L))
+    }),
   )
 
   // `def`: the leakage oracle embeds the session's persisted minhash
   // layout path (Verify runs every query before dumping oracle SQL)
   def oracleSql: Map[String, String] = Map(
+    "hash_uniformity_audit" ->
+      """WITH cells AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |           1, 2)) AS BIGINT) AS cell,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1),
+        |grid AS (
+        |  SELECT s.cell, COALESCE(c.o, 0) AS o
+        |  FROM (SELECT unnest(range(0, 256)) AS cell) s
+        |  LEFT JOIN cells c ON c.cell = s.cell),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM grid),
+        |agg AS (
+        |  SELECT max(n) AS n,
+        |         CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_cells_hit,
+        |         sum(CAST(256 * o - n AS HUGEINT) * (256 * o - n)) AS q
+        |  FROM grid CROSS JOIN tot),
+        |c2 AS (
+        |  SELECT n, n_cells_hit,
+        |         CAST(q * 1000000 // (256 * CAST(n AS HUGEINT)) AS BIGINT)
+        |           AS chi2_fp
+        |  FROM agg WHERE n > 0)
+        |SELECT n, n_cells_hit, chi2_fp, CAST(255 AS BIGINT) AS dof,
+        |       CAST(FLOOR((CAST(chi2_fp AS DOUBLE) / 1000000.0 - 255.0)
+        |         / sqrt(510.0) * 1000000.0) AS BIGINT) AS z_fp,
+        |       abs(CAST(FLOOR((CAST(chi2_fp AS DOUBLE) / 1000000.0 - 255.0)
+        |         / sqrt(510.0) * 1000000.0) AS BIGINT)) <= 3000000
+        |         AS uniform_ok
+        |FROM c2""".stripMargin,
+
     "countmin_heavy_hitters" ->
       s"""WITH wc AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS c

@@ -61,6 +61,16 @@ object CorpusEvalOps extends OpGroup {
   private def truncDivDuck(a: String, b: String) =
     s"CAST(CASE WHEN $a < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END AS BIGINT)"
 
+  /** 2·SE MinHash-estimator bound 2·√(J(1−J)/k) in 1e-6 fixed point,
+    * spelled over the exact (inter, un) integers so both engines build
+    * identical doubles: √(inter·(un−inter)/k)·2/un. J ∈ {0, 1} ⇒ SE 0
+    * (the estimator must be exact there — within iff err = 0).
+    */
+  private val mhBoundSql =
+    s"""CAST(FLOOR(2.0 * sqrt(CAST(inter AS DOUBLE) * (un - inter)
+       | / ${LlmOps.MinHashes}.0) / un * 1000000.0) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Burrows' Delta stylometry (r12, Burrows 2002): pairwise style
     // distance between sources = mean |z_a − z_b| over the top-K
@@ -146,6 +156,67 @@ object CorpusEvalOps extends OpGroup {
             "ELSE n_hit * 1000000 DIV n_cand END").as("precision_fp"),
           expr("CASE WHEN n_truth = 0 THEN NULL " +
             "ELSE n_hit * 1000000 DIV n_truth END").as("recall_fp"))
+    }),
+
+    // C25 (r15) — MinHash estimator CALIBRATION (Broder 1997): the
+    // candidate-quality row above answers "does banding find the true
+    // pairs"; this one answers "is the ESTIMATE itself honest" — per
+    // exact-Jaccard decile, the measured |est − J| of the k=16-slot
+    // estimator and the fraction of pairs inside the 2·SE theory bound
+    // (Var[est] = J(1−J)/k for k independent permutations ⇒ ~95%
+    // coverage when the estimator is unbiased). A calibration decile
+    // drifting out of bound means the hash family is correlated or the
+    // slot count too small for the operating range — the number that
+    // justifies (or indicts) every est_jaccard the dedup family emits.
+    // Exactness: est_fp and j_fp are exact integer ratios; the 2·SE
+    // bound is ONE shared-text IEEE leaf over exact (inter, un); the
+    // candidate pair with NO shared shingles (possible in principle
+    // via band-hash collisions) reads inter = 0 via the LEFT join.
+    // Scale: candidates come from the persisted layout's banded join
+    // (bucket-capped, never all-pairs); the exact-J truth is computed
+    // ONLY over candidate-touched docs (a semi-join restriction), so
+    // its inverted-index cost is candidate-bounded, not corpus-bounded.
+    "minhash_estimator_calibration" -> ((s, d) => {
+      val cand = graft.functions.TextSim
+        .signatureBandPairs(s.read.parquet(LlmOps.minhashLayout(s, d)),
+          numBands = LlmOps.MinHashBands,
+          rowsPerBand = LlmOps.MinHashRowsPerBand)
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sample = Tables.documents(s, d)
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("shs",
+          array_distinct(graft.functions.TextSim.shingles("ws", 3)))
+      val tok = sample.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val sized = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val scored = cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .join(sized.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(sized.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .withColumn("un", expr("na + nb - inter"))
+        .withColumn("est_fp", expr(
+          s"CAST(n_match AS BIGINT) * 1000000 DIV ${LlmOps.MinHashes}"))
+        .withColumn("j_fp", expr("inter * 1000000 DIV un"))
+        .withColumn("abs_err", expr("abs(est_fp - j_fp)"))
+        .withColumn("bound_fp", expr(mhBoundSql))
+        .withColumn("decile", expr("least(j_fp DIV 100000, 9L)"))
+      scored.groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"), sum("abs_err").as("sum_err"),
+          sum(when(col("abs_err") <= col("bound_fp"), 1L).otherwise(0L))
+            .as("n_within_2se"))
+        .select(col("decile"), col("n_pairs"),
+          expr("sum_err DIV n_pairs").as("mean_abs_err_fp"),
+          col("n_within_2se"),
+          expr("n_within_2se * 1000000 DIV n_pairs").as("within_rate_fp"))
+        .orderBy("decile")
     }),
 
     // Stupid-backoff bigram log-probability of the eval split
@@ -485,6 +556,57 @@ object CorpusEvalOps extends OpGroup {
          |            ELSE n_hit * 1000000 // n_truth END AS BIGINT)
          |         AS recall_fp
          |FROM agg""".stripMargin,
+
+    // same banded-candidate CTE + the sample shingle truth, scored per
+    // pair with the identical 2·SE leaf, rolled up per exact-J decile
+    "minhash_estimator_calibration" ->
+      s"""WITH ${graft.functions.TextSim.signatureBandPairsDuck(
+              LlmOps.minhashLayoutCache.lastPath, numHashes = LlmOps.MinHashes,
+              numBands = LlmOps.MinHashBands,
+              rowsPerBand = LlmOps.MinHashRowsPerBand)},
+         |cdocs AS (
+         |  SELECT doc_a AS doc_id FROM m
+         |  UNION SELECT doc_b FROM m),
+         |sample AS (
+         |  SELECT d.doc_id, string_split(d.text, ' ') AS ws
+         |  FROM documents d JOIN cdocs USING (doc_id)),
+         |shs AS (
+         |  SELECT DISTINCT doc_id,
+         |         array_to_string(ws[CAST(t.i + 1 AS INTEGER)
+         |           : CAST(t.i + 3 AS INTEGER)], ' ') AS sh
+         |  FROM sample CROSS JOIN range(0, 8193) t(i)
+         |  WHERE t.i <= greatest(len(ws) - 3, 0)),
+         |sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM shs GROUP BY 1),
+         |ints AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT m.n_match, COALESCE(i.inter, 0) AS inter,
+         |         za.n + zb.n - COALESCE(i.inter, 0) AS un
+         |  FROM m
+         |  JOIN sized za ON za.doc_id = m.doc_a
+         |  JOIN sized zb ON zb.doc_id = m.doc_b
+         |  LEFT JOIN ints i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b),
+         |rows_ AS (
+         |  SELECT least(inter * 1000000 // un, 999999) // 100000
+         |           AS decile,
+         |         abs(CAST(n_match AS BIGINT) * 1000000
+         |             // ${LlmOps.MinHashes}
+         |           - inter * 1000000 // un) AS abs_err,
+         |         $mhBoundSql AS bound_fp
+         |  FROM scored)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(abs_err) // count(*) AS BIGINT)
+         |         AS mean_abs_err_fp,
+         |       CAST(sum(CASE WHEN abs_err <= bound_fp THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_within_2se,
+         |       CAST(sum(CASE WHEN abs_err <= bound_fp THEN 1 ELSE 0 END)
+         |         * 1000000 // count(*) AS BIGINT) AS within_rate_fp
+         |FROM rows_ GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stupid_backoff_logprob" ->
       s"""WITH bi AS (

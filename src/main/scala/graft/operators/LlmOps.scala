@@ -47,9 +47,9 @@ object LlmOps extends OpGroup {
     * parameter below derives from these (a band-layout change is a
     * one-line edit, not four coordinated literals).
     */
-  private[operators] val MinHashes = 16
-  private[operators] val MinHashBands = 4
-  private[operators] val MinHashRowsPerBand = MinHashes / MinHashBands
+  private[graft] val MinHashes = 16
+  private[graft] val MinHashBands = 4
+  private[graft] val MinHashRowsPerBand = MinHashes / MinHashBands
   private[operators] val MinHashDupSlots = MinHashes / 2 // est_jaccard ≥ 0.5
 
   private[graft] def minhashLayout(s: SparkSession, d: String): String =

@@ -74,4 +74,29 @@ class AuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("hash_uniformity_audit: exact chi2 replay from driver-side md5; z leaf pinned") {
+    val Array(r) = operators.AuditOps
+      .queries("hash_uniformity_audit")(spark, sf()).collect()
+    val (n, hit, chi2, dof, z, ok) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    // driver-side replay: first md5 byte of every doc_id
+    val ids = Tables.documents(spark, sf()).select("doc_id")
+      .collect().map(_.getLong(0))
+    val counts = new Array[Long](256)
+    ids.foreach { id =>
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))(0) & 0xff
+      counts(b) += 1
+    }
+    assert(n === ids.length.toLong)
+    assert(hit === counts.count(_ > 0).toLong)
+    val q = counts.map(o => BigInt(256 * o - n).pow(2)).sum
+    assert(BigInt(chi2) === q * 1000000 / (256 * BigInt(n)),
+      "pure-integer chi2 replay")
+    assert(dof === 255L)
+    assert(z === math.floor((chi2.toDouble / 1e6 - 255.0) /
+      math.sqrt(510.0) * 1e6).toLong, "z leaf replay")
+    assert(ok === (math.abs(z) <= 3000000L))
+  }
 }

@@ -177,4 +177,24 @@ class CorpusEvalSpec extends SparkSpec {
     assert(rows("1_exact")._1 + rows("2_near_dup")._1 +
       rows("3_kept")._2 === n, "stages partition the corpus")
   }
+
+  test("minhash_estimator_calibration: deciles bounded; rates exact; pairs = candidate count") {
+    val rows = operators.CorpusEvalOps
+      .queries("minhash_estimator_calibration")(spark, sf()).collect()
+    assert(rows.nonEmpty, "the fixture has banded candidates")
+    rows.foreach { r =>
+      val (dec, n, err, nw, rate) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dec >= 0L && dec <= 9L)
+      assert(nw <= n && rate === nw * 1000000L / n)
+      assert(err >= 0L && err <= 1000000L, "|est - J| is a probability gap")
+    }
+    // the calibration covers EVERY banded candidate pair exactly once
+    val nCand = graft.functions.TextSim.signatureBandPairs(
+      spark.read.parquet(operators.LlmOps.minhashLayout(spark, sf())),
+      numBands = operators.LlmOps.MinHashBands,
+      rowsPerBand = operators.LlmOps.MinHashRowsPerBand).count()
+    assert(rows.map(_.getLong(1)).sum === nCand,
+      "decile pair counts partition the candidate set")
+  }
 }
