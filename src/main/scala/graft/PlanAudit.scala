@@ -286,6 +286,34 @@ import org.apache.spark.sql.SparkSession
   *     (localCheckpoint-pinned); the exchanged relations are the 1-row
   *     day-count scalar, the ≤|days|-row rank table (GlobalRank's
   *     measured path), and the 1-row report.
+  *   - `von_neumann_ratio_daily` (r15) — many SinglePartition: the
+  *     daily scalar-stitch class — the exchanged relations are the
+  *     1-row Σd² fold and the 1-row (n, Σx, Σx²) moments crossed into
+  *     the ONE-row report; the only corpus-sized pass is the map-side
+  *     daily aggregate.
+  *   - `triangle_participation_rate` (r15) — many SinglePartition:
+  *     scalar-stitch — the exchanged relations are the three 1-row
+  *     counts (nodes, triangles, corners); the wedge and closure joins
+  *     are distributed equi-joins with the middle-vertex hub cap.
+  *   - `hash_uniformity_audit` (r15) — many SinglePartition:
+  *     scalar-stitch — the exchanged relations are the 256-cell grid,
+  *     its 1-row total, and the 1-row χ² report; the corpus pass is
+  *     ONE map-side-combinable 256-cell count.
+  *   - `hll_count_rollup` (r15 graduation) — many SinglePartition:
+  *     scalar-stitch — the ε-verdict companion unions the
+  *     |nations|-bounded sketch rollup with a 1-row global aggregate;
+  *     each exchanged relation is nation-enum- or 1-row-bounded and
+  *     the corpus pass is the map-side sketch fold.
+  *   - `bloom_dedup_crossover_plan` (r15) — many SinglePartition:
+  *     scalar-stitch — two 1-row metadata counts (parquet footers)
+  *     crossed onto the 4-row fresh-ratio grid; no corpus pass at all.
+  *   - `incremental_ivf_maintain` / `incremental_bm25_maintain` (r15)
+  *     — many SinglePartition (+ partition-less Window for bm25): the
+  *     incremental_neardup_maintain class — the parity rows cross
+  *     three 1-row counts each by broadcast; the per-class rollups are
+  *     map-side-combinable groupBys over the layouts; bm25's two
+  *     windows are the bm25_topk class (rank AFTER TakeOrdered has
+  *     reduced each side to ≤10 rows).
   */
 object PlanAudit {
 
@@ -339,7 +367,10 @@ object PlanAudit {
       "supplier_share_shift", "table_checksum_rollup", "theil_u2_forecast",
       "weibull_latency_fit", "cox_stuart_trend", "dixon_q_outlier",
       "newsvendor_order_level", "page_hinkley_drift",
-      "variance_ratio_weekly", "dedup_cascade_audit") ++
+      "variance_ratio_weekly", "dedup_cascade_audit",
+      "von_neumann_ratio_daily", "triangle_participation_rate",
+      "hash_uniformity_audit", "hll_count_rollup",
+      "bloom_dedup_crossover_plan", "incremental_ivf_maintain") ++
       cls("bounded-model-state")(
         "embedding_pca_power_iter", "quantile_sketch_merge",
         "psi_value_drift", "kneedle_cell_elbow", "split_conformal_interval") ++
@@ -347,7 +378,7 @@ object PlanAudit {
         "bm25_topk", "heaps_law_vocab_growth", "rrf_rank_fusion") ++
       cls("bounded-window + scalar-stitch")(
         "hybrid_retrieval_rerank", "gini_split_stump",
-        "proportional_quota_fill") ++
+        "proportional_quota_fill", "incremental_bm25_maintain") ++
       cls("bounded-pair-grid")("gamma_somers_priority_qty") ++
       cls("bloom-bitset")("bloom_prefilter_dedup")).toMap
   }
