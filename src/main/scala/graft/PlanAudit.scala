@@ -307,6 +307,10 @@ import org.apache.spark.sql.SparkSession
   *   - `bloom_dedup_crossover_plan` (r15) — many SinglePartition:
   *     scalar-stitch — two 1-row metadata counts (parquet footers)
   *     crossed onto the 4-row fresh-ratio grid; no corpus pass at all.
+  *   - `right_to_erasure_audit` (r15) — many SinglePartition:
+  *     scalar-stitch — each of the four layout rows crosses a 1-row
+  *     delete-key count with a 1-row residual count; the probes are
+  *     distributed broadcast semi-joins over the layouts.
   *   - `incremental_ivf_maintain` / `incremental_bm25_maintain` (r15)
   *     — many SinglePartition (+ partition-less Window for bm25): the
   *     incremental_neardup_maintain class — the parity rows cross
@@ -370,7 +374,8 @@ object PlanAudit {
       "variance_ratio_weekly", "dedup_cascade_audit",
       "von_neumann_ratio_daily", "triangle_participation_rate",
       "hash_uniformity_audit", "hll_count_rollup",
-      "bloom_dedup_crossover_plan", "incremental_ivf_maintain") ++
+      "bloom_dedup_crossover_plan", "incremental_ivf_maintain",
+      "right_to_erasure_audit") ++
       cls("bounded-model-state")(
         "embedding_pca_power_iter", "quantile_sketch_merge",
         "psi_value_drift", "kneedle_cell_elbow", "split_conformal_interval") ++

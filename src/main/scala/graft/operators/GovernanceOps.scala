@@ -560,9 +560,53 @@ object GovernanceOps extends OpGroup {
             .stripMargin.replace("\n", " ")).as("within_995"))
         .orderBy("source", "eps_label")
     }),
+
+    // Z17 (r15) — right-to-erasure audit: the GDPR Art. 17 check a
+    // publisher runs after a delete batch — every key in the CDC
+    // delete set (the incremental-maintenance families' shared rule:
+    // doc_id % 10 = 7, vec_id % 10 = 7) must be ABSENT from every
+    // maintained serving layout, not just the primary table. Audits
+    // all four: the MinHash signature layout, the BM25 postings and
+    // doc-length sidecar, and the IVF/PQ serving rows — each row
+    // reads (layout, n_deleted_keys, n_residual, clean) and every
+    // clean must be TRUE; a single residual row is a compliance leak
+    // the erasure pipeline missed. Scale: each probe is a broadcast
+    // semi-join of the batch-sized delete key set against a layout
+    // scan (key-partitioned layouts ⇒ partition-pruned reads); output
+    // is 4 rows.
+    "right_to_erasure_audit" -> ((s, d) => {
+      val delDocs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 7).select("doc_id")
+      val delVecs = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 10 === 7).select("vec_id")
+      def row(name: String, layout: DataFrame, keyCol: String,
+          del: DataFrame): DataFrame = {
+        val delK = del.withColumnRenamed(del.columns.head, keyCol)
+        del.agg(count(lit(1)).as("n_deleted_keys"))
+          .crossJoin(broadcast(
+            layout.join(broadcast(delK), Seq(keyCol), "left_semi")
+              .agg(count(lit(1)).as("n_residual"))))
+          .select(lit(name).as("layout"), col("n_deleted_keys"),
+            col("n_residual"), (col("n_residual") === 0).as("clean"))
+      }
+      row("1_minhash_signatures",
+          s.read.parquet(IncrementalMaintainOps.incLayout(s, d)),
+          "doc_id", delDocs)
+        .unionByName(row("2_bm25_postings",
+          s.read.parquet(IncrementalBm25Ops.incIndex(s, d)),
+          "doc_id", delDocs))
+        .unionByName(row("3_bm25_doclen",
+          s.read.parquet(s"${IncrementalBm25Ops.incIndex(s, d)}.dl"),
+          "doc_id", delDocs))
+        .unionByName(row("4_ivf_serving",
+          s.read.parquet(IncrementalIvfOps.incServing(s, d))
+            .select("vec_id"), "vec_id", delVecs))
+        .orderBy("layout")
+    }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  // `def`: the erasure oracle embeds session-materialized layout paths
+  def oracleSql: Map[String, String] = Map(
     "t_closeness_audit" ->
       s"""WITH cell AS (
          |  SELECT c_nationkey AS nk,
@@ -939,5 +983,48 @@ object GovernanceOps extends OpGroup {
         |       abs(noise_fp) <= CAST(FLOOR(CAST(b AS DOUBLE)
         |         * ln(200.0) * 1000000.0) AS BIGINT) AS within_995
         |FROM rel ORDER BY source, eps_label""".stripMargin,
+  ) ++ erasureOracle
+
+  /** `def`-built so the lastPath of every audited layout is resolved
+    * AFTER the queries have materialized them (the Layout contract).
+    */
+  private def erasureOracle: Map[String, String] = Map(
+    "right_to_erasure_audit" ->
+      s"""WITH deld AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |delv AS (
+         |  SELECT vec_id FROM embeddings WHERE vec_id % 10 = 7),
+         |rows_ AS (
+         |  SELECT '1_minhash_signatures' AS layout,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM deld) AS n_deleted_keys,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM read_parquet(
+         |       '${IncrementalMaintainOps.incCache.lastPath}/*.parquet') l
+         |     JOIN deld k ON l.doc_id = k.doc_id) AS n_residual
+         |  UNION ALL
+         |  SELECT '2_bm25_postings',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM deld),
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM read_parquet(
+         |       '${IncrementalBm25Ops.incCache.lastPath}/*.parquet') l
+         |     JOIN deld k ON l.doc_id = k.doc_id)
+         |  UNION ALL
+         |  SELECT '3_bm25_doclen',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM deld),
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM read_parquet(
+         |       '${IncrementalBm25Ops.incCache.lastPath}.dl/*.parquet') l
+         |     JOIN deld k ON l.doc_id = k.doc_id)
+         |  UNION ALL
+         |  SELECT '4_ivf_serving',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM delv),
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM read_parquet(
+         |       '${IncrementalIvfOps.incCache.lastPath}/cell=*/*.parquet',
+         |       hive_partitioning=1) l
+         |     JOIN delv k ON l.vec_id = k.vec_id))
+         |SELECT layout, n_deleted_keys, n_residual,
+         |       n_residual = 0 AS clean
+         |FROM rows_ ORDER BY layout""".stripMargin,
   )
 }

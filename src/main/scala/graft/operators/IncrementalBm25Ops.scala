@@ -93,7 +93,7 @@ object IncrementalBm25Ops extends OpGroup {
   /** Incrementally-maintained index: anti-join retires + batch appends
     * + additive df/stat folds (exposed for LawsSpec-style reuse).
     */
-  private val incCache = new graft.Layout("graft_bm25_inc")
+  private[operators] val incCache = new graft.Layout("graft_bm25_inc")
 
   private[graft] def incIndex(s: SparkSession, d: String): String =
     incCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>

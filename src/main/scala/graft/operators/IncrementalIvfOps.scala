@@ -168,7 +168,7 @@ object IncrementalIvfOps extends OpGroup {
   /** Incrementally-maintained serving layout + additively-maintained
     * cell stats.
     */
-  private val incCache = new graft.Layout("graft_ivfserve_inc")
+  private[operators] val incCache = new graft.Layout("graft_ivfserve_inc")
 
   private[graft] def incServing(s: SparkSession, d: String): String =
     incCache(s, d,

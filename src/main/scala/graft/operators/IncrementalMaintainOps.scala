@@ -165,7 +165,7 @@ object IncrementalMaintainOps extends OpGroup {
     * keys plus fresh batch signatures — the batch is the only text that
     * is ever re-shingled.
     */
-  private val incCache = new graft.Layout("graft_minhash_inc")
+  private[operators] val incCache = new graft.Layout("graft_minhash_inc")
 
   private[graft] def incLayout(s: SparkSession, d: String): String =
     incCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>

@@ -289,4 +289,24 @@ class GovernanceSpec extends SparkSpec {
       .map(r => math.abs(r.getLong(4))).sum
     assert(m01 > m10, "weaker privacy budget => more total noise")
   }
+
+  test("right_to_erasure_audit: every maintained layout is clean of the delete set") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.GovernanceOps
+      .queries("right_to_erasure_audit")(spark, sf()).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("1_minhash_signatures",
+      "2_bm25_postings", "3_bm25_doclen", "4_ivf_serving"),
+      "all four serving layouts audited")
+    val nDocDel = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 10 === 7).count()
+    val nVecDel = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") % 10 === 7).count()
+    rows.foreach { r =>
+      val expected =
+        if (r.getString(0) == "4_ivf_serving") nVecDel else nDocDel
+      assert(r.getLong(1) === expected, s"${r.getString(0)} key count")
+      assert(r.getLong(2) === 0L && r.getBoolean(3),
+        s"${r.getString(0)} must be clean — a residual row is a leak")
+    }
+  }
 }
