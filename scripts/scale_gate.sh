@@ -41,6 +41,14 @@ BENCH_GATE_RETRIES=${BENCH_GATE_RETRIES:-3}
 # "is anything super-linear" with no curated-list archaeology. The
 # sf0.1 full pass is ordered LAST so the bench_full.json it writes is
 # the same full-suite sf0.1 artifact the round commits.
+# Snapshot the PREVIOUS round's committed bench_full.json before the
+# sf0.01 leg overwrites it (r16, VERDICT r15 ask #2): the sf0.1 leg's
+# rising-triple gate compares each rising triple's min against these
+# sf-matched prior figures — BenchGate drops the priors itself if the
+# snapshot's sf doesn't match the leg being run.
+PRIOR=/tmp/scale_gate_prior_bench.json
+if [ -f bench_full.json ]; then cp bench_full.json "$PRIOR"; else PRIOR=""; fi
+
 run_bench() { # $1 = sf dir name
   local sf=$1
   echo "== Bench at $sf (cpus=$CPUS): $QUERIES =="
@@ -49,7 +57,8 @@ run_bench() { # $1 = sf dir name
   # closes the pipe while Bench is still printing its duplicate JSON
   # line, and pipefail turns that SIGPIPE into exit 141
   SPARK_GRAFT_SF_DIR=/root/testdata/$sf SPARK_GRAFT_ONLY=$ONLY \
-    SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Bench" 2>/dev/null \
+    SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_PRIOR_BENCH=$PRIOR \
+    sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep '{"metric"' > /tmp/scale_gate_all_$sf.json
   head -1 /tmp/scale_gate_all_$sf.json > /tmp/scale_gate_$sf.json
 }
@@ -60,7 +69,7 @@ while true; do
   run_bench sf0.1
   # the gate only applies to FULL-suite runs (anchors assume the full
   # artifact); targeted iteration runs skip it
-  if [ "$QUERIES" != "ALL" ] || scripts/bench_gate.sh bench_full.json; then
+  if [ "$QUERIES" != "ALL" ] || scripts/bench_gate.sh bench_full.json "$PRIOR"; then
     break
   fi
   if [ "$attempt" -ge "$BENCH_GATE_RETRIES" ]; then
@@ -73,8 +82,28 @@ while true; do
        "re-running the sf0.1 leg" >&2
 done
 if [ -n "$BENCH_OUT" ] && [ "$QUERIES" = "ALL" ]; then
-  cp bench_full.json "$BENCH_OUT"
-  echo "bench artifact (same run as the scale gate) -> $BENCH_OUT"
+  # One round, ONE quotable artifact (r16, VERDICT r15 ask #8): never
+  # clobber an existing gate-pass artifact with a gate-reject run — the
+  # reject lands beside it as *_rerun.json so the filesystem alone says
+  # which number is quotable.
+  python3 - bench_full.json "$BENCH_OUT" <<'PYEOF'
+import json, shutil, sys
+src, dst = sys.argv[1], sys.argv[2]
+new = json.load(open(src))
+try:
+    old = json.load(open(dst))
+except Exception:
+    old = None
+if new.get("gate") == "reject" and old is not None \
+        and old.get("gate") == "pass":
+    alt = dst.replace(".json", "_rerun.json")
+    shutil.copyfile(src, alt)
+    print(f"bench artifact: REFUSED to overwrite gate-pass {dst} with a "
+          f"gate-reject run -> {alt}")
+else:
+    shutil.copyfile(src, dst)
+    print(f"bench artifact (same run as the scale gate) -> {dst}")
+PYEOF
 fi
 
 python3 - "$OUT" "$THRESHOLD" <<'EOF'

@@ -86,9 +86,20 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 25) { sinceGc = 0; System.gc() }
     }
+    // The suite's heaviest keys get a FULL shed (unpersist + GC) right
+    // before their warm run (r16, VERDICT r15 ask #4): BENCH_ISOLATED
+    // showed dup_span_detect running up to 1.69x its own-JVM cost
+    // in-suite — accumulated heap/block pressure from the ~500 queries
+    // before it, not a plan defect. Forcing the GC turn for these keys
+    // costs ~100 ms each and buys back whole seconds of measurement
+    // honesty on the keys that dominate the headline.
+    val heavyKeys = Set("dup_span_detect", "graph_modularity_labels",
+      "chatterjee_xi_corr", "triangle_participation_rate",
+      "incremental_bm25_maintain", "knn_graph_topk")
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Seq[Double] = {
+      if (heavyKeys(name)) sinceGc = 25
       shedState()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -119,25 +130,22 @@ object Bench {
     // re-verifier):
     //   - SANITY ANCHORS: stable-cost queries must come in under ~2x
     //     their cross-round isolated truth; a breach means shared-VM load.
-    //   - NO RISING TRIPLES: a strictly rising (r1, r2, r3) with spread
-    //     > 2x means contention grew DURING the measurement.
-    val anchors = Map(
-      "group_hash_agg" -> 0.3,
-      "kneser_ney_continuation" -> 1.0,
-      "scan_orc_roundtrip" -> 1.0,
-      "posexplode_tracknum" -> 1.0,
-      "hurst_rs_daily" -> 1.0)
+    //   - RISING TRIPLES (r16, VERDICT r15 ask #2): a strictly rising
+    //     (r1, r2, r3) is a VIOLATION only when the triple's MIN — the
+    //     quoted stat — also regressed past 1.5x the prior round's
+    //     committed figure; a run-3 spike that leaves min-of-3 untouched
+    //     is recorded as a NOTE, never a rejection (the r15 false-reject:
+    //     rich_club_knn [0.780, 0.780, 1.847] unquotified a 501-query
+    //     artifact while the quoted 0.78 was clean). Rules + the prior
+    //     loader live in graft.BenchGate so BenchGateSpec can pin both
+    //     directions: spike-run-3 passes, genuine-inflation rejects.
+    val priors = BenchGate.loadPriors(
+      sys.env.getOrElse("SPARK_GRAFT_PRIOR_BENCH", "bench_full.json"), sfDir)
+    if (priors.isEmpty)
+      System.err.println("[bench] no sf-matched prior artifact - rising " +
+        "triples downgrade to notes")
     def violations(rs: Iterable[(String, Seq[Double])]): Seq[String] =
-      rs.flatMap { case (name, runs) =>
-        val anchor = anchors.get(name)
-          .filter(cap => runs.nonEmpty && runs.min > cap)
-          .map(cap => f"ANCHOR $name: ${runs.min}%.3fs > ${cap}s")
-        val rising = Option.when(runs.size >= 3 &&
-            runs.sliding(2).forall(p => p.head < p.last) &&
-            runs.max > 2.0 * math.max(runs.min, 0.05))(
-          s"RISING $name: runs ${runs.map(r => f"$r%.3f").mkString("[", ",", "]")}")
-        anchor.toSeq ++ rising
-      }.toSeq
+      BenchGate.check(rs, priors).violations
     val maxRetryPasses = 3
     var pass = 0
     var gateViolations = violations(allRuns)
@@ -163,11 +171,14 @@ object Bench {
     if (failedQs.nonEmpty)
       gateViolations = gateViolations :+
         s"FAILED QUERIES: ${failedQs.mkString(",")}"
+    val gateNotes = BenchGate.check(allRuns, priors).notes
     val gate = if (gateViolations.isEmpty) "pass" else "reject"
     val gateJson = {
-      val vs = gateViolations.map(v => "\"" + v.replace("\"", "'") + "\"")
-        .mkString("[", ",", "]")
-      s""""gate":"$gate","gate_retry_passes":$pass,"gate_violations":$vs"""
+      def arr(xs: Seq[String]) = xs
+        .map(v => "\"" + v.replace("\"", "'") + "\"").mkString("[", ",", "]")
+      s""""gate":"$gate","gate_retry_passes":$pass,""" +
+        s""""gate_violations":${arr(gateViolations)},""" +
+        s""""gate_notes":${arr(gateNotes)}"""
     }
     val results = allRuns.map { case (name, runs) => name -> runs.min }
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -185,7 +196,7 @@ object Bench {
         s""""$k":[${rs.map(r => f"$r%.3f").mkString(",")}]"""
       }.mkString("{", ",", "}")
       val failedJson = failedQs.map(k => s""""$k"""").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failedQs.size},"failed":$failedJson,$gateJson,"method":"state-shed between queries + untimed warm pass + min of $timedRuns timed runs + in-process anchor/rising-triple gate with bounded re-runs","queries":${results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")},"runs":$runsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failedQs.size},"failed":$failedJson,$gateJson,"method":"state-shed between queries (full GC before heavy keys) + untimed warm pass + min of $timedRuns timed runs + in-process anchor gate + rising-triple-vs-prior gate (reject only when min > 1.5x prior committed figure) with bounded re-runs","queries":${results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")},"runs":$runsJson,"sf":"$sfDir"}"""
     }
     // Tear down ALL state machinery BEFORE printing, then print the compact
     // line truly last: the driver machine-reads a bounded stdout tail, so

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the r16 rising-triple rule (VERDICT r15 ask #2) in both
+  * directions: a run-3 load spike that leaves min-of-3 untouched must
+  * NOT unquotify an artifact; a genuinely inflated triple (the min
+  * itself regressed past 1.5x the prior committed figure) must still
+  * reject. Plus the anchor check and the prior-loader's sf-matching.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val priors = Map("q_spike" -> 0.50, "q_regressed" -> 0.50)
+
+  test("run-3 spike with untouched min is a note, not a violation") {
+    // the r15 false-reject shape: strictly rising, spread > 2x, min at
+    // the prior figure (rich_club_knn [0.780, 0.780, 1.847] modulo the
+    // strictness of the middle step)
+    val r = BenchGate.check(
+      Seq("q_spike" -> Seq(0.50, 0.60, 1.50)), priors)
+    assert(r.violations.isEmpty)
+    assert(r.notes.size == 1 && r.notes.head.contains("q_spike"))
+  }
+
+  test("genuinely inflated rising triple still rejects") {
+    // all three runs high AND rising: min 1.2 > 1.5 x prior 0.5
+    val r = BenchGate.check(
+      Seq("q_regressed" -> Seq(1.20, 1.40, 3.00)), priors)
+    assert(r.violations.size == 1)
+    assert(r.violations.head.startsWith("RISING q_regressed"))
+  }
+
+  test("rising triple with no prior figure is informational only") {
+    val r = BenchGate.check(Seq("q_new" -> Seq(0.50, 0.60, 1.50)), priors)
+    assert(r.violations.isEmpty)
+    assert(r.notes.size == 1 && r.notes.head.contains("no prior figure"))
+  }
+
+  test("non-rising triples never flag, regardless of level") {
+    // stable-high is a real (plan) cost — the planfp/SCALE gates own it
+    val r = BenchGate.check(
+      Seq("q_regressed" -> Seq(3.00, 3.10, 3.05)), priors)
+    assert(r.violations.isEmpty && r.notes.isEmpty)
+  }
+
+  test("anchor breach rejects independently of priors") {
+    val r = BenchGate.check(
+      Seq("group_hash_agg" -> Seq(0.45, 0.44, 0.46)), Map.empty)
+    assert(r.violations.size == 1)
+    assert(r.violations.head.startsWith("ANCHOR group_hash_agg"))
+  }
+
+  test("small-spread rising shapes are not rising (2x spread floor)") {
+    val r = BenchGate.check(
+      Seq("q_regressed" -> Seq(1.20, 1.25, 1.30)), priors)
+    assert(r.violations.isEmpty && r.notes.isEmpty)
+  }
+
+  test("prior loader: sf-matched artifact parses, mismatched yields none") {
+    val body =
+      """{"metric":"total","value":212.053,"n_queries":2,""" +
+        """"queries":{"q_a":0.123,"q_b":4.567},"sf":"/root/testdata/sf0.1"}"""
+    val f = java.nio.file.Files.createTempFile("benchgate", ".json")
+    java.nio.file.Files.writeString(f, body)
+    val hit = BenchGate.loadPriors(f.toString, "/root/testdata/sf0.1")
+    assert(hit.get("q_a").contains(0.123) && hit.get("q_b").contains(4.567))
+    val miss = BenchGate.loadPriors(f.toString, "/root/testdata/sf0.01")
+    assert(miss.isEmpty)
+    assert(BenchGate.loadPriors("/nonexistent.json", "sf0.1").isEmpty)
+  }
+}
