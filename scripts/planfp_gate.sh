@@ -6,18 +6,28 @@
 #
 #   - UNCHANGED fingerprint  -> ok
 #   - NEW query              -> ok (new operators fingerprint on arrival)
-#   - REMOVED query          -> needs a `plan-change: <query>` line in SURVEY.md
-#   - CHANGED fingerprint    -> needs a `plan-change: <query>` line in SURVEY.md
+#   - REMOVED query          -> needs a round-tagged `plan-change(rNN): <query>`
+#   - CHANGED fingerprint    -> needs a round-tagged `plan-change(rNN): <query>`
+#
+# Round scoping (ADVICE r15): changelog lines are round-TAGGED —
+# `plan-change(r16): query` — and only lines tagged with the CURRENT
+# round (PLANFP_ROUND, default derived from the artifact filename's
+# rNN) explain a change. Untagged legacy `plan-change: query` lines
+# from rounds <= 15 are grandfathered ONLY when the artifact filename
+# still says r15 or lower; from r16 on, an old changelog line cannot
+# silently bless a future regression of the same query.
 #
 # On success the fresh artifact replaces the committed one (so the
 # changelog line and the new hash land in the same commit). Usage:
 #   scripts/planfp_gate.sh [committed.json] [sfDir]
-# Defaults: PLANFINGERPRINT_r15.json, /root/testdata/sf0.001.
+# Defaults: PLANFINGERPRINT_r16.json, /root/testdata/sf0.001.
 # Exit 0 = plans accounted for; exit 1 = unexplained plan change.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ART=${1:-PLANFINGERPRINT_r15.json}
+ART=${1:-PLANFINGERPRINT_r16.json}
 SF=${2:-/root/testdata/sf0.001}
+ROUND=${PLANFP_ROUND:-$(basename "$ART" | grep -oE 'r[0-9]+' || echo rX)}
+export PLANFP_ROUND_RESOLVED=$ROUND
 NEW=/tmp/planfp_new.json
 LOG=/tmp/planfp_gate.log
 
@@ -28,15 +38,33 @@ if ! sbt -batch "runMain graft.PlanFingerprint $SF $NEW" >"$LOG" 2>&1; then
   exit 1
 fi
 
-python3 - "$ART" "$NEW" <<'EOF'
+python3 - "$ART" "$NEW" "$ROUND" <<'EOF'
 import json, os, re, shutil, sys
-art, new_path = sys.argv[1], sys.argv[2]
+art, new_path, round_tag = sys.argv[1], sys.argv[2], sys.argv[3]
 new = json.load(open(new_path))["fingerprints"]
 old = {}
 if os.path.exists(art):
     old = json.load(open(art))["fingerprints"]
+else:
+    # first run of a new round: baseline against the latest committed
+    # prior-round artifact instead of an empty map (an empty baseline
+    # would wave every plan through as "new")
+    import glob
+    prior = sorted(glob.glob("PLANFINGERPRINT_r*.json"),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if prior:
+        print(f"planfp gate: no {art} yet - baselining against {prior[-1]}")
+        old = json.load(open(prior[-1]))["fingerprints"]
 survey = open("SURVEY.md").read()
-named = set(re.findall(r"plan-change:\s*`?([A-Za-z0-9_]+)`?", survey))
+# current-round tagged lines only: plan-change(r16): query
+named = set(re.findall(
+    r"plan-change\(" + re.escape(round_tag) + r"\):\s*`?([A-Za-z0-9_]+)`?",
+    survey))
+# legacy untagged lines grandfathered through r15 artifacts only
+legacy_ok = re.fullmatch(r"r(\d+)", round_tag) and \
+    int(round_tag[1:]) <= 15
+if legacy_ok:
+    named |= set(re.findall(r"plan-change:\s*`?([A-Za-z0-9_]+)`?", survey))
 bad = []
 for q in sorted(set(old) | set(new)):
     if q not in old:
@@ -48,11 +76,13 @@ for q in sorted(set(old) | set(new)):
     else:
         continue
     if q in named:
-        print(f"planfp: {q} {status} (named in SURVEY changelog - ok)")
+        print(f"planfp: {q} {status} (named in SURVEY {round_tag} "
+              "changelog - ok)")
     else:
         bad.append(f"{q} {status}")
 for b in bad:
-    print(f"PLANFP GATE FAIL: {b} (no `plan-change: {b.split()[0]}` line in SURVEY.md)")
+    print(f"PLANFP GATE FAIL: {b} (no `plan-change({round_tag}): "
+          f"{b.split()[0]}` line in SURVEY.md)")
 n_changed = sum(1 for q in old if q in new and old[q]["fp"] != new[q]["fp"])
 n_new = len(set(new) - set(old))
 print(f"planfp gate: {len(new)} queries, {n_new} new, {n_changed} changed, "

@@ -516,15 +516,27 @@ object GovernanceOps extends OpGroup {
         .limit(15)
     }),
 
-    // Z16 (r15) — ε-differentially-private count release (Dwork,
+    // Z16 (r15) — Laplace-count-release MECHANISM EXHIBIT (Dwork,
     // McSherry, Nissim & Smith 2006): per-source document counts with
-    // Laplace(1/ε) noise at ε ∈ {0.1, 1} — the publish-boundary
-    // mechanism for releasing corpus composition stats without
-    // revealing any single document's membership (count sensitivity
-    // = 1 ⇒ scale b = 1/ε). The "noise" is DETERMINISTIC inverse-CDF
-    // sampling from a content-derived md5 uniform (the
-    // mixture_weighted_resample discipline) so both engines — and any
-    // retry on any cluster — release the SAME number: u = (h+½)/2²⁴
+    // Laplace(1/ε)-distributed perturbation at ε ∈ {0.1, 1} (count
+    // sensitivity = 1 ⇒ scale b = 1/ε).
+    //
+    // ⚠ NOT DIFFERENTIALLY PRIVATE AS RELEASED (ADVICE r15): the
+    // perturbation is a deterministic PUBLIC function of (source,
+    // eps_label) via md5 with no secret seed, so anyone can recompute
+    // noise_fp and subtract it from released_fp to recover the exact
+    // count — effective ε = ∞. The determinism is deliberate and is
+    // the point of the exhibit: it makes the MECHANISM (inverse-CDF
+    // Laplace sampling, fixed-point release, the 99.5% tail-bound
+    // verdict) bit-replayable on both engines, which a secret-seeded
+    // release could never be. A real publish boundary MUST swap the
+    // md5 uniform for one keyed by a secret per-release seed (losing
+    // cross-engine bit-parity for this one leaf and with it the DuckDB
+    // value oracle — the exact trade this exhibit declines). SURVEY §2
+    // row Z16 carries the same warning.
+    //
+    // The deterministic uniform (the mixture_weighted_resample
+    // discipline) is: u = (h+½)/2²⁴
     // from the first 6 md5 nibbles of 'dp|source|eps', then
     // x = −b·sgn(u−½)·ln(1−2|u−½|), with 1−2|u−½| the exact rational
     // (2²⁴−|2h+1−2²⁴|)/2²⁴ so the single ln leaf sees identical
