@@ -77,6 +77,8 @@ object SparkEntry {
     operators.SeriesTestOps,
     operators.IncrementalIvfOps,
     operators.IncrementalBm25Ops,
+    operators.IncrementalPhashOps,
+    operators.IncrementalKnnOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

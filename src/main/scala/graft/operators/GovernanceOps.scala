@@ -573,24 +573,33 @@ object GovernanceOps extends OpGroup {
         .orderBy("source", "eps_label")
     }),
 
-    // Z17 (r15) — right-to-erasure audit: the GDPR Art. 17 check a
-    // publisher runs after a delete batch — every key in the CDC
-    // delete set (the incremental-maintenance families' shared rule:
-    // doc_id % 10 = 7, vec_id % 10 = 7) must be ABSENT from every
-    // maintained serving layout, not just the primary table. Audits
-    // all four: the MinHash signature layout, the BM25 postings and
-    // doc-length sidecar, and the IVF/PQ serving rows — each row
-    // reads (layout, n_deleted_keys, n_residual, clean) and every
-    // clean must be TRUE; a single residual row is a compliance leak
-    // the erasure pipeline missed. Scale: each probe is a broadcast
+    // Z17 (r15, widened r16) — right-to-erasure audit: the GDPR
+    // Art. 17 check a publisher runs after a delete batch — every key
+    // in the CDC delete set (the incremental-maintenance families'
+    // shared rules: doc_id % 10 = 7, vec_id % 10 = 7, and the media
+    // rule (doc_id DIV 25) % 10 = 7 over the doc_id % 25 = 0 media
+    // sample) must be ABSENT from every maintained serving layout,
+    // not just the primary table. Audits all SIX maintained layouts
+    // (r16 added the last two rebuild-only ones): the MinHash
+    // signature layout, the BM25 postings and doc-length sidecar, the
+    // IVF/PQ serving rows, the media pHash signature layout, and the
+    // kNN-graph edge layout (probed at BOTH endpoints — a stale edge
+    // pointing AT a deleted vector is still a leak). Each row reads
+    // (layout, n_deleted_keys, n_residual, clean) and every clean
+    // must be TRUE; a single residual row is a compliance leak the
+    // erasure pipeline missed. Scale: each probe is a broadcast
     // semi-join of the batch-sized delete key set against a layout
     // scan (key-partitioned layouts ⇒ partition-pruned reads); output
-    // is 4 rows.
+    // is 6 rows.
     "right_to_erasure_audit" -> ((s, d) => {
       val delDocs = Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 7).select("doc_id")
       val delVecs = Tables.embeddings(s, d)
         .filter(col("vec_id") % 10 === 7).select("vec_id")
+      val delMedia = Tables.documents(s, d)
+        .filter(col("doc_id") % 25 === 0 &&
+          expr("(doc_id DIV 25) % 10") === 7)
+        .select("doc_id")
       def row(name: String, layout: DataFrame, keyCol: String,
           del: DataFrame): DataFrame = {
         val delK = del.withColumnRenamed(del.columns.head, keyCol)
@@ -613,6 +622,13 @@ object GovernanceOps extends OpGroup {
         .unionByName(row("4_ivf_serving",
           s.read.parquet(IncrementalIvfOps.incServing(s, d))
             .select("vec_id"), "vec_id", delVecs))
+        .unionByName(row("5_phash_signatures",
+          s.read.parquet(IncrementalPhashOps.incLayout(s, d)),
+          "doc_id", delMedia))
+        .unionByName(row("6_knn_edges",
+          s.read.parquet(IncrementalKnnOps.incEdges(s, d))
+            .select(explode(array(col("src"), col("dst"))).as("vec_id")),
+          "vec_id", delVecs))
         .orderBy("layout")
     }),
   )
@@ -1006,6 +1022,9 @@ object GovernanceOps extends OpGroup {
          |  SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
          |delv AS (
          |  SELECT vec_id FROM embeddings WHERE vec_id % 10 = 7),
+         |delm AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 25 = 0 AND (doc_id // 25) % 10 = 7),
          |rows_ AS (
          |  SELECT '1_minhash_signatures' AS layout,
          |    (SELECT CAST(count(*) AS BIGINT) FROM deld) AS n_deleted_keys,
@@ -1034,6 +1053,25 @@ object GovernanceOps extends OpGroup {
          |     FROM read_parquet(
          |       '${IncrementalIvfOps.incCache.lastPath}/cell=*/*.parquet',
          |       hive_partitioning=1) l
+         |     JOIN delv k ON l.vec_id = k.vec_id)
+         |  UNION ALL
+         |  SELECT '5_phash_signatures',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM delm),
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM read_parquet(
+         |       '${IncrementalPhashOps.incCache.lastPath}/*.parquet') l
+         |     JOIN delm k ON l.doc_id = k.doc_id)
+         |  UNION ALL
+         |  SELECT '6_knn_edges',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM delv),
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM (SELECT src AS vec_id
+         |           FROM read_parquet(
+         |             '${IncrementalKnnOps.incCache.lastPath}/*.parquet')
+         |           UNION ALL
+         |           SELECT dst
+         |           FROM read_parquet(
+         |             '${IncrementalKnnOps.incCache.lastPath}/*.parquet')) l
          |     JOIN delv k ON l.vec_id = k.vec_id))
          |SELECT layout, n_deleted_keys, n_residual,
          |       n_residual = 0 AS clean

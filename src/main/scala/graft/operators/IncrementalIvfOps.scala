@@ -67,7 +67,7 @@ object IncrementalIvfOps extends OpGroup {
   /** The fresh (to-be-encoded) side of the batch: updates' new vectors
     * + inserted copies. Batch-sized by construction.
     */
-  private def freshBatchVecs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def freshBatchVecs(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val m = col("vec_id") % 10
     emb.filter(m === 3)

@@ -93,9 +93,25 @@ object MultimodalOps extends OpGroup {
     * serving shape). The Spark-side plumbing — binary ingest, persisted
     * signature layout, banded candidate join — is the real part.
     */
-  private val phashCache = new graft.Layout("graft_phash")
+  private[operators] val phashCache = new graft.Layout("graft_phash")
 
-  private def phashLayout(s: SparkSession, d: String): String =
+  /** The signature function itself, factored so the CDC maintenance
+    * path ([[IncrementalPhashOps]]) re-signs its batch through the
+    * EXACT same pipeline the base build used: content byte 4-grams →
+    * xxhash64 SimHash fold. Input: (doc_id, txt). Deterministic on the
+    * content string, so base-build-from-files and batch-recompute-from-
+    * table agree bit-for-bit (file bytes ARE the doc's UTF-8 text —
+    * the binaryfile_ingest oracle identity).
+    */
+  private[operators] def phashFromText(media: DataFrame): DataFrame = {
+    val grams = media.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, greatest(length(txt) - 3, 1)),
+        |  i -> substring(txt, i, 4))""".stripMargin)).as("__g"))
+    graft.functions.TextSim.simhashFromTokens(grams, "doc_id", "__g")
+      .select(col("doc_id"), col("simhash").as("phash"))
+  }
+
+  private[graft] def phashLayout(s: SparkSession, d: String): String =
     phashCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
       val media = s.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
@@ -104,11 +120,7 @@ object MultimodalOps extends OpGroup {
           regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1)
             .cast("long").as("doc_id"),
           expr("decode(content, 'UTF-8')").as("txt"))
-      val grams = media.select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(length(txt) - 3, 1)),
-          |  i -> substring(txt, i, 4))""".stripMargin)).as("__g"))
-      graft.functions.TextSim.simhashFromTokens(grams, "doc_id", "__g")
-        .select(col("doc_id"), col("simhash").as("phash"))
+      phashFromText(media)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
     }
 

@@ -295,15 +295,22 @@ class GovernanceSpec extends SparkSpec {
     val rows = operators.GovernanceOps
       .queries("right_to_erasure_audit")(spark, sf()).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("1_minhash_signatures",
-      "2_bm25_postings", "3_bm25_doclen", "4_ivf_serving"),
-      "all four serving layouts audited")
+      "2_bm25_postings", "3_bm25_doclen", "4_ivf_serving",
+      "5_phash_signatures", "6_knn_edges"),
+      "all six serving layouts audited (r16 added phash + knn edges)")
     val nDocDel = Tables.documents(spark, sf())
       .filter(col("doc_id") % 10 === 7).count()
     val nVecDel = Tables.embeddings(spark, sf())
       .filter(col("vec_id") % 10 === 7).count()
+    val nMediaDel = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 25 === 0 &&
+        expr("(doc_id DIV 25) % 10") === 7).count()
     rows.foreach { r =>
-      val expected =
-        if (r.getString(0) == "4_ivf_serving") nVecDel else nDocDel
+      val expected = r.getString(0) match {
+        case "4_ivf_serving" | "6_knn_edges" => nVecDel
+        case "5_phash_signatures" => nMediaDel
+        case _ => nDocDel
+      }
       assert(r.getLong(1) === expected, s"${r.getString(0)} key count")
       assert(r.getLong(2) === 0L && r.getBoolean(3),
         s"${r.getString(0)} must be clean — a residual row is a leak")
