@@ -73,6 +73,12 @@ for q in sorted(set(old) | set(new)):
         status = "REMOVED"
     elif old[q]["fp"] != new[q]["fp"]:
         status = f"CHANGED {old[q]['fp'][:12]} -> {new[q]['fp'][:12]}"
+    elif "fp_exec" in old[q] and "fp_exec" in new[q] \
+            and old[q]["fp_exec"] != new[q]["fp_exec"]:
+        # r16: a runtime-only plan change (AQE re-plan at execution)
+        # is invisible to the initial-plan hash but not to fp_exec
+        status = (f"EXEC-CHANGED {old[q]['fp_exec'][:12]} -> "
+                  f"{new[q]['fp_exec'][:12]}")
     else:
         continue
     if q in named:

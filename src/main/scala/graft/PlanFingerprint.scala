@@ -34,15 +34,37 @@ import org.apache.spark.sql.execution.FileSourceScanExec
   */
 object PlanFingerprint {
 
-  /** Stable structural string for one physical plan node tree. */
-  def canonical(p: SparkPlan): String = p match {
-    case a: AdaptiveSparkPlanExec => canonical(a.initialPlan)
+  /** Stable structural string for one physical plan node tree. AQE
+    * wrappers resolve to the INITIAL plan by default (the sweep never
+    * executes); pass `executed = true` AFTER running the query to
+    * fingerprint the FINAL adaptive plan instead — runtime re-plans
+    * (broadcast→SMJ flip at execution, AQE coalesce/skew-split) are
+    * visible only there (r16, VERDICT r15 ask #5). In executed mode the
+    * AQE bookkeeping wrappers (query stages, shuffle reads, reused
+    * exchanges) are traversed transparently-but-named, with their
+    * runtime partition COUNTS excluded — counts are data/config, the
+    * read KIND (coalesced vs skew-split vs plain) is plan shape.
+    */
+  def canonical(p: SparkPlan, executed: Boolean = false): String = p match {
+    case a: AdaptiveSparkPlanExec =>
+      canonical(if (executed) a.executedPlan else a.initialPlan, executed)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      s"${q.getClass.getSimpleName.stripSuffix("Exec")}(" +
+        canonical(q.plan, executed) + ")"
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      "ReusedExchange(" + canonical(r.child, executed) + ")"
     case _ =>
       val name = p.getClass.getSimpleName.stripSuffix("Exec")
       val extra = p match {
         case j: BaseJoinExec => ":" + j.joinType.toString
         case e: ShuffleExchangeExec =>
           ":" + e.outputPartitioning.getClass.getSimpleName
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+          // KIND only (coalesced/skewed/local), never partition counts
+          ":" + Seq(
+            if (r.hasCoalescedPartition) Some("coalesced") else None,
+            if (r.hasSkewedPartition) Some("skewed") else None)
+            .flatten.mkString("+")
         case s: FileSourceScanExec =>
           val cols = s.output.map(_.name).mkString("|")
           // pushed-filter SHAPE only: drop literal values (`GreaterThan(
@@ -53,8 +75,9 @@ object PlanFingerprint {
           s":cols=$cols:pushed=$pushed"
         case _ => ""
       }
-      val subs = p.subqueries.map(s => "$" + canonical(s)).mkString
-      name + extra + subs + p.children.map(canonical).mkString("(", ",", ")")
+      val subs = p.subqueries.map(s => "$" + canonical(s, executed)).mkString
+      name + extra + subs +
+        p.children.map(canonical(_, executed)).mkString("(", ",", ")")
   }
 
   def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
@@ -91,15 +114,51 @@ object PlanFingerprint {
           System.err.println(s"[planfp] $name FAILED: ${e.getMessage.take(120)}")
       }
     }
+    // EXECUTED-plan mode for the top-N queries by committed bench cost
+    // (r16, VERDICT r15 ask #5): the initial-plan sweep is blind to a
+    // runtime-only plan change — an AQE broadcast flip or skew split
+    // exists only in the FINAL adaptive plan, which exists only after
+    // execution. Run the heavy hitters (where a silent runtime flip
+    // costs the most) and fingerprint executedPlan post-run; the gate
+    // holds `fp_exec` to the same changed-needs-changelog rule.
+    val execTop = sys.env.getOrElse("PLANFP_EXEC_TOP", "20").toInt
+    val benchArt = sys.env.getOrElse("PLANFP_BENCH", "bench_full.json")
+    val execRows = scala.collection.mutable.LinkedHashMap[String, (String, Int)]()
+    if (execTop > 0) {
+      val costs = BenchGate.loadPriors(benchArt, "sf0.1")
+      val topQs = SparkEntry.queries.keys.toSeq
+        .filter(costs.contains).sortBy(q => -costs(q)).take(execTop)
+      if (topQs.isEmpty)
+        System.err.println(s"[planfp] no bench artifact at $benchArt - " +
+          "executed-plan mode skipped")
+      topQs.foreach { name =>
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.count() // execute so the adaptive plan is FINAL
+          val canon = canonical(df.queryExecution.executedPlan, executed = true)
+          execRows(name) = (md5(canon), canon.count(_ == '('))
+        } catch {
+          case e: Throwable =>
+            execRows(name) = ("EXEC_FAILED", 0)
+            failed += 1
+            System.err.println(
+              s"[planfp] $name EXEC FAILED: ${e.getMessage.take(120)}")
+        }
+      }
+    }
     val body = {
       val fps = rows.map { case (name, (fp, nodes)) =>
-        s"""  "$name": {"fp": "$fp", "nodes": $nodes}"""
+        val exec = execRows.get(name).map { case (fpx, nx) =>
+          s""", "fp_exec": "$fpx", "exec_nodes": $nx"""
+        }.getOrElse("")
+        s"""  "$name": {"fp": "$fp", "nodes": $nodes$exec}"""
       }.mkString(",\n")
       s"""{
          | "metric": "plan_fingerprint",
          | "n_queries": ${rows.size},
+         | "n_executed": ${execRows.size},
          | "n_build_failed": $failed,
-         | "canonicalization": "class names sans Exec/codegen-ids; joins+=joinType; shuffles+=partitioning scheme; scans+=read cols+pushed filters; subqueries folded; literals/ids/paths/counts excluded; AQE initial plan",
+         | "canonicalization": "class names sans Exec/codegen-ids; joins+=joinType; shuffles+=partitioning scheme; scans+=read cols+pushed filters; subqueries folded; literals/ids/paths/counts excluded; fp=AQE initial plan, fp_exec=post-run AQE final plan for the top-$execTop by committed bench cost (query stages traversed, shuffle-read KIND kept, partition counts excluded)",
          | "fingerprints": {
          |$fps
          | }

@@ -48,4 +48,30 @@ class PlanFingerprintSpec extends SparkSpec {
       .agg(sum("o_totalprice").as("s")).orderBy("o_orderpriority")
     assert(fp(q) === fp(q))
   }
+
+  test("executed mode (r16): final adaptive plan fingerprints, " +
+      "deterministic, and distinct from the initial-plan hash shape") {
+    def fpExec(df: org.apache.spark.sql.DataFrame): String = {
+      df.count() // execute so the adaptive plan is FINAL
+      PlanFingerprint.md5(PlanFingerprint.canonical(
+        df.queryExecution.executedPlan, executed = true))
+    }
+    def q = Tables.lineitem(spark, sf())
+      .join(Tables.orders(spark, sf()),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    // deterministic: two executions of the same query agree
+    assert(fpExec(q) === fpExec(q))
+    // the executed canonical traverses AQE bookkeeping transparently:
+    // no partition COUNTS leak into the string (a config-only change
+    // must not re-fingerprint), but the final plan IS visible
+    val df = q
+    df.count()
+    val canon = PlanFingerprint.canonical(
+      df.queryExecution.executedPlan, executed = true)
+    assert(!canon.contains("AdaptiveSparkPlan"),
+      "AQE wrapper resolved to its final plan")
+    assert(canon.contains("Join") || canon.contains("HashedRelation"),
+      "join visible in the executed shape")
+  }
 }
