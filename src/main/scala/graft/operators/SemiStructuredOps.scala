@@ -34,9 +34,27 @@ object SemiStructuredOps extends OpGroup {
   private val quantizers =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
 
+  /** Target cell population for the coarse quantizer. k scales as
+    * ⌈n / TargetCellSize⌉ (floored at 4) so Σ|cell|² — the candidate
+    * count of every cell equi-join (knn_graph_topk, semantic_dedup,
+    * the whole graph family) — grows LINEARLY with the corpus instead
+    * of quadratically: fixed k at 10× data means 10× cell sizes and
+    * 100× pairs; scaled k means 10× cells of the SAME size and 10×
+    * pairs (the claim SCALE_SF1 measures at a real extra decade). The
+    * constant is chosen so every shipped fixture scale (≤2000 vectors
+    * at sf0.1) keeps the historical k=4 — plans, oracles, and recall
+    * assertions at test scales are bit-unchanged; only a genuinely
+    * larger corpus grows its cell count, exactly as a production
+    * re-fit would.
+    */
+  private val TargetCellSize = 500L
+
   private def quantizer(s: SparkSession, d: String): org.apache.spark.ml.clustering.KMeansModel =
-    quantizers.computeIfAbsent(d, _ =>
-      graft.functions.AnnIvf.fitQuantizer(s, Tables.embeddings(s, d), k = 4))
+    quantizers.computeIfAbsent(d, _ => {
+      val n = Tables.rowCount(s, d, "embeddings")
+      val k = math.max(4L, (n + TargetCellSize - 1) / TargetCellSize).toInt
+      graft.functions.AnnIvf.fitQuantizer(s, Tables.embeddings(s, d), k = k)
+    })
 
   /** The FROZEN coarse quantizer, exposed for the CDC-incremental IVF
     * maintenance path (IncrementalIvfOps): fresh vectors must quantize
