@@ -375,7 +375,11 @@ object PlanAudit {
       "von_neumann_ratio_daily", "triangle_participation_rate",
       "hash_uniformity_audit", "hll_count_rollup",
       "bloom_dedup_crossover_plan", "incremental_ivf_maintain",
-      "right_to_erasure_audit") ++
+      "right_to_erasure_audit",
+      // r16: the two new CDC maintain audits stitch their key_parity /
+      // retired-absence scalar rows with crossJoin(broadcast(agg)) —
+      // the incremental_ivf_maintain shape, single-row relations only
+      "incremental_phash_maintain", "incremental_knn_maintain") ++
       cls("bounded-model-state")(
         "embedding_pca_power_iter", "quantile_sketch_merge",
         "psi_value_drift", "kneedle_cell_elbow", "split_conformal_interval") ++
