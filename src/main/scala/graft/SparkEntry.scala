@@ -79,6 +79,7 @@ object SparkEntry {
     operators.IncrementalBm25Ops,
     operators.IncrementalPhashOps,
     operators.IncrementalKnnOps,
+    operators.StreamMaintainOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -86,7 +86,7 @@ object IncrementalMaintainOps extends OpGroup {
   /** (doc_id, sig) — identical construction to LlmOps.minhashLayout so
     * carried and fresh signatures are one hash family.
     */
-  private def withSig(docs: DataFrame): DataFrame =
+  private[operators] def withSig(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", graft.functions.TextSim.shingles("words", 3))
@@ -182,6 +182,9 @@ object IncrementalMaintainOps extends OpGroup {
     * the incremental layout is audited against (never served).
     */
   private val rebuildCache = new graft.Layout("graft_minhash_rebuild")
+
+  /** lastPath accessor for sibling oracles (StreamMaintainOps). */
+  private[operators] def rebuildCacheLastPath: String = rebuildCache.lastPath
 
   private[graft] def rebuildLayout(s: SparkSession, d: String): String =
     rebuildCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
