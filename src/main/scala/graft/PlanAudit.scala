@@ -379,7 +379,8 @@ object PlanAudit {
       // r16: the two new CDC maintain audits stitch their key_parity /
       // retired-absence scalar rows with crossJoin(broadcast(agg)) —
       // the incremental_ivf_maintain shape, single-row relations only
-      "incremental_phash_maintain", "incremental_knn_maintain") ++
+      "incremental_phash_maintain", "incremental_knn_maintain",
+      "stream_cdc_index_maintain") ++
       cls("bounded-model-state")(
         "embedding_pca_power_iter", "quantile_sketch_merge",
         "psi_value_drift", "kneedle_cell_elbow", "split_conformal_interval") ++
