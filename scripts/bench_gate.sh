@@ -45,11 +45,17 @@ if prior_path and os.path.isfile(prior_path):
     p = json.load(open(prior_path))
     # sf-matched only: sf0.01 priors would flag every healthy sf0.1 query
     sf = lambda d: os.path.basename(str(d.get("sf", "")).rstrip("/"))
-    if sf(p) == sf(j):
-        priors = p.get("queries", {})
-    else:
+    if sf(p) != sf(j):
         print(f"bench gate: prior sf {sf(p)!r} != run sf {sf(j)!r} - "
               "rising triples downgrade to notes")
+    elif p.get("gate") != "pass":
+        # ADVICE r16 #1/#4: a gate-rejected (or gate-less) artifact must
+        # never seed the rising-triple thresholds — a load-inflated prior
+        # would raise the 1.5x bar and mask genuine regressions
+        print(f"bench gate: prior artifact gate={p.get('gate')!r} != "
+              "'pass' - refused; rising triples downgrade to notes")
+    else:
+        priors = p.get("queries", {})
 anchors = {
     "group_hash_agg": 0.3,
     "kneser_ney_continuation": 1.0,

@@ -41,13 +41,15 @@ BENCH_GATE_RETRIES=${BENCH_GATE_RETRIES:-3}
 # "is anything super-linear" with no curated-list archaeology. The
 # sf0.1 full pass is ordered LAST so the bench_full.json it writes is
 # the same full-suite sf0.1 artifact the round commits.
-# Snapshot the PREVIOUS round's committed bench_full.json before the
-# sf0.01 leg overwrites it (r16, VERDICT r15 ask #2): the sf0.1 leg's
-# rising-triple gate compares each rising triple's min against these
-# sf-matched prior figures — BenchGate drops the priors itself if the
-# snapshot's sf doesn't match the leg being run.
-PRIOR=/tmp/scale_gate_prior_bench.json
-if [ -f bench_full.json ]; then cp bench_full.json "$PRIOR"; else PRIOR=""; fi
+# Priors come from the newest COMMITTED gate-pass BENCH_rNN.json (r17,
+# ADVICE r16 #4): the old snapshot took whatever bench_full.json sat in
+# the working tree — possibly a gate-rejected or stale run — and applied
+# no gate-pass check. BenchGate itself re-verifies gate=="pass" and the
+# sf match, so a reject artifact can never seed the thresholds; Bench's
+# in-process gate gets the same resolution via AUTO.
+PRIOR=$(ls BENCH_r*.json 2>/dev/null | grep -E '^BENCH_r[0-9]+\.json$' \
+  | sort -V | tail -1 || true)
+echo "scale gate: prior artifact = ${PRIOR:-<none>}"
 
 run_bench() { # $1 = sf dir name
   local sf=$1
@@ -57,7 +59,7 @@ run_bench() { # $1 = sf dir name
   # closes the pipe while Bench is still printing its duplicate JSON
   # line, and pipefail turns that SIGPIPE into exit 141
   SPARK_GRAFT_SF_DIR=/root/testdata/$sf SPARK_GRAFT_ONLY=$ONLY \
-    SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_PRIOR_BENCH=$PRIOR \
+    SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_PRIOR_BENCH=${PRIOR:-AUTO} \
     sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep '{"metric"' > /tmp/scale_gate_all_$sf.json
   head -1 /tmp/scale_gate_all_$sf.json > /tmp/scale_gate_$sf.json
@@ -111,6 +113,13 @@ import json, sys
 out, threshold = sys.argv[1], float(sys.argv[2])
 lo = json.load(open('/tmp/scale_gate_sf0.01.json'))
 hi = json.load(open('/tmp/scale_gate_sf0.1.json'))
+# Denominator floor for the HEADLINE number (r17, VERDICT r16 ask #3):
+# a sub-0.25 s sf0.01 time is dominated by session/codegen overhead, so
+# its ratio is floor noise (r16's 8.32 "worst" sat on a 0.164 s
+# denominator over a single WindowGroupLimit plan). Such queries still
+# pass/fail the 15x gate (with the 0.15 s ratio floor), but they are
+# banded as floor_noise and can never produce the suite's worst ratio.
+HEADLINE_DENOM_FLOOR = 0.25
 rows, failed = {}, []
 for k, t_hi in hi['queries'].items():
     t_lo = lo['queries'][k]
@@ -119,17 +128,31 @@ for k, t_hi in hi['queries'].items():
     ratio = t_hi / max(t_lo, 0.15)
     ok = ratio < threshold
     rows[k] = {"t_sf0.01": round(t_lo, 3), "t_sf0.1": round(t_hi, 3),
-               "ratio": round(ratio, 2), "pass": ok}
+               "ratio": round(ratio, 2), "pass": ok,
+               "band": "measured" if t_lo >= HEADLINE_DENOM_FLOOR
+                       else "floor_noise"}
     if not ok:
         failed.append(k)
+measured = {k: r for k, r in rows.items() if r["band"] == "measured"}
+headline = max(measured.items(), key=lambda kv: kv[1]["ratio"]) \
+    if measured else None
 artifact = {"metric": "scale_trend", "data_ratio": 10,
             "threshold": threshold, "n_queries": len(rows),
-            "n_failed": len(failed), "failed": failed, "queries": rows}
+            "n_failed": len(failed), "failed": failed,
+            "headline_denominator_floor_sec": HEADLINE_DENOM_FLOOR,
+            "n_floor_noise": len(rows) - len(measured),
+            "headline_worst": (
+                {"query": headline[0], **headline[1]} if headline else None),
+            "queries": rows}
 with open(out, "w") as f:
     json.dump(artifact, f, indent=1)
 for k, r in sorted(rows.items(), key=lambda kv: -kv[1]["ratio"]):
     print(f"{'PASS' if r['pass'] else 'FAIL'} {k}: "
-          f"{r['t_sf0.01']}s -> {r['t_sf0.1']}s (x{r['ratio']})")
-print(f"\n{len(rows)-len(failed)}/{len(rows)} pass -> {out}")
+          f"{r['t_sf0.01']}s -> {r['t_sf0.1']}s (x{r['ratio']})"
+          f"{' [floor-noise denom]' if r['band'] == 'floor_noise' else ''}")
+if headline:
+    print(f"\nheadline worst (denominator >= {HEADLINE_DENOM_FLOOR}s): "
+          f"{headline[0]} x{headline[1]['ratio']}")
+print(f"{len(rows)-len(failed)}/{len(rows)} pass -> {out}")
 sys.exit(1 if failed else 0)
 EOF

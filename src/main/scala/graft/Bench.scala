@@ -2,7 +2,20 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-min loadavg, for the provenance stamp (r17, VERDICT r16 ask #8):
+    * a committed run and a driver re-run of the same tree must be
+    * distinguishable from the artifacts alone, without `git diff`.
+    */
+  private def loadAvg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val startedAtMs = System.currentTimeMillis()
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -139,8 +152,12 @@ object Bench {
     //     artifact while the quoted 0.78 was clean). Rules + the prior
     //     loader live in graft.BenchGate so BenchGateSpec can pin both
     //     directions: spike-run-3 passes, genuine-inflation rejects.
+    // Priors default to AUTO — the newest committed gate-pass BENCH_rNN
+    // artifact (ADVICE r16 #1: the untracked bench_full.json is rewritten
+    // by every full run, gate-pass or not, so a load-inflated rejected
+    // run could seed the next run's thresholds).
     val priors = BenchGate.loadPriors(
-      sys.env.getOrElse("SPARK_GRAFT_PRIOR_BENCH", "bench_full.json"), sfDir)
+      sys.env.getOrElse("SPARK_GRAFT_PRIOR_BENCH", "AUTO"), sfDir)
     if (priors.isEmpty)
       System.err.println("[bench] no sf-matched prior artifact - rising " +
         "triples downgrade to notes")
@@ -182,9 +199,17 @@ object Bench {
     }
     val results = allRuns.map { case (name, runs) => name -> runs.min }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Provenance stamp (r17, VERDICT r16 ask #8): run id + wall-clock
+    // span + host-load summary make two runs of the same tree
+    // self-describing — "which number is quotable" no longer needs git.
+    val provJson = {
+      val iso = java.time.Instant.ofEpochMilli(startedAtMs).toString
+      val wallSec = (System.currentTimeMillis() - startedAtMs) / 1000.0
+      f""""run_id":"$runId","started_at":"$iso","wall_clock_sec":$wallSec%.1f,"loadavg_start":$loadStart%.2f,"loadavg_end":${loadAvg()}%.2f"""
+    }
     def line(qs: Iterable[(String, Double)]): String = {
       val q = qs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failedQs.size},$gateJson,"queries":$q,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failedQs.size},$provJson,$gateJson,"queries":$q,"sf":"$sfDir"}"""
     }
     // The artifact states its own methodology (ADVICE r7): per-query raw
     // (run1, run2) pairs make a load-noise round diagnosable from the
@@ -196,7 +221,7 @@ object Bench {
         s""""$k":[${rs.map(r => f"$r%.3f").mkString(",")}]"""
       }.mkString("{", ",", "}")
       val failedJson = failedQs.map(k => s""""$k"""").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failedQs.size},"failed":$failedJson,$gateJson,"method":"state-shed between queries (full GC before heavy keys) + untimed warm pass + min of $timedRuns timed runs + in-process anchor gate + rising-triple-vs-prior gate (reject only when min > 1.5x prior committed figure) with bounded re-runs","queries":${results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")},"runs":$runsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failedQs.size},"failed":$failedJson,$provJson,$gateJson,"method":"state-shed between queries (full GC before heavy keys) + untimed warm pass + min of $timedRuns timed runs + in-process anchor gate + rising-triple-vs-prior gate (reject only when min > 1.5x prior committed figure) with bounded re-runs","queries":${results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")},"runs":$runsJson,"sf":"$sfDir"}"""
     }
     // Tear down ALL state machinery BEFORE printing, then print the compact
     // line truly last: the driver machine-reads a bounded stdout tail, so

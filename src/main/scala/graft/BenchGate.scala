@@ -22,12 +22,21 @@ package graft
   *     recorded as an informational NOTE in the artifact, never a
   *     rejection.
   *
-  * Priors come from the previous round's committed full bench artifact
-  * (`bench_full.json` — per-query min-of-3 seconds), matched by scale
-  * factor: comparing an sf0.1 run against sf0.01 priors would flag every
-  * healthy query, so a prior file whose `"sf"` field names a different
-  * fixture directory yields NO priors (rising triples then downgrade to
-  * notes).
+  * Priors come from the previous round's COMMITTED gate-pass artifact
+  * (r17, ADVICE r16 #1): the old loader read the untracked working-tree
+  * `bench_full.json` — which Bench rewrites on every full run even when
+  * its own gate verdict is `reject` — so a load-inflated rejected run
+  * could become the next run's prior and raise the 1.5× threshold. Now:
+  *
+  *   - the default prior path is `AUTO`, which resolves to the
+  *     highest-numbered committed `BENCH_rNN.json` in the working
+  *     directory whose `"sf"` matches and whose `"gate"` is `"pass"`;
+  *   - an explicit path is REFUSED (no priors) unless its `"gate"`
+  *     field is literally `"pass"` — a rejected or gate-less artifact
+  *     can never seed the thresholds;
+  *   - only the `"queries"` object is parsed (never bare name:float
+  *     pairs scattered through the file), so metadata keys and the
+  *     per-run `"runs"` triples can't masquerade as priors.
   */
 object BenchGate {
 
@@ -93,27 +102,81 @@ object BenchGate {
     Result(vs.result(), ns.result())
   }
 
-  /** Parse per-query priors out of a committed bench artifact. Tolerant
-    * of both artifact shapes in the tree (the builder's full line and
-    * the driver's wrapper): any `"key":number` pair is collected, which
-    * over-collects metadata keys (`"value"`, `"n_queries"`) — harmless,
-    * since lookups are by query name. Returns empty when the file is
-    * missing or its `"sf"` names a different fixture dir than `sfDir`.
+  /** Highest-numbered committed `BENCH_rNN.json` in `dir`, descending —
+    * the AUTO prior candidates. Exposed for BenchGateSpec.
     */
-  def loadPriors(path: String, sfDir: String): Map[String, Double] = {
-    val f = new java.io.File(path)
-    if (!f.isFile) return Map.empty
-    val body =
-      try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      catch { case _: Throwable => return Map.empty }
-    val sfName = new java.io.File(sfDir).getName // e.g. "sf0.1"
-    val sfRe = """"sf"\s*:\s*"?([^",}]+)"?""".r
-    val sfOk = sfRe.findFirstMatchIn(body)
-      .map(_.group(1))
-      .exists(v => new java.io.File(v).getName == sfName || v == sfName)
-    if (!sfOk) return Map.empty
-    val pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
-    pair.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  def committedArtifacts(dir: String = "."): Seq[java.io.File] = {
+    val re = """BENCH_r(\d+)\.json""".r
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case re(n) => Some((n.toInt, f))
+        case _ => None
+      })
+      .sortBy(-_._1).map(_._2)
+  }
+
+  /** Parse per-query priors out of a committed bench artifact — STRICT
+    * (r17, ADVICE r16 #1): real JSON parsing (jackson, on Spark's own
+    * classpath), never a bare name:float regex that would collect
+    * metadata keys or runs-triples. The artifact must carry
+    * `"gate":"pass"` (rejected or gate-less runs never seed the
+    * thresholds) and its `"sf"` must name the same fixture dir as
+    * `sfDir`; only the `"queries"` object is read. Both committed
+    * shapes are handled: the builder's fullLine and the driver's
+    * wrapper (whose payload lives under `"parsed"`). `path = "AUTO"`
+    * resolves to the newest committed `BENCH_rNN.json` that satisfies
+    * all checks. Returns empty when nothing qualifies.
+    */
+  def loadPriors(path: String, sfDir: String): Map[String, Double] =
+    if (path == "AUTO")
+      committedArtifacts().view
+        .map(f => loadPriors(f.getPath, sfDir))
+        .collectFirst { case m if m.nonEmpty => m }
+        .getOrElse(Map.empty)
+    else {
+      val f = new java.io.File(path)
+      if (!f.isFile) return Map.empty
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val node =
+          if (root.has("parsed") && root.get("parsed").isObject)
+            root.get("parsed")
+          else root
+        val sfName = new java.io.File(sfDir).getName // e.g. "sf0.1"
+        val sfVal = Option(node.get("sf")).map(_.asText("")).getOrElse("")
+        if (new java.io.File(sfVal).getName != sfName && sfVal != sfName)
+          return Map.empty
+        if (Option(node.get("gate")).map(_.asText("")).getOrElse("")
+            != "pass") {
+          System.err.println(s"[bench] prior artifact $path has no " +
+            """"gate":"pass" stamp - refused (ADVICE r16 #1)""")
+          return Map.empty
+        }
+        val q = node.get("queries")
+        if (q == null || !q.isObject) return Map.empty
+        val b = Map.newBuilder[String, Double]
+        q.fields().forEachRemaining { e =>
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      } catch { case _: Throwable => Map.empty }
+    }
+
+  /** Per-query cost map for RANKING (not gating): prefer `path`, fall
+    * back to the newest committed artifact carrying at least `minSize`
+    * query figures (the driver's wrapper only embeds the top-20 line,
+    * so a fresh clone may need to walk back to a builder fullLine
+    * artifact for full coverage), then to any nonempty artifact.
+    */
+  def loadCosts(path: String, sfDir: String, minSize: Int)
+      : Map[String, Double] = {
+    val direct = if (path == "AUTO") Map.empty[String, Double]
+                 else loadPriors(path, sfDir)
+    if (direct.size >= minSize) direct
+    else committedArtifacts().view
+      .map(f => loadPriors(f.getPath, sfDir))
+      .collectFirst { case m if m.size >= minSize => m }
+      .getOrElse(if (direct.nonEmpty) direct else loadPriors("AUTO", sfDir))
   }
 }

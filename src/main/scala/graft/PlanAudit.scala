@@ -393,6 +393,45 @@ object PlanAudit {
       cls("bloom-bitset")("bloom_prefilter_dedup")).toMap
   }
 
+  /** Rows actually WRITTEN into every single-partition shuffle exchange
+    * of an executed plan (r17, VERDICT r16 ask #4): the adjudication
+    * classes above claim each flagged exchange carries a 1-row /
+    * enum-bounded / domain-bounded relation — a claim that was judgment
+    * until now. After execution, the exchange's own SQL metric
+    * (`shuffleRecordsWritten`) says how many rows the funnel really
+    * carried; `-1` marks an exchange whose metric never populated.
+    * AQE wrappers are traversed; reused exchanges report their shared
+    * metric once per reference (over-counting duplicates is safe — the
+    * bound is per-exchange max, not a sum). CartesianProduct output
+    * rows ride along for the bounded-pair-grid class.
+    */
+  def measuredSinglePartitionRows(p: org.apache.spark.sql.execution.SparkPlan)
+      : (Seq[Long], Seq[Long]) = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    val sp = scala.collection.mutable.ArrayBuffer[Long]()
+    val cart = scala.collection.mutable.ArrayBuffer[Long]()
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 =>
+          sp += e.metrics.get("shuffleRecordsWritten")
+            .map(_.value).getOrElse(-1L)
+          e.children.foreach(walk)
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+          cart += c.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+          c.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      n.subqueries.foreach(walk)
+    }
+    walk(p)
+    (sp.toSeq, cart.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outJson = args.drop(1).headOption
@@ -444,15 +483,72 @@ object PlanAudit {
     println(s"[audit] done: ${results.size} flagged of " +
       s"${SparkEntry.queries.size}, ${unadjudicated.size} unadjudicated" +
       (if (unadjudicated.isEmpty) "" else s": ${unadjudicated.mkString(", ")}"))
+
+    // ---- measured adjudication (r17, VERDICT r16 ask #4) --------------
+    // The class labels above are claims; this makes them evidence. Every
+    // flagged query EXECUTES at the audit fixture AND a 10x fixture, and
+    // the rows each single-partition exchange actually carried are read
+    // from the exchange's own SQL metrics. The bound is scale-INVARIANCE:
+    // a bounded relation (1-row scalar, enum grid, calendar/domain
+    // ladder) stays put when the corpus grows 10x, while a corpus funnel
+    // grows ~10x. pass = max-rows(hi) <= 2000 (absolutely tiny at any
+    // scale) OR growth < 4x for 10x data. Cartesian output rows ride
+    // along for the bounded-pair-grid class (<= 100k, the documented
+    // 62.5k grid plus headroom).
+    val measure = sys.env.getOrElse("PLANAUDIT_MEASURE", "1") == "1"
+    val hiDir = sys.env.getOrElse("PLANAUDIT_MEASURE_HI",
+      "/root/testdata/sf0.01")
+    final case class Meas(spLo: Long, spHi: Long, cartHi: Long,
+        growth: Double, ok: Boolean)
+    val measured = scala.collection.mutable.LinkedHashMap[String, Meas]()
+    var measureViolations = 0
+    if (measure) {
+      results.keys.filterNot(n =>
+          results(n).exists(_.startsWith("BUILD FAILED"))).foreach { name =>
+        try graft.functions.GlobalRank.releaseCheckpoints(spark)
+        catch { case _: Throwable => }
+        try {
+          def run(dir: String): (Long, Long) = {
+            val df = SparkEntry.queries(name)(spark, dir)
+            df.count()
+            val (sp, cart) =
+              measuredSinglePartitionRows(df.queryExecution.executedPlan)
+            (if (sp.isEmpty) 0L else sp.max,
+              if (cart.isEmpty) 0L else cart.max)
+          }
+          val (spLo, _) = run(sfDir)
+          val (spHi, cartHi) = run(hiDir)
+          val growth = spHi.toDouble / math.max(spLo, 1L)
+          val ok = (spHi <= 2000L || growth < 4.0) && cartHi <= 100000L
+          measured(name) = Meas(spLo, spHi, cartHi, growth, ok)
+          if (!ok) {
+            measureViolations += 1
+            println(f"[audit] MEASURED-BOUND FAIL $name: sp rows " +
+              f"$spLo -> $spHi (x$growth%.1f for 10x data), " +
+              s"cartesian $cartHi")
+          }
+        } catch {
+          case e: Throwable =>
+            measured(name) = Meas(-1, -1, -1, -1.0, ok = false)
+            measureViolations += 1
+            println(s"[audit] MEASURE FAILED $name: ${e.getMessage.take(120)}")
+        }
+      }
+      println(s"[audit] measured ${measured.size} flagged queries at " +
+        s"$sfDir vs $hiDir: $measureViolations bound violations")
+    }
     // committed artifact (VERDICT r13 ask #5): query → flags →
     // adjudication class, greppable + CI-diffable
     outJson.foreach { path =>
       def js(s: String) = "\"" + s.replace("\\", "\\\\")
         .replace("\"", "\\\"") + "\""
       val rows = results.map { case (name, issues) =>
+        val meas = measured.get(name).map { m =>
+          f""", "measured": {"sp_rows_lo": ${m.spLo}, "sp_rows_hi": ${m.spHi}, "cartesian_rows_hi": ${m.cartHi}, "growth_10x": ${m.growth}%.2f, "pass": ${m.ok}}"""
+        }.getOrElse("")
         s"""  ${js(name)}: {"flags": [${issues.map(js).mkString(", ")}], """ +
           s""""adjudication": ${js(Adjudications.getOrElse(name,
-            "UNADJUDICATED"))}}"""
+            "UNADJUDICATED"))}$meas}"""
       }.mkString(",\n")
       val body =
         s"""{
@@ -461,6 +557,9 @@ object PlanAudit {
            | "n_flagged": ${results.size},
            | "n_unadjudicated": ${unadjudicated.size},
            | "n_build_failed": $buildFailed,
+           | "n_measured": ${measured.size},
+           | "n_measured_violations": $measureViolations,
+           | "measured_bound": "executed at $sfDir AND $hiDir; per single-partition exchange, shuffleRecordsWritten must satisfy hi<=2000 rows OR hi/lo<4 for 10x data; cartesian numOutputRows<=100k (VERDICT r16 ask #4)",
            | "classes": "see PlanAudit.scala scaladoc for per-class rationale",
            | "flagged": {
            |$rows
@@ -471,8 +570,11 @@ object PlanAudit {
       println(s"[audit] artifact -> $path")
     }
     spark.stop()
-    // a flagged-but-unadjudicated query (or a build failure) is a gate
-    // failure: new scale-killers must not ride in silently
-    if (unadjudicated.nonEmpty || buildFailed > 0) sys.exit(1)
+    // a flagged-but-unadjudicated query, a build failure, or a measured
+    // single-partition bound violation is a gate failure: new
+    // scale-killers must not ride in silently, and an adjudication word
+    // the metrics contradict is a scale-killer already aboard
+    if (unadjudicated.nonEmpty || buildFailed > 0 || measureViolations > 0)
+      sys.exit(1)
   }
 }

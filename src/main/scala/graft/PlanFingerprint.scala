@@ -121,50 +121,122 @@ object PlanFingerprint {
     // execution. Run the heavy hitters (where a silent runtime flip
     // costs the most) and fingerprint executedPlan post-run; the gate
     // holds `fp_exec` to the same changed-needs-changelog rule.
+    // Costs resolve from the committed BENCH artifacts when no local
+    // bench_full.json exists (ADVICE r16 #2: a machine without the
+    // untracked artifact must not silently strip executed coverage).
     val execTop = sys.env.getOrElse("PLANFP_EXEC_TOP", "20").toInt
     val benchArt = sys.env.getOrElse("PLANFP_BENCH", "bench_full.json")
-    val execRows = scala.collection.mutable.LinkedHashMap[String, (String, Int)]()
-    if (execTop > 0) {
-      val costs = BenchGate.loadPriors(benchArt, "sf0.1")
-      val topQs = SparkEntry.queries.keys.toSeq
-        .filter(costs.contains).sortBy(q => -costs(q)).take(execTop)
-      if (topQs.isEmpty)
-        System.err.println(s"[planfp] no bench artifact at $benchArt - " +
-          "executed-plan mode skipped")
+    val costs =
+      if (execTop > 0) BenchGate.loadCosts(benchArt, "sf0.1", execTop)
+      else Map.empty[String, Double]
+    val topQs = SparkEntry.queries.keys.toSeq
+      .filter(costs.contains).sortBy(q => -costs(q)).take(execTop)
+    if (execTop > 0 && topQs.isEmpty)
+      System.err.println(s"[planfp] no bench artifact at $benchArt and no " +
+        "committed BENCH_rNN.json - executed-plan mode skipped")
+
+    def shed(s: SparkSession): Unit = {
+      try graft.functions.GlobalRank.releaseCheckpoints(s)
+      catch { case _: Throwable => }
+      try s.catalog.clearCache() catch { case _: Throwable => }
+    }
+    def execSweep(s: SparkSession, dir: String, tag: String)
+        : scala.collection.mutable.LinkedHashMap[String, (String, Int)] = {
+      val out = scala.collection.mutable.LinkedHashMap[String, (String, Int)]()
       topQs.foreach { name =>
+        shed(s)
         try {
-          val df = SparkEntry.queries(name)(spark, sfDir)
+          val df = SparkEntry.queries(name)(s, dir)
           df.count() // execute so the adaptive plan is FINAL
           val canon = canonical(df.queryExecution.executedPlan, executed = true)
-          execRows(name) = (md5(canon), canon.count(_ == '('))
+          out(name) = (md5(canon), canon.count(_ == '('))
         } catch {
           case e: Throwable =>
-            execRows(name) = ("EXEC_FAILED", 0)
+            out(name) = ("EXEC_FAILED", 0)
             failed += 1
             System.err.println(
-              s"[planfp] $name EXEC FAILED: ${e.getMessage.take(120)}")
+              s"[planfp] $name EXEC$tag FAILED: ${e.getMessage.take(120)}")
         }
       }
+      out
     }
+    val execRows = if (topQs.isEmpty) {
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, Int)]
+    } else execSweep(spark, sfDir, "")
+
+    // EXTRA scale factors for the executed sweep (r17, VERDICT r16 ask
+    // #1): a broadcast→SMJ flip or a missed skew split that exists ONLY
+    // at 10× data is exactly the regression class fp_exec was built
+    // for, so the heavy hitters run at sf0.1 AND the synthetic sf1.0
+    // decade and each label's final adaptive plan is fingerprinted
+    // separately. Format: PLANFP_EXEC_EXTRA_SFS=label=dir,label=dir.
+    // Extra sweeps run under their own session (more cores — sf1.0
+    // under local[4] would take an hour; partition COUNTS are excluded
+    // from the canonical form, so the fingerprints stay comparable).
+    val extraSfs: Seq[(String, String)] =
+      sys.env.getOrElse("PLANFP_EXEC_EXTRA_SFS", "").split(",").toSeq
+        .map(_.trim).filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); (k, v)
+        }
+    val execExtra =
+      scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.LinkedHashMap[String, (String, Int)]]()
+    if (extraSfs.nonEmpty && topQs.nonEmpty) {
+      spark.stop()
+      val cpus = sys.env.getOrElse("PLANFP_EXEC_CPUS", "32")
+      val s2 = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+        .getOrCreate()
+      s2.sparkContext.setLogLevel("ERROR")
+      s2.conf.set("graft.globalrank.smallThreshold", "0")
+      s2.conf.set("graft.pagerank.smallThreshold", "0")
+      s2.conf.set("graft.labelprop.smallThreshold", "0")
+      extraSfs.foreach { case (label, dir) =>
+        if (!new java.io.File(dir).isDirectory) {
+          System.err.println(s"[planfp] extra sf '$label' dir $dir missing " +
+            "- skipped (generate it first; the gate treats missing " +
+            "coverage as a failure)")
+        } else {
+          System.err.println(s"[planfp] executed sweep @$label ($dir)")
+          execExtra(label) = execSweep(s2, dir, s"@$label")
+        }
+      }
+      s2.stop()
+    } else spark.stop()
+
     val body = {
       val fps = rows.map { case (name, (fp, nodes)) =>
         val exec = execRows.get(name).map { case (fpx, nx) =>
           s""", "fp_exec": "$fpx", "exec_nodes": $nx"""
         }.getOrElse("")
-        s"""  "$name": {"fp": "$fp", "nodes": $nodes$exec}"""
+        val extra = execExtra.flatMap { case (label, m) =>
+          m.get(name).map { case (fpx, nx) =>
+            s""", "fp_exec@$label": "$fpx", "exec_nodes@$label": $nx"""
+          }
+        }.mkString
+        s"""  "$name": {"fp": "$fp", "nodes": $nodes$exec$extra}"""
       }.mkString(",\n")
+      val extraDesc =
+        if (execExtra.isEmpty) ""
+        else s"; fp_exec@<label>=same post-run final plan at " +
+          execExtra.keys.mkString("/") + " (VERDICT r16 ask #1)"
       s"""{
          | "metric": "plan_fingerprint",
          | "n_queries": ${rows.size},
          | "n_executed": ${execRows.size},
+         | "n_executed_extra": ${execExtra.map(_._2.size).sum},
+         | "exec_extra_labels": [${execExtra.keys.map(l => s""""$l"""").mkString(", ")}],
          | "n_build_failed": $failed,
-         | "canonicalization": "class names sans Exec/codegen-ids; joins+=joinType; shuffles+=partitioning scheme; scans+=read cols+pushed filters; subqueries folded; literals/ids/paths/counts excluded; fp=AQE initial plan, fp_exec=post-run AQE final plan for the top-$execTop by committed bench cost (query stages traversed, shuffle-read KIND kept, partition counts excluded)",
+         | "canonicalization": "class names sans Exec/codegen-ids; joins+=joinType; shuffles+=partitioning scheme; scans+=read cols+pushed filters; subqueries folded; literals/ids/paths/counts excluded; fp=AQE initial plan, fp_exec=post-run AQE final plan for the top-$execTop by committed bench cost (query stages traversed, shuffle-read KIND kept, partition counts excluded)$extraDesc",
          | "fingerprints": {
          |$fps
          | }
          |}""".stripMargin
     }
-    spark.stop()
     outJson.foreach { path =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body + "\n")
       println(s"[planfp] artifact -> $path")

@@ -50,12 +50,39 @@ object StreamMaintainOps extends OpGroup {
     * dataset): `$p` holds the appended delta files, `$p.stage` the
     * staged CDC JSON, `$p.ckpt` the checkpoint.
     */
-  private[operators] val deltaCache = new graft.Layout("graft_minhash_stream")
+  private[graft] val deltaCache = new graft.Layout("graft_minhash_stream")
+
+  /** Recursive delete for the pre-stream reset below — delta, stage and
+    * checkpoint must vanish TOGETHER or not at all (ADVICE r16 #3).
+    */
+  private def rmrf(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 
   private def runStream(s: SparkSession, d: String): String =
     deltaCache(s, d, graft.Layout.fingerprint(Tables.documents(s, d))) { p =>
       val stage = s"$p.stage"
       val ckpt = s"$p.ckpt"
+      // Idempotent restart (r17, ADVICE r16 #3): foreachBatch is
+      // at-least-once — a crash between a delta write and the
+      // checkpoint commit, or a Layout-builder retry after a partial
+      // in-session failure, would otherwise leave orphan delta rows
+      // that a fresh checkpoint re-appends under new part-file names,
+      // duplicating keys and breaking the order-free merge-on-read
+      // invariant. Two defenses: (1) delta dir, stage and checkpoint
+      // are deleted TOGETHER before the stream starts, so a builder
+      // retry always begins from nothing; (2) each micro-batch lands
+      // in its own batchId-keyed subdirectory with Overwrite, so a
+      // RE-EXECUTED batch (same batchId, the Structured Streaming
+      // replay contract) replaces its own output instead of appending
+      // a second copy.
+      rmrf(p); rmrf(stage); rmrf(ckpt)
       val m = col("doc_id") % 10
       val cdc = IncrementalMaintainOps.freshBatchDocs(s, d)
         .withColumn("is_delete", lit(false))
@@ -68,7 +95,7 @@ object StreamMaintainOps extends OpGroup {
         StructType.fromDDL("doc_id LONG, text STRING, is_delete BOOLEAN"),
         stage, maxFilesPerTrigger = Some(1))
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // batch-sized re-shingle of the upserts only; tombstones
           // carry a typed-null signature
           val up = IncrementalMaintainOps
@@ -80,7 +107,7 @@ object StreamMaintainOps extends OpGroup {
               lit(null).cast("array<long>").as("sig"),
               lit(true).as("is_delete"))
           up.unionByName(del)
-            .write.mode(SaveMode.Append).parquet(p)
+            .write.mode(SaveMode.Overwrite).parquet(s"$p/batch_id=$batchId")
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -143,7 +170,7 @@ object StreamMaintainOps extends OpGroup {
          |  FROM read_parquet('${LlmOps.minhashLayoutCache.lastPath}/*.parquet')),
          |delta AS (
          |  SELECT doc_id, sig, is_delete
-         |  FROM read_parquet('${deltaCache.lastPath}/*.parquet')),
+         |  FROM read_parquet('${deltaCache.lastPath}/*/*.parquet')),
          |res AS (
          |  SELECT b.doc_id, b.sig FROM base b
          |  WHERE b.doc_id NOT IN (SELECT doc_id FROM delta)

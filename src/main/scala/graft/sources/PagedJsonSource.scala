@@ -64,19 +64,42 @@ object PagedJsonSource {
   private val entryRe =
     """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)(?:,"n":(\d+))?\}""".r
 
+  private def parseManifest(lines: Iterator[String]): Seq[PageMeta] =
+    lines.collect {
+      case entryRe(f, lo, hi, n) =>
+        PageMeta(f, lo.toLong, hi.toLong, Option(n).map(_.toLong))
+    }.toSeq
+
   /** Manifest entries in commit order, if a manifest is present. */
   def readManifest(dir: java.io.File): Option[Seq[PageMeta]] = {
     val m = new java.io.File(dir, "_manifest.ndjson")
     if (!m.isFile) None
     else {
       val src = scala.io.Source.fromFile(m)
-      try Some(src.getLines().collect {
-        case entryRe(f, lo, hi, n) =>
-          PageMeta(f, lo.toLong, hi.toLong, Option(n).map(_.toLong))
-      }.toSeq)
+      try Some(parseManifest(src.getLines()))
       finally src.close()
     }
   }
+
+  /** True when the table path is an HTTP(S) endpoint — the reference's
+    * actual transport (app.py:154-163 fans out offset GETs against a
+    * throttled REST API). Pages and the manifest are then fetched by
+    * [[HttpPages.fetch]] with 429/Retry-After + 5xx retry semantics.
+    */
+  def isHttp(path: String): Boolean =
+    path != null && (path.startsWith("http://") || path.startsWith("https://"))
+
+  /** Transport-dispatching manifest read. Over HTTP the manifest is
+    * REQUIRED — there is no directory listing to fall back on, so a
+    * missing/failing manifest endpoint throws rather than silently
+    * planning zero pages.
+    */
+  def readManifestAt(path: String): Option[Seq[PageMeta]] =
+    if (isHttp(path))
+      Some(parseManifest(
+        HttpPages.fetch(s"${path.stripSuffix("/")}/_manifest.ndjson")
+          .linesIterator))
+    else readManifest(new java.io.File(path))
 
   def writeManifest(dir: java.io.File, entries: Seq[PageMeta]): Unit =
     java.nio.file.Files.write(
@@ -99,8 +122,12 @@ class PagedJsonTable(path: String) extends Table
     new PagedScanBuilder(path)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!PagedJsonSource.isHttp(path),
+      s"paged_json: HTTP paths are read-only (the reference API has no " +
+        s"write surface): $path")
     new PagedWriteBuilder(path, info.schema())
+  }
 }
 
 class PagedScanBuilder(path: String) extends ScanBuilder
@@ -155,7 +182,7 @@ class PagedScanBuilder(path: String) extends ScanBuilder
     // validate against the CURRENT manifest; values are re-derived at
     // planInputPartitions so a held DataFrame sees the same table state
     // the row-scan path would (both read the manifest per execution)
-    val metas = PagedJsonSource.readManifest(new java.io.File(path))
+    val metas = PagedJsonSource.readManifestAt(path)
       .getOrElse(return None)
     val haveCounts = metas.forall(_.n.isDefined)
     Some(aggregation.aggregateExpressions.toSeq.map {
@@ -204,7 +231,7 @@ class PagedAggScan(path: String, kinds: Seq[String], descs: Seq[String])
   override def description(): String =
     s"PagedJsonAggScan(path=$path, PushedAggregates=[${descs.mkString(", ")}])"
   override def planInputPartitions(): Array[InputPartition] = {
-    val metas = PagedJsonSource.readManifest(new java.io.File(path))
+    val metas = PagedJsonSource.readManifestAt(path)
       .getOrElse(Nil)
     val values: Seq[Any] = kinds.map {
       case "min" =>
@@ -294,20 +321,26 @@ class PagedScan(path: String, required: StructType, val pushedLimit: Int,
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    // (file, pageId, Option[(lo, hi)]) — the manifest, when present, IS the
-    // table listing (commit-protocol output, key-ordered); the raw glob is
-    // only the manifest-less fallback. Page id is intrinsic (manifest
-    // position / file name), so pruning cannot renumber surviving pages.
-    val pages: Seq[(java.io.File, Int, Option[(Long, Long)], Option[Long])] =
-      PagedJsonSource.readManifest(dir) match {
+    // (location, pageId, Option[(lo, hi)]) — the manifest, when present,
+    // IS the table listing (commit-protocol output, key-ordered); the raw
+    // glob is only the LOCAL manifest-less fallback (over HTTP there is
+    // no listing, and readManifestAt throws loudly instead). Page id is
+    // intrinsic (manifest position / file name), so pruning cannot
+    // renumber surviving pages.
+    val http = PagedJsonSource.isHttp(path)
+    val pages: Seq[(String, Int, Option[(Long, Long)], Option[Long])] =
+      PagedJsonSource.readManifestAt(path) match {
         case Some(entries) => entries.zipWithIndex.map { case (m, i) =>
-          (new java.io.File(dir, m.file), i, Some((m.lo, m.hi)), m.n)
+          val loc =
+            if (http) s"${path.stripSuffix("/")}/${m.file}"
+            else new java.io.File(new java.io.File(path), m.file)
+              .getAbsolutePath
+          (loc, i, Some((m.lo, m.hi)), m.n)
         }
-        case None => dir.listFiles()
+        case None => new java.io.File(path).listFiles()
           .filter(_.getName.matches("page-\\d+\\.ndjson"))
           .sortBy(_.getName).toSeq
-          .map(f => (f,
+          .map(f => (f.getAbsolutePath,
             f.getName.stripPrefix("page-").stripSuffix(".ndjson").toInt,
             None, None))
       }
@@ -335,8 +368,8 @@ class PagedScan(path: String, required: StructType, val pushedLimit: Int,
           take
         }
       }
-    keep.map { case (f, idx, _, _) =>
-      PagedPartition(f.getAbsolutePath, idx): InputPartition
+    keep.map { case (loc, idx, _, _) =>
+      PagedPartition(loc, idx): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -460,8 +493,16 @@ class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PagedPartition]
     new PartitionReader[InternalRow] {
-      private val source = scala.io.Source.fromFile(pp.file)
-      private val it = source.getLines()
+      // HTTP pages are fetched through the retrying transport (429 →
+      // Retry-After, 5xx → exponential backoff) — one GET per task,
+      // the reference's fan-out; local pages stream off disk
+      private val source: Option[scala.io.Source] =
+        if (PagedJsonSource.isHttp(pp.file)) None
+        else Some(scala.io.Source.fromFile(pp.file))
+      private val it: Iterator[String] = source match {
+        case Some(src) => src.getLines()
+        case None => HttpPages.fetch(pp.file).linesIterator
+      }
       private var current: InternalRow = _
       private val keyRe = "\"p_partkey\"\\s*:\\s*(-?\\d+)".r
       override def next(): Boolean =
@@ -479,7 +520,7 @@ class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
           true
         }
       override def get(): InternalRow = current
-      override def close(): Unit = source.close()
+      override def close(): Unit = source.foreach(_.close())
     }
   }
 }

@@ -58,7 +58,7 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("prior loader: sf-matched artifact parses, mismatched yields none") {
     val body =
-      """{"metric":"total","value":212.053,"n_queries":2,""" +
+      """{"metric":"total","value":212.053,"n_queries":2,"gate":"pass",""" +
         """"queries":{"q_a":0.123,"q_b":4.567},"sf":"/root/testdata/sf0.1"}"""
     val f = java.nio.file.Files.createTempFile("benchgate", ".json")
     java.nio.file.Files.writeString(f, body)
@@ -67,5 +67,32 @@ class BenchGateSpec extends AnyFunSuite {
     val miss = BenchGate.loadPriors(f.toString, "/root/testdata/sf0.01")
     assert(miss.isEmpty)
     assert(BenchGate.loadPriors("/nonexistent.json", "sf0.1").isEmpty)
+  }
+
+  test("prior loader refuses gate-reject and gate-less artifacts " +
+      "(ADVICE r16 #1)") {
+    def art(gate: String) =
+      s"""{"metric":"total","value":9.9,$gate""" +
+        """"queries":{"q_a":0.123},"sf":"/root/testdata/sf0.1"}"""
+    val rej = java.nio.file.Files.createTempFile("benchgate_rej", ".json")
+    java.nio.file.Files.writeString(rej, art(""""gate":"reject","""))
+    assert(BenchGate.loadPriors(rej.toString, "/root/testdata/sf0.1").isEmpty)
+    val none = java.nio.file.Files.createTempFile("benchgate_none", ".json")
+    java.nio.file.Files.writeString(none, art(""))
+    assert(BenchGate.loadPriors(none.toString, "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("prior loader reads ONLY the queries object, never stray " +
+      "name:float pairs (ADVICE r16 #1)") {
+    // a bare-regex loader would collect "value", "wall_clock_sec", and
+    // the runs-triple entries as priors; the strict loader must not
+    val body =
+      """{"metric":"total","value":212.053,"wall_clock_sec":218.1,""" +
+        """"gate":"pass","queries":{"q_a":0.123},""" +
+        """"runs":{"q_a":[0.123,0.456,0.789]},"sf":"sf0.1"}"""
+    val f = java.nio.file.Files.createTempFile("benchgate_strict", ".json")
+    java.nio.file.Files.writeString(f, body)
+    val m = BenchGate.loadPriors(f.toString, "/root/testdata/sf0.1")
+    assert(m == Map("q_a" -> 0.123))
   }
 }

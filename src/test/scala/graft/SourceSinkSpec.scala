@@ -167,4 +167,126 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.count() === want.count(), "append dropped prior pages")
     assert(back.except(want).count() === 0 && want.except(back).count() === 0)
   }
+
+  // ---- S6g/h/i: the DSv2 source against a REAL rate-limited HTTP
+  // endpoint (r17, VERDICT r16 ask #6) — a loopback server serves the
+  // staged fixture pages and injects the reference API's throttling
+  // (app.py:94-127: 429 + Retry-After, transient 5xx, page fan-out).
+
+  /** Loopback page server: `deny(path, hitCount)` decides the fault to
+    * inject for a request; everything else streams the file from `dir`.
+    */
+  private def withPageServer(dir: String)(
+      deny: (String, Int) => Option[(Int, Option[String])])(
+      body: (String, java.util.concurrent.ConcurrentHashMap[String, Integer])
+        => Unit): Unit = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val name = x.getRequestURI.getPath.stripPrefix("/")
+        val n: Int = hits.merge(name, 1, (a, b) => a + b)
+        deny(name, n) match {
+          case Some((code, retryAfter)) =>
+            retryAfter.foreach(v => x.getResponseHeaders.add("Retry-After", v))
+            x.sendResponseHeaders(code, -1); x.close()
+          case None =>
+            val f = new java.io.File(dir, name)
+            if (!f.isFile) { x.sendResponseHeaders(404, -1); x.close() }
+            else {
+              val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+              x.sendResponseHeaders(200, bytes.length)
+              x.getResponseBody.write(bytes); x.close()
+            }
+        }
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}", hits)
+    finally server.stop(0)
+  }
+
+  test("S6g: HTTP paged source retries 429s (Retry-After + backoff) and " +
+      "equals the local read; one task per page") {
+    val dir = graft.operators.SourceOps.stagePages(spark, sf())
+    val metas = graft.sources.PagedJsonSource
+      .readManifest(new java.io.File(dir)).get
+    // every page's first TWO fetches are throttled: one 429 naming
+    // Retry-After: 0, then one bare 429 (the exponential-backoff path)
+    withPageServer(dir)((name, n) =>
+        if (name != "_manifest.ndjson" && n == 1) Some((429, Some("0")))
+        else if (name != "_manifest.ndjson" && n == 2) Some((429, None))
+        else None) { (url, hits) =>
+      val http = spark.read.format("graft.sources.PagedJsonSource")
+        .option("path", url).load()
+      val local = spark.read.format("graft.sources.PagedJsonSource")
+        .option("path", dir).load()
+      assert(http.exceptAll(local).isEmpty && local.exceptAll(http).isEmpty)
+      // the reference's fan-out: each page is an independent fetch task
+      assert(http.rdd.getNumPartitions === metas.size)
+      // each page really went through the throttle twice before landing
+      metas.foreach(m => assert(hits.getOrDefault(m.file, 0) >= 3,
+        s"${m.file} fetched ${hits.getOrDefault(m.file, 0)} times"))
+      // manifest-stat aggregate pushdown works over HTTP too
+      val agg = http.agg(min("p_partkey"), max("p_partkey"), count(lit(1)))
+        .head
+      val want = local.agg(min("p_partkey"), max("p_partkey"), count(lit(1)))
+        .head
+      assert(agg === want)
+    }
+  }
+
+  test("S6h: a page that NEVER heals fails the read loudly after bounded " +
+      "retries (no silent short read)") {
+    val dir = graft.operators.SourceOps.stagePages(spark, sf())
+    val firstPage = graft.sources.PagedJsonSource
+      .readManifest(new java.io.File(dir)).get.head.file
+    withPageServer(dir)((name, _) =>
+        if (name == firstPage) Some((500, None)) else None) { (url, _) =>
+      val ex = intercept[Exception] {
+        spark.read.format("graft.sources.PagedJsonSource")
+          .option("path", url).load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+        .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(m => m.contains("HTTP 500")),
+        msgs(ex).mkString("; "))
+    }
+  }
+
+  test("S6i: fetch honors Retry-After seconds, escalates pow(2,attempt) " +
+      "without it, and never retries a plain 4xx") {
+    val dir = tmpDir("graft_s6i")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ok.ndjson"), """{"p_partkey":1}""")
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // two 429s with Retry-After: 3, then success → sleeps [3000, 3000]
+    withPageServer(dir)((name, n) =>
+        if (name == "ok.ndjson" && n <= 2) Some((429, Some("3")))
+        else None) { (url, _) =>
+      val body = graft.sources.HttpPages.fetch(s"$url/ok.ndjson",
+        sleeper = sleeps += _)
+      assert(body.contains("\"p_partkey\":1"))
+      assert(sleeps.toSeq === Seq(3000L, 3000L))
+    }
+    // bare 429s ride the exponential schedule: 100, 200, 400 ms
+    sleeps.clear()
+    withPageServer(dir)((name, n) =>
+        if (name == "ok.ndjson" && n <= 3) Some((429, None)) else None) {
+      (url, _) =>
+        graft.sources.HttpPages.fetch(s"$url/ok.ndjson", sleeper = sleeps += _)
+        assert(sleeps.toSeq === Seq(100L, 200L, 400L))
+    }
+    // 404 is not retryable: immediate failure, zero sleeps
+    sleeps.clear()
+    withPageServer(dir)((_, _) => None) { (url, _) =>
+      val ex = intercept[java.io.IOException] {
+        graft.sources.HttpPages.fetch(s"$url/missing.ndjson",
+          sleeper = sleeps += _)
+      }
+      assert(ex.getMessage.contains("HTTP 404") && sleeps.isEmpty)
+    }
+  }
 }

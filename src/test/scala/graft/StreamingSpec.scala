@@ -485,4 +485,44 @@ class StreamingSpec extends SparkSpec {
         col("event_type"), col("n"))
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
+
+  test("T17: delta sink is batchId-keyed Overwrite subdirs — idempotent " +
+      "under batch replay, delta keys unique (ADVICE r16 #3)") {
+    val res = SparkEntry.queries("stream_cdc_index_maintain")(spark, sf())
+    // three-way equivalence: every vs_* audit row must read full parity
+    res.collect().filter(_.getString(0).startsWith("vs_")).foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(2) == r.getLong(3),
+        s"audit row not bit-equal: $r")
+    }
+    val deltaDir = new java.io.File(
+      graft.operators.StreamMaintainOps.deltaCache.lastPath)
+    // one subdirectory per micro-batch (3 key-disjoint staged files),
+    // batchId-keyed so a Structured Streaming batch REPLAY (same
+    // batchId) overwrites its own output instead of appending a dup
+    val subs = deltaDir.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(subs.toSeq == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+    // no flat part files at the top level — an Append-mode leftover
+    // would be exactly the orphan-row hazard the subdir layout kills
+    assert(!deltaDir.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")))
+    // merge-on-read invariant: every delta key appears exactly once
+    val delta = spark.read.parquet(deltaDir.getPath)
+    assert(delta.count() == delta.select("doc_id").distinct().count())
+    // simulate the replay: re-write batch 1's directory with Overwrite
+    // (what a re-executed foreachBatch does) and assert the key census
+    // is unchanged
+    val before = delta.count()
+    // (stage batch 1's rows elsewhere first — Spark refuses a direct
+    // self-overwrite of a path it is reading)
+    val staged = tmpDir("graft_t17_replay")
+    spark.read.parquet(s"${deltaDir.getPath}/batch_id=1")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+    spark.read.parquet(staged)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${deltaDir.getPath}/batch_id=1")
+    val after = spark.read.parquet(deltaDir.getPath)
+    assert(after.count() == before)
+    assert(after.count() == after.select("doc_id").distinct().count())
+  }
 }
