@@ -302,6 +302,64 @@ object LangModelOps extends OpGroup {
         .orderBy("source")
     }),
 
+    // M39 — CCNet perplexity-bucket filter (Wenzek et al. 2020, the
+    // head/middle/tail split the CCNet pipeline runs per language): each
+    // document scored by mean per-bigram NLL under the corpus bigram
+    // model (M1's model tables verbatim), per-SOURCE tercile cutoffs
+    // picked by exact rank (value-at-rank is tie-invariant), every doc
+    // bucketed map-side against the broadcast cutoffs. The bucket census
+    // is what the filter keeps/drops: head = most fluent third. Scale
+    // shape: one token-pair shuffle builds the model, one doc aggregate
+    // scores, the cutoff table is |sources|×2 scalars broadcast back —
+    // the corpus is never windowed or funneled (CCNet itself computes
+    // cutoffs from a sample for exactly this reason).
+    "ccnet_ppl_bucket_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("a"))
+      val words = toks.select(explode(col("a")).as("w"))
+      val vdf = words.select("w").distinct().agg(count(lit(1)).as("v"))
+      val bi = toks.filter(size(col("a")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
+            .stripMargin)).as("b"))
+        .select(col("doc_id"), col("source"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val perDoc = bi.join(c2, Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(vdf))
+        .withColumn("nll", expr(nllSql))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_sum"))
+        .withColumn("avg_nll_fp", expr("nll_sum DIV n_bigrams"))
+      // exact tercile cutoffs per source: two-phase global rank within
+      // source, value picked at ceil(n/3) and ceil(2n/3) — value-at-rank
+      // is the same whichever tied row lands on the rank
+      val ranked = graft.functions.GlobalRank.rowNumber(
+        perDoc, "rn", Seq("source"), Seq("avg_nll_fp", "doc_id"))
+      val cnts = perDoc.groupBy("source").agg(count(lit(1)).as("cnt"))
+      val cuts = ranked.join(broadcast(cnts), "source")
+        .groupBy("source")
+        .agg(
+          min(when(col("rn") === ceil(col("cnt") / 3.0), col("avg_nll_fp")))
+            .as("e1"),
+          min(when(col("rn") === ceil(col("cnt") * 2.0 / 3.0),
+            col("avg_nll_fp"))).as("e2"))
+      perDoc.join(broadcast(cuts), "source")
+        .withColumn("bucket",
+          when(col("avg_nll_fp") <= col("e1"), "head")
+            .when(col("avg_nll_fp") <= col("e2"), "middle")
+            .otherwise("tail"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bigrams").as("n_bigrams"),
+          expr("sum(nll_sum) DIV sum(n_bigrams)").as("mean_nll_fp"))
+        .orderBy("source", "bucket")
+    }),
+
     // M12 — vocabulary coverage curve: the share of token occurrences
     // covered by the top-{10, 100, 1000} words — the curve a tokenizer /
     // stopword budget is sized from (Zipf's integral form). Rank over
@@ -841,6 +899,47 @@ object LangModelOps extends OpGroup {
          |       CAST(excess_fp AS BIGINT) AS excess_fp,
          |       CAST(raw_fp * 1000000 // tot_raw AS BIGINT) AS weight_fp
          |FROM raw CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // same model CTEs; per-doc mean NLL, tercile cutoffs by exact rank,
+    // bucket census — integer fixed-point end to end
+    "ccnet_ppl_bucket_filter" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS a
+         |              FROM documents),
+         |words AS (SELECT unnest(a) AS w FROM toks),
+         |vv AS (SELECT count(DISTINCT w) AS v FROM words),
+         |bi AS (SELECT doc_id, source, a[CAST(i AS INT)] AS w1,
+         |              a[CAST(i AS INT) + 1] AS w2
+         |       FROM toks, UNNEST(range(1, len(a))) AS t(i)),
+         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1t AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |sc AS (SELECT doc_id, source, $nllSql AS nll
+         |       FROM bi JOIN c2t USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vv),
+         |per_doc AS (SELECT doc_id, source, count(*) AS n_bigrams,
+         |                   CAST(sum(nll) AS BIGINT) AS nll_sum,
+         |                   CAST(CAST(sum(nll) AS BIGINT) // count(*) AS BIGINT)
+         |                     AS avg_nll_fp
+         |            FROM sc GROUP BY doc_id, source),
+         |rk AS (SELECT *,
+         |              row_number() OVER (PARTITION BY source
+         |                ORDER BY avg_nll_fp, doc_id) AS rn,
+         |              count(*) OVER (PARTITION BY source) AS cnt
+         |       FROM per_doc),
+         |cuts AS (SELECT source,
+         |                min(CASE WHEN rn = ceil(cnt / 3.0)
+         |                    THEN avg_nll_fp END) AS e1,
+         |                min(CASE WHEN rn = ceil(cnt * 2.0 / 3.0)
+         |                    THEN avg_nll_fp END) AS e2
+         |         FROM rk GROUP BY source),
+         |bucketed AS (SELECT p.*, CASE WHEN p.avg_nll_fp <= c.e1 THEN 'head'
+         |                             WHEN p.avg_nll_fp <= c.e2 THEN 'middle'
+         |                             ELSE 'tail' END AS bucket
+         |             FROM per_doc p JOIN cuts c USING (source))
+         |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         |       CAST(CAST(sum(nll_sum) AS BIGINT) //
+         |         CAST(sum(n_bigrams) AS BIGINT) AS BIGINT) AS mean_nll_fp
+         |FROM bucketed GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin,
 
     // same (freq DESC, w) total order for rank and running mass
     "vocab_coverage_curve" ->

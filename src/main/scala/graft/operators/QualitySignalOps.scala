@@ -150,6 +150,60 @@ object QualitySignalOps extends OpGroup {
         .withColumn("keep", col("stop_ratio_fp") >= 20000)
         .orderBy("doc_id")
     }),
+
+    // Q15 (r17) — the Gopher rule SCORECARD (Rae et al. 2021 §A1.1):
+    // the five cheap surface rules the paper applies before any model
+    // scoring, evaluated per document and rolled up per source as pass
+    // counts — the read a curator does before turning the filter on
+    // (which rule decimates which source). Pinned thresholds, exact
+    // integer fixed-point ratios:
+    //   r_wordcount: 50 <= tokens <= 100000
+    //   r_wordlen:   3 <= mean word length <= 10 chars
+    //   r_stopwords: >= 2 DISTINCT core stopwords present
+    //   r_topshare:  most frequent token <= 20% of slots
+    //   r_alpha:     >= 80% of tokens contain a letter
+    // Scale: four of five signals are per-doc array folds (pure
+    // map-side); the top-token share is the top_bigram_mass shape — a
+    // (doc, token) hash count then a doc-keyed max, both combinable,
+    // no windows; the rollup is |sources|-bounded.
+    "gopher_quality_rules" -> ((s, d) => {
+      val sw = "'the','a','an','and','or','of','to','in','is','it'"
+      val docs = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+      val base = docs.select(col("doc_id"), col("source"),
+        expr("CAST(size(ws) AS BIGINT)").as("n_tokens"),
+        expr("CAST(aggregate(ws, 0L, (acc, w) -> acc + length(w)) AS BIGINT)")
+          .as("sum_len"),
+        expr(s"CAST(size(array_distinct(filter(ws, w -> w IN ($sw)))) " +
+          "AS BIGINT)").as("n_stop_distinct"),
+        expr("CAST(size(filter(ws, w -> w rlike '[a-zA-Z]')) AS BIGINT)")
+          .as("n_alpha"))
+      val top = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("c_top"))
+      base.join(top, "doc_id")
+        .withColumn("r_wordcount",
+          col("n_tokens") >= 50L && col("n_tokens") <= 100000L)
+        .withColumn("mean_len_fp", expr("sum_len * 1000000 DIV n_tokens"))
+        .withColumn("r_wordlen",
+          col("mean_len_fp") >= 3000000L && col("mean_len_fp") <= 10000000L)
+        .withColumn("r_stopwords", col("n_stop_distinct") >= 2L)
+        .withColumn("r_topshare",
+          expr("c_top * 1000000 DIV n_tokens") <= 200000L)
+        .withColumn("r_alpha",
+          expr("n_alpha * 1000000 DIV n_tokens") >= 800000L)
+        .withColumn("pass_all", col("r_wordcount") && col("r_wordlen") &&
+          col("r_stopwords") && col("r_topshare") && col("r_alpha"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r_wordcount").cast("long")).as("n_pass_wordcount"),
+          sum(col("r_wordlen").cast("long")).as("n_pass_wordlen"),
+          sum(col("r_stopwords").cast("long")).as("n_pass_stopwords"),
+          sum(col("r_topshare").cast("long")).as("n_pass_topshare"),
+          sum(col("r_alpha").cast("long")).as("n_pass_alpha"),
+          sum(col("pass_all").cast("long")).as("n_pass_all"))
+        .orderBy("source")
+    }),
   )
 
   /** The per-doc Flesch–Kincaid grade as ONE FLOOR'd IEEE leaf over
@@ -247,5 +301,51 @@ object QualitySignalOps extends OpGroup {
         |       n_stop * 1000000 // n_tokens AS stop_ratio_fp,
         |       n_stop * 1000000 // n_tokens >= 20000 AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same pinned thresholds; list folds mirror the Spark HOFs
+    "gopher_quality_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(list_distinct(list_filter(ws, w -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it'], w))))
+        |      AS BIGINT) AS n_stop_distinct,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+        |      AS BIGINT) AS n_alpha
+        |  FROM d),
+        |top AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS c_top FROM (
+        |    SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+        |    GROUP BY doc_id, w) GROUP BY doc_id),
+        |rules AS (
+        |  SELECT b.source,
+        |    b.n_tokens BETWEEN 50 AND 100000 AS r_wordcount,
+        |    b.sum_len * 1000000 // b.n_tokens
+        |      BETWEEN 3000000 AND 10000000 AS r_wordlen,
+        |    b.n_stop_distinct >= 2 AS r_stopwords,
+        |    t.c_top * 1000000 // b.n_tokens <= 200000 AS r_topshare,
+        |    b.n_alpha * 1000000 // b.n_tokens >= 800000 AS r_alpha
+        |  FROM base b JOIN top t USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN r_wordcount THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass_wordcount,
+        |  CAST(sum(CASE WHEN r_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass_wordlen,
+        |  CAST(sum(CASE WHEN r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass_stopwords,
+        |  CAST(sum(CASE WHEN r_topshare THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass_topshare,
+        |  CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass_alpha,
+        |  CAST(sum(CASE WHEN r_wordcount AND r_wordlen AND r_stopwords
+        |    AND r_topshare AND r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass_all
+        |FROM rules GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -175,4 +175,65 @@ class QualitySignalSpec extends SparkSpec {
     // and (with a 2% bar) the flag is not vacuously constant-true
     assert(rows.exists(_.getBoolean(5)), "some docs pass the gate")
   }
+
+  test("gopher_quality_rules: census laws + per-doc rule replay on one doc") {
+    val res = SparkEntry.queries("gopher_quality_rules")(spark, sf())
+      .collect()
+    val total = graft.Tables.documents(spark, sf()).count()
+    assert(res.map(_.getLong(1)).sum === total, "every doc lands once")
+    res.foreach { r =>
+      val n = r.getLong(1)
+      val passes = (2 to 6).map(r.getLong)
+      val passAll = r.getLong(7)
+      passes.foreach(p => assert(p >= 0 && p <= n, s"rule count in [0,n]: $r"))
+      assert(passAll <= passes.min,
+        s"pass_all cannot exceed any single rule: $r")
+    }
+    // replay every rule on one concrete document
+    val doc = graft.Tables.documents(spark, sf())
+      .orderBy("doc_id").limit(1).collect().head
+    val ws = doc.getString(doc.fieldIndex("text")).split(" ")
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val n = ws.length.toLong
+    val rWc = n >= 50 && n <= 100000
+    val meanLenFp = ws.map(_.length.toLong).sum * 1000000L / n
+    val rWl = meanLenFp >= 3000000L && meanLenFp <= 10000000L
+    val rSw = ws.filter(stop).distinct.length >= 2
+    val cTop = ws.groupBy(identity).values.map(_.length).max.toLong
+    val rTs = cTop * 1000000L / n <= 200000L
+    val rAl = ws.count(_.exists(_.isLetter)).toLong * 1000000L / n >= 800000L
+    // the per-doc booleans exist only pre-rollup; re-derive the doc's
+    // source row bounds: its flags must be consistent with the census
+    val srcRow = res.find(_.getString(0) ==
+      doc.getString(doc.fieldIndex("source"))).get
+    Seq(rWc, rWl, rSw, rTs, rAl).zipWithIndex.foreach { case (flag, i) =>
+      val cnt = srcRow.getLong(2 + i)
+      if (flag) assert(cnt >= 1, s"rule $i true for doc 0 but census 0")
+      else assert(cnt < srcRow.getLong(1),
+        s"rule $i false for doc 0 but census full")
+    }
+  }
+
+  test("ccnet_ppl_bucket_filter: terciles partition each source ~n/3") {
+    val res = SparkEntry.queries("ccnet_ppl_bucket_filter")(spark, sf())
+      .collect()
+    val bySrc = res.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      val buckets = rows.map(_.getString(1)).toSet
+      assert(buckets.subsetOf(Set("head", "middle", "tail")), s"$src buckets")
+      val counts = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      val n = counts.values.sum
+      // exact-rank cutoffs: each bucket holds between n/3 - 1 and
+      // n/3 + 2 docs modulo ties (the fixture has distinct-enough
+      // per-doc NLLs that ties never span a cutoff at this scale)
+      counts.foreach { case (b, c) =>
+        assert(math.abs(c - n / 3.0) <= 3,
+          s"$src/$b: $c of $n not a tercile") }
+      // fluency ordering: head's mean NLL <= middle's <= tail's (±1 fp
+      // unit of per-doc truncation slack at the cutoffs)
+      val mean = rows.map(r => r.getString(1) -> r.getLong(4)).toMap
+      assert(mean("head") <= mean("middle") + 1 &&
+        mean("middle") <= mean("tail") + 1, s"$src bucket means out of order")
+    }
+  }
 }
