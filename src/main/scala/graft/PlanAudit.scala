@@ -380,7 +380,14 @@ object PlanAudit {
       // retired-absence scalar rows with crossJoin(broadcast(agg)) —
       // the incremental_ivf_maintain shape, single-row relations only
       "incremental_phash_maintain", "incremental_knn_maintain",
-      "stream_cdc_index_maintain") ++
+      "stream_cdc_index_maintain",
+      // r17: CCNet bucket filter — the exchanged relations are the
+      // 1-row vocab scalar, GlobalRank's offset ladder, and the
+      // |sources|×2 tercile-cutoff table broadcast back; the corpus
+      // passes (token-pair model build, per-doc score) are map-side-
+      // combinable hash aggregates (measured: 0 rows into any
+      // single-partition exchange grows with the corpus)
+      "ccnet_ppl_bucket_filter") ++
       cls("bounded-model-state")(
         "embedding_pca_power_iter", "quantile_sketch_merge",
         "psi_value_drift", "kneedle_cell_elbow", "split_conformal_interval") ++
@@ -421,6 +428,10 @@ object PlanAudit {
           sp += e.metrics.get("shuffleRecordsWritten")
             .map(_.value).getOrElse(-1L)
           e.children.foreach(walk)
+        // CartesianProductExec only: a broadcast nested-loop with a
+        // 1-row side is the scalar-stitch pass-through (its output rows
+        // equal the stream side — linear, not quadratic), so it is
+        // deliberately NOT held to the pair-grid cap
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
           cart += c.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
           c.children.foreach(walk)
@@ -510,7 +521,11 @@ object PlanAudit {
         try {
           def run(dir: String): (Long, Long) = {
             val df = SparkEntry.queries(name)(spark, dir)
-            df.count()
+            // drive THIS DataFrame's own QueryExecution: df.count()
+            // builds a separate aggregate plan whose execution leaves
+            // the measured instances' metrics at zero (found the hard
+            // way — the first sweep read 0 rows for every exchange)
+            df.queryExecution.toRdd.count()
             val (sp, cart) =
               measuredSinglePartitionRows(df.queryExecution.executedPlan)
             (if (sp.isEmpty) 0L else sp.max,
