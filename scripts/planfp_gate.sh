@@ -44,6 +44,15 @@ LOG=/tmp/planfp_gate.log
 SF1DIR=${SCALE_SF1_DIR:-/tmp/graft_sf1}
 
 export PLANFP_EXEC_TOP=${PLANFP_EXEC_TOP:-40}
+# exec coverage is monotone: the sweep unions every key the committed
+# artifact already executed (cost-map jitter widens coverage, never
+# strips it)
+if [ -f "$ART" ]; then
+  export PLANFP_COMMITTED=$ART
+else
+  export PLANFP_COMMITTED=$(ls PLANFINGERPRINT_r*.json 2>/dev/null \
+    | sort -V | tail -1 || true)
+fi
 if [ -z "${PLANFP_EXEC_EXTRA_SFS:-}" ]; then
   if [ ! -d "$SF1DIR/lineitem.parquet" ]; then
     echo "== ScaleGen: synthesizing sf1.0 at $SF1DIR (for fp_exec@sf1.0) =="

@@ -129,8 +129,27 @@ object PlanFingerprint {
     val costs =
       if (execTop > 0) BenchGate.loadCosts(benchArt, "sf0.1", execTop)
       else Map.empty[String, Double]
-    val topQs = SparkEntry.queries.keys.toSeq
-      .filter(costs.contains).sortBy(q => -costs(q)).take(execTop)
+    // Coverage is MONOTONE (ADVICE r16 #2): the exec set is the top-N by
+    // the CURRENT cost map UNION every key the committed artifact already
+    // executed — per-round cost-map jitter (a load spike promoting
+    // different keys) must widen coverage, never strip fp_exec from a
+    // key that had it.
+    val priorExecKeys: Set[String] = sys.env.get("PLANFP_COMMITTED")
+      .map(new java.io.File(_)).filter(_.isFile).map { f =>
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val fps = om.readTree(f).get("fingerprints")
+          val b = Set.newBuilder[String]
+          if (fps != null && fps.isObject)
+            fps.fields().forEachRemaining(e =>
+              if (e.getValue.has("fp_exec")) b += e.getKey)
+          b.result()
+        } catch { case _: Throwable => Set.empty[String] }
+      }.getOrElse(Set.empty)
+    val topQs = (SparkEntry.queries.keys.toSeq
+        .filter(costs.contains).sortBy(q => -costs(q)).take(execTop) ++
+      priorExecKeys.filter(SparkEntry.queries.contains).toSeq.sorted)
+      .distinct
     if (execTop > 0 && topQs.isEmpty)
       System.err.println(s"[planfp] no bench artifact at $benchArt and no " +
         "committed BENCH_rNN.json - executed-plan mode skipped")
