@@ -43,6 +43,10 @@ prior_path = sys.argv[2]
 priors = {}
 if prior_path and os.path.isfile(prior_path):
     p = json.load(open(prior_path))
+    # the driver's wrapper nests the payload under "parsed" (BenchGate's
+    # jackson loader handles the same shape)
+    if isinstance(p.get("parsed"), dict):
+        p = p["parsed"]
     # sf-matched only: sf0.01 priors would flag every healthy sf0.1 query
     sf = lambda d: os.path.basename(str(d.get("sf", "")).rstrip("/"))
     if sf(p) != sf(j):
