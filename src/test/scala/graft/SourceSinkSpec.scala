@@ -256,6 +256,35 @@ class SourceSinkSpec extends SparkSpec {
     }
   }
 
+  test("S6j: pushed key-range filters prune page FETCHES over HTTP — " +
+      "unneeded pages are never requested") {
+    val dir = graft.operators.SourceOps.stagePages(spark, sf())
+    val metas = graft.sources.PagedJsonSource
+      .readManifest(new java.io.File(dir)).get
+    assert(metas.size >= 3, "fixture must span several pages")
+    // a range covering only the FIRST page's keys
+    val hiBound = metas.head.hi
+    withPageServer(dir)((_, _) => None) { (url, hits) =>
+      val got = spark.read.format("graft.sources.PagedJsonSource")
+        .option("path", url).load()
+        .filter(col("p_partkey") <= hiBound)
+        .select("p_partkey").collect().map(_.getLong(0)).sorted
+      val want = spark.read.format("graft.sources.PagedJsonSource")
+        .option("path", dir).load()
+        .filter(col("p_partkey") <= hiBound)
+        .select("p_partkey").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === want.toSeq)
+      // stats pruning happened at the TRANSPORT: pages whose [lo, hi]
+      // is disjoint with the pushed range were never fetched (same
+      // contract as parquet row-group pruning, but the saved cost is a
+      // rate-limited HTTP GET instead of a local read)
+      metas.filter(_.lo > hiBound).foreach(m =>
+        assert(!hits.containsKey(m.file),
+          s"${m.file} fetched despite disjoint bounds"))
+      assert(hits.containsKey(metas.head.file), "matching page fetched")
+    }
+  }
+
   test("S6i: fetch honors Retry-After seconds, escalates pow(2,attempt) " +
       "without it, and never retries a plain 4xx") {
     val dir = tmpDir("graft_s6i")
