@@ -502,10 +502,13 @@ object PlanAudit {
     // from the exchange's own SQL metrics. The bound is scale-INVARIANCE:
     // a bounded relation (1-row scalar, enum grid, calendar/domain
     // ladder) stays put when the corpus grows 10x, while a corpus funnel
-    // grows ~10x. pass = max-rows(hi) <= 2000 (absolutely tiny at any
-    // scale) OR growth < 4x for 10x data. Cartesian output rows ride
-    // along for the bounded-pair-grid class (<= 100k, the documented
-    // 62.5k grid plus headroom).
+    // grows ~10x. pass = max-rows(hi) <= 512 (absolutely tiny at any
+    // scale) OR growth < 2x for 10x data — bounds set from the r17
+    // measurement (observed max 97 rows, max growth 1.0x), leaving
+    // ~5x headroom while still catching any funnel that so much as
+    // doubles. Cartesian output rows ride along for the
+    // bounded-pair-grid class (<= 100k, the documented 62.5k grid
+    // plus headroom).
     val measure = sys.env.getOrElse("PLANAUDIT_MEASURE", "1") == "1"
     val hiDir = sys.env.getOrElse("PLANAUDIT_MEASURE_HI",
       "/root/testdata/sf0.01")
@@ -534,7 +537,7 @@ object PlanAudit {
           val (spLo, _) = run(sfDir)
           val (spHi, cartHi) = run(hiDir)
           val growth = spHi.toDouble / math.max(spLo, 1L)
-          val ok = (spHi <= 2000L || growth < 4.0) && cartHi <= 100000L
+          val ok = (spHi <= 512L || growth < 2.0) && cartHi <= 100000L
           measured(name) = Meas(spLo, spHi, cartHi, growth, ok)
           if (!ok) {
             measureViolations += 1
@@ -574,7 +577,7 @@ object PlanAudit {
            | "n_build_failed": $buildFailed,
            | "n_measured": ${measured.size},
            | "n_measured_violations": $measureViolations,
-           | "measured_bound": "executed at $sfDir AND $hiDir; per single-partition exchange, shuffleRecordsWritten must satisfy hi<=2000 rows OR hi/lo<4 for 10x data; cartesian numOutputRows<=100k (VERDICT r16 ask #4)",
+           | "measured_bound": "executed at $sfDir AND $hiDir; per single-partition exchange, shuffleRecordsWritten must satisfy hi<=512 rows OR hi/lo<2 for 10x data; cartesian numOutputRows<=100k (VERDICT r16 ask #4)",
            | "classes": "see PlanAudit.scala scaladoc for per-class rationale",
            | "flagged": {
            |$rows
