@@ -12,11 +12,11 @@
 # measurement, and truly nothing survives between queries.
 #
 # Usage: scripts/bench_isolated.sh [fullBench.json] [out.json] [topN]
-# Defaults: bench_full.json BENCH_ISOLATED_r14.json 20
+# Defaults: bench_full.json BENCH_ISOLATED_r17.json 20
 set -euo pipefail
 cd "$(dirname "$0")/.."
 IN=${1:-bench_full.json}
-OUT=${2:-BENCH_ISOLATED_r14.json}
+OUT=${2:-BENCH_ISOLATED_r17.json}
 TOPN=${3:-20}
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 CPUS=${SPARK_GRAFT_CPUS:-8}

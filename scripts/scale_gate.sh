@@ -12,10 +12,10 @@
 # (checkpoint/state-store floors, not data-proportional) as are the
 # sink-roundtrip fixtures (staging-write bound).
 #
-# Usage: scripts/scale_gate.sh [out.json]   (default SCALE_r10.json)
+# Usage: scripts/scale_gate.sh [out.json]   (default SCALE_r17.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT=${1:-SCALE_r10.json}
+OUT=${1:-SCALE_r17.json}
 QUERIES=${SCALE_GATE_QUERIES:-dup_span_detect,ngram_novelty_score,cross_source_contamination,market_basket_affinity,cooc_triangle_count,lsh_hyperplane_near_dup,minhash_near_dedup,semantic_dedup_cluster,kcore_graph_prune,label_propagation_knn,ship_latency_by_priority,markov_next_event_topk,curation_pipeline_e2e,chunk_dedup_reassemble,exact_dedup_hash,kl_divergence_source_unigram,cross_entropy_by_source,dedup_threshold_sweep,containment_near_dup,session_sequence_rules,percentile_rank_normalize,ks_two_sample_value,theil_sen_nation_trend,vocab_coverage_curve,split_leakage_audit,embedding_covariance_topk,embedding_pca_power_iter,quantile_sketch_merge,interval_overlap_months,weighted_percentile_value,kneser_ney_continuation,kcenter_farthest_seeds,spearman_rank_corr,mann_whitney_u_value,minmax_prune_simulation,delta_bitpack_estimate,dwell_time_by_transition,psi_value_drift,position_based_attribution,local_clustering_coefficient,stupid_backoff_logprob,char_entropy_by_source,golden_record_merge,minhash_candidate_quality,event_type_trigrams,cohort_ltv_curve,vocab_gini_by_source,curriculum_stage_plan,ips_policy_value,split_conformal_interval,coarsened_exact_matching_att,order_fill_curve,price_elasticity_brand,supplier_share_shift,brand_margin_rollup,rank_within_grouping_sets,map_hof_ops,blocklist_flag_rate,slo_error_budget_burn,half_sample_ci,semantic_tau_sweep,audience_overlap_matrix,negative_sampling_table,frequent_word_subsampling,term_burstiness_topk,top_bigram_mass,random_projection_jl,pq_subspace_recon_error,dup_chunk_fraction,softdedup_weighting,wilson_ci_flag_rate,proportional_quota_fill,winnowing_fingerprints,burrows_delta_sources,chao1_vocab_richness,quantile_normalize_doclen,snapshot_diff_audit,hll_intersection_estimate,dau_mau_stickiness,join_cardinality_estimate,gini_split_stump,welch_t_value,mase_seasonal_naive,importance_weight_ess,bcubed_cluster_eval,markov_stationary_dist,langid_calibration_ece,media_phash_near_dup,bh_fdr_ks_nations,delta_method_ratio_ci,l_diversity_audit,nelson_aalen_hazard,sprt_conversion_monitor,markov_entropy_rate,simpson_diversity_by_source,fellegi_sunter_weights,time_decay_revenue,kmv_distinct_sketch,logrank_test_arms,eb_shrinkage_rates,graph_modularity_labels,theil_inequality_decomp,gumbel_return_level,littles_law_backlog,mcnemar_langid_pair,armitage_trend_priority,kruskal_wallis_priority,rich_club_knn,mkn_discount_estimation,rho_loss_selection,seasonal_mann_kendall,markov_removal_attribution,matryoshka_dim_recall,rake_keyphrases,ab_mde_power_grid,jonckheere_trend_value,sharp_rdd_discount,did_revenue_segments,t_closeness_audit,quantile_treatment_effect,chapman_dedup_estimate,chatterjee_xi_corr,atkinson_inequality,yuen_trimmed_t,js_divergence_sources,odds_ratio_weekend,covariate_balance_smd,rmst_survival,kleinberg_burst_days,mattr_lexical_diversity,yule_k_richness,pettitt_changepoint,holt_winters_daily,friedman_test_priority,runs_test_daily,wasserstein_doclen_drift,cliff_delta_weekend,durbin_watson_ols,gesd_outlier_daily,token_bigram_cond_entropy,embedding_anisotropy,powerlaw_alpha_mle,sample_entropy_daily,hurst_rs_daily,flesch_kincaid_by_source,energy_distance_value,page_trend_test,renyi_entropy_spectrum,pacf_durbin_levinson,var_es_daily_revenue,mcc_langid,gamma_somers_priority_qty,weibull_latency_fit,qq_deciles_value,lz78_complexity_daily,poisson_dispersion_daily,vocab_rank_churn,cochran_q_weekday,bowker_symmetry_langid,embedding_clip_calibration,brown_forsythe_priority,ansari_bradley_value,neardup_transitivity_audit}
 CPUS=${SPARK_GRAFT_CPUS:-8}
 THRESHOLD=${SCALE_GATE_THRESHOLD:-15.0}

@@ -8,10 +8,10 @@
 # positional-gram span dedup, the global-rank xi, the capped wedge
 # join, and all five CDC maintain audits.
 #
-# Usage: scripts/scale_sf1.sh [out.json]   (default SCALE_SF1_r16.json)
+# Usage: scripts/scale_sf1.sh [out.json]   (default SCALE_SF1_r17.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT=${1:-SCALE_SF1_r16.json}
+OUT=${1:-SCALE_SF1_r17.json}
 SF1DIR=${SCALE_SF1_DIR:-/tmp/graft_sf1}
 CPUS=${SPARK_GRAFT_CPUS:-32}
 THRESHOLD=${SCALE_SF1_THRESHOLD:-15.0}
