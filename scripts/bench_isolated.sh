@@ -11,21 +11,46 @@
 # add-opens), not through sbt — no build-tool startup inside the
 # measurement, and truly nothing survives between queries.
 #
-# Usage: scripts/bench_isolated.sh [fullBench.json] [out.json] [topN]
-# Defaults: bench_full.json BENCH_ISOLATED_r17.json 20
+# Usage: scripts/bench_isolated.sh [fullBench.json|AUTO] [out.json] [topN]
+# Defaults: AUTO (newest committed gate-pass sf-matched BENCH_rNN.json
+# — r18, VERDICT r17 ask #8: no untracked-scratch default)
+#           BENCH_ISOLATED_r18.json 20
 set -euo pipefail
 cd "$(dirname "$0")/.."
-IN=${1:-bench_full.json}
-OUT=${2:-BENCH_ISOLATED_r17.json}
+IN=${1:-AUTO}
+OUT=${2:-BENCH_ISOLATED_r18.json}
 TOPN=${3:-20}
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 CPUS=${SPARK_GRAFT_CPUS:-8}
 
 sbt -batch compile >/dev/null 2>&1
 
+if [ "$IN" = "AUTO" ]; then
+  IN=$(python3 - "$SF" <<'EOF'
+import glob, json, os, re, sys
+sf = os.path.basename(sys.argv[1].rstrip("/"))
+for a in sorted(glob.glob("BENCH_r*.json"),
+                key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+                reverse=True):
+    try:
+        j = json.load(open(a))
+        p = j["parsed"] if isinstance(j.get("parsed"), dict) else j
+        if p.get("gate") == "pass" \
+                and os.path.basename(str(p.get("sf", "")).rstrip("/")) == sf:
+            print(a); break
+    except Exception:
+        pass
+EOF
+)
+  [ -n "$IN" ] || { echo "no committed gate-pass artifact for $SF" >&2; exit 1; }
+  echo "bench_isolated: AUTO input -> $IN"
+fi
+
 KEYS=$(python3 - "$IN" "$TOPN" <<'EOF'
 import json, sys
 j = json.load(open(sys.argv[1]))
+if isinstance(j.get("parsed"), dict):
+    j = j["parsed"]
 top = sorted(j["queries"].items(), key=lambda kv: -kv[1])[:int(sys.argv[2])]
 print("\n".join(k for k, _ in top))
 EOF
@@ -47,6 +72,7 @@ done
 for k in $KEYS; do
   echo "== isolated bench: $k ==" >&2
   LINE=$(SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ONLY=$k SPARK_GRAFT_CPUS=$CPUS \
+    SPARK_GRAFT_NO_ADJUDICATE=1 \
     java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
       graft.Bench 2>/dev/null | grep '{"metric"' | head -1 || true)
@@ -61,6 +87,8 @@ done
 python3 - "$IN" "$OUT" "$SF" "$CPUS" <<'EOF'
 import json, sys
 full = json.load(open(sys.argv[1]))
+if isinstance(full.get("parsed"), dict):
+    full = full["parsed"]
 rows = {}
 for line in open("/tmp/bench_isolated_lines.txt"):
     j = json.loads(line)

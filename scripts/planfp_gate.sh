@@ -31,11 +31,11 @@
 # On success the fresh artifact replaces the committed one (so the
 # changelog line and the new hash land in the same commit). Usage:
 #   scripts/planfp_gate.sh [committed.json] [sfDir]
-# Defaults: PLANFINGERPRINT_r17.json, /root/testdata/sf0.001.
+# Defaults: PLANFINGERPRINT_r18.json, /root/testdata/sf0.001.
 # Exit 0 = plans accounted for; exit 1 = unexplained plan change.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ART=${1:-PLANFINGERPRINT_r17.json}
+ART=${1:-PLANFINGERPRINT_r18.json}
 SF=${2:-/root/testdata/sf0.001}
 ROUND=${PLANFP_ROUND:-$(basename "$ART" | grep -oE 'r[0-9]+' || echo rX)}
 export PLANFP_ROUND_RESOLVED=$ROUND

@@ -8,14 +8,37 @@
 # positional-gram span dedup, the global-rank xi, the capped wedge
 # join, and all five CDC maintain audits.
 #
-# Usage: scripts/scale_sf1.sh [out.json]   (default SCALE_SF1_r17.json)
+# Usage: scripts/scale_sf1.sh [out.json]   (default SCALE_SF1_r18.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT=${1:-SCALE_SF1_r17.json}
+OUT=${1:-SCALE_SF1_r18.json}
 SF1DIR=${SCALE_SF1_DIR:-/tmp/graft_sf1}
 CPUS=${SPARK_GRAFT_CPUS:-32}
 THRESHOLD=${SCALE_SF1_THRESHOLD:-15.0}
-QUERIES=${SCALE_SF1_QUERIES:-knn_graph_topk,graph_modularity_labels,dup_span_detect,chatterjee_xi_corr,triangle_participation_rate,incremental_neardup_maintain,incremental_cc_relabel,incremental_ivf_maintain,incremental_bm25_maintain,incremental_phash_maintain,incremental_knn_maintain,minhash_near_dedup,semantic_dedup_cluster,ngram_novelty_score,cooc_triangle_count,cross_source_contamination,hll_intersection_estimate}
+# AUTO (r18, VERDICT r17 ask #3): every key the committed
+# plan-fingerprint artifact carries an fp_exec for, plus the BenchGate
+# anchors — so every executed-plan fingerprint at the decade has a
+# MEASURED decade cost next to it (r17 fingerprinted 43 keys at sf1.0
+# but timed only 17, so the two AQE flip keys' costs were adjudicated,
+# not measured).
+QUERIES=${SCALE_SF1_QUERIES:-AUTO}
+if [ "$QUERIES" = "AUTO" ]; then
+  QUERIES=$(python3 - <<'EOF'
+import glob, json, re
+arts = sorted(glob.glob("PLANFINGERPRINT_r*.json"),
+              key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+keys = set()
+if arts:
+    fps = json.load(open(arts[-1]))["fingerprints"]
+    keys = {k for k, v in fps.items() if any(x.startswith("fp_exec")
+                                             for x in v)}
+keys |= {"group_hash_agg", "kneser_ney_continuation", "scan_orc_roundtrip",
+         "posexplode_tracknum", "hurst_rs_daily"}
+print(",".join(sorted(keys)))
+EOF
+)
+  echo "scale_sf1: AUTO key set ($(echo "$QUERIES" | tr ',' '\n' | wc -l) keys)"
+fi
 
 sbt -batch compile >/dev/null 2>&1
 

@@ -61,7 +61,7 @@ object BenchStream {
   private val BatchAxisKeys = Seq("stream_file_source", "stream_static_enrich")
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("BENCH_STREAM_r17.json")
+    val out = args.headOption.getOrElse("BENCH_STREAM_r18.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -96,7 +96,8 @@ object BenchStream {
         bySf: Seq[(String, Double)],
         fixedSec: Double,
         marginalPerKRows: Double,
-        batch: Option[(Int, Double, Double, Double)]) // (nBatches, t1, tMany, perBatch)
+        batch: Option[(Int, Double, Double, Double)], // (nBatchesMany, t1, tMany, perBatch)
+        batchSingle: Option[Int] = None) // measured batches on the 1-batch leg
 
     val results = scala.collection.mutable.LinkedHashMap[String, KeyResult]()
     Keys.foreach { name =>
@@ -125,25 +126,69 @@ object BenchStream {
     }
 
     // batch axis at sf0.01: default single AvailableNow batch vs one
-    // file per trigger
+    // file per trigger. Micro-batch counts are MEASURED from the
+    // engine's own progress events, never assumed (ADVICE r17 #1: the
+    // old code asserted n_batches = cpus, but the sf0.01 events fixture
+    // is ONE read split, so the default staging wrote one file and the
+    // per-trigger leg ran ONE batch — the committed per-batch overhead
+    // was noise divided by a constant). The ops stage at a KNOWN file
+    // count via graft.stream.stageParts (both legs, so only the
+    // batching differs), and a StreamingQueryListener counts the
+    // committed data batches of each run.
     val sfDir = "/root/testdata/sf0.01"
+    val batchCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) batchCounter.incrementAndGet()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = ()
+      })
+    // progress events post async on the listener bus: poll until the
+    // counter is stable (reads happen OUTSIDE the timed region)
+    def measuredBatches(): Long = {
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 5000) {
+        val cur = batchCounter.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(100); waited += 100
+      }
+      batchCounter.get()
+    }
+    val StageParts = 8
     BatchAxisKeys.foreach { name =>
       shed()
+      spark.conf.set("graft.stream.stageParts", StageParts.toString)
       run(name, sfDir) // warm
+      batchCounter.set(0)
       val tSingle = (1 to 2).map(_ => time(run(name, sfDir))).min
+      val nSingleTotal = measuredBatches()
       spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
-      // staged file count = shuffle partitions (the ops stage with the
-      // session default), so 1 file/trigger yields `cpus` micro-batches
-      val nBatches = cpus.toInt
       run(name, sfDir) // warm under the new batching
+      batchCounter.set(0)
       val tMany = (1 to 2).map(_ => time(run(name, sfDir))).min
+      val nManyTotal = measuredBatches()
       spark.conf.unset("graft.stream.maxFilesPerTrigger")
-      val perBatch = (tMany - tSingle) / math.max(nBatches - 1, 1)
-      System.err.println(f"[bench-stream] $name batch axis: 1 batch " +
-        f"$tSingle%.3f vs $nBatches batches $tMany%.3f -> " +
-        f"$perBatch%.4f s/batch")
+      spark.conf.unset("graft.stream.stageParts")
+      // each leg timed 2 runs after the counter reset; per-run counts
+      val nSingle = (nSingleTotal / 2.0).round.toInt
+      val nMany = (nManyTotal / 2.0).round.toInt
+      val perBatch = (tMany - tSingle) / math.max(nMany - nSingle, 1)
+      System.err.println(f"[bench-stream] $name batch axis: $nSingle " +
+        f"batch(es) $tSingle%.3f vs $nMany batches $tMany%.3f -> " +
+        f"$perBatch%.4f s/batch (measured from query progress; staged " +
+        f"$StageParts files)")
       results(name) = results(name).copy(
-        batch = Some((nBatches, tSingle, tMany, perBatch)))
+        batch = Some((nMany, tSingle, tMany, perBatch)),
+        batchSingle = Some(nSingle))
     }
 
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
@@ -155,7 +200,8 @@ object BenchStream {
         val sfJson = r.bySf.map { case (sfName, t) =>
           f""""t_$sfName": $t%.3f""" }.mkString(", ")
         val batchJson = r.batch.map { case (nb, t1, tm, pb) =>
-          f""", "batch_axis": {"n_batches": $nb, "t_one_batch": $t1%.3f, "t_per_file_batches": $tm%.3f, "per_micro_batch_overhead_sec": $pb%.4f}"""
+          val n1 = r.batchSingle.getOrElse(1)
+          f""", "batch_axis": {"n_batches_one_leg": $n1, "n_batches": $nb, "batch_counts_measured": true, "t_one_batch": $t1%.3f, "t_per_file_batches": $tm%.3f, "per_micro_batch_overhead_sec": $pb%.4f}"""
         }.getOrElse("")
         f"""  "$name": {$sfJson, "t_cold_first_invocation_sf0.01": ${r.coldFirst}%.3f, "fixed_sec": ${r.fixedSec}%.3f, "marginal_sec_per_1k_rows": ${r.marginalPerKRows}%.5f$batchJson}"""
       }.mkString(",\n")
@@ -163,7 +209,7 @@ object BenchStream {
         s""""$s": ${rowsPerSf(s)}""").mkString(", ")
       s"""{
          | "metric": "stream_cost_split",
-         | "protocol": "per key: warm once then min-of-2 at sf0.001/sf0.01/sf0.1; least-squares t = fixed + marginal*rows over the 3 points; batch axis (batching-invariant keys only) re-times sf0.01 at 1 file per trigger vs one AvailableNow batch (VERDICT r16 ask #5)",
+         | "protocol": "per key: warm once then min-of-2 at sf0.001/sf0.01/sf0.1; least-squares t = fixed + marginal*rows over the 3 points; batch axis (batching-invariant keys only) stages 8 JSON files via graft.stream.stageParts and re-times sf0.01 at 1 file per trigger vs one AvailableNow batch, with COMMITTED data-batch counts measured by a StreamingQueryListener, never assumed (ADVICE r17 #1)",
          | "events_rows": {$rowsJson},
          | "keys": {
          |$rows

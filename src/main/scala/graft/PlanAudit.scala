@@ -522,7 +522,12 @@ object PlanAudit {
         try graft.functions.GlobalRank.releaseCheckpoints(spark)
         catch { case _: Throwable => }
         try {
-          def run(dir: String): (Long, Long) = {
+          // (maxSpRows, maxCartRows, anyMetricUnpopulated): a -1
+          // sentinel (shuffleRecordsWritten never populated — the
+          // failure class the first sweep hit) must surface as a
+          // measurement FAILURE, never vanish under max() or satisfy
+          // the <= bounds vacuously (ADVICE r17 #2)
+          def run(dir: String): (Long, Long, Boolean) = {
             val df = SparkEntry.queries(name)(spark, dir)
             // drive THIS DataFrame's own QueryExecution: df.count()
             // builds a separate aggregate plan whose execution leaves
@@ -532,12 +537,19 @@ object PlanAudit {
             val (sp, cart) =
               measuredSinglePartitionRows(df.queryExecution.executedPlan)
             (if (sp.isEmpty) 0L else sp.max,
-              if (cart.isEmpty) 0L else cart.max)
+              if (cart.isEmpty) 0L else cart.max,
+              sp.exists(_ < 0L) || cart.exists(_ < 0L))
           }
-          val (spLo, _) = run(sfDir)
-          val (spHi, cartHi) = run(hiDir)
+          val (spLo, _, negLo) = run(sfDir)
+          val (spHi, cartHi, negHi) = run(hiDir)
           val growth = spHi.toDouble / math.max(spLo, 1L)
-          val ok = (spHi <= 512L || growth < 2.0) && cartHi <= 100000L
+          val metricUnpopulated = negLo || negHi
+          val ok = !metricUnpopulated &&
+            (spHi <= 512L || growth < 2.0) && cartHi <= 100000L
+          if (metricUnpopulated)
+            println(s"[audit] METRIC UNPOPULATED $name: an exchange " +
+              "reported no shuffleRecordsWritten/numOutputRows - counted " +
+              "as a bound violation, not a pass")
           measured(name) = Meas(spLo, spHi, cartHi, growth, ok)
           if (!ok) {
             measureViolations += 1

@@ -125,7 +125,7 @@ object PlanFingerprint {
     // bench_full.json exists (ADVICE r16 #2: a machine without the
     // untracked artifact must not silently strip executed coverage).
     val execTop = sys.env.getOrElse("PLANFP_EXEC_TOP", "20").toInt
-    val benchArt = sys.env.getOrElse("PLANFP_BENCH", "bench_full.json")
+    val benchArt = sys.env.getOrElse("PLANFP_BENCH", "AUTO")
     val costs =
       if (execTop > 0) BenchGate.loadCosts(benchArt, "sf0.1", execTop)
       else Map.empty[String, Double]
@@ -146,9 +146,14 @@ object PlanFingerprint {
           b.result()
         } catch { case _: Throwable => Set.empty[String] }
       }.getOrElse(Set.empty)
+    // The BenchGate anchor keys ride along unconditionally (r18, VERDICT
+    // r17 ask #2): an anchor rejection must be settleable from committed
+    // plan evidence — r17's contested posexplode_tracknum had only the
+    // initial-plan fp, so "load or plan change?" needed git archaeology.
     val topQs = (SparkEntry.queries.keys.toSeq
         .filter(costs.contains).sortBy(q => -costs(q)).take(execTop) ++
-      priorExecKeys.filter(SparkEntry.queries.contains).toSeq.sorted)
+      priorExecKeys.filter(SparkEntry.queries.contains).toSeq.sorted ++
+      BenchGate.anchors.keys.filter(SparkEntry.queries.contains).toSeq.sorted)
       .distinct
     if (execTop > 0 && topQs.isEmpty)
       System.err.println(s"[planfp] no bench artifact at $benchArt and no " +

@@ -92,14 +92,26 @@ object PagedJsonSource {
   /** Transport-dispatching manifest read. Over HTTP the manifest is
     * REQUIRED — there is no directory listing to fall back on, so a
     * missing/failing manifest endpoint throws rather than silently
-    * planning zero pages.
+    * planning zero pages. That includes the WELL-FORMED-BUT-WRONG 200
+    * (ADVICE r17 #4): a captive portal, proxy error page, or wrong
+    * endpoint returns 200 with a body that matches no manifest entry —
+    * parsing it to an empty page list would silently plan an empty
+    * table, so a body with zero parseable entries (or any non-blank
+    * line that is not an entry) fails as loudly as a 404.
     */
   def readManifestAt(path: String): Option[Seq[PageMeta]] =
-    if (isHttp(path))
-      Some(parseManifest(
-        HttpPages.fetch(s"${path.stripSuffix("/")}/_manifest.ndjson")
-          .linesIterator))
-    else readManifest(new java.io.File(path))
+    if (isHttp(path)) {
+      val url = s"${path.stripSuffix("/")}/_manifest.ndjson"
+      val lines = HttpPages.fetch(url).linesIterator.toSeq
+        .filter(_.trim.nonEmpty)
+      val entries = parseManifest(lines.iterator)
+      if (entries.isEmpty || entries.size != lines.size)
+        throw new java.io.IOException(
+          s"GET $url returned 200 but the body is not a manifest " +
+            s"(${entries.size} of ${lines.size} lines parse as entries) - " +
+            "refusing to plan a silently-empty table")
+      Some(entries)
+    } else readManifest(new java.io.File(path))
 
   def writeManifest(dir: java.io.File, entries: Seq[PageMeta]): Unit =
     java.nio.file.Files.write(

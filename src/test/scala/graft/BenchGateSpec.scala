@@ -95,4 +95,59 @@ class BenchGateSpec extends AnyFunSuite {
     val m = BenchGate.loadPriors(f.toString, "/root/testdata/sf0.1")
     assert(m == Map("q_a" -> 0.123))
   }
+
+  // ---- load calibration + self-adjudication (r18, VERDICT r17 ask #1) --
+
+  test("load factor: clamped to [1, MaxLoadScale], probe-failure neutral") {
+    assert(BenchGate.loadFactor(BenchGate.ProbeRefSec) == 1.0)
+    // an idle machine never TIGHTENS the caps
+    assert(BenchGate.loadFactor(0.05) == 1.0)
+    // a 2x-loaded probe doubles the caps
+    assert(math.abs(BenchGate.loadFactor(2 * BenchGate.ProbeRefSec) - 2.0)
+      < 1e-9)
+    // pathological probe clamps at MaxLoadScale
+    assert(BenchGate.loadFactor(100.0) == BenchGate.MaxLoadScale)
+    // probe never ran -> scale nothing
+    assert(BenchGate.loadFactor(-1.0) == 1.0)
+    assert(BenchGate.loadFactor(0.0) == 1.0)
+  }
+
+  test("scaled anchors clear the r17 contested rejection " +
+      "(posexplode 1.136s at a 2x-loaded epoch)") {
+    // the r17 driver re-run: loadavg 5.02 vs the committed run's 3.09,
+    // posexplode_tracknum min-of-3 1.136 s > the absolute 1.0 s cap over
+    // a bit-identical plan. Under a probe that measures the same 2x
+    // epoch, the scaled cap absorbs it ...
+    val loaded = BenchGate.scaledAnchors(2.0)
+    val r = BenchGate.check(
+      Seq("posexplode_tracknum" -> Seq(1.136, 4.172, 9.652)),
+      Map("posexplode_tracknum" -> 0.598), loaded)
+    // the rising triple still compares min vs 1.5x prior (1.136 > 0.897)
+    // — that half stays a violation for the isolated-JVM adjudication,
+    // but the ANCHOR half no longer fires
+    assert(!r.violations.exists(_.startsWith("ANCHOR")))
+    // ... while on an idle machine (factor 1) the same numbers still
+    // reject: the cap is only as loose as the measured load
+    val idle = BenchGate.check(
+      Seq("posexplode_tracknum" -> Seq(1.136, 4.172, 9.652)),
+      Map.empty, BenchGate.scaledAnchors(1.0))
+    assert(idle.violations.exists(_.startsWith("ANCHOR")))
+  }
+
+  test("adjudication class: isolated within threshold = load, " +
+      "reproducing = plan, failed isolated run = plan") {
+    // r17's posexplode case: isolated truth ~0.6 s vs the 1.0 s cap
+    assert(BenchGate.adjudicationClass(0.598, 1.0) == "load")
+    // a genuine plan regression reproduces under isolation
+    assert(BenchGate.adjudicationClass(1.7, 1.0) == "plan")
+    // a failed isolated re-measure must never CLEAR a violation
+    assert(BenchGate.adjudicationClass(-1.0, 1.0) == "plan")
+  }
+
+  test("anchor keys all declared queries (exec-fingerprint union " +
+      "depends on it)") {
+    BenchGate.anchors.keys.foreach(k =>
+      assert(SparkEntry.queries.contains(k), s"anchor $k not declared"))
+    assert(SparkEntry.queries.contains(BenchGate.ProbeKey))
+  }
 }
