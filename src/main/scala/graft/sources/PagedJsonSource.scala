@@ -131,7 +131,14 @@ class PagedJsonTable(path: String) extends Table
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(path)
+    // the reference's API concurrency semaphore, sized per read
+    // (app.py:36-45,101): resolved on the DRIVER from the session conf
+    // and shipped with the reader factory
+    new PagedScanBuilder(path,
+      scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+          .get("graft.http.maxConcurrent")).toOption
+        .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+        .getOrElse(HttpPages.DefaultMaxConcurrent))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -142,7 +149,8 @@ class PagedJsonTable(path: String) extends Table
   }
 }
 
-class PagedScanBuilder(path: String) extends ScanBuilder
+class PagedScanBuilder(path: String,
+    maxConcurrent: Int = HttpPages.DefaultMaxConcurrent) extends ScanBuilder
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var limit: Int = -1
@@ -226,7 +234,7 @@ class PagedScanBuilder(path: String) extends ScanBuilder
 
   override def build(): Scan = aggKinds match {
     case Some(ks) => new PagedAggScan(path, ks, aggDesc)
-    case None => new PagedScan(path, required, limit, pushed)
+    case None => new PagedScan(path, required, limit, pushed, maxConcurrent)
   }
 }
 
@@ -282,7 +290,9 @@ class PagedAggScan(path: String, kinds: Seq[String], descs: Seq[String])
 case class AggResultPartition(values: Array[Any]) extends InputPartition
 
 class PagedScan(path: String, required: StructType, val pushedLimit: Int,
-    val pushed: Array[Filter] = Array.empty) extends Scan with Batch
+    val pushed: Array[Filter] = Array.empty,
+    maxConcurrent: Int = HttpPages.DefaultMaxConcurrent)
+    extends Scan with Batch
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -385,7 +395,7 @@ class PagedScan(path: String, required: StructType, val pushedLimit: Int,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(required)
+    new PagedReaderFactory(required, maxConcurrent)
 }
 
 case class PagedPartition(file: String, page: Int) extends InputPartition
@@ -501,19 +511,25 @@ class PagedWriterFactory(path: String, inputSchema: StructType)
   }
 }
 
-class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
+class PagedReaderFactory(required: StructType,
+    maxConcurrent: Int = HttpPages.DefaultMaxConcurrent)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PagedPartition]
     new PartitionReader[InternalRow] {
       // HTTP pages are fetched through the retrying transport (429 →
       // Retry-After, 5xx → exponential backoff) — one GET per task,
-      // the reference's fan-out; local pages stream off disk
+      // the reference's fan-out, all tasks sharing the JVM-global
+      // per-authority permit pool (app.py's API_CONCURRENCY_LIMIT);
+      // local pages stream off disk
       private val source: Option[scala.io.Source] =
         if (PagedJsonSource.isHttp(pp.file)) None
         else Some(scala.io.Source.fromFile(pp.file))
       private val it: Iterator[String] = source match {
         case Some(src) => src.getLines()
-        case None => HttpPages.fetch(pp.file).linesIterator
+        case None =>
+          HttpPages.fetch(pp.file, maxConcurrent = maxConcurrent)
+            .linesIterator
       }
       private var current: InternalRow = _
       private val keyRe = "\"p_partkey\"\\s*:\\s*(-?\\d+)".r

@@ -318,4 +318,167 @@ class SourceSinkSpec extends SparkSpec {
       assert(ex.getMessage.contains("HTTP 404") && sleeps.isEmpty)
     }
   }
+
+  test("S6o: an HTTP 200 whose body is not a manifest fails loudly " +
+      "instead of planning an empty table (ADVICE r17 #4)") {
+    val dir = tmpDir("graft_s6o")
+    // a captive-portal / proxy error page: well-formed 200, zero entries
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_manifest.ndjson"),
+      "<html>proxy error</html>\n")
+    withPageServer(dir)((_, _) => None) { (url, _) =>
+      val ex = intercept[Exception] {
+        spark.read.format("graft.sources.PagedJsonSource")
+          .option("path", url).load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+        .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("not a manifest")),
+        msgs(ex).mkString("; "))
+    }
+    // a half-wrong body (one real entry, one garbage line) fails too —
+    // partial parses are silent data loss, not a smaller table
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_manifest.ndjson"),
+      """{"file":"p0.ndjson","lo":1,"hi":5,"n":5}
+        |GARBAGE LINE
+        |""".stripMargin)
+    withPageServer(dir)((_, _) => None) { (url, _) =>
+      val ex = intercept[Exception] {
+        spark.read.format("graft.sources.PagedJsonSource")
+          .option("path", url).load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+        .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("not a manifest")),
+        msgs(ex).mkString("; "))
+    }
+  }
+
+  // ---- S6k/m/n: the reference's API concurrency semaphore
+  // (app.py:36-45,101: API_CONCURRENCY_LIMIT = 10, deliberately lowered
+  // to avoid 429 storms) — r18, VERDICT r17 ask #4. The loopback
+  // variant below runs a REAL thread pool and tracks live requests
+  // (withPageServer's default single-dispatcher executor would
+  // serialize requests and mask any client-side cap).
+
+  private def withConcurrentServer(dir: String, rateLimit: Option[Int])(
+      body: (String, () => Int, () => Int) => Unit): Unit = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(64)
+    server.setExecutor(pool)
+    val live = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val storms = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val now = live.incrementAndGet()
+        peak.accumulateAndGet(now, math.max(_, _))
+        try {
+          if (rateLimit.exists(now > _)) {
+            // the throttled API's rate limiter: over-limit -> 429
+            storms.incrementAndGet()
+            x.getResponseHeaders.add("Retry-After", "0")
+            x.sendResponseHeaders(429, -1); x.close()
+          } else {
+            Thread.sleep(50) // force overlap so concurrency is observable
+            val f = new java.io.File(dir,
+              x.getRequestURI.getPath.stripPrefix("/"))
+            if (!f.isFile) { x.sendResponseHeaders(404, -1); x.close() }
+            else {
+              val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+              x.sendResponseHeaders(200, bytes.length)
+              x.getResponseBody.write(bytes); x.close()
+            }
+          }
+        } finally live.decrementAndGet()
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}",
+      () => peak.get(), () => storms.get())
+    finally { server.stop(0); pool.shutdownNow() }
+  }
+
+  /** 32 threads each fetching one page — the uncapped shape of 32 task
+    * slots fanning out GETs. Returns how many fetches FAILED (exhausted
+    * their bounded retries).
+    */
+  private def hammer(url: String, limit: Int): Int = {
+    val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 32).map { i =>
+      new Thread(() =>
+        try graft.sources.HttpPages.fetch(s"$url/p${i % 4}.ndjson",
+          maxConcurrent = limit)
+        catch { case _: Throwable => failed.incrementAndGet() })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    failed.get()
+  }
+
+  private def pageFixture(prefix: String): String = {
+    val dir = tmpDir(prefix)
+    (0 until 4).foreach(i => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/p$i.ndjson"), s"""{"p_partkey":$i}"""))
+    dir
+  }
+
+  test("S6k: the JVM-global per-host semaphore caps in-flight GETs " +
+      "(app.py API_CONCURRENCY_LIMIT)") {
+    val dir = pageFixture("graft_s6k")
+    graft.sources.HttpPages.resetLimiters()
+    withConcurrentServer(dir, None) { (url, peak, _) =>
+      assert(hammer(url, 3) === 0)
+      assert(peak() <= 3, s"peak in-flight ${peak()} > cap 3")
+    }
+    // without the cap binding, the same fan-out overlaps far more —
+    // proving the cap (not task scheduling) was the constraint above
+    graft.sources.HttpPages.resetLimiters()
+    withConcurrentServer(dir, None) { (url, peak, _) =>
+      assert(hammer(url, 32) === 0)
+      assert(peak() > 3, s"uncapped peak ${peak()} should exceed 3")
+    }
+  }
+
+  test("S6m: the capped client avoids the 429 storm the uncapped " +
+      "fan-out provokes against a rate-limited API") {
+    val dir = pageFixture("graft_s6m")
+    // server throttles past 6 live requests (margin over the client cap
+    // of 3 absorbs the release-vs-decrement race at the boundary)
+    graft.sources.HttpPages.resetLimiters()
+    withConcurrentServer(dir, Some(6)) { (url, _, storms) =>
+      assert(hammer(url, 3) === 0)
+      assert(storms() === 0,
+        s"capped client drew ${storms()} 429s from a limit-6 API")
+    }
+    // the uncapped fan-out trips the limiter — and with the whole pack
+    // retrying in lockstep (Retry-After: 0), some requests exhaust their
+    // bounded retries and FAIL outright: the full 429-cascade damage
+    // (latency multiplication AND task failures) the semaphore prevents
+    graft.sources.HttpPages.resetLimiters()
+    withConcurrentServer(dir, Some(6)) { (url, _, storms) =>
+      hammer(url, 32) // failures allowed: they ARE the storm's damage
+      assert(storms() > 0, "uncapped fan-out should trip the rate limiter")
+    }
+  }
+
+  test("S6n: graft.http.maxConcurrent reaches the DSv2 page readers") {
+    val dir = graft.operators.SourceOps.stagePages(spark, sf())
+    graft.sources.HttpPages.resetLimiters()
+    spark.conf.set("graft.http.maxConcurrent", "1")
+    try withConcurrentServer(dir, None) { (url, peak, _) =>
+      val http = spark.read.format("graft.sources.PagedJsonSource")
+        .option("path", url).load()
+      val local = spark.read.format("graft.sources.PagedJsonSource")
+        .option("path", dir).load()
+      assert(http.exceptAll(local).isEmpty && local.exceptAll(http).isEmpty)
+      assert(peak() <= 1,
+        s"peak in-flight ${peak()} > configured cap 1")
+    } finally {
+      spark.conf.unset("graft.http.maxConcurrent")
+      graft.sources.HttpPages.resetLimiters()
+    }
+  }
 }
