@@ -80,6 +80,7 @@ object SparkEntry {
     operators.IncrementalPhashOps,
     operators.IncrementalKnnOps,
     operators.StreamMaintainOps,
+    operators.LmLayoutOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

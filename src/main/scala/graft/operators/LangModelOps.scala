@@ -48,7 +48,7 @@ object LangModelOps extends OpGroup {
     * bit-identical doubles in Spark and DuckDB (tfidf/bm25 precedent).
     * `c1 >= c2` and `V >= 1` keep the ratio >= 1, so nll >= 0.
     */
-  private val nllSql =
+  private[operators] val nllSql =
     "CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)) * 1000000.0) AS BIGINT)"
 
   /** Per-occurrence unigram NLL of the bigram's TARGET token under the
@@ -118,24 +118,15 @@ object LangModelOps extends OpGroup {
     // boilerplate can be easier for the unigram); top-20 resolves by
     // TakeOrdered on (gap, doc_id).
     "rho_loss_selection" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("a"))
-      val words = toks.select(col("doc_id"), explode(col("a")).as("w"))
-      val vdf = words.select("w").distinct().agg(count(lit(1)).as("v"))
-      val nnDf = words.agg(count(lit(1)).as("nn"))
-      val cw = words.groupBy("w").agg(count(lit(1)).as("cu"))
-      val bi = toks.filter(size(col("a")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(a) - 1),
-            |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
-            .stripMargin)).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      bi.join(c2, Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
-        .join(broadcast(cw.select(col("w").as("w2"), col("cu"))), Seq("w2"))
-        .crossJoin(broadcast(vdf)).crossJoin(broadcast(nnDf))
+      val lm = LmLayoutOps.baseLm(s, d)
+      val bi = LmLayoutOps.bigrams(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      bi.join(s.read.parquet(lm), Seq("w1", "w2"))
+        .join(broadcast(s.read.parquet(s"$lm.c1")), Seq("w1"))
+        .join(broadcast(s.read.parquet(s"$lm.uni")
+          .select(col("w").as("w2"), col("cu"))), Seq("w2"))
+        .crossJoin(broadcast(s.read.parquet(s"$lm.stats").select("v")))
+        .crossJoin(broadcast(s.read.parquet(s"$lm.stats").select("nn")))
         .withColumn("bi_nll", expr(nllSql))
         .withColumn("uni_nll", expr(uniNllSql))
         .groupBy("doc_id")
@@ -195,27 +186,22 @@ object LangModelOps extends OpGroup {
             .as("targets"))
         .orderBy("doc_id")
     }),
-    // M1 — bigram-LM perplexity scoring: train add-one-smoothed bigram
-    // counts on the corpus, score each document by mean per-bigram NLL,
-    // surface the 20 highest-perplexity (lowest-fluency) docs — the CCNet
-    // quality-filter shape. One token-pair shuffle builds the model; one
-    // equi-join scores; c1 (vocab-sized) broadcasts to the probe side.
+    // M1 — bigram-LM perplexity scoring: score each document by mean
+    // per-bigram NLL under the corpus add-one bigram model, surface the
+    // 20 highest-perplexity (lowest-fluency) docs — the CCNet
+    // quality-filter shape. The model tables come from the PERSISTED
+    // bigram_lm layout (r18, VERDICT r17 ask #6: at 100 TB the LM is
+    // index state written by the ingest job and maintained by
+    // incremental_lm_maintain, never a per-query subplan); scoring is
+    // one corpus bigram scan equi-joined against the model parquet,
+    // c1 (vocab-sized) broadcast to the probe side.
     "bigram_lm_perplexity" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("a"))
-      val words = toks.select(col("doc_id"), explode(col("a")).as("w"))
-      val vdf = words.select("w").distinct().agg(count(lit(1)).as("v"))
-      val bi = toks.filter(size(col("a")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(a) - 1),
-            |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
-            .stripMargin)).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val scored = bi.join(c2, Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
-        .crossJoin(broadcast(vdf))
+      val lm = LmLayoutOps.baseLm(s, d)
+      val bi = LmLayoutOps.bigrams(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      val scored = bi.join(s.read.parquet(lm), Seq("w1", "w2"))
+        .join(broadcast(s.read.parquet(s"$lm.c1")), Seq("w1"))
+        .crossJoin(broadcast(s.read.parquet(s"$lm.stats").select("v")))
         .withColumn("nll", expr(nllSql))
       scored.groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_sum"))
@@ -231,21 +217,18 @@ object LangModelOps extends OpGroup {
     // model tables, same leaf-fixed-point NLL, one per-source integer
     // aggregate instead of per-doc top-k — scale story identical to M1.
     "cross_entropy_by_source" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("source"), split(col("text"), " ").as("a"))
-      val words = toks.select(explode(col("a")).as("w"))
-      val vdf = words.select("w").distinct().agg(count(lit(1)).as("v"))
+      val lm = LmLayoutOps.baseLm(s, d)
+      val toks = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("a"))
       val bi = toks.filter(size(col("a")) >= 2)
         .select(col("source"), explode(expr(
           """transform(sequence(1, size(a) - 1),
             |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
             .stripMargin)).as("b"))
         .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      bi.join(c2, Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
-        .crossJoin(broadcast(vdf))
+      bi.join(s.read.parquet(lm), Seq("w1", "w2"))
+        .join(broadcast(s.read.parquet(s"$lm.c1")), Seq("w1"))
+        .crossJoin(broadcast(s.read.parquet(s"$lm.stats").select("v")))
         .withColumn("nll", expr(nllSql))
         .groupBy("source")
         .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_sum"))
@@ -264,21 +247,18 @@ object LangModelOps extends OpGroup {
     // source-cardinality state: exp() FLOOR-fixed-pointed at the leaf
     // over exact-int inputs (Q3's discipline), INTEGER normalization.
     "doremi_excess_loss_reweight" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("source"), split(col("text"), " ").as("a"))
-      val words = toks.select(explode(col("a")).as("w"))
-      val vdf = words.select("w").distinct().agg(count(lit(1)).as("v"))
+      val lm = LmLayoutOps.baseLm(s, d)
+      val toks = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("a"))
       val bi = toks.filter(size(col("a")) >= 2)
         .select(col("source"), explode(expr(
           """transform(sequence(1, size(a) - 1),
             |  i -> named_struct('w1', element_at(a, i), 'w2', element_at(a, i + 1)))"""
             .stripMargin)).as("b"))
         .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val perSrc = bi.join(c2, Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
-        .crossJoin(broadcast(vdf))
+      val perSrc = bi.join(s.read.parquet(lm), Seq("w1", "w2"))
+        .join(broadcast(s.read.parquet(s"$lm.c1")), Seq("w1"))
+        .crossJoin(broadcast(s.read.parquet(s"$lm.stats").select("v")))
         .withColumn("nll", expr(nllSql))
         .groupBy("source")
         .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_sum"))
@@ -314,11 +294,9 @@ object LangModelOps extends OpGroup {
     // the corpus is never windowed or funneled (CCNet itself computes
     // cutoffs from a sample for exactly this reason).
     "ccnet_ppl_bucket_filter" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), col("source"),
+      val lm = LmLayoutOps.baseLm(s, d)
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
         split(col("text"), " ").as("a"))
-      val words = toks.select(explode(col("a")).as("w"))
-      val vdf = words.select("w").distinct().agg(count(lit(1)).as("v"))
       val bi = toks.filter(size(col("a")) >= 2)
         .select(col("doc_id"), col("source"), explode(expr(
           """transform(sequence(1, size(a) - 1),
@@ -326,11 +304,9 @@ object LangModelOps extends OpGroup {
             .stripMargin)).as("b"))
         .select(col("doc_id"), col("source"),
           col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val perDoc = bi.join(c2, Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
-        .crossJoin(broadcast(vdf))
+      val perDoc = bi.join(s.read.parquet(lm), Seq("w1", "w2"))
+        .join(broadcast(s.read.parquet(s"$lm.c1")), Seq("w1"))
+        .crossJoin(broadcast(s.read.parquet(s"$lm.stats").select("v")))
         .withColumn("nll", expr(nllSql))
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_sum"))
