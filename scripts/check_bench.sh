@@ -9,11 +9,10 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.001}
 OUT=$(mktemp)
-# a full Bench run rewrites bench_full.json; a guard run at a small SF
-# must not leave small-SF numbers in the artifact the judge reads
-[ -f bench_full.json ] && cp bench_full.json "$OUT.bak"
-SPARK_GRAFT_SF_DIR=$SF sbt -batch "runMain graft.Bench" >"$OUT" 2>/dev/null
-[ -f "$OUT.bak" ] && mv "$OUT.bak" bench_full.json
+# a guard run at a small SF writes its full-run artifact to its own
+# scratch path, never the one a real round run might be using
+SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_BENCH_OUT=$OUT.full.json \
+  sbt -batch "runMain graft.Bench" >"$OUT" 2>/dev/null
 python3 - "$OUT" <<'EOF'
 import json, sys
 lines = [l.rstrip("\n") for l in open(sys.argv[1]) if l.strip()]

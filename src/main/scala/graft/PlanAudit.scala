@@ -395,7 +395,11 @@ object PlanAudit {
         "bm25_topk", "heaps_law_vocab_growth", "rrf_rank_fusion") ++
       cls("bounded-window + scalar-stitch")(
         "hybrid_retrieval_rerank", "gini_split_stump",
-        "proportional_quota_fill", "incremental_bm25_maintain") ++
+        "proportional_quota_fill", "incremental_bm25_maintain",
+        // r18: the LM maintenance audit — parity rows cross 1-row
+        // counts by broadcast (the ivf/bm25 shape); the consumer check
+        // ranks AFTER TakeOrdered has reduced each side to 10 rows
+        "incremental_lm_maintain") ++
       cls("bounded-pair-grid")("gamma_somers_priority_qty") ++
       cls("bloom-bitset")("bloom_prefilter_dedup")).toMap
   }
