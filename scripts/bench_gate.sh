@@ -112,6 +112,9 @@ if factor > 1.0:
 adj = {(a.get("kind"), a.get("key")): a for a in j.get("adjudications", [])}
 bad, notes = [], []
 qs = j["queries"]
+# anchor caps are sf0.1 isolated truths (Bench scopes them identically)
+if sf(j) != "sf0.1":
+    anchors = {}
 for q, cap in anchors.items():
     cap_eff = cap * factor
     if q in qs and qs[q] > cap_eff:

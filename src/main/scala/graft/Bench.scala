@@ -139,8 +139,13 @@ object Bench {
     // loadavg 5.02 over a bit-identical plan). Skipped in targeted runs
     // unless an anchor key is in the selection (the gate only reads
     // anchors that ran).
-    val probeNeeded = only.isEmpty ||
-      selected.keys.exists(BenchGate.anchors.contains)
+    // the anchor caps are sf0.1 isolated truths — at any other fixture
+    // (the scale gate's sf0.01 leg, scale_sf1's sf1.0 decade, where the
+    // anchor keys now ride along via the exec-fingerprint union) they
+    // would fire nonsense violations, so they apply only at sf0.1
+    val anchorsApply = new java.io.File(sfDir).getName == "sf0.1"
+    val probeNeeded = anchorsApply && (only.isEmpty ||
+      selected.keys.exists(BenchGate.anchors.contains))
     def probeSec(): Double =
       if (!probeNeeded) -1.0
       else try {
@@ -159,7 +164,9 @@ object Bench {
     val probeEnd = probeSec()
     val loadFactor =
       BenchGate.loadFactor(math.max(probeStart, probeEnd))
-    val scaledCaps = BenchGate.scaledAnchors(loadFactor)
+    val scaledCaps =
+      if (anchorsApply) BenchGate.scaledAnchors(loadFactor)
+      else Map.empty[String, Double]
     if (probeNeeded)
       System.err.println(f"[bench] load probe ${BenchGate.ProbeKey}: " +
         f"start $probeStart%.3fs end $probeEnd%.3fs vs ref " +
