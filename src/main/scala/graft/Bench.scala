@@ -12,6 +12,60 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Min-of-3 for ONE query in its OWN JVM (the bench_isolated.sh
+    * machinery, in-process) — the self-adjudication measurement behind
+    * a surviving gate violation (r18, VERDICT r17 ask #1b). The child
+    * runs Bench with the query filter and SPARK_GRAFT_NO_ADJUDICATE so
+    * it can never recurse; returns -1 on any failure (which
+    * [[BenchGate.adjudicationClass]] maps to `plan` — a failed
+    * re-measure can never clear a violation). Exposed for
+    * BenchGateSpec's end-to-end spawn pin.
+    */
+  private[graft] def isolatedMin(key: String, sfDir: String,
+      cpus: String): Double = try {
+    val classes = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val sparkJars = new java.io.File(
+      classOf[SparkSession].getProtectionDomain.getCodeSource
+        .getLocation.toURI).getParent
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g", "-cp",
+      s"$classes:$sparkJars/*", "graft.Bench")).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_ONLY", key)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.environment().put("SPARK_GRAFT_TIMED_RUNS", "3")
+    pb.environment().put("SPARK_GRAFT_NO_ADJUDICATE", "1")
+    val proc = pb.start()
+    val errDrain = new Thread(() =>
+      try {
+        val in = proc.getErrorStream
+        val buf = new Array[Byte](8192)
+        while (in.read(buf) >= 0) ()
+      } catch { case _: Throwable => })
+    errDrain.setDaemon(true); errDrain.start()
+    val watchdog = new Thread(() => {
+      if (!proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+    })
+    watchdog.setDaemon(true); watchdog.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream)
+      .getLines().filter(_.startsWith("{\"metric\"")).toSeq
+    proc.waitFor()
+    out.lastOption.map { line =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      Option(om.readTree(line).get("queries")).map(_.get(key))
+        .filter(_ != null).map(_.asDouble(-1.0)).getOrElse(-1.0)
+    }.getOrElse(-1.0)
+  } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val startedAtMs = System.currentTimeMillis()
@@ -239,49 +293,8 @@ object Bench {
     // child runs with SPARK_GRAFT_NO_ADJUDICATE so it can never recurse.
     final case class Adj(key: String, kind: String, inSuiteS: Double,
         isolatedS: Double, thresholdS: Double, cls: String)
-    def isolatedMin(key: String): Double = try {
-      val classes = new java.io.File(
-        getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
-      val sparkJars = new java.io.File(
-        classOf[SparkSession].getProtectionDomain.getCodeSource
-          .getLocation.toURI).getParent
-      val javaBin = new java.io.File(
-        new java.io.File(sys.props("java.home"), "bin"), "java").getPath
-      val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
-        "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
-        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-        "sun.security.action", "sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
-      val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g", "-cp",
-        s"$classes:$sparkJars/*", "graft.Bench")).toArray
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-      pb.environment().put("SPARK_GRAFT_ONLY", key)
-      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-      pb.environment().put("SPARK_GRAFT_TIMED_RUNS", "3")
-      pb.environment().put("SPARK_GRAFT_NO_ADJUDICATE", "1")
-      val proc = pb.start()
-      val errDrain = new Thread(() =>
-        try {
-          val in = proc.getErrorStream
-          val buf = new Array[Byte](8192)
-          while (in.read(buf) >= 0) ()
-        } catch { case _: Throwable => })
-      errDrain.setDaemon(true); errDrain.start()
-      val watchdog = new Thread(() => {
-        if (!proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS))
-          proc.destroyForcibly()
-      })
-      watchdog.setDaemon(true); watchdog.start()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream)
-        .getLines().filter(_.startsWith("{\"metric\"")).toSeq
-      proc.waitFor()
-      out.lastOption.map { line =>
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        Option(om.readTree(line).get("queries")).map(_.get(key))
-          .filter(_ != null).map(_.asDouble(-1.0)).getOrElse(-1.0)
-      }.getOrElse(-1.0)
-    } catch { case _: Throwable => -1.0 }
+    def isolatedMin(key: String): Double =
+      Bench.isolatedMin(key, sfDir, cpus)
     val adjudications = scala.collection.mutable.ArrayBuffer[Adj]()
     val vRe = """^(ANCHOR|RISING) ([^:]+):.*$""".r
     if (gateViolations.nonEmpty

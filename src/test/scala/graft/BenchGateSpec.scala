@@ -144,6 +144,19 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.adjudicationClass(-1.0, 1.0) == "plan")
   }
 
+  test("isolated-JVM re-measure spawns, parses, and returns a real " +
+      "figure (the adjudication measurement, end to end)") {
+    // the cheapest declared query at the cheapest fixture: one child
+    // JVM, warm + min-of-3, parsed from its own bench line. A broken
+    // classpath, recursion guard, or parse would return -1 here — and
+    // -1 classifies as `plan`, so a silent break would surface as
+    // spurious rejects, not silent passes; this pins the happy path.
+    val t = Bench.isolatedMin(BenchGate.ProbeKey,
+      "/root/testdata/sf0.001", "4")
+    assert(t > 0, s"isolated re-measure returned $t")
+    assert(t < 60, s"isolated min $t s is not a min-of-3 figure")
+  }
+
   test("anchor keys all declared queries (exec-fingerprint union " +
       "depends on it)") {
     BenchGate.anchors.keys.foreach(k =>
