@@ -120,6 +120,30 @@ object GlobalRank {
     }
   }
 
+  /** Routing-pass cost guard (r18 optimization): the measuring pass
+    * (count, and on the sliced path quantile bounds) EXECUTES the input
+    * plan, and the returned ranking plan executes it again — so a
+    * derived input (aggregate/join/window/generate upstream) used to pay
+    * its full compute twice per call. For such inputs the rows are
+    * pinned ONCE up front (the same localCheckpoint the sliced path
+    * already required for determinism) and every pass reads the
+    * materialized blocks. Scan-shaped inputs (project/filter over a
+    * source) keep the old plan: re-scanning them is cheaper than
+    * copying them into block storage, and their unchanged plan shape
+    * keeps pushdown at the source. An input that is ALREADY a pinned
+    * RDD (caller checkpointed) is never re-pinned.
+    */
+  private def pinIfDerived(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{logical => l}
+    val derived = df.queryExecution.optimizedPlan.exists {
+      case _: l.Aggregate | _: l.Join | _: l.Window | _: l.Generate => true
+      case _ => false
+    }
+    val alreadyPinned = df.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD]
+    if (derived && !alreadyPinned) snapshot(df) else df
+  }
+
   /** Per-group max row count from the cheap routing pass (one tiny row
     * per group — GlobalRank exists for few-group rankings, so the
     * collect is bounded by design).
@@ -215,14 +239,15 @@ object GlobalRank {
     val spark = df.sparkSession
     val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
     val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
-    val maxCnt = measureCounts(df, groupCols)
+    val input = pinIfDerived(df)
+    val maxCnt = measureCounts(input, groupCols)
 
     if (maxCnt <= threshold) {
       // measured-small: every group fits one task — plain window
       val w = (if (groupCols.isEmpty) Window.partitionBy()
                else Window.partitionBy(groupCols.map(col): _*))
         .orderBy(orderCols.map(col): _*)
-      df.withColumn(rnCol, row_number().over(w).cast("long"))
+      input.withColumn(rnCol, row_number().over(w).cast("long"))
     } else {
       // Pin the rows FIRST: the boundary pass, the count pass, and the
       // final plan must all observe the same data, or the collected
@@ -235,7 +260,8 @@ object GlobalRank {
       // when the caller is done executing it — the snapshot is tracked
       // instead, and callers reclaim the storage with
       // releaseCheckpoints(spark) once their plans are consumed.
-      val snap = snapshot(df)
+      // (pinIfDerived may already have pinned — never snapshot twice.)
+      val snap = if (input eq df) snapshot(df) else input
       val stats = measureBounds(snap, base, groupCols, numSlices)
       val slice = "__gr_pid" +: groupCols
       val sliced = withSlice(snap, base, groupCols, numSlices, stats)
@@ -269,18 +295,19 @@ object GlobalRank {
     val spark = df.sparkSession
     val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
     val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
-    val maxCnt = measureCounts(df, groupCols)
+    val input = pinIfDerived(df)
+    val maxCnt = measureCounts(input, groupCols)
 
     if (maxCnt <= threshold) {
       val w = (if (groupCols.isEmpty) Window.partitionBy()
                else Window.partitionBy(groupCols.map(col): _*))
         .orderBy(orderCols.map(col): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.withColumn(sumCol, sum(valueCol).over(w))
+      input.withColumn(sumCol, sum(valueCol).over(w))
     } else {
       // Same pinning as rowNumber: all measuring passes and the final
       // plan must see identical rows (see comment there).
-      val snap = snapshot(df)
+      val snap = if (input eq df) snapshot(df) else input
       val stats = measureBounds(snap, base, groupCols, numSlices)
       val slice = "__gr_pid" +: groupCols
       val sliced = withSlice(snap, base, groupCols, numSlices, stats)
@@ -321,6 +348,71 @@ object GlobalRank {
           (coalesce(col("__gr_off"), lit(0).cast(sumType)) + col("__gr_run"))
             .cast(sumType))
         .drop("__gr_pid", "__gr_run", "__gr_off", "__gr_v")
+    }
+  }
+
+  /** Σ |v(row_{i+1}) − v(row_i)| over the GLOBAL total order defined by
+    * `orderCols` — the consecutive-pair scan behind Chatterjee's ξ —
+    * returned as a 1-row DataFrame with LONG column `outCol` (0 for
+    * < 2 rows). `valueCol` must be integral (LONG-safe sums).
+    *
+    * The r12 implementation materialized a global row number and then
+    * SHIFT-EQUI-JOINED the frame to itself on position — the whole
+    * input shuffled twice and the partition-less numbering window
+    * executed once per join branch (two single-task sorts of the full
+    * input per run, measured r18). The consecutive-pair sum needs no
+    * join at all: measured-small inputs take ONE partition-less lag
+    * window (the rowNumber small-path plan, same routing threshold);
+    * large inputs take the slice machinery — per-slice lag windows in
+    * parallel plus a per-slice (first, last) ladder stitched on the
+    * driver (numSlices rows), exactly the rowNumber offset discipline.
+    * Ties in `orderCols` make the adjacent order arbitrary within the
+    * tie group (same caveat as any window); callers pass a total order.
+    */
+  def adjacentAbsDiffSum(df: DataFrame, outCol: String, valueCol: Column,
+      orderCols: Seq[String], numSlices: Int = 32,
+      sliceOn: Option[Column] = None): DataFrame = {
+    val spark = df.sparkSession
+    val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
+    val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
+    val input = pinIfDerived(df).withColumn("__gr_v", valueCol)
+    val maxCnt = measureCounts(input, Nil)
+
+    if (maxCnt <= threshold) {
+      val w = Window.partitionBy().orderBy(orderCols.map(col): _*)
+      input
+        .withColumn("__gr_d", abs(col("__gr_v") - lag("__gr_v", 1).over(w)))
+        .agg(coalesce(sum(col("__gr_d")), lit(0L)).cast("long").as(outCol))
+    } else {
+      val snap =
+        if (input.queryExecution.analyzed.isInstanceOf[
+          org.apache.spark.sql.execution.LogicalRDD]) input
+        else snapshot(input)
+      val stats = measureBounds(snap, base, Nil, numSlices)
+      val sliced = withSlice(snap, base, Nil, numSlices, stats)
+      val w = Window.partitionBy("__gr_pid").orderBy(orderCols.map(col): _*)
+      // one distributed pass: per-slice interior Σ|Δ| plus the slice's
+      // first/last value in the order (min_by/max_by over the order
+      // tuple) — numSlices tiny rows
+      val ord = struct(orderCols.map(col): _*)
+      val perSlice = sliced
+        .withColumn("__gr_d", abs(col("__gr_v") - lag("__gr_v", 1).over(w)))
+        .withColumn("__gr_o", ord)
+        .groupBy(col("__gr_pid"))
+        .agg(coalesce(sum(col("__gr_d")), lit(0L)).cast("long").as("part"),
+          min_by(col("__gr_v"), col("__gr_o")).as("first_v"),
+          max_by(col("__gr_v"), col("__gr_o")).as("last_v"))
+        .collect()
+      // stitch the slice boundaries on the driver (ties never straddle
+      // slices and empty slices simply don't emit a row — pair the
+      // non-empty slices in ascending pid order)
+      val ordered = perSlice.sortBy(_.getAs[Int]("__gr_pid"))
+      val interior = ordered.map(_.getAs[Long]("part")).sum
+      val boundary = ordered.sliding(2).collect {
+        case Array(a, b) =>
+          math.abs(b.getAs[Long]("first_v") - a.getAs[Long]("last_v"))
+      }.sum
+      spark.range(1).select(lit(interior + boundary).cast("long").as(outCol))
     }
   }
 }

@@ -213,12 +213,19 @@ object CurationOps extends OpGroup {
         .withColumn("b",
           conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long"))
       val isTarget = col("source").isin("src0", "src1")
-      val ct = words.filter(isTarget)
-        .groupBy("b").agg(count(lit(1)).as("ct"))
-      val cr = words.filter(!isTarget)
-        .groupBy("b").agg(count(lit(1)).as("cr"))
-      val lam = cr.join(ct, Seq("b"), "full_outer")
-        .na.fill(0L, Seq("ct", "cr"))
+      // ONE tokenize+md5 pass (r18 optimization): the old shape ran the
+      // corpus explode three times (target buckets, rest buckets, and
+      // per-doc scoring); the (is_target, doc, bucket) pre-aggregate is
+      // pinned and both the λ table and the scoring branch fold from it
+      // (identical counts: a doc's source fixes is_target, so the finer
+      // grouping partitions the same word events)
+      val g = words
+        .groupBy(isTarget.as("is_t"), col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val lam = g.groupBy("b").agg(
+        sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), col("c")).otherwise(0L)).as("cr"))
       // totals re-derived from the ≤256-row bucket table — no second
       // pass over the corpus, and the single-row cross join touches
       // only this tiny build, never the per-doc scoring plan
@@ -229,8 +236,7 @@ object CurationOps extends OpGroup {
                ((col("cr") + 1) * (col("tt") + 256)).cast("double"))
             * 1e6).cast("long"))
         .select("b", "lam_fp")
-      words.filter(!isTarget)
-        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+      g.filter(!col("is_t"))
         .join(broadcast(lamFp), "b")
         .groupBy("doc_id", "source")
         .agg(sum(col("c") * col("lam_fp")).as("weight_fp"))

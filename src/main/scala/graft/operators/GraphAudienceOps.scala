@@ -31,8 +31,11 @@ object GraphAudienceOps extends OpGroup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Share of directed kNN edges whose reverse edge also exists.
     "knn_edge_reciprocity" -> ((s, d) => {
+      // materialized once: the edge set feeds the reverse map, the
+      // semi-join probe AND the total count — each reference used to
+      // re-execute the kNN pipeline (r18 optimization; ≤ 3·|V| rows)
       val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst")).localCheckpoint()
       val rev = e.select(col("dst").as("src"), col("src").as("dst"))
       val recip = e.join(rev, Seq("src", "dst"), "left_semi")
       val n = e.agg(count(lit(1)).as("n_edges"))
@@ -56,10 +59,12 @@ object GraphAudienceOps extends OpGroup {
     // with nodes but no qualifying edges keeps its row (left join,
     // zero-filled) while an empty node level drops on BOTH engines.
     "rich_club_knn" -> ((s, d) => {
+      // materialized once: referenced by the degree map, the per-edge
+      // min-degree pass and the k-grid join (r18 optimization)
       val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+        .distinct().localCheckpoint()
       val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val ek = e

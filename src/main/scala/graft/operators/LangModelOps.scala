@@ -304,6 +304,10 @@ object LangModelOps extends OpGroup {
             .stripMargin)).as("b"))
         .select(col("doc_id"), col("source"),
           col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // materialized once (r18 optimization): the rank pass, the
+      // per-source counts and the final bucket census all consume the
+      // per-doc score table (|docs| rows), and each used to re-run the
+      // corpus-bigram × model join
       val perDoc = bi.join(s.read.parquet(lm), Seq("w1", "w2"))
         .join(broadcast(s.read.parquet(s"$lm.c1")), Seq("w1"))
         .crossJoin(broadcast(s.read.parquet(s"$lm.stats").select("v")))
@@ -311,6 +315,7 @@ object LangModelOps extends OpGroup {
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_sum"))
         .withColumn("avg_nll_fp", expr("nll_sum DIV n_bigrams"))
+        .localCheckpoint()
       // exact tercile cutoffs per source: two-phase global rank within
       // source, value picked at ceil(n/3) and ceil(2n/3) — value-at-rank
       // is the same whichever tied row lands on the rank

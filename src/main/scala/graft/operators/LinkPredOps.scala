@@ -41,12 +41,24 @@ object LinkPredOps extends OpGroup {
 
   /** Undirected neighbor pairs (both orientations, deduped) from the
     * kNN top-3 edges, plus per-node degree.
+    *
+    * MATERIALIZED (r18 optimization): every consumer references `und`
+    * several times (twoHop's left/right/anti sides, degree maps), and
+    * each reference used to re-compile — and re-execute — the whole
+    * kNN pipeline (IVF scan → cell self-join → top-3 window):
+    * triangle_participation_rate's physical plan held 136 parquet
+    * scans / 282 exchanges. The kNN edge set is ≤ 3·|V| rows by
+    * construction, so it is pinned once with localCheckpoint (the
+    * katz_index_bounded discipline) and the symmetrized set once more;
+    * the intermediate directed snapshot is released eagerly once the
+    * undirected set is materialized.
     */
   private def undirected(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst")).localCheckpoint()
     val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().localCheckpoint()
+    graft.functions.Checkpoints.release(e)
     val deg = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     (und, deg)
@@ -71,10 +83,11 @@ object LinkPredOps extends OpGroup {
   }
 
   /** Two-hop non-adjacent candidate pairs (a < b) through capped-degree
-    * intermediates, one row per (a, b, z) path.
+    * intermediates, one row per (a, b, z) path. Takes the materialized
+    * (und, deg) pair so callers that also need the degree map share ONE
+    * kNN materialization (jaccard/preferential used to build it twice).
     */
-  private def twoHop(s: SparkSession, d: String): DataFrame = {
-    val (und, deg) = undirected(s, d)
+  private def twoHop(und: DataFrame, deg: DataFrame): DataFrame = {
     val ok = deg.filter(col("deg") <= MaxHubDegree)
       .select(col("node"), col("deg").as("deg_z"))
     val left = und.select(col("src").as("a"), col("dst").as("z"))
@@ -92,7 +105,8 @@ object LinkPredOps extends OpGroup {
     // Common-neighbors score: top-20 non-adjacent pairs by shared
     // neighborhood size — the "missed near-dup pair" audit.
     "common_neighbors_linkpred" -> ((s, d) => {
-      twoHop(s, d)
+      val (und, deg) = undirected(s, d)
+      twoHop(und, deg)
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
         .orderBy(col("n_common").desc, col("a"), col("b"))
         .limit(20)
@@ -101,7 +115,8 @@ object LinkPredOps extends OpGroup {
     // Adamic–Adar: the same candidates, rare intermediates weighted up
     // by 1/ln(deg) (1e9 fixed point at the leaf, integer-summed).
     "adamic_adar_linkpred" -> ((s, d) => {
-      twoHop(s, d)
+      val (und, deg) = undirected(s, d)
+      twoHop(und, deg)
         .withColumn("w_fp",
           expr("CAST(FLOOR(1000000000.0 / ln(deg_z)) AS BIGINT)"))
         .groupBy("a", "b")
@@ -118,8 +133,8 @@ object LinkPredOps extends OpGroup {
     // by the non-adjacency filter, so no correction term); pure
     // integer 1e6 fixed point — denominator ≥ 1 since deg ≥ n_common.
     "jaccard_linkpred" -> ((s, d) => {
-      val (_, deg) = undirected(s, d)
-      twoHop(s, d)
+      val (und, deg) = undirected(s, d)
+      twoHop(und, deg)
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
         .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
         .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
@@ -136,8 +151,8 @@ object LinkPredOps extends OpGroup {
     // null-model score a near-dup candidate must beat before its
     // neighborhood overlap means anything. Pure integers.
     "preferential_attachment_linkpred" -> ((s, d) => {
-      val (_, deg) = undirected(s, d)
-      twoHop(s, d).select("a", "b").distinct()
+      val (und, deg) = undirected(s, d)
+      twoHop(und, deg).select("a", "b").distinct()
         .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
         .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
         .withColumn("pa_score", expr("deg_a * deg_b"))
@@ -152,7 +167,8 @@ object LinkPredOps extends OpGroup {
     // the published benchmarks. ENTIRELY integer: 1e9 DIV deg_z needs
     // no IEEE ln, so the whole score is exact on both engines.
     "resource_allocation_linkpred" -> ((s, d) => {
-      twoHop(s, d)
+      val (und, deg) = undirected(s, d)
+      twoHop(und, deg)
         .withColumn("w_fp", expr("1000000000 DIV deg_z"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_common"), sum("w_fp").as("ra_fp"))
@@ -294,12 +310,16 @@ object LinkPredOps extends OpGroup {
     "graph_modularity_labels" -> ((s, d) => {
       val lab = graft.Tables.embeddings(s, d)
         .select(col("vec_id"), col("label").cast("long").as("lab"))
+      // materialized once: the labeled edge list feeds FOUR aggregates
+      // (d_out, d_in, e_in, m) that each used to re-execute the kNN
+      // pipeline (r18 optimization — the undirected() discipline)
       val e = SemiStructuredOps.queries("knn_graph_topk")(s, d)
         .select(col("src"), col("dst"))
         .join(lab.select(col("vec_id").as("src"), col("lab").as("la")),
           "src")
         .join(lab.select(col("vec_id").as("dst"), col("lab").as("lb")),
           "dst")
+        .localCheckpoint()
       val dOut = e.groupBy(col("la").as("lab")).agg(count(lit(1)).as("d_out"))
       val dIn = e.groupBy(col("lb").as("lab")).agg(count(lit(1)).as("d_in"))
       val eIn = e.filter(col("la") === col("lb"))
@@ -404,12 +424,16 @@ object LinkPredOps extends OpGroup {
           "dst")
       val votes = e.groupBy("src", "own", "nbr")
         .agg(count(lit(1)).as("c"))
+      // materialized once: both the per-class rollup and the global row
+      // re-read the majority vote (and through it the kNN pipeline) —
+      // node-bounded, ≤ 1 row per graph node (r18 optimization)
       val maj = votes.withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("src")
             .orderBy(col("c").desc, col("nbr"))))
         .filter(col("rn") === 1)
         .withColumn("ok", when(col("nbr") === col("own"), 1L)
           .otherwise(0L))
+        .localCheckpoint()
       val perClass = maj.groupBy(col("own").as("label"))
         .agg(count(lit(1)).as("n_nodes"), sum("ok").as("n_consistent"))
       perClass.unionByName(

@@ -463,33 +463,36 @@ object RankStatOps extends OpGroup {
     // form: ξ = 1 − n·Σ|r_{(i+1)} − r_{(i)}| / (2·Σ l_i(n−l_i)),
     // rows ordered by x (ties broken by the lineitem unique key — a
     // fixed total order, replacing the paper's random tie-break with
-    // a deterministic one, documented). Scale: the x-ordering is the
-    // two-phase GlobalRank numbering; y-ranks come from the
-    // value-domain prefix sum; the consecutive-pair scan is a SHIFTED
-    // EQUI-JOIN on position (the mase lag pattern — never a global
-    // window); numerator/denominator products lift to
-    // DECIMAL(38,0)/HUGEINT (den ≤ n³/2).
+    // a deterministic one, documented). Scale: y-ranks come from the
+    // value-domain prefix sum, materialized once (the denominator
+    // fold, the n scalar and the per-row attach all read it); the
+    // consecutive-pair scan is GlobalRank.adjacentAbsDiffSum --
+    // size-aware-routed lag windows, never a shifted self-join (the
+    // r12 form shuffled the whole input twice and executed the
+    // partition-less numbering window once per join branch -- two
+    // single-task sorts of the full input per run, measured r18);
+    // numerator/denominator products lift to DECIMAL(38,0)/HUGEINT
+    // (den <= n^3/2).
     "chatterjee_xi_corr" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
         expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"))
-      val nDf = li.agg(count(lit(1)).as("n"))
       val sup = li.groupBy("y").agg(count(lit(1)).as("c"))
       val rm = graft.functions.GlobalRank
-        .prefixSum(sup, "r", col("c"), Nil, Seq("y"))
+        .prefixSum(sup, "r", col("c"), Nil, Seq("y")).localCheckpoint()
+      // n = sum(c) read from the value-domain rank map, not a second
+      // corpus scan (bit-identical to count(*) over li)
+      val nDf = rm.agg(sum("c").cast("long").as("n"))
       val den = rm.crossJoin(broadcast(nDf))
         .withColumn("l", col("n") - col("r") + col("c"))
         .agg(sum(expr("2 * CAST(c AS DECIMAL(38,0)) * l * (n - l)"))
           .as("den2"))
-      val pos = graft.functions.GlobalRank.rowNumber(li, "pos", Nil,
+      val withR = li.join(rm.select("y", "r"), "y")
+      graft.functions.GlobalRank.adjacentAbsDiffSum(withR, "sum_absdiff",
+          col("r"),
           Seq("x", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
-        .join(rm.select("y", "r"), "y")
-        .select("pos", "r")
-      val nxt = pos.select((col("pos") - 1).as("pos"), col("r").as("r_nx"))
-      pos.join(nxt, "pos")
-        .agg(sum(expr("abs(r_nx - r)")).as("sum_absdiff"))
         .crossJoin(broadcast(den)).crossJoin(broadcast(nDf))
         .withColumn("xi_fp", expr(
           """CAST(1000000 - CAST(n AS DECIMAL(38,0)) * sum_absdiff

@@ -521,9 +521,21 @@ object SemiStructuredOps extends OpGroup {
           col("cell").cast("int").as("cell"))
       val withNorm = stored.withColumn("norm",
         graft.functions.VectorFunctions.norm("embedding"))
+      // Spread the probe side over the session's shuffle parallelism
+      // (r18 optimization, guide §2.5 "synthetic partitioning"): the
+      // Σ|cell|² cosine work runs in the MAP stage of the broadcast
+      // join, so its parallelism was whatever the layout's file-split
+      // count happened to be (4 tasks at sf0.1 — the suite's whole
+      // graph family sat on one-eighth of the cores). A deterministic
+      // hash repartition on (cell, vec_id) — explicit N so AQE cannot
+      // coalesce the tiny vector shuffle back into one partition —
+      // costs one linear shuffle of the vectors and spreads the
+      // quadratic pair compute evenly at any scale.
+      val nPart = s.sessionState.conf.numShufflePartitions
       val a = withNorm.select(col("vec_id").as("src"),
         col("cell").as("cell_a"), col("embedding").as("emb_a"),
         col("norm").as("norm_a"))
+        .repartition(nPart, col("cell_a"), col("src"))
       val b = withNorm.select(col("vec_id").as("dst"),
         col("cell").as("cell_b"), col("embedding").as("emb_b"),
         col("norm").as("norm_b"))
@@ -643,10 +655,16 @@ object SemiStructuredOps extends OpGroup {
     // 2-core on the fixtures — AnnSpec peels one more round driver-side
     // and asserts the fixpoint held.
     "kcore_graph_prune" -> ((s, d) => {
+      // pin the directed edges BEFORE symmetrizing: the union references
+      // knn twice, so materializing und alone still executed the kNN
+      // pipeline twice (r18 optimization); the directed snapshot is
+      // released as soon as und is materialized
       val knn = queries("knn_graph_topk")(s, d).select("src", "dst")
+        .localCheckpoint()
       val und = knn
         .union(knn.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint()
+      graft.functions.Checkpoints.release(knn)
       val nodes = s.read.parquet(ivfLayout(s, d))
         .select(col("vec_id").as("node"))
       val deg0 = und.groupBy("src").agg(count(lit(1)).as("deg0"))

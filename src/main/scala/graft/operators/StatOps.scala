@@ -313,11 +313,16 @@ object StatOps extends OpGroup {
     // window trap); totals broadcast. cumw·100 wraps int64 only past
     // ~9e16 total units — far beyond a 100 TB fact table.
     "weighted_percentile_value" -> ((s, d) => {
+      // materialized once (r18 optimization): the value-domain weight
+      // table feeds the prefix sum's measuring pass, its ranking window
+      // AND the per-group totals — three executions of the lineitem
+      // aggregate otherwise
       val agg = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("grp"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
           expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
         .groupBy("grp", "cents").agg(sum("w").as("wv"))
+        .localCheckpoint()
       val cum = graft.functions.GlobalRank.prefixSum(
         agg, "cumw", col("wv"), Seq("grp"), Seq("cents"))
       val tot = agg.groupBy("grp").agg(sum("wv").as("totw"))

@@ -150,6 +150,34 @@ object LawsSpec extends Properties("GraftLaws") {
       got == want
     }
 
+  // GlobalRank: the sliced consecutive-pair scan (per-slice lag windows
+  // + driver boundary stitch) equals the sequential Σ|Δ| over the sorted
+  // values, on arbitrary inputs with duplicate order keys broken by a
+  // unique tiebreaker — both routes (r18: chatterjee's shifted self-join
+  // replaced by this helper).
+  property("sliced adjacent |delta| sum equals sequential scan") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 9L),
+      Gen.chooseNum(-100L, 100L))), Gen.chooseNum(2, 6),
+      Gen.oneOf(true, false)) { (rows, slices, forceSliced) =>
+      import spark.implicits._
+      if (forceSliced)
+        spark.conf.set("graft.globalrank.smallThreshold", "0")
+      else spark.conf.unset("graft.globalrank.smallThreshold")
+      try {
+        val keyed = rows.zipWithIndex.map { case ((o, v), i) =>
+          (o, i.toLong, v) }
+        val df = keyed.toDF("o", "k", "v")
+        val got = graft.functions.GlobalRank
+          .adjacentAbsDiffSum(df, "s", col("v"), Seq("o", "k"),
+            numSlices = slices)
+          .as[Long].collect().head
+        val sorted = keyed.sortBy(r => (r._1, r._2)).map(_._3)
+        val want = sorted.zip(sorted.drop(1))
+          .map { case (a, b) => math.abs(b - a) }.sum
+        got == want
+      } finally spark.conf.unset("graft.globalrank.smallThreshold")
+    }
+
   // S2/S3/F4: from_json ∘ to_json is identity under the declared artist
   // schema, for arbitrary field subsets (missing → NULL preserved)
   private val artistJsonGen: Gen[String] = for {
