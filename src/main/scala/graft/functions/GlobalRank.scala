@@ -120,20 +120,27 @@ object GlobalRank {
     }
   }
 
-  /** Routing-pass cost guard (r18 optimization): the measuring pass
-    * (count, and on the sliced path quantile bounds) EXECUTES the input
-    * plan, and the returned ranking plan executes it again — so a
-    * derived input (aggregate/join/window/generate upstream) used to pay
-    * its full compute twice per call. For such inputs the rows are
-    * pinned ONCE up front (the same localCheckpoint the sliced path
-    * already required for determinism) and every pass reads the
-    * materialized blocks. Scan-shaped inputs (project/filter over a
-    * source) keep the old plan: re-scanning them is cheaper than
-    * copying them into block storage, and their unchanged plan shape
-    * keeps pushdown at the source. An input that is ALREADY a pinned
-    * RDD (caller checkpointed) is never re-pinned.
+  /** Routing-pass cost guard (r18 optimization), OPT-IN per call site:
+    * the measuring pass (count, and on the sliced path quantile bounds)
+    * EXECUTES the input plan, and the returned ranking plan executes it
+    * again — so a derived input pays its full compute twice per call.
+    * With `pinInput = true` the rows are pinned ONCE up front (the same
+    * localCheckpoint the sliced path already required for determinism)
+    * and every pass reads the materialized blocks.
+    *
+    * Opt-in, not automatic: measured r18 both ways — pinning wins only
+    * when the input is EXPENSIVE to recompute (spearman's 1.2M-row
+    * rank-count table over a lineitem aggregate, chatterjee's
+    * join-attached ranks), while for the cheap value-domain support
+    * tables the stat family feeds in (tens of thousands of rows off one
+    * events scan) the materialization costs more than the recompute it
+    * saves (page_trend_test 0.29 s → 0.60 s under an always-pin
+    * policy). The caller knows which regime it is in; the default
+    * preserves the pre-r18 plan. Scan-shaped and already-pinned inputs
+    * are never re-pinned.
     */
-  private def pinIfDerived(df: DataFrame): DataFrame = {
+  private def pinIfWorthIt(df: DataFrame, pinInput: Boolean): DataFrame = {
+    if (!pinInput) return df
     import org.apache.spark.sql.catalyst.plans.{logical => l}
     val derived = df.queryExecution.optimizedPlan.exists {
       case _: l.Aggregate | _: l.Join | _: l.Window | _: l.Generate => true
@@ -235,11 +242,11 @@ object GlobalRank {
     */
   def rowNumber(df: DataFrame, rnCol: String, groupCols: Seq[String],
       orderCols: Seq[String], numSlices: Int = 32,
-      sliceOn: Option[Column] = None): DataFrame = {
+      sliceOn: Option[Column] = None, pinInput: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
     val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
-    val input = pinIfDerived(df)
+    val input = pinIfWorthIt(df, pinInput)
     val maxCnt = measureCounts(input, groupCols)
 
     if (maxCnt <= threshold) {
@@ -291,11 +298,11 @@ object GlobalRank {
     */
   def prefixSum(df: DataFrame, sumCol: String, valueCol: Column,
       groupCols: Seq[String], orderCols: Seq[String], numSlices: Int = 32,
-      sliceOn: Option[Column] = None): DataFrame = {
+      sliceOn: Option[Column] = None, pinInput: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
     val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
-    val input = pinIfDerived(df)
+    val input = pinIfWorthIt(df, pinInput)
     val maxCnt = measureCounts(input, groupCols)
 
     if (maxCnt <= threshold) {
@@ -371,11 +378,11 @@ object GlobalRank {
     */
   def adjacentAbsDiffSum(df: DataFrame, outCol: String, valueCol: Column,
       orderCols: Seq[String], numSlices: Int = 32,
-      sliceOn: Option[Column] = None): DataFrame = {
+      sliceOn: Option[Column] = None, pinInput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val threshold = spark.conf.get(ThresholdKey, "4000000").toLong
     val base = sliceOn.getOrElse(col(orderCols.head)).cast("double")
-    val input = pinIfDerived(df).withColumn("__gr_v", valueCol)
+    val input = pinIfWorthIt(df, pinInput).withColumn("__gr_v", valueCol)
     val maxCnt = measureCounts(input, Nil)
 
     if (maxCnt <= threshold) {

@@ -27,8 +27,9 @@ object GraphOps {
     val und = pairs.unionByName(
       pairs.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .localCheckpoint()
-    var labels = nodes.select(col(idCol), col(idCol).as("component"))
+    var snap = nodes.select(col(idCol), col(idCol).as("component"))
       .localCheckpoint()
+    var labels = snap
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -37,19 +38,22 @@ object GraphOps {
           col("component").as("__nc")), "__dst")
         .groupBy(col("__src").as(idCol))
         .agg(min("__nc").as("__nbr_min"))
+      // carry the PREVIOUS label through the round's checkpoint so the
+      // convergence check is a filter-count over the materialized
+      // blocks — the old shape re-joined next against labels (one
+      // extra shuffle join + job per round; r18 optimization)
       val next = labels
         .join(nbrMin, Seq(idCol), "left")
-        .select(col(idCol),
+        .select(col(idCol), col("component").as("__prev"),
           least(col("component"),
             coalesce(col("__nbr_min"), col("component"))).as("component"))
         .localCheckpoint()
-      changed = next.select(col(idCol), col("component").as("__c2"))
-        .join(labels, idCol)
-        .filter(col("__c2") =!= col("component")).count()
+      changed = next.filter(col("__prev") =!= col("component")).count()
       // the superseded round is dead once `next` is materialized and the
-      // change count (the last reader of the old labels) has run
-      Checkpoints.release(labels)
-      labels = next
+      // change count has run
+      Checkpoints.release(snap)
+      snap = next
+      labels = next.select(col(idCol), col("component"))
       iters += 1
     }
     Checkpoints.release(und)

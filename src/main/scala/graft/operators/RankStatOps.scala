@@ -160,10 +160,11 @@ object RankStatOps extends OpGroup {
     * r2 = 2·cum − cnt + 1.
     */
   private def rankMap2(df: DataFrame, grp: String, v: String,
-      out: String): DataFrame = {
+      out: String, pinCounts: Boolean = false): DataFrame = {
     val cnts = df.groupBy(grp, v).agg(count(lit(1)).as("__cnt"))
     graft.functions.GlobalRank
-      .prefixSum(cnts, "__cum", col("__cnt"), Seq(grp), Seq(v))
+      .prefixSum(cnts, "__cum", col("__cnt"), Seq(grp), Seq(v),
+        pinInput = pinCounts)
       .select(col(grp), col(v),
         (lit(2) * col("__cum") - col("__cnt") + 1).as(out))
   }
@@ -180,8 +181,12 @@ object RankStatOps extends OpGroup {
         col("l_returnflag"),
         expr("CAST(round(l_quantity * 100) AS BIGINT)").as("x"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      // the y-axis count table is ~1 row per lineitem (prices dense) —
+      // pinning it beats re-running the lineitem aggregate for the
+      // measuring pass (r18, measured); the 150-row x table is not
+      // worth a pin
       val rx = rankMap2(li, "l_returnflag", "x", "rx2")
-      val ry = rankMap2(li, "l_returnflag", "y", "ry2")
+      val ry = rankMap2(li, "l_returnflag", "y", "ry2", pinCounts = true)
       val dec = DecimalType(38, 0)
       val j = li.join(rx, Seq("l_returnflag", "x"))
         .join(ry, Seq("l_returnflag", "y"))
@@ -481,7 +486,8 @@ object RankStatOps extends OpGroup {
         col("l_suppkey"))
       val sup = li.groupBy("y").agg(count(lit(1)).as("c"))
       val rm = graft.functions.GlobalRank
-        .prefixSum(sup, "r", col("c"), Nil, Seq("y")).localCheckpoint()
+        .prefixSum(sup, "r", col("c"), Nil, Seq("y"), pinInput = true)
+        .localCheckpoint()
       // n = sum(c) read from the value-domain rank map, not a second
       // corpus scan (bit-identical to count(*) over li)
       val nDf = rm.agg(sum("c").cast("long").as("n"))
