@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components by min-label propagation — the
@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Conf key for the collected-iterate routing threshold (node count).
+    * Mirrors label_propagation's `graft.labelprop.smallThreshold`: a
+    * dedup subgraph that fits the driver comfortably (≤ threshold
+    * nodes ⇒ ≤ 6·threshold undirected edge rows by the kNN/band-cap
+    * construction of every caller) is resolved with one collect + a
+    * union-find instead of O(diameter) join rounds, each of which costs
+    * two driver-scheduled jobs however small the data is (measured r18:
+    * incremental_cc_relabel spent its seconds on ~40 near-empty jobs).
+    * At corpus scale the measured count routes to the distributed
+    * min-label loop unchanged.
+    */
+  private val ThresholdKey = "graft.cc.smallThreshold"
+
   /** Component id (the least member id) per node. `nodes` is one LONG
     * `idCol` per vertex; `edges` holds undirected adjacency as
     * (`srcCol`, `dstCol`) pairs (one direction is enough — both are
@@ -23,6 +36,42 @@ object GraphOps {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       maxIters: Int = 20): DataFrame = {
+    val spark = nodes.sparkSession
+    val threshold = spark.conf.get(ThresholdKey, "100000").toLong
+    val nNodes = nodes.count()
+    if (nNodes <= threshold) {
+      // collected iterate: union-find with min-id roots — the same
+      // component-MINIMUM fixpoint as the join loop, bit-for-bit
+      val ns = nodes.select(col(idCol)).collect().map(_.getLong(0))
+      val es = edges.select(col(srcCol), col(dstCol)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      ns.foreach(n => parent(n) = n)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        if (parent.contains(a) && parent.contains(b)) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            // min-id root keeps the label the min-propagation loop emits
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      }
+      val rows: java.util.List[Row] = java.util.Arrays.asList(
+        ns.sorted.map(n => Row(n, find(n))): _*)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return spark.createDataFrame(rows, schema)
+    }
     val pairs = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val und = pairs.unionByName(
       pairs.select(col("__dst").as("__src"), col("__src").as("__dst")))

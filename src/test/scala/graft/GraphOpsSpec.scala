@@ -31,4 +31,19 @@ class GraphOpsSpec extends SparkSpec {
   test("edge direction does not matter") {
     assert(cc(Seq(5L, 6L), Seq((6L, 5L))) === Map(5L -> 5L, 6L -> 5L))
   }
+
+  // r18: the collected union-find route (measured-small) and the
+  // distributed min-label loop must agree bit-for-bit — threshold 0
+  // forces the join loop, the default routes these sizes to the driver.
+  test("collected union-find equals the distributed min-label loop") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 10L, 11L, 12L, 99L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (42L, 1L) /* dangling src */)
+    val small = cc(nodes, edges)
+    spark.conf.set("graft.cc.smallThreshold", "0")
+    try {
+      val dist = cc(nodes, edges)
+      assert(small === dist)
+    } finally spark.conf.unset("graft.cc.smallThreshold")
+  }
 }
