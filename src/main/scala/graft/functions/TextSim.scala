@@ -99,7 +99,10 @@ object TextSim {
     // (doc_id, band) — not the full signature, which would multiply
     // every exchange's payload by the signature width. Signatures are
     // joined back ONLY for the (far smaller) candidate set's scoring.
-    val bands = stored.select(col("doc_id"),
+    // The band slicing runs over a scan-spread input (r18): on the
+    // single-split bench fixtures the posexplode of signature slices
+    // was a 1-task 1.4 s stage; at corpus scale Spread is the identity.
+    val bands = Spread(stored, col("doc_id")).select(col("doc_id"),
       posexplode(array((0 until numBands).map(k =>
         slice(col("sig"), k * rowsPerBand + 1, rowsPerBand)): _*))
         .as(Seq("__band_idx", "__band_val")))

@@ -126,7 +126,13 @@ object CorpusDedupOps extends OpGroup {
       // the web scale this operator targets (~1e12 distinct grams) a
       // 64-bit key already expects thousands of birthday collisions —
       // so exactness wins over the narrower shuffle key
-      val grams = Tables.documents(s, d)
+      // scan-spread below the k-gram SHA pass (r18): the fixture scan
+      // is one split, so the sha2 stream — the dominant cost, and it
+      // executes once per consumer — ran single-task; at corpus scale
+      // Spread is the identity
+      val grams = graft.functions.Spread(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= GramK)
         .select(col("doc_id"), posexplode(expr(

@@ -391,7 +391,13 @@ object CurationOps extends OpGroup {
     // never becomes a join key, ≤ C(|sources|,2) rows per shingle.
     // Containment is a 1e-6 integer division.
     "cross_source_contamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // scan-spread below the shingle transform (r18): single-split
+      // fixture scan made the shingle+distinct+explode map a 0.8 s
+      // 1-task stage; at corpus scale Spread is the identity
+      val docs = graft.functions.Spread(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"))
         .withColumn("ws", split(col("text"), " "))
         .withColumn("n", size(col("ws")))
         .filter(col("n") >= 3)
