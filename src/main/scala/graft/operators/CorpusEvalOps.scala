@@ -121,11 +121,18 @@ object CorpusEvalOps extends OpGroup {
     // Dedup candidate quality: MinHash band candidates (est_j ≥ 0.5)
     // vs exact 3-shingle Jaccard ≥ 0.5 inside the 10% truth sample.
     "minhash_candidate_quality" -> ((s, d) => {
-      val sample = Tables.documents(s, d)
-        .filter(col("doc_id") % 10 === 0)
+      // scan-spread below the shingle transform (r18, see Spread doc)
+      // pinned for the same pushed-shingle-filter reason as the
+      // calibration query below (see comment there)
+      val sample = graft.functions.Spread(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .filter(col("doc_id") % 10 === 0),
+          col("doc_id"))
         .withColumn("ws", split(col("text"), " "))
         .withColumn("shs",
           array_distinct(graft.functions.TextSim.shingles("ws", 3)))
+        .select("doc_id", "shs")
+        .localCheckpoint()
       val tok = sample.select(col("doc_id"), explode(col("shs")).as("sh"))
       val sized = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inv = tok.join(sized, "doc_id")
@@ -183,11 +190,30 @@ object CorpusEvalOps extends OpGroup {
           rowsPerBand = LlmOps.MinHashRowsPerBand)
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val sample = Tables.documents(s, d)
-        .join(candDocs, Seq("doc_id"), "left_semi")
+      // scan-spread below the shingle transform (r18): the semi-join is
+      // a broadcast, so the shingling inherited the 1-split fixture
+      // scan's parallelism — a 1.7 s single-task stage
+      // candDocs is candidate-bounded (cap construction) — broadcast
+      // it explicitly: size ESTIMATES of the multi-join band pipeline
+      // are wildly off and the planner otherwise sorts the corpus for
+      // a sort-merge semi join
+      // The shingle table is PINNED once: the explode makes the
+      // optimizer infer `size(shs) > 0` and push the WHOLE shingle
+      // expression down into the (1-split) scan as a filter predicate,
+      // re-evaluated once per consumer subtree — a 1.4–1.7 s
+      // single-task stage per copy (the §4.4 duplicated-expression
+      // trap, JVM edition). The pin cuts the plan to one shingle pass
+      // over the spread partitions and stops the filter pushdown at
+      // the materialized blocks.
+      val sample = graft.functions.Spread(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .withColumn("ws", split(col("text"), " "))
         .withColumn("shs",
           array_distinct(graft.functions.TextSim.shingles("ws", 3)))
+        .select("doc_id", "shs")
+        .localCheckpoint()
       val tok = sample.select(col("doc_id"), explode(col("shs")).as("sh"))
       val sized = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = tok.as("a").join(tok.as("b"),
@@ -266,11 +292,17 @@ object CorpusEvalOps extends OpGroup {
     // join; buckets are integer-exact J deciles; theory is a single
     // IEEE leaf over the bucket-center literal.
     "lsh_s_curve_calibration" -> ((s, d) => {
-      val sample = Tables.documents(s, d)
-        .filter(col("doc_id") % 10 === 0)
+      // spread + pinned for the same pushed-shingle-filter reason as
+      // the calibration query above
+      val sample = graft.functions.Spread(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .filter(col("doc_id") % 10 === 0),
+          col("doc_id"))
         .withColumn("ws", split(col("text"), " "))
         .withColumn("shs",
           array_distinct(graft.functions.TextSim.shingles("ws", 3)))
+        .select("doc_id", "shs")
+        .localCheckpoint()
       val tok = sample.select(col("doc_id"), explode(col("shs")).as("sh"))
       val sized = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inv = tok.join(sized, "doc_id")
