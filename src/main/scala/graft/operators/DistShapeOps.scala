@@ -123,10 +123,10 @@ object DistShapeOps extends OpGroup {
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
       val tot = sup.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-      val cum1 = graft.functions.GlobalRank
-        .prefixSum(sup, "cum1", col("c1"), Nil, Seq("v_fp"))
-      val cum = graft.functions.GlobalRank
-        .prefixSum(cum1, "cum2", col("c2"), Nil, Seq("v_fp"))
+      // one multi-column prefix-sum call (r18): the chained form's
+      // second measuring pass re-executed the support aggregate
+      val cum = graft.functions.GlobalRank.prefixSums(sup,
+        Seq(("cum1", col("c1")), ("cum2", col("c2"))), Nil, Seq("v_fp"))
       // tie-aware ECDF form on the support: T = Σ_v cnt_v·(F1−F2)²
       // · n1·n2/N², cleared of both divisions —
       // T = Σ cnt·(cum1·n2 − cum2·n1)² / (N²·n1·n2), an exact rational

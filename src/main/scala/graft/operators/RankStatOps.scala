@@ -534,9 +534,12 @@ object RankStatOps extends OpGroup {
       val cCols = (1 to 5).map(k =>
         sum(when(col("sc") === k, 1L).otherwise(0L)).as(s"c$k"))
       val sup0 = v.groupBy("x").agg(cCols.head, cCols.tail: _*)
-      val sup = (1 to 5).foldLeft(sup0)((df, k) =>
-        graft.functions.GlobalRank
-          .prefixSum(df, s"cum$k", col(s"c$k"), Nil, Seq("x")))
+      // one multi-column prefix-sum call (r18): the 5-deep chained form
+      // re-executed the support aggregate once per link's measuring
+      // pass (O(k²)/2 executions, 1.35 s of eager build-phase jobs)
+      val sup = graft.functions.GlobalRank.prefixSums(sup0,
+        (1 to 5).map(k => (s"cum$k", col(s"c$k"))), Nil, Seq("x"),
+        pinInput = true)
       val pairTerms = (for {
         i <- 1 to 5; j <- (i + 1) to 5
       } yield s"c$j * (2 * (cum$i - c$i) + c$i)").mkString(" + ")

@@ -178,6 +178,40 @@ object LawsSpec extends Properties("GraftLaws") {
       } finally spark.conf.unset("graft.globalrank.smallThreshold")
     }
 
+  // GlobalRank r18: the multi-column prefixSums equals the chained
+  // single-column prefixSum, on both routes (one measuring pass +
+  // N-column offset ladder vs k measuring passes)
+  property("multi-column prefix sums equal the chained form") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-50L, 50L),
+      Gen.chooseNum(-50L, 50L))), Gen.chooseNum(2, 5),
+      Gen.oneOf(true, false)) { (rows, slices, forceSliced) =>
+      import spark.implicits._
+      if (forceSliced)
+        spark.conf.set("graft.globalrank.smallThreshold", "0")
+      else spark.conf.unset("graft.globalrank.smallThreshold")
+      try {
+        val keyed = rows.zipWithIndex.map { case ((a, b), i) =>
+          (i.toLong, a, b) }
+        val df = keyed.toDF("k", "a", "b")
+        val got = graft.functions.GlobalRank
+          .prefixSums(df, Seq(("ca", col("a")), ("cb", col("b"))),
+            Nil, Seq("k"), numSlices = slices)
+          .select("k", "ca", "cb").as[(Long, Long, Long)]
+          .collect().map(r => r._1 -> (r._2, r._3)).toMap
+        val chained = {
+          val c1 = graft.functions.GlobalRank
+            .prefixSum(df, "ca", col("a"), Nil, Seq("k"),
+              numSlices = slices)
+          graft.functions.GlobalRank
+            .prefixSum(c1, "cb", col("b"), Nil, Seq("k"),
+              numSlices = slices)
+            .select("k", "ca", "cb").as[(Long, Long, Long)]
+            .collect().map(r => r._1 -> (r._2, r._3)).toMap
+        }
+        got == chained
+      } finally spark.conf.unset("graft.globalrank.smallThreshold")
+    }
+
   // S2/S3/F4: from_json ∘ to_json is identity under the declared artist
   // schema, for arbitrary field subsets (missing → NULL preserved)
   private val artistJsonGen: Gen[String] = for {
