@@ -667,18 +667,47 @@ object SemiStructuredOps extends OpGroup {
       graft.functions.Checkpoints.release(knn)
       val nodes = s.read.parquet(ivfLayout(s, d))
         .select(col("vec_id").as("node"))
-      val deg0 = und.groupBy("src").agg(count(lit(1)).as("deg0"))
-      var alive = und.select(col("src").as("node")).distinct()
-        .localCheckpoint()
-      for (_ <- 1 to KcoreIters) {
-        val next = und
-          .join(alive.select(col("node").as("src")), "src")
-          .join(alive.select(col("node").as("dst")), "dst")
-          .groupBy("src").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= KcoreK)
-          .select(col("src").as("node")).localCheckpoint()
-        graft.functions.Checkpoints.release(alive)
-        alive = next
+      // size-aware routing (r18, the GraphOps.connectedComponents
+      // discipline): each synchronous peel round costs two
+      // driver-scheduled jobs however small the pinned edge set is —
+      // KcoreIters rounds were ~1.2 s of near-empty jobs at bench
+      // scale. A measured-small edge set (≤ graft.kcore.smallThreshold
+      // rows; the kNN construction bounds it by 6·|V|) peels on the
+      // driver — bit-for-bit the same synchronous-round fixpoint — and
+      // returns local (node, deg0) / core-membership relations. At
+      // corpus scale the count routes to the distributed loop
+      // unchanged.
+      val smallMax = s.conf.get("graft.kcore.smallThreshold", "1000000").toLong
+      val (deg0Df, aliveDf) = if (und.count() <= smallMax) {
+        val es = und.select("src", "dst").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val deg0M = es.groupBy(_._1).map { case (k, v) => (k, v.length.toLong) }
+        var aliveSet = es.map(_._1).toSet
+        for (_ <- 1 to KcoreIters) {
+          val deg = es.iterator
+            .filter(e => aliveSet(e._1) && aliveSet(e._2))
+            .toSeq.groupBy(_._1).map { case (k, v) => (k, v.length) }
+          aliveSet = deg.collect { case (k, n) if n >= KcoreK => k }.toSet
+        }
+        import s.implicits._
+        (deg0M.toSeq.sorted.toDF("node", "deg0"),
+          aliveSet.toSeq.sorted.toDF("node"))
+      } else {
+        val deg0 = und.groupBy("src").agg(count(lit(1)).as("deg0"))
+          .select(col("src").as("node"), col("deg0"))
+        var alive = und.select(col("src").as("node")).distinct()
+          .localCheckpoint()
+        for (_ <- 1 to KcoreIters) {
+          val next = und
+            .join(alive.select(col("node").as("src")), "src")
+            .join(alive.select(col("node").as("dst")), "dst")
+            .groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= KcoreK)
+            .select(col("src").as("node")).localCheckpoint()
+          graft.functions.Checkpoints.release(alive)
+          alive = next
+        }
+        (deg0, alive)
       }
       // und and the final alive snapshot stay live — the returned plan
       // still reads both (deg0 is lazy); the weak registry hands them
@@ -686,9 +715,9 @@ object SemiStructuredOps extends OpGroup {
       // contract), while the loop's superseded rounds were released
       // eagerly above.
       nodes
-        .join(deg0.select(col("src").as("node"), col("deg0")), Seq("node"), "left")
+        .join(deg0Df, Seq("node"), "left")
         .na.fill(0L, Seq("deg0"))
-        .join(alive.withColumn("in_core", lit(true)), Seq("node"), "left")
+        .join(aliveDf.withColumn("in_core", lit(true)), Seq("node"), "left")
         .na.fill(false, Seq("in_core"))
         .select(col("node").as("vec_id"), col("deg0"), col("in_core"))
         .orderBy("vec_id")

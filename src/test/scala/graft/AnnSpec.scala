@@ -319,6 +319,19 @@ class AnnSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(2)) > 0, "fixture keeps a non-empty core")
   }
 
+  // r18: the collected driver peel (measured-small) and the distributed
+  // join loop must agree bit-for-bit — threshold 0 forces the loop.
+  test("kcore collected peel equals the distributed loop") {
+    val small = SparkEntry.queries("kcore_graph_prune")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    spark.conf.set("graft.kcore.smallThreshold", "0")
+    try {
+      val dist = SparkEntry.queries("kcore_graph_prune")(spark, sf())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(small.toSeq === dist.toSeq)
+    } finally spark.conf.unset("graft.kcore.smallThreshold")
+  }
+
   test("ann_recall_eval agrees with the declared exact/IVF top-3 queries") {
     val rows = SparkEntry.queries("ann_recall_eval")(spark, sf()).collect()
     assert(rows.nonEmpty)
