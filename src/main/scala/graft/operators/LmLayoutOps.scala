@@ -159,13 +159,12 @@ object LmLayoutOps extends OpGroup {
     * consumer-visible read both layouts must answer identically (M1's
     * expression text verbatim).
     */
-  private def pplTopFromModel(s: SparkSession, modelP: String,
-      docs: DataFrame): DataFrame = {
-    val vdf = s.read.parquet(s"$modelP.stats").select("v")
-    bigrams(docs)
-      .join(s.read.parquet(modelP), Seq("w1", "w2"))
-      .join(broadcast(s.read.parquet(s"$modelP.c1")), Seq("w1"))
-      .crossJoin(broadcast(vdf))
+  private def pplTopFromModel(model: DataFrame, c1: DataFrame,
+      stats: DataFrame, big: DataFrame): DataFrame = {
+    big
+      .join(model, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(stats.select("v")))
       .withColumn("nll", expr(LangModelOps.nllSql))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_sum"))
@@ -198,22 +197,36 @@ object LmLayoutOps extends OpGroup {
           .select(lit(label).as("op_class"), col("n_rows"),
             col("n_in_rebuild"), col("n_all_equal"))
       }
-      val c2p = parity("c2_parity", s.read.parquet(incP),
-        s.read.parquet(rebP), Seq("w1", "w2"), "c2")
-      val c1p = parity("c1_parity", s.read.parquet(s"$incP.c1"),
-        s.read.parquet(s"$rebP.c1"), Seq("w1"), "c1")
+      // each distinct read.parquet call pays a listing+schema job at
+      // plan time — read every model table ONCE and share the frames
+      // (the ppl probes below re-read model/c1/stats before r18: 14
+      // plan-time jobs → 8)
+      val (incM, rebM) = (s.read.parquet(incP), s.read.parquet(rebP))
+      val (incC1, rebC1) =
+        (s.read.parquet(s"$incP.c1"), s.read.parquet(s"$rebP.c1"))
+      val (incSt, rebSt) =
+        (s.read.parquet(s"$incP.stats"), s.read.parquet(s"$rebP.stats"))
+      val c2p = parity("c2_parity", incM, rebM, Seq("w1", "w2"), "c2")
+      val c1p = parity("c1_parity", incC1, rebC1, Seq("w1"), "c1")
       val unip = parity("uni_parity", s.read.parquet(s"$incP.uni"),
         s.read.parquet(s"$rebP.uni"), Seq("w"), "cu")
-      val stp = s.read.parquet(s"$incP.stats")
-        .crossJoin(broadcast(s.read.parquet(s"$rebP.stats")
+      val stp = incSt
+        .crossJoin(broadcast(rebSt
           .select(col("v").as("v_r"), col("nn").as("nn_r"))))
         .select(lit("corpus_stats").as("op_class"),
           col("nn").as("n_rows"), col("nn_r").as("n_in_rebuild"),
           when(col("v") === col("v_r") && col("nn") === col("nn_r"),
             col("nn")).otherwise(lit(0L)).as("n_all_equal"))
       val pm = IncrementalMaintainOps.postMergeDocs(s, d)
-      val topI = pplTopFromModel(s, incP, pm)
-      val topR = pplTopFromModel(s, rebP, pm)
+      // ONE tokenization for both consumer probes (r18): the inc and
+      // rebuild scorers each re-ran the post-merge bigram explode (two
+      // duplicate ~1.2 s-CPU stages), and the explode's inferred
+      // size() filter pushed the split back into the 1-split scan —
+      // spread + pin computes the stream once over the cores
+      val pmBig = graft.functions.Spread(pm, col("doc_id"))
+        .transform(bigrams).localCheckpoint()
+      val topI = pplTopFromModel(incM, incC1, incSt, pmBig)
+      val topR = pplTopFromModel(rebM, rebC1, rebSt, pmBig)
         .select(col("rank"), col("doc_id").as("doc_r"),
           col("avg_nll_fp").as("nll_r"))
       val tkp = topI.agg(count(lit(1)).as("n_rows"))
