@@ -119,8 +119,10 @@ object LangModelOps extends OpGroup {
     // TakeOrdered on (gap, doc_id).
     "rho_loss_selection" -> ((s, d) => {
       val lm = LmLayoutOps.baseLm(s, d)
-      val bi = LmLayoutOps.bigrams(
-        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      // scan-spread below the bigram explode (r18, see Spread doc)
+      val bi = LmLayoutOps.bigrams(graft.functions.Spread(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id")))
       bi.join(s.read.parquet(lm), Seq("w1", "w2"))
         .join(broadcast(s.read.parquet(s"$lm.c1")), Seq("w1"))
         .join(broadcast(s.read.parquet(s"$lm.uni")
@@ -295,8 +297,13 @@ object LangModelOps extends OpGroup {
     // cutoffs from a sample for exactly this reason).
     "ccnet_ppl_bucket_filter" -> ((s, d) => {
       val lm = LmLayoutOps.baseLm(s, d)
-      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        split(col("text"), " ").as("a"))
+      // scan-spread below the bigram explode (r18, see Spread doc)
+      val toks = graft.functions.Spread(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("a"))
       val bi = toks.filter(size(col("a")) >= 2)
         .select(col("doc_id"), col("source"), explode(expr(
           """transform(sequence(1, size(a) - 1),
